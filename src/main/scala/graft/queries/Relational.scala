@@ -1,0 +1,432 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.sources.Tables
+
+/** Relational operator surface (SURVEY.md §2.2, S1–S17) exercised as declared,
+  * DuckDB-oracle-checkable queries over the driver testdata.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB at sf0.01):
+  *   - Double aggregation is done in DECIMAL (exact) and cast to DOUBLE at the
+  *     end — both engines then produce bit-identical doubles (the testdata
+  *     money/quantity columns carry ≤2 decimals).
+  *   - Integer SUMs are cast to BIGINT in the oracle SQL (DuckDB widens integer
+  *     sums to HUGEINT, Spark to LONG).
+  *   - Every query has a total ORDER BY so row order can never differ.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** Exact decimal view of a ≤2-decimals double column. */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  private def one: Column = lit(1).cast("decimal(18,2)")
+
+  // ---------------------------------------------------------------- queries
+
+  /** S1+S3+S4+S8+S12 — TPC-H Q1-style pricing summary (scan, filter on ts,
+    * hash agg with decimal-exact sums, sort). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_shipdate" <= lit("1998-09-01").cast("timestamp"))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec($"l_extendedprice")).cast("double").as("sum_base_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("sum_disc_price"),
+        sum(dec($"l_extendedprice") * (one - dec($"l_discount")) * (one + dec($"l_tax"))).cast("double").as("sum_charge"),
+        count(lit(1)).as("count_order"))
+      .orderBy($"l_returnflag", $"l_linestatus")
+  }
+
+  val q01Sql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** S4 — filter predicate battery: =, <, BETWEEN, IN, AND/OR/NOT. */
+  def q02FilterPredicates(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter(
+        $"l_shipdate".between(lit("1996-01-01").cast("timestamp"), lit("1997-12-31").cast("timestamp")) &&
+        $"l_returnflag".isin("A", "R") &&
+        ($"l_quantity" < 10.0 || $"l_discount" === 0.1) &&
+        !($"l_linestatus" === "O"))
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity", $"l_discount", $"l_returnflag")
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q02Sql: String =
+    """SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+      |FROM lineitem
+      |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00' AND TIMESTAMP '1997-12-31 00:00:00'
+      |  AND l_returnflag IN ('A','R')
+      |  AND (l_quantity < 10.0 OR l_discount = 0.1)
+      |  AND NOT (l_linestatus = 'O')
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S5 — broadcast hash equi-join (KV-store analogue, SURVEY §2.1 R12):
+    * nation is the small side-input, joined broadcast. */
+  def q03BroadcastJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val n = t(s, dir, "nation")
+    val r = t(s, dir, "region")
+    c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy($"r_name", $"n_name")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(dec($"c_acctbal")).cast("double").as("sum_acctbal"))
+      .orderBy($"r_name", $"n_name")
+  }
+
+  val q03Sql: String =
+    """SELECT r_name, n_name, COUNT(*) AS n_customers,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |JOIN region ON n_regionkey = r_regionkey
+      |GROUP BY r_name, n_name
+      |ORDER BY r_name, n_name""".stripMargin
+
+  /** S6 — multi-way shuffle join (customer ⋈ orders ⋈ lineitem), TPC-H Q3-ish. */
+  def q04ShuffleJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer").filter($"c_mktsegment" === "BUILDING")
+    val o = t(s, dir, "orders")
+    val l = t(s, dir, "lineitem")
+    c.join(o, c("c_custkey") === o("o_custkey"))
+      .join(l, o("o_orderkey") === l("l_orderkey"))
+      .groupBy($"o_orderkey", $"o_orderdate")
+      .agg(sum(dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("revenue"))
+      .orderBy(desc("revenue"), $"o_orderkey")
+      .limit(20)
+  }
+
+  val q04Sql: String =
+    """SELECT o_orderkey, o_orderdate,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY o_orderkey, o_orderdate
+      |ORDER BY revenue DESC, o_orderkey
+      |LIMIT 20""".stripMargin
+
+  /** S7 — left semi join (bulkGet key-list analogue, SURVEY §2.1 R3). */
+  def q05SemiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders").filter($"o_totalprice" > 150000.0)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select($"c_custkey", $"c_name", $"c_mktsegment")
+      .orderBy($"c_custkey")
+  }
+
+  val q05Sql: String =
+    """SELECT c_custkey, c_name, c_mktsegment
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 150000.0)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** S7 — left anti join ("rows lacking a fresh score"). */
+  def q06AntiJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val c = t(s, dir, "customer")
+    val o = t(s, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select($"c_custkey", $"c_name")
+      .orderBy($"c_custkey")
+  }
+
+  val q06Sql: String =
+    """SELECT c_custkey, c_name FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** S9 — distinct + count distinct. */
+  def q07Distinct(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .groupBy($"o_orderstatus")
+      .agg(
+        countDistinct($"o_custkey").as("n_customers"),
+        countDistinct($"o_orderpriority").as("n_priorities"),
+        count(lit(1)).as("n_orders"))
+      .orderBy($"o_orderstatus")
+  }
+
+  val q07Sql: String =
+    """SELECT o_orderstatus,
+      |  COUNT(DISTINCT o_custkey) AS n_customers,
+      |  COUNT(DISTINCT o_orderpriority) AS n_priorities,
+      |  COUNT(*) AS n_orders
+      |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin
+
+  /** S10 — window row_number: newest order per customer (max-versions
+    * semantics of the reference's versioned cells, SURVEY §1.2). */
+  def q08WindowTopPerKey(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy(desc("o_orderdate"), desc("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= 2)
+      .select($"o_custkey", $"rn", $"o_orderkey", $"o_orderdate", $"o_totalprice")
+      .orderBy($"o_custkey", $"rn")
+  }
+
+  val q08Sql: String =
+    """SELECT o_custkey, rn, o_orderkey, o_orderdate, o_totalprice FROM (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      |  FROM orders) WHERE rn <= 2
+      |ORDER BY o_custkey, rn""".stripMargin
+
+  /** S11 — window lag + running aggregate over frames (change detection
+    * vs previous version, SURVEY §2.2 S11). */
+  def q09WindowLagRunning(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
+    t(s, dir, "orders")
+      .withColumn("prev_price", lag(dec($"o_totalprice"), 1).over(w).cast("double"))
+      .withColumn("running_spend",
+        sum(dec($"o_totalprice")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).cast("double"))
+      .filter($"o_custkey" <= 100)
+      .select($"o_custkey", $"o_orderkey", $"o_orderdate", $"prev_price", $"running_spend")
+      .orderBy($"o_custkey", $"o_orderdate", $"o_orderkey")
+  }
+
+  val q09Sql: String =
+    """SELECT o_custkey, o_orderkey, o_orderdate,
+      |  CAST(LAG(CAST(o_totalprice AS DECIMAL(18,2)), 1) OVER w AS DOUBLE) AS prev_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+      |FROM orders
+      |WHERE o_custkey <= 100
+      |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+      |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+
+  /** S13 — union of two slices (scored ∪ stale merge shape, SURVEY §2.1 R9). */
+  def q10Union(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val hi = o.filter($"o_totalprice" > 250000.0).select($"o_orderkey", lit("hi").as("bucket"))
+    val lo = o.filter($"o_totalprice" < 20000.0).select($"o_orderkey", lit("lo").as("bucket"))
+    hi.unionByName(lo).orderBy($"o_orderkey")
+  }
+
+  val q10Sql: String =
+    """SELECT o_orderkey, 'hi' AS bucket FROM orders WHERE o_totalprice > 250000.0
+      |UNION ALL
+      |SELECT o_orderkey, 'lo' AS bucket FROM orders WHERE o_totalprice < 20000.0
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S14 — intersect / except (registry diff on reread, SURVEY §2.1 R25). */
+  def q11IntersectExcept(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = t(s, dir, "orders")
+    val buyers96 = o.filter(year($"o_orderdate") === 1996).select($"o_custkey")
+    val buyers97 = o.filter(year($"o_orderdate") === 1997).select($"o_custkey")
+    val both = buyers96.intersect(buyers97).withColumn("cohort", lit("both"))
+    val only96 = buyers96.distinct().exceptAll(buyers97.distinct()).withColumn("cohort", lit("only96"))
+    both.unionByName(only96).orderBy($"cohort", $"o_custkey")
+  }
+
+  val q11Sql: String =
+    """WITH b96 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1996),
+      |     b97 AS (SELECT o_custkey FROM orders WHERE EXTRACT(year FROM o_orderdate) = 1997)
+      |SELECT o_custkey, 'both' AS cohort FROM (SELECT o_custkey FROM b96 INTERSECT SELECT o_custkey FROM b97)
+      |UNION ALL
+      |SELECT o_custkey, 'only96' AS cohort FROM (SELECT DISTINCT o_custkey FROM b96 EXCEPT SELECT DISTINCT o_custkey FROM b97)
+      |ORDER BY cohort, o_custkey""".stripMargin
+
+  /** S15 — string functions: concat, substring, lower/upper, length, split. */
+  def q12StringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select(
+        $"p_partkey",
+        concat($"p_brand", lit("#"), $"p_type").as("brand_type"),
+        lower($"p_name").as("lname"),
+        upper($"p_brand").as("ubrand"),
+        substring($"p_type", 1, 5).as("type5"),
+        length($"p_name").as("name_len"),
+        size(split($"p_type", " ")).as("type_words"))
+      .orderBy($"p_partkey")
+  }
+
+  val q12Sql: String =
+    """SELECT p_partkey,
+      |  p_brand || '#' || p_type AS brand_type,
+      |  LOWER(p_name) AS lname,
+      |  UPPER(p_brand) AS ubrand,
+      |  SUBSTRING(p_type, 1, 5) AS type5,
+      |  CAST(LENGTH(p_name) AS INT) AS name_len,
+      |  CAST(LEN(STRING_SPLIT(p_type, ' ')) AS INT) AS type_words
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** S15 — date/timestamp functions (epoch arithmetic; clock always injected). */
+  def q13DateFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .select(
+        $"o_orderkey",
+        year($"o_orderdate").as("y"),
+        month($"o_orderdate").as("m"),
+        dayofmonth($"o_orderdate").as("d"),
+        expr("unix_micros(cast(o_orderdate as timestamp)) div 1000").as("epoch_ms"),
+        date_format($"o_orderdate", "yyyy-MM").as("ym"))
+      .filter($"y" === 1997)
+      .orderBy($"o_orderkey")
+  }
+
+  val q13Sql: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS INT) AS y,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS INT) AS m,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS INT) AS d,
+      |  epoch_ms(o_orderdate) AS epoch_ms,
+      |  strftime(o_orderdate, '%Y-%m') AS ym
+      |FROM orders
+      |WHERE EXTRACT(year FROM o_orderdate) = 1997
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** S15 — math: + - * / % round abs, CASE WHEN. Exact decimal arithmetic. */
+  def q14MathCase(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "lineitem")
+      .filter($"l_orderkey" <= 1000)
+      .select(
+        $"l_orderkey", $"l_linenumber",
+        (dec($"l_extendedprice") * (one - dec($"l_discount"))).cast("double").as("net"),
+        ($"l_partkey" % 10).as("pk_mod"),
+        abs(dec($"l_quantity") - lit(25).cast("decimal(18,2)")).cast("double").as("qty_dev"),
+        round(dec($"l_tax") * lit(100).cast("decimal(18,2)"), 0).cast("int").as("tax_pct"),
+        when($"l_quantity" >= 30, lit("bulk"))
+          .when($"l_quantity" >= 10, lit("mid"))
+          .otherwise(lit("small")).as("qty_band"))
+      .orderBy($"l_orderkey", $"l_linenumber")
+  }
+
+  val q14Sql: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS net,
+      |  l_partkey % 10 AS pk_mod,
+      |  CAST(ABS(CAST(l_quantity AS DECIMAL(18,2)) - CAST(25 AS DECIMAL(18,2))) AS DOUBLE) AS qty_dev,
+      |  CAST(ROUND(CAST(l_tax AS DECIMAL(18,2)) * CAST(100 AS DECIMAL(18,2)), 0) AS INT) AS tax_pct,
+      |  CASE WHEN l_quantity >= 30 THEN 'bulk' WHEN l_quantity >= 10 THEN 'mid' ELSE 'small' END AS qty_band
+      |FROM lineitem
+      |WHERE l_orderkey <= 1000
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
+  /** S16 — array functions: split + explode + array_sort + element_at. */
+  def q15ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .select($"p_partkey", split($"p_type", " ").as("words"))
+      .select(
+        $"p_partkey",
+        size($"words").as("n_words"),
+        element_at(array_sort($"words"), 1).as("first_sorted"),
+        explode($"words").as("word"))
+      .orderBy($"p_partkey", $"word")
+  }
+
+  val q15Sql: String =
+    """SELECT p_partkey,
+      |  CAST(LEN(STRING_SPLIT(p_type,' ')) AS INT) AS n_words,
+      |  LIST_SORT(STRING_SPLIT(p_type,' '))[1] AS first_sorted,
+      |  UNNEST(STRING_SPLIT(p_type, ' ')) AS word
+      |FROM part ORDER BY p_partkey, word""".stripMargin
+
+  /** S17 — JSON extraction from the events.props payload (policy-state serde
+    * shape, SURVEY §2.1 R17/R18). */
+  def q16JsonFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .select(
+        $"event_id",
+        get_json_object($"props", "$.k").cast("int").as("k"))
+      .filter($"k" >= 90)
+      .orderBy($"event_id")
+  }
+
+  val q16Sql: String =
+    """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INT) AS k
+      |FROM events
+      |WHERE CAST(json_extract_string(props, '$.k') AS INT) >= 90
+      |ORDER BY event_id""".stripMargin
+
+  /** S8 — max_by/min_by + having-style post-aggregation filter. */
+  def q17MaxByHaving(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .agg(
+        max_by($"event_id", $"ts").as("latest_event_id"),
+        count(lit(1)).as("n_events"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .filter($"n_events" >= 40)
+      .orderBy($"user_id")
+  }
+
+  val q17Sql: String =
+    """SELECT user_id,
+      |  MAX_BY(event_id, ts) AS latest_event_id,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY user_id
+      |HAVING COUNT(*) >= 40
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_predicates" -> (q02FilterPredicates _),
+    "q03_broadcast_join" -> (q03BroadcastJoin _),
+    "q04_shuffle_join" -> (q04ShuffleJoin _),
+    "q05_semi_join" -> (q05SemiJoin _),
+    "q06_anti_join" -> (q06AntiJoin _),
+    "q07_distinct" -> (q07Distinct _),
+    "q08_window_top_per_key" -> (q08WindowTopPerKey _),
+    "q09_window_lag_running" -> (q09WindowLagRunning _),
+    "q10_union" -> (q10Union _),
+    "q11_intersect_except" -> (q11IntersectExcept _),
+    "q12_string_funcs" -> (q12StringFuncs _),
+    "q13_date_funcs" -> (q13DateFuncs _),
+    "q14_math_case" -> (q14MathCase _),
+    "q15_array_funcs" -> (q15ArrayFuncs _),
+    "q16_json_funcs" -> (q16JsonFuncs _),
+    "q17_max_by_having" -> (q17MaxByHaving _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q01_pricing_summary" -> q01Sql,
+    "q02_filter_predicates" -> q02Sql,
+    "q03_broadcast_join" -> q03Sql,
+    "q04_shuffle_join" -> q04Sql,
+    "q05_semi_join" -> q05Sql,
+    "q06_anti_join" -> q06Sql,
+    "q07_distinct" -> q07Sql,
+    "q08_window_top_per_key" -> q08Sql,
+    "q09_window_lag_running" -> q09Sql,
+    "q10_union" -> q10Sql,
+    "q11_intersect_except" -> q11Sql,
+    "q12_string_funcs" -> q12Sql,
+    "q13_date_funcs" -> q13Sql,
+    "q14_math_case" -> q14Sql,
+    "q15_array_funcs" -> q15Sql,
+    "q16_json_funcs" -> q16Sql,
+    "q17_max_by_having" -> q17Sql)
+}

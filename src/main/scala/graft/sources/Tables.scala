@@ -1,0 +1,35 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{expr, timestamp_micros}
+
+/** Parquet-backed table catalog over the driver testdata (TESTDATA.md).
+  *
+  * The reference opens entity-centric tables by name from a Kiji instance
+  * (reference: `src/main/java/org/kiji/scoring/impl/InternalFreshKijiTableReader.java:246-249`);
+  * here a "table" is a parquet DataFrame in a scale-factor directory. Reads are
+  * plain `spark.read.parquet` so Catalyst column pruning / predicate pushdown
+  * reach the scan (SURVEY.md §4).
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") {
+      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+      // natively; read the raw int64 nanos and floor to microseconds — the
+      // same truncation DuckDB applies when coercing ns→µs, so oracle
+      // comparisons stay exact.
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    } else spark.read.parquet(path(dir, name))
+
+  /** Register every testdata table as a temp view (for spark.sql parity tests). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}
