@@ -1,0 +1,268 @@
+package graft.engine
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.{Cells, ColumnName, DataRequest, EntityView}
+import graft.policy.FreshnessPolicy
+import graft.registry.{FreshnessManager, FreshnessRecord}
+import graft.score.{Scorer, ScorerContext}
+
+/** Reader configuration — mirrors `FreshKijiTableReaderBuilder`'s knobs and
+  * defaults (reference: `src/main/java/org/kiji/scoring/FreshKijiTableReaderBuilder.java:61-219`):
+  * the per-read wall-clock timeout (default 100 ms, `:67`) is reinterpreted as
+  * a deterministic scoring budget in rows (`None` = unbounded), and
+  * `returnPartiallyFreshData` (default false, `:63`) as per-column vs per-row
+  * merge atomicity. `asOf` is the injected clock — batch runs never read the
+  * wall clock (SURVEY §7 hard parts).
+  */
+final case class FreshReaderConfig(
+    asOf: Long,
+    budgetRows: Option[Long] = None,
+    allowPartial: Boolean = false)
+
+/** A bound (policy, scorer, stores) triple for one attachment point — the
+  * analogue of the reference's `FreshnessCapsule`
+  * (reference: `impl/InternalFreshKijiTableReader.java:116-208,356-426`).
+  * Immutable and memoized; no refcounting needed. */
+final case class Capsule(
+    attachment: ColumnName,
+    record: FreshnessRecord,
+    policy: FreshnessPolicy,
+    scorer: Scorer,
+    stores: Map[String, DataFrame])
+
+/** The batch freshening engine — the Spark-native `FreshKijiTableReader`
+  * (reference: `src/main/java/org/kiji/scoring/impl/InternalFreshKijiTableReader.java:665-725`).
+  *
+  * The reference's per-read flow (read → per-column freshness check → score
+  * stale → write back → reread) compiles to one set-oriented job:
+  *
+  * {{{
+  * slice → per-attachment fresh predicate → stale ∖ budget scored via Scorer
+  *       → newest-wins merge into the cell columns → result
+  * }}}
+  *
+  * The thread-pool/timeout/OR-fold machinery of the reference
+  * (`impl/InternalFreshKijiTableReader.java:624-661`) collapses: Spark task
+  * parallelism replaces the pool, stage barriers give "all finished", and the
+  * deterministic row budget reproduces the stale-fallback semantics
+  * (`:703-724`) without wall clocks. Rows beyond budget pass through stale
+  * and are picked up by the next run — the "late commit" equivalence
+  * (`test/impl/TestInternalFreshKijiTableReader.java:497-506`).
+  *
+  * Scale: all per-row work is expression-level (whole-stage codegen); the
+  * only shuffles are the scored-rows equi-join back onto the slice (broadcast
+  * when the scored set is small) and any aggregation inside a Scorer.
+  */
+final class FreshReader(
+    val manager: FreshnessManager,
+    val tableName: String,
+    view: DataFrame,
+    config: FreshReaderConfig,
+    storeLoader: String => DataFrame = FreshReader.noStores) {
+
+  private val capsuleCache = mutable.LinkedHashMap.empty[String, Capsule]
+
+  // ------------------------------------------------------------- capsules
+
+  /** Map requested columns to attached capsules, qualified-column record
+    * winning over family record, family capsules deduped so a family-level
+    * freshener runs once per request even when several of its qualifiers are
+    * named (reference: `impl/InternalFreshKijiTableReader.java:438-482`;
+    * once-per-family pinned by `test/impl/TestInternalFreshKijiTableReader.java:529-559`). */
+  def capsulesFor(request: DataRequest): Seq[Capsule] = {
+    val points = request.columns.flatMap { cn =>
+      val qualified = if (cn.isFullyQualified) manager.retrievePolicy(tableName, cn) else None
+      qualified.orElse(manager.retrievePolicy(tableName, ColumnName(cn.family, None)))
+    }.distinct
+    points.map(r => capsuleCache.getOrElseUpdate(r.column.toString, makeCapsule(r)))
+  }
+
+  /** Reflective capsule construction + store merge, policy shadowing producer
+    * (reference: `impl/InternalFreshKijiTableReader.java:319-345,367,374-379`). */
+  private def makeCapsule(r: FreshnessRecord): Capsule = {
+    val policy = FreshnessPolicy.load(r.policyClass, r.policyState)
+    val scorer = Scorer.load(r.producerClass)
+    val bindings = scorer.storeBindings ++ policy.storeBindings // policy wins
+    Capsule(r.column, r, policy, scorer, bindings.map { case (n, src) => n -> storeLoader(src) })
+  }
+
+  /** Warm the capsule cache without scoring — `preload`
+    * (reference: `impl/InternalFreshKijiTableReader.java:825-827`). */
+  def preload(request: DataRequest): Unit = capsulesFor(request)
+
+  /** Drop memoized capsules so the next request re-reads the registry —
+    * `rereadPolicies` (reference: `impl/InternalFreshKijiTableReader.java:272-309`;
+    * the automatic-reread timer becomes per-job snapshotting in batch). */
+  def rereadPolicies(withPreload: Option[DataRequest] = None): Unit = {
+    capsuleCache.clear()
+    withPreload.foreach(preload)
+  }
+
+  // -------------------------------------------------------------- freshen
+
+  /** Freshen an arbitrary slice of the table and project the request. */
+  private def freshenSlice(slice: DataFrame, request: DataRequest): DataFrame = {
+    val capsules = capsulesFor(request)
+    if (capsules.isEmpty) request.select(slice) // no-policy fast path (:674-679)
+    else request.select(freshenCapsules(slice, capsules))
+  }
+
+  /** The freshen pipeline over a base slice. Every policy is evaluated
+    * against the SAME base read — the analogue of the single shared async
+    * client read all policies reuse (`impl/InternalFreshKijiTableReader.java:496-502`)
+    * — then all updates merge onto it. */
+  private def freshenCapsules(slice: DataFrame, capsules: Seq[Capsule]): DataFrame = {
+    slice.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+    val outcomes = capsules.map(c => computeScored(slice, c))
+
+    // allowPartial=false (the reference default, `FreshKijiTableReaderBuilder.java:63`):
+    // a row with ANY stale-but-unscored (over budget) column takes NO updates
+    // at all — the caller sees the cached pre-score read for that row, and the
+    // next run picks it up ("late commit",
+    // `test/impl/TestInternalFreshKijiTableReader.java:497-506`).
+    // allowPartial=true: per-column merges land independently.
+    val filtered =
+      if (config.allowPartial || outcomes.forall(_.unscoredKeys.isEmpty)) outcomes
+      else {
+        val anyUnscored = outcomes.flatMap(_.unscoredKeys).reduce(_ unionByName _).distinct()
+        outcomes.map(o => o.copy(scored =
+          o.scored.join(broadcast(anyUnscored), Seq(EntityView.EntityId), "left_anti")))
+      }
+    filtered.foldLeft(slice)((df, o) => mergeScored(df, o))
+  }
+
+  private final case class CapsuleOutcome(
+      capsule: Capsule,
+      scored: DataFrame,
+      unscoredKeys: Option[DataFrame])
+
+  /** Evaluate one capsule against the base slice: predicate → budgeted stale
+    * set → score. */
+  private def computeScored(slice: DataFrame, c: Capsule): CapsuleOutcome = {
+    val cell: Column = EntityView.resolveCell(slice.schema, c.attachment)
+    val freshP = c.policy.isFresh(cell, config.asOf)
+    val stale = slice.filter(!coalesce(freshP, lit(false)))
+
+    // Deterministic budget: the N smallest entity ids among stale rows get
+    // scored this run (TakeOrdered on the key column only — no global sort of
+    // data rows); the rest pass through stale, like a timed-out read whose
+    // producer commits late (:703-724).
+    val (budgeted, unscored) = config.budgetRows match {
+      case Some(n) =>
+        val keys = stale.select(col(EntityView.EntityId))
+          .orderBy(col(EntityView.EntityId)).limit(n.toInt)
+        (stale.join(broadcast(keys), Seq(EntityView.EntityId), "left_semi"),
+          Some(stale.select(col(EntityView.EntityId))
+            .join(broadcast(keys), Seq(EntityView.EntityId), "left_anti")))
+      case None => (stale, None)
+    }
+
+    val ctx = ScorerContext(config.asOf, c.stores)
+    CapsuleOutcome(c, c.scorer.score(c.scorer.dataRequest.select(budgeted), ctx), unscored)
+  }
+
+  /** Newest-wins merge of one capsule's scores. Writes land on the ATTACHED
+    * column, overriding the scorer's declared output (reference:
+    * `package-info.java:72-80`, `impl/KijiFreshProducerContext.java:84-131`). */
+  private def mergeScored(df: DataFrame, o: CapsuleOutcome): DataFrame = {
+    val c = o.capsule
+    if (EntityView.isMapFamily(df.schema, c.attachment.family)) {
+      // Map-family writes: (entity_id, qualifier, value) rows; a qualified
+      // attachment pins the qualifier.
+      val tall = c.attachment.qualifier match {
+        case Some(q) => o.scored.withColumn("qualifier", lit(q))
+        case None    => o.scored
+      }
+      val s = tall.groupBy(col(EntityView.EntityId))
+        .agg(map_from_entries(collect_list(struct(col("qualifier"), col("value"))))
+          .as("__scores"))
+      val fam = c.attachment.family
+      df.join(s, Seq(EntityView.EntityId), "left")
+        .withColumn(fam,
+          when(col("__scores").isNotNull,
+            map_concat(coalesce(col(fam), map()),
+              transform_values(col("__scores"), (q, v) =>
+                Cells.put(try_element_at(coalesce(col(fam), map()), q), lit(config.asOf), v))))
+          .otherwise(col(fam)))
+        .drop("__scores")
+    } else if (c.attachment.isFullyQualified) {
+      val s = o.scored.withColumnRenamed("value", "__score")
+        .withColumn("__scored", lit(true))
+      df.join(s, Seq(EntityView.EntityId), "left")
+        .withColumn(c.attachment.flat,
+          when(col("__scored").isNotNull,
+            Cells.put(col(c.attachment.flat), lit(config.asOf), col("__score")))
+          .otherwise(col(c.attachment.flat)))
+        .drop("__score", "__scored")
+    } else throw new IllegalStateException(
+      s"Family-level attachment '${c.attachment}' on a group-type family " +
+        "(validation should have rejected this)")
+  }
+
+  // ------------------------------------------------------------ public API
+
+  /** Fresh point get (reference R1: `impl/InternalFreshKijiTableReader.java:665-725`). */
+  def get(entityId: Any, request: DataRequest): DataFrame =
+    freshenSlice(view.filter(col(EntityView.EntityId) === lit(entityId)), request)
+
+  /** Bulk fresh get over a key list (reference R3: `:777-806`) — the natural
+    * Spark case: small key sets broadcast-semi-join the table. */
+  def bulkGet(entityIds: Seq[Any], request: DataRequest): DataFrame =
+    freshenSlice(view.filter(col(EntityView.EntityId).isin(entityIds: _*)), request)
+
+  /** Bulk fresh get against a keys DataFrame (column `entity_id`). */
+  def bulkGet(keys: DataFrame, request: DataRequest): DataFrame =
+    freshenSlice(view.join(keys, Seq(EntityView.EntityId), "left_semi"), request)
+
+  /** Freshen the whole table — the fresh scan the reference explicitly does
+    * NOT support (`getScanner` throws, `:810-821`); in Spark the full scan is
+    * the native path (SURVEY §2.1 R30 inverted). */
+  def freshenTable(request: DataRequest): DataFrame = freshenSlice(view, request)
+
+  /** Freshened full view (all columns) — for write-back jobs. */
+  def freshenAll(request: DataRequest): DataFrame = {
+    val capsules = capsulesFor(request)
+    if (capsules.isEmpty) view else freshenCapsules(view, capsules)
+  }
+
+  /** Write-back merge job (SURVEY §2.2 S2): freshen + overwrite. At 100 TB
+    * this is a partition-scoped read-union-rewrite; with a transactional
+    * table format it becomes a MERGE. */
+  def writeBack(request: DataRequest, outPath: String): Unit =
+    freshenAll(request).write.mode("overwrite").parquet(outPath)
+}
+
+object FreshReader {
+  private def noStores(name: String): DataFrame =
+    throw new IllegalArgumentException(s"No store loader configured (wanted '$name')")
+
+  /** Builder with the reference's defaults (reference:
+    * `FreshKijiTableReaderBuilder.java:62-69`; timeout 100 ms → default
+    * budget unbounded since batch has no wall clock — callers set
+    * `budgetRows` to model timeouts deterministically). */
+  final case class Builder(
+      manager: FreshnessManager,
+      tableName: String = "",
+      view: Option[DataFrame] = None,
+      asOf: Long = 0L,
+      budgetRows: Option[Long] = None,
+      allowPartial: Boolean = false,
+      storeLoader: Option[String => DataFrame] = None) {
+    def withTable(name: String, v: DataFrame): Builder = copy(tableName = name, view = Some(v))
+    def withAsOf(ts: Long): Builder = copy(asOf = ts)
+    def withBudgetRows(n: Long): Builder = copy(budgetRows = Some(n))
+    def returnPartiallyFreshData(b: Boolean): Builder = copy(allowPartial = b)
+    def withStoreLoader(f: String => DataFrame): Builder = copy(storeLoader = Some(f))
+    def build(): FreshReader = {
+      require(view.isDefined, "withTable is required")
+      new FreshReader(manager, tableName, view.get,
+        FreshReaderConfig(asOf, budgetRows, allowPartial),
+        storeLoader.getOrElse(noStores))
+    }
+  }
+  def builder(manager: FreshnessManager): Builder = Builder(manager)
+}

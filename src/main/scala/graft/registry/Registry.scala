@@ -1,0 +1,215 @@
+package graft.registry
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.types.StructType
+
+import graft.model.{ColumnName, EntityView}
+import graft.policy.FreshnessPolicy
+import graft.score.Scorer
+
+/** Persisted attachment record — mirrors the Avro
+  * `KijiFreshnessPolicyRecord` {record_version, producer_class,
+  * freshness_policy_class, freshness_policy_state}
+  * (reference: `src/main/avro/KijiFreshnessPolicy.avdl:29-41`). */
+final case class FreshnessRecord(
+    tableName: String,
+    column: ColumnName,
+    producerClass: String,
+    policyClass: String,
+    policyState: String,
+    recordVersion: String = FreshnessRecord.CurrentVersion)
+
+object FreshnessRecord {
+  /** Matches the reference's record version for compatibility checks
+    * (reference: `KijiFreshnessManager.java:71-77`). */
+  val CurrentVersion = "policyrecord-0.1.0"
+}
+
+/** Validation failure modes — same enum as the reference
+  * (reference: `src/main/java/org/kiji/scoring/KijiFreshnessManager.java:345-354`). */
+object ValidationFailure extends Enumeration {
+  val BadPolicyName, BadProducerName, NoFamilyInTable, NoQualifiedColumnInTable,
+      FreshenerAlreadyAttached, GroupTypeFamilyAttachment,
+      ProducerOutputColumnDoesNotMatch, ProducerRequestCannotBeFulfilled = Value
+}
+
+/** Aggregate of all failures for one attachment attempt
+  * (reference: `KijiFreshnessManager.java:359-398`). */
+final class FreshnessValidationException(
+    val failures: Map[ValidationFailure.Value, String])
+  extends RuntimeException(
+    failures.map { case (k, v) => s"$k: $v" }.mkString("; "))
+
+/** The freshness-policy registry — the metatable analogue
+  * (reference: `KijiFreshnessManager.java:148-342`, records stored under
+  * `kiji.scoring.fresh.<column>` keys at `:80,235-239`).
+  *
+  * Backed by an in-memory map with JSON-lines persistence; at 100 TB scale
+  * the registry stays tiny (one row per attached column) and is broadcast
+  * with the job, so this is deliberately not a distributed structure.
+  *
+  * `schemaOf` supplies the entity-view schema for attachment validation
+  * (the layout check at `KijiFreshnessManager.java:574-637`).
+  */
+final class FreshnessManager(schemaOf: String => Option[StructType]) {
+
+  private val records = mutable.LinkedHashMap.empty[(String, String), FreshnessRecord]
+
+  // ------------------------------------------------------------- validation
+
+  /** Dotted-Java-identifier check (reference: `KijiFreshnessManager.java:174-195`). */
+  def isValidClassName(name: String): Boolean =
+    name.nonEmpty && name.split("\\.", -1).forall(seg =>
+      seg.nonEmpty && Character.isJavaIdentifierStart(seg.head) &&
+        seg.tail.forall(Character.isJavaIdentifierPart))
+
+  /** Attachment-time validation, all 8 modes aggregated
+    * (reference: `KijiFreshnessManager.java:546-641`). */
+  def validateAttachment(tableName: String, column: ColumnName,
+      producerClass: String, policyClass: String,
+      checkClasspath: Boolean): Map[ValidationFailure.Value, String] = {
+    val fails = mutable.LinkedHashMap.empty[ValidationFailure.Value, String]
+    if (!isValidClassName(policyClass))
+      fails(ValidationFailure.BadPolicyName) =
+        s"Policy class name '$policyClass' is not a valid Java class name."
+    if (!isValidClassName(producerClass))
+      fails(ValidationFailure.BadProducerName) =
+        s"Producer class name '$producerClass' is not a valid Java class name."
+
+    schemaOf(tableName) match {
+      case None =>
+        fails(ValidationFailure.NoFamilyInTable) = s"Table '$tableName' does not exist."
+      case Some(schema) =>
+        if (!EntityView.familyExists(schema, column.family))
+          fails(ValidationFailure.NoFamilyInTable) =
+            s"Table '$tableName' does not contain family '${column.family}'."
+        else column.qualifier match {
+          case Some(_) =>
+            if (!EntityView.qualifiedColumnExists(schema, column))
+              fails(ValidationFailure.NoQualifiedColumnInTable) =
+                s"Table '$tableName' does not contain column '$column'."
+            // qualified attach conflicts with an existing family-wide record
+            if (records.contains((tableName, column.family)))
+              fails(ValidationFailure.FreshenerAlreadyAttached) =
+                s"A freshener is already attached to family '${column.family}'; " +
+                  s"cannot also attach to column '$column'."
+          case None =>
+            if (EntityView.isGroupFamily(schema, column.family) &&
+                !EntityView.isMapFamily(schema, column.family))
+              fails(ValidationFailure.GroupTypeFamilyAttachment) =
+                s"Cannot attach a freshener to group-type family '${column.family}'; " +
+                  "attach to fully qualified columns instead."
+            // family attach conflicts with existing qualified-column records
+            val qualifiedAttached = records.keys.collect {
+              case (t, c) if t == tableName &&
+                ColumnName(c).family == column.family && c.contains(":") => c
+            }
+            if (qualifiedAttached.nonEmpty)
+              fails(ValidationFailure.FreshenerAlreadyAttached) =
+                s"Fresheners are already attached to columns " +
+                  s"${qualifiedAttached.mkString(", ")} of family '${column.family}'; " +
+                  s"cannot also attach to the whole family."
+        }
+    }
+
+    if (checkClasspath && !fails.contains(ValidationFailure.BadProducerName)) {
+      // Post-attachment producer-vs-layout checks
+      // (reference: `KijiFreshnessManager.java:411-498`).
+      try {
+        val scorer = Scorer.load(producerClass)
+        val out = scorer.outputColumn
+        if (out.isFullyQualified && column.isFullyQualified && out != column)
+          fails(ValidationFailure.ProducerOutputColumnDoesNotMatch) =
+            s"Producer output column '$out' does not match attachment point '$column'."
+        schemaOf(tableName).foreach { schema =>
+          val missing = scorer.dataRequest.columns.filterNot(c =>
+            EntityView.qualifiedColumnExists(schema, c) ||
+              (!c.isFullyQualified && EntityView.familyExists(schema, c.family)))
+          if (missing.nonEmpty)
+            fails(ValidationFailure.ProducerRequestCannotBeFulfilled) =
+              s"Producer data request references missing columns: ${missing.mkString(", ")}."
+        }
+      } catch {
+        case _: ClassNotFoundException | _: ClassCastException =>
+          fails(ValidationFailure.BadProducerName) =
+            s"Producer class '$producerClass' is not a Scorer on the classpath."
+      }
+    }
+    fails.toMap
+  }
+
+  // -------------------------------------------------------------- mutation
+
+  /** Attach a policy+producer to a column (reference:
+    * `KijiFreshnessManager.java:148-167,217-243`). Throws
+    * [[FreshnessValidationException]] aggregating every failed check. */
+  def storePolicy(tableName: String, column: ColumnName, producerClass: String,
+      policy: FreshnessPolicy): Unit =
+    store(tableName, column, producerClass, policy.getClass.getName,
+      policy.serialize(), checkClasspath = true)
+
+  /** String variant that skips classpath checks — the `--as-strings` path
+    * (reference: `KijiFreshnessManager.java:217-243`, `tools/FreshTool.java:190-221`);
+    * the registry tolerates unresolvable class names until use. */
+  def storePolicyWithStrings(tableName: String, column: ColumnName,
+      producerClass: String, policyClass: String, policyState: String): Unit =
+    store(tableName, column, producerClass, policyClass, policyState,
+      checkClasspath = false)
+
+  private def store(tableName: String, column: ColumnName, producerClass: String,
+      policyClass: String, policyState: String, checkClasspath: Boolean): Unit = {
+    val fails = validateAttachment(tableName, column, producerClass, policyClass, checkClasspath)
+    if (fails.nonEmpty) throw new FreshnessValidationException(fails)
+    records((tableName, column.toString)) =
+      FreshnessRecord(tableName, column, producerClass, policyClass, policyState)
+  }
+
+  /** Point lookup; None if nothing attached (reference: `:255-273`). */
+  def retrievePolicy(tableName: String, column: ColumnName): Option[FreshnessRecord] =
+    records.get((tableName, column.toString))
+
+  /** All records for a table (reference: `:283-295`). */
+  def retrievePolicies(tableName: String): Map[ColumnName, FreshnessRecord] =
+    records.collect { case ((t, c), r) if t == tableName => ColumnName(c) -> r }.toMap
+
+  /** Remove one attachment; error if absent (reference: `:305-317`). */
+  def removePolicy(tableName: String, column: ColumnName): Unit =
+    if (records.remove((tableName, column.toString)).isEmpty)
+      throw new IllegalArgumentException(
+        s"There is no freshness policy attached to column '$column' in table '$tableName'")
+
+  /** Remove all attachments for a table, returning the removed set
+    * (reference: `:327-342`). */
+  def removePolicies(tableName: String): Set[ColumnName] = {
+    val removed = retrievePolicies(tableName).keySet
+    removed.foreach(c => records.remove((tableName, c.toString)))
+    removed
+  }
+
+  // ----------------------------------------------------------- persistence
+
+  /** JSON-lines snapshot (record serde analogue of the Avro encode at
+    * `KijiFreshnessManager.java:235-239`). */
+  def save(path: String): Unit = {
+    val lines = records.values.map { r =>
+      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      s"""{"table":${q(r.tableName)},"column":${q(r.column.toString)},""" +
+        s""""record_version":${q(r.recordVersion)},"producer_class":${q(r.producerClass)},""" +
+        s""""policy_class":${q(r.policyClass)},"policy_state":${q(r.policyState)}}"""
+    }
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
+  }
+
+  def load(path: String): Unit = {
+    val Re = ("""\{"table":"(.*?)","column":"(.*?)","record_version":"(.*?)",""" +
+      """"producer_class":"(.*?)","policy_class":"(.*?)","policy_state":"(.*)"\}""").r
+    scala.io.Source.fromFile(path, "UTF-8").getLines().filter(_.nonEmpty).foreach {
+      case Re(t, c, rv, pc, fc, st) =>
+        val state = st.replace("\\\"", "\"").replace("\\\\", "\\")
+        records((t, c)) = FreshnessRecord(t, ColumnName(c), pc, fc, state, rv)
+      case line => throw new IllegalArgumentException(s"Bad registry line: $line")
+    }
+  }
+}
