@@ -1,0 +1,127 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Deduplication operators for large-scale text corpora: exact (content
+  * hash), n-gram Jaccard (exact pairwise over a shingle inverted index),
+  * MinHash+LSH banding (the 100 TB path), and SimHash.
+  *
+  * Scale design (the point, per the north star):
+  *   - Exact dedup shuffles a 64-hex digest, never the document body.
+  *   - Jaccard pairs build an inverted index on shingles; `maxShingleDocFreq`
+  *     drops stop-shingles before the self-join — without it a shingle
+  *     appearing in d docs contributes d² candidate rows (the classic
+  *     quadratic blowup); with it the join is bounded by cap² per shingle.
+  *   - MinHash compresses each doc to k integers; LSH banding makes the
+  *     candidate join equi-join-able on (band, key) — no pairwise work
+  *     outside a bucket. All hashing is expression-level (codegen), mod-P
+  *     arithmetic, no UDFs.
+  */
+object Dedup {
+
+  /** Exact duplicate groups keyed by SHA-256 of the text. Returns one row per
+    * distinct content: (text_sha, keep_id = min id, n_copies). */
+  def exactDedup(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("text_sha"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Tall distinct (id, shingle) inverted-index frame. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(shingles(tokens(col(textCol)), n)).as("s"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
+    * clearing `minJaccard`. `maxShingleDocFreq` caps the document frequency
+    * of join-eligible shingles (stop-shingle removal — see object doc). */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double, maxShingleDocFreq: Option[Int] = None): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val joinable = maxShingleDocFreq match {
+      case None => sh
+      case Some(cap) =>
+        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("s")
+        sh.join(rare, "s")
+    }
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter = joinable.as("a")
+      .join(joinable.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+  }
+
+  /** Tall distinct (id, tid) token-id frame, ids from streaming xxhash64 —
+    * the scale path (no dictionary materialization). */
+  def tokenIdsByHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .select(col("id"), hashTokenId(col("tok")).as("tid"))
+
+  /** Token ids from a dense dictionary (row_number over sorted distinct
+    * tokens). Cross-engine deterministic — used by the oracle queries; at
+    * scale prefer [[tokenIdsByHash]] (the dictionary costs an extra shuffle
+    * and a global sort of the vocabulary). */
+  def tokenIdsByDictionary(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tall = docs.select(col(idCol).as("id"),
+      explode(array_distinct(tokens(col(textCol)))).as("tok"))
+    tall.join(tokenDictionary(docs, textCol), "tok").select("id", "tid")
+  }
+
+  /** Dense token dictionary (tok, tid): row_number over the sorted vocabulary.
+    * The global sort bounds this to the vocabulary size, not the corpus. */
+  def tokenDictionary(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+
+  /** MinHash signature, tall form: (id, i, mh) for i ∈ [0, k) with
+    * `mh = min_t h_i(t)` over the doc's token ids. */
+  def minhash(tokenIds: DataFrame, k: Int): DataFrame =
+    tokenIds
+      .withColumn("i", explode(sequence(lit(0L), lit(k.toLong - 1))))
+      .groupBy("id", "i")
+      .agg(min(hashI(col("i"), col("tid"))).as("mh"))
+
+  /** LSH banding over a tall minhash frame: docs agreeing on ALL rows of a
+    * band share a bucket; emits distinct candidate pairs (id_a < id_b).
+    * The band key is the ordered comma-join of the band's minhash values, so
+    * the candidate search is a pure equi-join on (band, key). */
+  def lshCandidates(minhashTall: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = minhashTall
+      .withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy("id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("bkey"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.
+    * h(t) = (2654435761·t + 40503) mod 2^32; bit j of the simhash is 1 iff
+    * Σ_t (2·bit_j(h(t)) − 1) > 0. */
+  def simhash(tokenIds: DataFrame, bits: Int = 16): DataFrame =
+    tokenIds
+      .withColumn("hh", pmod(lit(2654435761L) * norm(col("tid")) + 40503L, lit(4294967296L)))
+      .withColumn("j", explode(sequence(lit(0), lit(bits - 1))))
+      .withColumn("contrib",
+        expr("pmod(hh div shiftleft(cast(1 as bigint), j), 2) * 2 - 1"))
+      .groupBy("id", "j")
+      .agg(sum(col("contrib")).as("s"))
+      .groupBy("id")
+      .agg(sum(when(col("s") > 0,
+        expr("shiftleft(cast(1 as bigint), j)")).otherwise(0L)).as("simhash"))
+}

@@ -1,0 +1,90 @@
+package graft.llmops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Text-quality operators for training-data pipelines: corpus statistics,
+  * heuristic quality score, n-gram-lexicon language ID, token counting, and
+  * positional document fingerprints.
+  *
+  * All operators are single-pass Column expressions over the document table —
+  * no joins, no shuffles (fingerprint excepted: one groupBy on doc id), no
+  * UDFs — so they run at scan speed at any scale and are replicated exactly
+  * by the DuckDB oracle (no transcendental math: ratios only).
+  */
+object TextAnalysis {
+
+  /** Small embedded stopword lexicons (ASCII only — tokens are [a-z0-9]+). */
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "was", "for", "with")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von", "mit", "den", "im", "ein")
+  val StopFr: Seq[String] = Seq("le", "la", "les", "des", "et", "est", "un", "une", "dans", "pour")
+  val StopEs: Seq[String] = Seq("el", "los", "de", "y", "es", "una", "en", "por", "que", "para")
+
+  private def hitCount(toks: Column, lex: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(lex)))
+
+  /** Per-document statistics + a rational quality score.
+    * Output: id, n_chars, n_tokens, n_types, avg_token_len, ttr,
+    * stopword_ratio, quality. */
+  def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val alnum = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+    docs.select(
+      col(idCol).as("id"),
+      length(col(textCol)).as("n_chars"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_types"),
+      (alnum.cast("double") / size(toks).cast("double")).as("avg_token_len"),
+      (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
+      (hitCount(toks, StopEn).cast("double") / size(toks).cast("double")).as("stopword_ratio"),
+      ((hitCount(toks, StopEn) * 2 + size(array_distinct(toks))).cast("double")
+        / (size(toks) + 1).cast("double")).as("quality"))
+  }
+
+  /** Heuristic language ID: stopword-lexicon hit counts per language,
+    * prediction = argmax with alphabetical tie-break. Pure CASE expression —
+    * zero joins, runs in the scan stage. */
+  def langId(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    docs.select(
+        col(idCol).as("id"),
+        hitCount(toks, StopDe).as("hits_de"),
+        hitCount(toks, StopEn).as("hits_en"),
+        hitCount(toks, StopEs).as("hits_es"),
+        hitCount(toks, StopFr).as("hits_fr"))
+      .withColumn("predicted",
+        when(col("hits_de") >= greatest(col("hits_en"), col("hits_es"), col("hits_fr")), "de")
+          .when(col("hits_en") >= greatest(col("hits_es"), col("hits_fr")), "en")
+          .when(col("hits_es") >= col("hits_fr"), "es")
+          .otherwise("fr"))
+  }
+
+  /** Token counting two ways: whitespace tokens and a BPE-ish regex
+    * (letter runs | single digits | single punctuation marks). */
+  def tokenCounts(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(
+      col(idCol).as("id"),
+      size(regexp_extract_all(col(textCol), lit("\\S+"), lit(0))).as("n_ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]|[^a-z0-9\\s]"), lit(0))).as("n_bpe_tokens"))
+
+  /** Tall (id, pos, tok) frame preserving token order and duplicates
+    * (pos is 1-based). */
+  def positionedTokens(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"),
+        posexplode(tokens(col(textCol))).as(Seq("pos0", "tok")))
+      .select(col("id"), (col("pos0") + 1L).as("pos"), col("tok"))
+
+  /** Positional rolling-hash fingerprint over (id, pos, tid) rows
+    * (duplicates and order both matter): fp = (Σ_pos pos·norm(tid)) mod P. */
+  def fingerprintFromIds(posIds: DataFrame): DataFrame =
+    posIds.groupBy("id")
+      .agg(pmod(sum(col("pos") * TextOps.norm(col("tid"))), lit(P)).as("fingerprint"))
+
+  /** Scale-path fingerprint: streaming xxhash token ids, one shuffle on id. */
+  def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    fingerprintFromIds(positionedTokens(docs, idCol, textCol)
+      .withColumn("tid", hashTokenId(col("tok"))))
+}

@@ -1,0 +1,280 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.sources.Tables
+
+/** LLM-data-pipeline operator surface (north star: dedup, similarity search,
+  * text analysis, multimodal) as declared, DuckDB-oracle-checkable queries
+  * over the `documents` / `embeddings` testdata.
+  *
+  * Cross-engine determinism notes:
+  *   - All hashing is dictionary-id + mod-P arithmetic (both engines compute
+  *     identical integers); the scale path swaps in streaming xxhash64 ids —
+  *     same operators, different id source (see graft.llmops.TextOps).
+  *   - Cosines accumulate in DECIMAL (exact, order-independent) and cast to
+  *     DOUBLE at the end; floats are routed float→DOUBLE→DECIMAL because a
+  *     direct float→decimal cast is lossy in DuckDB.
+  *   - SHA-256 of ASCII text: Spark hashes UTF-8 bytes of the binary cast,
+  *     DuckDB hashes the varchar — identical for this corpus (verified pure
+  *     ASCII; octet_length == length for every row).
+  */
+object LlmOps {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "embeddings")
+
+  /** Shared DuckDB CTE: token dictionary ids (mirrors
+    * Dedup.tokenIdsByDictionary). */
+  private val DuckTokenIds: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |tall AS (SELECT doc_id, unnest(list_distinct(t)) AS tok FROM tok),
+      |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |         FROM (SELECT DISTINCT tok FROM tall)),
+      |tid AS (SELECT doc_id AS id, tid FROM tall JOIN dict USING (tok))""".stripMargin
+
+  // ----------------------------------------------------------- deduplication
+
+  /** S22 — exact dedup: one row per distinct content, keyed by SHA-256, with
+    * the kept (min) id and copy count. Shuffles the 64-hex digest, never the
+    * document body. */
+  def q18ExactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactDedup(docs(s, dir), "doc_id", "text").orderBy("text_sha")
+
+  val q18Sql: String =
+    """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S23 — exact trigram-shingle Jaccard over the shingle inverted index. */
+  def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.8)
+      .orderBy("id_a", "id_b")
+
+  val q19Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a, sb.n_sh AS n_b,
+      |       CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) AS jaccard
+      |FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** S23 — MinHash signatures (k=8), tall (id, i, mh). */
+  def q20Minhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), k = 8)
+      .orderBy("id", "i")
+
+  val q20Sql: String = DuckTokenIds +
+    """
+      |SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |FROM tid, UNNEST(range(0, 8)) AS u(i)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** S23 — LSH banding (k=8, 4 rows/band): candidate near-dup pairs from
+    * band-key equi-joins. */
+  def q21LshCandidates(s: SparkSession, dir: String): DataFrame =
+    Dedup.lshCandidates(
+      Dedup.minhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), k = 8),
+      rowsPerBand = 4).orderBy("id_a", "id_b")
+
+  val q21Sql: String = DuckTokenIds +
+    """,
+      |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |       FROM tid, UNNEST(range(0, 8)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |           FROM mh GROUP BY 1, 2)
+      |SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** S23 — 16-bit SimHash fingerprints. */
+  def q22Simhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), bits = 16)
+      .orderBy("id")
+
+  val q22Sql: String = DuckTokenIds +
+    """,
+      |b AS (SELECT id, j,
+      |        SUM((((2654435761 * (tid % 2147483647) + 40503) % 4294967296)
+      |             // (CAST(1 AS BIGINT) << j)) % 2 * 2 - 1) AS s
+      |      FROM tid, UNNEST(range(0, 16)) AS u(j) GROUP BY 1, 2)
+      |SELECT id, CAST(SUM(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM b GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ----------------------------------------------------------- text analysis
+
+  /** S24 — per-document statistics + rational quality score. */
+  def q23TextStats(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.stats(docs(s, dir), "doc_id", "text").orderBy("id")
+
+  private val enList = TextAnalysis.StopEn.map("'" + _ + "'").mkString("[", ", ", "]")
+
+  val q23Sql: String =
+    s"""WITH s AS (SELECT doc_id AS id, text,
+       |             regexp_extract_all(lower(text), '[a-z0-9]+') AS t,
+       |             length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS alnum
+       |           FROM documents)
+       |SELECT id, length(text) AS n_chars, len(t) AS n_tokens,
+       |  len(list_distinct(t)) AS n_types,
+       |  CAST(alnum AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_token_len,
+       |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
+       |  CAST(len(list_filter(t, x -> list_contains($enList, x))) AS DOUBLE)
+       |    / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+       |  CAST(len(list_filter(t, x -> list_contains($enList, x))) * 2
+       |       + len(list_distinct(t)) AS DOUBLE)
+       |    / CAST(len(t) + 1 AS DOUBLE) AS quality
+       |FROM s ORDER BY id""".stripMargin
+
+  /** S24 — heuristic language ID (stopword lexicon hits, argmax prediction). */
+  def q24LangId(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.langId(docs(s, dir), "doc_id", "text").orderBy("id")
+
+  val q24Sql: String = {
+    def lex(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |h AS (SELECT id,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopDe)}, x))) AS hits_de,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopEn)}, x))) AS hits_en,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopEs)}, x))) AS hits_es,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopFr)}, x))) AS hits_fr
+       |FROM s)
+       |SELECT id, hits_de, hits_en, hits_es, hits_fr,
+       |  CASE WHEN hits_de >= GREATEST(hits_en, hits_es, hits_fr) THEN 'de'
+       |       WHEN hits_en >= GREATEST(hits_es, hits_fr) THEN 'en'
+       |       WHEN hits_es >= hits_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted
+       |FROM h ORDER BY id""".stripMargin
+  }
+
+  /** S24 — token counting: whitespace + BPE-ish regex. */
+  def q25TokenCounts(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.tokenCounts(docs(s, dir), "doc_id", "text").orderBy("id")
+
+  val q25Sql: String =
+    """SELECT doc_id AS id,
+      |  len(regexp_extract_all(text, '\S+')) AS n_ws_tokens,
+      |  len(regexp_extract_all(lower(text), '[a-z]+|[0-9]|[^a-z0-9\s]')) AS n_bpe_tokens
+      |FROM documents ORDER BY id""".stripMargin
+
+  /** S24 — positional rolling-hash document fingerprint (dictionary ids). */
+  def q26Fingerprint(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.fingerprintFromIds(
+      TextAnalysis.positionedTokens(d, "doc_id", "text")
+        .join(Dedup.tokenDictionary(d, "text"), "tok")
+        .select("id", "pos", "tid"))
+      .orderBy("id")
+  }
+
+  val q26Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+      |         FROM (SELECT DISTINCT unnest(t) AS tok FROM tok)),
+      |pt AS (SELECT doc_id AS id, i AS pos, t[i] AS tok
+      |       FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i))
+      |SELECT id, CAST(SUM(pos * (tid % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint
+      |FROM pt JOIN dict USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------------- similarity search
+
+  /** S23/north star — brute-force cosine top-5 for query vectors vec_id<30
+    * (decimal-exact dot products; see object doc). */
+  def q27CosineTopK(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopK(e.filter(col("id") < 30), e, k = 5)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q27Sql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |norms AS (SELECT vec_id,
+      |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+      |                  * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
+      |  FROM e, UNNEST(range(1, 65)) AS u(i) GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
+      |    CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
+      |             * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS dot
+      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.vec_id < 30,
+      |       UNNEST(range(1, 65)) AS u(i)
+      |  GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(dot / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
+  // ------------------------------------------------------------- multimodal
+
+  /** North star — binary media plumbing: 256-byte frame sampling with
+    * per-frame content hashes. */
+  def q28MediaFrames(s: SparkSession, dir: String): DataFrame =
+    Multimodal.frames(Multimodal.asMedia(docs(s, dir), "doc_id", "text"), 256)
+      .select("media_id", "frame_idx", "frame_bytes", "frame_sha")
+      .orderBy("media_id", "frame_idx")
+
+  val q28Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+      |SELECT media_id, i AS frame_idx,
+      |  CAST(length(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS BIGINT) AS frame_bytes,
+      |  sha256(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS frame_sha
+      |FROM m, UNNEST(range(0, (n - 1) // 256 + 1)) AS u(i)
+      |ORDER BY media_id, frame_idx""".stripMargin
+
+  // -------------------------------------- non-oracle (rows-only) operators
+
+  /** Hyperplane-LSH approximate cosine top-k — the 100 TB similarity path.
+    * Not SQL-expressible economically in the oracle (signature expression
+    * tree); correctness pinned by LlmOpsSpec recall tests instead. */
+  def q29CosineLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopKLsh(e, k = 5, planes = 8, dim = 64)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Multimodal feature-extraction plumbing (deterministic stub decoder). */
+  def q30MediaFeatures(s: SparkSession, dir: String): DataFrame =
+    Multimodal.fakeDecodeFeatures(
+      Multimodal.asMedia(docs(s, dir), "doc_id", "text"), dim = 8)
+      .orderBy("media_id")
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q18_exact_dedup" -> (q18ExactDedup _),
+    "q19_ngram_jaccard" -> (q19NgramJaccard _),
+    "q20_minhash" -> (q20Minhash _),
+    "q21_lsh_candidates" -> (q21LshCandidates _),
+    "q22_simhash" -> (q22Simhash _),
+    "q23_text_stats" -> (q23TextStats _),
+    "q24_lang_id" -> (q24LangId _),
+    "q25_token_counts" -> (q25TokenCounts _),
+    "q26_fingerprint" -> (q26Fingerprint _),
+    "q27_cosine_topk" -> (q27CosineTopK _),
+    "q28_media_frames" -> (q28MediaFrames _),
+    "q29_cosine_lsh" -> (q29CosineLsh _),
+    "q30_media_features" -> (q30MediaFeatures _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q18_exact_dedup" -> q18Sql,
+    "q19_ngram_jaccard" -> q19Sql,
+    "q20_minhash" -> q20Sql,
+    "q21_lsh_candidates" -> q21Sql,
+    "q22_simhash" -> q22Sql,
+    "q23_text_stats" -> q23Sql,
+    "q24_lang_id" -> q24Sql,
+    "q25_token_counts" -> q25Sql,
+    "q26_fingerprint" -> q26Sql,
+    "q27_cosine_topk" -> q27Sql,
+    "q28_media_frames" -> q28Sql)
+}

@@ -1,0 +1,147 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+class LlmOpsSpec extends AnyFunSuite with SparkSpec {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("exactDedup groups identical content and keeps the min id") {
+    val d = docsDF(1L -> "aa bb cc", 2L -> "dd ee", 3L -> "aa bb cc", 4L -> "aa bb cc")
+    val out = Dedup.exactDedup(d, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq == Seq((1L, 3L), (2L, 1L)))
+  }
+
+  test("jaccardPairs finds near-dups; stop-shingle cap prunes common-shingle joins") {
+    val d = docsDF(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy cat",
+      3L -> "completely different words entirely here now")
+    val pairs = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)))
+    // cap=1 removes every shingle shared by 2 docs => no pairs survive
+    val capped = Dedup.jaccardPairs(d, "doc_id", "text", n = 2, minJaccard = 0.0,
+      maxShingleDocFreq = Some(1))
+    assert(capped.count() == 0)
+  }
+
+  test("minhash: identical docs get identical signatures; disjoint docs differ") {
+    val d = docsDF(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
+      3L -> "zeta eta theta iota")
+    val mh = Dedup.minhash(Dedup.tokenIdsByHash(d, "doc_id", "text"), k = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    (0L until 8L).foreach { i =>
+      assert(mh((1L, i)) == mh((2L, i)))
+    }
+    assert((0L until 8L).exists(i => mh((1L, i)) != mh((3L, i))))
+  }
+
+  test("lshCandidates surfaces the identical pair and not the disjoint doc") {
+    val d = docsDF(1L -> "alpha beta gamma delta epsilon zeta", 2L -> "alpha beta gamma delta epsilon zeta",
+      3L -> "one two three four five six seven")
+    val cands = Dedup.lshCandidates(
+      Dedup.minhash(Dedup.tokenIdsByHash(d, "doc_id", "text"), k = 8), rowsPerBand = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cands.contains((1L, 2L)))
+    assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
+  }
+
+  test("simhash: identical docs equal; near-dup hamming distance < disjoint") {
+    val d = docsDF(
+      1L -> "spark batch window join merge order column",
+      2L -> "spark batch window join merge order column",
+      3L -> "spark batch window join merge order value",   // 1 token changed
+      4L -> "entirely unrelated vocabulary goes here now")
+    val sh = Dedup.simhash(Dedup.tokenIdsByHash(d, "doc_id", "text"), bits = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def hamming(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(sh(1L) == sh(2L))
+    assert(hamming(sh(1L), sh(3L)) < hamming(sh(1L), sh(4L)))
+  }
+
+  test("text stats are exact on a known document") {
+    val d = docsDF(1L -> "The quick fox and the dog!")
+    val r = TextAnalysis.stats(d, "doc_id", "text").head()
+    assert(r.getAs[Int]("n_chars") == 26)
+    assert(r.getAs[Int]("n_tokens") == 6)   // the quick fox and the dog
+    assert(r.getAs[Int]("n_types") == 5)
+    // stop hits: the, and, the = 3
+    assert(r.getAs[Double]("stopword_ratio") == 3.0 / 6.0)
+    assert(r.getAs[Double]("quality") == (3 * 2 + 5).toDouble / 7.0)
+  }
+
+  test("langId picks the lexicon with most hits, alphabetical tie-break") {
+    val d = docsDF(
+      1L -> "der hund und die katze ist von den bergen",
+      2L -> "the cat and the dog is in the house",
+      3L -> "xyzzy plugh")
+    val out = TextAnalysis.langId(d, "doc_id", "text")
+      .select("id", "predicted").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "de")
+    assert(out(2L) == "en")
+    assert(out(3L) == "de") // all-zero hits tie → alphabetically first
+  }
+
+  test("fingerprint is order-sensitive and duplicate-sensitive") {
+    val d = docsDF(1L -> "alpha beta", 2L -> "beta alpha", 3L -> "alpha beta", 4L -> "alpha beta beta")
+    val fp = TextAnalysis.fingerprint(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp(1L) == fp(3L))
+    assert(fp(1L) != fp(2L))
+    assert(fp(1L) != fp(4L))
+  }
+
+  test("brute-force cosine top-k: exact self-similar clusters rank first") {
+    import spark.implicits._
+    // two orthogonal clusters: x-axis-ish and y-axis-ish
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f), 2L -> Array(0.9f, 0.1f, 0f),
+      3L -> Array(0f, 1f, 0f), 4L -> Array(0.1f, 0.9f, 0f))
+      .toDF("id", "vec")
+    val top1 = Similarity.cosineTopK(vecs, vecs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(top1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
+  }
+
+  test("LSH cosine top-k finds in-cluster neighbors (same signature bucket)") {
+    import spark.implicits._
+    val dim = 8
+    // deterministic clusters: center c ∈ {0,1}, vec = center + tiny id-dependent noise
+    def mk(id: Long, c: Int): (Long, Array[Float]) =
+      id -> Array.tabulate(dim)(j =>
+        (if (c == 0) (j + 1).toFloat else -(j + 1).toFloat) + (id % 7) * 0.001f)
+    val vecs = ((1L to 10L).map(mk(_, 0)) ++ (11L to 20L).map(mk(_, 1))).toDF("id", "vec")
+    val lsh = Similarity.cosineTopKLsh(vecs, k = 3, planes = 6, dim = dim)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(lsh.nonEmpty)
+    // every reported neighbor is in the same cluster as the query
+    lsh.foreach { case (q, n) =>
+      assert((q <= 10) == (n <= 10), s"cross-cluster pair ($q, $n)")
+    }
+  }
+
+  test("media frames reassemble to the payload; features are deterministic") {
+    val d = docsDF(1L -> ("ab" * 300)) // 600 bytes → 3 frames of 256
+    val media = Multimodal.asMedia(d, "doc_id", "text")
+    val fr = Multimodal.frames(media, 256).orderBy("frame_idx")
+      .select("frame").collect().map(_.getAs[Array[Byte]](0))
+    assert(fr.length == 3)
+    assert(fr.map(_.length).toSeq == Seq(256, 256, 88))
+    assert(new String(fr.flatten, "UTF-8") == "ab" * 300)
+    val f1 = Multimodal.fakeDecodeFeatures(media, dim = 4).head()
+    val f2 = Multimodal.fakeDecodeFeatures(media, dim = 4).head()
+    assert(f1.getSeq[Float](1) == f2.getSeq[Float](1))
+    assert(f1.getSeq[Float](1).length == 4)
+    // 'a' = 0x61 → 97/255
+    assert(math.abs(f1.getSeq[Float](1).head - 97f / 255f) < 1e-6)
+  }
+}
