@@ -29,17 +29,36 @@ object Dedup {
     docs.groupBy(sha2(col(textCol).cast("binary"), 256).as("text_sha"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Tall distinct (id, shingle) inverted-index frame. */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    docs.select(col(idCol).as("id"),
-      explode(shingles(tokens(col(textCol)), n)).as("s"))
+  /** Tall distinct (id, shingle) inverted-index frame.
+    *
+    * Built with posexplode + window `lead` rather than the array
+    * higher-order route ([[TextOps.shingles]]): HOF lambdas are interpreted
+    * per element and measured ~10× slower; the window form stays in
+    * whole-stage codegen and its shuffle (by doc id) is the same partitioning
+    * the downstream per-doc aggregations want. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    val tall = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    if (n == 1) tall.select(col("id"), col("tok").as("s")).distinct()
+    else {
+      val w = Window.partitionBy("id").orderBy("pos")
+      val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+      tall.select((col("id") +: col("pos") +: parts): _*)
+        .filter(col(s"t${n - 1}").isNotNull)
+        .select(col("id"),
+          concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("s"))
+        .distinct()
+    }
+  }
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
     * clearing `minJaccard`. `maxShingleDocFreq` caps the document frequency
     * of join-eligible shingles (stop-shingle removal — see object doc). */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n)
+    // The index feeds three consumers (both join sides + sizes); persist so
+    // the tokenize/window stage runs once, not three times.
+    val sh = shingleIndex(docs, idCol, textCol, n).persist()
     val joinable = maxShingleDocFreq match {
       case None => sh
       case Some(cap) =>
@@ -97,11 +116,14 @@ object Dedup {
     * The band key is the ordered comma-join of the band's minhash values, so
     * the candidate search is a pure equi-join on (band, key). */
   def lshCandidates(minhashTall: DataFrame, rowsPerBand: Int): DataFrame = {
+    // persisted: both self-join sides would otherwise recompute the whole
+    // tokenize→minhash pipeline
     val banded = minhashTall
       .withColumn("band", expr(s"i div $rowsPerBand"))
       .groupBy("id", "band")
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
         x => x.getField("mh").cast("string")), ",").as("bkey"))
+      .persist()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&

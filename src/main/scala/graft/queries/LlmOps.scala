@@ -79,18 +79,19 @@ object LlmOps {
       |FROM tid, UNNEST(range(0, 8)) AS u(i)
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** S23 — LSH banding (k=8, 4 rows/band): candidate near-dup pairs from
-    * band-key equi-joins. */
+  /** S23 — LSH banding (k=16, 8 rows/band → 2 bands): candidate near-dup
+    * pairs from band-key equi-joins. Selective bands keep bucket sizes (and
+    * the candidate join) small — the knob that matters at scale. */
   def q21LshCandidates(s: SparkSession, dir: String): DataFrame =
     Dedup.lshCandidates(
-      Dedup.minhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), k = 8),
-      rowsPerBand = 4).orderBy("id_a", "id_b")
+      Dedup.minhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), k = 16),
+      rowsPerBand = 8).orderBy("id_a", "id_b")
 
   val q21Sql: String = DuckTokenIds +
     """,
       |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
-      |       FROM tid, UNNEST(range(0, 8)) AS u(i) GROUP BY 1, 2),
-      |banded AS (SELECT id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |       FROM tid, UNNEST(range(0, 16)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 8 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
       |           FROM mh GROUP BY 1, 2)
       |SELECT DISTINCT a.id AS id_a, b.id AS id_b
       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
@@ -190,23 +191,21 @@ object LlmOps {
     * (decimal-exact dot products; see object doc). */
   def q27CosineTopK(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.cosineTopK(e.filter(col("id") < 30), e, k = 5)
+    Similarity.cosineTopK(e.filter(col("id") < 30), e, k = 5, exact = true)
       .orderBy("vec_id", "rank")
   }
 
   val q27Sql: String =
-    """WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      |norms AS (SELECT vec_id,
-      |    sqrt(CAST(SUM(CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-      |                  * CAST(CAST(embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE)) AS nrm
-      |  FROM e, UNNEST(range(1, 65)) AS u(i) GROUP BY 1),
-      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid,
-      |    CAST(SUM(CAST(CAST(a.embedding[i] AS DOUBLE) AS DECIMAL(18,9))
-      |             * CAST(CAST(b.embedding[i] AS DOUBLE) AS DECIMAL(18,9))) AS DOUBLE) AS dot
-      |  FROM e a JOIN e b ON a.vec_id <> b.vec_id AND a.vec_id < 30,
-      |       UNNEST(range(1, 65)) AS u(i)
-      |  GROUP BY 1, 2),
-      |cos AS (SELECT qid, cid, round(dot / (na.nrm * nb.nrm), 12) AS cosine
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id AND a.vec_id < 30
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
       |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
       |rk AS (SELECT qid, cid, cosine,
       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
