@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.engine.FreshReader
+import graft.model.{Cells, ColumnName, DataRequest, EntityView}
+import graft.policy.ShelfLife
+import graft.registry.FreshnessManager
+import graft.score.{EventValueIncrement, Scorer, ScorerContext}
+import graft.sources.Tables
+
+/** The freshening pipeline as declared oracle queries (SURVEY.md §2.3): for
+  * ShelfLife(24 h) + a value+1 scorer attached to the `events` entity view,
+  * the three contract queries — (a) the stale set, (b) the scorer's output,
+  * (c) the post-merge table state — each produced by the ENGINE code path
+  * (policy predicate / scorer SPI / full FreshReader.freshenAll) and
+  * hash-compared against hand-written DuckDB SQL.
+  *
+  * The injected clock: asOf = 2024-01-31T00:00:00Z (epoch ms); the events
+  * data spans January 2024, so a 24 h shelf life splits the 150 users into
+  * stale and fresh cohorts (SURVEY.md §7 hard parts: never read the wall
+  * clock).
+  */
+object Freshen {
+
+  val AsOf: Long = 1706659200000L       // 2024-01-31T00:00:00Z
+  val Shelf: Long = 86400000L           // 24 h
+  private val Threshold = AsOf - Shelf  // newest_ts below this ⇒ stale
+
+  /** Entity view of `events`: one row per user, one versioned cell
+    * `events_value` holding (ts epoch-ms, value) versions newest-first. */
+  def entityView(s: SparkSession, dir: String): DataFrame =
+    EntityView.cellsFromTall(
+      Tables.load(s, dir, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000")),
+      "user_id", "ts_ms", "value", "events_value")
+
+  private def reader(view: DataFrame): FreshReader = {
+    val mgr = new FreshnessManager(name =>
+      if (name == "events") Some(view.schema) else None)
+    mgr.storePolicy("events", ColumnName("events:value"),
+      classOf[EventValueIncrement].getName, new ShelfLife(Shelf))
+    FreshReader.builder(mgr).withTable("events", view).withAsOf(AsOf).build()
+  }
+
+  private val request = DataRequest(Seq(ColumnName("events:value")))
+
+  /** (a) Stale set — the policy predicate over the entity view. */
+  def q31FreshenStale(s: SparkSession, dir: String): DataFrame = {
+    val view = entityView(s, dir)
+    val policy = new ShelfLife(Shelf)
+    view.filter(!coalesce(policy.isFresh(col("events_value"), AsOf), lit(false)))
+      .select(col(EntityView.EntityId))
+      .orderBy(EntityView.EntityId)
+  }
+
+  val q31Sql: String =
+    s"""SELECT user_id AS entity_id FROM events
+       |GROUP BY 1 HAVING max(epoch_ms(ts)) < $Threshold
+       |ORDER BY 1""".stripMargin
+
+  /** (b) Scorer output over the stale slice — reflective scorer SPI, like the
+    * engine's capsule path. */
+  def q32FreshenScored(s: SparkSession, dir: String): DataFrame = {
+    val view = entityView(s, dir)
+    val policy = new ShelfLife(Shelf)
+    val stale = view.filter(!coalesce(policy.isFresh(col("events_value"), AsOf), lit(false)))
+    val scorer = Scorer.load(classOf[EventValueIncrement].getName)
+    scorer.score(scorer.dataRequest.select(stale), ScorerContext(AsOf, Map.empty))
+      .orderBy(EntityView.EntityId)
+  }
+
+  val q32Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+       |a AS (SELECT user_id, max(ts) AS nt FROM c GROUP BY 1),
+       |nv AS (SELECT c.user_id, max(c.value) AS v
+       |       FROM c JOIN a ON c.user_id = a.user_id AND c.ts = a.nt GROUP BY 1)
+       |SELECT a.user_id AS entity_id, nv.v + 1.0 AS value
+       |FROM a JOIN nv ON a.user_id = nv.user_id
+       |WHERE a.nt < $Threshold
+       |ORDER BY 1""".stripMargin
+
+  /** (c) Post-merge state — the FULL engine end-to-end: registry attach →
+    * capsule → predicate → score → newest-wins merge; projected to each
+    * user's newest (value, ts). */
+  def q33FreshenMerged(s: SparkSession, dir: String): DataFrame = {
+    val view = entityView(s, dir)
+    reader(view).freshenAll(request)
+      .select(col(EntityView.EntityId),
+        Cells.newestValue(col("events_value")).as("value"),
+        Cells.newestTs(col("events_value")).as("ts"))
+      .orderBy(EntityView.EntityId)
+  }
+
+  val q33Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+       |a AS (SELECT user_id, max(ts) AS nt FROM c GROUP BY 1),
+       |nv AS (SELECT c.user_id, max(c.value) AS v
+       |       FROM c JOIN a ON c.user_id = a.user_id AND c.ts = a.nt GROUP BY 1)
+       |SELECT a.user_id AS entity_id,
+       |  CASE WHEN a.nt < $Threshold THEN nv.v + 1.0 ELSE nv.v END AS value,
+       |  CASE WHEN a.nt < $Threshold THEN $AsOf ELSE a.nt END AS ts
+       |FROM a JOIN nv ON a.user_id = nv.user_id
+       |ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q31_freshen_stale" -> (q31FreshenStale _),
+    "q32_freshen_scored" -> (q32FreshenScored _),
+    "q33_freshen_merged" -> (q33FreshenMerged _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_freshen_stale" -> q31Sql,
+    "q32_freshen_scored" -> q32Sql,
+    "q33_freshen_merged" -> q33Sql)
+}

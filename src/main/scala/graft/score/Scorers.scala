@@ -66,6 +66,16 @@ abstract class IncrementScorer(column: ColumnName) extends ExprScorer {
     coalesce(Cells.newestValue(col(column.flat)), lit(0L)) + lit(1L)
 }
 
+/** Stock scorer over the testdata `events` entity view: newest value + 1.0 —
+  * the double-cell analogue of the reference demo's counter increment
+  * (`src/test/java/org/kiji/scoring/TestFreshnessDemo.java:56-59`). */
+class EventValueIncrement extends ExprScorer {
+  override def dataRequest: DataRequest = DataRequest(Seq(ColumnName("events:value")))
+  override def outputColumn: ColumnName = ColumnName("events:value")
+  override def scoreExpr(ctx: ScorerContext): Column =
+    Cells.newestValue(col("events_value")) + lit(1.0d)
+}
+
 /** Broadcast KV-store lookup scorer — the reference's `TestKVStores` producer
   * (`src/test/java/org/kiji/scoring/TestKVStores.java:85-92`): score =
   * store[key] where key is the newest value of an input cell. */
