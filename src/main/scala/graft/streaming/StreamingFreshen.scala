@@ -1,0 +1,76 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.engine.{FreshReader, FreshReaderConfig}
+import graft.model.{DataRequest, EntityView}
+import graft.registry.FreshnessManager
+
+/** Pluggable entity-view state between micro-batches: in production a
+  * transactional table (or partition-scoped parquet rewrite, SURVEY §2.2
+  * S2); in tests an in-memory frame. */
+trait ViewStore {
+  def get(): DataFrame
+  def put(view: DataFrame): Unit
+}
+
+/** Structured-Streaming freshen (SURVEY §2.2 S26) — the online analogue of
+  * the reference's per-read freshening, re-expressed micro-batch:
+  *
+  *   events stream → (per batch) fold new (entity, ts, value) rows into the
+  *   entity view → run the SAME batch FreshReader over the updated view →
+  *   upsert the store.
+  *
+  * The batch engine is reused verbatim — streaming is a driver loop around
+  * it, which is exactly the Spark idiom (`foreachBatch`). The freshness
+  * clock advances with event time: asOf = max event ts seen so far, so runs
+  * are deterministic under replay (no wall clock, SURVEY §7 hard parts).
+  *
+  * Scale: each micro-batch merge groups only the batch's entities
+  * (`cellsFromTall` on the delta) and joins them into the stored view —
+  * work proportional to the delta, not the corpus, given an upsert-capable
+  * store.
+  */
+final class StreamingFreshen(
+    manager: FreshnessManager,
+    tableName: String,
+    store: ViewStore,
+    cellName: String,
+    request: DataRequest) {
+
+  /** Merge a tall (entity_id, ts, value) delta into the view: union the
+    * version arrays per entity, keep newest-first order. */
+  private[streaming] def mergeDelta(view: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaView = EntityView.cellsFromTall(delta, EntityView.EntityId, "ts", "value", cellName)
+    view.as("v").join(deltaView.as("d"), Seq(EntityView.EntityId), "full_outer")
+      .select(col(EntityView.EntityId),
+        sort_array(concat(
+          coalesce(col(s"v.$cellName"), array()),
+          coalesce(col(s"d.$cellName"), array())), asc = false).as(cellName))
+  }
+
+  private var maxTs: Long = Long.MinValue
+
+  /** Process one micro-batch of tall (entity_id, ts, value) rows — public so
+    * batch replays / backfills can drive the same path deterministically. */
+  def processBatch(batch: DataFrame): Unit = {
+    val rows = batch.select(col(EntityView.EntityId), col("ts").cast("long"), col("value"))
+    val batchMax = rows.agg(max("ts")).head()
+    if (!batchMax.isNullAt(0)) maxTs = math.max(maxTs, batchMax.getLong(0))
+    if (maxTs == Long.MinValue) return
+    val merged = mergeDelta(store.get(), rows)
+    val reader = new FreshReader(manager, tableName, merged, FreshReaderConfig(asOf = maxTs))
+    store.put(reader.freshenAll(request))
+  }
+
+  /** Attach to a streaming frame of (entity_id, ts, value). */
+  def start(events: DataFrame, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
+      .start()
+}

@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.model.{ColumnName, DataRequest}
+import graft.policy.ShelfLife
+import graft.registry.FreshnessManager
+import graft.streaming.{StreamingFreshen, ViewStore}
+
+class StreamingSpec extends AnyFunSuite with SparkSpec {
+
+  private class MemoryViewStore(init: DataFrame) extends ViewStore {
+    private var cur = init
+    override def get(): DataFrame = cur
+    override def put(view: DataFrame): Unit = { cur = view.persist(); cur.count() }
+  }
+
+  private def emptyView: DataFrame = {
+    import spark.implicits._
+    Seq.empty[(Long, Seq[(Long, Double)])].toDF("entity_id", "events_value")
+      .withColumn("events_value",
+        expr("transform(events_value, v -> named_struct('ts', v._1, 'value', v._2))"))
+  }
+
+  private def freshener(store: ViewStore): StreamingFreshen = {
+    val mgr = new FreshnessManager(_ => Some(emptyView.schema))
+    mgr.storePolicy("events", ColumnName("events:value"),
+      classOf[graft.score.EventValueIncrement].getName, new ShelfLife(500L))
+    new StreamingFreshen(mgr, "events", store, "events_value",
+      DataRequest(Seq(ColumnName("events:value"))))
+  }
+
+  private def state(store: ViewStore): Map[Long, (Long, Double)] =
+    store.get().select(col("entity_id"),
+        expr("events_value[0].ts"), expr("events_value[0].value"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+  test("micro-batch freshen: event-time clock, merge, score, late entities caught up") {
+    import spark.implicits._
+    val store = new MemoryViewStore(emptyView)
+    val f = freshener(store)
+
+    // batch 1: e1@1000 is already past the 500ms shelf at asOf=2000 → scored
+    f.processBatch(Seq((1L, 1000L, 5.0), (2L, 2000L, 7.0)).toDF("entity_id", "ts", "value"))
+    assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
+
+    // batch 2 advances the clock to 5000: e1 (newest 2000) stale again → 7.0;
+    // e2 got a fresh event → untouched
+    f.processBatch(Seq((2L, 5000L, 9.0)).toDF("entity_id", "ts", "value"))
+    assert(state(store) == Map(1L -> (5000L, 7.0), 2L -> (5000L, 9.0)))
+  }
+
+  test("streaming plumbing: foreachBatch over a MemoryStream drives the same engine") {
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val store = new MemoryViewStore(emptyView)
+    val f = freshener(store)
+    val mem = MemoryStream[(Long, Long, Double)]
+    val events = mem.toDF.toDF("entity_id", "ts", "value")
+    mem.addData((1L, 1000L, 5.0), (2L, 2000L, 7.0))
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val q = f.start(events, ckpt)
+    q.awaitTermination(60000)
+    assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
+  }
+}
