@@ -104,15 +104,62 @@ object Freshen {
        |FROM a JOIN nv ON a.user_id = nv.user_id
        |ORDER BY 1""".stripMargin
 
+  /** (d) STREAMING freshen end-to-end: the whole events parquet arrives as
+    * one AvailableNow micro-batch through [[graft.streaming.StreamingFreshen]]
+    * (event-time clock ⇒ asOf = max event ts), and the final store state is
+    * DuckDB-checked. Single-file source ⇒ exactly one batch ⇒ deterministic. */
+  def q34StreamingFreshen(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{StreamingFreshen, ViewStore}
+    val tall = Tables.load(s, dir, "events")
+      .select(col("user_id").as(EntityView.EntityId),
+        expr("unix_micros(ts) div 1000").as("ts"), col("value"))
+    val emptyView = EntityView.cellsFromTall(tall.limit(0),
+      EntityView.EntityId, "ts", "value", "events_value")
+    val store = new ViewStore {
+      private var cur = emptyView
+      override def get(): DataFrame = cur
+      override def put(v: DataFrame): Unit = { cur = v.persist(); cur.count(); () }
+    }
+    val mgr = new FreshnessManager(n => if (n == "events") Some(emptyView.schema) else None)
+    mgr.storePolicy("events", ColumnName("events:value"),
+      classOf[EventValueIncrement].getName, new ShelfLife(Shelf))
+    val f = new StreamingFreshen(mgr, "events", store, "events_value", request)
+    // stage the tall rows as the stream's source files (one file ⇒ one batch)
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-stream-src").toString
+    tall.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(tall.schema).parquet(srcDir)
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    f.start(stream, ckpt).awaitTermination()
+    store.get()
+      .select(col(EntityView.EntityId),
+        Cells.newestValue(col("events_value")).as("value"),
+        Cells.newestTs(col("events_value")).as("ts"))
+      .orderBy(EntityView.EntityId)
+  }
+
+  val q34Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+       |mx AS (SELECT max(ts) AS mt FROM c),
+       |a AS (SELECT user_id, max(ts) AS nt FROM c GROUP BY 1),
+       |nv AS (SELECT c.user_id, max(c.value) AS v
+       |       FROM c JOIN a ON c.user_id = a.user_id AND c.ts = a.nt GROUP BY 1)
+       |SELECT a.user_id AS entity_id,
+       |  CASE WHEN a.nt < mx.mt - $Shelf THEN nv.v + 1.0 ELSE nv.v END AS value,
+       |  CASE WHEN a.nt < mx.mt - $Shelf THEN mx.mt ELSE a.nt END AS ts
+       |FROM a JOIN nv ON a.user_id = nv.user_id, mx
+       |ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_freshen_stale" -> (q31FreshenStale _),
     "q32_freshen_scored" -> (q32FreshenScored _),
-    "q33_freshen_merged" -> (q33FreshenMerged _))
+    "q33_freshen_merged" -> (q33FreshenMerged _),
+    "q34_streaming_freshen" -> (q34StreamingFreshen _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_freshen_stale" -> q31Sql,
     "q32_freshen_scored" -> q32Sql,
-    "q33_freshen_merged" -> q33Sql)
+    "q33_freshen_merged" -> q33Sql,
+    "q34_streaming_freshen" -> q34Sql)
 }

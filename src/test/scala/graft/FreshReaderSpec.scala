@@ -164,6 +164,22 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
     assert(emails == Map("foo" -> "Shadow", "bar" -> "Shadow2"))
   }
 
+  test("writeBack merge job: freshened state round-trips through parquet") {
+    val user = Fixtures.userCounter(spark)
+    val m = managerFor("user" -> user)
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new ShelfLife(Day))
+    val r = FreshReader.builder(m).withTable("user", user).withAsOf(Day + 2).build()
+    val out = java.nio.file.Files.createTempDirectory("graft-writeback").toString + "/user"
+    r.writeBack(DataRequest(Seq(ColumnName("info:visits"))), out)
+    val reloaded = spark.read.parquet(out)
+    assert(visitsOf(reloaded) == Map("foo" -> 11L, "bar" -> 100L))
+    // a second freshen over the written table is a no-op at the same clock
+    val r2 = FreshReader.builder(m).withTable("user", reloaded).withAsOf(Day + 2).build()
+    assert(visitsOf(r2.freshenAll(DataRequest(Seq(ColumnName("info:visits")))))
+      == Map("foo" -> 11L, "bar" -> 100L))
+  }
+
   test("rereadPolicies invalidates cached capsules") {
     val user = Fixtures.userCounter(spark)
     val m = managerFor("user" -> user)
