@@ -231,9 +231,14 @@ final class FreshReader(
 
   /** Write-back merge job (SURVEY §2.2 S2): freshen + overwrite. At 100 TB
     * this is a partition-scoped read-union-rewrite; with a transactional
-    * table format it becomes a MERGE. */
-  def writeBack(request: DataRequest, outPath: String): Unit =
-    freshenAll(request).write.mode("overwrite").parquet(outPath)
+    * table format it becomes a MERGE. `partitionBy` columns (e.g. a date or
+    * entity-hash bucket) scope each rewrite to the partitions actually
+    * touched and enable partition pruning on later scans. */
+  def writeBack(request: DataRequest, outPath: String,
+      partitionBy: Seq[String] = Nil): Unit = {
+    val w = freshenAll(request).write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outPath)
+  }
 }
 
 object FreshReader {

@@ -1,0 +1,60 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Bucketing
+
+/** Co-located joins via bucketing: both sides bucketed+sorted on the join
+  * key ⇒ the sort-merge join plans with no shuffle exchange. */
+class BucketingSpec extends AnyFunSuite with SparkSpec {
+
+  test("bucketed equi-join plans without a shuffle exchange") {
+    val dir = Files.createTempDirectory("graft-buckets").toString
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val lineitem = spark.read.parquet(s"$sf/lineitem.parquet")
+
+    Bucketing.writeBucketed(orders, "b_orders", s"$dir/orders", "o_orderkey", 4)
+    Bucketing.writeBucketed(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+      "b_lineitem", s"$dir/lineitem", "o_orderkey", 4)
+
+    val joined = spark.table("b_orders")
+      .join(spark.table("b_lineitem"), "o_orderkey")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    assert(!Bucketing.hasShuffle(joined),
+      "bucketed join should not shuffle:\n" + joined.queryExecution.executedPlan)
+
+    // same join unbucketed DOES shuffle — the exchange bucketing removes
+    val plain = orders.join(
+      lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey")
+      .groupBy("o_orderkey").agg(count(lit(1)).as("n"))
+    assert(Bucketing.hasShuffle(plain))
+
+    // and the results agree
+    assert(joined.agg(sum("n")).head.getLong(0) == plain.agg(sum("n")).head.getLong(0))
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+  }
+
+  test("writeBack with partitionBy produces a partition-pruned layout") {
+    import graft.engine.FreshReader
+    import graft.model.{ColumnName, DataRequest}
+    import graft.policy.ShelfLife
+    import graft.registry.FreshnessManager
+    val user = Fixtures.userCounter(spark).withColumn("shard", col("entity_id").substr(1, 1))
+    val m = new FreshnessManager(n => Some(user.schema))
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new ShelfLife(86400000L))
+    val r = FreshReader.builder(m).withTable("user", user).withAsOf(86400002L).build()
+    val out = Files.createTempDirectory("graft-partby").toString + "/user"
+    r.writeBack(DataRequest(Seq(ColumnName("info:visits"))), out, partitionBy = Seq("shard"))
+    assert(new java.io.File(out).listFiles().exists(_.getName.startsWith("shard=")))
+    val pruned = spark.read.parquet(out).filter(col("shard") === "f")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(shard"))
+    assert(pruned.count() == 1)
+  }
+}
