@@ -132,6 +132,39 @@ object Dedup {
       .distinct()
   }
 
+  /** Connected components by iterative min-label propagation: every node
+    * ends up labeled with the smallest node id in its component — the
+    * canonical-document assignment for near-dup clusters (edges from
+    * [[jaccardPairs]] or [[lshCandidates]]).
+    *
+    * Each iteration is one join + one aggregation (shuffles on node id);
+    * convergence takes graph-diameter iterations — near-dup graphs are
+    * near-cliques, so 2-3 in practice. For billion-edge general graphs swap
+    * in the large-star/small-star variant; the declared surface only needs
+    * diameter-bounded dup clusters. */
+  def connectedComponents(nodes: DataFrame, edges: DataFrame,
+      maxIter: Int = 20): DataFrame = {
+    val bidir = (edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      unionByName edges.select(col("id_b").as("src"), col("id_a").as("dst"))).persist()
+    var labels = nodes.select(col("id"), col("id").as("lbl")).persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = bidir.join(labels, bidir("src") === labels("id"))
+        .select(col("dst").as("id"), col("lbl"))
+      val next = labels.select("id", "lbl").unionByName(prop)
+        .groupBy("id").agg(min("lbl").as("lbl")).persist()
+      val changed = next.as("n").join(labels.as("o"), "id")
+        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    bidir.unpersist()
+    labels.select(col("id"), col("lbl").as("component"))
+  }
+
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.
     * h(t) = (2654435761·t + 40503) mod 2^32; bit j of the simhash is 1 iff
     * Σ_t (2·bit_j(h(t)) − 1) > 0. */

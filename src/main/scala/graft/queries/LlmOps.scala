@@ -232,6 +232,35 @@ object LlmOps {
       |FROM m, UNNEST(range(0, (n - 1) // 256 + 1)) AS u(i)
       |ORDER BY media_id, frame_idx""".stripMargin
 
+  /** S22/S23 — canonical-document assignment: connected components over the
+    * ≥0.8-Jaccard near-dup graph; every doc labeled with the min doc_id of
+    * its dup cluster (itself when unique). Spark: iterative min-label
+    * propagation; oracle: recursive CTE. */
+  def q35DupClusters(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.8)
+    Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+      .orderBy("id")
+  }
+
+  val q35Sql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |e AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
+      |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // -------------------------------------- non-oracle (rows-only) operators
 
   /** Hyperplane-LSH approximate cosine top-k — the 100 TB similarity path.
@@ -264,7 +293,8 @@ object LlmOps {
     "q27_cosine_topk" -> (q27CosineTopK _),
     "q28_media_frames" -> (q28MediaFrames _),
     "q29_cosine_lsh" -> (q29CosineLsh _),
-    "q30_media_features" -> (q30MediaFeatures _))
+    "q30_media_features" -> (q30MediaFeatures _),
+    "q35_dup_clusters" -> (q35DupClusters _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -277,5 +307,6 @@ object LlmOps {
     "q25_token_counts" -> q25Sql,
     "q26_fingerprint" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
-    "q28_media_frames" -> q28Sql)
+    "q28_media_frames" -> q28Sql,
+    "q35_dup_clusters" -> q35Sql)
 }

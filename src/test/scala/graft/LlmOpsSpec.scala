@@ -55,6 +55,16 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(!cands.exists { case (a, b) => a == 3L || b == 3L })
   }
 
+  test("connectedComponents: min-label propagation over chains and singletons") {
+    import spark.implicits._
+    // chain 1-2-3, pair 10-11, singleton 20
+    val nodes = Seq(1L, 2L, 3L, 10L, 11L, 20L).toDF("id")
+    val edges = Seq((2L, 3L), (1L, 2L), (10L, 11L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
+  }
+
   test("simhash: identical docs equal; near-dup hamming distance < disjoint") {
     val d = docsDF(
       1L -> "spark batch window join merge order column",
