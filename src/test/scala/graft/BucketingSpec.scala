@@ -40,6 +40,25 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("saltedJoin spreads hot keys and matches the plain join") {
+    import spark.implicits._
+    import graft.engine.Skew
+    // one pathologically hot key (90% of rows) + a tail
+    val big = ((1 to 900).map(i => (42L, s"v$i")) ++ (1 to 100).map(i => (i.toLong, s"t$i")))
+      .toDF("k", "payload")
+    val small = Seq((42L, "hot"), (7L, "seven"), (99L, "ninetynine")).toDF("k", "label")
+    val salted = Skew.saltedJoin(big, small, "k", salt = 8)
+    val plain = big.join(small, "k")
+    assert(salted.count() == plain.count())
+    assert(salted.agg(sum(length(col("payload") ) + length(col("label")))).head.getLong(0)
+      == plain.agg(sum(length(col("payload")) + length(col("label")))).head.getLong(0))
+    // the hot key's rows really are spread over multiple salt values
+    val spread = big.filter($"k" === 42L)
+      .withColumn("s", pmod(xxhash64(big.columns.map(col): _*), lit(8)))
+      .select("s").distinct().count()
+    assert(spread > 1)
+  }
+
   test("writeBack with partitionBy produces a partition-pruned layout") {
     import graft.engine.FreshReader
     import graft.model.{ColumnName, DataRequest}
