@@ -149,17 +149,45 @@ object Freshen {
        |FROM a JOIN nv ON a.user_id = nv.user_id, mx
        |ORDER BY 1""".stripMargin
 
+  /** The reference's signature read shape (§1.2): "the N most recent
+    * versions within a time range" — a `DataRequest(maxVersions, timeRange)`
+    * compiled onto the entity view, exploded back to rows for comparison.
+    * Oracle: partition window row_number ≤ N over the same range. */
+  def q37VersionWindow(s: SparkSession, dir: String): DataFrame = {
+    val view = entityView(s, dir)
+    val req = DataRequest(Seq(ColumnName("events:value")),
+      maxVersions = 3, timeRange = Some((RangeLo, RangeHi)))
+    req.select(view)
+      .select(col(EntityView.EntityId), explode(col("events_value")).as("v"))
+      .select(col(EntityView.EntityId), col("v.ts").as("ts"), col("v.value").as("value"))
+      .orderBy(col(EntityView.EntityId), col("ts").desc, col("value").desc)
+  }
+
+  private val RangeLo = 1704844800000L // 2024-01-10T00:00:00Z
+  private val RangeHi = 1705708800000L // 2024-01-20T00:00:00Z
+
+  val q37Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events
+       |           WHERE epoch_ms(ts) >= $RangeLo AND epoch_ms(ts) < $RangeHi),
+       |rk AS (SELECT user_id, ts, value,
+       |         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, value DESC) AS rn
+       |       FROM c)
+       |SELECT user_id AS entity_id, ts, value FROM rk WHERE rn <= 3
+       |ORDER BY entity_id, ts DESC, value DESC""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q31_freshen_stale" -> (q31FreshenStale _),
     "q32_freshen_scored" -> (q32FreshenScored _),
     "q33_freshen_merged" -> (q33FreshenMerged _),
-    "q34_streaming_freshen" -> (q34StreamingFreshen _))
+    "q34_streaming_freshen" -> (q34StreamingFreshen _),
+    "q37_version_window" -> (q37VersionWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_freshen_stale" -> q31Sql,
     "q32_freshen_scored" -> q32Sql,
     "q33_freshen_merged" -> q33Sql,
-    "q34_streaming_freshen" -> q34Sql)
+    "q34_streaming_freshen" -> q34Sql,
+    "q37_version_window" -> q37Sql)
 }

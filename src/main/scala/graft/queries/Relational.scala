@@ -390,6 +390,33 @@ object Relational {
       |HAVING COUNT(*) >= 40
       |ORDER BY user_id""".stripMargin
 
+  /** S8 extension — ROLLUP hierarchy totals + conditional aggregation
+    * (FILTER/CASE), exact decimal money sums. */
+  def q36RollupConditional(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .rollup($"o_orderstatus", $"o_orderpriority")
+      .agg(
+        grouping_id().as("gid"),
+        count(lit(1)).as("n_orders"),
+        count(when($"o_totalprice" > 200000.0, 1)).as("n_big"),
+        sum(when(year($"o_orderdate") === 1997, dec($"o_totalprice"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).cast("double").as("sum_1997"))
+      .orderBy($"gid", $"o_orderstatus", $"o_orderpriority")
+  }
+
+  val q36Sql: String =
+    """SELECT o_orderstatus, o_orderpriority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  COUNT(*) FILTER (o_totalprice > 200000.0) AS n_big,
+      |  CAST(SUM(CASE WHEN EXTRACT(year FROM o_orderdate) = 1997
+      |           THEN CAST(o_totalprice AS DECIMAL(18,2))
+      |           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_1997
+      |FROM orders
+      |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -409,7 +436,8 @@ object Relational {
     "q14_math_case" -> (q14MathCase _),
     "q15_array_funcs" -> (q15ArrayFuncs _),
     "q16_json_funcs" -> (q16JsonFuncs _),
-    "q17_max_by_having" -> (q17MaxByHaving _))
+    "q17_max_by_having" -> (q17MaxByHaving _),
+    "q36_rollup_conditional" -> (q36RollupConditional _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -428,5 +456,6 @@ object Relational {
     "q14_math_case" -> q14Sql,
     "q15_array_funcs" -> q15Sql,
     "q16_json_funcs" -> q16Sql,
-    "q17_max_by_having" -> q17Sql)
+    "q17_max_by_having" -> q17Sql,
+    "q36_rollup_conditional" -> q36Sql)
 }
