@@ -1,0 +1,30 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge}
+
+/** Column-API facade for the native graft expressions. */
+object GraftFunctions {
+  /** Double dot product of two float-array columns. */
+  def arrayDot(a: Column, b: Column): Column =
+    Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b), 0L))
+
+  /** Exact scaled-integer dot product (see [[org.apache.spark.sql.graft.ArrayDot]]). */
+  def arrayDotScaled(a: Column, b: Column, scale: Long): Column =
+    Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b), scale))
+}
+
+/** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):
+  * exposes `array_dot(a, b)` and `array_dot_scaled(a, b)` (×1e8) to SQL. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((new FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 0L)))
+    ext.injectFunction((new FunctionIdentifier("array_dot_scaled"),
+      new ExpressionInfo(classOf[ArrayDot].getName, "array_dot_scaled"),
+      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 100000000L)))
+  }
+}

@@ -4,30 +4,34 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.GraftFunctions.{arrayDot, arrayDotScaled}
+
 /** Similarity search over an `Array[Float]` embedding column.
   *
-  * Execution shape: dot products run as EXPLODED codegen hash aggregations —
-  * `posexplode` the vectors, multiply element pairs, `SUM` per (query,
-  * candidate). Spark's array higher-order functions (`aggregate`/`zip_with`
-  * lambdas) are interpreted per element and measured 15-30× slower here, so
-  * the hot path avoids them entirely.
+  * Execution shape: dot products run through [[graft.functions.ArrayDot]] —
+  * a native Catalyst expression whose `doGenCode` emits one tight scalar
+  * loop per candidate pair. (Earlier shapes measured here: array
+  * higher-order `aggregate` lambdas are interpreted per element, 15-30×
+  * slower; posexplode + hash-agg works but moves |pairs|·dim rows through
+  * an aggregation. The fused expression scores each pair in place.)
   *
   * Numeric modes:
-  *   - `exact = true`: elements are quantized to scaled 64-bit integers
-  *     (×1e8, round-half-away) and dot products accumulate in exact integer
-  *     arithmetic — order-independent and cross-engine bit-identical, used by
-  *     the oracle-checked queries. (A DECIMAL(38,18) accumulation is equally
-  *     exact but measured 12× slower: it falls off the vectorized sum path.)
-  *     Scaling cancels in the cosine: dot_s/(‖a‖_s·‖b‖_s).
-  *   - `exact = false` (default): plain double accumulation — the fast
-  *     production path (hash aggregation is order-independent per group but
-  *     double rounding makes results engine-specific at the last ulp).
+  *   - `exact = true`: elements quantize to scaled 64-bit integers (×1e8,
+  *     half-away-from-zero) and products accumulate in exact integer
+  *     arithmetic — order-independent and cross-engine bit-identical, used
+  *     by the oracle-checked queries; the DuckDB oracle runs the same
+  *     formula. Scaling cancels in the cosine ratio.
+  *   - `exact = false` (default): double accumulation in element order —
+  *     the fast production path.
+  *
+  * Cosines are rounded to 12 dp: above any ulp noise, far below any real
+  * cosine gap.
   *
   * Scale design: brute force is O(n·m·d) with the bounded query side
   * broadcast — correct baseline and ground truth. The LSH path buckets
   * vectors by deterministic random-hyperplane sign signatures, so candidate
-  * generation is an equi-join on (signature, pos) and only in-bucket pairs
-  * pay the exact-cosine cost.
+  * generation is an equi-join on the signature and only in-bucket pairs pay
+  * the dot-product cost.
   */
 object Similarity {
 
@@ -36,53 +40,38 @@ object Similarity {
     * without overflow. */
   val ExactScale: Long = 100000000L
 
-  /** Quantize one element to a scaled long, half-away-from-zero. Spelled as
-    * sign·floor(|x|·S + 0.5) — plain double ops in codegen; `round()` would
-    * route every value through BigDecimal (measured ~4× slower end-to-end),
-    * and this formula is engine-portable verbatim. */
-  private def quantize(x: Column): Column = {
-    val xd = x.cast("double")
-    (signum(xd) * floor(abs(xd) * ExactScale + 0.5d)).cast("long")
-  }
+  private def dot(a: Column, b: Column, exact: Boolean): Column =
+    if (exact) arrayDotScaled(a, b, ExactScale) else arrayDot(a, b)
 
-  /** Element projection applied once at explode time — the joins and sums
-    * downstream then run on plain longs/doubles. */
-  private def proj(x: Column, exact: Boolean): Column =
-    if (exact) quantize(x) else x.cast("double")
-
-  /** Per-vector Euclidean norms (id, nrm) from an (id, vec) frame. In exact
-    * mode the norm stays in element-scale units; the scale cancels in the
-    * cosine ratio. */
+  /** Per-vector Euclidean norms (id, nrm) from an (id, vec) frame — one
+    * fused self-dot per row, no explode. In exact mode the norm stays in
+    * element-scale units; the scale cancels in the cosine ratio. */
   def norms(vectors: DataFrame, exact: Boolean = false): DataFrame =
-    vectors.select(col("id"), posexplode(col("vec")).as(Seq("pos", "x")))
-      .select(col("id"), proj(col("x"), exact).as("x"))
-      .groupBy("id")
-      .agg(sqrt(sum(col("x") * col("x")).cast("double")).as("nrm"))
+    vectors.select(col("id"),
+      sqrt(dot(col("vec"), col("vec"), exact).cast("double")).as("nrm"))
 
   /** Brute-force cosine top-k: for each query vector the k nearest other
     * vectors by cosine, rank-ordered (ties broken by neighbor id).
-    * `queries`/`corpus`: (id, vec) frames. The exploded query side is
-    * broadcast — size it accordingly (|queries|·dim rows). */
+    * `queries`/`corpus`: (id, vec) frames. The query side is broadcast —
+    * size it accordingly. */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       exact: Boolean = false): DataFrame = {
-    val qn = norms(queries, exact).withColumnRenamed("id", "qid").withColumnRenamed("nrm", "qn")
-    val cn = norms(corpus, exact).withColumnRenamed("id", "cid").withColumnRenamed("nrm", "cn")
-    val qt = queries.select(col("id").as("qid"), posexplode(col("vec")).as(Seq("p", "x")))
-      .select(col("qid"), col("p"), proj(col("x"), exact).as("x"))
-    val ct = corpus.select(col("id").as("cid"), posexplode(col("vec")).as(Seq("p", "y")))
-      .select(col("cid"), col("p"), proj(col("y"), exact).as("y"))
-    val dots = ct.join(broadcast(qt), qt("p") === ct("p") && col("qid") =!= col("cid"))
-      .groupBy("qid", "cid")
-      .agg(sum(col("x") * col("y")).as("dot"))
-    rank(dots, qn, cn, k)
+    val q = norms(queries, exact)
+      .select(col("id").as("qid"), col("nrm").as("qn"))
+      .join(queries.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+    val c = norms(corpus, exact)
+      .select(col("id").as("cid"), col("nrm").as("cn"))
+      .join(corpus.select(col("id").as("cid"), col("vec").as("cv")), "cid")
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        dot(col("qv"), col("cv"), exact).as("dot"), col("qn"), col("cn"))
+    rank(scored, k)
   }
 
-  /** Rounded to 12 dp: exact-mode decimal dots are engine-independent, but
-    * the final decimal→double cast can differ by 1 ulp across engines; 12 dp
-    * is far above ulp noise and far below any real cosine gap. */
-  private def rank(dots: DataFrame, qn: DataFrame, cn: DataFrame, k: Int): DataFrame = {
+  /** Rank (qid, cid, dot, qn, cn) rows into per-query top-k by cosine. */
+  private def rank(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
-    dots.join(qn, "qid").join(cn, "cid")
+    scored
       .withColumn("cosine", round(col("dot").cast("double") / (col("qn") * col("cn")), 12))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -109,27 +98,23 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
-  /** Approximate nearest neighbors: bucket by hyperplane signature, exact
-    * cosine within buckets only, top-k per query. Candidate generation is an
-    * equi-join on (signature, element position). */
+  /** Approximate nearest neighbors: bucket by hyperplane signature, fused
+    * exact cosine within buckets only, top-k per query. Candidate
+    * generation is an equi-join on the signature. */
   def cosineTopKLsh(vectors: DataFrame, k: Int, planes: Int, dim: Int,
       exact: Boolean = false): DataFrame = {
-    val nrm = norms(vectors, exact)
-    // persisted: both self-join sides + the signature expression would
-    // otherwise recompute the whole explode pipeline
-    val tall = vectors
-      .select(col("id"), hyperplaneSignature(col("vec"), planes, dim).as("sig"),
-        posexplode(col("vec")).as(Seq("p", "x")))
-      .select(col("id"), col("sig"), col("p"), proj(col("x"), exact).as("x"))
+    // persisted: both self-join sides would otherwise recompute the
+    // signature pipeline
+    val sig = vectors
+      .select(col("id"), col("vec"),
+        hyperplaneSignature(col("vec"), planes, dim).as("sig"),
+        sqrt(dot(col("vec"), col("vec"), exact).cast("double")).as("nrm"))
       .persist()
-    val dots = tall.as("a")
-      .join(tall.as("b"),
-        col("a.sig") === col("b.sig") && col("a.p") === col("b.p") &&
-          col("a.id") =!= col("b.id"))
-      .groupBy(col("a.id").as("qid"), col("b.id").as("cid"))
-      .agg(sum(col("a.x") * col("b.x")).as("dot"))
-    rank(dots,
-      nrm.withColumnRenamed("id", "qid").withColumnRenamed("nrm", "qn"),
-      nrm.withColumnRenamed("id", "cid").withColumnRenamed("nrm", "cn"), k)
+    val scored = sig.as("a")
+      .join(sig.as("b"), col("a.sig") === col("b.sig") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"),
+        dot(col("a.vec"), col("b.vec"), exact).as("dot"),
+        col("a.nrm").as("qn"), col("b.nrm").as("cn"))
+    rank(scored, k)
   }
 }
