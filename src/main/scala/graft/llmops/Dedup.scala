@@ -147,6 +147,10 @@ object Dedup {
     val bidir = (edges.select(col("id_a").as("src"), col("id_b").as("dst"))
       unionByName edges.select(col("id_b").as("src"), col("id_a").as("dst"))).persist()
     var labels = nodes.select(col("id"), col("id").as("lbl")).persist()
+    // labels only ever decrease, so Σlbl is strictly monotone until the
+    // fixpoint — a one-aggregate convergence probe (no join with the
+    // previous labels needed)
+    var prevSum = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -154,11 +158,11 @@ object Dedup {
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").unionByName(prop)
         .groupBy("id").agg(min("lbl").as("lbl")).persist()
-      val changed = next.as("n").join(labels.as("o"), "id")
-        .filter(col("n.lbl") =!= col("o.lbl")).limit(1).count()
+      val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     bidir.unpersist()
