@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.FreshReader
+import graft.model.{ColumnName, DataRequest}
+import graft.policy.ShelfLife
+import graft.registry.FreshnessManager
+
+/** Property tests (SURVEY.md §5): freshen-twice ≡ freshen-once (the demo's
+  * idempotence pinned over RANDOM fixtures), and cell-merge invariants. */
+class PropertySpec extends AnyFunSuite with SparkSpec {
+
+  private case class Fixture(rows: List[(String, List[(Long, Long)])],
+      shelf: Long, asOf: Long)
+
+  private val genFixture: Gen[Fixture] = for {
+    n <- Gen.choose(1, 6)
+    rows <- Gen.listOfN(n, for {
+      nv <- Gen.choose(0, 4)
+      vers <- Gen.listOfN(nv, Gen.zip(Gen.choose(0L, 1000L), Gen.choose(0L, 100L)))
+    } yield vers)
+    shelf <- Gen.choose(1L, 1200L)
+    asOf <- Gen.choose(500L, 2000L)
+  } yield Fixture(rows.zipWithIndex.map { case (v, i) => (s"e$i", v) }, shelf, asOf)
+
+  private def toView(f: Fixture): DataFrame = {
+    import spark.implicits._
+    f.rows.toDF("entity_id", "info_visits")
+      .withColumn("info_visits", expr(
+        "reverse(array_sort(transform(info_visits, v -> named_struct('ts', v._1, 'value', v._2))))"))
+  }
+
+  private def freshenOnce(view: DataFrame, f: Fixture): DataFrame = {
+    val m = new FreshnessManager(_ => Some(view.schema))
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new ShelfLife(f.shelf))
+    FreshReader.builder(m).withTable("user", view).withAsOf(f.asOf).build()
+      .freshenAll(DataRequest(Seq(ColumnName("info:visits"))))
+  }
+
+  private def snapshot(df: DataFrame): Map[String, Seq[(Long, Long)]] =
+    df.select(col("entity_id"), expr("transform(info_visits, v -> struct(v.ts, v.value))"))
+      .collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => (x.getLong(0), x.getLong(1))))
+      .toMap
+
+  test("property: freshen is idempotent at a fixed clock (second run is a no-op)") {
+    val prop = Prop.forAll(genFixture) { f =>
+      val once = freshenOnce(toView(f), f)
+      val twice = freshenOnce(once, f)
+      snapshot(once) == snapshot(twice)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: freshen preserves entity set and appends at most one version") {
+    val prop = Prop.forAll(genFixture) { f =>
+      val before = snapshot(toView(f))
+      val after = snapshot(freshenOnce(toView(f), f))
+      after.keySet == before.keySet &&
+        after.forall { case (e, vs) =>
+          val b = before(e)
+          vs == b || (vs.size == b.size + 1 && vs.tail == b && vs.head._1 == f.asOf)
+        }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("approx_count_distinct tracks the exact count within its error bound (S9)") {
+    val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
+    val approx = o.select(approx_count_distinct(col("o_custkey"), 0.02)).head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx=$approx exact=$exact")
+  }
+}
