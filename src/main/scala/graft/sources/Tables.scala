@@ -33,3 +33,26 @@ object Tables {
   def registerAll(spark: SparkSession, dir: String): Unit =
     names.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
 }
+
+/** Key-value store loaders — side inputs for scorers/policies (SURVEY §2.1
+  * R12). The reference ships a text-file-backed store
+  * (`TestKVStores.java:211-219`: tab-separated key\tvalue lines); stores are
+  * small by contract (they broadcast), so a file parse is fine. */
+object Stores {
+  /** Tab-separated `key<TAB>value` lines → a (key, value) DataFrame. */
+  def textFile(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    spark.read.text(path)
+      .filter(length(trim(col("value"))) > 0)
+      .select(
+        split(col("value"), "\t", 2).getItem(0).as("key"),
+        split(col("value"), "\t", 2).getItem(1).as("value"))
+  }
+
+  /** Store loader keyed by `text:<path>` source strings, for
+    * `FreshReader.Builder.withStoreLoader`. */
+  def loader(spark: SparkSession): String => org.apache.spark.sql.DataFrame = {
+    case src if src.startsWith("text:") => textFile(spark, src.stripPrefix("text:"))
+    case other => throw new IllegalArgumentException(s"Unknown store source '$other'")
+  }
+}

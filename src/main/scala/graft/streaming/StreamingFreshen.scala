@@ -74,3 +74,34 @@ final class StreamingFreshen(
       .foreachBatch { (batch: DataFrame, _: Long) => processBatch(batch) }
       .start()
 }
+
+object StreamingFreshen {
+  import org.apache.spark.sql.{Dataset, SparkSession}
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  case class EventRow(entity_id: Long, ts: Long, value: Double)
+  case class Newest(entity_id: Long, ts: Long, value: Double)
+
+  /** Live newest-version view via `mapGroupsWithState`: per-entity state
+    * holds the max-(ts, value) cell, updated per micro-batch and emitted on
+    * every change — the streaming materialization of the reference's
+    * `getMostRecentValue` read (`KijiRowData`), robust to out-of-order
+    * events. State is one (ts, value) pair per entity: bounded, partitioned
+    * by entity hash, scales with entity count not event count. */
+  def newestView(events: Dataset[EventRow]): Dataset[Newest] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.entity_id)
+      .mapGroupsWithState[(Long, Double), Newest](GroupStateTimeout.NoTimeout) {
+        (id, batch, state: GroupState[(Long, Double)]) =>
+          // newest-wins with the same tie-break as the batch cells:
+          // (ts, value) lexicographic max
+          val incoming = batch.map(e => (e.ts, e.value)).foldLeft(
+            state.getOption.getOrElse((Long.MinValue, Double.MinValue))) {
+            (a, b) => if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+          }
+          state.update(incoming)
+          Newest(id, incoming._1, incoming._2)
+      }
+  }
+}

@@ -53,6 +53,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(state(store) == Map(1L -> (5000L, 7.0), 2L -> (5000L, 9.0)))
   }
 
+  test("newestView: mapGroupsWithState keeps the newest version across batches, out-of-order safe") {
+    import spark.implicits._
+    import graft.streaming.StreamingFreshen.{newestView, EventRow}
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val out = newestView(mem.toDS())
+    val q = out.writeStream.outputMode("update").format("memory").queryName("newest_t").start()
+    mem.addData(EventRow(1L, 100L, 5.0), EventRow(1L, 200L, 7.0), EventRow(2L, 50L, 1.0))
+    q.processAllAvailable()
+    mem.addData(EventRow(1L, 150L, 9.0)) // late, older than current newest
+    q.processAllAvailable()
+    val last = spark.table("newest_t")
+      .groupBy("entity_id").agg(expr("max_by(struct(ts, value), struct(ts, value)) AS n"))
+      .selectExpr("entity_id", "n.ts", "n.value")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(last(1L) == (200L, 7.0)) // late event did NOT regress the view
+    assert(last(2L) == (50L, 1.0))
+    q.stop()
+  }
+
+  test("text-file KV store loads tab-separated pairs (TestKVStores analogue)") {
+    val f = java.nio.file.Files.createTempFile("graft-cats", ".txt")
+    java.nio.file.Files.writeString(f, "felix\tFelis catus\ngarfield\tFelis lasagna\n\n")
+    val kv = graft.sources.Stores.textFile(spark, f.toString)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(kv == Map("felix" -> "Felis catus", "garfield" -> "Felis lasagna"))
+    intercept[IllegalArgumentException](graft.sources.Stores.loader(spark)("bogus:x"))
+  }
+
   test("streaming plumbing: foreachBatch over a MemoryStream drives the same engine") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
