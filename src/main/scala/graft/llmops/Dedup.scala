@@ -31,11 +31,11 @@ object Dedup {
 
   /** Tall distinct (id, shingle) inverted-index frame.
     *
-    * Built with posexplode + window `lead` rather than the array
-    * higher-order route ([[TextOps.shingles]]): HOF lambdas are interpreted
-    * per element and measured ~10× slower; the window form stays in
-    * whole-stage codegen and its shuffle (by doc id) is the same partitioning
-    * the downstream per-doc aggregations want. */
+    * Built with posexplode + window `lead` rather than an array
+    * higher-order `transform`+`slice` expression: HOF lambdas are
+    * interpreted per element and measured ~10× slower; the window form
+    * stays in whole-stage codegen and its shuffle (by doc id) is the same
+    * partitioning the downstream per-doc aggregations want. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     val tall = docs.select(col(idCol).as("id"),
       posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))

@@ -17,14 +17,6 @@ object TextOps {
   def tokens(text: Column): Column =
     regexp_extract_all(lower(text), lit("[a-z0-9]+"), lit(0))
 
-  /** Distinct word n-gram shingles (space-joined); empty when the document has
-    * fewer than n tokens. */
-  def shingles(toks: Column, n: Int): Column =
-    when(size(toks) >= n,
-      array_distinct(transform(sequence(lit(1), size(toks) - n + 1),
-        i => array_join(slice(toks, i, lit(n)), " "))))
-      .otherwise(array().cast("array<string>"))
-
   /** Normalize any integer token id into [0, P). */
   def norm(tid: Column): Column = pmod(tid.cast("long"), lit(P))
 
