@@ -417,6 +417,29 @@ object Relational {
       |GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
       |ORDER BY gid, o_orderstatus, o_orderpriority""".stripMargin
 
+  /** S15/S23 — edit-distance string similarity: per brand, the number of
+    * name-similar part pairs (levenshtein ≤ 6) and the closest distance —
+    * the fuzzy-matching shape of record-linkage dedup, blocked by brand so
+    * the pairwise cost stays per-block (the blocking key IS the scale knob). */
+  def q38EditDistance(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val p = t(s, dir, "part").select($"p_partkey", $"p_brand", $"p_name")
+    p.as("a").join(p.as("b"),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
+      .filter($"dist" <= 6)
+      .groupBy($"a.p_brand".as("brand"))
+      .agg(count(lit(1)).as("n_similar_pairs"), min($"dist").as("min_dist"))
+      .orderBy($"brand")
+  }
+
+  val q38Sql: String =
+    """SELECT a.p_brand AS brand, count(*) AS n_similar_pairs,
+      |  CAST(min(levenshtein(a.p_name, b.p_name)) AS INT) AS min_dist
+      |FROM part a JOIN part b ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 6
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -437,7 +460,8 @@ object Relational {
     "q15_array_funcs" -> (q15ArrayFuncs _),
     "q16_json_funcs" -> (q16JsonFuncs _),
     "q17_max_by_having" -> (q17MaxByHaving _),
-    "q36_rollup_conditional" -> (q36RollupConditional _))
+    "q36_rollup_conditional" -> (q36RollupConditional _),
+    "q38_edit_distance" -> (q38EditDistance _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -457,5 +481,6 @@ object Relational {
     "q15_array_funcs" -> q15Sql,
     "q16_json_funcs" -> q16Sql,
     "q17_max_by_having" -> q17Sql,
-    "q36_rollup_conditional" -> q36Sql)
+    "q36_rollup_conditional" -> q36Sql,
+    "q38_edit_distance" -> q38Sql)
 }
