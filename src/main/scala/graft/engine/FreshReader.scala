@@ -128,8 +128,12 @@ final class FreshReader(
     val filtered =
       if (config.allowPartial || outcomes.forall(_.unscoredKeys.isEmpty)) outcomes
       else {
-        val anyUnscored = outcomes.flatMap(_.unscoredKeys).reduce(_ unionByName _).distinct()
-        outcomes.map(o => o.copy(scored =
+        val anyUnscored = outcomes.flatMap(_.unscoredKeys)
+          .reduce(_ unionByName _).distinct().persist()
+        // cheap probe: when the budget covered every stale row, skip the
+        // per-capsule anti-joins entirely
+        if (anyUnscored.limit(1).count() == 0) { anyUnscored.unpersist(); outcomes }
+        else outcomes.map(o => o.copy(scored =
           o.scored.join(broadcast(anyUnscored), Seq(EntityView.EntityId), "left_anti")))
       }
     filtered.foldLeft(slice)((df, o) => mergeScored(df, o))
@@ -154,7 +158,8 @@ final class FreshReader(
     val (budgeted, unscored) = config.budgetRows match {
       case Some(n) =>
         val keys = stale.select(col(EntityView.EntityId))
-          .orderBy(col(EntityView.EntityId)).limit(n.toInt)
+          .orderBy(col(EntityView.EntityId))
+          .limit(math.min(n, Int.MaxValue.toLong).toInt)
         (stale.join(broadcast(keys), Seq(EntityView.EntityId), "left_semi"),
           Some(stale.select(col(EntityView.EntityId))
             .join(broadcast(keys), Seq(EntityView.EntityId), "left_anti")))

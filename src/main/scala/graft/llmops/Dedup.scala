@@ -53,11 +53,15 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
     * clearing `minJaccard`. `maxShingleDocFreq` caps the document frequency
-    * of join-eligible shingles (stop-shingle removal — see object doc). */
+    * of shingles (stop-shingle removal — see object doc); with a cap the
+    * similarity is the Jaccard over the CAPPED shingle space — intersections
+    * and set sizes both exclude stop-shingles, so the ratio stays
+    * internally consistent. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDocFreq: Option[Int] = None): DataFrame = {
     // The index feeds three consumers (both join sides + sizes); persist so
-    // the tokenize/window stage runs once, not three times.
+    // the tokenize/window stage runs once, not three times. (Left persisted
+    // for the session — unpersist from the caller once results are final.)
     val sh = shingleIndex(docs, idCol, textCol, n).persist()
     val joinable = maxShingleDocFreq match {
       case None => sh
@@ -66,7 +70,8 @@ object Dedup {
           .filter(col("df") <= cap).select("s")
         sh.join(rare, "s")
     }
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    // sizes from the SAME (capped) index the intersections use
+    val sizes = joinable.groupBy("id").agg(count(lit(1)).as("n_sh"))
     val inter = joinable.as("a")
       .join(joinable.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -117,7 +122,8 @@ object Dedup {
     * the candidate search is a pure equi-join on (band, key). */
   def lshCandidates(minhashTall: DataFrame, rowsPerBand: Int): DataFrame = {
     // persisted: both self-join sides would otherwise recompute the whole
-    // tokenize→minhash pipeline
+    // tokenize→minhash pipeline (session-lifetime cache; unpersist from the
+    // caller once results are final)
     val banded = minhashTall
       .withColumn("band", expr(s"i div $rowsPerBand"))
       .groupBy("id", "band")
@@ -166,6 +172,9 @@ object Dedup {
       iter += 1
     }
     bidir.unpersist()
+    // NOTE: the returned frame is persisted (the loop's lineage is deep —
+    // recomputing it would replay every iteration); unpersist from the
+    // caller once consumed
     labels.select(col("id"), col("lbl").as("component"))
   }
 

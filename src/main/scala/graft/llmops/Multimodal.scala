@@ -50,8 +50,13 @@ object Multimodal {
     media.select(
         col("media_id"),
         col("meta"),
-        explode(sequence(lit(0L),
-          expr(s"(meta.n_bytes - 1) div $frameBytes"))).as("frame_idx"),
+        // empty payloads emit ZERO frames (explode of the empty array drops
+        // the row) — `div` truncates toward zero, so (0-1) div f would
+        // otherwise fabricate a phantom frame where floor semantics
+        // (and the oracle) produce none
+        explode(when(col("meta.n_bytes") > 0,
+          sequence(lit(0L), expr(s"(meta.n_bytes - 1) div $frameBytes")))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"),
         col("payload"))
       .select(
         col("media_id"),
@@ -67,7 +72,7 @@ object Multimodal {
     * exercised end-to-end. */
   private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] =
     Array.tabulate(dim) { j =>
-      if (payload.isEmpty) 0f
+      if (payload == null || payload.isEmpty) 0f // schema allows null payloads
       else (payload(j % payload.length) & 0xff) / 255f
     }
 

@@ -52,12 +52,19 @@ final case class DataRequest(
       }
       Cells.latest(ranged, maxVersions)
     }
-    val cols = col(EntityView.EntityId) +: columns.map { cn =>
+    val cols = col(EntityView.EntityId) +: columns.flatMap { cn =>
       if (EntityView.isMapFamily(schema, cn.family)) cn.qualifier match {
-        case Some(q) => window(try_element_at(col(cn.family), lit(q))).as(cn.flat)
-        case None    => transform_values(col(cn.family), (_, v) => window(v)).as(cn.flat)
+        case Some(q) => Seq(window(try_element_at(col(cn.family), lit(q))).as(cn.flat))
+        case None    => Seq(transform_values(col(cn.family), (_, v) => window(v)).as(cn.flat))
       }
-      else window(col(cn.flat)).as(cn.flat)
+      else cn.qualifier match {
+        case Some(_) => Seq(window(col(cn.flat)).as(cn.flat))
+        // bare group family: expand to every family_* cell column (the
+        // whole-family read of KijiDataRequest; validation accepts these in
+        // producer requests, so execution must too)
+        case None => schema.fieldNames.toSeq.filter(_.startsWith(cn.family + "_"))
+          .sorted.map(f => window(col(f)).as(f))
+      }
     }
     view.select(cols: _*)
   }

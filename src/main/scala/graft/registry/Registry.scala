@@ -203,12 +203,16 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
   }
 
   def load(path: String): Unit = {
-    val Re = ("""\{"table":"(.*?)","column":"(.*?)","record_version":"(.*?)",""" +
-      """"producer_class":"(.*?)","policy_class":"(.*?)","policy_state":"(.*)"\}""").r
+    // field pattern tolerates escaped quotes/backslashes; every field is
+    // unescaped symmetrically with save()'s escaping
+    val F = """"((?:[^"\\]|\\.)*)""""
+    val Re = (s"""\\{"table":$F,"column":$F,"record_version":$F,""" +
+      s""""producer_class":$F,"policy_class":$F,"policy_state":$F\\}""").r
+    def un(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
     scala.io.Source.fromFile(path, "UTF-8").getLines().filter(_.nonEmpty).foreach {
       case Re(t, c, rv, pc, fc, st) =>
-        val state = st.replace("\\\"", "\"").replace("\\\\", "\\")
-        records((t, c)) = FreshnessRecord(t, ColumnName(c), pc, fc, state, rv)
+        records((un(t), un(c))) =
+          FreshnessRecord(un(t), ColumnName(un(c)), un(pc), un(fc), un(st), un(rv))
       case line => throw new IllegalArgumentException(s"Bad registry line: $line")
     }
   }

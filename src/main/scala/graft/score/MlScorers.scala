@@ -28,10 +28,16 @@ abstract class MllibScorer extends Scorer {
 
   override def dataRequest: DataRequest = DataRequest(inputColumns)
 
+  /** Feature value for a missing/empty input cell. Stale rows routinely
+    * HAVE empty cells (ShelfLife marks no-value cells stale), and
+    * VectorAssembler's default handleInvalid="error" would kill the job on
+    * the null — exactly the rows the scorer exists to fill in. */
+  def missingValue: Double = 0.0
+
   override def score(stale: DataFrame, ctx: ScorerContext): DataFrame = {
     val withFeatures = inputColumns.foldLeft(stale) { (df, cn) =>
       df.withColumn(s"__f_${cn.flat}",
-        Cells.newestValue(col(cn.flat)).cast("double"))
+        coalesce(Cells.newestValue(col(cn.flat)).cast("double"), lit(missingValue)))
     }
     val assembled = new VectorAssembler()
       .setInputCols(inputColumns.map(cn => s"__f_${cn.flat}").toArray)

@@ -85,7 +85,11 @@ abstract class KvLookupScorer(keyColumn: ColumnName, storeName: String,
   override def outputColumn: ColumnName = output
   override def storeBindings: Map[String, String] = Map(storeName -> storeSource)
   override def score(stale: DataFrame, ctx: ScorerContext): DataFrame = {
-    val kv = ctx.store(storeName) // (key, value)
+    // dedupe store keys deterministically (min value wins): a store file
+    // with repeated keys must not multiply scored rows — the merge would
+    // duplicate entity rows in the freshened view
+    val kv = ctx.store(storeName)
+      .groupBy(col("key")).agg(min(col("value")).as("value"))
     stale.select(col(EntityView.EntityId),
         Cells.newestValue(col(keyColumn.flat)).as("__key"))
       .join(broadcast(kv), col("__key") === kv("key"), "left")

@@ -151,14 +151,17 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
     m.storePolicy("user", ColumnName("info:email"),
       classOf[CatsLookup].getName, new ShadowingPolicy)
     val producerStore = Seq(("foo-val", "Meowser"), ("bar-val", "Skraps")).toDF("key", "value")
-    val policyStore = Seq(("foo-val", "Shadow"), ("bar-val", "Shadow2")).toDF("key", "value")
+    // duplicate key: deterministic min-value wins, rows must NOT multiply
+    val policyStore = Seq(("foo-val", "Shadow"), ("foo-val", "ZZZ-dup"), ("bar-val", "Shadow2"))
+      .toDF("key", "value")
     val r = FreshReader.builder(m).withTable("user", user).withAsOf(100L)
       .withStoreLoader {
         case "producer-src" => producerStore
         case "policy-src"   => policyStore
         case other          => fail(s"unexpected store source $other")
       }.build()
-    val out = r.freshenTable(DataRequest(Seq(ColumnName("info:email"))))
+    val out = r.freshenTable(DataRequest(Seq(ColumnName("info:email")))).cache()
+    assert(out.count() == 2) // duplicate store keys must not multiply rows
     val emails = out.select(col("entity_id"), expr("info_email[0].value").as("e"))
       .collect().map(x => x.getString(0) -> x.getString(1)).toMap
     assert(emails == Map("foo" -> "Shadow", "bar" -> "Shadow2"))

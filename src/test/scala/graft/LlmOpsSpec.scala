@@ -139,6 +139,19 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("media frames: empty payload yields zero frames; null payload features are zeros") {
+    import spark.implicits._
+    val d = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
+    val media = Multimodal.asMedia(d, "doc_id", "text")
+    val fr = Multimodal.frames(media, 256).select("media_id").collect().map(_.getLong(0))
+    assert(fr.toSeq == Seq(2L)) // doc 1 (empty) emits no frames
+    val withNull = media.withColumn("payload",
+      when(col("media_id") === 1L, lit(null).cast("binary")).otherwise(col("payload")))
+    val feats = Multimodal.fakeDecodeFeatures(withNull, dim = 3)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == Seq(0f, 0f, 0f))
+  }
+
   test("media frames reassemble to the payload; features are deterministic") {
     val d = docsDF(1L -> ("ab" * 300)) // 600 bytes → 3 frames of 256
     val media = Multimodal.asMedia(d, "doc_id", "text")

@@ -68,5 +68,9 @@ class ModelSpec extends AnyFunSuite with SparkSpec {
       .select(df).filter(col("entity_id") === "foo")
       .selectExpr("size(family_qual0)").head()
     assert(ranged.getInt(0) == 0)
+    // bare group family expands to every family_* column (whole-family read)
+    val fam2 = DataRequest(Seq(ColumnName("family"))).select(df)
+    assert(fam2.columns.toSeq ==
+      Seq("entity_id", "family_qual0", "family_qual1", "family_qual2"))
   }
 }

@@ -112,6 +112,19 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     assert(!m.isValidClassName("1starts.WithDigit"))
   }
 
+  test("save/load round-trips states containing quotes and backslashes") {
+    val m = mgr()
+    m.storePolicyWithStrings("user", ColumnName("info:name"), "a.B", "c.D",
+      """{"path":"C:\\tmp","note":"say \"hi\""}""")
+    val f = java.io.File.createTempFile("graft-registry-esc", ".jsonl")
+    m.save(f.getAbsolutePath)
+    val m2 = mgr()
+    m2.load(f.getAbsolutePath)
+    assert(m2.retrievePolicy("user", ColumnName("info:name")).get.policyState ==
+      """{"path":"C:\\tmp","note":"say \"hi\""}""")
+    f.delete()
+  }
+
   test("save/load persistence round-trip") {
     val m = mgr()
     m.storePolicy("user", ColumnName("info:name"), classOf[NameRewrite].getName,
