@@ -440,6 +440,48 @@ object Relational {
       |WHERE levenshtein(a.p_name, b.p_name) <= 6
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S8/S26 — tumbling time-window aggregation over the events stream table
+    * (daily windows, epoch-aligned): the batch form of the windowed
+    * streaming aggregate. */
+  def q39TimeWindow(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy(window($"ts", "1 day").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec($"value")).cast("double").as("sum_value"))
+      .select(date_format($"w.start", "yyyy-MM-dd").as("day"),
+        $"event_type", $"n_events", $"sum_value")
+      .orderBy($"day", $"event_type")
+  }
+
+  val q39Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** S8 — pivot: event counts per user spread across the event-type
+    * categories as columns (fixed category list ⇒ stable schema). */
+  def q40Pivot(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "events")
+      .groupBy($"user_id")
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy($"user_id")
+  }
+
+  val q40Sql: String =
+    """SELECT user_id,
+      |  COUNT(*) FILTER (event_type = 'click') AS click,
+      |  COUNT(*) FILTER (event_type = 'error') AS error,
+      |  COUNT(*) FILTER (event_type = 'purchase') AS purchase,
+      |  COUNT(*) FILTER (event_type = 'signup') AS signup,
+      |  COUNT(*) FILTER (event_type = 'view') AS "view"
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -461,7 +503,9 @@ object Relational {
     "q16_json_funcs" -> (q16JsonFuncs _),
     "q17_max_by_having" -> (q17MaxByHaving _),
     "q36_rollup_conditional" -> (q36RollupConditional _),
-    "q38_edit_distance" -> (q38EditDistance _))
+    "q38_edit_distance" -> (q38EditDistance _),
+    "q39_time_window" -> (q39TimeWindow _),
+    "q40_pivot" -> (q40Pivot _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -482,5 +526,7 @@ object Relational {
     "q16_json_funcs" -> q16Sql,
     "q17_max_by_having" -> q17Sql,
     "q36_rollup_conditional" -> q36Sql,
-    "q38_edit_distance" -> q38Sql)
+    "q38_edit_distance" -> q38Sql,
+    "q39_time_window" -> q39Sql,
+    "q40_pivot" -> q40Sql)
 }
