@@ -482,6 +482,67 @@ object Relational {
       |  COUNT(*) FILTER (event_type = 'view') AS "view"
       |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S15 — string-function battery 2: replace/translate/pad/trim/repeat/
+    * reverse/position. */
+  def q41StringFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "part")
+      .filter($"p_partkey" <= 500)
+      .select(
+        $"p_partkey",
+        regexp_replace($"p_name", "[aeiou]", "_").as("devoweled"),
+        translate($"p_brand", "Brand#", "BRAND-").as("xlate"),
+        lpad($"p_partkey".cast("string"), 8, "0").as("padded_key"),
+        rtrim(rpad($"p_type", 30, " ")).as("trimmed"),
+        repeat(substring($"p_brand", -2, 2), 2).as("brand_tail_x2"),
+        reverse($"p_type").as("rev_type"),
+        instr($"p_name", "o").as("first_o"))
+      .orderBy($"p_partkey")
+  }
+
+  val q41Sql: String =
+    """SELECT p_partkey,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+      |  translate(p_brand, 'Brand#', 'BRAND-') AS xlate,
+      |  lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded_key,
+      |  rtrim(rpad(p_type, 30, ' ')) AS trimmed,
+      |  repeat(substring(p_brand, -2, 2), 2) AS brand_tail_x2,
+      |  reverse(p_type) AS rev_type,
+      |  CAST(strpos(p_name, 'o') AS INT) AS first_o
+      |FROM part WHERE p_partkey <= 500 ORDER BY p_partkey""".stripMargin
+
+  /** S15 — date-function battery 2: add_months/date_add/datediff/last_day/
+    * trunc/quarter/dayofweek. */
+  def q42DateFuncs2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .filter($"o_orderkey" <= 2000)
+      .select(
+        $"o_orderkey",
+        date_format(add_months($"o_orderdate", 1), "yyyy-MM-dd").as("plus_month"),
+        date_format(date_add($"o_orderdate", 30), "yyyy-MM-dd").as("plus_30d"),
+        datediff(lit("1998-12-31").cast("date"), $"o_orderdate").as("days_to_eoy98"),
+        date_format(last_day($"o_orderdate"), "yyyy-MM-dd").as("month_end"),
+        date_format(trunc($"o_orderdate", "month"), "yyyy-MM-dd").as("month_start"),
+        quarter($"o_orderdate").as("q"),
+        dayofweek($"o_orderdate").as("dow"))
+      .orderBy($"o_orderkey")
+  }
+
+  val q42Sql: String =
+    """SELECT o_orderkey,
+      |  strftime(o_orderdate + INTERVAL 1 MONTH, '%Y-%m-%d') AS plus_month,
+      |  -- DATE + int, NOT another INTERVAL: DuckDB 1.0's subexpression
+      |  -- elimination treats INTERVAL 1 MONTH == INTERVAL 30 DAY (months
+      |  -- normalize to 30 days for equality) and merges the expressions
+      |  strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus_30d,
+      |  CAST(datediff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy98,
+      |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+      |  strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+      |  CAST(EXTRACT(dow FROM o_orderdate) + 1 AS INT) AS dow
+      |FROM orders WHERE o_orderkey <= 2000 ORDER BY o_orderkey""".stripMargin
+
   // ------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -505,7 +566,9 @@ object Relational {
     "q36_rollup_conditional" -> (q36RollupConditional _),
     "q38_edit_distance" -> (q38EditDistance _),
     "q39_time_window" -> (q39TimeWindow _),
-    "q40_pivot" -> (q40Pivot _))
+    "q40_pivot" -> (q40Pivot _),
+    "q41_string_funcs2" -> (q41StringFuncs2 _),
+    "q42_date_funcs2" -> (q42DateFuncs2 _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -528,5 +591,7 @@ object Relational {
     "q36_rollup_conditional" -> q36Sql,
     "q38_edit_distance" -> q38Sql,
     "q39_time_window" -> q39Sql,
-    "q40_pivot" -> q40Sql)
+    "q40_pivot" -> q40Sql,
+    "q41_string_funcs2" -> q41Sql,
+    "q42_date_funcs2" -> q42Sql)
 }
