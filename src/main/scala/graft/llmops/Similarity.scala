@@ -98,6 +98,48 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** IVF (inverted-file) approximate nearest neighbors: a KMeans coarse
+    * quantizer assigns every vector to one of `nlist` cells; each query
+    * probes its `nprobe` nearest cells and pays the fused-dot cost only for
+    * vectors in those cells. The standard ANN trade: recall grows with
+    * nprobe, cost with nprobe/nlist. Centroids are tiny (nlist·dim) and
+    * broadcast; the candidate join is an equi-join on the cell id. */
+  def cosineTopKIvf(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      seed: Long = 42L): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val spark = vectors.sparkSession
+    val withFv = vectors.withColumn("fv",
+      array_to_vector(col("vec").cast("array<double>")))
+    val model = new KMeans().setK(nlist).setSeed(seed)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+    val assigned = model.transform(withFv)
+      .select(col("id"), col("vec"), col("cell"),
+        sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm"))
+      .persist()
+    // centroid table: (cell, cvec as float array) — nlist rows, broadcast
+    val centroids = spark.createDataFrame(
+      model.clusterCenters.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.toArray.map(_.toFloat)) })
+      .toDF("ccell", "cvec")
+    // each query probes its nprobe nearest cells (by centroid cosine-dot)
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("ccell"))
+    val probes = assigned.select(col("id").as("qid"), col("vec").as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("cdot", arrayDot(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("ccell").as("cell"))
+    val scored = probes
+      .join(assigned.select(col("id").as("qid"), col("nrm").as("qn"), col("vec").as("qv")), "qid")
+      .join(assigned.select(col("id").as("cid"), col("cell"), col("nrm").as("cn"),
+        col("vec").as("cv")), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"), arrayDot(col("qv"), col("cv")).as("dot"),
+        col("qn"), col("cn"))
+    rank(scored, k)
+  }
+
   /** Approximate nearest neighbors: bucket by hyperplane signature, fused
     * exact cosine within buckets only, top-k per query. Candidate
     * generation is an equi-join on the signature. */

@@ -272,6 +272,15 @@ object LlmOps {
       .orderBy("vec_id", "rank")
   }
 
+  /** IVF approximate cosine top-k — the coarse-quantizer scale path
+    * (KMeans cells + nprobe probing). Model-dependent floats ⇒ rows-only;
+    * recall pinned by LlmOpsSpec. */
+  def q43CosineIvf(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopKIvf(e, k = 5, nlist = 16, nprobe = 4)
+      .orderBy("vec_id", "rank")
+  }
+
   /** Multimodal feature-extraction plumbing (deterministic stub decoder). */
   def q30MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.fakeDecodeFeatures(
@@ -294,7 +303,8 @@ object LlmOps {
     "q28_media_frames" -> (q28MediaFrames _),
     "q29_cosine_lsh" -> (q29CosineLsh _),
     "q30_media_features" -> (q30MediaFeatures _),
-    "q35_dup_clusters" -> (q35DupClusters _))
+    "q35_dup_clusters" -> (q35DupClusters _),
+    "q43_cosine_ivf" -> (q43CosineIvf _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,

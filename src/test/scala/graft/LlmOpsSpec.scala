@@ -139,6 +139,17 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("IVF cosine top-k: recall against brute force on real embeddings") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec")).limit(200).cache()
+    val brute = Similarity.cosineTopK(e, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.cosineTopKIvf(e, k = 3, nlist = 8, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"IVF recall too low: $recall")
+  }
+
   test("media frames: empty payload yields zero frames; null payload features are zeros") {
     import spark.implicits._
     val d = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
