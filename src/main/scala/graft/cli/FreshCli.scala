@@ -127,16 +127,22 @@ object FreshCli {
     } catch {
       case e: FreshnessValidationException => out.println(s"Validation failed: ${e.getMessage}"); 1
       case e: IllegalArgumentException => out.println(e.getMessage); 1
+      case e: ReflectiveOperationException =>
+        out.println(s"Cannot load class: ${e.getMessage} (use --as-strings to store unresolvable names)"); 1
+      case e: ClassCastException =>
+        out.println(s"Class is not a FreshnessPolicy/Scorer: ${e.getMessage}"); 1
     }
   }
 
   /** Re-run attachment checks for a stored record (the reference's
-    * post-attachment `validate` verb). */
+    * post-attachment `validate` verb) — INCLUDING the classpath / producer
+    * output-column / data-request checks, so records stored with
+    * `--as-strings` surface their unresolvable classes here. */
   private def validateRecord(mgr: FreshnessManager,
       r: graft.registry.FreshnessRecord, out: PrintStream): Int = {
     // a record validates itself minus the already-attached-exclusivity check
     val fails = mgr.validateAttachment(r.tableName, r.column, r.producerClass,
-        r.policyClass, checkClasspath = false)
+        r.policyClass, checkClasspath = true)
       .filterNot(_._1 == graft.registry.ValidationFailure.FreshenerAlreadyAttached)
     if (fails.isEmpty) { out.println(s"${r.tableName}/${r.column}: valid"); 0 }
     else {

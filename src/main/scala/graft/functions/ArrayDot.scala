@@ -42,11 +42,15 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
+    // null elements contribute 0 — checked identically here and in codegen
+    // (unguarded codegen would silently read 0.0 from unsafe rows while the
+    // interpreted path NPEs; the explicit guard makes both paths agree)
     if (scale > 0) {
       var acc = 0L
       var i = 0
       while (i < n) {
-        acc += quant(x.getFloat(i)) * quant(y.getFloat(i))
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          acc += quant(x.getFloat(i)) * quant(y.getFloat(i))
         i += 1
       }
       acc
@@ -54,7 +58,8 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
       var acc = 0.0
       var i = 0
       while (i < n) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+        if (!x.isNullAt(i) && !y.isNullAt(i))
+          acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
         i += 1
       }
       acc
@@ -78,6 +83,7 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
            |  double $xd = (double) $a.getFloat($i);
            |  double $yd = (double) $b.getFloat($i);
            |  $acc += (long) (Math.signum($xd) * Math.floor(Math.abs($xd) * ${scale}D + 0.5D))
@@ -90,6 +96,7 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
            |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
+           |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
            |  $acc += ((double) $a.getFloat($i)) * ((double) $b.getFloat($i));
            |}
            |${ev.value} = $acc;
@@ -106,15 +113,22 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Arity-checked expression builder shared by every SQL registration path. */
+  def build(name: String, scale: Long)(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"$name requires exactly 2 arguments, got ${children.length}")
+    ArrayDot(children(0), children(1), scale)
+  }
+
   /** Register the graft SQL functions on an ALREADY-RUNNING session (the
     * extensions path only applies at session build time). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 0L))
+      build("array_dot", 0L) _)
     reg.registerFunction(new FunctionIdentifier("array_dot_scaled"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot_scaled"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 100000000L))
+      build("array_dot_scaled", 100000000L) _)
   }
 }

@@ -22,9 +22,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((new FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 0L)))
+      Bridge.build("array_dot", 0L) _))
     ext.injectFunction((new FunctionIdentifier("array_dot_scaled"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot_scaled"),
-      (children: Seq[Expression]) => ArrayDot(children(0), children(1), 100000000L)))
+      Bridge.build("array_dot_scaled", 100000000L) _))
   }
 }

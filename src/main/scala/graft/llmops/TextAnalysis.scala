@@ -31,14 +31,19 @@ object TextAnalysis {
   def stats(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     val toks = tokens(col(textCol))
     val alnum = length(regexp_replace(lower(col(textCol)), "[^a-z0-9]", ""))
+    // token-less docs (all punctuation / non-Latin) get 0.0 ratios — an
+    // unguarded /0 is engine-divergent (Spark NULL vs DuckDB inf/nan)
+    def ratio(num: Column): Column =
+      when(size(toks) === 0, 0.0d)
+        .otherwise(num.cast("double") / size(toks).cast("double"))
     docs.select(
       col(idCol).as("id"),
       length(col(textCol)).as("n_chars"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_types"),
-      (alnum.cast("double") / size(toks).cast("double")).as("avg_token_len"),
-      (size(array_distinct(toks)).cast("double") / size(toks).cast("double")).as("ttr"),
-      (hitCount(toks, StopEn).cast("double") / size(toks).cast("double")).as("stopword_ratio"),
+      ratio(alnum).as("avg_token_len"),
+      ratio(size(array_distinct(toks))).as("ttr"),
+      ratio(hitCount(toks, StopEn)).as("stopword_ratio"),
       ((hitCount(toks, StopEn) * 2 + size(array_distinct(toks))).cast("double")
         / (size(toks) + 1).cast("double")).as("quality"))
   }

@@ -128,10 +128,13 @@ object LlmOps {
        |           FROM documents)
        |SELECT id, length(text) AS n_chars, len(t) AS n_tokens,
        |  len(list_distinct(t)) AS n_types,
-       |  CAST(alnum AS DOUBLE) / CAST(len(t) AS DOUBLE) AS avg_token_len,
-       |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS ttr,
-       |  CAST(len(list_filter(t, x -> list_contains($enList, x))) AS DOUBLE)
-       |    / CAST(len(t) AS DOUBLE) AS stopword_ratio,
+       |  CASE WHEN len(t) = 0 THEN 0.0
+       |       ELSE CAST(alnum AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS avg_token_len,
+       |  CASE WHEN len(t) = 0 THEN 0.0
+       |       ELSE CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) END AS ttr,
+       |  CASE WHEN len(t) = 0 THEN 0.0
+       |       ELSE CAST(len(list_filter(t, x -> list_contains($enList, x))) AS DOUBLE)
+       |    / CAST(len(t) AS DOUBLE) END AS stopword_ratio,
        |  CAST(len(list_filter(t, x -> list_contains($enList, x))) * 2
        |       + len(list_distinct(t)) AS DOUBLE)
        |    / CAST(len(t) + 1 AS DOUBLE) AS quality

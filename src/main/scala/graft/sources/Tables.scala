@@ -23,7 +23,9 @@ object Tables {
       // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
       // natively; read the raw int64 nanos and floor to microseconds — the
       // same truncation DuckDB applies when coercing ns→µs, so oracle
-      // comparisons stay exact.
+      // comparisons stay exact. NOTE: session-wide conf — every later
+      // TIMESTAMP(NANOS) parquet read in this session also surfaces int64
+      // nanos (deliberate: this engine's catalog treats nanos as int64).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(dir, name))
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
@@ -39,14 +41,19 @@ object Tables {
   * (`TestKVStores.java:211-219`: tab-separated key\tvalue lines); stores are
   * small by contract (they broadcast), so a file parse is fine. */
 object Stores {
-  /** Tab-separated `key<TAB>value` lines → a (key, value) DataFrame. */
+  /** Tab-separated `key<TAB>value` lines → a (key, value) DataFrame. Stores
+    * are small by contract (they broadcast), so malformed lines are checked
+    * eagerly — a tab-less line would otherwise become a (line, NULL) entry
+    * and write silent null scores. */
   def textFile(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    spark.read.text(path)
-      .filter(length(trim(col("value"))) > 0)
-      .select(
-        split(col("value"), "\t", 2).getItem(0).as("key"),
-        split(col("value"), "\t", 2).getItem(1).as("value"))
+    val lines = spark.read.text(path).filter(length(trim(col("value"))) > 0)
+    val malformed = lines.filter(!col("value").contains("\t")).limit(1).collect()
+    require(malformed.isEmpty,
+      s"Malformed KV store line in $path (expected key<TAB>value): '${malformed.headOption.map(_.getString(0)).getOrElse("")}'")
+    lines.select(
+      split(col("value"), "\t", 2).getItem(0).as("key"),
+      split(col("value"), "\t", 2).getItem(1).as("value"))
   }
 
   /** Store loader keyed by `text:<path>` source strings, for

@@ -41,14 +41,18 @@ final class StreamingFreshen(
     request: DataRequest) {
 
   /** Merge a tall (entity_id, ts, value) delta into the view: union the
-    * version arrays per entity, keep newest-first order. */
+    * version arrays per entity, keep newest-first order. `array_distinct`
+    * makes the merge IDEMPOTENT — cells are sets of (ts, value) versions,
+    * so an at-least-once replay of a micro-batch (foreachBatch's delivery
+    * contract) re-merging the same delta is a no-op rather than a
+    * duplicate-version corruption. */
   private[streaming] def mergeDelta(view: DataFrame, delta: DataFrame): DataFrame = {
     val deltaView = EntityView.cellsFromTall(delta, EntityView.EntityId, "ts", "value", cellName)
     view.as("v").join(deltaView.as("d"), Seq(EntityView.EntityId), "full_outer")
       .select(col(EntityView.EntityId),
-        sort_array(concat(
+        sort_array(array_distinct(concat(
           coalesce(col(s"v.$cellName"), array()),
-          coalesce(col(s"d.$cellName"), array())), asc = false).as(cellName))
+          coalesce(col(s"d.$cellName"), array()))), asc = false).as(cellName))
   }
 
   private var maxTs: Long = Long.MinValue
@@ -58,8 +62,10 @@ final class StreamingFreshen(
   def processBatch(batch: DataFrame): Unit = {
     val rows = batch.select(col(EntityView.EntityId), col("ts").cast("long"), col("value"))
     val batchMax = rows.agg(max("ts")).head()
-    if (!batchMax.isNullAt(0)) maxTs = math.max(maxTs, batchMax.getLong(0))
-    if (maxTs == Long.MinValue) return
+    // empty batches (idle stream) advance nothing and must not pay a
+    // corpus-sized merge+freshen+rewrite
+    if (batchMax.isNullAt(0)) return
+    maxTs = math.max(maxTs, batchMax.getLong(0))
     val merged = mergeDelta(store.get(), rows)
     val reader = new FreshReader(manager, tableName, merged, FreshReaderConfig(asOf = maxTs))
     store.put(reader.freshenAll(request))

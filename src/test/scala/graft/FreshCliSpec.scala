@@ -62,8 +62,9 @@ class FreshCliSpec extends AnyFunSuite with SparkSpec {
       "--policy-class", "com.example.OtherPolicy")._1 == 0)
     val (c, out) = cli(reg, "retrieve-all", "user")
     assert(c == 0 && out.contains("MysteryProducer") && out.contains("Other"))
+    // validate surfaces the unresolvable producer classes stored as strings
     val (cv, vout) = cli(reg, "validate-all", "user")
-    assert(cv == 0, vout)
+    assert(cv == 1 && vout.contains("BadProducerName"), vout)
     val (cu, uout) = cli(reg, "unregister-all", "user")
     assert(cu == 0 && uout.contains("2"))
     assert(cli(reg, "retrieve-all", "user")._2.contains("No fresheners"))
