@@ -8,9 +8,12 @@ import org.apache.spark.sql.{SparkSession, DataFrame}
   * Query modules live under `graft.queries`.
   */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * q33 runs the whole freshening engine end-to-end (registry attach →
+    * policy predicate → scorer → newest-wins merge) — the most
+    * representative single smoke check this library has. */
   def entry(spark: SparkSession): DataFrame =
-    queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
+    queries("q33_freshen_merged")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

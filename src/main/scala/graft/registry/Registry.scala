@@ -54,7 +54,11 @@ final class FreshnessValidationException(
   */
 final class FreshnessManager(schemaOf: String => Option[StructType]) {
 
+  // guarded by `records`' own monitor: the reference documents that manager
+  // instances are shared across reader threads
+  // (`FreshKijiTableReader.java:129-136`)
   private val records = mutable.LinkedHashMap.empty[(String, String), FreshnessRecord]
+  private def sync[A](f: => A): A = records.synchronized(f)
 
   // ------------------------------------------------------------- validation
 
@@ -158,7 +162,7 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
       checkClasspath = false)
 
   private def store(tableName: String, column: ColumnName, producerClass: String,
-      policyClass: String, policyState: String, checkClasspath: Boolean): Unit = {
+      policyClass: String, policyState: String, checkClasspath: Boolean): Unit = sync {
     val fails = validateAttachment(tableName, column, producerClass, policyClass, checkClasspath)
     if (fails.nonEmpty) throw new FreshnessValidationException(fails)
     records((tableName, column.toString)) =
@@ -167,22 +171,24 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
 
   /** Point lookup; None if nothing attached (reference: `:255-273`). */
   def retrievePolicy(tableName: String, column: ColumnName): Option[FreshnessRecord] =
-    records.get((tableName, column.toString))
+    sync(records.get((tableName, column.toString)))
 
   /** All records for a table (reference: `:283-295`). */
   def retrievePolicies(tableName: String): Map[ColumnName, FreshnessRecord] =
-    records.collect { case ((t, c), r) if t == tableName => ColumnName(c) -> r }.toMap
+    sync(records.collect { case ((t, c), r) if t == tableName => ColumnName(c) -> r }.toMap)
 
   /** Remove one attachment; error if absent (reference: `:305-317`). */
   def removePolicy(tableName: String, column: ColumnName): Unit =
-    if (records.remove((tableName, column.toString)).isEmpty)
+    if (sync(records.remove((tableName, column.toString))).isEmpty)
       throw new IllegalArgumentException(
         s"There is no freshness policy attached to column '$column' in table '$tableName'")
 
   /** Remove all attachments for a table, returning the removed set
     * (reference: `:327-342`). */
-  def removePolicies(tableName: String): Set[ColumnName] = {
-    val removed = retrievePolicies(tableName).keySet
+  def removePolicies(tableName: String): Set[ColumnName] = sync {
+    val removed = records.keys.collect {
+      case (t, c) if t == tableName => ColumnName(c)
+    }.toSet
     removed.foreach(c => records.remove((tableName, c.toString)))
     removed
   }
@@ -191,7 +197,7 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
 
   /** JSON-lines snapshot (record serde analogue of the Avro encode at
     * `KijiFreshnessManager.java:235-239`). */
-  def save(path: String): Unit = {
+  def save(path: String): Unit = sync {
     val lines = records.values.map { r =>
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
       s"""{"table":${q(r.tableName)},"column":${q(r.column.toString)},""" +
@@ -210,9 +216,10 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
       s""""producer_class":$F,"policy_class":$F,"policy_state":$F\\}""").r
     def un(s: String): String = s.replace("\\\"", "\"").replace("\\\\", "\\")
     scala.io.Source.fromFile(path, "UTF-8").getLines().filter(_.nonEmpty).foreach {
-      case Re(t, c, rv, pc, fc, st) =>
+      case Re(t, c, rv, pc, fc, st) => sync {
         records((un(t), un(c))) =
           FreshnessRecord(un(t), ColumnName(un(c)), un(pc), un(fc), un(st), un(rv))
+      }
       case line => throw new IllegalArgumentException(s"Bad registry line: $line")
     }
   }
