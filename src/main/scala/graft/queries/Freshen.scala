@@ -175,6 +175,39 @@ object Freshen {
        |SELECT user_id AS entity_id, ts, value FROM rk WHERE rn <= 3
        |ORDER BY entity_id, ts DESC, value DESC""".stripMargin
 
+  /** S26 — watermarked STREAMING windowed aggregation: the events table
+    * arrives as a stream, aggregates into 1-day event-time windows under a
+    * 1-day watermark, and the complete-mode result hash-matches the same
+    * batch aggregation's oracle (q39's SQL shape). */
+  def q44StreamingWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val tall = Tables.load(s, dir, "events").select(col("ts"), col("event_type"), col("value"))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft-winsrc").toString
+    tall.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = s.readStream.schema(tall.schema).parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+    val qn = s"q44_win_${System.identityHashCode(s)}"
+    stream.writeStream.outputMode("complete").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-winckpt").toString)
+      .start().awaitTermination()
+    s.table(qn)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"), col("sum_value"))
+      .orderBy("day", "event_type")
+  }
+
+  val q44Sql: String =
+    """SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, event_type,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -182,12 +215,14 @@ object Freshen {
     "q32_freshen_scored" -> (q32FreshenScored _),
     "q33_freshen_merged" -> (q33FreshenMerged _),
     "q34_streaming_freshen" -> (q34StreamingFreshen _),
-    "q37_version_window" -> (q37VersionWindow _))
+    "q37_version_window" -> (q37VersionWindow _),
+    "q44_streaming_window" -> (q44StreamingWindow _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_freshen_stale" -> q31Sql,
     "q32_freshen_scored" -> q32Sql,
     "q33_freshen_merged" -> q33Sql,
     "q34_streaming_freshen" -> q34Sql,
-    "q37_version_window" -> q37Sql)
+    "q37_version_window" -> q37Sql,
+    "q44_streaming_window" -> q44Sql)
 }
