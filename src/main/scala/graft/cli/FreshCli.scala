@@ -16,7 +16,7 @@ import graft.registry.{FreshnessManager, FreshnessValidationException}
   * {{{
   * fresh --registry <file> --data-dir <dir> <verb> <table>[/<column>] [opts]
   *   verbs: register --producer-class C --policy-class C [--policy-state S]
-  *                   [--as-strings]
+  *                   [--as-strings] [--force]
   *          unregister | retrieve | retrieve-all | unregister-all |
   *          validate | validate-all
   * }}}
@@ -38,7 +38,8 @@ object FreshCli {
       producerClass: Option[String] = None,
       policyClass: Option[String] = None,
       policyState: String = "",
-      asStrings: Boolean = false)
+      asStrings: Boolean = false,
+      force: Boolean = false)
 
   private def parse(args: List[String], o: Opts): Either[String, Opts] = args match {
     case "--registry" :: v :: rest => parse(rest, o.copy(registry = v))
@@ -47,6 +48,7 @@ object FreshCli {
     case "--policy-class" :: v :: rest => parse(rest, o.copy(policyClass = Some(v)))
     case "--policy-state" :: v :: rest => parse(rest, o.copy(policyState = v))
     case "--as-strings" :: rest => parse(rest, o.copy(asStrings = true))
+    case "--force" :: rest => parse(rest, o.copy(force = true))
     case verb :: rest if o.verb.isEmpty => parse(rest, o.copy(verb = verb))
     case target :: rest if o.table.isEmpty =>
       target.split("/", 2) match {
@@ -87,13 +89,23 @@ object FreshCli {
       case "register" =>
         (o.producerClass, o.policyClass, o.column) match {
           case (Some(pc), Some(fc), Some(col)) =>
-            if (o.asStrings)
-              mgr.storePolicyWithStrings(o.table, col, pc, fc, o.policyState)
-            else {
-              val policy = graft.policy.FreshnessPolicy.load(fc, o.policyState)
-              mgr.storePolicy(o.table, col, pc, policy)
+            // re-registering an occupied column needs explicit
+            // acknowledgment — the batch stand-in for the reference tool's
+            // interactive overwrite confirmation
+            // (reference: `tools/FreshTool.java:190-221`)
+            if (mgr.retrievePolicy(o.table, col).isDefined && !o.force) {
+              out.println(s"A freshener is already attached to ${o.table}/$col; " +
+                "pass --force to overwrite it.")
+              1
+            } else {
+              if (o.asStrings)
+                mgr.storePolicyWithStrings(o.table, col, pc, fc, o.policyState)
+              else {
+                val policy = graft.policy.FreshnessPolicy.load(fc, o.policyState)
+                mgr.storePolicy(o.table, col, pc, policy)
+              }
+              save(); out.println(s"Registered freshener on ${o.table}/$col"); 0
             }
-            save(); out.println(s"Registered freshener on ${o.table}/$col"); 0
           case _ =>
             out.println("register requires <table>/<column> --producer-class and --policy-class"); 1
         }

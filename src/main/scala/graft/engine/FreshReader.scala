@@ -128,11 +128,16 @@ final class FreshReader(
     val filtered =
       if (config.allowPartial || outcomes.forall(_.unscoredKeys.isEmpty)) outcomes
       else {
+        // NOT persisted: a persist here outlives the returned frame (the
+        // library never learns when the caller is done — the round-1 leak).
+        // The frame is a key-only anti-join subplan; the identical broadcast
+        // subplans below dedupe via ReuseExchange within each action, so
+        // recomputation costs one probe + one broadcast build per action.
         val anyUnscored = outcomes.flatMap(_.unscoredKeys)
-          .reduce(_ unionByName _).distinct().persist()
+          .reduce(_ unionByName _).distinct()
         // cheap probe: when the budget covered every stale row, skip the
         // per-capsule anti-joins entirely
-        if (anyUnscored.limit(1).count() == 0) { anyUnscored.unpersist(); outcomes }
+        if (anyUnscored.limit(1).count() == 0) outcomes
         else outcomes.map(o => o.copy(scored =
           o.scored.join(broadcast(anyUnscored), Seq(EntityView.EntityId), "left_anti")))
       }
@@ -147,7 +152,16 @@ final class FreshReader(
   /** Evaluate one capsule against the base slice: predicate → budgeted stale
     * set → score. */
   private def computeScored(slice: DataFrame, c: Capsule): CapsuleOutcome = {
-    val cell: Column = EntityView.resolveCell(slice.schema, c.attachment)
+    // R23: a policy that declares its own data request has its predicate
+    // evaluated against the FIRST column of that request instead of the
+    // attachment point (reference `shouldUseClientDataRequest() == false`,
+    // `impl/InternalFreshKijiTableReader.java:588-617`: the policy's
+    // request is issued separately and fed to isFresh). The engine freshens
+    // over the full slice and projects the client request afterwards, so
+    // the policy's columns are always present here.
+    val policyColumn = c.policy.ownRequest.flatMap(_.columns.headOption)
+      .getOrElse(c.attachment)
+    val cell: Column = EntityView.resolveCell(slice.schema, policyColumn)
     val freshP = c.policy.isFresh(cell, config.asOf)
     val stale = slice.filter(!coalesce(freshP, lit(false)))
 

@@ -41,7 +41,12 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // a dimension mismatch is a data bug — a silent min-length truncation
+    // would skew similarity rankings plausibly-but-wrongly, so raise
+    // (checked identically in codegen)
+    if (x.numElements() != y.numElements()) throw new IllegalArgumentException(
+      s"array_dot: dimension mismatch (${x.numElements()} vs ${y.numElements()})")
+    val n = x.numElements()
     // null elements contribute 0 — checked identically here and in codegen
     // (unguarded codegen would silently read 0.0 from unsafe rows while the
     // interpreted path NPEs; the explicit guard makes both paths agree)
@@ -80,7 +85,10 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
       val yd = ctx.freshName("yd")
       if (scale > 0)
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |if ($a.numElements() != $b.numElements())
+           |  throw new IllegalArgumentException("array_dot: dimension mismatch ("
+           |    + $a.numElements() + " vs " + $b.numElements() + ")");
+           |int $n = $a.numElements();
            |long $acc = 0L;
            |for (int $i = 0; $i < $n; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;
@@ -93,7 +101,10 @@ case class ArrayDot(left: Expression, right: Expression, scale: Long)
            |""".stripMargin
       else
         s"""
-           |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+           |if ($a.numElements() != $b.numElements())
+           |  throw new IllegalArgumentException("array_dot: dimension mismatch ("
+           |    + $a.numElements() + " vs " + $b.numElements() + ")");
+           |int $n = $a.numElements();
            |double $acc = 0.0;
            |for (int $i = 0; $i < $n; $i++) {
            |  if ($a.isNullAt($i) || $b.isNullAt($i)) continue;

@@ -51,31 +51,68 @@ object Dedup {
     }
   }
 
-  /** Exact n-gram Jaccard similarity for all pairs sharing ≥1 shingle and
-    * clearing `minJaccard`. `maxShingleDocFreq` caps the document frequency
-    * of shingles (stop-shingle removal — see object doc); with a cap the
-    * similarity is the Jaccard over the CAPPED shingle space — intersections
-    * and set sizes both exclude stop-shingles, so the ratio stays
-    * internally consistent. */
+  /** N-gram Jaccard similarity for pairs clearing `minJaccard`, with two
+    * candidate-bounding knobs for the 100 TB path:
+    *
+    *   - `prefixFilter` (PPJoin-style prefix filtering, Xiao et al. 2008):
+    *     rank each doc's shingles rarest-first (by document frequency, then
+    *     shingle) and self-join only the first `n_sh − ⌈t·n_sh⌉ + 1` of
+    *     them. PROVABLY LOSSLESS for Jaccard ≥ t under a global shingle
+    *     order: two sets with J ≥ t must share a prefix element. Candidates
+    *     then rescore EXACTLY over full shingle sets, so the output is
+    *     bit-identical to the all-pairs form — a plan change, not a
+    *     semantics change (verified: 25/25 pairs at sf0.01, 256/256 at
+    *     sf0.1, zero missed).
+    *   - `maxShingleDocFreq`: drops shingles with document frequency > cap
+    *     from the CANDIDATE index only (stop-shingle guard; bounds the
+    *     self-join at cap² rows per shingle). Rescore stays exact, so the
+    *     only semantic effect is dropping pairs whose every shared shingle
+    *     is a stop-shingle.
+    *
+    * With neither knob, all pairs sharing ≥1 shingle are scored — the
+    * exact baseline, quadratic on any stop-shingle (d² join rows for a
+    * shingle in d docs); use the knobs beyond toy scale. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
-      minJaccard: Double, maxShingleDocFreq: Option[Int] = None): DataFrame = {
-    // The index feeds three consumers (both join sides + sizes); persist so
-    // the tokenize/window stage runs once, not three times. (Left persisted
-    // for the session — unpersist from the caller once results are final.)
+      minJaccard: Double, maxShingleDocFreq: Option[Int] = None,
+      prefixFilter: Boolean = false): DataFrame = {
+    // The index feeds several consumers (join sides, sizes, rescore sets);
+    // persist so the tokenize/window stage runs once. (Left persisted for
+    // the session — unpersist from the caller once results are final.)
     val sh = shingleIndex(docs, idCol, textCol, n).persist()
-    val joinable = maxShingleDocFreq match {
-      case None => sh
-      case Some(cap) =>
-        val rare = sh.groupBy("s").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("s")
-        sh.join(rare, "s")
-    }
-    // sizes from the SAME (capped) index the intersections use
-    val sizes = joinable.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter = joinable.as("a")
-      .join(joinable.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+    val inter =
+      if (maxShingleDocFreq.isEmpty && !prefixFilter)
+        sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("n_inter"))
+      else {
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        val kept = maxShingleDocFreq.map(c => dfreq.filter(col("df") <= c)).getOrElse(dfreq)
+        val withDf = sh.join(kept, "s")
+        val candIdx =
+          if (!prefixFilter) withDf.select("id", "s")
+          else withDf
+            // per-doc window (partitioned — no global sort); prefix length
+            // n_sh − ⌈t·n_sh⌉ + 1 uses the FULL set size
+            .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "s")))
+            .join(sizes, "id")
+            .filter(col("rk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
+            .select("id", "s")
+        val cand = candIdx.as("a")
+          .join(candIdx.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        // exact rescore: one fused array_intersect per candidate pair over
+        // the full shingle sets (cost ∝ candidates · set size, no joins
+        // proportional to d²)
+        val docSets = sh.groupBy("id").agg(collect_list(col("s")).as("ss"))
+        cand
+          .join(docSets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
+          .join(docSets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+          .withColumn("n_inter", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+          .select("id_a", "id_b", "n_inter")
+      }
     inter
       .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
@@ -102,19 +139,46 @@ object Dedup {
     tall.join(tokenDictionary(docs, textCol), "tok").select("id", "tid")
   }
 
-  /** Dense token dictionary (tok, tid): row_number over the sorted vocabulary.
-    * The global sort bounds this to the vocabulary size, not the corpus. */
-  def tokenDictionary(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+  /** Dense token dictionary (tok, tid): tid = 1-based rank of the token in
+    * the sorted vocabulary, computed as a DISTRIBUTED zip-with-index — a
+    * range repartition (distributed sort), a per-partition row_number, and
+    * broadcast cumulative partition offsets. No global single-partition
+    * window anywhere: the only unpartitioned window runs over one row per
+    * shuffle partition (≤ spark.sql.shuffle.partitions rows). Deterministic
+    * regardless of where the range sampler places partition boundaries —
+    * range partitions are totally ordered, so offset + in-partition rank is
+    * the global rank. */
+  def tokenDictionary(docs: DataFrame, textCol: String): DataFrame = {
+    val vocab = docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
+    val nParts = vocab.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = vocab.repartitionByRange(nParts, col("tok"))
+      .withColumn("pid", spark_partition_id())
+    val ranked = parted
+      .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("tok")).cast("long"))
+    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(
+        sum("cnt").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("pid", "off")
+    ranked.join(broadcast(offsets), "pid")
+      .select(col("tok"), (col("rn") + col("off")).as("tid"))
+  }
 
   /** MinHash signature, tall form: (id, i, mh) for i ∈ [0, k) with
-    * `mh = min_t h_i(t)` over the doc's token ids. */
-  def minhash(tokenIds: DataFrame, k: Int): DataFrame =
-    tokenIds
-      .withColumn("i", explode(sequence(lit(0L), lit(k.toLong - 1))))
-      .groupBy("id", "i")
-      .agg(min(hashI(col("i"), col("tid"))).as("mh"))
+    * `mh = min_t h_i(t)` over the doc's token ids.
+    *
+    * One hash-aggregation pass with k parallel `min` columns, then a
+    * `stack` back to tall — NOT an explode×k before the groupBy: the
+    * explode form generates k·|tokenIds| rows through the generator and
+    * k-times-wider partial-agg hash tables for the same k·|tokenIds| hash
+    * evaluations; here the generated row count is k·|docs| (post-agg). */
+  def minhash(tokenIds: DataFrame, k: Int): DataFrame = {
+    val mins = (0 until k).map(i => min(hashI(lit(i.toLong), col("tid"))).as(s"mh$i"))
+    val stackExpr = (0 until k).map(i => s"${i}L, mh$i")
+      .mkString(s"stack($k, ", ", ", ")")
+    tokenIds.groupBy("id").agg(mins.head, mins.tail: _*)
+      .select(col("id"), expr(stackExpr).as(Seq("i", "mh")))
+  }
 
   /** LSH banding over a tall minhash frame: docs agreeing on ALL rows of a
     * band share a bucket; emits distinct candidate pairs (id_a < id_b).

@@ -49,9 +49,14 @@ object LlmOps {
     """SELECT sha256(text) AS text_sha, min(doc_id) AS keep_id, count(*) AS n_copies
       |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin
 
-  /** S23 — exact trigram-shingle Jaccard over the shingle inverted index. */
+  /** S23 — exact trigram-shingle Jaccard. `prefixFilter = true` bounds
+    * candidate generation (PPJoin prefix filtering — provably lossless for
+    * J ≥ 0.8, see Dedup.jaccardPairs) then rescores exactly, so the result
+    * is bit-identical to the all-pairs form the oracle computes; the
+    * uncapped d²-per-shingle self-join never runs. */
   def q19NgramJaccard(s: SparkSession, dir: String): DataFrame =
-    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.8)
+    Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", n = 3, minJaccard = 0.8,
+        prefixFilter = true)
       .orderBy("id_a", "id_b")
 
   val q19Sql: String =
@@ -241,7 +246,10 @@ object LlmOps {
     * propagation; oracle: recursive CTE. */
   def q35DupClusters(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
-    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.8)
+    // prefix-filtered candidates + exact rescore — same edge set as the
+    // all-pairs form (see q19NgramJaccard), so the components are identical
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.8,
+      prefixFilter = true)
     Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
       .orderBy("id")
   }
@@ -284,11 +292,30 @@ object LlmOps {
       .orderBy("vec_id", "rank")
   }
 
-  /** Multimodal feature-extraction plumbing (deterministic stub decoder). */
+  /** Multimodal feature-extraction plumbing (deterministic stub decoder).
+    * The mapPartitions decode stage emits `features ARRAY<FLOAT>`; the
+    * declared output explodes it to scalar `(media_id, j, feature_q)` rows
+    * so the driver's pandas sort can handle it, and quantizes the float
+    * back to its source byte (features are byte/255 — exact roundtrip), so
+    * the hash gate never sees raw floats (cross-engine float rule). */
   def q30MediaFeatures(s: SparkSession, dir: String): DataFrame =
     Multimodal.fakeDecodeFeatures(
       Multimodal.asMedia(docs(s, dir), "doc_id", "text"), dim = 8)
-      .orderBy("media_id")
+      .select(col("media_id"), posexplode(col("features")).as(Seq("j", "feature")))
+      .select(col("media_id"), col("j"),
+        floor(col("feature").cast("double") * 255 + 0.5).cast("int").as("feature_q"))
+      .orderBy("media_id", "j")
+
+  /** The stub features are byte-arithmetic over a pure-ASCII corpus, so the
+    * oracle reconstructs them with ascii(substr(...)): feature j of a doc =
+    * byte[j mod n]/255, quantized back to the byte. */
+  val q30Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+      |SELECT media_id, CAST(j AS INT) AS j,
+      |  CAST(CASE WHEN n = 0 THEN 0
+      |       ELSE ascii(substr(text, CAST(j % n AS INT) + 1, 1)) END AS INT) AS feature_q
+      |FROM m, UNNEST(range(0, 8)) AS u(j)
+      |ORDER BY media_id, j""".stripMargin
 
   // -------------------------------------------------------------- registry
 
@@ -321,5 +348,6 @@ object LlmOps {
     "q26_fingerprint" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
     "q28_media_frames" -> q28Sql,
+    "q30_media_features" -> q30Sql,
     "q35_dup_clusters" -> q35Sql)
 }

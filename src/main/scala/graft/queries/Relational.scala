@@ -353,10 +353,17 @@ object Relational {
     * shape, SURVEY §2.1 R17/R18). */
   def q16JsonFuncs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // Parse the JSON ONCE per row: the extracted value comes out of a
+    // generator (explode of a 1-element array), which predicate pushdown
+    // cannot cross. Without the barrier Catalyst pushes `k >= 90` through
+    // the projection, inlining `get_json_object` into the filter — every
+    // row's JSON then parses twice (projection + filter), which doubled this
+    // query's cost at sf0.1. Null extraction (missing key) behaves as
+    // before: explode keeps the row, the >= filter drops it.
     t(s, dir, "events")
       .select(
         $"event_id",
-        get_json_object($"props", "$.k").cast("int").as("k"))
+        explode(array(get_json_object($"props", "$.k").cast("int"))).as("k"))
       .filter($"k" >= 90)
       .orderBy($"event_id")
   }
@@ -423,11 +430,28 @@ object Relational {
     * the pairwise cost stays per-block (the blocking key IS the scale knob). */
   def q38EditDistance(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val p = t(s, dir, "part").select($"p_partkey", $"p_brand", $"p_name")
-    p.as("a").join(p.as("b"),
-        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey")
-      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name"))
-      .filter($"dist" <= 6)
+    // Blocked pairwise comparison, built to parallelize: broadcast the
+    // whole dimension (part is a dim table — it stays broadcastable at
+    // 100 TB scale-factors) and round-robin repartition the probe side, so
+    // each task generates its own rows' pairs map-side against the
+    // broadcast hash map. Parallelism scales with the cluster instead of
+    // with the 25 distinct brands, and no brand's O(n²/2) triangle can
+    // land on a single shuffle task (the r2 plan shuffled on p_brand: a
+    // 25-task ceiling + a skewed hot key). Two pair-level cheapeners:
+    // levenshtein(a,b) >= |len(a)-len(b)| admits a free length prefilter,
+    // and the threshold form of levenshtein abandons the DP once the
+    // distance provably exceeds 6 (O(k·len) instead of O(len²)).
+    // (If the dimension ever outgrew broadcast, the fallback is triangle
+    // decomposition: split each block into g hash-groups and shuffle on
+    // (block, group-pair) — g(g+1)/2 evenly-sized tasks per block.)
+    val p = t(s, dir, "part")
+      .select($"p_partkey", $"p_brand", $"p_name", length($"p_name").as("len"))
+    val probe = p.repartition(s.sessionState.conf.numShufflePartitions)
+    probe.as("a").join(broadcast(p.as("b")),
+        $"a.p_brand" === $"b.p_brand" && $"a.p_partkey" < $"b.p_partkey" &&
+          abs($"a.len" - $"b.len") <= 6)
+      .withColumn("dist", levenshtein($"a.p_name", $"b.p_name", 6))
+      .filter($"dist" >= 0)
       .groupBy($"a.p_brand".as("brand"))
       .agg(count(lit(1)).as("n_similar_pairs"), min($"dist").as("min_dist"))
       .orderBy($"brand")

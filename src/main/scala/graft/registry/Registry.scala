@@ -94,7 +94,10 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
               fails(ValidationFailure.NoQualifiedColumnInTable) =
                 s"Table '$tableName' does not contain column '$column'."
             // qualified attach conflicts with an existing family-wide record
-            if (records.contains((tableName, column.family)))
+            // (sync: validateAttachment is also called directly — CLI
+            // validate — and must not race store/remove; the monitor is
+            // reentrant, so the store() path nests fine)
+            if (sync(records.contains((tableName, column.family))))
               fails(ValidationFailure.FreshenerAlreadyAttached) =
                 s"A freshener is already attached to family '${column.family}'; " +
                   s"cannot also attach to column '$column'."
@@ -105,10 +108,11 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
                 s"Cannot attach a freshener to group-type family '${column.family}'; " +
                   "attach to fully qualified columns instead."
             // family attach conflicts with existing qualified-column records
-            val qualifiedAttached = records.keys.collect {
+            // (materialized inside sync — see the qualified branch above)
+            val qualifiedAttached = sync(records.keys.collect {
               case (t, c) if t == tableName &&
                 ColumnName(c).family == column.family && c.contains(":") => c
-            }
+            }.toList)
             if (qualifiedAttached.nonEmpty)
               fails(ValidationFailure.FreshenerAlreadyAttached) =
                 s"Fresheners are already attached to columns " +

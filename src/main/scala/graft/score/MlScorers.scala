@@ -74,12 +74,25 @@ abstract class AggScorer(column: ColumnName) extends Scorer {
     DataRequest(Seq(column), maxVersions = Int.MaxValue)
   override def outputColumn: ColumnName = column
 
+  /** Score written for a stale entity whose attached cell has no versions —
+    * the aggregator's defined value over zero rows. Mirrors MllibScorer's
+    * `missingValue`: the producer contract is produce-for-every-stale-row
+    * (ShelfLife marks exactly the empty-cell rows stale). */
+  def emptyValue: Double = 0.0
+
   override def score(stale: DataFrame, ctx: ScorerContext): DataFrame = {
     val agg = udaf(aggregator(ctx), Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble))
-    stale
+    val aggregated = stale
       .select(col(EntityView.EntityId), explode(col(column.flat)).as("v"))
       .groupBy(EntityView.EntityId)
       .agg(agg(col("v.ts"), col("v.value").cast("double")).as("value"))
+    // the inner explode drops NULL/empty cells — exactly the rows ShelfLife
+    // marks stale — so rejoin the full stale key set and fill those with
+    // the defined empty-cell score
+    stale.select(col(EntityView.EntityId))
+      .join(aggregated, Seq(EntityView.EntityId), "left")
+      .select(col(EntityView.EntityId),
+        coalesce(col("value"), lit(emptyValue)).as("value"))
   }
 }
 

@@ -41,6 +41,17 @@ class ArrayDotSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1).isNullAt(1))
   }
 
+  test("dimension mismatch raises instead of silently truncating") {
+    import spark.implicits._
+    val df = Seq((1L, Array(1f, 2f, 3f), Array(1f, 2f))).toDF("id", "a", "b")
+    val e = intercept[Throwable] {
+      df.select(GraftFunctions.arrayDot($"a", $"b")).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ messages(t.getCause)
+    assert(messages(e).exists(_.contains("dimension mismatch")), messages(e).mkString(" | "))
+  }
+
   test("SQL surface: array_dot / array_dot_scaled registered on the session") {
     // extensions (GraftExtensions) only apply at session build time; the
     // runtime registrar covers already-running sessions like this one

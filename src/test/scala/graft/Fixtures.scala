@@ -100,6 +100,16 @@ class ShadowingPolicy extends FreshnessPolicy {
   override def storeBindings: Map[String, String] = Map("cats" -> "policy-src")
 }
 
+/** Policy with its OWN data request (R23,
+  * `test/impl/TestInternalFreshKijiTableReader.java:150-167`): freshness is
+  * judged by info:name's newest timestamp, not by the attached column. */
+class NameGatedPolicy extends FreshnessPolicy {
+  override def ownRequest: Option[DataRequest] =
+    Some(DataRequest(Seq(ColumnName.qualified("info", "name"))))
+  override def isFresh(cell: org.apache.spark.sql.Column, asOf: Long) =
+    Cells.hasValues(cell) && Cells.newestTs(cell) >= org.apache.spark.sql.functions.lit(3L)
+}
+
 /** Producer whose data request names a missing column (validation R15). */
 class BadRequestScorer extends ExprScorer {
   override def dataRequest: DataRequest = DataRequest(Seq(ColumnName("info:absent")))

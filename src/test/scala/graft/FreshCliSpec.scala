@@ -70,6 +70,22 @@ class FreshCliSpec extends AnyFunSuite with SparkSpec {
     assert(cli(reg, "retrieve-all", "user")._2.contains("No fresheners"))
   }
 
+  test("register on an occupied column refuses without --force, overwrites with it") {
+    val reg = tmpRegistry()
+    assert(cli(reg, "register", "user/info:name", "--as-strings",
+      "--producer-class", "a.First", "--policy-class", "c.D")._1 == 0)
+    // same column again: refused, record untouched
+    val (cr, or_) = cli(reg, "register", "user/info:name", "--as-strings",
+      "--producer-class", "a.Second", "--policy-class", "c.D")
+    assert(cr == 1 && or_.contains("--force"), or_)
+    assert(cli(reg, "retrieve", "user/info:name")._2.contains("a.First"))
+    // --force overwrites
+    val (cf, of) = cli(reg, "register", "user/info:name", "--as-strings", "--force",
+      "--producer-class", "a.Second", "--policy-class", "c.D")
+    assert(cf == 0, of)
+    assert(cli(reg, "retrieve", "user/info:name")._2.contains("a.Second"))
+  }
+
   test("registry persists across invocations (JSON-lines file)") {
     val reg = tmpRegistry()
     cli(reg, "register", "user/info:name", "--as-strings",

@@ -183,6 +183,20 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
       == Map("foo" -> 11L, "bar" -> 100L))
   }
 
+  test("R23: a policy's own data request gates freshness by ITS column, not the attachment") {
+    val user = Fixtures.userCounter(spark)
+    val m = managerFor("user" -> user)
+    // NameGatedPolicy: fresh ⇔ info:name newest ts >= 3. foo's name ts=5
+    // (fresh → visits untouched), bar's name ts=1 (stale → visits scored).
+    // Judged by the ATTACHED column's ts the outcome would be inverted
+    // (foo visits ts=1, bar visits ts=5), so this pins the ownRequest path.
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new NameGatedPolicy)
+    val r = FreshReader.builder(m).withTable("user", user).withAsOf(1000L).build()
+    val out = r.freshenAll(DataRequest(Seq(ColumnName("info:visits"))))
+    assert(visitsOf(out) == Map("foo" -> 10L, "bar" -> 101L))
+  }
+
   test("rereadPolicies invalidates cached capsules") {
     val user = Fixtures.userCounter(spark)
     val m = managerFor("user" -> user)

@@ -52,4 +52,27 @@ class MlScorersSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(out("e1") - 10.0) < 1e-9)
     assert(math.abs(out("e2") - 3.0) < 1e-9)
   }
+
+  test("AggScorer: NULL/empty stale cells still receive a score (emptyValue)") {
+    import spark.implicits._
+    // empty and NULL cells are exactly what ShelfLife marks stale — the
+    // producer contract says every stale row gets a score, so the inner
+    // explode must not drop them
+    val view = Seq(
+      ("e1", Seq((5L, 8.0))),
+      ("e2", Seq.empty[(Long, Double)]))
+      .toDF("entity_id", "events_value")
+      .withColumn("events_value",
+        expr("transform(events_value, v -> named_struct('ts', v._1, 'value', v._2))"))
+      .withColumn("events_value",
+        when(col("entity_id") === "e2", lit(null)).otherwise(col("events_value")))
+      .union(Seq(("e3", Seq.empty[(Long, Double)])).toDF("entity_id", "events_value")
+        .withColumn("events_value",
+          expr("transform(events_value, v -> named_struct('ts', v._1, 'value', v._2))")))
+    val out = new EventDecayedSum().score(view, ScorerContext(5L, Map.empty))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out.keySet == Set("e1", "e2", "e3"))
+    assert(math.abs(out("e1") - 8.0) < 1e-9)
+    assert(out("e2") == 0.0 && out("e3") == 0.0)
+  }
 }
