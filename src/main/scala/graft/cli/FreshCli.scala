@@ -155,7 +155,7 @@ object FreshCli {
     // a record validates itself minus the already-attached-exclusivity check
     val fails = mgr.validateAttachment(r.tableName, r.column, r.producerClass,
         r.policyClass, checkClasspath = true)
-      .filterNot(_._1 == graft.registry.ValidationFailure.FreshenerAlreadyAttached)
+      .filterNot(_._1 == graft.registry.ValidationFailure.FRESHENER_ALREADY_ATTACHED)
     if (fails.isEmpty) { out.println(s"${r.tableName}/${r.column}: valid"); 0 }
     else {
       fails.foreach { case (k, v) => out.println(s"${r.tableName}/${r.column}: $k: $v") }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
-import graft.sources.Tables
+import graft.sources.{Bucketing, Tables}
 
 /** Relational operator surface (SURVEY.md §2.2, S1–S17) exercised as declared,
   * DuckDB-oracle-checkable queries over the driver testdata.
@@ -569,6 +569,53 @@ object Relational {
 
   // ------------------------------------------------------------- registry
 
+  /** Deterministic per-sf-dir suffix for the bucketed catalog tables. */
+  def bucketedTag(dir: String): String = math.abs(dir.hashCode.toLong).toString
+
+  /** S2 + SURVEY §4 — bucket-co-located join, the measured artifact of the
+    * 100 TB claim: both sides written bucketed+sorted by the order key, then
+    * aggregated and joined WITHOUT a shuffle exchange on either join input
+    * (BucketingSpec pins the plan: the bucketed scan satisfies both the
+    * per-order aggregation's and the join's required distribution). At scale
+    * the exchange dominates recurring entity joins — paying the bucketed
+    * write once amortizes it away. The declared result reduces to
+    * per-priority totals; that final tiny re-key is the plan's only shuffle. */
+  def q45BucketedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tag = bucketedTag(dir)
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$tag"
+    Bucketing.writeBucketed(t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority"),
+      s"g_orders_b_$tag", s"$base/orders", "o_orderkey", 16)
+    Bucketing.writeBucketed(t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity"),
+      s"g_lineitem_b_$tag", s"$base/lineitem", "l_orderkey", 16)
+    bucketedOrderJoin(s, tag)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"n_items").as("n_items"),
+        sum($"qty").cast("double").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  /** The co-located join itself (shuffle-free; factored out so BucketingSpec
+    * can assert its physical plan contains no hash-partition exchange). */
+  def bucketedOrderJoin(s: SparkSession, tag: String): DataFrame = {
+    val perOrder = s.table(s"g_lineitem_b_$tag")
+      .groupBy(col("l_orderkey"))
+      .agg(sum(dec(col("l_quantity"))).as("qty"), count(lit(1)).as("n_items"))
+    s.table(s"g_orders_b_$tag")
+      .join(perOrder, col("o_orderkey") === col("l_orderkey"))
+  }
+
+  val q45Sql: String =
+    """WITH per AS (SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,2))) AS qty,
+      |                    COUNT(*) AS n_items
+      |             FROM lineitem GROUP BY 1)
+      |SELECT o_orderpriority, COUNT(*) AS n_orders,
+      |  CAST(SUM(n_items) AS BIGINT) AS n_items,
+      |  CAST(SUM(qty) AS DOUBLE) AS sum_qty
+      |FROM orders JOIN per ON o_orderkey = l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_predicates" -> (q02FilterPredicates _),
@@ -592,7 +639,8 @@ object Relational {
     "q39_time_window" -> (q39TimeWindow _),
     "q40_pivot" -> (q40Pivot _),
     "q41_string_funcs2" -> (q41StringFuncs2 _),
-    "q42_date_funcs2" -> (q42DateFuncs2 _))
+    "q42_date_funcs2" -> (q42DateFuncs2 _),
+    "q45_bucketed_join" -> (q45BucketedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -617,5 +665,6 @@ object Relational {
     "q39_time_window" -> q39Sql,
     "q40_pivot" -> q40Sql,
     "q41_string_funcs2" -> q41Sql,
-    "q42_date_funcs2" -> q42Sql)
+    "q42_date_funcs2" -> q42Sql,
+    "q45_bucketed_join" -> q45Sql)
 }

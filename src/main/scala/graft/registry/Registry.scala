@@ -26,20 +26,24 @@ object FreshnessRecord {
   val CurrentVersion = "policyrecord-0.1.0"
 }
 
-/** Validation failure modes — same enum as the reference
-  * (reference: `src/main/java/org/kiji/scoring/KijiFreshnessManager.java:345-354`). */
+/** Validation failure modes — same enum (and enum-constant spellings) as the
+  * reference (reference: `src/main/java/org/kiji/scoring/KijiFreshnessManager.java:345-354`). */
 object ValidationFailure extends Enumeration {
-  val BadPolicyName, BadProducerName, NoFamilyInTable, NoQualifiedColumnInTable,
-      FreshenerAlreadyAttached, GroupTypeFamilyAttachment,
-      ProducerOutputColumnDoesNotMatch, ProducerRequestCannotBeFulfilled = Value
+  val BAD_POLICY_NAME, BAD_PRODUCER_NAME, NO_FAMILY_IN_TABLE,
+      NO_QUALIFIED_COLUMN_IN_TABLE, FRESHENER_ALREADY_ATTACHED,
+      GROUP_TYPE_FAMILY_ATTACHMENT, PRODUCER_OUTPUT_COLUMN_DOES_NOT_MATCH,
+      PRODUCER_REQUEST_CANNOT_BE_FULFILLED = Value
 }
 
-/** Aggregate of all failures for one attachment attempt
-  * (reference: `KijiFreshnessManager.java:359-398`). */
+/** Aggregate of all failures for one attachment attempt; message format is
+  * string-identical to the reference's
+  * (reference: `KijiFreshnessManager.java:359-398`, pinned by
+  * `test/TestKijiFreshnessManager.java:172-243`). */
 final class FreshnessValidationException(
     val failures: Map[ValidationFailure.Value, String])
   extends RuntimeException(
-    failures.map { case (k, v) => s"$k: $v" }.mkString("; "))
+    failures.map { case (k, v) => s"\n$k: $v" }
+      .mkString("There were validation failures.", "", ""))
 
 /** The freshness-policy registry — the metatable analogue
   * (reference: `KijiFreshnessManager.java:148-342`, records stored under
@@ -68,79 +72,105 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
       seg.nonEmpty && Character.isJavaIdentifierStart(seg.head) &&
         seg.tail.forall(Character.isJavaIdentifierPart))
 
-  /** Attachment-time validation, all 8 modes aggregated
-    * (reference: `KijiFreshnessManager.java:546-641`). */
+  /** Attachment-time validation, all 8 modes aggregated. Failure messages
+    * are string-identical to the reference's
+    * (reference: `KijiFreshnessManager.java:546-641`; exact strings pinned
+    * by `test/TestKijiFreshnessManager.java:172-243`). */
   def validateAttachment(tableName: String, column: ColumnName,
       producerClass: String, policyClass: String,
       checkClasspath: Boolean): Map[ValidationFailure.Value, String] = {
     val fails = mutable.LinkedHashMap.empty[ValidationFailure.Value, String]
     if (!isValidClassName(policyClass))
-      fails(ValidationFailure.BadPolicyName) =
-        s"Policy class name '$policyClass' is not a valid Java class name."
+      fails(ValidationFailure.BAD_POLICY_NAME) =
+        s"Policy class name: $policyClass is not a valid Java class identifier."
     if (!isValidClassName(producerClass))
-      fails(ValidationFailure.BadProducerName) =
-        s"Producer class name '$producerClass' is not a valid Java class name."
+      fails(ValidationFailure.BAD_PRODUCER_NAME) =
+        s"Producer class name: $producerClass is not a valid Java class identifier."
 
     schemaOf(tableName) match {
       case None =>
-        fails(ValidationFailure.NoFamilyInTable) = s"Table '$tableName' does not exist."
+        // the reference throws KijiTableNotFoundException before validating;
+        // with a schema provider this surfaces as a family failure instead
+        fails(ValidationFailure.NO_FAMILY_IN_TABLE) =
+          s"Table: $tableName does not contain family: ${column.family}"
       case Some(schema) =>
         if (!EntityView.familyExists(schema, column.family))
-          fails(ValidationFailure.NoFamilyInTable) =
-            s"Table '$tableName' does not contain family '${column.family}'."
+          fails(ValidationFailure.NO_FAMILY_IN_TABLE) =
+            s"Table: $tableName does not contain family: ${column.family}"
         else column.qualifier match {
           case Some(_) =>
             if (!EntityView.qualifiedColumnExists(schema, column))
-              fails(ValidationFailure.NoQualifiedColumnInTable) =
-                s"Table '$tableName' does not contain column '$column'."
-            // qualified attach conflicts with an existing family-wide record
-            // (sync: validateAttachment is also called directly — CLI
-            // validate — and must not race store/remove; the monitor is
-            // reentrant, so the store() path nests fine)
-            if (sync(records.contains((tableName, column.family))))
-              fails(ValidationFailure.FreshenerAlreadyAttached) =
-                s"A freshener is already attached to family '${column.family}'; " +
-                  s"cannot also attach to column '$column'."
+              fails(ValidationFailure.NO_QUALIFIED_COLUMN_IN_TABLE) =
+                s"Table: $tableName does not contain specified column: $column"
+            // attachment-exclusivity inside a map family: a qualified attach
+            // conflicts with a family-wide record, or with an existing
+            // record on the SAME column (reference `:593-605`; the reads
+            // are sync'd because validateAttachment is also called directly
+            // — CLI validate — and must not race store/remove; the monitor
+            // is reentrant, so the store() path nests fine)
+            if (EntityView.isMapFamily(schema, column.family)) {
+              if (sync(records.contains((tableName, column.family))))
+                fails(ValidationFailure.FRESHENER_ALREADY_ATTACHED) =
+                  s"There is already a freshness policy attached to family: " +
+                    s"${column.family} Freshness policies may not be attached to a " +
+                    "map type family and fully qualified columns within that family."
+              else if (sync(records.contains((tableName, column.toString))))
+                fails(ValidationFailure.FRESHENER_ALREADY_ATTACHED) =
+                  s"There is already a freshness policy attached to column: $column"
+            }
           case None =>
             if (EntityView.isGroupFamily(schema, column.family) &&
                 !EntityView.isMapFamily(schema, column.family))
-              fails(ValidationFailure.GroupTypeFamilyAttachment) =
-                s"Cannot attach a freshener to group-type family '${column.family}'; " +
-                  "attach to fully qualified columns instead."
-            // family attach conflicts with existing qualified-column records
-            // (materialized inside sync — see the qualified branch above)
-            val qualifiedAttached = sync(records.keys.collect {
-              case (t, c) if t == tableName &&
-                ColumnName(c).family == column.family && c.contains(":") => c
-            }.toList)
-            if (qualifiedAttached.nonEmpty)
-              fails(ValidationFailure.FreshenerAlreadyAttached) =
-                s"Fresheners are already attached to columns " +
-                  s"${qualifiedAttached.mkString(", ")} of family '${column.family}'; " +
-                  s"cannot also attach to the whole family."
+              fails(ValidationFailure.GROUP_TYPE_FAMILY_ATTACHMENT) =
+                s"Specified family: $column is not a valid Map Type family " +
+                  s"in the table: $tableName"
+            else {
+              // family attach conflicts with existing qualified-column
+              // records (materialized inside sync — see above)
+              val qualifiedAttached = sync(records.keys.collect {
+                case (t, c) if t == tableName &&
+                  ColumnName(c).family == column.family && c.contains(":") => c
+              }.toList)
+              if (qualifiedAttached.nonEmpty)
+                fails(ValidationFailure.FRESHENER_ALREADY_ATTACHED) =
+                  s"There is already a freshness policy attached to a fully " +
+                    s"qualified column in family: $column Freshness policies may " +
+                    "not be attached to a map type family and fully qualified " +
+                    "columns within that family. To view a list of attached " +
+                    "freshness policies check log files for KijiFreshnessManager."
+            }
         }
     }
 
-    if (checkClasspath && !fails.contains(ValidationFailure.BadProducerName)) {
+    if (checkClasspath && !fails.contains(ValidationFailure.BAD_PRODUCER_NAME)) {
       // Post-attachment producer-vs-layout checks
-      // (reference: `KijiFreshnessManager.java:411-498`).
+      // (reference: `KijiFreshnessManager.java:411-498`). Stricter than the
+      // reference on output columns: qualification-level disagreement AND
+      // differing fully-qualified columns both fail (the reference checks
+      // only the former), with the reference's message.
       try {
         val scorer = Scorer.load(producerClass)
         val out = scorer.outputColumn
-        if (out.isFullyQualified && column.isFullyQualified && out != column)
-          fails(ValidationFailure.ProducerOutputColumnDoesNotMatch) =
-            s"Producer output column '$out' does not match attachment point '$column'."
+        if ((out.isFullyQualified != column.isFullyQualified) ||
+            (out.isFullyQualified && column.isFullyQualified && out != column))
+          fails(ValidationFailure.PRODUCER_OUTPUT_COLUMN_DOES_NOT_MATCH) =
+            "Producer output column and attachment column qualifications do " +
+              "not agree.  Both must be either unqualified or fully qualified.  " +
+              s"Producer column: $out Attachment column: $column"
         schemaOf(tableName).foreach { schema =>
           val missing = scorer.dataRequest.columns.filterNot(c =>
             EntityView.qualifiedColumnExists(schema, c) ||
               (!c.isFullyQualified && EntityView.familyExists(schema, c.family)))
-          if (missing.nonEmpty)
-            fails(ValidationFailure.ProducerRequestCannotBeFulfilled) =
-              s"Producer data request references missing columns: ${missing.mkString(", ")}."
+          missing.headOption.foreach { c =>
+            fails(ValidationFailure.PRODUCER_REQUEST_CANNOT_BE_FULFILLED) =
+              s"Column: $c in producer data request does not exist in table: " +
+                s"$tableName check KijiFreshnessManager log files for other " +
+                "invalid columns."
+          }
         }
       } catch {
         case _: ClassNotFoundException | _: ClassCastException =>
-          fails(ValidationFailure.BadProducerName) =
+          fails(ValidationFailure.BAD_PRODUCER_NAME) =
             s"Producer class '$producerClass' is not a Scorer on the classpath."
       }
     }

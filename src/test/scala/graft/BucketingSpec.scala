@@ -40,6 +40,16 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     spark.sql("DROP TABLE IF EXISTS b_lineitem")
   }
 
+  test("q45 declared query: the co-located join plans with no hash-partition exchange") {
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Relational.q45BucketedJoin(spark, sf).collect()
+    assert(out.nonEmpty && out.map(_.getLong(1)).sum > 0)
+    val joinOnly = graft.queries.Relational.bucketedOrderJoin(
+      spark, graft.queries.Relational.bucketedTag(sf))
+    assert(!Bucketing.hasShuffle(joinOnly),
+      "q45 join inputs must be exchange-free:\n" + joinOnly.queryExecution.executedPlan)
+  }
+
   test("saltedJoin spreads hot keys and matches the plain join") {
     import spark.implicits._
     import graft.engine.Skew

@@ -49,7 +49,7 @@ class FreshCliSpec extends AnyFunSuite with SparkSpec {
     val (c, out) = cli(reg, "register", "user/absent:q",
       "--producer-class", classOf[NameRewrite].getName,
       "--policy-class", classOf[graft.policy.AlwaysFreshen].getName)
-    assert(c == 1 && out.contains("NoFamilyInTable"))
+    assert(c == 1 && out.contains("NO_FAMILY_IN_TABLE"))
   }
 
   test("--as-strings stores unresolvable class names; retrieve-all and unregister-all") {
@@ -64,7 +64,7 @@ class FreshCliSpec extends AnyFunSuite with SparkSpec {
     assert(c == 0 && out.contains("MysteryProducer") && out.contains("Other"))
     // validate surfaces the unresolvable producer classes stored as strings
     val (cv, vout) = cli(reg, "validate-all", "user")
-    assert(cv == 1 && vout.contains("BadProducerName"), vout)
+    assert(cv == 1 && vout.contains("BAD_PRODUCER_NAME"), vout)
     val (cu, uout) = cli(reg, "unregister-all", "user")
     assert(cu == 0 && uout.contains("2"))
     assert(cli(reg, "retrieve-all", "user")._2.contains("No fresheners"))

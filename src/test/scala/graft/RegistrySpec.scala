@@ -44,30 +44,30 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     val m = mgr()
     assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("info:name"),
       "not a class", "al$o bad", "")) ==
-      Set(ValidationFailure.BadPolicyName, ValidationFailure.BadProducerName))
+      Set(ValidationFailure.BAD_POLICY_NAME, ValidationFailure.BAD_PRODUCER_NAME))
   }
 
   test("BAD_PRODUCER_NAME: valid name but not a Scorer on classpath") {
     val m = mgr()
     assert(failuresOf(m.storePolicy("user", ColumnName("info:name"),
       "com.example.NoSuchScorer", new AlwaysFreshen)) ==
-      Set(ValidationFailure.BadProducerName))
+      Set(ValidationFailure.BAD_PRODUCER_NAME))
   }
 
   test("NO_FAMILY_IN_TABLE / NO_QUALIFIED_COLUMN_IN_TABLE / missing table") {
     val m = mgr()
     assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("absent:q"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.NoFamilyInTable))
+      == Set(ValidationFailure.NO_FAMILY_IN_TABLE))
     assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("info:absent"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.NoQualifiedColumnInTable))
+      == Set(ValidationFailure.NO_QUALIFIED_COLUMN_IN_TABLE))
     assert(failuresOf(m.storePolicyWithStrings("nosuch", ColumnName("info:name"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.NoFamilyInTable))
+      == Set(ValidationFailure.NO_FAMILY_IN_TABLE))
   }
 
   test("GROUP_TYPE_FAMILY_ATTACHMENT: cannot attach to whole group family") {
     val m = mgr()
     assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("info"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.GroupTypeFamilyAttachment))
+      == Set(ValidationFailure.GROUP_TYPE_FAMILY_ATTACHMENT))
   }
 
   test("map-family attachment is allowed; qualified-into-map is allowed") {
@@ -81,25 +81,72 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
     val m = mgr()
     m.storePolicyWithStrings("user", ColumnName("networks"), "a.B", "c.D", "")
     assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("networks:site"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.FreshenerAlreadyAttached))
+      == Set(ValidationFailure.FRESHENER_ALREADY_ATTACHED))
     val m2 = mgr()
     m2.storePolicyWithStrings("user", ColumnName("networks:site"), "a.B", "c.D", "")
     assert(failuresOf(m2.storePolicyWithStrings("user", ColumnName("networks"), "a.B", "c.D", ""))
-      == Set(ValidationFailure.FreshenerAlreadyAttached))
+      == Set(ValidationFailure.FRESHENER_ALREADY_ATTACHED))
   }
 
   test("PRODUCER_OUTPUT_COLUMN_DOES_NOT_MATCH") {
     val m = mgr()
     assert(failuresOf(m.storePolicy("user", ColumnName("info:name"),
       classOf[WrongOutputScorer].getName, new AlwaysFreshen))
-      == Set(ValidationFailure.ProducerOutputColumnDoesNotMatch))
+      == Set(ValidationFailure.PRODUCER_OUTPUT_COLUMN_DOES_NOT_MATCH))
   }
 
   test("PRODUCER_REQUEST_CANNOT_BE_FULFILLED") {
     val m = mgr()
     assert(failuresOf(m.storePolicy("user", ColumnName("info:name"),
       classOf[BadRequestScorer].getName, new AlwaysFreshen))
-      == Set(ValidationFailure.ProducerRequestCannotBeFulfilled))
+      == Set(ValidationFailure.PRODUCER_REQUEST_CANNOT_BE_FULFILLED))
+  }
+
+  test("validation failure messages are string-identical to the reference") {
+    // mirrors `test/TestKijiFreshnessManager.java:172-243` assertEquals calls
+    def msgOf(f: => Unit): String =
+      intercept[FreshnessValidationException](f).getMessage
+    val m = mgr()
+    assert(msgOf(m.storePolicyWithStrings("user", ColumnName("info:invalid"), "a.B", "c.D", "")) ==
+      "There were validation failures.\nNO_QUALIFIED_COLUMN_IN_TABLE: Table: user does" +
+        " not contain specified column: info:invalid")
+    assert(msgOf(m.storePolicyWithStrings("user", ColumnName("info"), "a.B", "c.D", "")) ==
+      "There were validation failures.\nGROUP_TYPE_FAMILY_ATTACHMENT: Specified " +
+        "family: info is not a valid Map Type family in the table: user")
+    m.storePolicyWithStrings("user", ColumnName("networks"), "a.B", "c.D", "")
+    assert(msgOf(m.storePolicyWithStrings("user", ColumnName("networks:qualifier"), "a.B", "c.D", "")) ==
+      "There were validation failures.\nFRESHENER_ALREADY_ATTACHED: There is already a" +
+        " freshness policy attached to family: networks Freshness " +
+        "policies may not be attached to a map type family and fully qualified columns within " +
+        "that family.")
+    m.removePolicy("user", ColumnName("networks"))
+    m.storePolicyWithStrings("user", ColumnName("networks:qualifier"), "a.B", "c.D", "")
+    assert(msgOf(m.storePolicyWithStrings("user", ColumnName("networks"), "a.B", "c.D", "")) ==
+      "There were validation failures.\nFRESHENER_ALREADY_ATTACHED: There is already a" +
+        " freshness policy attached to a fully qualified column in " +
+        "family: networks Freshness policies may not be attached to a map type family and fully" +
+        " qualified columns within that family. To view a list of attached freshness policies " +
+        "check log files for KijiFreshnessManager.")
+    val m2 = mgr()
+    assert(msgOf(m2.storePolicyWithStrings("user", ColumnName("networks"),
+      "kiji..producer", "kiji.policy.policy", "")) ==
+      "There were validation failures.\nBAD_PRODUCER_NAME: Producer class name: " +
+        "kiji..producer is not a valid Java class identifier.")
+    assert(msgOf(m2.storePolicyWithStrings("user", ColumnName("networks"),
+      "kiji.a.producer", "kiji.", "")) ==
+      "There were validation failures.\nBAD_POLICY_NAME: Policy class name: kiji. is " +
+        "not a valid Java class identifier.")
+    assert(msgOf(m2.storePolicyWithStrings("user", ColumnName("networks"),
+      "kiji.a.producer", ".kiji", "")) ==
+      "There were validation failures.\nBAD_POLICY_NAME: Policy class name: .kiji is " +
+        "not a valid Java class identifier.")
+  }
+
+  test("re-attach to the SAME map-qualified column is FRESHENER_ALREADY_ATTACHED") {
+    val m = mgr()
+    m.storePolicyWithStrings("user", ColumnName("networks:site"), "a.B", "c.D", "")
+    assert(failuresOf(m.storePolicyWithStrings("user", ColumnName("networks:site"), "a.B", "c.D", ""))
+      == Set(ValidationFailure.FRESHENER_ALREADY_ATTACHED))
   }
 
   test("isValidClassName") {
