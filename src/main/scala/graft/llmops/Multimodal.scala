@@ -8,11 +8,13 @@ import org.apache.spark.sql.types._
   * columns travelling with a typed metadata struct; decode/feature-extract
   * run partition-parallel over the bytes.
   *
-  * The decode step is STUBBED (this environment ships no image/audio
-  * codecs): [[fakeDecodeFeatures]] derives deterministic pseudo-features
-  * from the payload bytes so the Spark-side plumbing — schema, batch
-  * iteration, partition parallelism, output shape — is real and tested.
-  * Swap `decodeStub` for a codec-backed implementation in production.
+  * Decoding is pluggable ([[Multimodal.MediaDecoder]], built once per
+  * partition): [[Multimodal.ImageIoDecoder]] is a REAL image decoder over
+  * the JDK's javax.imageio (PNG/JPEG/BMP/GIF, no external dependency);
+  * [[Multimodal.StubDecoder]] derives deterministic pseudo-features from
+  * the payload bytes and backs the oracle-checked q30 (the synthetic
+  * corpus carries text payloads, and byte arithmetic is reproducible in
+  * SQL). Audio/video codecs would slot in the same way.
   *
   * Scale: content addressing (SHA-256) happens in the scan stage; frame
   * chunking is a generator expression (no shuffle); feature extraction is
@@ -66,31 +68,77 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
       .withColumn("frame_sha", sha2(col("frame"), 256))
 
-  /** The decode stub: a real implementation would decode the payload with a
-    * codec and emit features. Here: deterministic pseudo-features — feature
-    * j = (byte[j mod n] & 0xFF) / 255.0 — so shape and plumbing are
-    * exercised end-to-end. */
-  private def decodeStub(payload: Array[Byte], dim: Int): Array[Float] =
-    Array.tabulate(dim) { j =>
-      if (payload == null || payload.isEmpty) 0f // schema allows null payloads
-      else (payload(j % payload.length) & 0xff) / 255f
+  /** Pluggable payload→features decoder. Instances are created PER
+    * PARTITION from a serializable factory (see [[decodeFeatures]]) so
+    * codec/library initialization amortizes across a partition's rows —
+    * the JNI/Pandas-UDF pattern for 100 TB media pipelines. */
+  trait MediaDecoder extends Serializable {
+    def decode(payload: Array[Byte], dim: Int): Array[Float]
+  }
+
+  /** Deterministic stub decoder — feature j = (byte[j mod n] & 0xFF)/255.0.
+    * Used by the ORACLE-CHECKED q30 (byte arithmetic is reproducible in
+    * SQL); swap in [[ImageIoDecoder]] (real codec) for image payloads. */
+  final class StubDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] =
+      Array.tabulate(dim) { j =>
+        if (payload == null || payload.isEmpty) 0f // schema allows null payloads
+        else (payload(j % payload.length) & 0xff) / 255f
+      }
+  }
+
+  /** REAL image decode via the JDK's javax.imageio (PNG/JPEG/BMP/GIF — no
+    * external dependency): features = `dim`-bucket luminance histogram,
+    * normalized by pixel count (deterministic: integer luminance
+    * bucketing, no float accumulation until the final divide).
+    * Null/unreadable payloads yield all-zero features rather than failing
+    * the job — at 100 TB some corrupt blobs are a certainty. */
+  final class ImageIoDecoder extends MediaDecoder {
+    override def decode(payload: Array[Byte], dim: Int): Array[Float] = {
+      if (payload == null || payload.isEmpty) return new Array[Float](dim)
+      val img =
+        try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+        catch { case _: java.io.IOException => null }
+      if (img == null || img.getWidth == 0 || img.getHeight == 0)
+        return new Array[Float](dim)
+      val hist = new Array[Long](dim)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val lum = ((rgb >> 16 & 0xff) * 299 + (rgb >> 8 & 0xff) * 587 +
+            (rgb & 0xff) * 114) / 1000
+          hist(lum * dim / 256) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val n = img.getWidth.toLong * img.getHeight
+      hist.map(c => c.toFloat / n)
     }
+  }
 
   /** Partition-parallel feature extraction over media payloads: the Spark
-    * analogue of a Pandas-UDF/mapInPandas decode stage. Returns
+    * analogue of a Pandas-UDF/mapInPandas decode stage. The decoder is
+    * constructed once per partition from `newDecoder`. Returns
     * (media_id, features ARRAY<FLOAT>). */
-  def fakeDecodeFeatures(media: DataFrame, dim: Int = 8): DataFrame = {
-    val spark = media.sparkSession
+  def decodeFeatures(media: DataFrame, dim: Int,
+      newDecoder: () => MediaDecoder): DataFrame = {
     val outSchema = StructType(Seq(
       StructField("media_id", LongType, nullable = false),
       StructField("features", ArrayType(FloatType))))
     val enc = org.apache.spark.sql.Encoders.row(outSchema)
     media.select(col("media_id"), col("payload"))
       .mapPartitions { rows =>
-        // codec init would happen here, once per partition
+        val decoder = newDecoder() // codec init, once per partition
         rows.map { r =>
-          Row(r.getLong(0), decodeStub(r.getAs[Array[Byte]](1), dim).toSeq)
+          Row(r.getLong(0), decoder.decode(r.getAs[Array[Byte]](1), dim).toSeq)
         }
       }(enc)
   }
+
+  /** Stub-decoder convenience used by the oracle-checked q30. */
+  def fakeDecodeFeatures(media: DataFrame, dim: Int = 8): DataFrame =
+    decodeFeatures(media, dim, () => new StubDecoder)
 }

@@ -79,6 +79,38 @@ object Similarity {
         col("cid").as("neighbor_id"), col("cosine"))
   }
 
+  /** Exact cosine near-dup PAIRS: all (id_a < id_b) with cosine ≥
+    * `minCosine` (the threshold form of similarity search — the north-star
+    * "embedding-cosine near-dup" shape, complementing top-k).
+    *
+    * `scale` quantizes elements to ×scale integers so the dot is exact
+    * 64-bit arithmetic on BOTH engines; 1e4 keeps a 64-dim dot ≤ ~1e10,
+    * exactly representable in the oracle's double accumulation too. The
+    * unrounded cosine drives the threshold (identical IEEE doubles on both
+    * sides); the 12-dp round happens only in the output projection, after
+    * the filter, so it is paid per surviving pair, not per candidate.
+    *
+    * Plan: one side broadcast, the probe side round-robin repartitioned —
+    * pair generation is map-side with cluster-wide parallelism (the q38
+    * pattern). This is the EXACT baseline; at corpus sizes where the
+    * broadcast no longer fits, generate candidates with
+    * [[cosineTopKLsh]]-style signature buckets and rescore. */
+  def cosinePairs(vectors: DataFrame, minCosine: Double,
+      scale: Long = 10000L): DataFrame = {
+    val spark = vectors.sparkSession
+    val withNorm = vectors.select(col("id"), col("vec"),
+      sqrt(arrayDotScaled(col("vec"), col("vec"), scale).cast("double")).as("nrm"))
+    val probe = withNorm.repartition(spark.sessionState.conf.numShufflePartitions)
+    probe.as("a")
+      .join(broadcast(withNorm.as("b")), col("a.id") < col("b.id"))
+      .withColumn("cos_raw",
+        arrayDotScaled(col("a.vec"), col("b.vec"), scale).cast("double")
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos_raw") >= minCosine)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        round(col("cos_raw"), 12).as("cosine"))
+  }
+
   /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
     * an LCG over i·d+j mapped to ±1 via bit 16 — no RNG state, reproducible
     * anywhere. (The LCG's low bit is pure parity — using it makes every

@@ -223,6 +223,26 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
+  /** S23/north star — embedding-cosine near-dup PAIRS: all pairs with
+    * cosine ≥ 0.4 (threshold picked to be non-empty on this corpus — its
+    * synthetic embeddings top out near 0.5/0.6 cosine). Exact ×1e4
+    * quantized integer dots on both engines; see Similarity.cosinePairs. */
+  def q46CosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosinePairs(e, minCosine = 0.4).orderBy("id_a", "id_b")
+  }
+
+  val q46Sql: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+      |             CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |           FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q)
+      |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
+      |FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------------------------- multimodal
 
   /** North star — binary media plumbing: 256-byte frame sampling with
@@ -334,7 +354,8 @@ object LlmOps {
     "q29_cosine_lsh" -> (q29CosineLsh _),
     "q30_media_features" -> (q30MediaFeatures _),
     "q35_dup_clusters" -> (q35DupClusters _),
-    "q43_cosine_ivf" -> (q43CosineIvf _))
+    "q43_cosine_ivf" -> (q43CosineIvf _),
+    "q46_cosine_pairs" -> (q46CosinePairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -349,5 +370,6 @@ object LlmOps {
     "q27_cosine_topk" -> q27Sql,
     "q28_media_frames" -> q28Sql,
     "q30_media_features" -> q30Sql,
-    "q35_dup_clusters" -> q35Sql)
+    "q35_dup_clusters" -> q35Sql,
+    "q46_cosine_pairs" -> q46Sql)
 }

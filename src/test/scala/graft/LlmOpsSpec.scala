@@ -122,6 +122,15 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(top1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
   }
 
+  test("cosinePairs: duplicate vectors pair at cosine 1.0, orthogonal ones are excluded") {
+    import spark.implicits._
+    val vecs = Seq(1L -> Array(1f, 0f), 2L -> Array(1f, 0f), 3L -> Array(0f, 1f))
+      .toDF("id", "vec")
+    val pairs = Similarity.cosinePairs(vecs, minCosine = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 1.0)))
+  }
+
   test("LSH cosine top-k finds in-cluster neighbors (same signature bucket)") {
     import spark.implicits._
     val dim = 8
@@ -161,6 +170,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     val feats = Multimodal.fakeDecodeFeatures(withNull, dim = 3)
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(feats(1L) == Seq(0f, 0f, 0f))
+  }
+
+  test("ImageIoDecoder: real PNG decode via javax.imageio, luminance histogram features") {
+    import spark.implicits._
+    // 2×2 PNG: two black pixels, two white pixels → with dim=4 the
+    // luminance histogram is 0.5 in bucket 0 and 0.5 in bucket 3
+    val img = new java.awt.image.BufferedImage(2, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0x000000); img.setRGB(1, 1, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val media = Seq((1L, bos.toByteArray), (2L, "not an image".getBytes("UTF-8")))
+      .toDF("media_id", "payload")
+    val feats = Multimodal.decodeFeatures(media, dim = 4,
+        () => new Multimodal.ImageIoDecoder)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(feats(1L) == Seq(0.5f, 0f, 0f, 0.5f))
+    assert(feats(2L) == Seq(0f, 0f, 0f, 0f)) // unreadable payload → zeros, no job failure
   }
 
   test("media frames reassemble to the payload; features are deterministic") {
