@@ -143,7 +143,10 @@ object Similarity {
     val spark = vectors.sparkSession
     val withFv = vectors.withColumn("fv",
       array_to_vector(col("vec").cast("array<double>")))
-    val model = new KMeans().setK(nlist).setSeed(seed)
+    // few Lloyd iterations: the quantizer only needs coarse cells, not
+    // converged centroids — recall is governed by nprobe, and fit cost is
+    // the query's dominant term
+    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
     val assigned = model.transform(withFv)
       .select(col("id"), col("vec"), col("cell"),
