@@ -214,32 +214,48 @@ object Dedup {
     * diameter-bounded dup clusters. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
-    val bidir = (edges.select(col("id_a").as("src"), col("id_b").as("dst"))
-      unionByName edges.select(col("id_b").as("src"), col("id_a").as("dst"))).persist()
-    var labels = nodes.select(col("id"), col("id").as("lbl")).persist()
+    // Lineage discipline (the thing that makes iterative dataflow viable on
+    // Spark): `labels` feeds BOTH branches of each iteration (union + join),
+    // so its logical plan would DOUBLE per iteration — by iteration k the
+    // driver is analyzing 2^k copies of the upstream edge pipeline, and
+    // planning time dwarfs execution. `localCheckpoint` (eager) materializes
+    // each frame once and truncates its plan to a leaf, keeping every
+    // iteration's plan constant-size. (GraphFrames checkpoints its CC
+    // iterations for the same reason; on a real cluster swap in reliable
+    // `checkpoint` — executor loss discards local checkpoint blocks.)
+    val e = edges.select("id_a", "id_b").localCheckpoint() // edge pipeline runs ONCE
+    val bidir = e.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionByName(e.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // Iterate over the edge-TOUCHED subgraph only: a node with no edge is
+    // its own component by definition and joins the result at the end. At
+    // corpus scale the dup graph is a vanishing fraction of the node set —
+    // propagation shuffles ∝ |dup graph| per iteration, not ∝ |corpus|.
+    var labels = bidir.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
     // labels only ever decrease, so Σlbl is strictly monotone until the
     // fixpoint — a one-aggregate convergence probe (no join with the
-    // previous labels needed)
-    var prevSum = labels.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
+    // previous labels needed); empty graph sums to 0 and converges at once
+    def lblSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = lblSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
       val prop = bidir.join(labels, bidir("src") === labels("id"))
         .select(col("dst").as("id"), col("lbl"))
       val next = labels.select("id", "lbl").unionByName(prop)
-        .groupBy("id").agg(min("lbl").as("lbl")).persist()
-      val nextSum = next.agg(sum(col("lbl").cast("decimal(38,0)"))).head().getDecimal(0)
-      labels.unpersist()
-      labels = next
+        .groupBy("id").agg(min("lbl").as("lbl")).localCheckpoint()
+      val nextSum = lblSum(next)
+      labels = next // superseded checkpoint blocks are freed by the ContextCleaner
       converged = nextSum.compareTo(prevSum) == 0
       prevSum = nextSum
       iter += 1
     }
-    bidir.unpersist()
-    // NOTE: the returned frame is persisted (the loop's lineage is deep —
-    // recomputing it would replay every iteration); unpersist from the
-    // caller once consumed
-    labels.select(col("id"), col("lbl").as("component"))
+    val singletons = nodes.select("id")
+      .join(labels.select("id"), Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.select(col("id"), col("lbl").as("component")).unionByName(singletons)
   }
 
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.
