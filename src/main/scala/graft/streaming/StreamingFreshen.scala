@@ -88,6 +88,56 @@ object StreamingFreshen {
   case class EventRow(entity_id: Long, ts: Long, value: Double)
   case class Newest(entity_id: Long, ts: Long, value: Double)
 
+  case class TimedEvent(entity_id: Long, eventTime: java.sql.Timestamp, value: Double)
+  case class Refreshed(entity_id: Long, ts: Long, value: Double, refreshed: Boolean)
+
+  /** PUSH-based automatic freshening — the one reference semantic the batch
+    * engine cannot express: a cell goes stale by TIME passing, not by being
+    * read. `flatMapGroupsWithState` + an EVENT-TIME timer per entity: state
+    * holds the newest (ts, value); the timer is armed at
+    * `newest_ts + shelfLifeMs`; when the watermark passes it with no newer
+    * event, `score` re-scores the entity, the refreshed version writes back
+    * into state (the producer write-back, R11) stamped AT the expiry
+    * deadline (deterministic under replay — never the wall clock or the
+    * watermark value), the timer re-arms, and the refreshed row is emitted
+    * downstream. Late events older than the state are absorbed without
+    * regressing the view or the timer (same rule as [[newestView]]).
+    *
+    * State is one (ts, value) per entity: bounded, hash-partitioned by
+    * entity, scales with entity count. The input must carry a watermark on
+    * `eventTime` (e.g. `.withWatermark("eventTime", "0 seconds")`). */
+  def expiryFreshen(events: Dataset[TimedEvent], shelfLifeMs: Long,
+      score: (Long, Double) => Double): Dataset[Refreshed] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.entity_id)
+      .flatMapGroupsWithState[(Long, Double), Refreshed](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (id, batch, state: GroupState[(Long, Double)]) =>
+          // a timeout timestamp must sit strictly beyond the watermark;
+          // deadlines already passed fire on the next trigger
+          def arm(deadlineMs: Long): Unit = state.setTimeoutTimestamp(
+            math.max(deadlineMs, state.getCurrentWatermarkMs() + 1))
+          if (state.hasTimedOut) {
+            val (ts, v) = state.get
+            val refreshTs = ts + shelfLifeMs
+            val refreshed = (refreshTs, score(ts, v))
+            state.update(refreshed)
+            arm(refreshTs + shelfLifeMs)
+            Iterator(Refreshed(id, refreshTs, refreshed._2, refreshed = true))
+          } else {
+            val incoming = batch
+              .map(e => (e.eventTime.getTime, e.value))
+              .foldLeft(state.getOption.getOrElse((Long.MinValue, Double.MinValue))) {
+                (a, b) => if (b._1 > a._1 || (b._1 == a._1 && b._2 > a._2)) b else a
+              }
+            state.update(incoming)
+            arm(incoming._1 + shelfLifeMs)
+            Iterator(Refreshed(id, incoming._1, incoming._2, refreshed = false))
+          }
+      }
+  }
+
   /** Live newest-version view via `mapGroupsWithState`: per-entity state
     * holds the max-(ts, value) cell, updated per micro-batch and emitted on
     * every change — the streaming materialization of the reference's

@@ -73,6 +73,32 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("expiryFreshen: event-time timer re-scores entities whose shelf life lapsed") {
+    import spark.implicits._
+    import graft.streaming.StreamingFreshen.{expiryFreshen, TimedEvent}
+    implicit val sq = spark.sqlContext
+    def ev(id: Long, ms: Long, v: Double) = TimedEvent(id, new java.sql.Timestamp(ms), v)
+    val mem = MemoryStream[TimedEvent]
+    val out = expiryFreshen(
+      mem.toDS().withWatermark("eventTime", "0 seconds").as[TimedEvent],
+      shelfLifeMs = 500L, score = (_, v) => v + 1.0)
+    val q = out.writeStream.outputMode("append").format("memory").queryName("expiry_t").start()
+    // e1@1000 goes stale at 1500; e2@10000 pushes the watermark past it
+    mem.addData(ev(1L, 1000L, 5.0), ev(2L, 10000L, 7.0))
+    q.processAllAvailable()
+    // any further trigger fires e1's lapsed timer: auto-refresh at ts=1500
+    mem.addData(ev(3L, 20000L, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("expiry_t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.contains((1L, 1500L, 6.0, true)),
+      s"expected auto-refresh of e1 at its expiry deadline; got ${rows.toSeq}")
+    // the refreshed version was written back to state stamped at the
+    // deadline (not at the watermark), deterministically
+    assert(rows.count(_._1 == 1L) >= 2) // original + refresh
+    q.stop()
+  }
+
   test("text-file KV store loads tab-separated pairs (TestKVStores analogue)") {
     val f = java.nio.file.Files.createTempFile("graft-cats", ".txt")
     java.nio.file.Files.writeString(f, "felix\tFelis catus\ngarfield\tFelis lasagna\n\n")
