@@ -115,7 +115,14 @@ final class FreshReader(
     * against the SAME base read — the analogue of the single shared async
     * client read all policies reuse (`impl/InternalFreshKijiTableReader.java:496-502`)
     * — then all updates merge onto it. */
-  private def freshenCapsules(slice: DataFrame, capsules: Seq[Capsule]): DataFrame = {
+  private def freshenCapsules(slice: DataFrame, capsules: Seq[Capsule]): DataFrame =
+    freshenWithOutcomes(slice, capsules)._1
+
+  /** As [[freshenCapsules]], additionally returning the (budget-filtered)
+    * per-capsule outcomes whose scored rows actually merged — the delta
+    * footprint [[writeBackDelta]] needs. */
+  private def freshenWithOutcomes(slice: DataFrame,
+      capsules: Seq[Capsule]): (DataFrame, Seq[CapsuleOutcome]) = {
     slice.sparkSession.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     val outcomes = capsules.map(c => computeScored(slice, c))
 
@@ -141,7 +148,7 @@ final class FreshReader(
         else outcomes.map(o => o.copy(scored =
           o.scored.join(broadcast(anyUnscored), Seq(EntityView.EntityId), "left_anti")))
       }
-    filtered.foldLeft(slice)((df, o) => mergeScored(df, o))
+    (filtered.foldLeft(slice)((df, o) => mergeScored(df, o)), filtered)
   }
 
   private final case class CapsuleOutcome(
@@ -257,6 +264,36 @@ final class FreshReader(
       partitionBy: Seq[String] = Nil): Unit = {
     val w = freshenAll(request).write.mode("overwrite")
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w).parquet(outPath)
+  }
+
+  /** Partition-scoped delta write-back — the batch MERGE (SURVEY §7 "keep
+    * merges partition-scoped to stay 100 TB-viable"): rewrite ONLY the
+    * partitions that contain a freshened entity, via dynamic partition
+    * overwrite. Untouched partitions' files are left byte-for-byte as-is,
+    * so the rewrite cost scales with the scored delta's partition
+    * footprint, not the table size. `outPath` must already hold a full
+    * [[writeBack]] bootstrap (only touched partitions are written here).
+    * On a transactional format the same delta becomes a MERGE statement;
+    * the freshen pipeline above is unchanged. */
+  def writeBackDelta(request: DataRequest, outPath: String,
+      partitionBy: Seq[String]): Unit = {
+    require(partitionBy.nonEmpty, "writeBackDelta requires partition columns")
+    val capsules = capsulesFor(request)
+    if (capsules.isEmpty) return // nothing attached → nothing stale → no-op
+    val (freshened, outcomes) = freshenWithOutcomes(view, capsules)
+    val scoredKeys = outcomes.map(_.scored.select(col(EntityView.EntityId)))
+      .reduce(_ unionByName _).distinct()
+    val touched = freshened
+      .join(broadcast(scoredKeys), Seq(EntityView.EntityId), "left_semi")
+      .select(partitionBy.map(col): _*).distinct()
+    // every row of a touched partition must be written (dynamic overwrite
+    // replaces whole partitions); an empty delta writes nothing and
+    // replaces nothing
+    val rows = freshened.join(broadcast(touched), partitionBy, "left_semi")
+    rows.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy(partitionBy: _*)
+      .parquet(outPath)
   }
 }
 

@@ -183,6 +183,29 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
       == Map("foo" -> 11L, "bar" -> 100L))
   }
 
+  test("writeBackDelta rewrites ONLY partitions containing freshened entities") {
+    val user = Fixtures.userCounter(spark)
+      .withColumn("shard", col("entity_id").substr(1, 1)) // foo→f, bar→b
+    val req = DataRequest(Seq(ColumnName("info:visits")))
+    val out = java.nio.file.Files.createTempDirectory("graft-delta").toString + "/user"
+    // bootstrap: full write with nothing attached
+    FreshReader.builder(managerFor("user" -> user)).withTable("user", user)
+      .withAsOf(0L).build().writeBack(req, out, Seq("shard"))
+    val bShard = new java.io.File(s"$out/shard=b")
+    val before = bShard.listFiles().map(f => f.getName -> f.lastModified).toMap
+    // NewerThan(3): foo (visits ts=1) stale, bar (ts=5) fresh
+    val m = managerFor("user" -> user)
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new NewerThan(3L))
+    FreshReader.builder(m).withTable("user", user).withAsOf(1000L).build()
+      .writeBackDelta(req, out, Seq("shard"))
+    // bar's partition is byte-untouched (same files, same mtimes)
+    val after = bShard.listFiles().map(f => f.getName -> f.lastModified).toMap
+    assert(after == before, "untouched partition must keep its files")
+    // foo's partition was rewritten with the score
+    assert(visitsOf(spark.read.parquet(out)) == Map("foo" -> 11L, "bar" -> 100L))
+  }
+
   test("R23: a policy's own data request gates freshness by ITS column, not the attachment") {
     val user = Fixtures.userCounter(spark)
     val m = managerFor("user" -> user)
