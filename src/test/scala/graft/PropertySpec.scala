@@ -73,6 +73,31 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: prefix-filtered Jaccard ≡ all-pairs Jaccard on random corpora") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    // random docs over a small vocabulary (so shingles collide and the
+    // prefix filter actually prunes), several near-dup copies mixed in
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(2, 8)
+      base <- Gen.listOfN(n, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dups <- Gen.someOf(base)
+    } yield base ++ dups // exact copies guarantee some J ≥ t pairs exist
+    def pairsOf(df: DataFrame, prefix: Boolean): Set[(Long, Long, Long)] =
+      Dedup.jaccardPairs(df, "doc_id", "text", n = 2, minJaccard = 0.6,
+          prefixFilter = prefix)
+        .select("id_a", "id_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prop = Prop.forAll(genDocs) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      pairsOf(df, prefix = true) == pairsOf(df, prefix = false)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("approx_count_distinct tracks the exact count within its error bound (S9)") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
