@@ -12,14 +12,18 @@ import TextOps._
   *
   * Scale design (the point, per the north star):
   *   - Exact dedup shuffles a 64-hex digest, never the document body.
-  *   - Jaccard pairs build an inverted index on shingles; `maxShingleDocFreq`
-  *     drops stop-shingles before the self-join — without it a shingle
-  *     appearing in d docs contributes d² candidate rows (the classic
-  *     quadratic blowup); with it the join is bounded by cap² per shingle.
+  *   - Jaccard pairs build an inverted index on shingles; candidate
+  *     generation is bounded by PPJoin-style prefix filtering (lossless,
+  *     see [[jaccardPairs]]) and optionally a stop-shingle document
+  *     frequency cap — a shingle in d docs otherwise contributes d²
+  *     self-join rows (the classic quadratic blowup). Survivors rescore
+  *     exactly over full shingle sets.
   *   - MinHash compresses each doc to k integers; LSH banding makes the
   *     candidate join equi-join-able on (band, key) — no pairwise work
   *     outside a bucket. All hashing is expression-level (codegen), mod-P
   *     arithmetic, no UDFs.
+  *   - Connected components localCheckpoints every iteration (constant-size
+  *     plans) and iterates only the edge-touched subgraph.
   */
 object Dedup {
 
