@@ -213,9 +213,9 @@ object Dedup {
     *
     * Each iteration is one join + one aggregation (shuffles on node id);
     * convergence takes graph-diameter iterations — near-dup graphs are
-    * near-cliques, so 2-3 in practice. For billion-edge general graphs swap
-    * in the large-star/small-star variant; the declared surface only needs
-    * diameter-bounded dup clusters. */
+    * near-cliques, so 2-3 in practice. For billion-edge general graphs use
+    * [[connectedComponentsStars]] (O(log² n) rounds at any diameter); the
+    * declared surface only needs diameter-bounded dup clusters. */
   def connectedComponents(nodes: DataFrame, edges: DataFrame,
       maxIter: Int = 20): DataFrame = {
     // Lineage discipline (the thing that makes iterative dataflow viable on
@@ -260,6 +260,70 @@ object Dedup {
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     labels.select(col("id"), col("lbl").as("component")).unionByName(singletons)
+  }
+
+  /** Connected components by alternating large-star / small-star edge
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", 2014): converges in O(log² n) rounds for ARBITRARY component
+    * diameters — the swap-in for [[connectedComponents]] (min-label
+    * propagation, diameter-many rounds) when components can be long chains
+    * rather than near-cliques.
+    *
+    * One round = large-star (every node links its LARGER neighbors to the
+    * minimum of its closed neighborhood) then small-star (every node links
+    * its smaller-or-equal neighbors, and itself, to that minimum). Both are
+    * a groupBy + join over the edge set; at the fixpoint the edge set is a
+    * union of stars rooted at each component's minimum id. Rounds
+    * localCheckpoint for the same plan-growth reason as
+    * [[connectedComponents]]; convergence is an order-independent
+    * (count, Σxxhash64) edge-set checksum. */
+  def connectedComponentsStars(nodes: DataFrame, edges: DataFrame,
+      maxRounds: Int = 25): DataFrame = {
+    def canon(e: DataFrame): DataFrame =
+      e.select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .filter(col("id_a") =!= col("id_b"))
+        .distinct()
+    def star(e: DataFrame, large: Boolean): DataFrame = {
+      val bidir = e.select(col("id_a").as("u"), col("id_b").as("v"))
+        .unionByName(e.select(col("id_b").as("u"), col("id_a").as("v")))
+      val mins = bidir.groupBy("u")
+        .agg(min("v").as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val j = bidir.join(mins, "u")
+      val linked =
+        if (large) j.filter(col("v") > col("u")).select(col("v"), col("m"))
+        else j.filter(col("v") < col("u")).select(col("v"), col("m"))
+          .unionByName(mins.select(col("u").as("v"), col("m")))
+      linked.select(col("v").as("id_a"), col("m").as("id_b"))
+    }
+    def checksum(e: DataFrame): (Long, java.math.BigDecimal) = {
+      // decimal accumulation: a 64-bit sum of xxhash64 values overflows
+      // under ANSI arithmetic
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("id_a"), col("id_b")).cast("decimal(38,0)")),
+          lit(0).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1))
+    }
+    var e = canon(edges).localCheckpoint()
+    var prev = checksum(e)
+    var converged = prev._1 == 0L
+    var round = 0
+    while (!converged && round < maxRounds) {
+      e = canon(star(star(e, large = true), large = false)).localCheckpoint()
+      val cur = checksum(e)
+      converged = cur == prev
+      prev = cur
+      round += 1
+    }
+    // fixpoint: stars (root, v) with root = component minimum < v
+    val comp = e.select(col("id_b").as("id"), col("id_a").as("component"))
+    val covered = comp.select("id").unionByName(e.select(col("id_a").as("id"))).distinct()
+    val roots = e.select(col("id_a").as("id"), col("id_a").as("component")).distinct()
+    val singletons = nodes.select("id")
+      .join(covered, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    comp.unionByName(roots).unionByName(singletons).distinct()
   }
 
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.

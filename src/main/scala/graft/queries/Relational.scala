@@ -569,6 +569,30 @@ object Relational {
 
   // ------------------------------------------------------------- registry
 
+  /** S6 + SURVEY §4 skew — salted fact⋈dim join: the big side spreads each
+    * key over 8 deterministic sub-keys (row-hash salt), the dim side
+    * replicates ×8, and the join key becomes (key, salt) — a hot key's rows
+    * land on 8 tasks instead of 1. This is the explicit fallback for joins
+    * AQE's skew handling can't split and broadcast can't avoid (dim too
+    * big); results are identical to the plain join, which is exactly what
+    * the oracle checks. */
+  def q47SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val big = t(s, dir, "lineitem").select($"l_orderkey".as("o_orderkey"), $"l_quantity")
+    val dim = t(s, dir, "orders").select($"o_orderkey", $"o_orderpriority")
+    graft.engine.Skew.saltedJoin(big, dim, "o_orderkey", salt = 8)
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n_items"),
+        sum(dec($"l_quantity")).cast("double").as("sum_qty"))
+      .orderBy($"o_orderpriority")
+  }
+
+  val q47Sql: String =
+    """SELECT o_orderpriority, COUNT(*) AS n_items,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Deterministic per-sf-dir suffix for the bucketed catalog tables. */
   def bucketedTag(dir: String): String = math.abs(dir.hashCode.toLong).toString
 
@@ -640,7 +664,8 @@ object Relational {
     "q40_pivot" -> (q40Pivot _),
     "q41_string_funcs2" -> (q41StringFuncs2 _),
     "q42_date_funcs2" -> (q42DateFuncs2 _),
-    "q45_bucketed_join" -> (q45BucketedJoin _))
+    "q45_bucketed_join" -> (q45BucketedJoin _),
+    "q47_salted_join" -> (q47SaltedJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -666,5 +691,6 @@ object Relational {
     "q40_pivot" -> q40Sql,
     "q41_string_funcs2" -> q41Sql,
     "q42_date_funcs2" -> q42Sql,
-    "q45_bucketed_join" -> q45Sql)
+    "q45_bucketed_join" -> q45Sql,
+    "q47_salted_join" -> q47Sql)
 }

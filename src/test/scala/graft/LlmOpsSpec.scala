@@ -65,6 +65,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(cc == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L, 20L -> 20L))
   }
 
+  test("connectedComponentsStars: long chains resolve in O(log² n) rounds") {
+    import spark.implicits._
+    // a 12-node chain (diameter 11 — min-label needs 11 iterations, star
+    // contraction a handful of rounds), plus a pair and a singleton
+    val chain = (1L until 12L).map(i => (i, i + 1))
+    val nodes = ((1L to 12L) ++ Seq(50L, 51L, 99L)).toDF("id")
+    val edges = (chain :+ (50L, 51L)).toDF("id_a", "id_b")
+    val cc = Dedup.connectedComponentsStars(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 12L).forall(cc(_) == 1L))
+    assert(cc(50L) == 50L && cc(51L) == 50L && cc(99L) == 99L)
+    // and it agrees with min-label propagation on the same graph
+    val ml = Dedup.connectedComponents(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cc == ml)
+  }
+
   test("simhash: identical docs equal; near-dup hamming distance < disjoint") {
     val d = docsDF(
       1L -> "spark batch window join merge order column",

@@ -98,6 +98,28 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: star-contraction CC ≡ min-label CC on random graphs") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    val genGraph: Gen[(List[Long], List[(Long, Long)])] = for {
+      n <- Gen.choose(1, 12)
+      nodes = (0L until n.toLong).toList
+      ne <- Gen.choose(0, 14)
+      edges <- Gen.listOfN(ne, Gen.zip(Gen.choose(0L, n.toLong - 1), Gen.choose(0L, n.toLong - 1)))
+    } yield (nodes, edges.filter(e => e._1 != e._2))
+    val prop = Prop.forAll(genGraph) { case (nodes, edges) =>
+      val nodesDf = nodes.toDF("id")
+      val edgesDf = edges.toDF("id_a", "id_b")
+      val stars = Dedup.connectedComponentsStars(nodesDf, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val minLabel = Dedup.connectedComponents(nodesDf, edgesDf)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      stars == minLabel
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("approx_count_distinct tracks the exact count within its error bound (S9)") {
     val o = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val exact = o.select(countDistinct(col("o_custkey"))).head().getLong(0)
