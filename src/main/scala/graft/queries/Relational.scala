@@ -593,6 +593,57 @@ object Relational {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S8 — CUBE over (status, order-year): all four grouping combinations
+    * with exact decimal money sums. */
+  def q48Cube(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    t(s, dir, "orders")
+      .cube($"o_orderstatus", year($"o_orderdate").as("o_year"))
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_orders"),
+        sum(dec($"o_totalprice")).cast("double").as("sum_price"))
+      .orderBy($"gid", $"o_orderstatus", $"o_year")
+  }
+
+  val q48Sql: String =
+    """SELECT o_orderstatus, CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(EXTRACT(year FROM o_orderdate)) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, EXTRACT(year FROM o_orderdate))
+      |ORDER BY gid, o_orderstatus, o_year""".stripMargin
+
+  /** S4/S7 via the SQL entry path — correlated EXISTS / NOT EXISTS and a
+    * correlated scalar subquery, run through `spark.sql` over temp views:
+    * Catalyst rewrites them into the same semi/anti/aggregate joins the
+    * DataFrame queries declare directly (S7), so both API surfaces hit one
+    * engine. */
+  def q49SqlExists(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "customer").createOrReplaceTempView("customer_v")
+    t(s, dir, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT c_custkey, c_name,
+        |  (SELECT COUNT(*) FROM orders_v o WHERE o.o_custkey = c.c_custkey) AS n_orders
+        |FROM customer_v c
+        |WHERE EXISTS (SELECT 1 FROM orders_v o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |  AND NOT EXISTS (SELECT 1 FROM orders_v o
+        |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+        |                    AND o.o_totalprice < 5000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  val q49Sql: String =
+    """SELECT c_custkey, c_name,
+      |  (SELECT COUNT(*) FROM orders o WHERE o.o_custkey = c.c_custkey) AS n_orders
+      |FROM customer c
+      |WHERE EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+      |  AND NOT EXISTS (SELECT 1 FROM orders o
+      |                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F'
+      |                    AND o.o_totalprice < 5000)
+      |ORDER BY c_custkey""".stripMargin
+
   /** Deterministic per-sf-dir suffix for the bucketed catalog tables. */
   def bucketedTag(dir: String): String = math.abs(dir.hashCode.toLong).toString
 
@@ -665,7 +716,9 @@ object Relational {
     "q41_string_funcs2" -> (q41StringFuncs2 _),
     "q42_date_funcs2" -> (q42DateFuncs2 _),
     "q45_bucketed_join" -> (q45BucketedJoin _),
-    "q47_salted_join" -> (q47SaltedJoin _))
+    "q47_salted_join" -> (q47SaltedJoin _),
+    "q48_cube" -> (q48Cube _),
+    "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
     "q01_pricing_summary" -> q01Sql,
@@ -692,5 +745,7 @@ object Relational {
     "q41_string_funcs2" -> q41Sql,
     "q42_date_funcs2" -> q42Sql,
     "q45_bucketed_join" -> q45Sql,
-    "q47_salted_join" -> q47Sql)
+    "q47_salted_join" -> q47Sql,
+    "q48_cube" -> q48Sql,
+    "q49_sql_exists" -> q49Sql)
 }
