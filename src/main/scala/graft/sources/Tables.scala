@@ -56,10 +56,41 @@ object Stores {
       split(col("value"), "\t", 2).getItem(1).as("value"))
   }
 
-  /** Store loader keyed by `text:<path>` source strings, for
+  /** Headered CSV store: must carry `key` and `value` columns (extra
+    * columns are dropped). Same small-by-contract eager validation. */
+  def csvFile(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val df = spark.read.option("header", "true").csv(path)
+    require(df.columns.contains("key") && df.columns.contains("value"),
+      s"CSV KV store $path must have 'key' and 'value' columns, " +
+        s"found ${df.columns.mkString(", ")}")
+    val out = df.select(col("key"), col("value"))
+    require(out.filter(col("key").isNull).limit(1).collect().isEmpty,
+      s"CSV KV store $path contains a NULL key")
+    out
+  }
+
+  /** JSON-lines store: one `{"key": ..., "value": ...}` object per line.
+    * A malformed line would otherwise parse to an all-NULL row (PERMISSIVE
+    * mode) and write silent null scores — checked eagerly instead. */
+  def jsonFile(spark: SparkSession, path: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val out = spark.read
+      .schema("key STRING, value STRING")
+      .json(path)
+      .select(col("key"), col("value"))
+    require(out.filter(col("key").isNull).limit(1).collect().isEmpty,
+      s"JSON KV store $path contains a malformed line or NULL key")
+    out
+  }
+
+  /** Store loader keyed by `<format>:<path>` source strings
+    * (`text:` tab-separated, `csv:` headered, `json:` JSON-lines), for
     * `FreshReader.Builder.withStoreLoader`. */
   def loader(spark: SparkSession): String => org.apache.spark.sql.DataFrame = {
     case src if src.startsWith("text:") => textFile(spark, src.stripPrefix("text:"))
+    case src if src.startsWith("csv:")  => csvFile(spark, src.stripPrefix("csv:"))
+    case src if src.startsWith("json:") => jsonFile(spark, src.stripPrefix("json:"))
     case other => throw new IllegalArgumentException(s"Unknown store source '$other'")
   }
 }

@@ -108,6 +108,30 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     intercept[IllegalArgumentException](graft.sources.Stores.loader(spark)("bogus:x"))
   }
 
+  test("CSV and JSON-lines KV stores load via the format-prefixed loader") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-stores")
+    val csv = dir.resolve("cats.csv")
+    java.nio.file.Files.writeString(csv, "key,value,extra\nfelix,Felis catus,x\ngarfield,Felis lasagna,y\n")
+    val csvKv = graft.sources.Stores.loader(spark)(s"csv:$csv")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(csvKv == Map("felix" -> "Felis catus", "garfield" -> "Felis lasagna"))
+    val jsonl = dir.resolve("cats.jsonl")
+    java.nio.file.Files.writeString(jsonl,
+      """{"key":"felix","value":"Felis catus"}""" + "\n" +
+      """{"key":"garfield","value":"Felis lasagna"}""" + "\n")
+    val jsonKv = graft.sources.Stores.loader(spark)(s"json:$jsonl")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(jsonKv == csvKv)
+    // malformed JSON line → eager failure, not silent null scores
+    val bad = dir.resolve("bad.jsonl")
+    java.nio.file.Files.writeString(bad, "{\"key\":\"a\",\"value\":\"b\"}\nnot json\n")
+    intercept[IllegalArgumentException](graft.sources.Stores.jsonFile(spark, bad.toString))
+    // CSV without the contract columns → eager failure
+    val badCsv = dir.resolve("bad.csv")
+    java.nio.file.Files.writeString(badCsv, "k,v\na,b\n")
+    intercept[IllegalArgumentException](graft.sources.Stores.csvFile(spark, badCsv.toString))
+  }
+
   test("streaming plumbing: foreachBatch over a MemoryStream drives the same engine") {
     import spark.implicits._
     implicit val sq = spark.sqlContext
