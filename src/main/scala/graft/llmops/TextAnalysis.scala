@@ -92,4 +92,45 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     fingerprintFromIds(positionedTokens(docs, idCol, textCol)
       .withColumn("tid", hashTokenId(col("tok"))))
+
+  /** Winnowed local fingerprints (Schleimer, Wilkerson & Aiken, "Winnowing:
+    * Local Algorithms for Document Fingerprinting", SIGMOD 2003 — the MOSS
+    * scheme): hash every token k-gram, slide a window of `w` consecutive
+    * k-gram hashes, keep each full window's minimum, emit the distinct
+    * minima per document. GUARANTEE: any shared token run of length
+    * ≥ w + k − 1 contributes at least one shared fingerprint, at ~2/(w+1)
+    * selection density — the partial-overlap detector exact/minhash dedup
+    * lacks (those compare whole documents).
+    *
+    * Input is (id, pos, tid) positioned token ids (dictionary ids for the
+    * oracle path, [[TextOps.hashTokenId]] at scale). All windows are
+    * per-document (partitioned — no global window); k-gram hash is a base-B
+    * polynomial mod P, overflow-safe in 64-bit and replicated exactly in
+    * SQL. */
+  /** Winnowing k-gram hash base; `winnowPow(j)` = base^j mod P — exposed so
+    * oracle SQL builders interpolate the exact same constants. */
+  val WinnowBase: Long = 1000003L
+  def winnowPow(j: Int): Long =
+    (0 until j).foldLeft(1L)((acc, _) => acc * WinnowBase % P)
+
+  def winnowFromIds(posIds: DataFrame, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, "winnow needs k >= 1 and w >= 1")
+    val byDoc = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+    // k-gram polynomial hash: (Σ_i tid_{pos+i} · B^(k-1-i)) mod P
+    val gram = (0 until k).map(i =>
+        pmod(lead(TextOps.norm(col("tid")), i).over(byDoc) * lit(winnowPow(k - 1 - i)),
+          lit(P)))
+      .reduce((a, b) => pmod(a + b, lit(P)))
+    val grams = posIds
+      .withColumn("gh", gram)
+      .filter(col("gh").isNotNull) // incomplete k-grams at the tail
+    // full windows only: min over w consecutive k-gram hashes
+    val wmin = min(col("gh")).over(byDoc.rowsBetween(0, w - 1))
+    grams
+      .withColumn("complete", lead(col("gh"), w - 1).over(byDoc).isNotNull)
+      .withColumn("fp", wmin)
+      .filter(col("complete"))
+      .select(col("id"), col("fp"))
+      .distinct()
+  }
 }

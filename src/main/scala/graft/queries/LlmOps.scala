@@ -195,6 +195,47 @@ object LlmOps {
       |SELECT id, CAST(SUM(pos * (tid % 2147483647)) % 2147483647 AS BIGINT) AS fingerprint
       |FROM pt JOIN dict USING (tok) GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S24 — winnowed local fingerprints (Schleimer et al. 2003): distinct
+    * per-document minima of sliding windows over token-trigram hashes —
+    * guarantees shared fingerprints for any shared token run of length
+    * ≥ w+k−1 = 6, the partial-overlap detector whole-document hashing
+    * lacks. Dictionary token ids for the oracle; per-document windows only
+    * (no global window). */
+  def q50Winnow(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.winnowFromIds(
+      TextAnalysis.positionedTokens(d, "doc_id", "text")
+        .join(Dedup.tokenDictionary(d, "text"), "tok")
+        .select("id", "pos", "tid"),
+      k = 3, w = 4)
+      .orderBy("id", "fp")
+  }
+
+  val q50Sql: String = {
+    val p2 = TextAnalysis.winnowPow(2)
+    val p1 = TextAnalysis.winnowPow(1)
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |dict AS (SELECT tok, CAST(row_number() OVER (ORDER BY tok) AS BIGINT) AS tid
+       |         FROM (SELECT DISTINCT unnest(t) AS tok FROM tok)),
+       |pt AS (SELECT doc_id AS id, i AS pos, t[i] AS tok
+       |       FROM tok, UNNEST(range(1, len(t) + 1)) AS u(i)),
+       |tid AS (SELECT id, pos, tid FROM pt JOIN dict USING (tok)),
+       |g0 AS (SELECT id, pos, tid % 2147483647 AS t0,
+       |         lead(tid, 1) OVER win % 2147483647 AS t1,
+       |         lead(tid, 2) OVER win % 2147483647 AS t2
+       |       FROM tid WINDOW win AS (PARTITION BY id ORDER BY pos)),
+       |g AS (SELECT id, pos,
+       |        (t0 * $p2 % 2147483647 + t1 * $p1 % 2147483647 + t2) % 2147483647 AS gh
+       |      FROM g0 WHERE t2 IS NOT NULL),
+       |wn AS (SELECT id,
+       |         min(gh) OVER (PARTITION BY id ORDER BY pos
+       |                       ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp,
+       |         lead(gh, 3) OVER (PARTITION BY id ORDER BY pos) AS wend
+       |       FROM g)
+       |SELECT DISTINCT id, fp FROM wn WHERE wend IS NOT NULL
+       |ORDER BY id, fp""".stripMargin
+  }
+
   // ------------------------------------------------------- similarity search
 
   /** S23/north star — brute-force cosine top-5 for query vectors vec_id<30
@@ -355,7 +396,8 @@ object LlmOps {
     "q30_media_features" -> (q30MediaFeatures _),
     "q35_dup_clusters" -> (q35DupClusters _),
     "q43_cosine_ivf" -> (q43CosineIvf _),
-    "q46_cosine_pairs" -> (q46CosinePairs _))
+    "q46_cosine_pairs" -> (q46CosinePairs _),
+    "q50_winnow" -> (q50Winnow _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -371,5 +413,6 @@ object LlmOps {
     "q28_media_frames" -> q28Sql,
     "q30_media_features" -> q30Sql,
     "q35_dup_clusters" -> q35Sql,
-    "q46_cosine_pairs" -> q46Sql)
+    "q46_cosine_pairs" -> q46Sql,
+    "q50_winnow" -> q50Sql)
 }

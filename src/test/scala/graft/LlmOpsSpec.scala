@@ -127,6 +127,22 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(fp(1L) != fp(4L))
   }
 
+  test("winnow: shared token runs ≥ w+k−1 share a fingerprint (MOSS guarantee)") {
+    import graft.llmops.{TextAnalysis, TextOps}
+    val d = docsDF(
+      1L -> "aa bb cc dd ee ff gg hh",
+      2L -> "xx yy aa bb cc dd ee ff zz", // shares the 6-token run aa..ff = w+k−1
+      3L -> "pp qq rr ss tt uu vv ww")
+    val fp = TextAnalysis.winnowFromIds(
+        TextAnalysis.positionedTokens(d, "doc_id", "text")
+          .withColumn("tid", TextOps.hashTokenId(col("tok"))), k = 3, w = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val byDoc = fp.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert((byDoc(1L) intersect byDoc(2L)).nonEmpty,
+      "documents sharing a ≥(w+k−1)-token run must share a winnowed fingerprint")
+    assert((byDoc(1L) intersect byDoc(3L)).isEmpty)
+  }
+
   test("brute-force cosine top-k: exact self-similar clusters rank first") {
     import spark.implicits._
     // two orthogonal clusters: x-axis-ish and y-axis-ish
