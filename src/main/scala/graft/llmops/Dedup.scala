@@ -73,6 +73,19 @@ object Dedup {
     *     only semantic effect is dropping pairs whose every shared shingle
     *     is a stop-shingle.
     *
+    * COMBINED mode (both knobs) loses nothing beyond the cap alone, even
+    * though the prefix (length `n_sh − ⌈t·n_sh⌉ + 1`, from the FULL set
+    * size) is applied to the capped index. Proof: for doc A let c_A =
+    * n_sh^A − n_c^A be the count of capped-away shingles. J(A,B) ≥ t
+    * implies full overlap ≥ ⌈t·n_sh^A⌉, so capped overlap o_c ≥ α_A :=
+    * ⌈t·n_sh^A⌉ − c_A. The prefix keeps the first n_sh^A − ⌈t·n_sh^A⌉ + 1
+    * = n_c^A − α_A + 1 capped shingles — exactly the PPJoin prefix for
+    * required overlap α_A — so by the prefix lemma (global (df, s) order,
+    * o_c ≥ max(α_A, α_B)) the two prefixes share a shingle whenever
+    * o_c ≥ 1; if α_A ≤ 0 the prefix is the whole capped set. Pairs with
+    * o_c = 0 are exactly the cap's own documented loss. Pinned by
+    * PropertySpec ("prefix+cap ≡ cap-only").
+    *
     * With neither knob, all pairs sharing ≥1 shingle are scored — the
     * exact baseline, quadratic on any stop-shingle (d² join rows for a
     * shingle in d docs); use the knobs beyond toy scale. */
@@ -155,15 +168,25 @@ object Dedup {
   def tokenDictionary(docs: DataFrame, textCol: String): DataFrame = {
     val vocab = docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
     val nParts = vocab.sparkSession.sessionState.conf.numShufflePartitions
+    // localCheckpoint PINS one materialized range partitioning: both
+    // consumers below (the per-pid ranks and the per-pid counts) must read
+    // the SAME shuffle output — without the pin they'd each re-plan the
+    // range exchange and only Spark's exchange-reuse keeps their sampled
+    // boundaries identical (advice r3: a reuse-rule change would silently
+    // mis-join offsets to ranks and corrupt every dictionary id).
     val parted = vocab.repartitionByRange(nParts, col("tok"))
       .withColumn("pid", spark_partition_id())
+      .localCheckpoint()
     val ranked = parted
       .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("tok")).cast("long"))
-    val offsets = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-      .withColumn("off", coalesce(
-        sum("cnt").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("pid", "off")
+    // cumulative counts of the ≤ nParts partitions via a triangular join,
+    // not a global Window.orderBy — same result, no single-partition
+    // WindowExec (and no warning noise in plans that embed the dictionary)
+    val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
+      .groupBy(col("a.pid").as("pid"))
+      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
     ranked.join(broadcast(offsets), "pid")
       .select(col("tok"), (col("rn") + col("off")).as("tid"))
   }
@@ -256,6 +279,12 @@ object Dedup {
       prevSum = nextSum
       iter += 1
     }
+    // A truncated run must not masquerade as correct components: at the cap
+    // without the fixpoint, some labels are provably non-minimal.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponents did not converge within maxIter=$maxIter " +
+        "(graph diameter exceeds the iteration budget; raise maxIter or use " +
+        "connectedComponentsStars)")
     val singletons = nodes.select("id")
       .join(labels.select("id"), Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
@@ -316,6 +345,11 @@ object Dedup {
       prev = cur
       round += 1
     }
+    // At the round cap without the star fixpoint the edge set is NOT a
+    // union of stars — interpreting it as one can map nodes to non-roots,
+    // i.e. silently wrong labels. Fail loudly instead.
+    if (!converged) throw new IllegalStateException(
+      s"connectedComponentsStars did not converge within maxRounds=$maxRounds")
     // fixpoint: stars (root, v) with root = component minimum < v
     val comp = e.select(col("id_b").as("id"), col("id_a").as("component"))
     val covered = comp.select("id").unionByName(e.select(col("id_a").as("id"))).distinct()

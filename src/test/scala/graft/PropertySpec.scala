@@ -98,6 +98,46 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: prefix-filter + df-cap ≡ df-cap alone on random corpora") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    // Combined-knob losslessness claim (Dedup.jaccardPairs scaladoc): the
+    // prefix, though sized from the FULL set, drops no pair the cap-only
+    // index would keep. Small vocab ⇒ high dfs ⇒ the cap actually removes
+    // shingles AND the prefix actually prunes, so the interaction is real.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta")
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(2, 8)
+      base <- Gen.listOfN(n, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dups <- Gen.someOf(base)
+    } yield base ++ dups
+    def pairsOf(df: DataFrame, cap: Int, prefix: Boolean): Set[(Long, Long, Long)] =
+      Dedup.jaccardPairs(df, "doc_id", "text", n = 2, minJaccard = 0.6,
+          maxShingleDocFreq = Some(cap), prefixFilter = prefix)
+        .select("id_a", "id_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prop = Prop.forAll(genDocs, Gen.choose(1, 6)) { (texts, cap) =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+      pairsOf(df, cap, prefix = true) == pairsOf(df, cap, prefix = false)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("star-contraction CC raises instead of returning truncated labels") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    // a 6-node path needs >1 star round; maxRounds = 1 must throw, not
+    // silently emit a non-star edge set as components
+    val nodes = (0L to 5L).toDF("id")
+    val edges = (0L to 4L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val ex = intercept[IllegalStateException] {
+      Dedup.connectedComponentsStars(nodes, edges, maxRounds = 1).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
+
   test("property: star-contraction CC ≡ min-label CC on random graphs") {
     import spark.implicits._
     import graft.llmops.Dedup
