@@ -1,0 +1,208 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sketches, Temporal}
+import graft.sources.Tables
+
+/** Round-4 operator surface: temporal joins (as-of, range), sketch-based
+  * heavy hitters, and cross-batch streaming sessionization — the
+  * training-pipeline operations beyond the round-3 set, each declared as a
+  * DuckDB-oracle-checkable query (same determinism rules as
+  * [[Relational]]).
+  */
+object Extended {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+  // testdata timestamps read as TIMESTAMP_NTZ; the session TZ is UTC, so the
+  // cast is the identity instant DuckDB's epoch_ms sees
+  private def epochMs(c: Column): Column = unix_millis(c.cast("timestamp"))
+
+  /** Temporal/as-of join — for every order, the SAME customer's previous
+    * order (strictly earlier date; max orderkey breaks same-day ties;
+    * nulls when none): the version-lookup semantics of the reference's
+    * `getMostRecentValue` generalized to two tables, via
+    * [[graft.operators.Temporal.asofJoin]] (one shuffle + one keyed sort —
+    * never an inequality join). */
+  def q51AsofJoin(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+    val left = o.select(col("o_orderkey"), col("o_custkey").as("k"),
+      epochMs(col("o_orderdate")).as("t"))
+    val right = o.select(col("o_custkey").as("k"),
+      epochMs(col("o_orderdate")).as("t"),
+      col("o_orderkey").as("prev_orderkey"),
+      epochMs(col("o_orderdate")).as("prev_od_ms"),
+      dec(col("o_totalprice")).cast("double").as("prev_price"))
+    Temporal.asofJoin(left, right, "k", "t", strict = true,
+        tieBreak = Seq("prev_orderkey"))
+      .select(col("o_orderkey"), col("k").as("o_custkey"), col("t").as("od_ms"),
+        col("prev_orderkey"), col("prev_od_ms"), col("prev_price"))
+      .orderBy("o_orderkey")
+  }
+
+  val q51Sql: String =
+    """WITH o AS (SELECT o_orderkey, o_custkey, epoch_ms(o_orderdate) AS t,
+      |                  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      |           FROM orders),
+      |j AS (SELECT l.o_orderkey, r.o_orderkey AS prev_orderkey, r.t AS prev_od_ms,
+      |             r.price AS prev_price,
+      |             row_number() OVER (PARTITION BY l.o_orderkey
+      |                                ORDER BY r.t DESC, r.o_orderkey DESC) AS rn
+      |      FROM o l JOIN o r ON r.o_custkey = l.o_custkey AND r.t < l.t)
+      |SELECT l.o_orderkey, l.o_custkey, l.t AS od_ms,
+      |       j.prev_orderkey, j.prev_od_ms, j.prev_price
+      |FROM o l LEFT JOIN (SELECT * FROM j WHERE rn = 1) j USING (o_orderkey)
+      |ORDER BY o_orderkey""".stripMargin
+
+  /** Point-in-interval range join via [[graft.operators.Temporal.rangeJoin]]
+    * (bucket equi-join, no cartesian): sampled order dates probed against
+    * per-lineitem availability windows [ship, ship + quantity days]. Day
+    * numbers (epoch days) on both engines; `l_quantity` is integral in this
+    * corpus (verified), so the INT casts agree. */
+  def q52RangeJoin(s: SparkSession, dir: String): DataFrame = {
+    val day0 = to_date(lit("1970-01-01"))
+    val points = t(s, dir, "orders")
+      .filter(col("o_orderkey") % 397 === 0)
+      .select(col("o_orderkey"), datediff(to_date(col("o_orderdate")), day0).as("pt_day"))
+    val intervals = t(s, dir, "lineitem")
+      .filter(col("l_suppkey") % 50 === 0)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        datediff(to_date(col("l_shipdate")), day0).as("lo_day"),
+        (datediff(to_date(col("l_shipdate")), day0) + col("l_quantity").cast("int"))
+          .as("hi_day"))
+    Temporal.rangeJoin(points, "pt_day", intervals, "lo_day", "hi_day",
+        bucketWidth = 64L)
+      .select("o_orderkey", "pt_day", "l_orderkey", "l_linenumber", "lo_day", "hi_day")
+      .orderBy("o_orderkey", "l_orderkey", "l_linenumber")
+  }
+
+  val q52Sql: String =
+    """WITH p AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS pt_day
+      |           FROM orders WHERE o_orderkey % 397 = 0),
+      |iv AS (SELECT l_orderkey, l_linenumber,
+      |              CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS lo_day,
+      |              CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |                + CAST(l_quantity AS INT) AS hi_day
+      |       FROM lineitem WHERE l_suppkey % 50 = 0)
+      |SELECT p.o_orderkey, p.pt_day, iv.l_orderkey, iv.l_linenumber, iv.lo_day, iv.hi_day
+      |FROM p JOIN iv ON p.pt_day BETWEEN iv.lo_day AND iv.hi_day
+      |ORDER BY o_orderkey, l_orderkey, l_linenumber""".stripMargin
+
+  /** Exact heavy hitters through a count-min sketch + exact rescore
+    * ([[graft.operators.Sketches.heavyHitters]]): parts referenced ≥ 40
+    * times in lineitem, with exact counts. The oracle computes the plain
+    * GROUP BY HAVING — identical output, which is the point: the sketch
+    * changes the PLAN (fixed-size shuffle + candidate semi-join), never
+    * the answer. */
+  def q54HeavyHitters(s: SparkSession, dir: String): DataFrame =
+    Sketches.heavyHitters(
+      t(s, dir, "lineitem").select("l_partkey"), "l_partkey",
+      t(s, dir, "part").select(col("p_partkey").as("l_partkey")),
+      minCount = 40L, depth = 3, width = 65536)
+      .orderBy("l_partkey")
+
+  val q54Sql: String =
+    """SELECT l_partkey, COUNT(*) AS n FROM lineitem
+      |GROUP BY 1 HAVING COUNT(*) >= 40 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ streaming sessionization
+
+  /** Deterministic staging of the session stream: the events tall frame
+    * split into two half-month files plus a flush-sentinel file, delivered
+    * oldest-first one file per micro-batch — so open sessions genuinely
+    * cross batch boundaries and the final flush closes them all. Staged
+    * once per sf dir (cf. Freshen.stageOnce). */
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageSessionSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q53:$dir", {
+      import java.nio.file.{Files, Path, Paths}
+      val split = 1705363200000L   // 2024-01-16T00:00:00Z
+      val flushTs = 1709251200000L // 2024-03-01T00:00:00Z — beyond every event
+      val tall = t(s, dir, "events").select(
+        col("user_id").as("entity_id"),
+        expr("unix_micros(ts) div 1000").as("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("valueCents"),
+        lit(false).as("flush"))
+      val sentinels = tall.select(col("entity_id")).distinct()
+        .select(col("entity_id"), lit(flushTs).as("ts"),
+          lit(0L).as("valueCents"), lit(true).as("flush"))
+      val srcDir = Files.createTempDirectory("graft-sess-src")
+      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-sess-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
+          .find(_.toString.endsWith(".parquet")).get
+        val dst = srcDir.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L // fixed mtimes: file order is part of the contract
+      stagePart(tall.filter(col("ts") < split), "00_first.parquet", t0)
+      stagePart(tall.filter(col("ts") >= split), "01_second.parquet", t0 + 60000)
+      stagePart(sentinels, "02_flush.parquet", t0 + 120000)
+      srcDir.toString
+    })
+
+  /** S26 depth — gap-based session windows (12 h) per user computed by
+    * `flatMapGroupsWithState` with the open session carried in state across
+    * THREE micro-batches (maxFilesPerTrigger=1 over the staged files).
+    * Money sums ride in cents (DECIMAL(18,2) contract); the oracle is the
+    * classic islands SQL. */
+  def q53StreamingSessions(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.Sessionize
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val gap = 43200000L // 12 h
+    val srcDir = stageSessionSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[Sessionize.SessionEvent].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val sessions = Sessionize.sessions(stream.as[Sessionize.SessionEvent], gap)
+    val qn = s"q53_sess_${System.identityHashCode(s)}"
+    sessions.writeStream.outputMode("append").format("memory").queryName(qn)
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+      .start().awaitTermination()
+    s.table(qn)
+      .select(col("entity_id").as("user_id"), col("session_start"), col("session_end"),
+        col("n_events"),
+        (col("sum_cents").cast("decimal(38,0)") / 100).cast("double").as("sum_value"))
+      .orderBy("user_id", "session_start")
+  }
+
+  val q53Sql: String =
+    """WITH c AS (SELECT user_id, epoch_ms(ts) AS t,
+      |                  CAST(value AS DECIMAL(18,2)) AS v FROM events),
+      |d AS (SELECT user_id, t, v,
+      |        CASE WHEN t - lag(t) OVER (PARTITION BY user_id ORDER BY t) > 43200000
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM c),
+      |s AS (SELECT user_id, t, v,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY t
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM d)
+      |SELECT user_id, min(t) AS session_start, max(t) AS session_end,
+      |       COUNT(*) AS n_events, CAST(SUM(v) AS DOUBLE) AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q51_asof_join" -> (q51AsofJoin _),
+    "q52_range_join" -> (q52RangeJoin _),
+    "q53_streaming_sessions" -> (q53StreamingSessions _),
+    "q54_heavy_hitters" -> (q54HeavyHitters _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q51_asof_join" -> q51Sql,
+    "q52_range_join" -> q52Sql,
+    "q53_streaming_sessions" -> q53Sql,
+    "q54_heavy_hitters" -> q54Sql)
+}
