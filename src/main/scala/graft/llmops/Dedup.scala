@@ -168,15 +168,19 @@ object Dedup {
   def tokenDictionary(docs: DataFrame, textCol: String): DataFrame = {
     val vocab = docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
     val nParts = vocab.sparkSession.sessionState.conf.numShufflePartitions
-    // localCheckpoint PINS one materialized range partitioning: both
-    // consumers below (the per-pid ranks and the per-pid counts) must read
-    // the SAME shuffle output — without the pin they'd each re-plan the
-    // range exchange and only Spark's exchange-reuse keeps their sampled
-    // boundaries identical (advice r3: a reuse-rule change would silently
-    // mis-join offsets to ranks and corrupt every dictionary id).
+    // persist() PINS one materialized range partitioning: both consumers
+    // below (the per-pid ranks and the per-pid counts) read the SAME
+    // InMemoryRelation, whose partitions are computed exactly once — so the
+    // ranks and offsets provably come from one set of sampled range
+    // boundaries. Without the pin they'd each re-plan the range exchange
+    // and only Spark's exchange-reuse keeps their sampled boundaries
+    // identical (advice r3: a reuse-rule change would silently mis-join
+    // offsets to ranks and corrupt every dictionary id). Cache released by
+    // the caller's clearCache/unpersist discipline like every other
+    // persisted intermediate in this module.
     val parted = vocab.repartitionByRange(nParts, col("tok"))
       .withColumn("pid", spark_partition_id())
-      .localCheckpoint()
+      .persist()
     val ranked = parted
       .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("tok")).cast("long"))
     // cumulative counts of the ≤ nParts partitions via a triangular join,

@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.TxStore
+
+/** Snapshot-isolated copy-on-write store: upsert correctness, bucket-scoped
+  * rewrites, time travel, immutability, and optimistic-commit conflicts. */
+class TxStoreSpec extends AnyFunSuite with SparkSpec {
+
+  import spark.implicits._
+
+  private def freshPath(): String =
+    Files.createTempDirectory("graft-txstore").resolve("tbl").toString
+
+  private def rows(vs: (Long, String)*) = vs.toSeq.toDF("entity_id", "v")
+
+  test("init + read round-trip; merge upserts with delta-wins semantics") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b", 3L -> "c"), p, "entity_id", nBuckets = 4)
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b", 3L -> "c"))
+    val v = TxStore.merge(spark, p, rows(2L -> "B", 4L -> "d"), "entity_id")
+    assert(v == 1)
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "B", 3L -> "c", 4L -> "d"))
+  }
+
+  test("merge rewrites ONLY touched buckets; untouched buckets stay referenced at v0") {
+    val p = freshPath()
+    // enough keys that with 8 buckets some bucket holds no delta key
+    TxStore.init((1L to 64L).map(i => (i, s"v$i")).toDF("entity_id", "v"),
+      p, "entity_id", nBuckets = 8)
+    TxStore.merge(spark, p, rows(7L -> "X"), "entity_id")
+    val manifest = Files.readAllLines(
+      Paths.get(p, "_manifests", "v000001.manifest"))
+    val dataLines = manifest.subList(1, manifest.size())
+    val v1Lines = dataLines.stream().filter(l => !l.contains("v0/")).count()
+    val v0Lines = dataLines.stream().filter(_.contains("v0/")).count()
+    // exactly the delta key's bucket was rewritten; everything else is
+    // still the v0 files by reference
+    assert(v1Lines >= 1 && v0Lines >= 1, s"v0=$v0Lines v1=$v1Lines")
+    val v1Buckets = dataLines.stream().filter(l => !l.contains("v0/"))
+      .map(_.split("\t")(0)).distinct().count()
+    assert(v1Buckets == 1)
+  }
+
+  test("time travel: historical snapshots stay readable after a merge (COW)") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b"), p, "entity_id", nBuckets = 2)
+    TxStore.merge(spark, p, rows(1L -> "A2"), "entity_id")
+    TxStore.merge(spark, p, rows(2L -> "B3"), "entity_id")
+    assert(TxStore.read(spark, p, Some(0)).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    assert(TxStore.read(spark, p, Some(1)).as[(Long, String)].collect().toSet ==
+      Set(1L -> "A2", 2L -> "b"))
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "A2", 2L -> "B3"))
+  }
+
+  test("concurrent commit of the same version raises, committed state unharmed") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
+    // this writer derived its delta from v0 (CAS pin) — then a concurrent
+    // writer wins the v1 commit before it lands
+    Files.write(Paths.get(p, "_manifests", "v000001.manifest"),
+      Files.readAllBytes(Paths.get(p, "_manifests", "v000000.manifest")))
+    intercept[java.util.ConcurrentModificationException] {
+      TxStore.merge(spark, p, rows(1L -> "loser"), "entity_id",
+        expectedVersion = Some(0))
+    }
+    // the winning v1 (a copy of v0 here) is untouched by the failed merge
+    assert(TxStore.read(spark, p, Some(1)).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a"))
+  }
+
+  test("freshen delta merges transactionally (write-back integration)") {
+    // the engine's scored output is exactly a delta: upsert it
+    val p = freshPath()
+    TxStore.init(rows(1L -> "stale", 2L -> "fresh"), p, "entity_id", nBuckets = 2)
+    val scoredDelta = rows(1L -> "rescored")
+    TxStore.merge(spark, p, scoredDelta, "entity_id")
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "rescored", 2L -> "fresh"))
+  }
+}
