@@ -295,6 +295,29 @@ final class FreshReader(
       .partitionBy(partitionBy: _*)
       .parquet(outPath)
   }
+
+  /** Transactional delta write-back — [[writeBackDelta]] upgraded from
+    * dynamic partition overwrite to a [[graft.sources.TxStore]] MERGE with
+    * snapshot isolation: ONLY the freshened entities' rows go into the
+    * upsert, only their buckets are rewritten, readers see the previous
+    * snapshot until the commit lands atomically, and a concurrent commit
+    * raises instead of silently interleaving (CAS on the snapshot version
+    * the delta was computed against). `txPath` must hold an initialized
+    * TxStore keyed by `entity_id` with this view's schema. Returns the
+    * committed snapshot version (the pre-merge version when nothing was
+    * stale). */
+  def writeBackTx(request: DataRequest, txPath: String): Int = {
+    import graft.sources.TxStore
+    val base = TxStore.currentVersion(txPath)
+    val capsules = capsulesFor(request)
+    if (capsules.isEmpty) return base
+    val (freshened, outcomes) = freshenWithOutcomes(view, capsules)
+    val scoredKeys = outcomes.map(_.scored.select(col(EntityView.EntityId)))
+      .reduce(_ unionByName _).distinct()
+    val delta = freshened.join(broadcast(scoredKeys), Seq(EntityView.EntityId), "left_semi")
+    TxStore.merge(view.sparkSession, txPath, delta, EntityView.EntityId,
+      expectedVersion = Some(base))
+  }
 }
 
 object FreshReader {

@@ -206,6 +206,33 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
     assert(visitsOf(spark.read.parquet(out)) == Map("foo" -> 11L, "bar" -> 100L))
   }
 
+  test("writeBackTx merges the freshened delta transactionally (snapshot per run)") {
+    import graft.sources.TxStore
+    val user = Fixtures.userCounter(spark)
+    val req = DataRequest(Seq(ColumnName("info:visits")))
+    val p = java.nio.file.Files.createTempDirectory("graft-tx").toString + "/user"
+    TxStore.init(user, p, "entity_id", nBuckets = 4) // bootstrap = v0
+    // NewerThan(3): foo (visits ts=1) stale, bar (ts=5) fresh
+    val m = managerFor("user" -> user)
+    m.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new NewerThan(3L))
+    val v = FreshReader.builder(m).withTable("user", user).withAsOf(1000L).build()
+      .writeBackTx(req, p)
+    assert(v == 1)
+    // current snapshot carries the score; v0 still reads pre-freshen (COW)
+    assert(visitsOf(TxStore.read(spark, p)) == Map("foo" -> 11L, "bar" -> 100L))
+    assert(visitsOf(TxStore.read(spark, p, Some(0))) == Map("foo" -> 10L, "bar" -> 100L))
+    // nothing stale at the same clock over the merged view → no new snapshot
+    val merged = TxStore.read(spark, p)
+    val m2 = managerFor("user" -> merged)
+    m2.storePolicy("user", ColumnName("info:visits"),
+      classOf[VisitsIncrement].getName, new NewerThan(3L))
+    val v2 = FreshReader.builder(m2).withTable("user", merged).withAsOf(1000L).build()
+      .writeBackTx(req, p)
+    assert(v2 == 1, "no stale rows → no commit")
+    assert(TxStore.currentVersion(p) == 1)
+  }
+
   test("R23: a policy's own data request gates freshness by ITS column, not the attachment") {
     val user = Fixtures.userCounter(spark)
     val m = managerFor("user" -> user)

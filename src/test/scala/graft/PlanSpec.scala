@@ -39,4 +39,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("array_dot"), "cosine should use the native fused expression")
     assert(!p.contains("PosExplode"), "dot products must not explode to element rows")
   }
+
+  test("q51: as-of join is one keyed sort — no inequality join anywhere") {
+    val p = plan("q51_asof_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "as-of must never fall back to a nested-loop/cartesian range join")
+    assert(p.contains("Window"), "the union+window shape carries the match")
+  }
+
+  test("q52: range join is a bucket equi-join — no cartesian/nested loop") {
+    val p = plan("q52_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "range join must be the bucket equi-join, not a cross product")
+  }
+
+  test("q54: exact rescore probes candidates via a semi join") {
+    val p = plan("q54_heavy_hitters")
+    assert(p.contains("LeftSemi"), "facts must semi-join the CMS candidate set")
+  }
 }
