@@ -135,8 +135,11 @@ object Extended {
       def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
         val tmp = Files.createTempDirectory("graft-sess-part")
         df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = Files.list(tmp).toArray.map(_.asInstanceOf[Path])
-          .find(_.toString.endsWith(".parquet")).get
+        val listing = Files.list(tmp)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
         val dst = srcDir.resolve(name)
         Files.move(part, dst)
         Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))

@@ -48,31 +48,46 @@ object TxStore {
   private def manifestPath(path: String, v: Int): Path =
     manifestDir(path).resolve(f"v$v%06d.manifest")
 
-  /** Highest committed snapshot version, or -1 if none. */
+  /** List a directory, closing the stream (Files.list holds a directory fd
+    * open until closed — leaked fds accumulate over long driver sessions). */
+  private def listDir(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq finally s.close()
+  }
+
+  private val ManifestName = """v(\d+)\.manifest""".r
+
+  /** Highest committed snapshot version, or -1 if none. Parses any digit
+    * width — manifestPath's %06d zero-pads but GROWS past v999999, so a
+    * fixed-width match would wedge the store there. */
   def currentVersion(path: String): Int = {
     val dir = manifestDir(path)
     if (!Files.isDirectory(dir)) -1
-    else Files.list(dir).iterator().asScala
+    else listDir(dir)
       .map(_.getFileName.toString)
-      .collect { case s if s.matches("v\\d{6}\\.manifest") => s.substring(1, 7).toInt }
+      .collect { case ManifestName(v) => v.toInt }
       .foldLeft(-1)(math.max)
   }
 
-  /** Manifest of `v`: header nBuckets, then (bucket, version-dir-relative
-    * file) entries. */
-  private def readManifest(path: String, v: Int): (Int, Seq[(Int, String)]) = {
+  /** Manifest of `v`: header nBuckets + table schema (JSON), then (bucket,
+    * version-dir-relative file) entries. The schema header makes an
+    * entry-less snapshot (init on an empty frame) readable — parquet dirs
+    * with zero rows leave nothing to infer from. */
+  private def readManifest(path: String, v: Int): (Int, String, Seq[(Int, String)]) = {
     val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
     val n = lines.head.stripPrefix("nbuckets=").toInt
-    (n, lines.tail.map { l =>
+    val schema = lines(1).stripPrefix("schema=")
+    (n, schema, lines.drop(2).map { l =>
       val Array(b, f) = l.split("\t", 2); (b.toInt, f)
     })
   }
 
-  private def commitManifest(path: String, v: Int, nBuckets: Int,
+  private def commitManifest(path: String, v: Int, nBuckets: Int, schemaJson: String,
       entries: Seq[(Int, String)]): Unit = {
     Files.createDirectories(manifestDir(path))
     val tmp = Files.createTempFile(manifestDir(path), s"staged-v$v-", ".tmp")
-    val body = (s"nbuckets=$nBuckets" +: entries.map { case (b, f) => s"$b\t$f" })
+    val body = (s"nbuckets=$nBuckets" +: s"schema=$schemaJson" +:
+      entries.map { case (b, f) => s"$b\t$f" })
       .mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"))
     // put-if-absent: a POSIX rename REPLACES an existing target, so the
@@ -89,14 +104,14 @@ object TxStore {
   /** Scan a staged data dir and return its (bucket, relative file) entries. */
   private def listVersionFiles(path: String, dirName: String): Seq[(Int, String)] = {
     val vdir = Paths.get(path, "data", dirName)
-    Files.list(vdir).iterator().asScala
+    listDir(vdir)
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
       .flatMap { bdir =>
         val b = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
-        Files.list(bdir).iterator().asScala
+        listDir(bdir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
           .map(f => (b, s"$dirName/__bucket=$b/${f.getFileName}"))
-      }.toSeq
+      }
   }
 
   private def writeVersionData(df: DataFrame, path: String, dirName: String): Unit =
@@ -107,16 +122,23 @@ object TxStore {
   def init(df: DataFrame, path: String, key: String, nBuckets: Int): Unit = {
     require(currentVersion(path) == -1, s"$path already holds a TxStore")
     writeVersionData(df.withColumn("__bucket", bucketOf(col(key), nBuckets)), path, "v0")
-    commitManifest(path, 0, nBuckets, listVersionFiles(path, "v0"))
+    commitManifest(path, 0, nBuckets, df.schema.json, listVersionFiles(path, "v0"))
   }
 
   /** Read a snapshot (default: current). Files are grouped by their version
     * dir so the partition column recovers from the directory layout; a
-    * compacted table reads as a handful of groups. */
+    * compacted table reads as a handful of groups. An entry-less snapshot
+    * (empty init, or a merge that emptied every bucket) reads as an empty
+    * frame with the manifest's stored schema. */
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path")
-    val (_, entries) = readManifest(path, v)
+    val (_, schemaJson, entries) = readManifest(path, v)
+    if (entries.isEmpty) {
+      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val byVdir = entries.groupBy(_._2.split("/", 2)(0))
     byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
       spark.read
@@ -139,7 +161,7 @@ object TxStore {
       expectedVersion: Option[Int] = None): Int = {
     val v = expectedVersion.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path — init first")
-    val (nBuckets, entries) = readManifest(path, v)
+    val (nBuckets, schemaJson, entries) = readManifest(path, v)
     val d = delta.withColumn("__bucket", bucketOf(col(key), nBuckets))
       .localCheckpoint() // one materialization: bucket list + join input
     val touched = d.select("__bucket").distinct()
@@ -166,7 +188,71 @@ object TxStore {
     // stage without colliding; only the manifest rename decides the winner
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     writeVersionData(merged, path, dirName)
-    commitManifest(path, nv, nBuckets, listVersionFiles(path, dirName) ++ untouchedEntries)
+    try commitManifest(path, nv, nBuckets, schemaJson,
+      listVersionFiles(path, dirName) ++ untouchedEntries)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        // the staged data dir lost the CAS race and no manifest references
+        // it — delete it here so a retry loop doesn't accumulate a full
+        // copy of the touched buckets per attempt (vacuum() is the backstop
+        // for crashes between stage and this cleanup)
+        deleteRecursively(Paths.get(path, "data", dirName))
+        throw e
+    }
+    nv
+  }
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
+    Files.deleteIfExists(p)
+  }
+
+  /** Garbage-collect data dirs referenced by NO manifest (staging dirs
+    * orphaned by a crashed or CAS-defeated writer). Keeps every dir any
+    * committed snapshot references, so time travel is unaffected; safe to
+    * run concurrently with readers of committed snapshots. Returns the
+    * deleted dir names. */
+  def vacuum(path: String): Seq[String] = {
+    val dataDir = Paths.get(path, "data")
+    if (!Files.isDirectory(dataDir)) return Seq.empty
+    val referenced = (0 to currentVersion(path)).flatMap { v =>
+      if (Files.exists(manifestPath(path, v)))
+        readManifest(path, v)._3.map(_._2.split("/", 2)(0))
+      else Seq.empty
+    }.toSet
+    val orphans = listDir(dataDir)
+      .filter(d => Files.isDirectory(d) && !referenced(d.getFileName.toString))
+    orphans.foreach(deleteRecursively)
+    orphans.map(_.getFileName.toString)
+  }
+
+  /** Compact a snapshot: rewrite the CURRENT version's full contents as one
+    * fresh data dir and commit it as the next version. Collapses a long
+    * merge history (many small files across many version dirs) into one
+    * dir of right-sized files; older snapshots stay readable until their
+    * dirs are dropped (a retention-window `vacuum` variant would do that —
+    * here history is kept, matching the time-travel contract). */
+  def compact(spark: SparkSession, path: String): Int = {
+    val v = currentVersion(path)
+    require(v >= 0, s"no committed snapshot at $path")
+    val (nBuckets, schemaJson, entries) = readManifest(path, v)
+    val nv = v + 1
+    if (entries.isEmpty) { commitManifest(path, nv, nBuckets, schemaJson, Seq.empty); return nv }
+    val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
+    // each row's bucket comes from the ORIGINAL files' partition column, so
+    // compaction never needs to know the key column
+    val byVdir = entries.groupBy(_._2.split("/", 2)(0))
+    val withBucket = byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
+      spark.read
+        .option("basePath", Paths.get(path, "data", vdir).toString)
+        .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
+    }.reduce(_ unionByName _)
+    writeVersionData(withBucket.repartition(col("__bucket")), path, dirName)
+    try commitManifest(path, nv, nBuckets, schemaJson, listVersionFiles(path, dirName))
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursively(Paths.get(path, "data", dirName)); throw e
+    }
     nv
   }
 }

@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -37,7 +38,8 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     TxStore.merge(spark, p, rows(7L -> "X"), "entity_id")
     val manifest = Files.readAllLines(
       Paths.get(p, "_manifests", "v000001.manifest"))
-    val dataLines = manifest.subList(1, manifest.size())
+    // header: nbuckets= line + schema= line, then file entries
+    val dataLines = manifest.subList(2, manifest.size())
     val v1Lines = dataLines.stream().filter(l => !l.contains("v0/")).count()
     val v0Lines = dataLines.stream().filter(_.contains("v0/")).count()
     // exactly the delta key's bucket was rewritten; everything else is
@@ -75,6 +77,66 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     // the winning v1 (a copy of v0 here) is untouched by the failed merge
     assert(TxStore.read(spark, p, Some(1)).as[(Long, String)].collect().toSet ==
       Set(1L -> "a"))
+    // the loser's staged data dir was cleaned up on the CAS failure — only
+    // the v0 dir (the one the manifests reference) remains
+    val listing = Files.list(Paths.get(p, "data"))
+    val dirs = try listing.iterator().asScala.map(_.getFileName.toString).toSet
+      finally listing.close()
+    assert(dirs == Set("v0"), s"orphaned staging dirs: ${dirs - "v0"}")
+  }
+
+  test("init on an empty frame commits an entry-less snapshot that reads back empty") {
+    val p = freshPath()
+    TxStore.init(rows().limit(0), p, "entity_id", nBuckets = 4)
+    val back = TxStore.read(spark, p)
+    assert(back.count() == 0)
+    assert(back.schema.fieldNames.toSeq == Seq("entity_id", "v"))
+    // and a merge into the empty store works (all buckets are fresh)
+    TxStore.merge(spark, p, rows(1L -> "a"), "entity_id")
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet == Set(1L -> "a"))
+  }
+
+  test("currentVersion parses manifests past the 6-digit zero-pad width") {
+    val p = freshPath()
+    val mdir = Paths.get(p, "_manifests")
+    Files.createDirectories(mdir)
+    Files.write(mdir.resolve("v000003.manifest"), "nbuckets=2\nschema={}".getBytes)
+    Files.write(mdir.resolve("v1000000.manifest"), "nbuckets=2\nschema={}".getBytes)
+    assert(TxStore.currentVersion(p) == 1000000)
+  }
+
+  test("vacuum removes dirs no manifest references, keeps every referenced dir") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b"), p, "entity_id", nBuckets = 2)
+    TxStore.merge(spark, p, rows(1L -> "A2"), "entity_id")
+    // simulate a crashed writer: staged dir, no manifest
+    Files.createDirectories(Paths.get(p, "data", "v2-deadbeef", "__bucket=0"))
+    val deleted = TxStore.vacuum(p)
+    assert(deleted == Seq("v2-deadbeef"))
+    // both committed snapshots still read (time travel intact)
+    assert(TxStore.read(spark, p, Some(0)).count() == 2)
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "A2", 2L -> "b"))
+  }
+
+  test("compact collapses merge history into one data dir; history stays readable") {
+    val p = freshPath()
+    TxStore.init((1L to 16L).map(i => (i, s"v$i")).toDF("entity_id", "v"),
+      p, "entity_id", nBuckets = 4)
+    TxStore.merge(spark, p, rows(3L -> "X"), "entity_id")
+    TxStore.merge(spark, p, rows(9L -> "Y"), "entity_id")
+    val cv = TxStore.compact(spark, p)
+    assert(cv == 3)
+    val expect = ((1L to 16L).map(i => (i, s"v$i")).toMap ++ Map(3L -> "X", 9L -> "Y")).toSet
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet == expect)
+    // compacted manifest references exactly one version dir
+    val manifest = Files.readAllLines(Paths.get(p, "_manifests", "v000003.manifest"))
+    val vdirs = manifest.subList(2, manifest.size()).asScala
+      .map(_.split("\t", 2)(1).split("/", 2)(0)).toSet
+    assert(vdirs.size == 1)
+    // pre-compaction snapshot still time-travels
+    assert(TxStore.read(spark, p, Some(1)).as[(Long, String)].collect()
+      .toMap.apply(3L) == "X")
   }
 
   test("freshen delta merges transactionally (write-back integration)") {
