@@ -1,0 +1,181 @@
+package graft.llmops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import TextOps._
+
+/** Corpus-curation operators a training-data pipeline runs between raw
+  * crawl and tokenizer: term weighting (TF-IDF, BM25), repetition/quality
+  * gating (Gopher-style rules), deterministic stratified sampling, document
+  * packing into fixed-length training sequences, and benchmark
+  * decontamination.
+  *
+  * Scale design:
+  *   - Every operator is per-document or per-(document, term) aggregation —
+  *     shuffles key on doc id or term, never on document text.
+  *   - Corpus-level scalars (doc count, total length) ride a broadcast
+  *     1-row frame into the plan: no driver-side `count()` action, so each
+  *     operator stays a single lazily-planned DataFrame.
+  *   - All windows are partitioned (by stratum / shard / doc) — no global
+  *     single-partition window anywhere.
+  *   - Decontamination broadcasts the held-out set's n-gram index (eval
+  *     suites are tiny next to a crawl) so the probe is a map-side
+  *     broadcast join against 100 TB of corpus grams.
+  *   - Cross-engine determinism: ratios are single IEEE divisions of exact
+  *     integers (correctly rounded, bit-equal on any engine); the one
+  *     transcendental (ln in IDF) is quantized to 1e-6 before it reaches a
+  *     hash gate or a rank order, and per-term contributions are summed as
+  *     QUANTIZED integers so addition order cannot change the result.
+  */
+object Corpus {
+
+  /** Tall per-document term frequencies: (id, w, tf). */
+  private def termFreqs(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("tf"))
+
+  /** 1-row broadcast frame with the corpus doc count (plan-level scalar). */
+  private def corpusN(docs: DataFrame, idCol: String): DataFrame =
+    broadcast(docs.agg(count(col(idCol)).as("n_docs")))
+
+  /** Top-k TF-IDF terms per document: tf · (ln((N+1)/(df+1)) + 1),
+    * quantized ×1e6 to a BIGINT (`tfidf_q`) — the rank order and the hash
+    * gate both use the quantized value, so a last-ulp `ln` difference
+    * between engines cannot reorder ties. Returns (id, rank, w, tf, df,
+    * tfidf_q). */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df_, "w")
+      .crossJoin(corpusN(docs, idCol))
+      .withColumn("tfidf_q",
+        floor(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0) *
+          1000000.0 + 0.5).cast("long"))
+    scored
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("id").orderBy(col("tfidf_q").desc, col("w"))))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "w", "tf", "df", "tfidf_q")
+  }
+
+  /** BM25 (Robertson/Sparck Jones) relevance of every document against a
+    * fixed bag of query terms. Per-term contributions quantize ×1e6 to
+    * BIGINT before the final sum, so the score is an integer sum —
+    * addition-order independent and engine-exact. Docs matching no term are
+    * absent. Returns (id, n_terms_hit, score_q). */
+  def bm25(docs: DataFrame, idCol: String, textCol: String, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    // corpus scalars (N, avgdl) in ONE broadcast row — avgdl as the exact
+    // division of two integer aggregates
+    val stats = broadcast(
+      tf.agg(count_distinct(col("id")).as("n_docs"), sum("tf").as("total_len")))
+    val qtf = tf.filter(col("w").isin(terms: _*)) // term filter FIRST: tiny frame
+    val df_ = qtf.groupBy("w").agg(count(lit(1)).as("df"))
+    // literal arithmetic stays inside the expression (lit(k1) + 1.0, not the
+    // pre-folded Scala constant) so the oracle SQL can spell the SAME ieee
+    // operation sequence and produce bit-equal doubles
+    qtf.join(df_, "w").join(dl, "id").crossJoin(stats)
+      .withColumn("avgdl", col("total_len").cast("double") / col("n_docs").cast("double"))
+      .withColumn("idf",
+        log(lit(1.0) + (col("n_docs").cast("double") - col("df") + 0.5) / (col("df") + 0.5)))
+      .withColumn("contrib_q",
+        floor(col("idf") * (col("tf") * (lit(k1) + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("dl").cast("double") / col("avgdl"))) *
+          1000000.0 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms_hit"), sum("contrib_q").as("score_q"))
+  }
+
+  /** Gopher-style repetition/quality gate. Per document:
+    *   - n_words, mean word length (alnum chars / words),
+    *   - top_word_char_frac: the largest share of the doc's token characters
+    *     held by ONE repeated word (a max aggregate — no argmax ties),
+    *   - n_stop_distinct: distinct hits in a tiny function-word lexicon.
+    * `pass` = word count in [minWords, maxWords] ∧ mean word length in
+    * [3, 10] ∧ top_word_char_frac ≤ maxTopWordCharFrac ∧ ≥ 2 distinct stop
+    * words. All ratios are single divisions of exact integers. */
+  def qualityRules(docs: DataFrame, idCol: String, textCol: String,
+      minWords: Int = 30, maxWords: Int = 100000,
+      maxTopWordCharFrac: Double = 0.14): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and")
+    val perWord = termFreqs(docs, idCol, textCol)
+      .withColumn("chars", col("tf") * length(col("w")))
+    perWord.groupBy("id").agg(
+        sum("tf").as("n_words"),
+        sum("chars").as("n_token_chars"),
+        max("chars").as("top_word_chars"),
+        count_distinct(when(col("w").isin(stop: _*), col("w"))).as("n_stop_distinct"))
+      .withColumn("mean_word_len",
+        col("n_token_chars").cast("double") / col("n_words").cast("double"))
+      .withColumn("top_word_char_frac",
+        col("top_word_chars").cast("double") / col("n_token_chars").cast("double"))
+      .withColumn("pass",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("top_word_char_frac") <= maxTopWordCharFrac &&
+          col("n_stop_distinct") >= 2)
+      .select("id", "n_words", "mean_word_len", "top_word_char_frac",
+        "n_stop_distinct", "pass")
+  }
+
+  /** Deterministic stratified sampling: within each stratum, rank documents
+    * by a multiplicative integer hash of their id and keep the first
+    * ⌈rate · stratum size⌉ — an EXACT per-stratum fraction (hash-mod
+    * sampling only hits the rate in expectation), reproducible across
+    * engines and runs. The rank window partitions by stratum — at 100 TB
+    * each stratum sorts independently; no global order. `rate` is a
+    * percentage (integer, 1..100) so the quota ⌈cnt·rate/100⌉ stays in
+    * integer arithmetic. Returns kept rows (stratum, id, smp_rank). */
+  def sampleStratified(docs: DataFrame, idCol: String, strataCol: String,
+      ratePct: Int): DataFrame = {
+    val h = pmod(col(idCol).cast("long") * 2654435761L + 40503L, lit(P)).as("h")
+    // both windows share one partitioning (one shuffle, one WindowExec)
+    docs.select(col(strataCol).as("stratum"), col(idCol).as("id"), h)
+      .withColumn("smp_rank",
+        row_number().over(Window.partitionBy("stratum").orderBy("h", "id")))
+      .withColumn("cnt", count(lit(1)).over(Window.partitionBy("stratum")))
+      // smp_rank ≤ ⌈cnt·rate/100⌉, kept in integer arithmetic
+      .filter(col("smp_rank") * 100 <= col("cnt") * ratePct + 99)
+      .select("stratum", "id", "smp_rank")
+  }
+
+  /** Document packing: concatenate each shard's documents (in id order) and
+    * chunk the token stream into fixed-length training sequences. Emits the
+    * placement of every document: (id, shard, seq_id, offset, n_tokens)
+    * where seq_id/offset locate the document's first token. One exclusive
+    * prefix-sum window per shard — shards pack independently, so
+    * parallelism is the shard count and a 100 TB corpus packs with
+    * thousands of shards and zero cross-shard coordination. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      seqLen: Int, nShards: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    docs.select(col(idCol).as("id"),
+        pmod(col(idCol).cast("long"), lit(nShards.toLong)).as("shard"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("excl", coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("id"), col("shard"),
+        expr(s"excl div $seqLen").as("seq_id"),
+        pmod(col("excl"), lit(seqLen.toLong)).as("offset"),
+        col("n_tokens"))
+  }
+
+  /** Benchmark decontamination: flag corpus documents sharing any token
+    * n-gram with a held-out evaluation set. The eval side's distinct grams
+    * are BROADCAST (an eval suite is KBs–MBs against a 100 TB corpus), so
+    * the probe is a map-side join on the corpus gram stream. Returns
+    * (id, n_shared_grams) for contaminated documents only. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    val corpusGrams = Dedup.shingleIndex(corpus, idCol, textCol, n)
+    val evalGrams = Dedup.shingleIndex(eval, idCol, textCol, n)
+      .select("s").distinct()
+    corpusGrams.join(broadcast(evalGrams), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_shared_grams"))
+  }
+}

@@ -1,0 +1,161 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.llmops.Corpus
+import graft.sources.Tables
+
+/** Corpus-curation surface (graft.llmops.Corpus) as declared,
+  * DuckDB-oracle-checkable queries: term weighting, quality gating,
+  * stratified sampling, sequence packing, decontamination.
+  *
+  * Determinism: ratios are single IEEE divisions of exact integers; the one
+  * transcendental (ln) is quantized ×1e6 to BIGINT before any hash gate or
+  * rank order, and the oracle SQL spells the identical operation sequence
+  * (same literals, same associativity) so both engines round identically at
+  * every step. Integer-typed DuckDB aggregates cast to BIGINT (HUGEINT
+  * otherwise leaks into the driver compare).
+  */
+object Pipeline {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "documents")
+
+  /** Shared DuckDB CTE: tall per-document term frequencies. */
+  private val DuckTf: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |tf AS (SELECT doc_id AS id, w, count(*) AS tf FROM tok GROUP BY 1, 2)""".stripMargin
+
+  /** North star/text analysis — top-3 TF-IDF terms per document (quantized
+    * score; rank and gate both use the quantized value). */
+  def q55Tfidf(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfTopK(docs(s, dir), "doc_id", "text", k = 3)
+      .orderBy("id", "rank")
+
+  val q55Sql: String = DuckTf +
+    """,
+      |df AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(doc_id) AS n_docs FROM documents),
+      |sc AS (SELECT id, w, tf, df,
+      |         CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000.0 + 0.5) AS BIGINT) AS tfidf_q
+      |       FROM tf JOIN df USING (w) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY tfidf_q DESC, w) AS "rank" FROM sc)
+      |SELECT id, "rank", w, tf, df, tfidf_q FROM r WHERE "rank" <= 3 ORDER BY id, "rank"""".stripMargin
+
+  /** North star — Gopher-style repetition/quality gate (word-count bounds,
+    * mean word length, top-word character share, function-word floor). */
+  def q56QualityRules(s: SparkSession, dir: String): DataFrame =
+    Corpus.qualityRules(docs(s, dir), "doc_id", "text")
+      .orderBy("id")
+
+  val q56Sql: String = DuckTf +
+    """,
+      |pw AS (SELECT id, w, tf, tf * length(w) AS chars FROM tf),
+      |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_words,
+      |        CAST(sum(chars) AS BIGINT) AS n_token_chars,
+      |        CAST(max(chars) AS BIGINT) AS top_word_chars,
+      |        count(DISTINCT CASE WHEN w IN ('the','a','of','to','and') THEN w END) AS n_stop_distinct
+      |      FROM pw GROUP BY 1)
+      |SELECT id, n_words,
+      |  CAST(n_token_chars AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_word_len,
+      |  CAST(top_word_chars AS DOUBLE) / CAST(n_token_chars AS DOUBLE) AS top_word_char_frac,
+      |  n_stop_distinct,
+      |  (n_words BETWEEN 30 AND 100000)
+      |    AND (CAST(n_token_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0)
+      |    AND (CAST(top_word_chars AS DOUBLE) / CAST(n_token_chars AS DOUBLE) <= 0.14)
+      |    AND (n_stop_distinct >= 2) AS pass
+      |FROM a ORDER BY id""".stripMargin
+
+  /** North star — deterministic 10% stratified sample by language: exact
+    * per-stratum quota ⌈cnt/10⌉ via hash-ranked row_number. */
+  def q57StratifiedSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleStratified(docs(s, dir), "doc_id", "lang", ratePct = 10)
+      .orderBy("stratum", "id")
+
+  val q57Sql: String =
+    """WITH s AS (SELECT lang AS stratum, doc_id AS id,
+      |             (doc_id * 2654435761 + 40503) % 2147483647 AS h FROM documents),
+      |r AS (SELECT stratum, id,
+      |        row_number() OVER (PARTITION BY stratum ORDER BY h, id) AS smp_rank,
+      |        count(*) OVER (PARTITION BY stratum) AS cnt
+      |      FROM s)
+      |SELECT stratum, id, smp_rank FROM r WHERE smp_rank * 100 <= cnt * 10 + 99
+      |ORDER BY stratum, id""".stripMargin
+
+  /** North star — document packing: concat-then-chunk placement of every
+    * document into 512-token training sequences across 8 shards. */
+  def q58PackSequences(s: SparkSession, dir: String): DataFrame =
+    Corpus.packSequences(docs(s, dir), "doc_id", "text", seqLen = 512, nShards = 8)
+      .orderBy("id")
+
+  val q58Sql: String =
+    """WITH d AS (SELECT doc_id AS id, doc_id % 8 AS shard,
+      |             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |           FROM documents),
+      |c AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+      |      FROM d)
+      |SELECT id, shard, excl // 512 AS seq_id, excl % 512 AS "offset", n_tokens
+      |FROM c ORDER BY id""".stripMargin
+
+  /** North star — BM25 relevance (k1=1.2, b=0.75) of every document against
+    * the query bag {join, window, scan}; integer-summed quantized
+    * contributions. */
+  def q59Bm25(s: SparkSession, dir: String): DataFrame =
+    Corpus.bm25(docs(s, dir), "doc_id", "text", Seq("join", "window", "scan"))
+      .orderBy("id")
+
+  val q59Sql: String = DuckTf +
+    """,
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(DISTINCT id) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_len FROM tf),
+      |qtf AS (SELECT * FROM tf WHERE w IN ('join', 'window', 'scan')),
+      |df AS (SELECT w, count(*) AS df FROM qtf GROUP BY 1),
+      |c AS (SELECT id, CAST(floor(
+      |        ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |          * (tf * (1.2 + 1.0))
+      |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+      |               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      |      FROM qtf JOIN df USING (w) JOIN dl USING (id) CROSS JOIN st)
+      |SELECT id, count(*) AS n_terms_hit, CAST(sum(contrib_q) AS BIGINT) AS score_q
+      |FROM c GROUP BY 1 ORDER BY id""".stripMargin
+
+  /** North star — benchmark decontamination: corpus documents (doc_id % 10
+    * ≠ 0) sharing any token 8-gram with the held-out set (doc_id % 10 = 0);
+    * the eval gram index broadcasts. */
+  def q60Decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.decontaminate(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", n = 8)
+      .orderBy("id")
+  }
+
+  val q60Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 8
+      |        THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+      |        ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |ev AS (SELECT DISTINCT s FROM g WHERE id % 10 = 0)
+      |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
+      |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q55_tfidf" -> (q55Tfidf _),
+    "q56_quality_rules" -> (q56QualityRules _),
+    "q57_stratified_sample" -> (q57StratifiedSample _),
+    "q58_pack_sequences" -> (q58PackSequences _),
+    "q59_bm25" -> (q59Bm25 _),
+    "q60_decontaminate" -> (q60Decontaminate _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q55_tfidf" -> q55Sql,
+    "q56_quality_rules" -> q56Sql,
+    "q57_stratified_sample" -> q57Sql,
+    "q58_pack_sequences" -> q58Sql,
+    "q59_bm25" -> q59Sql,
+    "q60_decontaminate" -> q60Sql)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.Corpus
+
+class CorpusSpec extends AnyFunSuite with SparkSpec {
+
+  private def docsDF(rows: (Long, String)*): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("tfidfTopK ranks a doc-specific term above corpus-wide terms") {
+    // "zebra" appears only in doc 1; "common" is in every doc
+    val d = docsDF(
+      1L -> "common zebra zebra common",
+      2L -> "common words here common",
+      3L -> "common other stuff common")
+    val top = Corpus.tfidfTopK(d, "doc_id", "text", k = 1)
+      .filter(col("id") === 1L).collect()
+    assert(top.length == 1)
+    assert(top(0).getAs[String]("w") == "zebra")
+    // tf=2, df=1, N=3: quantized tfidf must be positive and exact-integer
+    assert(top(0).getAs[Long]("tfidf_q") ==
+      math.floor(2.0 * (math.log(4.0 / 2.0) + 1.0) * 1e6 + 0.5).toLong)
+  }
+
+  test("bm25: a doc hitting more query terms (same length) outranks fewer hits") {
+    val d = docsDF(
+      1L -> "join window scan pad pad pad",
+      2L -> "join pad pad pad pad pad",
+      3L -> "nothing relevant at all here now")
+    val out = Corpus.bm25(d, "doc_id", "text", Seq("join", "window", "scan"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(!out.contains(3L)) // no hits -> absent
+    assert(out(1L)._1 == 3 && out(2L)._1 == 1)
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("qualityRules: repetition and word-count gates fire; clean doc passes") {
+    val longClean = (1 to 40).map(i => s"word$i").mkString(" ") + " the of to and a"
+    val repetitive = ("spam " * 45).trim // one word holds ~all characters
+    val tiny = "the of and"
+    val d = docsDF(1L -> longClean, 2L -> repetitive, 3L -> tiny)
+    val byId = Corpus.qualityRules(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getAs[Boolean]("pass"))
+    assert(!byId(2L).getAs[Boolean]("pass")) // top_word_char_frac = 1.0
+    assert(byId(2L).getAs[Double]("top_word_char_frac") == 1.0)
+    assert(!byId(3L).getAs[Boolean]("pass")) // 3 words < minWords
+  }
+
+  test("sampleStratified keeps EXACTLY ceil(rate*n) per stratum, deterministically") {
+    import spark.implicits._
+    val d = (1L to 95L).map(i => (i, if (i % 3 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val kept = Corpus.sampleStratified(d, "doc_id", "lang", ratePct = 10)
+    val byStratum = kept.groupBy("stratum").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // strata sizes: a=31, b=64 -> quotas ceil(3.1)=4, ceil(6.4)=7
+    assert(byStratum == Map("a" -> 4L, "b" -> 7L))
+    // rerun is bit-identical (hash ranking, no RNG)
+    val again = Corpus.sampleStratified(d, "doc_id", "lang", ratePct = 10)
+    assert(kept.orderBy("stratum", "id").collect().toSeq ==
+      again.orderBy("stratum", "id").collect().toSeq)
+  }
+
+  test("packSequences: offsets chain exactly; chunk boundaries split mid-document") {
+    // one shard (nShards=1): docs of 300+300+300 tokens into 512-token seqs
+    val txt = (1 to 300).map(_ => "tok").mkString(" ")
+    val d = docsDF(1L -> txt, 2L -> txt, 3L -> txt)
+    val placed = Corpus.packSequences(d, "doc_id", "text", seqLen = 512, nShards = 1)
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))) // id, seq_id, offset
+    assert(placed.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 300L), (3L, 1L, 88L)))
+  }
+
+  test("decontaminate flags only docs sharing a full n-gram with the eval set") {
+    val run = "one two three four five six seven eight"
+    val corpus = docsDF(
+      1L -> (run + " trailing words here"),   // shares the full 8-gram
+      2L -> "one two three four nine ten eleven twelve unrelated") // only a 4-run
+    val eval = docsDF(100L -> (run + " and an eval tail"))
+    val hits = Corpus.decontaminate(corpus, eval, "doc_id", "text", n = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(hits.toSeq == Seq((1L, 1L)))
+  }
+}
