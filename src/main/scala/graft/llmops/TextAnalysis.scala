@@ -133,4 +133,51 @@ object TextAnalysis {
       .select(col("id"), col("fp"))
       .distinct()
   }
+
+  /** Gopher-style repetition metrics: the fraction of a document's n-gram
+    * characters that sit inside DUPLICATED n-grams (all occurrences of any
+    * gram appearing more than once) — the "duplicate n-gram character
+    * fraction" filters used to drop boilerplate/template pages from crawl
+    * corpora (Rae et al. 2021, Gopher §A1.1).
+    *
+    * Per document and gram size n: every positional token n-gram (order
+    * preserved, duplicates counted), gram char length = Σ token lengths
+    * = length(joined) − (n − 1). dup_chars_n = Σ over grams with
+    * occurrence count > 1 of count·len; total_chars_n = Σ over all grams
+    * of count·len; dup_frac_q = (dup_chars·10^6) div total_chars —
+    * integer-quantized, engine-exact. Documents shorter than n tokens get
+    * zero totals (frac 0).
+    *
+    * Plan: one window-lead pass builds grams (same shape as
+    * [[graft.llmops.Dedup.shingleIndex]] minus the distinct), one
+    * aggregation per (id, gram), one per id — all shuffles key on doc id.
+    * Returns (id, dup_chars, total_chars, dup_frac_q) for one n. */
+  def repetitionMetrics(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1)
+    val pt = positionedTokens(docs, idCol, textCol)
+    val grams =
+      if (n == 1) pt.select(col("id"), col("tok").as("g"))
+      else {
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("id").orderBy("pos")
+        val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+        pt.select((col("id") +: col("pos") +: parts): _*)
+          .filter(col(s"t${n - 1}").isNotNull)
+          .select(col("id"),
+            concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("g"))
+      }
+    val counted = grams.groupBy("id", "g").agg(count(lit(1)).as("cnt"))
+      .withColumn("chars", col("cnt") * (length(col("g")) - (n - 1)).cast("long"))
+    docs.select(col(idCol).as("id"))
+      .join(counted.groupBy("id").agg(
+          sum(when(col("cnt") > 1, col("chars")).otherwise(0L)).as("dup_chars"),
+          sum(col("chars")).as("total_chars")),
+        Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        coalesce(col("total_chars"), lit(0L)).as("total_chars"))
+      .withColumn("dup_frac_q",
+        when(col("total_chars") > 0,
+          expr("dup_chars * 1000000 div total_chars")).otherwise(0L))
+  }
 }

@@ -26,6 +26,51 @@ object Sketches {
   private def bucket(d: Int, key: Column, width: Int): Column =
     pmod(xxhash64(lit(d), key), lit(width.toLong))
 
+  /** Distributed Bloom filter over `keyCol`, materialized as a bitmap
+    * DataFrame (w, bits): word w holds bits 64w..64w+63, OR-combined via the
+    * `bit_or` aggregate. Fixed size (⌈mBits/64⌉ rows ≤ a few KB for
+    * mBits = 2^20) regardless of input cardinality — the map-side partial
+    * `bit_or` means the shuffle carries at most ⌈mBits/64⌉ rows per task,
+    * like [[countMin]]. k hash functions = xxhash64 seeded by slot index. */
+  def bloomBitmap(keys: DataFrame, keyCol: String, mBits: Int, k: Int): DataFrame = {
+    require(mBits % 64 == 0 && mBits > 0 && k > 0)
+    val pos = (0 until k).map(i => pmod(xxhash64(lit(i), col(keyCol)), lit(mBits.toLong)))
+    keys.select(explode(array(pos: _*)).as("pos"))
+      .select(expr("pos div 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("bit"))
+      .groupBy("w").agg(expr("bit_or(bit)").as("bits"))
+  }
+
+  /** Exact semi-join with a Bloom prefilter: rows of `facts` whose
+    * `factKey` appears in `dim.dimKey`, computed as (1) k broadcast
+    * hash-joins against the [[bloomBitmap]] of the dim keys — map-side,
+    * no shuffle, eliminating the overwhelming majority of non-matching
+    * fact rows where the dim side is selective — then (2) an exact
+    * left-semi join over the surviving candidates only. The answer is
+    * EXACT (a Bloom filter has no false negatives; the semi-join removes
+    * its false positives); the bloom changes the PLAN: at 100 TB only
+    * candidate rows reach the semi-join shuffle instead of the full fact
+    * table. This is the manual form of the runtime-bloom-filter rewrite
+    * Spark's `InjectRuntimeFilter` applies when statistics allow. */
+  def bloomSemiJoin(facts: DataFrame, factKey: String, dim: DataFrame,
+      dimKey: String, mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    val bitmap = bloomBitmap(dim.select(col(dimKey)), dimKey, mBits, k)
+    var cur = facts
+    for (i <- 0 until k) {
+      val b = bitmap.select(col("w").as(s"__w$i"), col("bits").as(s"__bits$i"))
+      cur = cur
+        .withColumn(s"__pos$i", pmod(xxhash64(lit(i), col(factKey)), lit(mBits.toLong)))
+        .withColumn(s"__w$i", expr(s"__pos$i div 64"))
+        .join(broadcast(b), Seq(s"__w$i"), "left")
+        // absent word ⇒ no dim key hashed there ⇒ definitely not a member
+        .filter(coalesce(
+          expr(s"(__bits$i & shiftleft(CAST(1 AS BIGINT), CAST(__pos$i % 64 AS INT))) <> 0"),
+          lit(false)))
+        .drop(s"__pos$i", s"__w$i", s"__bits$i")
+    }
+    cur.join(dim.select(col(dimKey).as(factKey)).distinct(), Seq(factKey), "left_semi")
+  }
+
   /** Exact heavy hitters via CMS candidates + exact rescore: all keys of
     * `facts.keyCol` occurring ≥ `minCount` times, with their EXACT counts.
     *

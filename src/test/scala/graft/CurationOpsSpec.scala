@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.TextAnalysis
+import graft.operators.{Graph, Profile, Sketches}
+import graft.streaming.StreamingDedup
+import graft.streaming.StreamingDedup.{Accepted, TaggedArrival}
+
+/** Round-5 operators: integer PageRank, Bloom-prefiltered semi-join,
+  * column profiling, repetition metrics, streaming first-seen dedup. */
+class CurationOpsSpec extends AnyFunSuite with SparkSpec {
+
+  // ------------------------------------------------------------- pagerank
+
+  test("pagerank: hand-computed integer ranks on a 3-node star, 3 iters") {
+    import spark.implicits._
+    // symmetrized star centered at 1: 1↔2, 1↔3
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iters = 3, d100 = 85)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // iter1: r(1) = 0.15e9 + 0.85·(1e9 + 1e9) = 1850000000
+    //        r(leaf) = 0.15e9 + 0.85·(1e9 div 2) = 575000000
+    // iter2: r(1) = 0.15e9 + (2·575000000)·85 div 100 = 1127500000
+    //        r(leaf) = 0.15e9 + (1850000000 div 2)·85 div 100 = 936250000
+    // iter3: r(1) = 0.15e9 + (2·936250000)·85 div 100 = 1741625000
+    //        r(leaf) = 0.15e9 + (1127500000 div 2)·85 div 100 = 629187500
+    assert(got == Map(1L -> 1741625000L, 2L -> 629187500L, 3L -> 629187500L))
+  }
+
+  test("pagerank: zero iterations returns the uniform base; parallel edges collapse") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Graph.pagerank(edges, iters = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> Graph.Scale, 2L -> Graph.Scale))
+    // duplicated 1→2 must not double 2's inflow: one iteration gives
+    // r(2) = 0.15e9 + 0.85·1e9 exactly once
+    val one = Graph.pagerank(edges, iters = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(one(2L) == 150000000L + 850000000L)
+  }
+
+  // ----------------------------------------------------------- bloom join
+
+  test("bloomSemiJoin equals the plain semi-join (exact despite the sketch)") {
+    import spark.implicits._
+    val facts = (1L to 500L).map(i => (i % 97, i)).toDF("k", "payload")
+    val dim = Seq(3L, 11L, 96L, 1000L).toDF("dk")
+    val got = Sketches.bloomSemiJoin(facts, "k", dim, "dk", mBits = 1024, k = 3)
+      .select("k", "payload").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = facts.join(dim.select(col("dk").as("k")), Seq("k"), "left_semi")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("bloomBitmap is fixed-size; empty dim side yields an empty join") {
+    import spark.implicits._
+    val keys = (1L to 10000L).toDF("k")
+    val bm = Sketches.bloomBitmap(keys, "k", mBits = 4096, k = 3)
+    assert(bm.count() <= 4096 / 64)
+    val none = Sketches.bloomSemiJoin(
+      keys.withColumnRenamed("k", "fk"), "fk",
+      spark.emptyDataFrame.select(lit(1L).as("dk")).filter(lit(false)), "dk",
+      mBits = 1024, k = 3)
+    assert(none.count() == 0)
+  }
+
+  // ------------------------------------------------------------ profiling
+
+  test("profile: nulls, distincts, quantized min/max/sum per column") {
+    import spark.implicits._
+    val df = Seq[(java.lang.Double, java.lang.Double)](
+      (1.25, 10.0), (2.50, 10.0), (null, 30.5), (2.50, null))
+      .toDF("a", "b")
+    val rows = Profile.profile(df, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = rows("a")
+    assert(a.getAs[Long]("n_rows") == 4 && a.getAs[Long]("n_null") == 1)
+    assert(a.getAs[Long]("n_distinct") == 2) // 125, 250
+    assert(a.getAs[Long]("min_q") == 125 && a.getAs[Long]("max_q") == 250)
+    assert(a.getAs[Long]("sum_q") == 125 + 250 + 250)
+    val b = rows("b")
+    assert(b.getAs[Long]("n_null") == 1 && b.getAs[Long]("sum_q") == 1000 + 1000 + 3050)
+  }
+
+  // --------------------------------------------------- repetition metrics
+
+  test("repetitionMetrics: duplicated-2-gram char fraction, hand-computed") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a b c"), (2L, "x")).toDF("doc_id", "text")
+    val r2 = TextAnalysis.repetitionMetrics(d, "doc_id", "text", 2)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // grams: "a b"×2, "b a"×1, "b c"×1; chars each = 2 per occurrence
+    // dup = 4, total = 8, frac_q = 500000
+    assert(r2(1L).getAs[Long]("dup_chars") == 4)
+    assert(r2(1L).getAs[Long]("total_chars") == 8)
+    assert(r2(1L).getAs[Long]("dup_frac_q") == 500000)
+    // doc 2 is shorter than n: zero totals, frac 0 (not a null / not absent)
+    assert(r2(2L).getAs[Long]("total_chars") == 0)
+    assert(r2(2L).getAs[Long]("dup_frac_q") == 0)
+    val r3 = TextAnalysis.repetitionMetrics(d, "doc_id", "text", 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // 3-grams all unique: "a b a","b a b","a b c" → dup 0, total 3·3 = 9
+    assert(r3(1L).getAs[Long]("dup_chars") == 0)
+    assert(r3(1L).getAs[Long]("total_chars") == 9)
+  }
+
+  // ------------------------------------------------------ streaming dedup
+
+  test("firstSeen: first batch wins across micro-batches, min id within batch") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[TaggedArrival]
+    val qn = "streaming_dedup_spec"
+    val q = StreamingDedup.firstSeen(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // batch 0: sha X arrives as ids {7, 4}; min wins
+      input.addData(TaggedArrival("X", 7L, 0L), TaggedArrival("X", 4L, 0L))
+      q.processAllAvailable()
+      // batch 1: X again (id 2 — must NOT replace), Y first time (ids 5, 3)
+      input.addData(TaggedArrival("X", 2L, 1L),
+        TaggedArrival("Y", 5L, 1L), TaggedArrival("Y", 3L, 1L))
+      q.processAllAvailable()
+      // batch 2: both again — nothing new emitted
+      input.addData(TaggedArrival("X", 1L, 2L), TaggedArrival("Y", 1L, 2L))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[Accepted].collect().toSet
+      assert(got == Set(Accepted("X", 4L, 0L), Accepted("Y", 3L, 1L)))
+    } finally q.stop()
+  }
+}
