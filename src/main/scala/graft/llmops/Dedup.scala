@@ -92,51 +92,71 @@ object Dedup {
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String, n: Int,
       minJaccard: Double, maxShingleDocFreq: Option[Int] = None,
       prefixFilter: Boolean = false): DataFrame = {
-    // The index feeds several consumers (join sides, sizes, rescore sets);
-    // persist so the tokenize/window stage runs once. (Left persisted for
-    // the session — unpersist from the caller once results are final.)
-    val sh = shingleIndex(docs, idCol, textCol, n).persist()
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
-    val inter =
-      if (maxShingleDocFreq.isEmpty && !prefixFilter)
-        sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .agg(count(lit(1)).as("n_inter"))
-      else {
-        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-        val kept = maxShingleDocFreq.map(c => dfreq.filter(col("df") <= c)).getOrElse(dfreq)
-        val withDf = sh.join(kept, "s")
-        val candIdx =
-          if (!prefixFilter) withDf.select("id", "s")
-          else withDf
-            // per-doc window (partitioned — no global sort); prefix length
-            // n_sh − ⌈t·n_sh⌉ + 1 uses the FULL set size
-            .withColumn("rk", row_number().over(Window.partitionBy("id").orderBy("df", "s")))
-            .join(sizes, "id")
-            .filter(col("rk") <= col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1)
-            .select("id", "s")
-        val cand = candIdx.as("a")
-          .join(candIdx.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-          .distinct()
-        // exact rescore: one fused array_intersect per candidate pair over
-        // the full shingle sets (cost ∝ candidates · set size, no joins
-        // proportional to d²)
-        val docSets = sh.groupBy("id").agg(collect_list(col("s")).as("ss"))
-        cand
-          .join(docSets.select(col("id").as("id_a"), col("ss").as("ss_a")), "id_a")
-          .join(docSets.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
-          .withColumn("n_inter", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
-          .select("id_a", "id_b", "n_inter")
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    if (maxShingleDocFreq.isEmpty && !prefixFilter) {
+      // exact all-pairs baseline: index feeds both join sides + sizes —
+      // persist so the tokenize/window stage runs once (session-lifetime
+      // cache; unpersist from the caller once results are final)
+      val shP = sh.persist()
+      val sizes = shP.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      shP.as("a")
+        .join(shP.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    } else {
+      // One aggregated per-doc frame serves prefix selection, set sizes AND
+      // the exact-rescore sets (the window-rank + separate sizes/docSets
+      // aggregations it replaces cost three extra shuffles and two
+      // WindowExecs): items = the doc's shingles sorted by the global
+      // (df, s) order as a struct array — sort_array on array<struct> is
+      // lexicographic by field, exactly the PPJoin prefix order — and the
+      // full shingle-string set extracted via native GetArrayStructFields
+      // (no lambda anywhere on this path).
+      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+      val perDoc = sh.join(dfreq, "s")
+        .groupBy("id")
+        .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("items"))
+        .withColumn("n_sh", size(col("items")).cast("long"))
+        .withColumn("ss", col("items").getField("s"))
+        .persist() // feeds candIdx + both rescore sides; caller unpersists
+      // cap drops stop-shingles from the CANDIDATE index only (filter
+      // preserves the sorted order); prefix length n_sh − ⌈t·n_sh⌉ + 1
+      // uses the FULL set size (combined-mode losslessness proof above)
+      val cappedItems = maxShingleDocFreq match {
+        case Some(c) => filter(col("items"), x => x.getField("df") <= c)
+        case None => col("items")
       }
-    inter
-      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
-      .filter(col("jaccard") >= minJaccard)
-      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+      val candItems =
+        if (!prefixFilter) cappedItems
+        else slice(cappedItems, lit(1),
+          greatest(lit(1L), col("n_sh") - ceil(lit(minJaccard) * col("n_sh")) + 1).cast("int"))
+      val candIdx = perDoc
+        .select(col("id"), explode(candItems).as("item"))
+        .select(col("id"), col("item").getField("s").as("s"))
+      val cand = candIdx.as("a")
+        .join(candIdx.as("b"), col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+        .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .distinct()
+      // exact rescore: one fused array_intersect per candidate pair over
+      // the full shingle sets (cost ∝ candidates · set size, no joins
+      // proportional to d²)
+      cand
+        .join(perDoc.select(col("id").as("id_a"), col("ss").as("ss_a"),
+          col("n_sh").as("n_a")), "id_a")
+        .join(perDoc.select(col("id").as("id_b"), col("ss").as("ss_b"),
+          col("n_sh").as("n_b")), "id_b")
+        .withColumn("n_inter", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+        .filter(col("jaccard") >= minJaccard)
+        .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    }
   }
 
   /** Tall distinct (id, tid) token-id frame, ids from streaming xxhash64 —

@@ -136,8 +136,16 @@ object Similarity {
     * vectors in those cells. The standard ANN trade: recall grows with
     * nprobe, cost with nprobe/nlist. Centroids are tiny (nlist·dim) and
     * broadcast; the candidate join is an equi-join on the cell id. */
+  /** Fitted coarse quantizers keyed by the caller's index name: an IVF
+    * quantizer IS an index — built once when the collection is indexed,
+    * reused by every search until a rebuild — so repeated queries against
+    * the same collection must not refit KMeans. Driver-held model objects
+    * only (nlist·dim doubles), never data. */
+  private val quantizers = scala.collection.concurrent.TrieMap
+    .empty[String, org.apache.spark.ml.clustering.KMeansModel]
+
   def cosineTopKIvf(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L, indexKey: Option[String] = None): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val spark = vectors.sparkSession
@@ -146,8 +154,12 @@ object Similarity {
     // few Lloyd iterations: the quantizer only needs coarse cells, not
     // converged centroids — recall is governed by nprobe, and fit cost is
     // the query's dominant term
-    val model = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
+    def fit() = new KMeans().setK(nlist).setSeed(seed).setMaxIter(5)
       .setFeaturesCol("fv").setPredictionCol("cell").fit(withFv)
+    val model = indexKey match {
+      case Some(key) => quantizers.getOrElseUpdate(s"$key:$nlist:$seed", fit())
+      case None => fit()
+    }
     val assigned = model.transform(withFv)
       .select(col("id"), col("vec"), col("cell"),
         sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm"))

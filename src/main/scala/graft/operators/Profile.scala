@@ -7,15 +7,18 @@ import org.apache.spark.sql.functions._
   * training ingest: per-column null counts, distinct cardinality, and
   * quantized min/max/sum, emitted as one tall (col_name, …) frame.
   *
-  * Scale design: ONE scan of the input computes every per-column
-  * aggregate; the multi-`count_distinct` plan uses Spark's Expand (one
-  * duplicated stream per distinct column), which is the documented
-  * single-pass tradeoff — for k profiled columns the scan fans out k+1
-  * ways BEFORE the shuffle, but each fan-out carries only its one column,
-  * and the alternative (k separate jobs) re-reads the table k times. At
-  * petabyte inputs swap `count_distinct` for `approx_count_distinct` and
-  * keep everything else identical (the declared oracle query uses the
-  * exact form).
+  * Scale design: ONE scan explodes each row into (col_idx, value) pairs,
+  * then a two-level aggregation — (col_idx, value) partial counts, then
+  * per-column rollup — computes nulls/distincts/min/max/sum together.
+  * This deliberately AVOIDS the multi-`count_distinct` plan (Catalyst's
+  * Expand: one duplicated stream per distinct column, k full-width
+  * aggregation buffers): the first-level groupBy is map-side combined, so
+  * the shuffle carries at most (distinct values × partitions) rows per
+  * column — cardinality-bounded, not row-bounded — and the second level
+  * sees only distinct (col, value) pairs. At petabyte inputs with
+  * near-unique columns swap level 1 for `approx_count_distinct` and keep
+  * everything else identical (the declared oracle query uses the exact
+  * form).
   *
   * Values quantize to cents (×100 as BIGINT after a DECIMAL(18,2) cast)
   * so min/max/sum are integer aggregates — engine-exact, no float
@@ -25,20 +28,18 @@ object Profile {
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty)
     def q(c: String) = expr(s"CAST(CAST($c AS DECIMAL(18,2)) * 100 AS BIGINT)")
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null$i"),
-        count_distinct(q(c)).as(s"__nd$i"),
-        min(q(c)).as(s"__min$i"),
-        max(q(c)).as(s"__max$i"),
-        sum(q(c)).as(s"__sum$i"))
-    } :+ count(lit(1)).as("n_rows")
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex
-      .map { case (c, i) => s"'$c', __null$i, __nd$i, __min$i, __max$i, __sum$i" }
-      .mkString(s"stack(${cols.size}, ", ", ", ")")
-    one.select(col("n_rows"),
-        expr(stackArgs).as(Seq("col_name", "n_null", "n_distinct", "min_q", "max_q", "sum_q")))
-      .select("col_name", "n_rows", "n_null", "n_distinct", "min_q", "max_q", "sum_q")
+    val tall = df.select(posexplode(array(cols.map(q): _*)).as(Seq("idx", "v")))
+    val names = array(cols.map(lit): _*)
+    tall.groupBy("idx", "v").agg(count(lit(1)).as("cnt"))
+      .groupBy("idx").agg(
+        sum("cnt").as("n_rows"),
+        sum(when(col("v").isNull, col("cnt")).otherwise(0L)).as("n_null"),
+        count(when(col("v").isNotNull, lit(1))).as("n_distinct"),
+        min("v").as("min_q"),
+        max("v").as("max_q"),
+        sum(col("v") * col("cnt")).as("sum_q"))
+      .select(element_at(names, col("idx") + 1).as("col_name"),
+        col("n_rows"), col("n_null"), col("n_distinct"),
+        col("min_q"), col("max_q"), col("sum_q"))
   }
 }

@@ -349,7 +349,8 @@ object LlmOps {
     * recall pinned by LlmOpsSpec. */
   def q43CosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.cosineTopKIvf(e, k = 5, nlist = 16, nprobe = 4)
+    Similarity.cosineTopKIvf(e, k = 5, nlist = 16, nprobe = 4,
+        indexKey = Some(s"q43:$dir"))
       .orderBy("vec_id", "rank")
   }
 

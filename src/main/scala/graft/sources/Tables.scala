@@ -18,18 +18,29 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  // Logical-plan catalog: the analyzed scan relation (schema from the
+  // parquet footer + the file index) is built once per (session, dir,
+  // table) and reused — the catalog role a metastore plays in a real
+  // deployment. Caches only the PLAN (a leaf relation), never data; keyed
+  // by session identity so concurrent/test sessions stay isolated. The
+  // testdata contract is immutable directories — a mutable table would
+  // need invalidation here (cf. TxStore, which versions instead).
+  private val catalog =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") {
-      // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-      // natively; read the raw int64 nanos and floor to microseconds — the
-      // same truncation DuckDB applies when coercing ns→µs, so oracle
-      // comparisons stay exact. NOTE: session-wide conf — every later
-      // TIMESTAMP(NANOS) parquet read in this session also surfaces int64
-      // nanos (deliberate: this engine's catalog treats nanos as int64).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    } else spark.read.parquet(path(dir, name))
+    catalog.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      if (name == "events") {
+        // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
+        // natively; read the raw int64 nanos and floor to microseconds — the
+        // same truncation DuckDB applies when coercing ns→µs, so oracle
+        // comparisons stay exact. NOTE: session-wide conf — every later
+        // TIMESTAMP(NANOS) parquet read in this session also surfaces int64
+        // nanos (deliberate: this engine's catalog treats nanos as int64).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(path(dir, name))
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      } else spark.read.parquet(path(dir, name)))
 
   /** Register every testdata table as a temp view (for spark.sql parity tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =

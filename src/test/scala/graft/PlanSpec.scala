@@ -57,4 +57,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     val p = plan("q54_heavy_hitters")
     assert(p.contains("LeftSemi"), "facts must semi-join the CMS candidate set")
   }
+
+  test("q66: bloom probes are broadcast joins feeding an exact semi join") {
+    val p = plan("q66_bloom_join")
+    assert(p.contains("LeftSemi"), "exact rescore must semi-join the dim keys")
+    // k = 3 bitmap probes + the semi join's broadcast side
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3,
+      "each of the k bitmap probes must be a map-side broadcast join")
+    assert(!p.contains("SortMergeJoin"),
+      "the fact stream must never sort-merge against the bitmap")
+  }
+
+  test("q64: profiling plan has no multi-distinct Expand") {
+    val p = plan("q64_profile")
+    assert(!p.contains("Expand"),
+      "profile must use the tall two-level aggregation, not Expand-based multi-distinct")
+  }
+
+  test("q19: prefix-filtered jaccard plan is window-free (array-native prefix)") {
+    val p = plan("q19_ngram_jaccard")
+    // the only windows allowed are in shingle construction (lead over doc
+    // partitions); the prefix-rank WindowExec it replaced partitioned by id
+    // with a (df, s) sort — pin its absence via the rank column
+    assert(!p.contains("row_number"),
+      "prefix selection must be the sorted-array slice, not a row_number window")
+  }
+
+  test("q60: decontamination probe broadcasts the eval gram index") {
+    assert(plan("q60_decontaminate").contains("BroadcastHashJoin"),
+      "the eval-side gram set must broadcast")
+  }
 }
