@@ -187,6 +187,195 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Trained IVF-PQ indexes (coarse centroids + m codebooks) per index
+    * key — like [[quantizers]], a trained quantizer is part of the INDEX,
+    * reused across searches. A few KB on the driver. */
+  private val pqIndexes = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Double]], Array[Array[Array[Double]]])]
+
+  /** Plain Lloyd iterations over a driver-side sample (PQ codebook
+    * training). Deterministic: LCG-shuffled init picks k spread points;
+    * ties in assignment go to the lowest centroid; empty clusters keep
+    * their previous center. */
+  private def lloyd(points: Array[Array[Double]], k: Int, iters: Int,
+      seed: Long): Array[Array[Double]] = {
+    require(points.nonEmpty)
+    val d = points(0).length
+    val n = points.length
+    // deterministic spread init: LCG permutation indices
+    var centers = Array.tabulate(math.min(k, n)) { i =>
+      points(((seed + i * 2654435761L) % n + n).toInt % n).clone()
+    }
+    // pad if k > n (degenerate tiny samples)
+    if (centers.length < k)
+      centers = centers ++ Array.fill(k - centers.length)(centers(0).clone())
+    for (_ <- 0 until iters) {
+      val sums = Array.fill(k)(new Array[Double](d))
+      val counts = new Array[Long](k)
+      points.foreach { p =>
+        var best = 0; var bestD = Double.MaxValue
+        var ci = 0
+        while (ci < k) {
+          var dist = 0.0; var j = 0
+          while (j < d) { val x = p(j) - centers(ci)(j); dist += x * x; j += 1 }
+          if (dist < bestD) { bestD = dist; best = ci }
+          ci += 1
+        }
+        var j = 0
+        while (j < d) { sums(best)(j) += p(j); j += 1 }
+        counts(best) += 1
+      }
+      centers = Array.tabulate(k)(ci =>
+        if (counts(ci) == 0) centers(ci)
+        else sums(ci).map(_ / counts(ci)))
+    }
+    centers
+  }
+
+  /** Per-subspace PQ code columns: code_si = argmin over the subspace's
+    * ksub centroids of squared L2 distance (ties → lowest centroid id, via
+    * lexicographic struct min), computed as argmin(|c|² − 2·v·c) so each
+    * centroid costs ONE fused [[graft.functions.ArrayDot]] loop against a
+    * literal centroid array. (An unrolled per-dimension expression tree —
+    * ksub·subDim·m leaf nodes — exceeds janino's 64 KB method limit and
+    * silently drops the whole stage out of codegen; the fused-loop form
+    * keeps the expression ksub·m nodes.) */
+  private def pqCodeCols(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
+    books.zipWithIndex.map { case (cents, si) =>
+      val d = cents(0).length
+      val dists = cents.zipWithIndex.map { case (c, ci) =>
+        val cn2 = c.map(x => x * x).sum
+        struct((lit(cn2) - lit(2.0) *
+            arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))).as("d"),
+          lit(ci).as("i"))
+      }
+      array_min(array(dists: _*)).getField("i").as(s"code$si")
+    }
+
+  /** Per-subspace ADC lookup tables for a query vector: table_si[ci] =
+    * dot(query subvector, centroid ci) — so the approximate full dot of
+    * (query, candidate) is Σ_si table_si[code_si(candidate)], m array
+    * lookups per pair instead of dim multiplies. Same fused-loop form as
+    * [[pqCodeCols]] (codegen size discipline). */
+  private def pqQueryTabs(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
+    books.zipWithIndex.map { case (cents, si) =>
+      val d = cents(0).length
+      array(cents.map(c =>
+        arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))): _*).as(s"qtab$si")
+    }
+
+  /** IVF-PQ approximate nearest neighbors — the memory-bounded production
+    * ANN shape (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", TPAMI 2011): an IVF coarse quantizer prunes the corpus to
+    * `nprobe` cells, product-quantized codes (m subspaces × ksub centroids
+    * ⇒ m small ints per vector instead of dim floats) rank those candidates
+    * by asymmetric-distance (ADC) table lookups, and only the top
+    * `rescoreK` per query pay an exact fused dot. At 100 TB the PQ codes
+    * are the point: the candidate join carries m bytes per vector, not the
+    * embedding — the shuffle shrinks by ~dim·4/m — and exact vectors are
+    * fetched (semi-join) only for the rescore set.
+    *
+    * Codes here quantize RAW vectors (not cell residuals — documented
+    * simplification; residual PQ is the refinement, same dataflow).
+    * Recall vs the exact baseline is spec-pinned; like the other ANN
+    * variants this is declared rows-only (model-dependent floats). */
+  def cosineTopKIvfPq(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      m: Int, ksub: Int, rescoreK: Int, seed: Long = 42L,
+      indexKey: Option[String] = None): DataFrame = {
+    val spark = vectors.sparkSession
+    val dim = vectors.select(size(col("vec"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
+    val subDim = dim / m
+    // Both quantizer levels train driver-side on ONE bounded deterministic
+    // sample (the standard practice: index quantizers come from an offline
+    // training sample, not a full-corpus pass — at 100 TB a cluster fit
+    // per codebook would be index-build overkill for ≤32-point centroid
+    // sets). TakeOrdered sample ⇒ deterministic; Lloyd over ≤2048×dim
+    // doubles is microseconds of driver work, NOT a data-path collect.
+    // Everything downstream is expression-native: assignment, encoding and
+    // ADC are fused-loop codegen against literal centroids (q43 keeps the
+    // MLlib-quantizer variant of IVF).
+    def train(): (Array[Array[Double]], Array[Array[Array[Double]]]) = {
+      val sample = vectors.select(col("id"), col("vec").cast("array<double>"))
+        .orderBy("id").limit(2048)
+        .collect().map(_.getSeq[Double](1).toArray)
+      val coarse = lloyd(sample, nlist, iters = 10, seed)
+      val books = (0 until m).map { si =>
+        val subs = sample.map(v =>
+          java.util.Arrays.copyOfRange(v, si * subDim, (si + 1) * subDim))
+        lloyd(subs, ksub, iters = 10, seed + si + 1)
+      }.toArray
+      (coarse, books)
+    }
+    val (coarse, books) = indexKey match {
+      case Some(key) =>
+        pqIndexes.getOrElseUpdate(s"$key:$nlist:$m:$ksub:$seed", train())
+      case None => train()
+    }
+    // cell assignment: argmin ||v−c||² = argmin (|c|² − 2·v·c), one fused
+    // dot per coarse centroid (same codegen-size discipline as the codes)
+    val cellCol = array_min(array(coarse.zipWithIndex.map { case (c, ci) =>
+      val cn2 = c.map(x => x * x).sum
+      struct((lit(cn2) - lit(2.0) * arrayDot(col("vec"), lit(c.map(_.toFloat)))).as("d"),
+        lit(ci).as("i"))
+    }: _*)).getField("i")
+    // indexed corpus: cell id + m PQ codes + exact norm (the "stored index
+    // row" — at scale this is what the posting lists hold; vec is kept
+    // aside here for the rescore fetch)
+    val assigned = vectors
+      .select(Seq(col("id"), col("vec"), cellCol.as("cell"),
+        sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm")) ++
+        pqCodeCols(col("vec"), books): _*)
+      .persist()
+    val centroids = spark.createDataFrame(
+      coarse.zipWithIndex.toIndexedSeq
+        .map { case (c, i) => (i, c.map(_.toFloat)) })
+      .toDF("ccell", "cvec")
+    // probe: each query's nprobe nearest cells by centroid dot
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("cdot").desc, col("ccell"))
+    val probes = assigned.select(col("id").as("qid"), col("vec").as("qv"))
+      .join(broadcast(centroids))
+      .withColumn("cdot", arrayDot(col("qv"), col("cvec")))
+      .withColumn("pr", row_number().over(wProbe))
+      .filter(col("pr") <= nprobe)
+      .select(col("qid"), col("ccell").as("cell"))
+    // query side carries its ADC tables (m·ksub doubles per query row) —
+    // BROADCAST: a few KB per query, and broadcasting keeps the tables out
+    // of every shuffle
+    val queries = broadcast(assigned.select(
+      Seq(col("id").as("qid")) ++ pqQueryTabs(col("vec"), books): _*))
+    // ADC scoring: candidates are (probe cell ⋈ index) rows; approximate
+    // dot = m table lookups; NO exact vectors flow here — only codes. The
+    // candidate stream projects down to (qid, cid, ascore) BEFORE the
+    // ranking shuffle: ascore = adot/cn ranks identically to the
+    // approximate cosine adot/(qn·cn) because qn is constant within a
+    // query's partition — so the widest thing shuffled per candidate is
+    // one double, never a table or a vector.
+    val approx = probes
+      .join(queries, "qid")
+      .join(assigned.select(Seq(col("id").as("cid"), col("cell"), col("nrm").as("cn")) ++
+        (0 until m).map(si => col(s"code$si")): _*), "cell")
+      .filter(col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        ((0 until m).map(si => element_at(col(s"qtab$si"), col(s"code$si") + 1))
+          .reduce(_ + _) / col("cn")).as("ascore"))
+    val wAdc = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
+    val shortlist = approx
+      .withColumn("ar", row_number().over(wAdc))
+      .filter(col("ar") <= rescoreK)
+      .select("qid", "cid")
+    // exact rescore of the shortlist only — vectors fetched (joined) just
+    // for these rescoreK·|queries| pairs
+    val scored = shortlist
+      .join(assigned.select(col("id").as("qid"), col("vec").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(assigned.select(col("id").as("cid"), col("vec").as("cv"),
+        col("nrm").as("cn")), "cid")
+      .select(col("qid"), col("cid"), arrayDot(col("qv"), col("cv")).as("dot"),
+        col("qn"), col("cn"))
+    rank(scored, k)
+  }
+
   /** Approximate nearest neighbors: bucket by hyperplane signature, fused
     * exact cosine within buckets only, top-k per query. Candidate
     * generation is an equi-join on the signature. */

@@ -37,17 +37,26 @@ object Graph {
     * stays in BIGINT arithmetic. Dangling-node mass is not redistributed
     * (the unnormalized variant used when ranks feed a relative quality
     * ORDER, not a probability). Returns (id, rank_q) for every node
-    * appearing as src or dst. */
-  def pagerank(edges: DataFrame, iters: Int, d100: Int = 85): DataFrame = {
-    require(iters >= 0 && d100 >= 0 && d100 <= 100)
+    * appearing as src or dst.
+    *
+    * Checkpoint cadence: unlike the CC loop (whose labels feed TWO branches
+    * per iteration ⇒ exponential plan growth), each rank frame feeds exactly
+    * one downstream join, so the plan grows LINEARLY — eager checkpointing
+    * every iteration would pay a materialization without preventing any
+    * blowup. `checkpointEvery` (default 4) truncates lineage periodically:
+    * short runs stay one lazy pipeline (identical outDeg subtrees collapse
+    * under exchange reuse); long runs still get bounded plans and
+    * driver-side analysis time. */
+  def pagerank(edges: DataFrame, iters: Int, d100: Int = 85,
+      checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 0 && d100 >= 0 && d100 <= 100 && checkpointEvery >= 1)
     val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
     val nodes = e.select(col("src").as("id"))
-      .unionByName(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+      .unionByName(e.select(col("dst").as("id"))).distinct()
     val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
-      .localCheckpoint()
     val base = lit(Scale * (100L - d100) / 100L)
     var ranks = nodes.withColumn("rank_q", lit(Scale))
-    for (_ <- 0 until iters) {
+    for (i <- 0 until iters) {
       val contribs = e.join(ranks.join(outDeg, "id"), e("src") === col("id"))
         .select(col("dst").as("id"),
           expr("rank_q div out_deg").as("contrib"))
@@ -56,7 +65,8 @@ object Graph {
         .join(contribs, Seq("id"), "left")
         .select(col("id"),
           (base + expr(s"coalesce(in_q, CAST(0 AS BIGINT)) * $d100 div 100")).as("rank_q"))
-        .localCheckpoint()
+      if ((i + 1) % checkpointEvery == 0 && i != iters - 1)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

@@ -280,6 +280,111 @@ object Curation {
       |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size = 50)
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------------------- q67 IVF-PQ ANN
+
+  /** North star/similarity — IVF-PQ approximate nearest neighbors
+    * ([[graft.llmops.Similarity.cosineTopKIvfPq]]): coarse cells prune,
+    * product-quantization codes (m=8 × ksub=16 ⇒ 8 small ints per vector)
+    * rank candidates via ADC table lookups, top-32 rescore exactly.
+    * Model-dependent floats ⇒ rows-only (the q29/q43 contract); recall
+    * vs the exact baseline pinned by CurationOpsSpec. */
+  def q67IvfPq(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    graft.llmops.Similarity.cosineTopKIvfPq(e, k = 5, nlist = 32, nprobe = 4,
+        m = 8, ksub = 16, rescoreK = 32, indexKey = Some(s"q67:$dir"))
+      .orderBy("vec_id", "rank")
+  }
+
+  // ------------------------------------------------ q68 hybrid retrieval
+
+  /** Tiny-frame rank without a global window: rank(x) = 1 + #{y better},
+    * via a triangular self-join — both inputs here are LIMIT-20 frames, so
+    * the join is trivially small and the plan carries zero unpartitioned
+    * WindowExecs (the same discipline as the token-dictionary offsets). */
+  private def rankSmall(df: DataFrame, scoreCol: String, better: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): DataFrame = {
+    val a = df.as("a"); val b = df.as("b")
+    a.join(b,
+        better(col(s"b.$scoreCol"), col(s"a.$scoreCol")) ||
+          (col(s"b.$scoreCol") === col(s"a.$scoreCol") && col("b.id") < col("a.id")),
+        "left")
+      .groupBy(col("a.id").as("id"), col(s"a.$scoreCol").as(scoreCol))
+      .agg((count(col("b.id")) + 1).cast("long").as("rnk"))
+  }
+
+  /** North star — hybrid retrieval with reciprocal-rank fusion (Cormack &
+    * Clarke 2009): top-20 BM25 hits for the bag {join, window, scan} fused
+    * with the top-20 exact-cosine neighbors of document 0's embedding;
+    * rrf_q = Σ_lists 10^9 div (60 + rank), an INTEGER sum of integer
+    * ranks — engine-exact, no float fusion arithmetic. Both lists are
+    * TakeOrdered top-k (scale-safe global top-N), ranks by triangular
+    * join. Returns the fused top-10. */
+  def q68HybridRrf(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.arrayDotScaled
+    val bmTop = Corpus.bm25(docs(s, dir), "doc_id", "text",
+        Seq("join", "window", "scan"))
+      .orderBy(col("score_q").desc, col("id")).limit(20)
+      .select("id", "score_q")
+    val bmRanked = rankSmall(bmTop, "score_q", (b, a) => b > a)
+      .select(col("id"), col("rnk").as("r_bm"))
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val withNorm = e.select(col("id"), col("vec"),
+      sqrt(arrayDotScaled(col("vec"), col("vec"), 100000000L).cast("double")).as("nrm"))
+    val q0 = withNorm.filter(col("id") === 0)
+      .select(col("vec").as("qv"), col("nrm").as("qn"))
+    val vecTop = withNorm.filter(col("id") =!= 0).crossJoin(broadcast(q0))
+      .select(col("id"),
+        round(arrayDotScaled(col("qv"), col("vec"), 100000000L).cast("double")
+          / (col("qn") * col("nrm")), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("id")).limit(20)
+    val vecRanked = rankSmall(vecTop, "cosine", (b, a) => b > a)
+      .select(col("id"), col("rnk").as("r_vec"))
+    bmRanked.join(vecRanked, Seq("id"), "full_outer")
+      .withColumn("rrf_q",
+        coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + r_bm)"), lit(0L)) +
+          coalesce(expr("CAST(1000000000 AS BIGINT) div (60 + r_vec)"), lit(0L)))
+      .orderBy(col("rrf_q").desc, col("id")).limit(10)
+      .select("id", "r_bm", "r_vec", "rrf_q")
+  }
+
+  val q68Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |tf AS (SELECT doc_id AS id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(DISTINCT id) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_len FROM tf),
+      |qtf AS (SELECT * FROM tf WHERE w IN ('join', 'window', 'scan')),
+      |df AS (SELECT w, count(*) AS df FROM qtf GROUP BY 1),
+      |c AS (SELECT id, CAST(floor(
+      |        ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |          * (tf * (1.2 + 1.0))
+      |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+      |               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      |      FROM qtf JOIN df USING (w) JOIN dl USING (id) CROSS JOIN st),
+      |bm AS (SELECT id, CAST(sum(contrib_q) AS BIGINT) AS score_q FROM c GROUP BY 1
+      |       ORDER BY score_q DESC, id LIMIT 20),
+      |bmr AS (SELECT id, row_number() OVER (ORDER BY score_q DESC, id) AS r_bm FROM bm),
+      |ev AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM ev GROUP BY 1),
+      |dots AS (SELECT b.vec_id AS id, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM ev a JOIN ev b ON a.i = b.i AND a.vec_id = 0 AND b.vec_id <> 0
+      |         GROUP BY 1),
+      |vt AS (SELECT d.id, round(CAST(dot AS DOUBLE) / (nq.nrm * nc.nrm), 12) AS cosine
+      |       FROM dots d JOIN norms nq ON nq.vec_id = 0 JOIN norms nc ON nc.vec_id = d.id
+      |       ORDER BY cosine DESC, id LIMIT 20),
+      |vr AS (SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS r_vec FROM vt),
+      |fused AS (SELECT COALESCE(bmr.id, vr.id) AS id,
+      |       CAST(bmr.r_bm AS BIGINT) AS r_bm, CAST(vr.r_vec AS BIGINT) AS r_vec,
+      |       COALESCE(1000000000 // (60 + bmr.r_bm), 0) + COALESCE(1000000000 // (60 + vr.r_vec), 0) AS rrf_q
+      |FROM bmr FULL OUTER JOIN vr ON vr.id = bmr.id)
+      |SELECT id, r_bm, r_vec, CAST(rrf_q AS BIGINT) AS rrf_q
+      |FROM fused ORDER BY rrf_q DESC, id LIMIT 10""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,7 +393,9 @@ object Curation {
     "q63_streaming_dedup" -> (q63StreamingDedup _),
     "q64_profile" -> (q64Profile _),
     "q65_repetition" -> (q65Repetition _),
-    "q66_bloom_join" -> (q66BloomJoin _))
+    "q66_bloom_join" -> (q66BloomJoin _),
+    "q67_ivfpq" -> (q67IvfPq _),
+    "q68_hybrid_rrf" -> (q68HybridRrf _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -296,5 +403,7 @@ object Curation {
     "q63_streaming_dedup" -> q63Sql,
     "q64_profile" -> q64Sql,
     "q65_repetition" -> q65Sql,
-    "q66_bloom_join" -> q66Sql)
+    "q66_bloom_join" -> q66Sql,
+    // q67 is rows-only by contract (model-dependent floats, like q29/q43)
+    "q68_hybrid_rrf" -> q68Sql)
 }

@@ -109,6 +109,24 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(r3(1L).getAs[Long]("total_chars") == 9)
   }
 
+  // --------------------------------------------------------------- ivf-pq
+
+  test("cosineTopKIvfPq: recall@5 vs the exact baseline on real embeddings") {
+    import graft.llmops.Similarity
+    import graft.sources.Tables
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.cosineTopK(e, e, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.cosineTopKIvfPq(e, k = 5, nlist = 8, nprobe = 4,
+        m = 8, ksub = 16, rescoreK = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & approx).size.toDouble / exact.size
+    assert(recall >= 0.5, s"IVF-PQ recall@5 too low: $recall")
+    // every query must still produce a full top-5
+    assert(approx.groupBy(_._1).forall(_._2.size == 5))
+  }
+
   // ------------------------------------------------------ streaming dedup
 
   test("firstSeen: first batch wins across micro-batches, min id within batch") {
