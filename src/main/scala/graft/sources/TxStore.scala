@@ -139,12 +139,22 @@ object TxStore {
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
+    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val byVdir = entries.groupBy(_._2.split("/", 2)(0))
     byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
       spark.read
         .option("basePath", Paths.get(path, "data", vdir).toString)
         .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
-    }.reduce(_ unionByName _).drop("__bucket")
+    }
+      // version dirs written before an additive schema evolution lack the
+      // newer columns — they read as nulls (allowMissingColumns), exactly
+      // the Avro/parquet additive-evolution contract
+      .reduce(_.unionByName(_, allowMissingColumns = true))
+      .drop("__bucket")
+      // the manifest schema is authoritative for column set AND order:
+      // rows from pre-evolution files surface the added columns as null
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
   }
 
   /** Copy-on-write MERGE: upsert `delta` (unique per `key`, delta wins) into
@@ -156,12 +166,30 @@ object TxStore {
     * (compare-and-swap): the commit targets `expected + 1` and FAILS with
     * ConcurrentModificationException if another writer committed that
     * version first — the caller re-reads and re-merges. Omitted, the merge
-    * bases on whatever is current at entry (last-writer-wins upsert). */
+    * bases on whatever is current at entry (last-writer-wins upsert).
+    *
+    * Schema evolution (additive): a delta carrying columns beyond the
+    * stored schema WIDENS the table — the new snapshot's schema appends
+    * them, untouched buckets keep their old files and read the added
+    * columns as null. A delta missing a stored column, or retyping one, is
+    * rejected (drops/retypes need an explicit migration, not an upsert). */
   def merge(spark: SparkSession, path: String, delta: DataFrame, key: String,
       expectedVersion: Option[Int] = None): Int = {
     val v = expectedVersion.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path — init first")
-    val (nBuckets, schemaJson, entries) = readManifest(path, v)
+    val (nBuckets, schemaJson0, entries) = readManifest(path, v)
+    val stored = org.apache.spark.sql.types.DataType.fromJson(schemaJson0)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    stored.foreach { f =>
+      val d = delta.schema.find(_.name == f.name)
+      require(d.isDefined, s"delta is missing stored column '${f.name}' " +
+        "(additive evolution only — a merge cannot drop columns)")
+      require(d.get.dataType == f.dataType,
+        s"delta retypes column '${f.name}': ${f.dataType.simpleString} -> " +
+          s"${d.get.dataType.simpleString} (not supported)")
+    }
+    val added = delta.schema.filterNot(f => stored.fieldNames.contains(f.name))
+    val schemaJson = org.apache.spark.sql.types.StructType(stored ++ added).json
     val d = delta.withColumn("__bucket", bucketOf(col(key), nBuckets))
       .localCheckpoint() // one materialization: bucket list + join input
     val touched = d.select("__bucket").distinct()
@@ -177,11 +205,13 @@ object TxStore {
           spark.read
             .option("basePath", Paths.get(path, "data", vdir).toString)
             .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
-        }.reduce(_ unionByName _).drop("__bucket")
+        }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("__bucket")
       }
+    // allowMissingColumns: surviving base rows null-fill any column this
+    // delta just added (additive evolution)
     val merged = base
       .join(d.select(col(key)), Seq(key), "left_anti")
-      .unionByName(d.drop("__bucket"))
+      .unionByName(d.drop("__bucket"), allowMissingColumns = true)
       .withColumn("__bucket", bucketOf(col(key), nBuckets))
     val nv = v + 1
     // stage under a writer-unique dir name: two racing writers can both
@@ -246,7 +276,7 @@ object TxStore {
       spark.read
         .option("basePath", Paths.get(path, "data", vdir).toString)
         .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
-    }.reduce(_ unionByName _)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)) // pre-evolution dirs null-fill
     writeVersionData(withBucket.repartition(col("__bucket")), path, dirName)
     try commitManifest(path, nv, nBuckets, schemaJson, listVersionFiles(path, dirName))
     catch {

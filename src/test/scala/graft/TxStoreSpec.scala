@@ -139,6 +139,31 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
       .toMap.apply(3L) == "X")
   }
 
+  test("additive schema evolution: widening delta nulls old rows, time travel keeps old schema") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b"), p, "entity_id", nBuckets = 2)
+    // delta adds a 'score' column; key 2 upserted, key 1 untouched
+    val wide = Seq((2L, "B", 0.9), (3L, "c", 0.5)).toDF("entity_id", "v", "score")
+    val v1 = TxStore.merge(spark, p, wide, "entity_id")
+    val cur = TxStore.read(spark, p)
+    assert(cur.columns.toSeq == Seq("entity_id", "v", "score"))
+    val byId = cur.collect().map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).isNullAt(2), "pre-evolution row must read the added column as null")
+    assert(byId(2L).getDouble(2) == 0.9 && byId(3L).getDouble(2) == 0.5)
+    // time travel: v0 still presents the ORIGINAL two-column schema
+    assert(TxStore.read(spark, p, Some(0)).columns.toSeq == Seq("entity_id", "v"))
+    // compaction materializes the widened schema and stays readable
+    TxStore.compact(spark, p)
+    assert(TxStore.read(spark, p).columns.toSeq == Seq("entity_id", "v", "score"))
+    assert(TxStore.read(spark, p).count() == 3)
+    // a later plain merge (old columns only) is rejected — additive only
+    val err = intercept[IllegalArgumentException] {
+      TxStore.merge(spark, p, rows(4L -> "d"), "entity_id")
+    }
+    assert(err.getMessage.contains("missing stored column"))
+    assert(v1 == 1)
+  }
+
   test("freshen delta merges transactionally (write-back integration)") {
     // the engine's scored output is exactly a delta: upsert it
     val p = freshPath()
