@@ -385,6 +385,59 @@ object Curation {
       |SELECT id, r_bm, r_vec, CAST(rrf_q AS BIGINT) AS rrf_q
       |FROM fused ORDER BY rrf_q DESC, id LIMIT 10""".stripMargin
 
+  // ----------------------------------------------- q69/q70 TxStore surface
+
+  /** One TxStore per sf dir for the declared transactional queries: v0 =
+    * the customer table; v1 = a deterministic upsert (+100.00 to every
+    * custkey ≡ 0 mod 10). Bench re-runs re-merge the SAME delta — content-
+    * idempotent, so reads stay hash-stable while versions advance (each
+    * run exercises a real copy-on-write commit). */
+  private val txStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def ensureTxStore(s: SparkSession, dir: String): String = {
+    val path = txStores.getOrElseUpdate(s"tx:$dir",
+      java.nio.file.Files.createTempDirectory("graft-txq").resolve("customer").toString)
+    val base = t(s, dir, "customer").select(col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"),
+      col("c_mktsegment"))
+    if (graft.sources.TxStore.currentVersion(path) < 0)
+      graft.sources.TxStore.init(base, path, "c_custkey", nBuckets = 8)
+    val delta = base.filter(pmod(col("c_custkey"), lit(10)) === 0)
+      .withColumn("bal_q", col("bal_q") + 10000L)
+    graft.sources.TxStore.merge(s, path, delta, "c_custkey")
+    path
+  }
+
+  /** Transactional copy-on-write upsert (graft.sources.TxStore.merge) +
+    * snapshot read: per-segment balances AFTER the committed delta. Every
+    * run performs a full bucket-scoped COW commit; the oracle applies the
+    * same upsert arithmetically. */
+  def q69TxUpsert(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TxStore.read(s, ensureTxStore(s, dir))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_q").as("bal_sum_q"))
+      .orderBy("c_mktsegment")
+
+  val q69Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** Time travel: the same store read AT VERSION 0 — the pre-upsert
+    * snapshot, byte-stable no matter how many merges later runs have
+    * committed (the snapshot-isolation contract, query-visible). */
+  def q70TxTimeTravel(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TxStore.read(s, ensureTxStore(s, dir), version = Some(0))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_q").as("bal_sum_q"))
+      .orderBy("c_mktsegment")
+
+  val q70Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS bal_sum_q
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -395,7 +448,9 @@ object Curation {
     "q65_repetition" -> (q65Repetition _),
     "q66_bloom_join" -> (q66BloomJoin _),
     "q67_ivfpq" -> (q67IvfPq _),
-    "q68_hybrid_rrf" -> (q68HybridRrf _))
+    "q68_hybrid_rrf" -> (q68HybridRrf _),
+    "q69_tx_upsert" -> (q69TxUpsert _),
+    "q70_tx_time_travel" -> (q70TxTimeTravel _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -405,5 +460,7 @@ object Curation {
     "q65_repetition" -> q65Sql,
     "q66_bloom_join" -> q66Sql,
     // q67 is rows-only by contract (model-dependent floats, like q29/q43)
-    "q68_hybrid_rrf" -> q68Sql)
+    "q68_hybrid_rrf" -> q68Sql,
+    "q69_tx_upsert" -> q69Sql,
+    "q70_tx_time_travel" -> q70Sql)
 }
