@@ -165,6 +165,34 @@ object Corpus {
         col("n_tokens"))
   }
 
+  /** Unigram log-probability scoring — the perplexity-style quality filter
+    * of crawl curation (docs whose tokens are improbable under a language
+    * model trained on the corpus itself are gibberish/boilerplate
+    * candidates). For every document: n_words, Σ over token occurrences of
+    * the quantized unigram log-prob lp_q(w) = ⌊ln(cnt(w)/total)·10^6 + 0.5⌋,
+    * and a pass flag sum_lp_q ≥ threshold·n_words — the avg-logprob gate
+    * expressed as an INTEGER cross-multiplication (no integer division,
+    * whose negative-operand rounding differs across engines).
+    *
+    * Scale: two aggregations (corpus counts by term, doc sums by id) plus
+    * one broadcast scalar — the same shuffle shape as TF-IDF. The model
+    * here is the corpus's own unigram distribution; scoring against an
+    * external reference model is the same dataflow with `cnt` loaded
+    * instead of aggregated. */
+  def unigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      minAvgLpQ: Long = -3430000L): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val cnt = tf.groupBy("w").agg(sum("tf").as("cnt"))
+    val tot = broadcast(cnt.agg(sum("cnt").as("total")))
+    tf.join(cnt, "w").crossJoin(tot)
+      .withColumn("lp_q",
+        floor(log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(sum("tf").as("n_words"), sum(col("tf") * col("lp_q")).as("sum_lp_q"))
+      .withColumn("pass_ppl", col("sum_lp_q") >= lit(minAvgLpQ) * col("n_words"))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any token
     * n-gram with a held-out evaluation set. The eval side's distinct grams
     * are BROADCAST (an eval suite is KBs–MBs against a 100 TB corpus), so

@@ -173,11 +173,15 @@ object Curation {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val accepted = StreamingDedup.firstSeen(stream.as[StreamingDedup.TaggedArrival])
     val qn = s"q63_dedup_${System.identityHashCode(s)}"
-    accepted.writeStream.outputMode("append").format("memory").queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
-      .start().awaitTermination()
+    // state partitions sized to the stream (see StreamConf) — 8 stores per
+    // batch, not the batch engine's 32
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      accepted.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+        .start().awaitTermination()
+    }
     s.table(qn)
       .select(col("keep_id").as("id"), col("first_batch"))
       .orderBy("id")
@@ -385,6 +389,28 @@ object Curation {
       |SELECT id, r_bm, r_vec, CAST(rrf_q AS BIGINT) AS rrf_q
       |FROM fused ORDER BY rrf_q DESC, id LIMIT 10""".stripMargin
 
+  // ------------------------------------------ q71 unigram logprob scoring
+
+  /** North star/text analysis — perplexity-style quality scoring
+    * ([[Corpus.unigramLogProb]]): per-document corpus-unigram
+    * log-probability sums with an integer cross-multiplied avg-logprob
+    * gate. */
+  def q71UnigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Corpus.unigramLogProb(docs(s, dir), "doc_id", "text").orderBy("id")
+
+  val q71Sql: String =
+    """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |tf AS (SELECT doc_id AS id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+      |cnt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+      |sc AS (SELECT id, tf,
+      |         CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+      |       FROM tf JOIN cnt USING (w) CROSS JOIN tot),
+      |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_words,
+      |        CAST(sum(tf * lp_q) AS BIGINT) AS sum_lp_q FROM sc GROUP BY 1)
+      |SELECT id, n_words, sum_lp_q, sum_lp_q >= -3430000 * n_words AS pass_ppl
+      |FROM a ORDER BY id""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -450,7 +476,8 @@ object Curation {
     "q67_ivfpq" -> (q67IvfPq _),
     "q68_hybrid_rrf" -> (q68HybridRrf _),
     "q69_tx_upsert" -> (q69TxUpsert _),
-    "q70_tx_time_travel" -> (q70TxTimeTravel _))
+    "q70_tx_time_travel" -> (q70TxTimeTravel _),
+    "q71_unigram_logprob" -> (q71UnigramLogprob _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -462,5 +489,6 @@ object Curation {
     // q67 is rows-only by contract (model-dependent floats, like q29/q43)
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
-    "q70_tx_time_travel" -> q70Sql)
+    "q70_tx_time_travel" -> q70Sql,
+    "q71_unigram_logprob" -> q71Sql)
 }

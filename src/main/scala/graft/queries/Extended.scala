@@ -167,11 +167,14 @@ object Extended {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     val sessions = Sessionize.sessions(stream.as[Sessionize.SessionEvent], gap)
     val qn = s"q53_sess_${System.identityHashCode(s)}"
-    sessions.writeStream.outputMode("append").format("memory").queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
-      .start().awaitTermination()
+    // state partitions sized to the stream (see StreamConf)
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      sessions.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+        .start().awaitTermination()
+    }
     s.table(qn)
       .select(col("entity_id").as("user_id"), col("session_start"), col("session_end"),
         col("n_events"),

@@ -142,7 +142,10 @@ object Freshen {
     val srcDir = stageOnce(s"q34:$dir", tall)
     val stream = s.readStream.schema(tall.schema).parquet(srcDir)
     val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    f.start(stream, ckpt).awaitTermination()
+    // state partitions sized to the stream (see StreamConf)
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      f.start(stream, ckpt).awaitTermination()
+    }
     store.get()
       .select(col(EntityView.EntityId),
         Cells.newestValue(col("events_value")).as("value"),
@@ -202,11 +205,14 @@ object Freshen {
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
     val qn = s"q44_win_${System.identityHashCode(s)}"
-    stream.writeStream.outputMode("complete").format("memory").queryName(qn)
-      .trigger(Trigger.AvailableNow())
-      .option("checkpointLocation",
-        java.nio.file.Files.createTempDirectory("graft-winckpt").toString)
-      .start().awaitTermination()
+    // state partitions sized to the stream (see StreamConf)
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-winckpt").toString)
+        .start().awaitTermination()
+    }
     s.table(qn)
       .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
         col("event_type"), col("n_events"), col("sum_value"))

@@ -184,7 +184,10 @@ object TxStore {
       val d = delta.schema.find(_.name == f.name)
       require(d.isDefined, s"delta is missing stored column '${f.name}' " +
         "(additive evolution only — a merge cannot drop columns)")
-      require(d.get.dataType == f.dataType,
+      // compare via simpleString: ignores nullability flags, which a
+      // parquet round-trip relaxes — that is not a retype (the public
+      // equivalent of the private DataType.sameType)
+      require(d.get.dataType.simpleString == f.dataType.simpleString,
         s"delta retypes column '${f.name}': ${f.dataType.simpleString} -> " +
           s"${d.get.dataType.simpleString} (not supported)")
     }

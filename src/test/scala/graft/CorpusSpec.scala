@@ -53,6 +53,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(!byId(3L).getAs[Boolean]("pass")) // 3 words < minWords
   }
 
+  test("unigramLogProb: rare-token docs score lower; gate is the integer cross-multiply") {
+    // "zzz" occurs once in the corpus; "common" dominates
+    val d = docsDF(
+      1L -> "common common common common",
+      2L -> "common common common zzz")
+    val out = Corpus.unigramLogProb(d, "doc_id", "text", minAvgLpQ = -1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val total = 8.0
+    def lpq(c: Long) = math.floor(math.log(c / total) * 1e6 + 0.5).toLong
+    assert(out(1L).getAs[Long]("sum_lp_q") == 4 * lpq(7))
+    assert(out(2L).getAs[Long]("sum_lp_q") == 3 * lpq(7) + lpq(1))
+    assert(out(2L).getAs[Long]("sum_lp_q") < out(1L).getAs[Long]("sum_lp_q"))
+    // avg(doc1) = ln(7/8) ≈ −0.134 ≥ −1.0 passes; doc2 avg ≈ −0.62 passes too;
+    // a −0.2 gate separates them
+    val strict = Corpus.unigramLogProb(d, "doc_id", "text", minAvgLpQ = -200000L)
+      .collect().map(r => r.getLong(0) -> r.getAs[Boolean]("pass_ppl")).toMap
+    assert(strict(1L) && !strict(2L))
+  }
+
   test("sampleStratified keeps EXACTLY ceil(rate*n) per stratum, deterministically") {
     import spark.implicits._
     val d = (1L to 95L).map(i => (i, if (i % 3 == 0) "a" else "b"))
