@@ -193,6 +193,36 @@ object Corpus {
       .withColumn("pass_ppl", col("sum_lp_q") >= lit(minAvgLpQ) * col("n_words"))
   }
 
+  /** Corpus vocabulary report — the Zipf sanity check a curation run
+    * prints before tokenizer training: the top-k tokens by frequency
+    * alongside corpus-level scalars (vocabulary size, hapax-legomenon
+    * count, total token occurrences). A skewed head or a hapax explosion
+    * flags boilerplate or encoding damage before they poison a tokenizer.
+    *
+    * Scale: one (term) aggregation; top-k via TakeOrdered (never a global
+    * sort); ranks by triangular join on the k-row frame (no unpartitioned
+    * window); scalars ride a broadcast 1-row frame. Returns k rows
+    * (rank, w, cnt, vocab_size, n_hapax, total_tokens). */
+  def vocabReport(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val cnt = docs
+      .select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val scalars = broadcast(cnt.agg(
+      count(lit(1)).as("vocab_size"),
+      sum(when(col("cnt") === 1, 1L).otherwise(0L)).as("n_hapax"),
+      sum("cnt").as("total_tokens")))
+    val top = cnt.orderBy(col("cnt").desc, col("w")).limit(k)
+    val ranked = top.as("a")
+      .join(top.as("b"),
+        col("b.cnt") > col("a.cnt") ||
+          (col("b.cnt") === col("a.cnt") && col("b.w") < col("a.w")),
+        "left")
+      .groupBy(col("a.w").as("w"), col("a.cnt").as("cnt"))
+      .agg((count(col("b.w")) + 1).cast("long").as("rank"))
+    ranked.crossJoin(scalars)
+      .select("rank", "w", "cnt", "vocab_size", "n_hapax", "total_tokens")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any token
     * n-gram with a held-out evaluation set. The eval side's distinct grams
     * are BROADCAST (an eval suite is KBs–MBs against a 100 TB corpus), so

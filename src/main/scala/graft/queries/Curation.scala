@@ -411,6 +411,26 @@ object Curation {
       |SELECT id, n_words, sum_lp_q, sum_lp_q >= -3430000 * n_words AS pass_ppl
       |FROM a ORDER BY id""".stripMargin
 
+  // ------------------------------------------------- q72 vocabulary report
+
+  /** North star/text analysis — Zipf/vocabulary report
+    * ([[Corpus.vocabReport]]): top-20 tokens + corpus scalars, the
+    * pre-tokenizer sanity check of a curation run. */
+  def q72VocabReport(s: SparkSession, dir: String): DataFrame =
+    Corpus.vocabReport(docs(s, dir), "doc_id", "text", k = 20)
+      .orderBy("rank")
+
+  val q72Sql: String =
+    """WITH tok AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |cnt AS (SELECT w, count(*) AS cnt FROM tok GROUP BY 1),
+      |sc AS (SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+      |              CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+      |              CAST(sum(cnt) AS BIGINT) AS total_tokens FROM cnt),
+      |top AS (SELECT w, cnt FROM cnt ORDER BY cnt DESC, w LIMIT 20),
+      |r AS (SELECT w, cnt, row_number() OVER (ORDER BY cnt DESC, w) AS "rank" FROM top)
+      |SELECT "rank", w, cnt, vocab_size, n_hapax, total_tokens
+      |FROM r CROSS JOIN sc ORDER BY "rank"""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -477,7 +497,8 @@ object Curation {
     "q68_hybrid_rrf" -> (q68HybridRrf _),
     "q69_tx_upsert" -> (q69TxUpsert _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
-    "q71_unigram_logprob" -> (q71UnigramLogprob _))
+    "q71_unigram_logprob" -> (q71UnigramLogprob _),
+    "q72_vocab_report" -> (q72VocabReport _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -490,5 +511,6 @@ object Curation {
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
     "q70_tx_time_travel" -> q70Sql,
-    "q71_unigram_logprob" -> q71Sql)
+    "q71_unigram_logprob" -> q71Sql,
+    "q72_vocab_report" -> q72Sql)
 }

@@ -72,6 +72,19 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(strict(1L) && !strict(2L))
   }
 
+  test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
+    val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
+    val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // counts: a=3, b=3, c=1, d=1 → rank1 a (tie w asc), rank2 b, rank3 c
+    assert(rows(1L).getAs[String]("w") == "a" && rows(1L).getAs[Long]("cnt") == 3)
+    assert(rows(2L).getAs[String]("w") == "b")
+    assert(rows(3L).getAs[String]("w") == "c" && rows(3L).getAs[Long]("cnt") == 1)
+    assert(rows(1L).getAs[Long]("vocab_size") == 4)
+    assert(rows(1L).getAs[Long]("n_hapax") == 2)
+    assert(rows(1L).getAs[Long]("total_tokens") == 8)
+  }
+
   test("sampleStratified keeps EXACTLY ceil(rate*n) per stratum, deterministically") {
     import spark.implicits._
     val d = (1L to 95L).map(i => (i, if (i % 3 == 0) "a" else "b"))
