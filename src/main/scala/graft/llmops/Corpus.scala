@@ -223,6 +223,71 @@ object Corpus {
       .select("rank", "w", "cnt", "vocab_size", "n_hapax", "total_tokens")
   }
 
+  // PII patterns, redacted in priority order (email before phone/IP so a
+  // user-part digit run can't be half-eaten by a later pattern). Java and
+  // RE2 agree on this subset of syntax (classes, \d, \b, bounded repeats),
+  // so the DuckDB oracle replicates matches byte-for-byte.
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}""" -> "<EMAIL>",
+    """\b\d{3}-\d{2}-\d{4}\b""" -> "<ID>",
+    """\b\d{3}-\d{3}-\d{4}\b""" -> "<PHONE>",
+    """\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b""" -> "<IP>")
+
+  /** PII scrubbing — the redaction pass a curation run applies before any
+    * text leaves the raw zone: emails, SSN-shaped ids, phone numbers and
+    * IPv4 literals replaced by typed tags, with per-class match counts for
+    * the audit ledger. Counts are measured against the PRISTINE text (each
+    * pattern independently — the four patterns cannot overlap-match the
+    * same span); redaction applies them sequentially in priority order.
+    *
+    * Scale: pure per-row `regexp_replace`/`regexp_extract_all` column
+    * expressions — whole-stage codegen, no shuffle, no UDF; the scan cost
+    * IS the operator cost at 100 TB. Returns
+    * (id, n_emails, n_ids, n_phones, n_ips, clean_text). */
+  def scrubPii(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def n(re: String) = size(regexp_extract_all(t, lit(re), lit(0))).cast("long")
+    val clean = PiiPatterns.foldLeft(t) {
+      case (c, (re, tag)) => regexp_replace(c, re, tag)
+    }
+    docs.select(col(idCol).as("id"),
+      n(PiiPatterns(0)._1).as("n_emails"),
+      n(PiiPatterns(1)._1).as("n_ids"),
+      n(PiiPatterns(2)._1).as("n_phones"),
+      n(PiiPatterns(3)._1).as("n_ips"),
+      clean.as("clean_text"))
+  }
+
+  /** Boilerplate / common-gram profiling: the fraction of a document's
+    * distinct token n-grams that are corpus-common (document frequency ≥
+    * `minDfPermille`‰ of the corpus). High ratios flag template text,
+    * navigation chrome and word-salad spam; the per-gram document
+    * frequencies double as the corpus's boilerplate lexicon.
+    *
+    * The threshold is a SHARE of the corpus (integer cross-multiply
+    * `df·1000 ≥ permille·N`, no float), so the same setting means the same
+    * thing at sf0.01 and at 100 TB. Scale: one shuffle keyed on the gram
+    * to compute df, one keyed on doc id to fold back — the df frame joins
+    * 1:many on the gram key with one row per gram on the build side, so a
+    * high-df (boilerplate) gram skews only the probe side, which is
+    * already spread across its df source partitions. Returns
+    * (id, n_grams, n_boiler, boiler_ratio, flag_boiler). */
+  def boilerplate(docs: DataFrame, idCol: String, textCol: String, n: Int,
+      minDfPermille: Long, flagRatio: Double): DataFrame = {
+    val sh = Dedup.shingleIndex(docs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val df = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val nDocs = corpusN(docs, idCol)
+    sh.join(df, "s").crossJoin(nDocs)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") * 1000L >= lit(minDfPermille) * col("n_docs"), 1L)
+          .otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        round(col("n_boiler").cast("double") / col("n_grams"), 12))
+      .withColumn("flag_boiler", col("boiler_ratio") >= lit(flagRatio))
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any token
     * n-gram with a held-out evaluation set. The eval side's distinct grams
     * are BROADCAST (an eval suite is KBs–MBs against a 100 TB corpus), so

@@ -395,4 +395,22 @@ object Similarity {
         col("a.nrm").as("qn"), col("b.nrm").as("cn"))
     rank(scored, k)
   }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023): connected
+    * components over the cosine ≥ `minCosine` graph, every vector labeled
+    * with the min id of its semantic cluster (itself when unique) — the
+    * embedding-space analogue of near-dup canonical assignment over
+    * Jaccard edges. Unlike Jaccard dup graphs (near-cliques), a
+    * transitive cosine graph is CHAINY — A~B~C without A~C — so diameter
+    * grows with scale (measured 16 at sf0.1 already) and min-label
+    * propagation ([[Dedup.connectedComponents]], diameter-many rounds)
+    * is the wrong algorithm; the O(log² n)-round star contraction
+    * ([[Dedup.connectedComponentsStars]]) handles any diameter. Pair
+    * generation is the exact quantized baseline ([[cosinePairs]]); at
+    * corpus sizes where its broadcast no longer fits, generate candidates
+    * with [[cosineTopKLsh]] signature buckets and rescore — the component
+    * step is unchanged. Returns (id, component). */
+  def semanticDedup(vectors: DataFrame, minCosine: Double): DataFrame =
+    Dedup.connectedComponentsStars(vectors.select("id"),
+      cosinePairs(vectors, minCosine).select("id_a", "id_b"))
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.llmops.{Corpus, Dedup, TextAnalysis}
+import graft.llmops.{Corpus, Dedup, Similarity, TextAnalysis}
 import graft.operators.{Graph, Profile, Sketches}
 import graft.sources.Tables
 
@@ -20,6 +20,8 @@ object Curation {
     Tables.load(s, dir, name)
   private def docs(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
 
   // ---------------------------------------------- q61 curation pipeline
 
@@ -431,6 +433,103 @@ object Curation {
       |SELECT "rank", w, cnt, vocab_size, n_hapax, total_tokens
       |FROM r CROSS JOIN sc ORDER BY "rank"""".stripMargin
 
+  // ---------------------------------------------------- q73 PII scrubbing
+
+  /** North star/curation — PII redaction audit ([[Corpus.scrubPii]]). The
+    * synthetic corpus carries no natural PII, so the declared query seeds
+    * each document with deterministic doc_id-derived PII (an email, a
+    * phone, an IP, an SSN-shaped id) and scrubs it: per-class counts plus
+    * the SHA-256 of the redacted text, both engines end-to-end. */
+  def q73PiiScrub(s: SparkSession, dir: String): DataFrame = {
+    val seeded = docs(s, dir).select(col("doc_id"), concat(
+      col("text"),
+      lit(" contact user"), col("doc_id"), lit("@example.com or 555-"),
+      lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"), lit("-"),
+      lpad(pmod(col("doc_id") * 7, lit(10000)).cast("string"), 4, "0"),
+      lit(" from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+      lit("."), pmod(col("doc_id") * 3, lit(256)).cast("string"),
+      lit(" ssn 123-45-6789")).as("text"))
+    Corpus.scrubPii(seeded, "doc_id", "text")
+      .select(col("id").as("doc_id"), col("n_emails"), col("n_ids"),
+        col("n_phones"), col("n_ips"),
+        sha2(col("clean_text").cast("binary"), 256).as("clean_sha"))
+      .orderBy("doc_id")
+  }
+
+  val q73Sql: String =
+    """WITH seeded AS (SELECT doc_id, text || ' contact user' || doc_id || '@example.com or 555-' ||
+      |    lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-' ||
+      |    lpad(CAST(doc_id * 7 % 10000 AS VARCHAR), 4, '0') ||
+      |    ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' ||
+      |    CAST(doc_id * 3 % 256 AS VARCHAR) || ' ssn 123-45-6789' AS text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}')) AS BIGINT) AS n_emails,
+      |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ids,
+      |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{3}-\d{4}\b')) AS BIGINT) AS n_phones,
+      |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+      |  sha256(
+      |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(text,
+      |      '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+      |      '\b\d{3}-\d{2}-\d{4}\b', '<ID>', 'g'),
+      |      '\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g'),
+      |      '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g')) AS clean_sha
+      |FROM seeded ORDER BY doc_id""".stripMargin
+
+  // ---------------------------------------------- q74 boilerplate profiling
+
+  /** North star/text analysis — boilerplate/common-gram profiling
+    * ([[Corpus.boilerplate]]): fraction of each document's distinct
+    * bigrams with document frequency ≥ 6% of the corpus; flag at ≥ 0.5.
+    * The share-based threshold means the query is the same statement at
+    * sf0.01 and 100 TB. */
+  def q74Boilerplate(s: SparkSession, dir: String): DataFrame =
+    Corpus.boilerplate(docs(s, dir), "doc_id", "text", n = 2,
+        minDfPermille = 60L, flagRatio = 0.5)
+      .orderBy("id")
+
+  val q74Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT DISTINCT doc_id AS id, array_to_string(t[i:i+1], ' ') AS s
+      |       FROM tok, UNNEST(range(1, len(t))) AS u(i)),
+      |d AS (SELECT s, count(*) AS df FROM sh GROUP BY 1),
+      |nd AS (SELECT count(*) AS n_docs FROM documents),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(sum(CASE WHEN df * 1000 >= 60 * n_docs THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+      |        FROM sh JOIN d USING (s) CROSS JOIN nd GROUP BY id)
+      |SELECT id, n_grams, n_boiler,
+      |  round(CAST(n_boiler AS DOUBLE) / n_grams, 12) AS boiler_ratio,
+      |  CAST(n_boiler AS DOUBLE) / n_grams >= 0.5 AS flag_boiler
+      |FROM agg ORDER BY id""".stripMargin
+
+  // ------------------------------------------------- q75 semantic dedup
+
+  /** North star/similarity — SemDeDup-style semantic deduplication
+    * ([[Similarity.semanticDedup]]): connected components over the
+    * embedding cosine ≥ 0.4 graph, each vector labeled with its cluster's
+    * min id. Exact ×1e4-quantized dots on both engines (the q46 edge set);
+    * components via recursive CTE in the oracle. */
+  def q75SemanticDedup(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.semanticDedup(e, minCosine = 0.4).orderBy("id")
+  }
+
+  val q75Sql: String =
+    """WITH RECURSIVE
+      |q AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+      |e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT vec_id, vec_id FROM embeddings
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
+      |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -498,7 +597,10 @@ object Curation {
     "q69_tx_upsert" -> (q69TxUpsert _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
     "q71_unigram_logprob" -> (q71UnigramLogprob _),
-    "q72_vocab_report" -> (q72VocabReport _))
+    "q72_vocab_report" -> (q72VocabReport _),
+    "q73_pii_scrub" -> (q73PiiScrub _),
+    "q74_boilerplate" -> (q74Boilerplate _),
+    "q75_semantic_dedup" -> (q75SemanticDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -512,5 +614,8 @@ object Curation {
     "q69_tx_upsert" -> q69Sql,
     "q70_tx_time_travel" -> q70Sql,
     "q71_unigram_logprob" -> q71Sql,
-    "q72_vocab_report" -> q72Sql)
+    "q72_vocab_report" -> q72Sql,
+    "q73_pii_scrub" -> q73Sql,
+    "q74_boilerplate" -> q74Sql,
+    "q75_semantic_dedup" -> q75Sql)
 }

@@ -85,6 +85,37 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(rows(1L).getAs[Long]("total_tokens") == 8)
   }
 
+  test("scrubPii: counts per class on pristine text; redaction is sequential") {
+    val d = docsDF(
+      1L -> "mail a@b.com and c.d+x@e.org call 555-123-4567 ip 10.0.0.1 ssn 123-45-6789",
+      2L -> "no pii here at all")
+    val out = Corpus.scrubPii(d, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("n_emails") == 2)
+    assert(out(1L).getAs[Long]("n_phones") == 1)
+    assert(out(1L).getAs[Long]("n_ips") == 1)
+    assert(out(1L).getAs[Long]("n_ids") == 1)
+    assert(out(1L).getAs[String]("clean_text") ==
+      "mail <EMAIL> and <EMAIL> call <PHONE> ip <IP> ssn <ID>")
+    assert(out(2L).getAs[Long]("n_emails") == 0)
+    assert(out(2L).getAs[String]("clean_text") == "no pii here at all")
+  }
+
+  test("boilerplate: share-based df threshold, hand-computed bigram ratios") {
+    // bigrams: "a b" in all 3 docs (df=3); everything else df=1.
+    // permille=600 of n_docs=3 → boiler iff df*1000 >= 600*3 → df >= 1.8
+    val d = docsDF(1L -> "a b c", 2L -> "a b d", 3L -> "x a b")
+    val out = Corpus.boilerplate(d, "doc_id", "text", n = 2,
+        minDfPermille = 600L, flagRatio = 0.5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // doc 1 bigrams: {a b, b c} → 1/2 boiler
+    assert(out(1L).getAs[Long]("n_grams") == 2)
+    assert(out(1L).getAs[Long]("n_boiler") == 1)
+    assert(out(1L).getAs[Double]("boiler_ratio") == 0.5)
+    assert(out(1L).getAs[Boolean]("flag_boiler"))
+    assert(out(3L).getAs[Long]("n_boiler") == 1) // {x a, a b}
+  }
+
   test("sampleStratified keeps EXACTLY ceil(rate*n) per stratum, deterministically") {
     import spark.implicits._
     val d = (1L to 95L).map(i => (i, if (i % 3 == 0) "a" else "b"))

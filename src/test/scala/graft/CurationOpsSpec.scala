@@ -127,6 +127,19 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("semanticDedup: cosine clusters get min-id labels; outliers are singletons") {
+    import spark.implicits._
+    import graft.llmops.Similarity
+    // 1,2 collinear (cos=1); 3,4 collinear; 5 orthogonal to both
+    val e = Seq(
+      (1L, Array(1f, 0f, 0f)), (2L, Array(2f, 0f, 0f)),
+      (3L, Array(0f, 3f, 0f)), (4L, Array(0f, 1f, 0f)),
+      (5L, Array(0f, 0f, 1f))).toDF("id", "vec")
+    val out = Similarity.semanticDedup(e, minCosine = 0.9)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
+  }
+
   // ------------------------------------------------------ streaming dedup
 
   test("firstSeen: first batch wins across micro-batches, min id within batch") {
