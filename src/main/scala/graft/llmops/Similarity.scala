@@ -240,13 +240,21 @@ object Similarity {
     * ksub·subDim·m leaf nodes — exceeds janino's 64 KB method limit and
     * silently drops the whole stage out of codegen; the fused-loop form
     * keeps the expression ksub·m nodes.) */
-  private def pqCodeCols(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
+  private def pqCodeCols(vec: Column, cell: Column, coarse: Array[Array[Double]],
+      books: Array[Array[Array[Double]]]): Seq[Column] =
     books.zipWithIndex.map { case (cents, si) =>
       val d = cents(0).length
       val dists = cents.zipWithIndex.map { case (c, ci) =>
         val cn2 = c.map(x => x * x).sum
+        // residual distance |（v−c_cell)_sub − c|² up to the per-point
+        // constant: |c|² − 2·v_sub·c + 2·(c_cell)_sub·c. The last term is a
+        // LITERAL per (cell, centroid) — an element_at into an nlist-long
+        // constant array, not runtime arithmetic.
+        val cellDots = coarse.map(cc =>
+          (0 until d).map(j => cc(si * d + j) * c(j)).sum)
         struct((lit(cn2) - lit(2.0) *
-            arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))).as("d"),
+            arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))
+          + lit(2.0) * element_at(lit(cellDots), cell.cast("int") + 1)).as("d"),
           lit(ci).as("i"))
       }
       array_min(array(dists: _*)).getField("i").as(s"code$si")
@@ -275,10 +283,15 @@ object Similarity {
     * embedding — the shuffle shrinks by ~dim·4/m — and exact vectors are
     * fetched (semi-join) only for the rescore set.
     *
-    * Codes here quantize RAW vectors (not cell residuals — documented
-    * simplification; residual PQ is the refinement, same dataflow).
-    * Recall vs the exact baseline is spec-pinned; like the other ANN
-    * variants this is declared rows-only (model-dependent floats). */
+    * Codes quantize CELL RESIDUALS (v − c_cell), the standard IVFADC
+    * composition: residual magnitudes are far smaller than raw vectors, so
+    * the same ksub codebook budget spends its resolution where the
+    * variance actually is. Dot-product ADC makes residuals nearly free:
+    * q·v ≈ q·c_cell + q·r̂, the first term is the probe stage's `cdot`
+    * (already computed), and the residual tables stay CELL-INDEPENDENT —
+    * one m·ksub table per query, exactly as in the raw-code form. Recall
+    * vs the exact baseline is spec-pinned; like the other ANN variants
+    * this is declared rows-only (model-dependent floats). */
   def cosineTopKIvfPq(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
       m: Int, ksub: Int, rescoreK: Int, seed: Long = 42L,
       indexKey: Option[String] = None): DataFrame = {
@@ -300,8 +313,18 @@ object Similarity {
         .orderBy("id").limit(2048)
         .collect().map(_.getSeq[Double](1).toArray)
       val coarse = lloyd(sample, nlist, iters = 10, seed)
+      // codebooks train on residuals v − c_cell (sample assigned driver-side)
+      val residuals = sample.map { v =>
+        var best = 0; var bestD = Double.MaxValue
+        coarse.indices.foreach { ci =>
+          var dist = 0.0; var j = 0
+          while (j < dim) { val x = v(j) - coarse(ci)(j); dist += x * x; j += 1 }
+          if (dist < bestD) { bestD = dist; best = ci }
+        }
+        Array.tabulate(dim)(j => v(j) - coarse(best)(j))
+      }
       val books = (0 until m).map { si =>
-        val subs = sample.map(v =>
+        val subs = residuals.map(v =>
           java.util.Arrays.copyOfRange(v, si * subDim, (si + 1) * subDim))
         lloyd(subs, ksub, iters = 10, seed + si + 1)
       }.toArray
@@ -323,9 +346,10 @@ object Similarity {
     // row" — at scale this is what the posting lists hold; vec is kept
     // aside here for the rescore fetch)
     val assigned = vectors
-      .select(Seq(col("id"), col("vec"), cellCol.as("cell"),
-        sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm")) ++
-        pqCodeCols(col("vec"), books): _*)
+      .select(col("id"), col("vec"), cellCol.as("cell"),
+        sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm"))
+      .select(Seq(col("id"), col("vec"), col("cell"), col("nrm")) ++
+        pqCodeCols(col("vec"), col("cell"), coarse, books): _*)
       .persist()
     val centroids = spark.createDataFrame(
       coarse.zipWithIndex.toIndexedSeq
@@ -338,7 +362,8 @@ object Similarity {
       .withColumn("cdot", arrayDot(col("qv"), col("cvec")))
       .withColumn("pr", row_number().over(wProbe))
       .filter(col("pr") <= nprobe)
-      .select(col("qid"), col("ccell").as("cell"))
+      // cdot rides along: it is the q·c_cell term of the residual ADC score
+      .select(col("qid"), col("ccell").as("cell"), col("cdot").cast("double").as("cdot"))
     // query side carries its ADC tables (m·ksub doubles per query row) —
     // BROADCAST: a few KB per query, and broadcasting keeps the tables out
     // of every shuffle
@@ -357,8 +382,9 @@ object Similarity {
         (0 until m).map(si => col(s"code$si")): _*), "cell")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        ((0 until m).map(si => element_at(col(s"qtab$si"), col(s"code$si") + 1))
-          .reduce(_ + _) / col("cn")).as("ascore"))
+        ((col("cdot") + (0 until m)
+          .map(si => element_at(col(s"qtab$si"), col(s"code$si") + 1))
+          .reduce(_ + _)) / col("cn")).as("ascore"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
     val shortlist = approx
       .withColumn("ar", row_number().over(wAdc))
