@@ -223,6 +223,61 @@ object Corpus {
       .select("rank", "w", "cnt", "vocab_size", "n_hapax", "total_tokens")
   }
 
+  /** Temperature-based domain mixture sampling (the multilingual /
+    * domain-reweighting recipe: p_d ∝ n_d^α with α = 1/2, which upweights
+    * rare domains relative to proportional sampling). Each stratum gets an
+    * integer quota ⌈targetN · w_d / W⌉ where w_d = ⌊√n_d · 10⁶⌋ — √ is
+    * IEEE-correctly-rounded on every engine (a general pow(x, α) is NOT,
+    * which is why α is fixed at 1/2), the ×10⁶ floor makes the weights
+    * integers, so the quota arithmetic is exact cross-engine. Row selection
+    * inside a stratum is the same deterministic LCG hash rank as
+    * [[sampleStratified]].
+    *
+    * Scale: per-stratum windows (partitioned, never global), stratum
+    * weights are a tiny aggregate broadcast back; one shuffle keyed on the
+    * stratum. Returns (stratum, id, smp_rank, quota). */
+  def sampleTemperature(docs: DataFrame, idCol: String, strataCol: String,
+      targetN: Long): DataFrame = {
+    val base = docs.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+      pmod(col(idCol).cast("long") * 2654435761L + 40503L, lit(P)).as("h"))
+    val weights = base.groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w_q", floor(sqrt(col("n_docs").cast("double")) * 1e6).cast("long"))
+    val total = broadcast(weights.agg(sum("w_q").as("w_total")))
+    val quotas = broadcast(weights.crossJoin(total)
+      .select(col("stratum"),
+        expr("(cast(" + targetN + " as bigint) * w_q + w_total - 1) div w_total")
+          .as("quota")))
+    base
+      .withColumn("smp_rank",
+        row_number().over(Window.partitionBy("stratum").orderBy("h", "id")))
+      .join(quotas, "stratum")
+      .filter(col("smp_rank") <= col("quota"))
+      .select("stratum", "id", "smp_rank", "quota")
+  }
+
+  /** Sliding-window chunking with overlap — the RAG/pretraining splitter:
+    * token windows of `chunk` tokens starting every `stride` tokens
+    * (overlap = chunk − stride), one chunk per start position < n_tokens,
+    * the last chunk ragged. Token-array `slice` is a codegen'd builtin
+    * (NOT an interpreted lambda HOF), and the whole operator is
+    * scan + generate — no shuffle, no window. Returns
+    * (id, chunk_idx, n_tok, chunk_sha). */
+  def chunkSliding(docs: DataFrame, idCol: String, textCol: String,
+      chunk: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && chunk >= stride,
+      s"need chunk >= stride >= 1, got chunk=$chunk stride=$stride")
+    docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 1)
+      .select(col("id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - 1, lit(stride))).as("start"))
+      .select(col("id"), (col("start") / stride).cast("long").as("chunk_idx"),
+        slice(col("t"), col("start") + 1, lit(chunk)).as("ch"))
+      .select(col("id"), col("chunk_idx"),
+        size(col("ch")).cast("long").as("n_tok"),
+        sha2(array_join(col("ch"), " ").cast("binary"), 256).as("chunk_sha"))
+  }
+
   // PII patterns, redacted in priority order (email before phone/IP so a
   // user-part digit run can't be half-eaten by a later pattern). Java and
   // RE2 agree on this subset of syntax (classes, \d, \b, bounded repeats),

@@ -530,6 +530,130 @@ object Curation {
       |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
       |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  // -------------------------------------------- q76 temperature sampling
+
+  /** North star/curation — temperature-based domain mixture
+    * ([[Corpus.sampleTemperature]]): 200 docs drawn across languages with
+    * p_d ∝ √n_d, upweighting rare languages vs proportional sampling
+    * (en is 44% of the corpus but gets ~28% of the sample). */
+  def q76TemperatureSample(s: SparkSession, dir: String): DataFrame =
+    Corpus.sampleTemperature(docs(s, dir), "doc_id", "lang", targetN = 200L)
+      .orderBy("stratum", "smp_rank")
+
+  val q76Sql: String =
+    """WITH s AS (SELECT lang AS stratum, doc_id AS id,
+      |             (doc_id * 2654435761 + 40503) % 2147483647 AS h FROM documents),
+      |n AS (SELECT stratum, count(*) AS n_docs,
+      |        CAST(floor(sqrt(count(*)) * 1e6) AS BIGINT) AS w_q FROM s GROUP BY 1),
+      |tot AS (SELECT CAST(sum(w_q) AS BIGINT) AS w_total FROM n),
+      |q AS (SELECT stratum, (200 * w_q + w_total - 1) // w_total AS quota
+      |      FROM n CROSS JOIN tot),
+      |r AS (SELECT stratum, id,
+      |        row_number() OVER (PARTITION BY stratum ORDER BY h, id) AS smp_rank
+      |      FROM s)
+      |SELECT r.stratum, id, smp_rank, quota
+      |FROM r JOIN q USING (stratum) WHERE smp_rank <= quota
+      |ORDER BY stratum, smp_rank""".stripMargin
+
+  // --------------------------------------------- q77 sliding-window chunks
+
+  /** North star/curation — sliding-window chunking
+    * ([[Corpus.chunkSliding]]): 16-token chunks every 8 tokens (50%
+    * overlap), last chunk ragged; per-chunk content hashes. */
+  def q77ChunkSliding(s: SparkSession, dir: String): DataFrame =
+    Corpus.chunkSliding(docs(s, dir), "doc_id", "text", chunk = 16, stride = 8)
+      .orderBy("id", "chunk_idx")
+
+  val q77Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |c AS (SELECT id, i // 8 AS chunk_idx, t[i+1:least(i+16, len(t))] AS ch
+      |      FROM tok, UNNEST(range(0, greatest(len(t), 1), 8)) AS u(i)
+      |      WHERE i < len(t))
+      |SELECT id, chunk_idx, CAST(len(ch) AS BIGINT) AS n_tok,
+      |  sha256(array_to_string(ch, ' ')) AS chunk_sha
+      |FROM c ORDER BY id, chunk_idx""".stripMargin
+
+  // ------------------------------------------- q78 stream-stream join
+
+  /** Deterministic staging of the two-stream join source: error and click
+    * events (epoch-ms times) split into two half-month files delivered
+    * oldest-first one file per micro-batch, so pairs genuinely span batch
+    * boundaries and the symmetric join state must carry across them. */
+  private val stagedJoin = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageJoinSource(s: SparkSession, dir: String): String =
+    stagedJoin.getOrElseUpdate(s"q78:$dir", {
+      import java.nio.file.{Files, Path}
+      val split = 1705363200000L // 2024-01-16T00:00:00Z
+      val ev = t(s, dir, "events")
+        .filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(ts) div 1000").as("ms"), col("event_type"))
+      val srcDir = Files.createTempDirectory("graft-sjoin-src")
+      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-sjoin-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = srcDir.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L
+      stagePart(ev.filter(col("ms") < split), "00_first.parquet", t0)
+      stagePart(ev.filter(col("ms") >= split), "01_second.parquet", t0 + 60000)
+      srcDir.toString
+    })
+
+  /** S26 depth — stream-stream event-time interval join
+    * ([[graft.streaming.StreamJoin.intervalJoin]]): every error paired
+    * with the same user's clicks from the preceding 4 hours, the two
+    * streams joined through watermarked symmetric state across TWO
+    * micro-batches. The oracle is the batch interval join — bit-identical
+    * output is the contract. */
+  def q78StreamJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageJoinSource(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, ms BIGINT, event_type STRING")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val errors = stream.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("err_ts"))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("click_ts"))
+    val joined = StreamJoin.intervalJoin(errors, clicks, "user_id",
+      "err_ts", "click_ts", lookbackMs = 14400000L, delayMs = 3600000L)
+    val qn = s"q78_sjoin_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      joined.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("err_id"), col("click_id"), col("user_id"),
+        expr("unix_micros(err_ts) div 1000").as("err_ms"),
+        expr("unix_micros(click_ts) div 1000").as("click_ms"))
+      .orderBy("err_id", "click_id")
+  }
+
+  val q78Sql: String =
+    """SELECT e.event_id AS err_id, c.event_id AS click_id, e.user_id,
+      |  epoch_ms(e.ts) AS err_ms, epoch_ms(c.ts) AS click_ms
+      |FROM events e JOIN events c
+      |  ON e.user_id = c.user_id
+      | AND e.event_type = 'error' AND c.event_type = 'click'
+      | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 14400000 AND epoch_ms(e.ts)
+      |ORDER BY err_id, click_id""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -600,7 +724,10 @@ object Curation {
     "q72_vocab_report" -> (q72VocabReport _),
     "q73_pii_scrub" -> (q73PiiScrub _),
     "q74_boilerplate" -> (q74Boilerplate _),
-    "q75_semantic_dedup" -> (q75SemanticDedup _))
+    "q75_semantic_dedup" -> (q75SemanticDedup _),
+    "q76_temperature_sample" -> (q76TemperatureSample _),
+    "q77_chunk_sliding" -> (q77ChunkSliding _),
+    "q78_stream_join" -> (q78StreamJoin _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -617,5 +744,8 @@ object Curation {
     "q72_vocab_report" -> q72Sql,
     "q73_pii_scrub" -> q73Sql,
     "q74_boilerplate" -> q74Sql,
-    "q75_semantic_dedup" -> q75Sql)
+    "q75_semantic_dedup" -> q75Sql,
+    "q76_temperature_sample" -> q76Sql,
+    "q77_chunk_sliding" -> q77Sql,
+    "q78_stream_join" -> q78Sql)
 }

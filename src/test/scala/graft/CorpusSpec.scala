@@ -131,6 +131,30 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       again.orderBy("stratum", "id").collect().toSeq)
   }
 
+  test("sampleTemperature: sqrt-weight quotas, hand-computed") {
+    // strata: a has 4 docs, b has 1 → w_a=2e6, w_b=1e6, W=3e6;
+    // targetN=3 → quota_a = ceil(3*2e6/3e6) = 2, quota_b = ceil(3*1e6/3e6) = 1
+    import spark.implicits._
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "a"), (5L, "b"))
+      .toDF("doc_id", "lang")
+    val out = Corpus.sampleTemperature(d, "doc_id", "lang", targetN = 3L)
+      .collect()
+    val byStratum = out.groupBy(_.getAs[String]("stratum"))
+    assert(byStratum("a").length == 2 && byStratum("a").head.getAs[Long]("quota") == 2)
+    assert(byStratum("b").length == 1 && byStratum("b").head.getAs[Long]("quota") == 1)
+    assert(byStratum("b").head.getAs[Long]("id") == 5L)
+  }
+
+  test("chunkSliding: ragged last chunk, 50%-style overlap, hand-computed") {
+    val d = docsDF(1L -> "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9")
+    val out = Corpus.chunkSliding(d, "doc_id", "text", chunk = 4, stride = 3)
+      .orderBy("chunk_idx").collect()
+    assert(out.map(_.getAs[Long]("chunk_idx")).toSeq == Seq(0L, 1L, 2L, 3L))
+    assert(out.map(_.getAs[Long]("n_tok")).toSeq == Seq(4L, 4L, 4L, 1L))
+    // distinct contents hash distinctly; same content would collide
+    assert(out.map(_.getAs[String]("chunk_sha")).distinct.length == 4)
+  }
+
   test("packSequences: offsets chain exactly; chunk boundaries split mid-document") {
     // one shard (nShards=1): docs of 300+300+300 tokens into 512-token seqs
     val txt = (1 to 300).map(_ => "tok").mkString(" ")

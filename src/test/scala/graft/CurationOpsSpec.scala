@@ -140,6 +140,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
   }
 
+  // -------------------------------------------------- stream-stream join
+
+  test("intervalJoin: pairs span micro-batches; lookback bound excludes old refs") {
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val clicksIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val errsIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clicks = clicksIn.toDF().toDF("click_id", "user_id", "click_ts")
+    val errs = errsIn.toDF().toDF("err_id", "user_id", "err_ts")
+    val qn = "stream_join_spec"
+    val q = StreamJoin.intervalJoin(errs, clicks, "user_id",
+        "err_ts", "click_ts", lookbackMs = 150000L, delayMs = 600000L)
+      .select("err_id", "click_id")
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // batch 0: clicks only — no output yet, state must hold them
+      clicksIn.addData((10L, 1L, ts(100)), (11L, 1L, ts(10)), (12L, 2L, ts(120)))
+      q.processAllAvailable()
+      // batch 1: errors arrive — click 10 (Δ=100s ≤ 150s) joins, click 11
+      // (Δ=190s) is beyond lookback, click 12 is another user
+      errsIn.addData((20L, 1L, ts(200)))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[(Long, Long)].collect().toSet
+      assert(got == Set((20L, 10L)))
+    } finally q.stop()
+  }
+
   // ------------------------------------------------------ streaming dedup
 
   test("firstSeen: first batch wins across micro-batches, min id within batch") {
