@@ -654,6 +654,37 @@ object Curation {
       | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 14400000 AND epoch_ms(e.ts)
       |ORDER BY err_id, click_id""".stripMargin
 
+  // ----------------------------------------------- q79 triangle counting
+
+  /** Graph depth — per-node triangle counts ([[Graph.triangles]]) over
+    * the cosine ≥ 0.30 similarity graph: the transitivity diagnostic for
+    * dup clusters (how cliquey is the neighborhood a threshold induces).
+    * Degree-ordered orientation on the Spark side; the oracle counts the
+    * same triangles with the naive a<b<c triple join. */
+  def q79Triangles(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Graph.triangles(e.select("id"),
+        Similarity.cosinePairs(e, minCosine = 0.30).select("id_a", "id_b"))
+      .orderBy("id")
+  }
+
+  val q79Sql: String =
+    """WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+      |e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+      |tri AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+      |        FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+      |        JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+      |cnt AS (SELECT u.id, count(*) AS n_tri
+      |        FROM tri, UNNEST([a, b, c]) AS u(id) GROUP BY 1)
+      |SELECT vec_id AS id, COALESCE(n_tri, 0) AS n_tri
+      |FROM embeddings LEFT JOIN cnt ON cnt.id = vec_id
+      |ORDER BY id""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -727,7 +758,8 @@ object Curation {
     "q75_semantic_dedup" -> (q75SemanticDedup _),
     "q76_temperature_sample" -> (q76TemperatureSample _),
     "q77_chunk_sliding" -> (q77ChunkSliding _),
-    "q78_stream_join" -> (q78StreamJoin _))
+    "q78_stream_join" -> (q78StreamJoin _),
+    "q79_triangles" -> (q79Triangles _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -747,5 +779,6 @@ object Curation {
     "q75_semantic_dedup" -> q75Sql,
     "q76_temperature_sample" -> q76Sql,
     "q77_chunk_sliding" -> q77Sql,
-    "q78_stream_join" -> q78Sql)
+    "q78_stream_join" -> q78Sql,
+    "q79_triangles" -> q79Sql)
 }

@@ -140,6 +140,18 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
   }
 
+  test("triangles: hand-computed counts incl. degree ties and isolated nodes") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} (4 triangles, 3 per node — all degrees tie at 3),
+    // pendant edge 4-5, isolated node 6
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L)).toDF("id_a", "id_b")
+    val nodes = (1L to 6L).toDF("id")
+    val out = Graph.triangles(nodes, edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L, 5L -> 0L, 6L -> 0L))
+  }
+
   // -------------------------------------------------- stream-stream join
 
   test("intervalJoin: pairs span micro-batches; lookback bound excludes old refs") {

@@ -87,4 +87,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(plan("q60_decontaminate").contains("BroadcastHashJoin"),
       "the eval-side gram set must broadcast")
   }
+
+  test("q73: PII scrub is scan-shaped — no shuffle, no join, no window") {
+    val p = plan("q73_pii_scrub")
+    // the declared query's trailing orderBy is the only exchange allowed
+    assert(!p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Window"),
+      "redaction must stay a pure per-row column pipeline:\n" + p.take(2000))
+  }
+
+  test("q77: sliding chunking is scan+generate — no shuffle, no window") {
+    val p = plan("q77_chunk_sliding")
+    assert(p.contains("Generate"), "chunk starts must come from an explode generator")
+    assert(!p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Window"),
+      "chunking must not shuffle:\n" + p.take(2000))
+  }
+
+  test("q76: temperature quotas broadcast back onto per-stratum ranks") {
+    val p = plan("q76_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"),
+      "the per-stratum quota frame must broadcast, never shuffle the corpus again")
+  }
 }
