@@ -42,4 +42,34 @@ object Profile {
         col("n_rows"), col("n_null"), col("n_distinct"),
         col("min_q"), col("max_q"), col("sum_q"))
   }
+
+  /** Exact grouped quantiles (linear interpolation at position (n−1)·p —
+    * the formula both Spark's `percentile` and DuckDB's `quantile_cont`
+    * implement, so the oracle replicates it). Values quantize to integer
+    * cents BEFORE the aggregate (the same DECIMAL route as [[profile]]:
+    * a raw double→bigint cast truncates on Spark and rounds on DuckDB),
+    * and interpolated outputs round to 6 dp to absorb last-ulp division
+    * differences.
+    *
+    * Scale: Spark's exact `percentile` buffers each group's value
+    * multiset — correct for BOUNDED group cardinality over categorical
+    * keys (event types, domains, shards: the profiling use), where each
+    * buffer is one group's values, spread across the aggregation's
+    * partitions. For unbounded keys or unbounded per-group counts swap
+    * in `approx_percentile` (t-digest-style sketch, same call shape) —
+    * the declared oracle query keeps the exact form. Returns
+    * (key, n, p<100·p₁>, …). */
+  def quantiles(df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0))
+    val cents = expr(s"CAST(CAST($valCol AS DECIMAL(18,2)) * 100 AS BIGINT)")
+    val agg = df.select(col(keyCol).as("key"), cents.as("v"))
+      .groupBy("key")
+      .agg(count(lit(1)).as("n"),
+        expr(s"percentile(v, array(${ps.mkString(", ")}))").as("qs"))
+    agg.select(col("key") +: col("n") +:
+      ps.zipWithIndex.map { case (p, i) =>
+        round(element_at(col("qs"), i + 1), 6).as(s"p${math.round(p * 100)}")
+      }: _*)
+  }
 }

@@ -685,6 +685,150 @@ object Curation {
       |FROM embeddings LEFT JOIN cnt ON cnt.id = vec_id
       |ORDER BY id""".stripMargin
 
+  // ------------------------------------------------ q80 grouped quantiles
+
+  /** Profiling depth — exact grouped quantiles ([[Profile.quantiles]]):
+    * p50/p90/p99 of event value per event type, cents-exact inputs,
+    * identical interpolation formula on both engines. */
+  def q80Quantiles(s: SparkSession, dir: String): DataFrame =
+    Profile.quantiles(t(s, dir, "events"), "event_type", "value",
+        Seq(0.5, 0.9, 0.99))
+      .orderBy("key")
+
+  val q80Sql: String =
+    """SELECT event_type AS key, count(*) AS n,
+      |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5), 6) AS p50,
+      |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.9), 6) AS p90,
+      |  round(quantile_cont(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT), 0.99), 6) AS p99
+      |FROM events GROUP BY 1 ORDER BY key""".stripMargin
+
+  // --------------------------------------- q81 exactly-once stream ingest
+
+  /** Staging for the ingest stream: error/click/view/purchase/signup
+    * events in three 10-day band files, oldest first. */
+  private val stagedIngest = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageIngestSource(s: SparkSession, dir: String): String =
+    stagedIngest.getOrElseUpdate(s"q81:$dir", {
+      import java.nio.file.{Files, Path}
+      val b1 = 1704844800000L // 2024-01-10T00:00:00Z
+      val b2 = 1705708800000L // 2024-01-20T00:00:00Z
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts) div 1000").as("ms"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val srcDir = Files.createTempDirectory("graft-ingest-src")
+      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-ingest-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = srcDir.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L
+      stagePart(ev.filter(col("ms") < b1), "00_first.parquet", t0)
+      stagePart(ev.filter(col("ms") >= b1 && col("ms") < b2), "01_second.parquet", t0 + 60000)
+      stagePart(ev.filter(col("ms") >= b2), "02_third.parquet", t0 + 120000)
+      srcDir.toString
+    })
+
+  private val ingestStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** S26/engine depth — exactly-once streaming ingest into the
+    * transactional store ([[graft.streaming.StreamingIngest]]): each
+    * micro-batch upserts its per-user (count, cents-sum) aggregate, so the
+    * final table holds each user's stats from the LAST batch that saw
+    * them — the hash gate therefore proves both ordered batch processing
+    * and replace-by-key merge semantics. Re-runs replay already-committed
+    * batch ids and are skipped by the manifest ledger (the exactly-once
+    * path exercised as a query). */
+  def q81StreamIngest(s: SparkSession, dir: String): DataFrame = {
+    val srcDir = stageIngestSource(s, dir)
+    val store = ingestStores.getOrElseUpdate(s"q81:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-ingest-store")
+        .resolve("user_stats").toString
+      val empty = s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "user_id BIGINT, n BIGINT, sum_cents BIGINT"))
+      graft.sources.TxStore.init(empty, p, "user_id", nBuckets = 4)
+      p
+    })
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "user_id BIGINT, ms BIGINT, cents BIGINT")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    graft.streaming.StreamConf.withStatePartitions(s, 4) {
+      graft.streaming.StreamingIngest.ingestAvailableNow(stream, store, "user_id",
+        java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString,
+        batch => batch.groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents")))
+    }
+    graft.sources.TxStore.read(s, store).orderBy("user_id")
+  }
+
+  val q81Sql: String =
+    """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |             CASE WHEN epoch_ms(ts) < 1704844800000 THEN 0
+      |                  WHEN epoch_ms(ts) < 1705708800000 THEN 1 ELSE 2 END AS band
+      |           FROM events),
+      |agg AS (SELECT user_id, band, count(*) AS n, CAST(sum(cents) AS BIGINT) AS sum_cents
+      |        FROM e GROUP BY 1, 2),
+      |last AS (SELECT user_id, max(band) AS band FROM agg GROUP BY 1)
+      |SELECT user_id, n, sum_cents FROM agg JOIN last USING (user_id, band)
+      |ORDER BY user_id""".stripMargin
+
+  // ------------------------------------------------ q82 snapshot CDC diff
+
+  private val cdcStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Engine depth — CDC between snapshots: the row-level diff v0 → v1 of a
+    * transactional store (updates + inserts; TxStore merges never delete),
+    * computed with one full-outer join of the two snapshot reads. The
+    * store's v1 applies a deterministic delta (+100.00 to custkey ≡ 0 mod
+    * 7, plus synthetic new customers for custkey ≡ 3 mod 100), so the
+    * oracle reproduces the diff arithmetically from the base table. */
+  def q82TxChanges(s: SparkSession, dir: String): DataFrame = {
+    val path = cdcStores.getOrElseUpdate(s"q82:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-cdc")
+        .resolve("customer").toString
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"))
+      graft.sources.TxStore.init(base, p, "c_custkey", nBuckets = 8)
+      val updates = base.filter(pmod(col("c_custkey"), lit(7)) === 0)
+        .withColumn("bal_q", col("bal_q") + 10000L)
+      val inserts = base.filter(pmod(col("c_custkey"), lit(100)) === 3)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("bal_q"))
+      graft.sources.TxStore.merge(s, p, updates.unionByName(inserts), "c_custkey")
+      p
+    })
+    val v0 = graft.sources.TxStore.read(s, path, Some(0))
+      .select(col("c_custkey"), col("bal_q").as("old_bal_q"))
+    val v1 = graft.sources.TxStore.read(s, path, Some(1))
+      .select(col("c_custkey"), col("bal_q").as("new_bal_q"))
+    v0.join(v1, Seq("c_custkey"), "full_outer")
+      .filter(col("old_bal_q").isNull || col("new_bal_q").isNull ||
+        col("old_bal_q") =!= col("new_bal_q"))
+      .select(col("c_custkey"), col("old_bal_q"), col("new_bal_q"),
+        when(col("old_bal_q").isNull, "insert").otherwise("update").as("change"))
+      .orderBy("c_custkey")
+  }
+
+  val q82Sql: String =
+    """WITH base AS (SELECT c_custkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_q
+      |              FROM customer),
+      |d AS (SELECT c_custkey, bal_q + 10000 AS new_bal_q, 'update' AS change
+      |      FROM base WHERE c_custkey % 7 = 0
+      |      UNION ALL
+      |      SELECT c_custkey + 1000000, bal_q, 'insert' FROM base WHERE c_custkey % 100 = 3)
+      |SELECT d.c_custkey, b.bal_q AS old_bal_q, d.new_bal_q, d.change
+      |FROM d LEFT JOIN base b ON b.c_custkey = d.c_custkey
+      |ORDER BY d.c_custkey""".stripMargin
+
   // ----------------------------------------------- q69/q70 TxStore surface
 
   /** One TxStore per sf dir for the declared transactional queries: v0 =
@@ -759,7 +903,10 @@ object Curation {
     "q76_temperature_sample" -> (q76TemperatureSample _),
     "q77_chunk_sliding" -> (q77ChunkSliding _),
     "q78_stream_join" -> (q78StreamJoin _),
-    "q79_triangles" -> (q79Triangles _))
+    "q79_triangles" -> (q79Triangles _),
+    "q80_quantiles" -> (q80Quantiles _),
+    "q81_stream_ingest" -> (q81StreamIngest _),
+    "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
@@ -780,5 +927,8 @@ object Curation {
     "q76_temperature_sample" -> q76Sql,
     "q77_chunk_sliding" -> q77Sql,
     "q78_stream_join" -> q78Sql,
-    "q79_triangles" -> q79Sql)
+    "q79_triangles" -> q79Sql,
+    "q80_quantiles" -> q80Sql,
+    "q81_stream_ingest" -> q81Sql,
+    "q82_tx_changes" -> q82Sql)
 }

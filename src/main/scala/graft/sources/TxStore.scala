@@ -69,24 +69,39 @@ object TxStore {
       .foldLeft(-1)(math.max)
   }
 
-  /** Manifest of `v`: header nBuckets + table schema (JSON), then (bucket,
-    * version-dir-relative file) entries. The schema header makes an
-    * entry-less snapshot (init on an empty frame) readable — parquet dirs
-    * with zero rows leave nothing to infer from. */
-  private def readManifest(path: String, v: Int): (Int, String, Seq[(Int, String)]) = {
+  /** Manifest of `v`: header nBuckets + table schema (JSON), an optional
+    * `txn=` line (the cumulative max writer-transaction id — the
+    * idempotent-streaming-writer ledger, cf. Delta's txnAppId/txnVersion),
+    * then (bucket, version-dir-relative file) entries. The schema header
+    * makes an entry-less snapshot (init on an empty frame) readable —
+    * parquet dirs with zero rows leave nothing to infer from. Manifests
+    * written before the txn field parse unchanged (the line is optional). */
+  private def readManifest(path: String, v: Int): (Int, String, Option[Long], Seq[(Int, String)]) = {
     val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
     val n = lines.head.stripPrefix("nbuckets=").toInt
     val schema = lines(1).stripPrefix("schema=")
-    (n, schema, lines.drop(2).map { l =>
+    val txn = lines.drop(2).headOption.filter(_.startsWith("txn="))
+      .map(_.stripPrefix("txn=").toLong)
+    val entryLines = if (txn.isDefined) lines.drop(3) else lines.drop(2)
+    (n, schema, txn, entryLines.map { l =>
       val Array(b, f) = l.split("\t", 2); (b.toInt, f)
     })
   }
 
+  /** Highest writer-transaction id committed at or before the current
+    * snapshot (None when no tagged merge ever committed). A replayed
+    * micro-batch compares its id against this before writing. */
+  def lastTxn(path: String): Option[Long] = {
+    val v = currentVersion(path)
+    if (v < 0) None else readManifest(path, v)._3
+  }
+
   private def commitManifest(path: String, v: Int, nBuckets: Int, schemaJson: String,
-      entries: Seq[(Int, String)]): Unit = {
+      entries: Seq[(Int, String)], txn: Option[Long] = None): Unit = {
     Files.createDirectories(manifestDir(path))
     val tmp = Files.createTempFile(manifestDir(path), s"staged-v$v-", ".tmp")
-    val body = (s"nbuckets=$nBuckets" +: s"schema=$schemaJson" +:
+    val body = (Seq(s"nbuckets=$nBuckets", s"schema=$schemaJson") ++
+      txn.map(t => s"txn=$t").toSeq ++
       entries.map { case (b, f) => s"$b\t$f" })
       .mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"))
@@ -133,7 +148,7 @@ object TxStore {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
     val v = version.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path")
-    val (_, schemaJson, entries) = readManifest(path, v)
+    val (_, schemaJson, _, entries) = readManifest(path, v)
     if (entries.isEmpty) {
       val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -174,10 +189,10 @@ object TxStore {
     * columns as null. A delta missing a stored column, or retyping one, is
     * rejected (drops/retypes need an explicit migration, not an upsert). */
   def merge(spark: SparkSession, path: String, delta: DataFrame, key: String,
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None, txn: Option[Long] = None): Int = {
     val v = expectedVersion.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path — init first")
-    val (nBuckets, schemaJson0, entries) = readManifest(path, v)
+    val (nBuckets, schemaJson0, prevTxn, entries) = readManifest(path, v)
     val stored = org.apache.spark.sql.types.DataType.fromJson(schemaJson0)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     stored.foreach { f =>
@@ -222,7 +237,8 @@ object TxStore {
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     writeVersionData(merged, path, dirName)
     try commitManifest(path, nv, nBuckets, schemaJson,
-      listVersionFiles(path, dirName) ++ untouchedEntries)
+      listVersionFiles(path, dirName) ++ untouchedEntries,
+      (prevTxn.toSeq ++ txn.toSeq).reduceOption(_ max _))
     catch {
       case e: java.util.ConcurrentModificationException =>
         // the staged data dir lost the CAS race and no manifest references
@@ -250,7 +266,7 @@ object TxStore {
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val referenced = (0 to currentVersion(path)).flatMap { v =>
       if (Files.exists(manifestPath(path, v)))
-        readManifest(path, v)._3.map(_._2.split("/", 2)(0))
+        readManifest(path, v)._4.map(_._2.split("/", 2)(0))
       else Seq.empty
     }.toSet
     val orphans = listDir(dataDir)
@@ -268,9 +284,9 @@ object TxStore {
   def compact(spark: SparkSession, path: String): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"no committed snapshot at $path")
-    val (nBuckets, schemaJson, entries) = readManifest(path, v)
+    val (nBuckets, schemaJson, prevTxn, entries) = readManifest(path, v)
     val nv = v + 1
-    if (entries.isEmpty) { commitManifest(path, nv, nBuckets, schemaJson, Seq.empty); return nv }
+    if (entries.isEmpty) { commitManifest(path, nv, nBuckets, schemaJson, Seq.empty, prevTxn); return nv }
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     // each row's bucket comes from the ORIGINAL files' partition column, so
     // compaction never needs to know the key column
@@ -281,7 +297,8 @@ object TxStore {
         .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true)) // pre-evolution dirs null-fill
     writeVersionData(withBucket.repartition(col("__bucket")), path, dirName)
-    try commitManifest(path, nv, nBuckets, schemaJson, listVersionFiles(path, dirName))
+    try commitManifest(path, nv, nBuckets, schemaJson, listVersionFiles(path, dirName),
+      prevTxn)
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteRecursively(Paths.get(path, "data", dirName)); throw e

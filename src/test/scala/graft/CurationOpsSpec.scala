@@ -140,6 +140,19 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L, 5L -> 5L))
   }
 
+  test("quantiles: interpolation at (n-1)p over exact cents, hand-computed") {
+    import spark.implicits._
+    // group a: cents {100, 200, 300, 400} → p50 = 250¢, p90 = 100+2.7·100 = 370¢
+    val d = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("b", 9.99))
+      .toDF("k", "value")
+    val out = Profile.quantiles(d, "k", "value", Seq(0.5, 0.9))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("a").getAs[Long]("n") == 4)
+    assert(out("a").getAs[Double]("p50") == 250.0)
+    assert(out("a").getAs[Double]("p90") == 370.0)
+    assert(out("b").getAs[Double]("p50") == 999.0) // singleton: every quantile is it
+  }
+
   test("triangles: hand-computed counts incl. degree ties and isolated nodes") {
     import spark.implicits._
     // K4 on {1,2,3,4} (4 triangles, 3 per node — all degrees tie at 3),

@@ -164,6 +164,39 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(v1 == 1)
   }
 
+  test("txn ledger: tagged merges record the max batch id; untagged merges carry it") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
+    assert(TxStore.lastTxn(p).isEmpty) // pre-ledger manifests parse as None
+    TxStore.merge(spark, p, rows(2L -> "b"), "entity_id", txn = Some(0L))
+    assert(TxStore.lastTxn(p).contains(0L))
+    TxStore.merge(spark, p, rows(3L -> "c"), "entity_id") // untagged: ledger survives
+    assert(TxStore.lastTxn(p).contains(0L))
+    TxStore.merge(spark, p, rows(4L -> "d"), "entity_id", txn = Some(5L))
+    assert(TxStore.lastTxn(p).contains(5L))
+  }
+
+  test("exactlyOnceSink: replayed batch ids are skipped, new ids commit") {
+    import graft.streaming.StreamingIngest
+    val p = freshPath()
+    TxStore.init(rows(), p, "entity_id", nBuckets = 2)
+    val sink = StreamingIngest.exactlyOnceSink(p, "entity_id") _
+    sink(rows(1L -> "a"), 0L)
+    sink(rows(2L -> "b"), 1L)
+    val vAfter = TxStore.currentVersion(p)
+    // restart replays batches 0 and 1 with different (stale) content —
+    // the ledger must skip them: no new version, no data change
+    sink(rows(1L -> "STALE"), 0L)
+    sink(rows(2L -> "STALE"), 1L)
+    assert(TxStore.currentVersion(p) == vAfter)
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "a", 2L -> "b"))
+    // genuinely new batch commits
+    sink(rows(3L -> "c"), 2L)
+    assert(TxStore.lastTxn(p).contains(2L))
+    assert(TxStore.read(spark, p).count() == 3)
+  }
+
   test("freshen delta merges transactionally (write-back integration)") {
     // the engine's scored output is exactly a delta: upsert it
     val p = freshPath()
