@@ -17,7 +17,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional name-regex filter for single-query iteration (dev only; the
+    // driver never sets it, so the recorded dump always covers the suite).
+    val queries = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(re => SparkEntry.queries.filter(_._1.matches(re)))
+      .getOrElse(SparkEntry.queries)
+    queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -131,6 +131,13 @@ object Bridge {
     ArrayDot(children(0), children(1), scale)
   }
 
+  /** Arity-checked builder for the zorder2 Morton-interleave expression. */
+  def buildZorder(children: Seq[Expression]): Expression = {
+    require(children.length == 2,
+      s"zorder2 requires exactly 2 arguments, got ${children.length}")
+    InterleaveBits(children(0), children(1))
+  }
+
   /** Register the graft SQL functions on an ALREADY-RUNNING session (the
     * extensions path only applies at session build time). */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
@@ -141,5 +148,8 @@ object Bridge {
     reg.registerFunction(new FunctionIdentifier("array_dot_scaled"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot_scaled"),
       build("array_dot_scaled", 100000000L) _)
+    reg.registerFunction(new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "zorder2"),
+      buildZorder _)
   }
 }

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, InterleaveBits}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -14,6 +14,11 @@ object GraftFunctions {
   /** Exact scaled-integer dot product (see [[org.apache.spark.sql.graft.ArrayDot]]). */
   def arrayDotScaled(a: Column, b: Column, scale: Long): Column =
     Bridge.column(ArrayDot(Bridge.expression(a), Bridge.expression(b), scale))
+
+  /** Morton/Z-order interleave of two 16-bit keys
+    * (see [[org.apache.spark.sql.graft.InterleaveBits]]). */
+  def zorder2(x: Column, y: Column): Column =
+    Bridge.column(InterleaveBits(Bridge.expression(x), Bridge.expression(y)))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):
@@ -26,5 +31,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((new FunctionIdentifier("array_dot_scaled"),
       new ExpressionInfo(classOf[ArrayDot].getName, "array_dot_scaled"),
       Bridge.build("array_dot_scaled", 100000000L) _))
+    ext.injectFunction((new FunctionIdentifier("zorder2"),
+      new ExpressionInfo(classOf[InterleaveBits].getName, "zorder2"),
+      Bridge.buildZorder _))
   }
 }

@@ -343,6 +343,60 @@ object Corpus {
       .withColumn("flag_boiler", col("boiler_ratio") >= lit(flagRatio))
   }
 
+  /** Deterministic train/val/test split by stable content-key hash — the
+    * assignment every training pipeline needs to be reproducible across
+    * reruns, engines and table rewrites: bucket = the first byte of
+    * md5(id) (uniform over [0, 256)), split boundaries as integer
+    * cross-multiplies of the percentage (no float thresholds). A document's
+    * split never changes when the corpus grows — it depends only on its own
+    * id — which is what keeps eval sets stable across crawl snapshots.
+    *
+    * Scale: one md5 per row, zero shuffles, zero joins — scan-speed. The
+    * hex-nibble decode (`instr` over the hex alphabet) is the same
+    * expression the DuckDB oracle runs, so assignments are byte-identical
+    * cross-engine. Returns (id, bucket, split). */
+  def hashSplit(docs: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
+      s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
+    docs.select(col(idCol).as("id"))
+      .withColumn("hx", md5(col("id").cast("string").cast("binary")))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
+      .withColumn("split",
+        when(col("bucket") * 100 < trainPct * 256, "train")
+          .when(col("bucket") * 100 < (trainPct + valPct) * 256, "val")
+          .otherwise("test"))
+      .select("id", "bucket", "split")
+  }
+
+  /** Per-stratum token-budget cap — the mixture-quota primitive when the
+    * quota is measured in TOKENS, not documents (how real mixtures are
+    * specified: "at most B tokens of source d"). Documents are admitted
+    * greedily in deterministic LCG-hash order until the budget is spent;
+    * the last admitted document may overrun (admit-if-any-budget-remains),
+    * so every stratum with data contributes at least one document.
+    *
+    * Scale: same shape as [[sampleStratified]] — one shuffle keyed on the
+    * stratum, two windows (rank + exclusive prefix sum) sharing that one
+    * partitioning; strata fill independently, no global coordination.
+    * Returns admitted rows (stratum, id, smp_rank, n_tokens, cum_before). */
+  def capTokenBudget(docs: DataFrame, idCol: String, strataCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive, got $budget")
+    val w = Window.partitionBy("stratum").orderBy("h", "id")
+    docs.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        pmod(col(idCol).cast("long") * 2654435761L + 40503L, lit(P)).as("h"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .withColumn("smp_rank", row_number().over(w))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .filter(col("cum_before") < budget)
+      .select("stratum", "id", "smp_rank", "n_tokens", "cum_before")
+  }
+
   /** Benchmark decontamination: flag corpus documents sharing any token
     * n-gram with a held-out evaluation set. The eval side's distinct grams
     * are BROADCAST (an eval suite is KBs–MBs against a 100 TB corpus), so

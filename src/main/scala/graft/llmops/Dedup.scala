@@ -55,6 +55,51 @@ object Dedup {
     }
   }
 
+  /** Cross-document duplicated-span coverage — the substring-level dedup
+    * signal (the "dedup training data at the substring level" recipe:
+    * find spans that recur verbatim across documents and measure how much
+    * of each document they cover). A position is covered when any token
+    * `n`-gram starting at or spanning it also occurs in at least one OTHER
+    * document; coverage is counted over distinct token positions, so
+    * overlapping duplicated grams are not double-counted. Within-document
+    * repetition alone does NOT count (that is repetition profiling's job —
+    * this operator isolates cross-document contamination).
+    *
+    * Scale: grams are sha-256'd before any shuffle (the shuffle carries a
+    * fixed-width digest, never text); document frequency is one (gram)
+    * aggregation; coverage is one (id, pos) distinct + one (id) count.
+    * Returns one row per document: (id, n_tokens, n_dup_positions,
+    * dup_permille) with dup_permille = ⌊1000·covered/n_tokens⌋ in integer
+    * arithmetic. */
+  def dupSpanCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tall = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val grams = tall.select((col("id") +: col("pos") +: parts): _*)
+      .filter(if (n == 1) lit(true) else col(s"t${n - 1}").isNotNull)
+      .select(col("id"), col("pos"),
+        sha2(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+          .cast("binary"), 256).as("g"))
+    // document frequency per gram (distinct docs containing it)
+    val df = grams.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("gdf"))
+    // token positions covered by any gram present in >= 2 documents
+    val covered = grams.join(df.filter(col("gdf") >= 2).select("g"), "g")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_dup_positions"))
+    docs.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("n_dup_positions", coalesce(col("n_dup_positions"), lit(0L)))
+      .withColumn("dup_permille",
+        when(col("n_tokens") > 0,
+          expr("(n_dup_positions * 1000) div n_tokens")).otherwise(lit(0L)))
+  }
+
   /** N-gram Jaccard similarity for pairs clearing `minJaccard`, with two
     * candidate-bounding knobs for the 100 TB path:
     *

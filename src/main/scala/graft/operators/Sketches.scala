@@ -102,4 +102,52 @@ object Sketches {
       .groupBy(keyCol).agg(count(lit(1)).as("n"))
       .filter(col("n") >= minCount)
   }
+
+  /** HyperLogLog registers (p = 8, m = 256) for distinct-`keyCol` per
+    * group — the mergeable fixed-size cardinality sketch every 100 TB
+    * profiling pass keeps instead of a full distinct: register index =
+    * first byte of md5(key), rho = 1 + number of leading zero BITS in the
+    * next 32 md5 bits (an all-zero suffix pins rho = 33). Output is the
+    * sketch itself, one row per (group, touched register):
+    * (groupCols..., reg, max_rho) — absent registers are implicitly 0.
+    *
+    * Why registers and not the estimate: the max-combine over (group, reg)
+    * is algebraic (map-side combined, shuffle ≤ m rows per group per task
+    * — the [[countMin]] bound), registers from disjoint corpus shards merge
+    * by a further max (union semantics), and the output is pure integers —
+    * hash-stable across engines, while the harmonic-mean estimate is one
+    * float formula away (see `hllEstimate`). The md5-hex bit decode uses
+    * only portable string ops, so the DuckDB oracle reproduces every
+    * register exactly. */
+  def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
+    val g = groupCols.map(col)
+    df.select(g :+ md5(col(keyCol).cast("string").cast("binary")).as("hx"): _*)
+      .withColumn("reg",
+        (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
+      // 32-bit suffix as 8 hex nibbles; leading-zero count in nibbles, then
+      // the first nonzero nibble contributes its own leading bits
+      .withColumn("sfx", expr("substring(hx, 3, 8)"))
+      .withColumn("rest", expr("TRIM(LEADING '0' FROM sfx)"))
+      .withColumn("rho",
+        when(col("rest") === "", lit(33L)).otherwise(
+          (length(col("sfx")) - length(col("rest"))).cast("long") * 4 +
+            expr("""CASE WHEN instr('0123456789abcdef', substring(rest, 1, 1)) - 1 >= 8 THEN 0
+                         WHEN instr('0123456789abcdef', substring(rest, 1, 1)) - 1 >= 4 THEN 1
+                         WHEN instr('0123456789abcdef', substring(rest, 1, 1)) - 1 >= 2 THEN 2
+                         ELSE 3 END""").cast("long") + 1L))
+      .groupBy(g :+ col("reg"): _*).agg(max("rho").as("max_rho"))
+  }
+
+  /** Client-side HLL estimate from [[hllRegisters]] rows of ONE group:
+    * the standard α·m²/Σ2^-M[j] with linear counting below 2.5m — here for
+    * spec-level validation against exact distincts (the engine keeps
+    * registers, not estimates). */
+  def hllEstimate(maxRhoByReg: Map[Long, Long], m: Int = 256): Double = {
+    val zeros = m - maxRhoByReg.size
+    val sum = maxRhoByReg.values.map(r => math.pow(2.0, -r.toDouble)).sum + zeros.toDouble
+    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    val raw = alpha * m * m / sum
+    if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+  }
 }

@@ -1,0 +1,169 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions
+import graft.llmops.{Corpus, Dedup}
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Round-5 continuation: the operators whose whole point IS the 100 TB
+  * posture — deterministic corpus assignment (hash split, token-budget
+  * mixture caps), substring-level cross-document dedup coverage, mergeable
+  * cardinality sketches, and multi-dimensional Z-order layout (a native
+  * codegen expression). Same determinism rules as the rest of the declared
+  * surface: every hash-gated column is an integer or a portable hex digest.
+  */
+object Scale {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+
+  // ------------------------------------------------- q83 hash split
+
+  /** North star/curation — deterministic train/val/test assignment
+    * ([[Corpus.hashSplit]]): md5-bucket split, stable under corpus growth
+    * and engine choice. 80/10/10 on 256 hash buckets. */
+  def q83HashSplit(s: SparkSession, dir: String): DataFrame =
+    Corpus.hashSplit(docs(s, dir), "doc_id").orderBy("id")
+
+  val q83Sql: String =
+    """WITH b AS (SELECT doc_id AS id,
+      |    CAST((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+      |  FROM documents)
+      |SELECT id, bucket,
+      |  CASE WHEN bucket * 100 < 80 * 256 THEN 'train'
+      |       WHEN bucket * 100 < 90 * 256 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY id""".stripMargin
+
+  // ------------------------------------------- q84 token-budget mixture cap
+
+  /** North star/curation — per-source token budget
+    * ([[Corpus.capTokenBudget]]): greedy admission in deterministic hash
+    * order until each source has spent its 20k-token quota — the
+    * tokens-not-documents form of mixture capping. */
+  def q84TokenBudget(s: SparkSession, dir: String): DataFrame =
+    Corpus.capTokenBudget(docs(s, dir), "doc_id", "source", "text",
+      budget = 20000L).orderBy("stratum", "smp_rank")
+
+  val q84Sql: String =
+    """WITH s AS (SELECT source AS stratum, doc_id AS id,
+      |    (doc_id * 2654435761 + 40503) % 2147483647 AS h,
+      |    CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |r AS (SELECT stratum, id, n_tokens,
+      |    row_number() OVER (PARTITION BY stratum ORDER BY h, id) AS smp_rank,
+      |    COALESCE(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |  FROM s)
+      |SELECT stratum, id, smp_rank, n_tokens, cum_before
+      |FROM r WHERE cum_before < 20000 ORDER BY stratum, smp_rank""".stripMargin
+
+  // --------------------------------------- q85 duplicated-span coverage
+
+  /** North star/dedup — substring-level cross-document duplication
+    * ([[Dedup.dupSpanCoverage]]): per document, how many token positions
+    * sit inside an 8-gram that recurs verbatim in another document. The
+    * document-level signal substring dedup acts on. */
+  def q85DupSpans(s: SparkSession, dir: String): DataFrame =
+    Dedup.dupSpanCoverage(docs(s, dir), "doc_id", "text", n = 8).orderBy("id")
+
+  val q85Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |gr AS (SELECT id, CAST(i AS BIGINT) AS pos, sha256(array_to_string(t[i+1:i+8], ' ')) AS g
+      |       FROM tok, UNNEST(range(0, greatest(len(t) - 7, 0))) AS u(i)),
+      |df AS (SELECT g, count(DISTINCT id) AS gdf FROM gr GROUP BY 1),
+      |cov AS (SELECT DISTINCT gr.id, gr.pos + o AS p
+      |        FROM gr JOIN df ON df.g = gr.g, UNNEST(range(0, 8)) AS v(o)
+      |        WHERE df.gdf >= 2),
+      |nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_positions FROM cov GROUP BY 1),
+      |tot AS (SELECT doc_id AS id,
+      |          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |        FROM documents)
+      |SELECT tot.id, tot.n_tokens,
+      |  CAST(COALESCE(nd.n_dup_positions, 0) AS BIGINT) AS n_dup_positions,
+      |  CAST(CASE WHEN tot.n_tokens > 0
+      |            THEN COALESCE(nd.n_dup_positions, 0) * 1000 // tot.n_tokens
+      |            ELSE 0 END AS BIGINT) AS dup_permille
+      |FROM tot LEFT JOIN nd ON nd.id = tot.id ORDER BY tot.id""".stripMargin
+
+  // ------------------------------------------------- q86 HLL sketch
+
+  /** Sketch — HyperLogLog registers ([[Sketches.hllRegisters]]) of
+    * distinct users per event type: the fixed-size mergeable cardinality
+    * sketch, emitted as its (group, register, max_rho) rows — pure
+    * integers, so the oracle checks every register bit-for-bit. */
+  def q86HllSketch(s: SparkSession, dir: String): DataFrame =
+    Sketches.hllRegisters(t(s, dir, "events"), "user_id", Seq("event_type"))
+      .orderBy("event_type", "reg")
+
+  val q86Sql: String =
+    """WITH h AS (SELECT event_type, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      |r AS (SELECT event_type,
+      |        CAST((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      |           + instr('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) AS reg,
+      |        substr(hx, 3, 8) AS sfx
+      |      FROM h),
+      |z AS (SELECT event_type, reg, sfx, ltrim(sfx, '0') AS rest FROM r),
+      |rho AS (SELECT event_type, reg,
+      |        CASE WHEN rest = '' THEN CAST(33 AS BIGINT)
+      |             ELSE CAST((length(sfx) - length(rest)) * 4
+      |                  + CASE WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 8 THEN 0
+      |                         WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 4 THEN 1
+      |                         WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 2 THEN 2
+      |                         ELSE 3 END + 1 AS BIGINT) END AS rho
+      |        FROM z)
+      |SELECT event_type, reg, CAST(max(rho) AS BIGINT) AS max_rho
+      |FROM rho GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  // ------------------------------------------------- q87 Z-order layout
+
+  /** Layout — Morton/Z-order clustering
+    * ([[org.apache.spark.sql.graft.InterleaveBits]], native codegen): the
+    * zone-map report of z-bucketing lineitem by (partkey, suppkey) — each
+    * bucket's tight (part, supp) rectangle is exactly what makes file-level
+    * min/max stats prune scans on EITHER key after a z-order rewrite. */
+  def q87Zorder(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .select(pmod(col("l_partkey").cast("long"), lit(65536L)).as("px"),
+        pmod(col("l_suppkey").cast("long"), lit(65536L)).as("sx"))
+      .withColumn("z", GraftFunctions.zorder2(col("px"), col("sx")))
+      // 2^16-code buckets: dozens of buckets at sf0.01, ~16k at sf0.1 — each a
+      // "file" whose (part, supp) rectangle the zone-map report bounds
+      .groupBy(expr("z div 65536").as("zbucket"))
+      .agg(count(lit(1)).as("cnt"),
+        min("px").as("min_part"), max("px").as("max_part"),
+        min("sx").as("min_supp"), max("sx").as("max_supp"))
+      .orderBy("zbucket")
+
+  val q87Sql: String =
+    """WITH m AS (SELECT l_partkey % 65536 AS px, l_suppkey % 65536 AS sx FROM lineitem),
+      |z AS (SELECT px, sx, CAST(list_sum(list_transform(range(0, 16), i ->
+      |        (((px >> i) & 1) << (2 * i)) + (((sx >> i) & 1) << (2 * i + 1)))) AS BIGINT) AS z
+      |      FROM m)
+      |SELECT z // 65536 AS zbucket, count(*) AS cnt,
+      |  min(px) AS min_part, max(px) AS max_part,
+      |  min(sx) AS min_supp, max(sx) AS max_supp
+      |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // -------------------------------------------------------------- registry
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q83_hash_split" -> (q83HashSplit _),
+    "q84_token_budget" -> (q84TokenBudget _),
+    "q85_dup_spans" -> (q85DupSpans _),
+    "q86_hll_sketch" -> (q86HllSketch _),
+    "q87_zorder" -> (q87Zorder _))
+
+  val oracleSql: Map[String, String] = Map(
+    "q83_hash_split" -> q83Sql,
+    "q84_token_budget" -> q84Sql,
+    "q85_dup_spans" -> q85Sql,
+    "q86_hll_sketch" -> q86Sql,
+    "q87_zorder" -> q87Sql)
+}

@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.llmops.{Corpus, Dedup}
+import graft.operators.Sketches
+
+/** Round-5 continuation operators: hash split, token-budget caps,
+  * duplicated-span coverage, HLL registers, Z-order interleave. */
+class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
+
+  // ------------------------------------------------------------ hash split
+
+  test("hashSplit: partitions the corpus, deterministic, ~80/10/10") {
+    import spark.implicits._
+    val docs = (1L to 2000L).toDF("doc_id")
+    val got = Corpus.hashSplit(docs, "doc_id")
+    assert(got.count() == 2000)
+    val byId = got.collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(byId.size == 2000) // exactly one split per id
+    val frac = got.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / 2000.0).toMap
+    assert(math.abs(frac("train") - 205.0 / 256) < 0.03)
+    assert(math.abs(frac("val") - 26.0 / 256) < 0.02)
+    assert(math.abs(frac("test") - 25.0 / 256) < 0.02)
+    // stability: the same id gets the same split regardless of corpus size
+    val sub = Corpus.hashSplit((1L to 100L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    sub.foreach { case (id, sp) => assert(byId(id) == sp) }
+    // buckets stay in [0, 256)
+    assert(got.agg(min("bucket"), max("bucket")).collect().head.getLong(0) >= 0)
+    assert(got.agg(max("bucket")).collect().head.getLong(0) <= 255)
+  }
+
+  // ------------------------------------------------------ token-budget cap
+
+  test("capTokenBudget: greedy admission stops once the budget is spent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a", "one two three"),      // 3 tokens
+      (2L, "a", "four five"),          // 2 tokens
+      (3L, "a", "six seven eight nine"), // 4 tokens
+      (4L, "b", "ten")                 // 1 token
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.capTokenBudget(docs, "doc_id", "source", "text", budget = 5L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2).toLong,
+        r.getLong(3), r.getLong(4)))
+    // stratum a admits docs in hash order until cum_before >= 5; the last
+    // admitted doc may overrun (admit-if-any-budget-remains)
+    val a = got.filter(_._1 == "a")
+    assert(a.forall(_._5 < 5L)) // every admitted row had budget remaining
+    assert(a.map(_._3).sorted.sameElements(1L to a.length)) // contiguous ranks
+    val aTokens = a.map(_._4).sum
+    assert(aTokens >= 5L || a.length == 3) // budget spent or stratum exhausted
+    // a stratum under budget keeps everything
+    assert(got.count(_._1 == "b") == 1)
+  }
+
+  test("capTokenBudget: every nonempty stratum admits at least one document") {
+    import spark.implicits._
+    val docs = Seq((1L, "x", "a b c d e f g h i j"), (2L, "y", "k l m n o p q r s t"))
+      .toDF("doc_id", "source", "text")
+    val got = Corpus.capTokenBudget(docs, "doc_id", "source", "text", budget = 1L)
+    assert(got.count() == 2) // one per stratum, despite 10-token docs vs budget 1
+  }
+
+  // ------------------------------------------------- dup-span coverage
+
+  test("dupSpanCoverage: cross-document spans covered, within-doc repeats ignored") {
+    import spark.implicits._
+    val shared = "alpha beta gamma" // the duplicated 3-gram
+    val docs = Seq(
+      (1L, s"$shared zero one"),         // 5 tokens, positions 0-2 covered
+      (2L, s"two three $shared"),        // 5 tokens, positions 2-4 covered
+      (3L, "solo solo solo solo solo"),  // within-doc repetition only: df=1
+      (4L, "unique text here")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((5L, 3L, 600L))) // 3 of 5 positions → 600‰
+    assert(got(2L) == ((5L, 3L, 600L)))
+    assert(got(3L) == ((5L, 0L, 0L)))   // "solo solo solo" recurs only within doc 3
+    assert(got(4L) == ((3L, 0L, 0L)))
+  }
+
+  test("dupSpanCoverage: overlapping duplicated grams count positions once") {
+    import spark.implicits._
+    // "a b c d" appears in both docs → doc 1 grams (a b c) and (b c d) both
+    // duplicated; coverage = 4 distinct positions, not 6
+    val docs = Seq((1L, "a b c d x"), (2L, "y a b c d")).toDF("doc_id", "text")
+    val got = Dedup.dupSpanCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 4L)
+    assert(got(2L) == 4L)
+  }
+
+  // ------------------------------------------------------- HLL registers
+
+  test("hllRegisters: estimate within 10% of a 5000-key exact distinct") {
+    import spark.implicits._
+    val keys = (1L to 5000L).map(i => ("g", i)).toDF("grp", "k")
+    val regs = Sketches.hllRegisters(keys, "k", Seq("grp")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(regs.size <= 256)
+    assert(regs.values.forall(r => r >= 1 && r <= 33))
+    val est = Sketches.hllEstimate(regs)
+    assert(math.abs(est - 5000.0) / 5000.0 < 0.10, s"estimate $est")
+  }
+
+  test("hllRegisters: shard-merged registers equal whole-corpus registers") {
+    import spark.implicits._
+    val all = (1L to 2000L).map(i => ("g", i)).toDF("grp", "k")
+    val whole = Sketches.hllRegisters(all, "k", Seq("grp")).collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    // split into two shards, sketch each, merge by max — the union contract
+    val s1 = Sketches.hllRegisters(all.filter($"k" <= 1000L), "k", Seq("grp"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val s2 = Sketches.hllRegisters(all.filter($"k" > 1000L), "k", Seq("grp"))
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    val merged = (s1.keySet ++ s2.keySet).map(k =>
+      k -> math.max(s1.getOrElse(k, 0L), s2.getOrElse(k, 0L))).toMap
+    assert(merged == whole)
+  }
+
+  // ------------------------------------------------------ Z-order interleave
+
+  test("zorder2: matches the bit-by-bit reference interleave") {
+    import spark.implicits._
+    def ref(x: Long, y: Long): Long =
+      (0 until 16).map(i => (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))).sum
+    val samples = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (255L, 256L), (43690L, 21845L))
+    val got = samples.toDF("x", "y")
+      .select(GraftFunctions.zorder2($"x", $"y").as("z"))
+      .collect().map(_.getLong(0))
+    assert(got.sameElements(samples.map { case (x, y) => ref(x, y) }))
+  }
+
+  test("zorder2: out-of-range input raises instead of aliasing") {
+    import spark.implicits._
+    val err = intercept[Exception] {
+      Seq((65536L, 0L)).toDF("x", "y")
+        .select(GraftFunctions.zorder2($"x", $"y")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("zorder2: z-range buckets bound both key ranges (the zone-map property)") {
+    import spark.implicits._
+    // a 64×64 grid z-bucketed into 16 buckets of 256 codes: every bucket's
+    // (x, y) bounding box is exactly 16×16 — proof that z-sorted file stats
+    // prune on either dimension
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val spans = grid.select($"x", $"y", GraftFunctions.zorder2($"x", $"y").as("z"))
+      .groupBy(expr("z div 256").as("zb"))
+      .agg((max("x") - min("x")).as("xs"), (max("y") - min("y")).as("ys"))
+      .collect()
+    assert(spans.length == 16)
+    assert(spans.forall(r => r.getLong(1) == 15L && r.getLong(2) == 15L))
+  }
+}
