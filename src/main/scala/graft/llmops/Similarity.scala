@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graft.{ArgminCell, Bridge, PqAdcScore, PqAdcTables, PqEncode}
+
 import graft.functions.GraftFunctions.{arrayDot, arrayDotScaled}
 
 /** Similarity search over an `Array[Float]` embedding column.
@@ -232,45 +234,15 @@ object Similarity {
     centers
   }
 
-  /** Per-subspace PQ code columns: code_si = argmin over the subspace's
-    * ksub centroids of squared L2 distance (ties → lowest centroid id, via
-    * lexicographic struct min), computed as argmin(|c|² − 2·v·c) so each
-    * centroid costs ONE fused [[graft.functions.ArrayDot]] loop against a
-    * literal centroid array. (An unrolled per-dimension expression tree —
-    * ksub·subDim·m leaf nodes — exceeds janino's 64 KB method limit and
-    * silently drops the whole stage out of codegen; the fused-loop form
-    * keeps the expression ksub·m nodes.) */
-  private def pqCodeCols(vec: Column, cell: Column, coarse: Array[Array[Double]],
-      books: Array[Array[Array[Double]]]): Seq[Column] =
-    books.zipWithIndex.map { case (cents, si) =>
-      val d = cents(0).length
-      val dists = cents.zipWithIndex.map { case (c, ci) =>
-        val cn2 = c.map(x => x * x).sum
-        // residual distance |（v−c_cell)_sub − c|² up to the per-point
-        // constant: |c|² − 2·v_sub·c + 2·(c_cell)_sub·c. The last term is a
-        // LITERAL per (cell, centroid) — an element_at into an nlist-long
-        // constant array, not runtime arithmetic.
-        val cellDots = coarse.map(cc =>
-          (0 until d).map(j => cc(si * d + j) * c(j)).sum)
-        struct((lit(cn2) - lit(2.0) *
-            arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))
-          + lit(2.0) * element_at(lit(cellDots), cell.cast("int") + 1)).as("d"),
-          lit(ci).as("i"))
-      }
-      array_min(array(dists: _*)).getField("i").as(s"code$si")
-    }
-
-  /** Per-subspace ADC lookup tables for a query vector: table_si[ci] =
-    * dot(query subvector, centroid ci) — so the approximate full dot of
-    * (query, candidate) is Σ_si table_si[code_si(candidate)], m array
-    * lookups per pair instead of dim multiplies. Same fused-loop form as
-    * [[pqCodeCols]] (codegen size discipline). */
-  private def pqQueryTabs(vec: Column, books: Array[Array[Array[Double]]]): Seq[Column] =
-    books.zipWithIndex.map { case (cents, si) =>
-      val d = cents(0).length
-      array(cents.map(c =>
-        arrayDot(slice(vec, si * d + 1, d), lit(c.map(_.toFloat)))): _*).as(s"qtab$si")
-    }
+  // PQ encode / ADC evaluation are NATIVE loop expressions
+  // (org.apache.spark.sql.graft.{ArgminCell, PqEncode, PqAdcTables,
+  // PqAdcScore}): the declarative form — one fused dot per (subspace,
+  // centroid) — unrolled m·ksub subtrees into a single generated method
+  // that passed 10k lines at m=8, ksub=16, which janino rejects, silently
+  // dropping the whole encode stage to interpreted eval. The native
+  // expressions emit the loops instead of unrolling them, so generated
+  // code size is constant in m/ksub/nlist and the stage stays in
+  // whole-stage codegen at any quantizer size.
 
   /** IVF-PQ approximate nearest neighbors — the memory-bounded production
     * ANN shape (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -335,21 +307,18 @@ object Similarity {
         pqIndexes.getOrElseUpdate(s"$key:$nlist:$m:$ksub:$seed", train())
       case None => train()
     }
-    // cell assignment: argmin ||v−c||² = argmin (|c|² − 2·v·c), one fused
-    // dot per coarse centroid (same codegen-size discipline as the codes)
-    val cellCol = array_min(array(coarse.zipWithIndex.map { case (c, ci) =>
-      val cn2 = c.map(x => x * x).sum
-      struct((lit(cn2) - lit(2.0) * arrayDot(col("vec"), lit(c.map(_.toFloat)))).as("d"),
-        lit(ci).as("i"))
-    }: _*)).getField("i")
-    // indexed corpus: cell id + m PQ codes + exact norm (the "stored index
-    // row" — at scale this is what the posting lists hold; vec is kept
-    // aside here for the rescore fetch)
+    // cell assignment: argmin ||v−c||² as a native loop expression
+    val cellCol = Bridge.column(
+      ArgminCell(Bridge.expression(col("vec")), coarse))
+    // indexed corpus: cell id + the m-code PQ array + exact norm (the
+    // "stored index row" — at scale this is what the posting lists hold;
+    // vec is kept aside here for the rescore fetch)
     val assigned = vectors
       .select(col("id"), col("vec"), cellCol.as("cell"),
         sqrt(arrayDot(col("vec"), col("vec")).cast("double")).as("nrm"))
-      .select(Seq(col("id"), col("vec"), col("cell"), col("nrm")) ++
-        pqCodeCols(col("vec"), col("cell"), coarse, books): _*)
+      .withColumn("codes", Bridge.column(PqEncode(
+        Bridge.expression(col("vec")), Bridge.expression(col("cell")),
+        coarse, books)))
       .persist()
     val centroids = spark.createDataFrame(
       coarse.zipWithIndex.toIndexedSeq
@@ -367,8 +336,8 @@ object Similarity {
     // query side carries its ADC tables (m·ksub doubles per query row) —
     // BROADCAST: a few KB per query, and broadcasting keeps the tables out
     // of every shuffle
-    val queries = broadcast(assigned.select(
-      Seq(col("id").as("qid")) ++ pqQueryTabs(col("vec"), books): _*))
+    val queries = broadcast(assigned.select(col("id").as("qid"),
+      Bridge.column(PqAdcTables(Bridge.expression(col("vec")), books)).as("qtabs")))
     // ADC scoring: candidates are (probe cell ⋈ index) rows; approximate
     // dot = m table lookups; NO exact vectors flow here — only codes. The
     // candidate stream projects down to (qid, cid, ascore) BEFORE the
@@ -378,13 +347,13 @@ object Similarity {
     // one double, never a table or a vector.
     val approx = probes
       .join(queries, "qid")
-      .join(assigned.select(Seq(col("id").as("cid"), col("cell"), col("nrm").as("cn")) ++
-        (0 until m).map(si => col(s"code$si")): _*), "cell")
+      .join(assigned.select(col("id").as("cid"), col("cell"),
+        col("nrm").as("cn"), col("codes")), "cell")
       .filter(col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),
-        ((col("cdot") + (0 until m)
-          .map(si => element_at(col(s"qtab$si"), col(s"code$si") + 1))
-          .reduce(_ + _)) / col("cn")).as("ascore"))
+        ((col("cdot") + Bridge.column(PqAdcScore(
+          Bridge.expression(col("qtabs")), Bridge.expression(col("codes"))))) /
+          col("cn")).as("ascore"))
     val wAdc = Window.partitionBy(col("qid")).orderBy(col("ascore").desc, col("cid"))
     val shortlist = approx
       .withColumn("ar", row_number().over(wAdc))
