@@ -86,4 +86,69 @@ object Temporal {
       .filter(col(ptCol).between(col(loCol), col(hiCol)))
       .drop("__b")
   }
+
+  /** Ordered event funnel: per entity, the greedy earliest completion of a
+    * `steps` sequence — t₁ = the entity's earliest step-1 event, t₂ = its
+    * earliest step-2 event strictly after t₁, and so on; `completed` when
+    * all steps matched within `maxSpanUs` microseconds of t₁. Greedy-from-
+    * earliest is a deterministic, engine-portable funnel definition (the
+    * any-start sliding variant needs a per-anchor rescan and is not
+    * hash-stable across engines).
+    *
+    * Plan: ONE shuffle keyed on the entity — each step is a conditional
+    * `min` window over the SAME (entity) partitioning, so the k steps chain
+    * k WindowExecs with no further exchange, then one distinct collapses to
+    * a row per entity. Timestamps are emitted as epoch-microsecond BIGINTs
+    * (`t1_us…`), so the output is pure integers. Returns
+    * (entity, t1_us…tk_us, steps_done, completed). */
+  def funnel(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxSpanUs: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val w = Window.partitionBy("entity")
+    val base = events.select(col(entityCol).as("entity"),
+      unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("etype"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val prev = if (i == 0) lit(true) else col(s"t${i}_us").isNotNull &&
+        col("ts_us") > col(s"t${i}_us")
+      df.withColumn(s"t${i + 1}_us",
+        min(when(col("etype") === step && prev, col("ts_us"))).over(w))
+    }
+    val k = steps.length
+    val tCols = (1 to k).map(i => col(s"t${i}_us"))
+    val stepsDone = (1 to k).map(i =>
+      when(col(s"t${i}_us").isNotNull, 1).otherwise(0)).reduce(_ + _)
+    withSteps
+      .select(col("entity") +: tCols: _*).distinct()
+      .withColumn("steps_done", stepsDone.cast("long"))
+      .withColumn("completed",
+        col(s"t${k}_us").isNotNull &&
+          col(s"t${k}_us") - col("t1_us") <= maxSpanUs)
+  }
+
+  /** Cohort retention: entities grouped by the period of their FIRST
+    * `anchorType` event (the cohort), counted as retained in every later
+    * period where they produced any event. `periodUs` is the cohort/activity
+    * bucket width in microseconds (e.g. 7 days). Returns
+    * (cohort_period, period_offset, n_active) — the retention triangle.
+    *
+    * Plan: anchor = one (entity) aggregation; activity = one distinct on
+    * (entity, period); one join back on the entity; final count keyed on the
+    * (cohort, offset) pair. Every shuffle is keyed on the entity or the
+    * (small) output key — nothing carries event payloads. */
+  def cohortRetention(events: DataFrame, entityCol: String, tsCol: String,
+      typeCol: String, anchorType: String, periodUs: Long): DataFrame = {
+    require(periodUs > 0, "periodUs must be positive")
+    val base = events.select(col(entityCol).as("entity"),
+      unix_micros(col(tsCol)).as("ts_us"), col(typeCol).as("etype"))
+    val cohorts = base.filter(col("etype") === anchorType)
+      .groupBy("entity")
+      .agg(expr(s"min(ts_us) div $periodUs").as("cohort_period"))
+    val activity = base
+      .select(col("entity"), expr(s"ts_us div $periodUs").as("period"))
+      .distinct()
+    cohorts.join(activity, "entity")
+      .filter(col("period") >= col("cohort_period"))
+      .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("period_offset"))
+      .agg(count(lit(1)).as("n_active"))
+  }
 }

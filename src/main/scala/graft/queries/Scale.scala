@@ -151,6 +151,59 @@ object Scale {
       |  min(sx) AS min_supp, max(sx) AS max_supp
       |FROM z GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------------- q88 event funnel
+
+  /** Behavioral — ordered event funnel ([[graft.operators.Temporal.funnel]]):
+    * per user, greedy earliest view → click → purchase completion within 7
+    * days; one entity-keyed shuffle, k chained conditional-min windows.
+    * Epoch-microsecond BIGINTs throughout. */
+  def q88Funnel(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.funnel(t(s, dir, "events"), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"),
+        maxSpanUs = 7L * 24 * 3600 * 1000000)
+      .orderBy("entity")
+
+  val q88Sql: String =
+    """WITH e AS (SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_type FROM events),
+      |a AS (SELECT *, min(CASE WHEN event_type = 'view' THEN ts_us END)
+      |        OVER (PARTITION BY entity) AS t1_us FROM e),
+      |b AS (SELECT *, min(CASE WHEN event_type = 'click' AND t1_us IS NOT NULL
+      |          AND ts_us > t1_us THEN ts_us END)
+      |        OVER (PARTITION BY entity) AS t2_us FROM a),
+      |c AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND t2_us IS NOT NULL
+      |          AND ts_us > t2_us THEN ts_us END)
+      |        OVER (PARTITION BY entity) AS t3_us FROM b),
+      |d AS (SELECT DISTINCT entity, t1_us, t2_us, t3_us FROM c)
+      |SELECT entity, t1_us, t2_us, t3_us,
+      |  CAST((CASE WHEN t1_us IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t2_us IS NOT NULL THEN 1 ELSE 0 END)
+      |     + (CASE WHEN t3_us IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS steps_done,
+      |  (t3_us IS NOT NULL AND t3_us - t1_us <= 604800000000) AS completed
+      |FROM d ORDER BY entity""".stripMargin
+
+  // ------------------------------------------------- q89 cohort retention
+
+  /** Behavioral — cohort retention triangle
+    * ([[graft.operators.Temporal.cohortRetention]]): users bucketed by the
+    * week of their first signup event, counted active in each later week
+    * they produced any event. */
+  def q89Retention(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.cohortRetention(t(s, dir, "events"), "user_id",
+        "ts", "event_type", anchorType = "signup",
+        periodUs = 7L * 24 * 3600 * 1000000)
+      .orderBy("cohort_period", "period_offset")
+
+  val q89Sql: String =
+    """WITH e AS (SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_type FROM events),
+      |coh AS (SELECT entity, min(ts_us) // 604800000000 AS cohort_period
+      |        FROM e WHERE event_type = 'signup' GROUP BY 1),
+      |act AS (SELECT DISTINCT entity, ts_us // 604800000000 AS period FROM e)
+      |SELECT cohort_period, period - cohort_period AS period_offset,
+      |  count(*) AS n_active
+      |FROM coh JOIN act USING (entity)
+      |WHERE period >= cohort_period
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,12 +211,16 @@ object Scale {
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
-    "q87_zorder" -> (q87Zorder _))
+    "q87_zorder" -> (q87Zorder _),
+    "q88_funnel" -> (q88Funnel _),
+    "q89_retention" -> (q89Retention _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,
-    "q87_zorder" -> q87Sql)
+    "q87_zorder" -> q87Sql,
+    "q88_funnel" -> q88Sql,
+    "q89_retention" -> q89Sql)
 }

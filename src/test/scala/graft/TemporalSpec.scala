@@ -132,4 +132,59 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ------------------------------------------------------------ funnel
+
+  private def eventsDf(rows: (Long, Long, String)*): DataFrame =
+    rows.toSeq.toDF("user", "us", "etype")
+      .select(col("user"), timestamp_micros(col("us")).as("ts"), col("etype"))
+
+  test("funnel: greedy in-order matching; out-of-order steps do not count") {
+    val ev = eventsDf(
+      (1L, 100L, "view"), (1L, 200L, "click"), (1L, 300L, "purchase"), // full
+      (2L, 100L, "purchase"), (2L, 200L, "view"), (2L, 300L, "click"), // 2 steps
+      (3L, 100L, "view"),                                              // 1 step
+      (4L, 100L, "click"))                                             // 0 steps
+    val got = Temporal.funnel(ev, "user", "ts", "etype",
+        Seq("view", "click", "purchase"), maxSpanUs = 1000L)
+      .collect().map(r => r.getLong(0) -> (r.getLong(4), r.getBoolean(5))).toMap
+    assert(got == Map(1L -> ((3L, true)), 2L -> ((2L, false)),
+      3L -> ((1L, false)), 4L -> ((0L, false))))
+  }
+
+  test("funnel: completion outside maxSpan is matched but not completed") {
+    val ev = eventsDf((1L, 0L, "view"), (1L, 50L, "click"), (1L, 2000L, "purchase"))
+    val r = Temporal.funnel(ev, "user", "ts", "etype",
+      Seq("view", "click", "purchase"), maxSpanUs = 1000L).collect().head
+    assert(r.getLong(4) == 3L && !r.getBoolean(5))
+    // boundary: span exactly maxSpan completes
+    val r2 = Temporal.funnel(ev, "user", "ts", "etype",
+      Seq("view", "click", "purchase"), maxSpanUs = 2000L).collect().head
+    assert(r2.getBoolean(5))
+  }
+
+  test("funnel: greedy anchors at the EARLIEST step-1 event") {
+    // a later view (t=150) would complete within span, but greedy anchors at
+    // t=0 — the documented deterministic semantics
+    val ev = eventsDf((1L, 0L, "view"), (1L, 150L, "view"), (1L, 200L, "click"),
+      (1L, 900L, "purchase"))
+    val r = Temporal.funnel(ev, "user", "ts", "etype",
+      Seq("view", "click", "purchase"), maxSpanUs = 800L).collect().head
+    assert(r.getLong(1) == 0L && r.getLong(4) == 3L && !r.getBoolean(5))
+  }
+
+  // ------------------------------------------------------------ retention
+
+  test("cohortRetention: triangle counts; pre-anchor activity excluded") {
+    val week = 1000L
+    val ev = eventsDf(
+      (1L, 0L, "signup"), (1L, 1500L, "click"),              // cohort 0, active 0 & 1
+      (2L, 1100L, "signup"), (2L, 2500L, "click"),           // cohort 1, active 1 & 2
+      (3L, 500L, "click"),                                   // never signed up
+      (4L, 2200L, "signup"), (4L, 100L, "click"))            // cohort 2; t=100 is BEFORE
+    val got = Temporal.cohortRetention(ev, "user", "ts", "etype", "signup", week)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
+  }
 }
