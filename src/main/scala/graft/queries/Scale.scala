@@ -204,6 +204,58 @@ object Scale {
       |WHERE period >= cohort_period
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- q90 zone-map pruned read
+
+  private val zmStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Time-sliced ingest store: events committed in three ten-day merges
+    * (the append-stream layout streaming ingest produces), zone maps on
+    * `ts_us` — each commit's files cover a disjoint time range, which is
+    * exactly when file min/max stats prune range reads. */
+  private def ensureZmStore(s: SparkSession, dir: String): String =
+    zmStores.getOrElseUpdate(s"q90:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-zm")
+        .resolve("events_tx").toString
+      val ev = t(s, dir, "events").select(col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("value_cents"))
+      val day11 = Q90Lo - 14L * 86400000000L // 2024-01-11T00:00:00Z
+      val day21 = day11 + 10L * 86400000000L
+      graft.sources.TxStore.init(ev.filter(col("ts_us") < day11), p,
+        "event_id", nBuckets = 8, statsCols = Seq("ts_us"))
+      graft.sources.TxStore.merge(s, p,
+        ev.filter(col("ts_us") >= day11 && col("ts_us") < day21), "event_id")
+      graft.sources.TxStore.merge(s, p, ev.filter(col("ts_us") >= day21), "event_id")
+      p
+    })
+
+  /** 2024-01-25T00:00:00Z .. 2024-01-29T00:00:00Z (exclusive), in epoch µs. */
+  private val Q90Lo = 1706140800000000L
+  private val Q90Hi = 1706486400000000L - 1
+
+  /** Engine depth — zone-map data skipping
+    * ([[graft.sources.TxStore.readWhere]]): a 4-day range read over the
+    * time-sliced store touches ONLY the final commit's files (asserted at
+    * run time — the query FAILS if pruning regresses), then aggregates per
+    * event type. The file-skipping layer every table format provides,
+    * here driven by manifest min/max stats. */
+  def q90ZonemapRead(s: SparkSession, dir: String): DataFrame = {
+    val path = ensureZmStore(s, dir)
+    val (kept, total) = graft.sources.TxStore.pruneCount(path, "ts_us", Q90Lo, Q90Hi)
+    require(kept < total, s"zone maps pruned nothing: kept $kept of $total files")
+    graft.sources.TxStore.readWhere(s, path, "ts_us", Q90Lo, Q90Hi)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_cents").as("value_cents"))
+      .orderBy("event_type")
+  }
+
+  val q90Sql: String =
+    s"""SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events
+      |WHERE epoch_us(ts) BETWEEN $Q90Lo AND $Q90Hi
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -213,7 +265,8 @@ object Scale {
     "q86_hll_sketch" -> (q86HllSketch _),
     "q87_zorder" -> (q87Zorder _),
     "q88_funnel" -> (q88Funnel _),
-    "q89_retention" -> (q89Retention _))
+    "q89_retention" -> (q89Retention _),
+    "q90_zonemap_read" -> (q90ZonemapRead _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -222,5 +275,6 @@ object Scale {
     "q86_hll_sketch" -> q86Sql,
     "q87_zorder" -> q87Sql,
     "q88_funnel" -> q88Sql,
-    "q89_retention" -> q89Sql)
+    "q89_retention" -> q89Sql,
+    "q90_zonemap_read" -> q90Sql)
 }

@@ -57,6 +57,31 @@ object TxStore {
 
   private val ManifestName = """v(\d+)\.manifest""".r
 
+  /** One manifest data entry: bucket, version-dir-relative file, and the
+    * file's zone map — per-column (min, max) over LONG-castable columns,
+    * absent for columns with no non-null values in the file (such a file is
+    * conservatively kept by every prune). */
+  private case class Entry(bucket: Int, file: String, stats: Map[String, (Long, Long)]) {
+    def line: String = {
+      val s = if (stats.isEmpty) "" else
+        "\t" + stats.toSeq.sortBy(_._1)
+          .map { case (c, (lo, hi)) => s"$c=$lo:$hi" }.mkString(";")
+      s"$bucket\t$file$s"
+    }
+  }
+
+  private object Entry {
+    def parse(l: String): Entry = l.split("\t", 3) match {
+      case Array(b, f) => Entry(b.toInt, f, Map.empty)
+      case Array(b, f, s) => Entry(b.toInt, f,
+        s.split(";").filter(_.nonEmpty).map { kv =>
+          val Array(c, mm) = kv.split("=", 2)
+          val Array(lo, hi) = mm.split(":", 2)
+          c -> (lo.toLong, hi.toLong)
+        }.toMap)
+    }
+  }
+
   /** Highest committed snapshot version, or -1 if none. Parses any digit
     * width — manifestPath's %06d zero-pads but GROWS past v999999, so a
     * fixed-width match would wedge the store there. */
@@ -69,23 +94,32 @@ object TxStore {
       .foldLeft(-1)(math.max)
   }
 
+  private case class Manifest(nBuckets: Int, schemaJson: String, txn: Option[Long],
+      statsCols: Seq[String], entries: Seq[Entry]) {
+    def schema: org.apache.spark.sql.types.StructType =
+      org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+  }
+
   /** Manifest of `v`: header nBuckets + table schema (JSON), an optional
     * `txn=` line (the cumulative max writer-transaction id — the
     * idempotent-streaming-writer ledger, cf. Delta's txnAppId/txnVersion),
-    * then (bucket, version-dir-relative file) entries. The schema header
-    * makes an entry-less snapshot (init on an empty frame) readable —
-    * parquet dirs with zero rows leave nothing to infer from. Manifests
-    * written before the txn field parse unchanged (the line is optional). */
-  private def readManifest(path: String, v: Int): (Int, String, Option[Long], Seq[(Int, String)]) = {
+    * an optional `statscols=` line (zone-map column set), then per-file
+    * [[Entry]] lines. The schema header makes an entry-less snapshot (init
+    * on an empty frame) readable — parquet dirs with zero rows leave
+    * nothing to infer from. Manifests written before the optional fields
+    * existed parse unchanged. */
+  private def readManifest(path: String, v: Int): Manifest = {
     val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
     val n = lines.head.stripPrefix("nbuckets=").toInt
     val schema = lines(1).stripPrefix("schema=")
-    val txn = lines.drop(2).headOption.filter(_.startsWith("txn="))
-      .map(_.stripPrefix("txn=").toLong)
-    val entryLines = if (txn.isDefined) lines.drop(3) else lines.drop(2)
-    (n, schema, txn, entryLines.map { l =>
-      val Array(b, f) = l.split("\t", 2); (b.toInt, f)
-    })
+    val hdr = lines.drop(2).takeWhile(l =>
+      l.startsWith("txn=") || l.startsWith("statscols="))
+    val txn = hdr.find(_.startsWith("txn=")).map(_.stripPrefix("txn=").toLong)
+    val statsCols = hdr.find(_.startsWith("statscols="))
+      .map(_.stripPrefix("statscols=").split(",").toSeq.filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+    Manifest(n, schema, txn, statsCols, lines.drop(2 + hdr.length).map(Entry.parse))
   }
 
   /** Highest writer-transaction id committed at or before the current
@@ -93,16 +127,18 @@ object TxStore {
     * micro-batch compares its id against this before writing. */
   def lastTxn(path: String): Option[Long] = {
     val v = currentVersion(path)
-    if (v < 0) None else readManifest(path, v)._3
+    if (v < 0) None else readManifest(path, v).txn
   }
 
   private def commitManifest(path: String, v: Int, nBuckets: Int, schemaJson: String,
-      entries: Seq[(Int, String)], txn: Option[Long] = None): Unit = {
+      entries: Seq[Entry], txn: Option[Long] = None,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     Files.createDirectories(manifestDir(path))
     val tmp = Files.createTempFile(manifestDir(path), s"staged-v$v-", ".tmp")
     val body = (Seq(s"nbuckets=$nBuckets", s"schema=$schemaJson") ++
       txn.map(t => s"txn=$t").toSeq ++
-      entries.map { case (b, f) => s"$b\t$f" })
+      (if (statsCols.isEmpty) Seq.empty else Seq(s"statscols=${statsCols.mkString(",")}")) ++
+      entries.map(_.line))
       .mkString("\n")
     Files.write(tmp, body.getBytes("UTF-8"))
     // put-if-absent: a POSIX rename REPLACES an existing target, so the
@@ -116,8 +152,8 @@ object TxStore {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Scan a staged data dir and return its (bucket, relative file) entries. */
-  private def listVersionFiles(path: String, dirName: String): Seq[(Int, String)] = {
+  /** Scan a staged data dir and return its entries (no stats yet). */
+  private def listVersionFiles(path: String, dirName: String): Seq[Entry] = {
     val vdir = Paths.get(path, "data", dirName)
     listDir(vdir)
       .filter(p => p.getFileName.toString.startsWith("__bucket="))
@@ -125,19 +161,60 @@ object TxStore {
         val b = bdir.getFileName.toString.stripPrefix("__bucket=").toInt
         listDir(bdir)
           .filter(_.getFileName.toString.endsWith(".parquet"))
-          .map(f => (b, s"$dirName/__bucket=$b/${f.getFileName}"))
+          .map(f => Entry(b, s"$dirName/__bucket=$b/${f.getFileName}", Map.empty))
       }
+  }
+
+  /** Zone maps for freshly staged entries: ONE Spark pass over the staged
+    * files (grouped by input file), min/max of each stats column cast to
+    * LONG. A column with no non-null values in a file gets no stats there
+    * (that file is conservatively kept by every prune on it). Cost is a
+    * scan of exactly the files just written — the same rows the writer
+    * already shuffled — and only when the store declares stats columns. */
+  private def withStats(spark: SparkSession, path: String, entries: Seq[Entry],
+      statsCols: Seq[String]): Seq[Entry] = {
+    if (statsCols.isEmpty || entries.isEmpty) return entries
+    val df = spark.read
+      .parquet(entries.map(e => Paths.get(path, "data", e.file).toString): _*)
+    val present = statsCols.filter(df.columns.contains)
+    if (present.isEmpty) return entries
+    val aggs = present.flatMap(c => Seq(
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c")))
+    val rows = df.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*).collect() // one row per staged FILE — metadata scale
+    val marker = "/data/"
+    val byFile = rows.map { r =>
+      val raw = r.getString(0)
+      val rel = raw.substring(raw.lastIndexOf(marker) + marker.length)
+      val m = present.zipWithIndex.flatMap { case (c, i) =>
+        val lo = r.get(1 + 2 * i)
+        val hi = r.get(2 + 2 * i)
+        if (lo == null || hi == null) None
+        else Some(c -> (lo.asInstanceOf[Long], hi.asInstanceOf[Long]))
+      }.toMap
+      rel -> m
+    }.toMap
+    entries.map(e => e.copy(stats = byFile.getOrElse(e.file, Map.empty)))
   }
 
   private def writeVersionData(df: DataFrame, path: String, dirName: String): Unit =
     df.write.mode("errorifexists").partitionBy("__bucket")
       .parquet(Paths.get(path, "data", dirName).toString)
 
-  /** Create snapshot v0 from `df`, bucketed by `key`. */
-  def init(df: DataFrame, path: String, key: String, nBuckets: Int): Unit = {
+  /** Create snapshot v0 from `df`, bucketed by `key`. `statsCols` declares
+    * the store's zone-map columns (LONG-castable): every commit records
+    * per-file min/max for them, and [[readWhere]] prunes file reads by
+    * range. Declare the columns correlated with write order (event time on
+    * an append stream, the merge key after a range-clustered rewrite) —
+    * zone maps on columns uncorrelated with file layout keep every file. */
+  def init(df: DataFrame, path: String, key: String, nBuckets: Int,
+      statsCols: Seq[String] = Seq.empty): Unit = {
     require(currentVersion(path) == -1, s"$path already holds a TxStore")
     writeVersionData(df.withColumn("__bucket", bucketOf(col(key), nBuckets)), path, "v0")
-    commitManifest(path, 0, nBuckets, df.schema.json, listVersionFiles(path, "v0"))
+    commitManifest(path, 0, nBuckets, df.schema.json,
+      withStats(df.sparkSession, path, listVersionFiles(path, "v0"), statsCols),
+      statsCols = statsCols)
   }
 
   /** Read a snapshot (default: current). Files are grouped by their version
@@ -145,22 +222,25 @@ object TxStore {
     * compacted table reads as a handful of groups. An entry-less snapshot
     * (empty init, or a merge that emptied every bucket) reads as an empty
     * frame with the manifest's stored schema. */
-  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame = {
+  def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
+    readEntries(spark, path, version, _ => true)
+
+  /** Shared snapshot read over the entries passing `keep` — the manifest-
+    * level file pruning every targeted read variant goes through. */
+  private def readEntries(spark: SparkSession, path: String, version: Option[Int],
+      keep: Entry => Boolean): DataFrame = {
     val v = version.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path")
-    val (_, schemaJson, _, entries) = readManifest(path, v)
-    if (entries.isEmpty) {
-      val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    }
-    val schema = org.apache.spark.sql.types.DataType.fromJson(schemaJson)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val byVdir = entries.groupBy(_._2.split("/", 2)(0))
+    val m = readManifest(path, v)
+    val entries = m.entries.filter(keep)
+    if (entries.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
+    val byVdir = entries.groupBy(_.file.split("/", 2)(0))
     byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
       spark.read
         .option("basePath", Paths.get(path, "data", vdir).toString)
-        .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
+        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
     }
       // version dirs written before an additive schema evolution lack the
       // newer columns — they read as nulls (allowMissingColumns), exactly
@@ -169,7 +249,48 @@ object TxStore {
       .drop("__bucket")
       // the manifest schema is authoritative for column set AND order:
       // rows from pre-evolution files surface the added columns as null
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+      .select(m.schema.fieldNames.toIndexedSeq.map(col): _*)
+  }
+
+  /** Zone-map-pruned range read: rows of the snapshot with
+    * `lo <= colName <= hi`, reading ONLY files whose recorded [min, max]
+    * for `colName` intersects the range (files without stats for the
+    * column are conservatively kept). The exact predicate is re-applied to
+    * the surviving rows, so the result equals
+    * `read(...).filter(colName between lo and hi)` — the zone map changes
+    * the I/O, never the answer. */
+  def readWhere(spark: SparkSession, path: String, colName: String,
+      lo: Long, hi: Long, version: Option[Int] = None): DataFrame =
+    readEntries(spark, path, version, e =>
+      e.stats.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
+      .filter(col(colName).cast("long").between(lo, hi))
+
+  /** Point-lookup read: rows with `key === value`, reading ONLY the one
+    * hash bucket the key can live in — the O(files/nBuckets) point-get the
+    * bucketed layout exists for (the HBase-get analogue of the reference's
+    * read path). */
+  def readKey(spark: SparkSession, path: String, key: String, value: Any,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(path))
+    require(v >= 0, s"no committed snapshot at $path")
+    val n = readManifest(path, v).nBuckets
+    // evaluate the SAME bucket expression the writers use, on a 1-row frame
+    // (metadata-scale driver job — keeps the hash semantics in one place)
+    val b = spark.range(1).select(bucketOf(lit(value), n)).head().getInt(0)
+    readEntries(spark, path, version, _.bucket == b)
+      .filter(col(key) === lit(value))
+  }
+
+  /** (files kept, files total) a [[readWhere]] on this range would touch —
+    * the observable the zone-map specs and reports assert on. */
+  def pruneCount(path: String, colName: String, lo: Long, hi: Long,
+      version: Option[Int] = None): (Int, Int) = {
+    val v = version.getOrElse(currentVersion(path))
+    require(v >= 0, s"no committed snapshot at $path")
+    val entries = readManifest(path, v).entries
+    val kept = entries.count(e =>
+      e.stats.get(colName).forall { case (mn, mx) => mx >= lo && mn <= hi })
+    (kept, entries.size)
   }
 
   /** Copy-on-write MERGE: upsert `delta` (unique per `key`, delta wins) into
@@ -192,9 +313,9 @@ object TxStore {
       expectedVersion: Option[Int] = None, txn: Option[Long] = None): Int = {
     val v = expectedVersion.getOrElse(currentVersion(path))
     require(v >= 0, s"no committed snapshot at $path — init first")
-    val (nBuckets, schemaJson0, prevTxn, entries) = readManifest(path, v)
-    val stored = org.apache.spark.sql.types.DataType.fromJson(schemaJson0)
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val m = readManifest(path, v)
+    val (nBuckets, prevTxn, entries) = (m.nBuckets, m.txn, m.entries)
+    val stored = m.schema
     stored.foreach { f =>
       val d = delta.schema.find(_.name == f.name)
       require(d.isDefined, s"delta is missing stored column '${f.name}' " +
@@ -213,16 +334,16 @@ object TxStore {
     val touched = d.select("__bucket").distinct()
       .collect().map(_.getInt(0)).toSet // bounded by nBuckets — metadata scale
     if (touched.isEmpty) return v
-    val (touchedEntries, untouchedEntries) = entries.partition(e => touched(e._1))
+    val (touchedEntries, untouchedEntries) = entries.partition(e => touched(e.bucket))
     // read ONLY the touched buckets' current rows
     val base =
       if (touchedEntries.isEmpty) d.limit(0).drop("__bucket")
       else {
-        val byVdir = touchedEntries.groupBy(_._2.split("/", 2)(0))
+        val byVdir = touchedEntries.groupBy(_.file.split("/", 2)(0))
         byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
           spark.read
             .option("basePath", Paths.get(path, "data", vdir).toString)
-            .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
+            .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
         }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("__bucket")
       }
     // allowMissingColumns: surviving base rows null-fill any column this
@@ -236,9 +357,11 @@ object TxStore {
     // stage without colliding; only the manifest rename decides the winner
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     writeVersionData(merged, path, dirName)
+    // fresh files get fresh zone maps; untouched entries keep theirs
     try commitManifest(path, nv, nBuckets, schemaJson,
-      listVersionFiles(path, dirName) ++ untouchedEntries,
-      (prevTxn.toSeq ++ txn.toSeq).reduceOption(_ max _))
+      withStats(spark, path, listVersionFiles(path, dirName), m.statsCols) ++
+        untouchedEntries,
+      (prevTxn.toSeq ++ txn.toSeq).reduceOption(_ max _), m.statsCols)
     catch {
       case e: java.util.ConcurrentModificationException =>
         // the staged data dir lost the CAS race and no manifest references
@@ -266,7 +389,7 @@ object TxStore {
     if (!Files.isDirectory(dataDir)) return Seq.empty
     val referenced = (0 to currentVersion(path)).flatMap { v =>
       if (Files.exists(manifestPath(path, v)))
-        readManifest(path, v)._4.map(_._2.split("/", 2)(0))
+        readManifest(path, v).entries.map(_.file.split("/", 2)(0))
       else Seq.empty
     }.toSet
     val orphans = listDir(dataDir)
@@ -284,21 +407,23 @@ object TxStore {
   def compact(spark: SparkSession, path: String): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"no committed snapshot at $path")
-    val (nBuckets, schemaJson, prevTxn, entries) = readManifest(path, v)
+    val m = readManifest(path, v)
+    val (nBuckets, schemaJson, prevTxn, entries) = (m.nBuckets, m.schemaJson, m.txn, m.entries)
     val nv = v + 1
-    if (entries.isEmpty) { commitManifest(path, nv, nBuckets, schemaJson, Seq.empty, prevTxn); return nv }
+    if (entries.isEmpty) { commitManifest(path, nv, nBuckets, schemaJson, Seq.empty, prevTxn, m.statsCols); return nv }
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     // each row's bucket comes from the ORIGINAL files' partition column, so
     // compaction never needs to know the key column
-    val byVdir = entries.groupBy(_._2.split("/", 2)(0))
+    val byVdir = entries.groupBy(_.file.split("/", 2)(0))
     val withBucket = byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
       spark.read
         .option("basePath", Paths.get(path, "data", vdir).toString)
-        .parquet(es.map(e => Paths.get(path, "data", e._2).toString): _*)
+        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
     }.reduce(_.unionByName(_, allowMissingColumns = true)) // pre-evolution dirs null-fill
     writeVersionData(withBucket.repartition(col("__bucket")), path, dirName)
-    try commitManifest(path, nv, nBuckets, schemaJson, listVersionFiles(path, dirName),
-      prevTxn)
+    try commitManifest(path, nv, nBuckets, schemaJson,
+      withStats(spark, path, listVersionFiles(path, dirName), m.statsCols),
+      prevTxn, m.statsCols)
     catch {
       case e: java.util.ConcurrentModificationException =>
         deleteRecursively(Paths.get(path, "data", dirName)); throw e

@@ -206,4 +206,70 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
       Set(1L -> "rescored", 2L -> "fresh"))
   }
+
+  // --------------------------------------------------------- zone maps
+
+  private def tsRows(vs: (Long, Long)*) = vs.toSeq.toDF("entity_id", "ts_us")
+
+  test("zone maps: time-clustered merges prune range reads; answer unchanged") {
+    val p = freshPath()
+    // three time-sliced commits — the append-stream layout where zone maps
+    // shine: each commit's files cover a disjoint ts range
+    TxStore.init(tsRows((1L to 20L).map(i => (i, 100L + i)): _*), p,
+      "entity_id", nBuckets = 4, statsCols = Seq("ts_us"))
+    TxStore.merge(spark, p, tsRows((21L to 40L).map(i => (i, 200L + i)): _*), "entity_id")
+    TxStore.merge(spark, p, tsRows((41L to 60L).map(i => (i, 300L + i)): _*), "entity_id")
+    val (kept, total) = TxStore.pruneCount(p, "ts_us", 301L, 400L)
+    assert(kept < total, s"no pruning: kept $kept of $total")
+    val pruned = TxStore.readWhere(spark, p, "ts_us", 301L, 400L)
+      .as[(Long, Long)].collect().toSet
+    val full = TxStore.read(spark, p).filter($"ts_us".between(301L, 400L))
+      .as[(Long, Long)].collect().toSet
+    assert(pruned == full && pruned.size == 20)
+  }
+
+  test("zone maps: stats survive merges on untouched buckets; compact recomputes") {
+    val p = freshPath()
+    TxStore.init(tsRows((1L to 32L).map(i => (i, i)): _*), p,
+      "entity_id", nBuckets = 8, statsCols = Seq("ts_us"))
+    TxStore.merge(spark, p, tsRows(1L -> 1000L), "entity_id")
+    // v0 files (untouched buckets) kept their stats: a range that excludes
+    // them still prunes
+    val (kept, total) = TxStore.pruneCount(p, "ts_us", 900L, 1100L)
+    assert(kept < total)
+    assert(TxStore.readWhere(spark, p, "ts_us", 900L, 1100L).count() == 1)
+    TxStore.compact(spark, p)
+    // post-compact stats still present and correct
+    val (k2, t2) = TxStore.pruneCount(p, "ts_us", 900L, 1100L)
+    assert(k2 <= t2 && TxStore.readWhere(spark, p, "ts_us", 900L, 1100L).count() == 1)
+  }
+
+  test("readKey touches one bucket only and returns the exact row") {
+    val p = freshPath()
+    TxStore.init(rows((1L to 64L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 8)
+    val got = TxStore.readKey(spark, p, "entity_id", 17L)
+      .as[(Long, String)].collect()
+    assert(got.toSeq == Seq(17L -> "v17"))
+    // the pruned plan reads 1/8 of the files: verify via the physical scan
+    val files = TxStore.readKey(spark, p, "entity_id", 17L).queryExecution
+      .executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val allFiles = TxStore.read(spark, p).queryExecution
+      .executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.inputFiles.length
+      }.sum
+    assert(files < allFiles, s"point read touched $files of $allFiles files")
+  }
+
+  test("stores without statsCols read unchanged (manifest back-compat)") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
+    // no stats declared: pruning keeps everything, readWhere still correct
+    val (kept, total) = TxStore.pruneCount(p, "entity_id", 0L, 10L)
+    assert(kept == total)
+    assert(TxStore.readWhere(spark, p, "entity_id", 1L, 1L).count() == 1)
+  }
 }
