@@ -121,7 +121,17 @@ object Sketches {
     * register exactly. */
   def hllRegisters(df: DataFrame, keyCol: String, groupCols: Seq[String]): DataFrame = {
     val g = groupCols.map(col)
-    df.select(g :+ md5(col(keyCol).cast("string").cast("binary")).as("hx"): _*)
+    hllTag(df.select(g :+ col(keyCol): _*), keyCol)
+      .groupBy(g :+ col("reg"): _*).agg(max("rho").as("max_rho"))
+  }
+
+  /** Row-level HLL tagging: append the (reg, rho) columns for `keyCol`
+    * without aggregating — the piece a STREAMING sketch reuses, since
+    * `max(rho) by (window, reg)` is then an ordinary watermarked streaming
+    * aggregation whose state is the sketch itself (≤ m rows per window,
+    * not one row per distinct key). */
+  def hllTag(df: DataFrame, keyCol: String): DataFrame =
+    df.withColumn("hx", md5(col(keyCol).cast("string").cast("binary")))
       .withColumn("reg",
         (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
           expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
@@ -136,8 +146,7 @@ object Sketches {
                          WHEN instr('0123456789abcdef', substring(rest, 1, 1)) - 1 >= 4 THEN 1
                          WHEN instr('0123456789abcdef', substring(rest, 1, 1)) - 1 >= 2 THEN 2
                          ELSE 3 END""").cast("long") + 1L))
-      .groupBy(g :+ col("reg"): _*).agg(max("rho").as("max_rho"))
-  }
+      .drop("hx", "sfx", "rest")
 
   /** Client-side HLL estimate from [[hllRegisters]] rows of ONE group:
     * the standard α·m²/Σ2^-M[j] with linear counting below 2.5m — here for

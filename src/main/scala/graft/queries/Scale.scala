@@ -256,6 +256,65 @@ object Scale {
       |WHERE epoch_us(ts) BETWEEN $Q90Lo AND $Q90Hi
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ------------------------------------------- q91 streaming HLL sketch
+
+  private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stageOnce(key: String, df: => DataFrame): String =
+    staged.getOrElseUpdate(key, {
+      val d = java.nio.file.Files.createTempDirectory("graft-scale-src").toString
+      df.coalesce(1).write.mode("overwrite").parquet(d)
+      d
+    })
+
+  /** Streaming sketch — daily distinct-user HLL registers maintained as a
+    * WATERMARKED streaming aggregation ([[Sketches.hllTag]] + max-by-
+    * (window, reg)): the streaming state IS the sketch — at most 256 rows
+    * per day-window regardless of user cardinality, where a streaming
+    * `count_distinct` would hold every distinct key. Complete-mode result
+    * hash-matches the batch computation (the q44 contract). */
+  def q91StreamHll(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = t(s, dir, "events").select(col("ts"), col("user_id"))
+    val srcDir = stageOnce(s"q91:$dir", src)
+    val stream = Sketches.hllTag(
+        s.readStream.schema(src.schema).parquet(srcDir)
+          .withWatermark("ts", "1 day"), "user_id")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("reg"))
+      .agg(max("rho").as("max_rho"))
+    val qn = s"q91_hll_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-hllckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("reg"), col("max_rho"))
+      .orderBy("day", "reg")
+  }
+
+  val q91Sql: String =
+    """WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+      |             md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+      |r AS (SELECT day,
+      |        CAST((instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16
+      |           + instr('0123456789abcdef', substr(hx, 2, 1)) - 1 AS BIGINT) AS reg,
+      |        substr(hx, 3, 8) AS sfx
+      |      FROM h),
+      |z AS (SELECT day, reg, sfx, ltrim(sfx, '0') AS rest FROM r),
+      |rho AS (SELECT day, reg,
+      |        CASE WHEN rest = '' THEN CAST(33 AS BIGINT)
+      |             ELSE CAST((length(sfx) - length(rest)) * 4
+      |                  + CASE WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 8 THEN 0
+      |                         WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 4 THEN 1
+      |                         WHEN instr('0123456789abcdef', substr(rest, 1, 1)) - 1 >= 2 THEN 2
+      |                         ELSE 3 END + 1 AS BIGINT) END AS rho
+      |        FROM z)
+      |SELECT day, reg, CAST(max(rho) AS BIGINT) AS max_rho
+      |FROM rho GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -266,7 +325,8 @@ object Scale {
     "q87_zorder" -> (q87Zorder _),
     "q88_funnel" -> (q88Funnel _),
     "q89_retention" -> (q89Retention _),
-    "q90_zonemap_read" -> (q90ZonemapRead _))
+    "q90_zonemap_read" -> (q90ZonemapRead _),
+    "q91_stream_hll" -> (q91StreamHll _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -276,5 +336,6 @@ object Scale {
     "q87_zorder" -> q87Sql,
     "q88_funnel" -> q88Sql,
     "q89_retention" -> q89Sql,
-    "q90_zonemap_read" -> q90Sql)
+    "q90_zonemap_read" -> q90Sql,
+    "q91_stream_hll" -> q91Sql)
 }

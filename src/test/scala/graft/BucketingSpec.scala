@@ -86,4 +86,30 @@ class BucketingSpec extends AnyFunSuite with SparkSpec {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(shard"))
     assert(pruned.count() == 1)
   }
+
+  test("writeZordered: every output file covers a tight (x, y) rectangle") {
+    import spark.implicits._
+    // 64×64 grid into 16 z-ordered files: perfect z-clustering gives 16×16
+    // rectangles (span 15); allow range-sampling slack up to span 31 —
+    // either way FAR tighter than the 63-span files an x-sorted or random
+    // layout produces on at least one axis
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y)).toDF("x", "y")
+    val out = Files.createTempDirectory("graft-zorder").toString + "/grid"
+    graft.sources.Bucketing.writeZordered(grid, out, "x", "y", files = 16)
+    val xr = graft.sources.Bucketing.fileRanges(spark, out, "x")
+    val yr = graft.sources.Bucketing.fileRanges(spark, out, "y")
+    assert(xr.nonEmpty && xr.size >= 8)
+    assert(xr.forall { case (lo, hi) => hi - lo <= 31 },
+      s"x spans too wide: $xr")
+    assert(yr.forall { case (lo, hi) => hi - lo <= 31 },
+      s"y spans too wide: $yr")
+    // the point of the layout: a range predicate on EITHER column keeps only
+    // a fraction of the files
+    val keptX = xr.count { case (lo, hi) => hi >= 0 && lo <= 15 }
+    val keptY = yr.count { case (lo, hi) => hi >= 0 && lo <= 15 }
+    assert(keptX < xr.size && keptY < yr.size,
+      s"no file pruning: x $keptX/${xr.size}, y $keptY/${yr.size}")
+    // answer unchanged
+    assert(spark.read.parquet(out).count() == 64 * 64)
+  }
 }
