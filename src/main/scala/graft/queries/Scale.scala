@@ -315,6 +315,93 @@ object Scale {
       |SELECT day, reg, CAST(max(rho) AS BIGINT) AS max_rho
       |FROM rho GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------- q92 incremental aggregation
+
+  private val aggStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Per-user totals maintained INCREMENTALLY across three time-sliced
+    * batches: each batch aggregates its own slice, [[graft.sources.TxStore
+    * .readFor]] fetches the CURRENT totals of exactly the touched users
+    * (bucket-pruned — a delta touching k buckets reads k buckets, not the
+    * table), and the summed delta merges back copy-on-write. */
+  private def ensureAggStore(s: SparkSession, dir: String): String =
+    aggStores.getOrElseUpdate(s"q92:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-incagg")
+        .resolve("user_totals").toString
+      val ev = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      def aggOf(df: DataFrame): DataFrame = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+      val day11 = Q90Lo - 14L * 86400000000L
+      val day21 = day11 + 10L * 86400000000L
+      graft.sources.TxStore.init(aggOf(ev.filter(col("ts_us") < day11)), p,
+        "user_id", nBuckets = 8)
+      Seq(
+        ev.filter(col("ts_us") >= day11 && col("ts_us") < day21),
+        ev.filter(col("ts_us") >= day21)
+      ).foreach { slice =>
+        val batch = aggOf(slice)
+        val old = graft.sources.TxStore.readFor(s, p, "user_id",
+          batch.select("user_id"))
+        val delta = old.unionByName(batch).groupBy("user_id")
+          .agg(sum("n_events").as("n_events"), sum("value_cents").as("value_cents"))
+        graft.sources.TxStore.merge(s, p, delta, "user_id")
+      }
+      p
+    })
+
+  /** Engine depth — incremental view maintenance: the running per-user
+    * totals after three incremental batch folds equal the full batch
+    * aggregation (the oracle recomputes from scratch; the store never
+    * did). Update cost ∝ each batch's bucket footprint. */
+  def q92IncrementalAgg(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TxStore.read(s, ensureAggStore(s, dir)).orderBy("user_id")
+
+  val q92Sql: String =
+    """SELECT user_id, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- q93 inverted-index lookup
+
+  private val idxStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Tall inverted index (term → postings) stored term-bucketed, so a term
+    * lookup opens one hash bucket's files — index-backed retrieval instead
+    * of a corpus scan. */
+  private def ensureIdxStore(s: SparkSession, dir: String): String =
+    idxStores.getOrElseUpdate(s"q93:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-invidx")
+        .resolve("postings").toString
+      val postings = docs(s, dir)
+        .select(col("doc_id").as("id"),
+          explode(graft.llmops.TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w", "id").agg(count(lit(1)).as("tf"))
+      graft.sources.TxStore.init(postings, p, "w", nBuckets = 16)
+      p
+    })
+
+  /** Engine depth — index-backed term retrieval
+    * ([[graft.sources.TxStore.readFor]]): postings for three query terms
+    * fetched via the bucket-pruned multi-key read (≤ 3 of 16 buckets open),
+    * where the BM25 query (q59) scans the corpus. At 100 TB the posting
+    * store IS how interactive term lookups stay sub-scan. */
+  def q93IndexLookup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val terms = Seq("join", "window", "scan").toDF("w")
+    graft.sources.TxStore.readFor(s, ensureIdxStore(s, dir), "w", terms)
+      .orderBy("w", "id")
+  }
+
+  val q93Sql: String =
+    """WITH tok AS (SELECT doc_id AS id,
+      |               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |             FROM documents)
+      |SELECT w, id, CAST(count(*) AS BIGINT) AS tf
+      |FROM tok WHERE w IN ('join', 'window', 'scan')
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -326,7 +413,9 @@ object Scale {
     "q88_funnel" -> (q88Funnel _),
     "q89_retention" -> (q89Retention _),
     "q90_zonemap_read" -> (q90ZonemapRead _),
-    "q91_stream_hll" -> (q91StreamHll _))
+    "q91_stream_hll" -> (q91StreamHll _),
+    "q92_incremental_agg" -> (q92IncrementalAgg _),
+    "q93_index_lookup" -> (q93IndexLookup _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -337,5 +426,7 @@ object Scale {
     "q88_funnel" -> q88Sql,
     "q89_retention" -> q89Sql,
     "q90_zonemap_read" -> q90Sql,
-    "q91_stream_hll" -> q91Sql)
+    "q91_stream_hll" -> q91Sql,
+    "q92_incremental_agg" -> q92Sql,
+    "q93_index_lookup" -> q93Sql)
 }

@@ -281,6 +281,23 @@ object TxStore {
       .filter(col(key) === lit(value))
   }
 
+  /** Bulk keyed read: rows of the snapshot whose `key` appears in `keys`
+    * (a one-column frame named `key`). The keys' hash buckets are computed
+    * once (bounded by nBuckets — metadata scale), files outside those
+    * buckets never open, and the exact membership is a semi-join over the
+    * surviving rows. This is the read half of incremental maintenance: a
+    * delta touching k buckets reads k buckets, not the table. */
+  def readFor(spark: SparkSession, path: String, key: String, keys: DataFrame,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(currentVersion(path))
+    require(v >= 0, s"no committed snapshot at $path")
+    val n = readManifest(path, v).nBuckets
+    val bSet = keys.select(bucketOf(col(key), n).as("__b")).distinct()
+      .collect().map(_.getInt(0)).toSet // ≤ nBuckets values
+    readEntries(spark, path, version, e => bSet(e.bucket))
+      .join(keys.select(col(key)).distinct(), Seq(key), "left_semi")
+  }
+
   /** (files kept, files total) a [[readWhere]] on this range would touch —
     * the observable the zone-map specs and reports assert on. */
   def pruneCount(path: String, colName: String, lo: Long, hi: Long,

@@ -264,6 +264,24 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(files < allFiles, s"point read touched $files of $allFiles files")
   }
 
+  test("readFor: bulk keyed read prunes to the keys' buckets, exact rows") {
+    val p = freshPath()
+    TxStore.init(rows((1L to 64L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 8)
+    val keys = Seq(3L, 17L).toDF("entity_id")
+    val got = TxStore.readFor(spark, p, "entity_id", keys)
+      .as[(Long, String)].collect().toSet
+    assert(got == Set(3L -> "v3", 17L -> "v17"))
+    def scanned(df: org.apache.spark.sql.DataFrame): Int = df.queryExecution
+      .executedPlan.collectLeaves().collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.relation.location.inputFiles.exists(_.contains("graft-txstore")) =>
+          f.relation.location.inputFiles.length
+      }.sum
+    val pruned = scanned(TxStore.readFor(spark, p, "entity_id", keys))
+    val full = scanned(TxStore.read(spark, p))
+    assert(pruned < full, s"readFor touched $pruned of $full files")
+  }
+
   test("stores without statsCols read unchanged (manifest back-compat)") {
     val p = freshPath()
     TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
