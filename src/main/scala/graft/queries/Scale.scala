@@ -402,6 +402,45 @@ object Scale {
       |FROM tok WHERE w IN ('join', 'window', 'scan')
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // ------------------------------------------------- q94 transactional delete
+
+  private val delStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Customer store with one committed copy-on-write DELETE (custkey ≡ 1
+    * mod 10) — GDPR-shaped erasure: touched buckets rewritten minus the
+    * keys, history time-travelable. */
+  private def ensureDelStore(s: SparkSession, dir: String): String =
+    delStores.getOrElseUpdate(s"q94:$dir", {
+      val p = java.nio.file.Files.createTempDirectory("graft-del")
+        .resolve("customer").toString
+      val base = t(s, dir, "customer").select(col("c_custkey"),
+        col("c_mktsegment"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"))
+      graft.sources.TxStore.init(base, p, "c_custkey", nBuckets = 8)
+      graft.sources.TxStore.delete(s, p,
+        base.filter(pmod(col("c_custkey"), lit(10)) === 1).select("c_custkey"),
+        "c_custkey")
+      p
+    })
+
+  /** Engine depth — transactional DELETE ([[graft.sources.TxStore.delete]]):
+    * the erased rows surfaced as the v0 → v1 anti-join (the CDC view of a
+    * deletion), hash-checked against the arithmetic oracle; the current
+    * snapshot no longer holds them, the v0 snapshot still does. */
+  def q94TxDelete(s: SparkSession, dir: String): DataFrame = {
+    val p = ensureDelStore(s, dir)
+    val v0 = graft.sources.TxStore.read(s, p, Some(0))
+    val v1 = graft.sources.TxStore.read(s, p, Some(1))
+    v0.join(v1.select("c_custkey"), Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_mktsegment", "bal_q")
+      .orderBy("c_custkey")
+  }
+
+  val q94Sql: String =
+    """SELECT c_custkey, c_mktsegment,
+      |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_q
+      |FROM customer WHERE c_custkey % 10 = 1 ORDER BY c_custkey""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -415,7 +454,8 @@ object Scale {
     "q90_zonemap_read" -> (q90ZonemapRead _),
     "q91_stream_hll" -> (q91StreamHll _),
     "q92_incremental_agg" -> (q92IncrementalAgg _),
-    "q93_index_lookup" -> (q93IndexLookup _))
+    "q93_index_lookup" -> (q93IndexLookup _),
+    "q94_tx_delete" -> (q94TxDelete _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -428,5 +468,6 @@ object Scale {
     "q90_zonemap_read" -> q90Sql,
     "q91_stream_hll" -> q91Sql,
     "q92_incremental_agg" -> q92Sql,
-    "q93_index_lookup" -> q93Sql)
+    "q93_index_lookup" -> q93Sql,
+    "q94_tx_delete" -> q94Sql)
 }

@@ -391,6 +391,49 @@ object TxStore {
     nv
   }
 
+  /** Copy-on-write DELETE: remove every row whose `key` appears in `keys`
+    * (a frame exposing the key column). Same bucket-scoped rewrite as
+    * [[merge]] — only buckets containing a deleted key are read and
+    * rewritten (minus the deleted rows), untouched buckets re-enter the
+    * manifest by reference, and the commit is the same CAS. A bucket whose
+    * rows are all deleted simply contributes no files to the new snapshot.
+    * History stays time-travelable: the pre-delete snapshot keeps the rows.
+    * Returns the committed version. */
+  def delete(spark: SparkSession, path: String, keys: DataFrame, key: String,
+      expectedVersion: Option[Int] = None): Int = {
+    val v = expectedVersion.getOrElse(currentVersion(path))
+    require(v >= 0, s"no committed snapshot at $path — init first")
+    val m = readManifest(path, v)
+    val d = keys.select(col(key)).distinct()
+      .withColumn("__bucket", bucketOf(col(key), m.nBuckets))
+      .localCheckpoint()
+    val touched = d.select("__bucket").distinct()
+      .collect().map(_.getInt(0)).toSet
+    if (touched.isEmpty) return v
+    val (touchedEntries, untouchedEntries) = m.entries.partition(e => touched(e.bucket))
+    if (touchedEntries.isEmpty) return v // keys hash to buckets holding nothing
+    val byVdir = touchedEntries.groupBy(_.file.split("/", 2)(0))
+    val base = byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
+      spark.read
+        .option("basePath", Paths.get(path, "data", vdir).toString)
+        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("__bucket")
+    val remaining = base.join(d.select(col(key)), Seq(key), "left_anti")
+      .withColumn("__bucket", bucketOf(col(key), m.nBuckets))
+    val nv = v + 1
+    val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeVersionData(remaining, path, dirName)
+    try commitManifest(path, nv, m.nBuckets, m.schemaJson,
+      withStats(spark, path, listVersionFiles(path, dirName), m.statsCols) ++
+        untouchedEntries,
+      m.txn, m.statsCols)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursively(Paths.get(path, "data", dirName)); throw e
+    }
+    nv
+  }
+
   private def deleteRecursively(p: Path): Unit = {
     if (Files.isDirectory(p)) listDir(p).foreach(deleteRecursively)
     Files.deleteIfExists(p)

@@ -282,6 +282,24 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(pruned < full, s"readFor touched $pruned of $full files")
   }
 
+  test("delete: COW erasure of keys; untouched buckets by reference; time travel keeps them") {
+    val p = freshPath()
+    TxStore.init(rows((1L to 64L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 8)
+    val v = TxStore.delete(spark, p, Seq(7L, 8L).toDF("entity_id"), "entity_id")
+    assert(v == 1)
+    val cur = TxStore.read(spark, p).as[(Long, String)].collect().toMap
+    assert(cur.size == 62 && !cur.contains(7L) && !cur.contains(8L))
+    // pre-delete snapshot still holds the rows (erasure is per-snapshot)
+    assert(TxStore.read(spark, p, Some(0)).count() == 64)
+    // untouched buckets re-entered by reference: the v1 manifest still
+    // points at v0 files for some buckets
+    val manifest = Files.readAllLines(Paths.get(p, "_manifests", "v000001.manifest"))
+    assert(manifest.stream().anyMatch(_.contains("v0/")))
+    // deleting absent keys is a no-op version-wise
+    val v2 = TxStore.delete(spark, p, Seq(9999L).toDF("entity_id"), "entity_id")
+    assert(TxStore.read(spark, p, Some(v2)).count() == 62)
+  }
+
   test("stores without statsCols read unchanged (manifest back-compat)") {
     val p = freshPath()
     TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
