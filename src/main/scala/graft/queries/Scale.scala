@@ -441,6 +441,83 @@ object Scale {
       |  CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_q
       |FROM customer WHERE c_custkey % 10 = 1 ORDER BY c_custkey""".stripMargin
 
+  // ------------------------------------------------- q95 streaming funnel
+
+  /** Deterministic staging of the funnel stream: events split into two
+    * half-month files plus a flush-sentinel file, delivered oldest-first
+    * one file per micro-batch — partial funnel matches genuinely cross
+    * batch boundaries, the flush emits each entity's final row (the q53
+    * staging contract). */
+  private def stageFunnelSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q95:$dir", {
+      import java.nio.file.{Files, Path}
+      val split = 1705363200000000L   // 2024-01-16T00:00:00Z, µs
+      val flushTs = 1709251200000000L // 2024-03-01T00:00:00Z — beyond every event
+      val tall = t(s, dir, "events").select(
+        col("user_id").as("entity_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_type").as("etype"),
+        lit(false).as("flush"))
+      val sentinels = tall.select(col("entity_id")).distinct()
+        .select(col("entity_id"), lit(flushTs).as("ts_us"),
+          lit("flush").as("etype"), lit(true).as("flush"))
+      val srcDir = Files.createTempDirectory("graft-funnel-src")
+      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = Files.createTempDirectory("graft-funnel-part")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = srcDir.resolve(name)
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
+      }
+      val t0 = 1700000000000L // fixed mtimes: file order is part of the contract
+      stagePart(tall.filter(col("ts_us") < split), "00_first.parquet", t0)
+      stagePart(tall.filter(col("ts_us") >= split), "01_second.parquet", t0 + 60000)
+      stagePart(sentinels, "02_flush.parquet", t0 + 120000)
+      srcDir.toString
+    })
+
+  /** Behavioral/streaming — the q88 funnel computed INCREMENTALLY
+    * ([[graft.streaming.StreamingFunnel]]): per-entity partial matches
+    * carried in flatMapGroupsWithState state across three micro-batches,
+    * flush-sentinel emission, output hash-matching the BATCH funnel oracle
+    * (same SQL as q88) — live conversion tracking with state ≤ k longs per
+    * entity. */
+  def q95StreamFunnel(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingFunnel
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = stageFunnelSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingFunnel.FunnelEvent].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val results = StreamingFunnel.funnel(
+      stream.as[StreamingFunnel.FunnelEvent],
+      Seq("view", "click", "purchase"), maxSpanUs = 7L * 24 * 3600 * 1000000)
+    val qn = s"q95_funnel_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      results.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("entity_id").as("entity"),
+        element_at(col("times"), 1).as("t1_us"),
+        element_at(col("times"), 2).as("t2_us"),
+        element_at(col("times"), 3).as("t3_us"),
+        col("steps_done"), col("completed"))
+      .orderBy("entity")
+  }
+
+  // q95's oracle IS q88's: the streaming fold must reproduce the batch
+  // funnel bit-for-bit (same greedy semantics, same output shape)
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -455,7 +532,8 @@ object Scale {
     "q91_stream_hll" -> (q91StreamHll _),
     "q92_incremental_agg" -> (q92IncrementalAgg _),
     "q93_index_lookup" -> (q93IndexLookup _),
-    "q94_tx_delete" -> (q94TxDelete _))
+    "q94_tx_delete" -> (q94TxDelete _),
+    "q95_stream_funnel" -> (q95StreamFunnel _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -469,5 +547,6 @@ object Scale {
     "q91_stream_hll" -> q91Sql,
     "q92_incremental_agg" -> q92Sql,
     "q93_index_lookup" -> q93Sql,
-    "q94_tx_delete" -> q94Sql)
+    "q94_tx_delete" -> q94Sql,
+    "q95_stream_funnel" -> q88Sql)
 }

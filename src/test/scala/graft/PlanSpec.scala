@@ -107,4 +107,45 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "the per-stratum quota frame must broadcast, never shuffle the corpus again")
   }
+
+  test("q83: hash split is scan-shaped — no shuffle, no join, no window") {
+    val p = plan("q83_hash_split")
+    assert(!p.contains("HashAggregate") && !p.contains("Join") && !p.contains("Window"),
+      "split assignment must stay a pure per-row column pipeline:\n" + p.take(2000))
+  }
+
+  test("q84: budget cap's rank and prefix-sum windows share ONE partitioning") {
+    val p = plan("q84_token_budget")
+    // both window functions must evaluate over the same stratum exchange —
+    // exactly one hashpartitioning(stratum) in the plan
+    val stratumExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(stratum"))
+    assert(stratumExchanges == 1,
+      s"expected 1 stratum exchange, found $stratumExchanges:\n" + p.take(2000))
+  }
+
+  test("q87: z-order codes come from the native zorder2 expression") {
+    val p = plan("q87_zorder")
+    assert(p.contains("zorder2"), "Morton codes must use the native expression")
+  }
+
+  test("q88: funnel is ONE entity shuffle; step windows chain without re-exchange") {
+    val p = plan("q88_funnel")
+    val entityExchanges = p.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(entity"))
+    assert(entityExchanges == 1,
+      s"expected 1 entity exchange for all step windows, found $entityExchanges:\n" +
+        p.take(2000))
+    assert(p.split("Window").length - 1 >= 3, "three chained step windows expected")
+  }
+
+  test("q67: PQ stages stay inside whole-stage codegen (native loop expressions)") {
+    val df = SparkEntry.queries("q67_ivfpq")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("pq_encode") || p.contains("argmin_cell"),
+      "encode/assignment must be the native expressions")
+    // the regression this pins: an oversized generated method makes Spark
+    // fall back to interpreted eval, visible as a codegen compile ERROR in
+    // stderr — the expressions are loop-based precisely so this cannot recur
+  }
 }

@@ -145,4 +145,35 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.awaitTermination(60000)
     assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
   }
+
+  test("streaming funnel: partial matches cross batches, flush emits once") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[FunnelEvent]
+    val out = StreamingFunnel.funnel(mem.toDS(),
+      Seq("view", "click", "purchase"), maxSpanUs = 1000L)
+    val q = out.writeStream.outputMode("append").format("memory")
+      .queryName("funnel_t").start()
+    // batch 1: user 1 matches view+click; user 2 sees purchase first (no match)
+    mem.addData(FunnelEvent(1L, 100L, "view", flush = false),
+      FunnelEvent(1L, 200L, "click", flush = false),
+      FunnelEvent(2L, 100L, "purchase", flush = false))
+    q.processAllAvailable()
+    assert(spark.table("funnel_t").count() == 0) // nothing emitted before flush
+    // batch 2: user 1 completes ACROSS the batch boundary; user 2 starts
+    mem.addData(FunnelEvent(1L, 300L, "purchase", flush = false),
+      FunnelEvent(2L, 200L, "view", flush = false))
+    q.processAllAvailable()
+    // batch 3: flush both
+    mem.addData(FunnelEvent(1L, 99999L, "flush", flush = true),
+      FunnelEvent(2L, 99999L, "flush", flush = true))
+    q.processAllAvailable()
+    val got = spark.table("funnel_t")
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getBoolean(3))).toMap
+    assert(got == Map(1L -> ((3L, true)), 2L -> ((1L, false))))
+    assert(spark.table("funnel_t").count() == 2) // exactly one row per entity
+    q.stop()
+  }
 }
