@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Partition-count independence — the SCALE.md "numeric determinism"
+  * claim made executable: hash-compared queries must produce IDENTICAL
+  * bytes whether the plan runs over 2 partitions or 9 (stand-ins for 32
+  * locally vs 20k on a cluster). Covers one representative of each
+  * determinism mechanism: decimal-exact money (q01), scaled-int cosine
+  * (q27), quantized TF-IDF (q55), md5-derived sketch (q86), epoch-µs
+  * windows (q88).
+  */
+class DeterminismSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def rows(q: String, parts: Int): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    try {
+      val df: DataFrame = SparkEntry.queries(q)(spark, sf)
+      // canonical form: sorted column names, row values stringified, sorted
+      val cols = df.columns.sorted.toIndexedSeq
+      df.selectExpr(cols.map(c => s"`$c`"): _*)
+        .collect().map(_.mkString("")).sorted.toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  for (q <- Seq("q01_pricing_summary", "q27_cosine_topk", "q55_tfidf",
+      "q86_hll_sketch", "q88_funnel")) {
+    test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
+      assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
+    }
+  }
+}
