@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Distributed global ranking — dense 1-based rank over a TOTAL order,
+  * computed as a distributed zip-with-index: a range repartition
+  * (distributed sort), a per-partition row_number, and broadcast cumulative
+  * partition offsets. No global single-partition window anywhere — the only
+  * unpartitioned construct is a triangular join over one row per shuffle
+  * partition. The generalization of the token dictionary's rank
+  * (graft.llmops.Dedup.tokenDictionary), shared by any operator needing a
+  * cluster-safe global rank (RFM scoring, percentile bucketing).
+  *
+  * Determinism: range partitions are totally ordered, so offset +
+  * in-partition rank IS the global rank regardless of where the range
+  * sampler places partition boundaries. The order columns must form a total
+  * order (add a unique tie-breaker) or ranks of ties become
+  * boundary-placement-dependent.
+  */
+object Ranks {
+
+  def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    // persist() pins ONE materialized range partitioning so ranks and
+    // offsets provably come from the same sampled boundaries (see
+    // tokenDictionary for the full rationale); released by the caller's
+    // clearCache discipline
+    val parted = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val ranked = parted.withColumn("__rn",
+      row_number().over(Window.partitionBy("__pid").orderBy(order: _*)).cast("long"))
+    val counts = parted.groupBy("__pid").agg(count(lit(1)).as("__cnt"))
+    val offsets = counts.as("a")
+      .join(counts.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__cnt")), lit(0L)).as("__off"))
+    ranked.join(broadcast(offsets), "__pid")
+      .withColumn(rankCol, col("__rn") + col("__off"))
+      .drop("__pid", "__rn", "__off")
+  }
+}

@@ -518,6 +518,89 @@ object Scale {
   // q95's oracle IS q88's: the streaming fold must reproduce the batch
   // funnel bit-for-bit (same greedy semantics, same output shape)
 
+  // ------------------------------------------- q96 event-type transitions
+
+  /** Behavioral — first-order Markov transition counts over each user's
+    * time-ordered event stream: one (entity)-keyed window for the lag, one
+    * (from, to) aggregation; the row-normalized permille gives the
+    * transition matrix a behavior model trains on. Ties on ts break by
+    * event_id — total order, engine-portable. */
+  def q96Transitions(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    val seq_ = t(s, dir, "events").select(col("user_id"),
+        unix_micros(col("ts")).as("ts_us"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+    val counts = seq_.groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = counts.groupBy("from_type").agg(sum("n").as("row_total"))
+    counts.join(totals, "from_type")
+      .withColumn("permille", expr("(n * 1000) div row_total"))
+      .select("from_type", "to_type", "n", "permille")
+      .orderBy("from_type", "to_type")
+  }
+
+  val q96Sql: String =
+    """WITH e AS (SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events),
+      |p AS (SELECT event_type AS from_type,
+      |        lead(event_type) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+      |      FROM e),
+      |c AS (SELECT from_type, to_type, count(*) AS n FROM p
+      |      WHERE to_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS row_total FROM c GROUP BY 1)
+      |SELECT c.from_type, c.to_type, c.n, CAST(c.n * 1000 // t.row_total AS BIGINT) AS permille
+      |FROM c JOIN t USING (from_type)
+      |ORDER BY c.from_type, c.to_type""".stripMargin
+
+  // ------------------------------------------------- q97 RFM scoring
+
+  /** Behavioral — RFM (recency / frequency / monetary) quartile scores per
+    * user: each dimension globally ranked via the DISTRIBUTED zip-with-index
+    * ([[graft.operators.Ranks.globalRank]] — no single-partition window
+    * anywhere) and bucketed 1–4 by an exact integer cross-multiply
+    * (⌈rank·4/n⌉ — no ntile, whose tie placement is engine-specific; ranks
+    * tie-break on user_id for a total order). The classic customer-value
+    * segmentation, engine-exact at any partition count. */
+  def q97Rfm(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val base = t(s, dir, "events").groupBy("user_id").agg(
+      max(unix_micros(col("ts"))).as("last_ts_us"),
+      count(lit(1)).as("n_events"),
+      sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("cents"))
+    val n = broadcast(base.agg(count(lit(1)).as("n_users")))
+    val ranked = globalRank(
+      globalRank(
+        globalRank(base, "r_rank", col("last_ts_us").desc, col("user_id")),
+        "f_rank", col("n_events").desc, col("user_id")),
+      "m_rank", col("cents").desc, col("user_id"))
+    ranked.crossJoin(n)
+      .withColumn("r_score", expr("(r_rank * 4 + n_users - 1) div n_users"))
+      .withColumn("f_score", expr("(f_rank * 4 + n_users - 1) div n_users"))
+      .withColumn("m_score", expr("(m_rank * 4 + n_users - 1) div n_users"))
+      .select("user_id", "last_ts_us", "n_events", "cents",
+        "r_score", "f_score", "m_score")
+      .orderBy("user_id")
+  }
+
+  val q97Sql: String =
+    """WITH base AS (SELECT user_id, CAST(max(epoch_us(ts)) AS BIGINT) AS last_ts_us,
+      |                count(*) AS n_events,
+      |                CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |              FROM events GROUP BY 1),
+      |n AS (SELECT count(*) AS n_users FROM base),
+      |r AS (SELECT user_id, last_ts_us, n_events, cents,
+      |        row_number() OVER (ORDER BY last_ts_us DESC, user_id) AS r_rank,
+      |        row_number() OVER (ORDER BY n_events DESC, user_id) AS f_rank,
+      |        row_number() OVER (ORDER BY cents DESC, user_id) AS m_rank
+      |      FROM base)
+      |SELECT user_id, last_ts_us, n_events, cents,
+      |  CAST((r_rank * 4 + n_users - 1) // n_users AS BIGINT) AS r_score,
+      |  CAST((f_rank * 4 + n_users - 1) // n_users AS BIGINT) AS f_score,
+      |  CAST((m_rank * 4 + n_users - 1) // n_users AS BIGINT) AS m_score
+      |FROM r CROSS JOIN n ORDER BY user_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -533,7 +616,9 @@ object Scale {
     "q92_incremental_agg" -> (q92IncrementalAgg _),
     "q93_index_lookup" -> (q93IndexLookup _),
     "q94_tx_delete" -> (q94TxDelete _),
-    "q95_stream_funnel" -> (q95StreamFunnel _))
+    "q95_stream_funnel" -> (q95StreamFunnel _),
+    "q96_transitions" -> (q96Transitions _),
+    "q97_rfm" -> (q97Rfm _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -548,5 +633,7 @@ object Scale {
     "q92_incremental_agg" -> q92Sql,
     "q93_index_lookup" -> q93Sql,
     "q94_tx_delete" -> q94Sql,
-    "q95_stream_funnel" -> q88Sql)
+    "q95_stream_funnel" -> q88Sql,
+    "q96_transitions" -> q96Sql,
+    "q97_rfm" -> q97Sql)
 }

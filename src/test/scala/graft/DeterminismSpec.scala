@@ -28,7 +28,7 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
   }
 
   for (q <- Seq("q01_pricing_summary", "q27_cosine_topk", "q55_tfidf",
-      "q86_hll_sketch", "q88_funnel")) {
+      "q86_hll_sketch", "q88_funnel", "q97_rfm")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
