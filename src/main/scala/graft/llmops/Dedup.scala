@@ -231,33 +231,13 @@ object Dedup {
     * range partitions are totally ordered, so offset + in-partition rank is
     * the global rank. */
   def tokenDictionary(docs: DataFrame, textCol: String): DataFrame = {
+    // distributed zip-with-index via the shared Ranks operator (range
+    // partition + per-partition rank + broadcast offsets; the persist-pinned
+    // single range sampling is documented there) — no single-partition
+    // window; cache released by the caller's clearCache discipline
     val vocab = docs.select(explode(array_distinct(tokens(col(textCol)))).as("tok")).distinct()
-    val nParts = vocab.sparkSession.sessionState.conf.numShufflePartitions
-    // persist() PINS one materialized range partitioning: both consumers
-    // below (the per-pid ranks and the per-pid counts) read the SAME
-    // InMemoryRelation, whose partitions are computed exactly once — so the
-    // ranks and offsets provably come from one set of sampled range
-    // boundaries. Without the pin they'd each re-plan the range exchange
-    // and only Spark's exchange-reuse keeps their sampled boundaries
-    // identical (advice r3: a reuse-rule change would silently mis-join
-    // offsets to ranks and corrupt every dictionary id). Cache released by
-    // the caller's clearCache/unpersist discipline like every other
-    // persisted intermediate in this module.
-    val parted = vocab.repartitionByRange(nParts, col("tok"))
-      .withColumn("pid", spark_partition_id())
-      .persist()
-    val ranked = parted
-      .withColumn("rn", row_number().over(Window.partitionBy("pid").orderBy("tok")).cast("long"))
-    // cumulative counts of the ≤ nParts partitions via a triangular join,
-    // not a global Window.orderBy — same result, no single-partition
-    // WindowExec (and no warning noise in plans that embed the dictionary)
-    val counts = parted.groupBy("pid").agg(count(lit(1)).as("cnt"))
-    val offsets = counts.as("a")
-      .join(counts.as("b"), col("b.pid") < col("a.pid"), "left")
-      .groupBy(col("a.pid").as("pid"))
-      .agg(coalesce(sum(col("b.cnt")), lit(0L)).as("off"))
-    ranked.join(broadcast(offsets), "pid")
-      .select(col("tok"), (col("rn") + col("off")).as("tid"))
+    graft.operators.Ranks.globalRank(vocab, "tid", col("tok"))
+      .select(col("tok"), col("tid"))
   }
 
   /** MinHash signature, tall form: (id, i, mh) for i ∈ [0, k) with

@@ -9,11 +9,15 @@ import graft.operators.Sketches
 import graft.sources.Tables
 
 /** Round-5 continuation: the operators whose whole point IS the 100 TB
-  * posture — deterministic corpus assignment (hash split, token-budget
-  * mixture caps), substring-level cross-document dedup coverage, mergeable
-  * cardinality sketches, and multi-dimensional Z-order layout (a native
-  * codegen expression). Same determinism rules as the rest of the declared
-  * surface: every hash-gated column is an integer or a portable hex digest.
+  * posture — deterministic corpus assignment (hash split q83, token-budget
+  * caps q84), substring-level dedup coverage (q85), mergeable cardinality
+  * sketches (batch q86, streaming q91), multi-dimensional Z-order layout
+  * via a native codegen expression (q87), behavioral analytics (funnels
+  * q88/q95, retention q89, transitions q96, RFM q97), and the TxStore
+  * depth queries (zone-map pruned reads q90, incremental aggregation q92,
+  * inverted-index lookups q93, transactional delete q94). Same determinism
+  * rules as the rest of the declared surface: every hash-gated column is
+  * an integer or a portable hex digest.
   */
 object Scale {
 

@@ -110,6 +110,8 @@ object TxStore {
     * nothing to infer from. Manifests written before the optional fields
     * existed parse unchanged. */
   private def readManifest(path: String, v: Int): Manifest = {
+    require(Files.exists(manifestPath(path, v)),
+      s"snapshot v$v at $path does not exist (never committed, or expired)")
     val lines = Files.readAllLines(manifestPath(path, v)).asScala.toSeq
     val n = lines.head.stripPrefix("nbuckets=").toInt
     val schema = lines(1).stripPrefix("schema=")
@@ -458,12 +460,41 @@ object TxStore {
     orphans.map(_.getFileName.toString)
   }
 
+  /** Drop snapshots OLDER than `keepFrom` (retention window): their
+    * manifests are deleted, then any data dir referenced ONLY by dropped
+    * manifests is removed. Versions >= `keepFrom` stay byte-identical and
+    * time-travelable; reading an expired version fails with a clear error
+    * (its manifest is gone). This bounds storage under a long merge
+    * history — the production retention knob every table format pairs with
+    * time travel. Returns the deleted data-dir names. */
+  def expire(path: String, keepFrom: Int): Seq[String] = {
+    val cur = currentVersion(path)
+    require(cur >= 0, s"no committed snapshot at $path")
+    require(keepFrom <= cur, s"keepFrom=$keepFrom is beyond current v$cur")
+    val keptRefs = (keepFrom to cur).flatMap { v =>
+      if (Files.exists(manifestPath(path, v)))
+        readManifest(path, v).entries.map(_.file.split("/", 2)(0))
+      else Seq.empty
+    }.toSet
+    val droppedRefs = (0 until keepFrom).flatMap { v =>
+      val mp = manifestPath(path, v)
+      if (Files.exists(mp)) {
+        val refs = readManifest(path, v).entries.map(_.file.split("/", 2)(0))
+        Files.delete(mp)
+        refs
+      } else Seq.empty
+    }.toSet
+    val orphaned = (droppedRefs -- keptRefs).toSeq.sorted
+    orphaned.foreach(d => deleteRecursively(Paths.get(path, "data", d)))
+    orphaned
+  }
+
   /** Compact a snapshot: rewrite the CURRENT version's full contents as one
     * fresh data dir and commit it as the next version. Collapses a long
     * merge history (many small files across many version dirs) into one
     * dir of right-sized files; older snapshots stay readable until their
-    * dirs are dropped (a retention-window `vacuum` variant would do that —
-    * here history is kept, matching the time-travel contract). */
+    * dirs are dropped ([[expire]] is that retention knob — until it runs,
+    * history is kept, matching the time-travel contract). */
   def compact(spark: SparkSession, path: String): Int = {
     val v = currentVersion(path)
     require(v >= 0, s"no committed snapshot at $path")

@@ -300,6 +300,26 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TxStore.read(spark, p, Some(v2)).count() == 62)
   }
 
+  test("expire: drops old snapshots and their exclusive files, keeps the window") {
+    val p = freshPath()
+    TxStore.init(rows((1L to 32L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 4)
+    TxStore.merge(spark, p, rows(1L -> "A"), "entity_id")   // v1
+    TxStore.merge(spark, p, rows(2L -> "B"), "entity_id")   // v2
+    val dropped = TxStore.expire(p, keepFrom = 2)
+    // v0/v1 gone; v2 intact and still correct
+    val err = intercept[IllegalArgumentException] { TxStore.read(spark, p, Some(0)) }
+    assert(err.getMessage.contains("expired"))
+    intercept[IllegalArgumentException] { TxStore.read(spark, p, Some(1)) }
+    val cur = TxStore.read(spark, p).as[(Long, String)].collect().toMap
+    assert(cur.size == 32 && cur(1L) == "A" && cur(2L) == "B")
+    // v0's untouched-bucket files are still referenced by v2 ⇒ NOT deleted;
+    // only dirs exclusive to dropped manifests go (v1's rewrite of bucket(1),
+    // superseded where v2 re-pointed — may be empty if v2 still references it)
+    val dataDirs = Files.list(Paths.get(p, "data")).toArray.map(_.toString)
+    assert(dataDirs.exists(_.endsWith("/v0")), "v0 dir still referenced by v2")
+    dropped.foreach(d => assert(!dataDirs.exists(_.endsWith(s"/$d"))))
+  }
+
   test("stores without statsCols read unchanged (manifest back-compat)") {
     val p = freshPath()
     TxStore.init(rows(1L -> "a"), p, "entity_id", nBuckets = 2)
