@@ -68,6 +68,29 @@ object Multimodal {
       .withColumn("frame_bytes", octet_length(col("frame")).cast("long"))
       .withColumn("frame_sha", sha2(col("frame"), 256))
 
+  /** Cross-media duplicated-frame coverage — content-defined chunk dedup
+    * for binary payloads (the storage-dedupe / media analogue of
+    * [[Dedup.dupSpanCoverage]]): a frame is duplicated when its content
+    * hash also appears in at least one OTHER media object; per media the
+    * operator reports how many of its frames are cross-media duplicates.
+    * Repetition within one payload does not count.
+    *
+    * Scale: frames never shuffle their bytes — document frequency and the
+    * coverage join key on the 64-hex frame digest; everything else is
+    * per-media aggregation. Returns (media_id, n_frames, n_dup_frames,
+    * dup_permille). */
+  def frameDupCoverage(media: DataFrame, frameBytes: Int): DataFrame = {
+    val fr = frames(media, frameBytes).select("media_id", "frame_idx", "frame_sha")
+    val fdf = fr.select("media_id", "frame_sha").distinct()
+      .groupBy("frame_sha").agg(count(lit(1)).as("fdf"))
+    val dup = fr.join(fdf.filter(col("fdf") >= 2).select("frame_sha"), "frame_sha")
+      .groupBy("media_id").agg(count(lit(1)).as("n_dup_frames"))
+    fr.groupBy("media_id").agg(count(lit(1)).as("n_frames"))
+      .join(dup, Seq("media_id"), "left")
+      .withColumn("n_dup_frames", coalesce(col("n_dup_frames"), lit(0L)))
+      .withColumn("dup_permille", expr("(n_dup_frames * 1000) div n_frames"))
+  }
+
   /** Pluggable payload→features decoder. Instances are created PER
     * PARTITION from a serializable factory (see [[decodeFeatures]]) so
     * codec/library initialization amortizes across a partition's rows —

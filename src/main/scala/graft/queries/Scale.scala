@@ -605,6 +605,33 @@ object Scale {
       |  CAST((m_rank * 4 + n_users - 1) // n_users AS BIGINT) AS m_score
       |FROM r CROSS JOIN n ORDER BY user_id""".stripMargin
 
+  // --------------------------------------- q98 media frame dedup coverage
+
+  /** North star/multimodal — cross-media duplicated-frame coverage
+    * ([[graft.llmops.Multimodal.frameDupCoverage]]): content-defined chunk
+    * dedup over binary payloads — per media object, how many of its
+    * 256-byte frames recur verbatim in another object. Frame digests, not
+    * bytes, flow through every shuffle. */
+  def q98MediaDup(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Multimodal.frameDupCoverage(
+      graft.llmops.Multimodal.asMedia(docs(s, dir), "doc_id", "text"),
+      frameBytes = 256).orderBy("media_id")
+
+  val q98Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+      |f AS (SELECT media_id, i AS frame_idx,
+      |        sha256(substring(text, CAST(i * 256 + 1 AS INT), 256)) AS g
+      |      FROM m, UNNEST(range(0, (n - 1) // 256 + 1)) AS u(i) WHERE n > 0),
+      |fdf AS (SELECT g, count(DISTINCT media_id) AS c FROM f GROUP BY 1),
+      |d AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_dup_frames
+      |      FROM f JOIN fdf USING (g) WHERE c >= 2 GROUP BY 1),
+      |tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames FROM f GROUP BY 1)
+      |SELECT tot.media_id, tot.n_frames,
+      |  CAST(COALESCE(d.n_dup_frames, 0) AS BIGINT) AS n_dup_frames,
+      |  CAST(COALESCE(d.n_dup_frames, 0) * 1000 // tot.n_frames AS BIGINT) AS dup_permille
+      |FROM tot LEFT JOIN d ON d.media_id = tot.media_id
+      |ORDER BY tot.media_id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -622,7 +649,8 @@ object Scale {
     "q94_tx_delete" -> (q94TxDelete _),
     "q95_stream_funnel" -> (q95StreamFunnel _),
     "q96_transitions" -> (q96Transitions _),
-    "q97_rfm" -> (q97Rfm _))
+    "q97_rfm" -> (q97Rfm _),
+    "q98_media_dup" -> (q98MediaDup _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -639,5 +667,6 @@ object Scale {
     "q94_tx_delete" -> q94Sql,
     "q95_stream_funnel" -> q88Sql,
     "q96_transitions" -> q96Sql,
-    "q97_rfm" -> q97Sql)
+    "q97_rfm" -> q97Sql,
+    "q98_media_dup" -> q98Sql)
 }
