@@ -300,6 +300,23 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TxStore.read(spark, p, Some(v2)).count() == 62)
   }
 
+  test("CAS loser retries against the new current and both deltas land") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b"), p, "entity_id", nBuckets = 2)
+    // writer A commits v1 first
+    TxStore.merge(spark, p, rows(1L -> "A"), "entity_id", expectedVersion = Some(0))
+    // writer B derived its delta from v0 too: its CAS commit of v1 must fail...
+    intercept[java.util.ConcurrentModificationException] {
+      TxStore.merge(spark, p, rows(2L -> "B"), "entity_id", expectedVersion = Some(0))
+    }
+    // ...and the documented recovery — re-read current, re-merge — succeeds
+    val v2 = TxStore.merge(spark, p, rows(2L -> "B"), "entity_id",
+      expectedVersion = Some(TxStore.currentVersion(p)))
+    assert(v2 == 2)
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "A", 2L -> "B")) // neither writer's delta was lost
+  }
+
   test("expire: drops old snapshots and their exclusive files, keeps the window") {
     val p = freshPath()
     TxStore.init(rows((1L to 32L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 4)
