@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Column profiling — the data-quality pass a pipeline runs before
@@ -71,5 +71,29 @@ object Profile {
       ps.zipWithIndex.map { case (p, i) =>
         round(element_at(col("qs"), i + 1), 6).as(s"p${math.round(p * 100)}")
       }: _*)
+  }
+
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * shape): each rule is a name + a row-level predicate Column; the report
+    * is one row per rule with its violation count and pass flag (pass =
+    * zero violations). ONE scan evaluates every rule — k conditional-sum
+    * aggregates plus the row count in the same aggregation, no joins, no
+    * second pass, no driver-side count — so the quality gate costs a single
+    * read at any scale. A null predicate result counts as a violation (a
+    * rule that cannot evaluate did not pass). Returns
+    * (rule, n_violations, n_rows, pass) ordered by rule name. */
+  def expectations(df: DataFrame, rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "need at least one expectation")
+    val aggs = rules.zipWithIndex.map { case ((_, pred), i) =>
+      sum(when(coalesce(pred, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    } :+ count(lit(1)).as("__n")
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val names = array(rules.map(r => lit(r._1)): _*)
+    val viols = array(rules.indices.map(i => col(s"__v$i")): _*)
+    one.select(posexplode(viols).as(Seq("idx", "n_violations")), col("__n").as("n_rows"))
+      .select(element_at(names, col("idx") + 1).as("rule"),
+        col("n_violations"), col("n_rows"),
+        (col("n_violations") === 0L).as("pass"))
+      .orderBy("rule")
   }
 }

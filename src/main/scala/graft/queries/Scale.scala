@@ -632,6 +632,42 @@ object Scale {
       |FROM tot LEFT JOIN d ON d.media_id = tot.media_id
       |ORDER BY tot.media_id""".stripMargin
 
+  // ------------------------------------------- q99 quality expectations
+
+  /** Pipeline depth — declarative data-quality expectations
+    * ([[graft.operators.Profile.expectations]]): six contract rules over
+    * lineitem evaluated in ONE scan (k conditional sums + the row count in
+    * the same aggregation); per-rule violation counts and pass flags, the
+    * gate a 100 TB ingest runs before promoting a batch. */
+  def q99Expectations(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.expectations(t(s, dir, "lineitem"), Seq(
+      "qty_range" -> col("l_quantity").between(1, 50),
+      "price_positive" -> (col("l_extendedprice") > 0),
+      "discount_range" -> col("l_discount").between(0.0, 0.1),
+      "shipdate_range" -> col("l_shipdate")
+        .between(lit("1992-01-01").cast("date"), lit("1998-12-31").cast("date")),
+      "keys_not_null" -> (col("l_orderkey").isNotNull && col("l_partkey").isNotNull),
+      "flag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+
+  val q99Sql: String =
+    """WITH a AS (SELECT count(*) AS n_rows,
+      |  CAST(sum(CASE WHEN COALESCE(l_quantity BETWEEN 1 AND 50, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_qty,
+      |  CAST(sum(CASE WHEN COALESCE(l_extendedprice > 0, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_price,
+      |  CAST(sum(CASE WHEN COALESCE(l_discount BETWEEN 0.0 AND 0.1, false) THEN 0 ELSE 1 END) AS BIGINT) AS v_disc,
+      |  CAST(sum(CASE WHEN COALESCE(l_shipdate BETWEEN DATE '1992-01-01' AND DATE '1998-12-31', false) THEN 0 ELSE 1 END) AS BIGINT) AS v_ship,
+      |  CAST(sum(CASE WHEN l_orderkey IS NOT NULL AND l_partkey IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v_keys,
+      |  CAST(sum(CASE WHEN COALESCE(l_returnflag IN ('A', 'N', 'R'), false) THEN 0 ELSE 1 END) AS BIGINT) AS v_flag
+      |  FROM lineitem)
+      |SELECT r.rule, r.n_violations, a.n_rows, r.n_violations = 0 AS pass
+      |FROM a, (VALUES
+      |  ('discount_range', (SELECT v_disc FROM a)),
+      |  ('flag_domain', (SELECT v_flag FROM a)),
+      |  ('keys_not_null', (SELECT v_keys FROM a)),
+      |  ('price_positive', (SELECT v_price FROM a)),
+      |  ('qty_range', (SELECT v_qty FROM a)),
+      |  ('shipdate_range', (SELECT v_ship FROM a))) AS r(rule, n_violations)
+      |ORDER BY r.rule""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -650,7 +686,8 @@ object Scale {
     "q95_stream_funnel" -> (q95StreamFunnel _),
     "q96_transitions" -> (q96Transitions _),
     "q97_rfm" -> (q97Rfm _),
-    "q98_media_dup" -> (q98MediaDup _))
+    "q98_media_dup" -> (q98MediaDup _),
+    "q99_expectations" -> (q99Expectations _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -668,5 +705,6 @@ object Scale {
     "q95_stream_funnel" -> q88Sql,
     "q96_transitions" -> q96Sql,
     "q97_rfm" -> q97Sql,
-    "q98_media_dup" -> q98Sql)
+    "q98_media_dup" -> q98Sql,
+    "q99_expectations" -> q99Sql)
 }
