@@ -146,6 +146,46 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
   }
 
+  test("streaming funnel ≡ batch funnel on random streams split at random times") {
+    import spark.implicits._
+    import graft.streaming.StreamingFunnel
+    import graft.streaming.StreamingFunnel.FunnelEvent
+    implicit val sq = spark.sqlContext
+    val types = Seq("view", "click", "purchase", "error")
+    val steps = Seq("view", "click", "purchase")
+    val rnd = new scala.util.Random(42)
+    for (round <- 1 to 3) {
+      val evs = Seq.fill(40)((rnd.nextInt(4) + 1L,
+        rnd.nextInt(60) + 1L, types(rnd.nextInt(types.length))))
+      val cut = rnd.nextInt(60) + 1L // time split preserves per-entity ts order
+      val mem = MemoryStream[FunnelEvent]
+      val out = StreamingFunnel.funnel(mem.toDS(), steps, maxSpanUs = 30L)
+      val qn = s"funnel_prop_$round"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      def feed(es: Seq[(Long, Long, String)]): Unit =
+        if (es.nonEmpty) {
+          mem.addData(es.map(e => FunnelEvent(e._1, e._2, e._3, flush = false)))
+          q.processAllAvailable()
+        }
+      feed(evs.filter(_._2 < cut))
+      feed(evs.filter(_._2 >= cut))
+      mem.addData(evs.map(_._1).distinct.map(u =>
+        FunnelEvent(u, 9999L, "flush", flush = true)))
+      q.processAllAvailable()
+      val streamed = spark.table(qn).collect()
+        .map(r => r.getLong(0) -> ((r.getSeq[Long](1), r.getLong(2), r.getBoolean(3)))).toMap
+      val batch = graft.operators.Temporal.funnel(
+        evs.toDF("user", "us", "etype")
+          .select(col("user"), timestamp_micros(col("us")).as("ts"), col("etype")),
+        "user", "ts", "etype", steps, maxSpanUs = 30L)
+        .collect().map(r => r.getLong(0) ->
+          (((1 to 3).flatMap(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+            r.getLong(4), r.getBoolean(5)))).toMap
+      assert(streamed == batch, s"round $round mismatch (cut=$cut)")
+      q.stop()
+    }
+  }
+
   test("streaming funnel: partial matches cross batches, flush emits once") {
     import spark.implicits._
     import graft.streaming.StreamingFunnel

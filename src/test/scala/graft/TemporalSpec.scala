@@ -173,6 +173,41 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(r.getLong(1) == 0L && r.getLong(4) == 3L && !r.getBoolean(5))
   }
 
+  test("funnel: equivalent to the naive greedy fold on random event streams") {
+    val types = Seq("view", "click", "purchase", "error")
+    val steps = Seq("view", "click", "purchase")
+    // reference: t_i = min ts of step-i events strictly after t_{i-1}
+    def ref(evs: Seq[(Long, String)]): List[Long] =
+      steps.foldLeft(List.empty[Long]) { (acc, st) =>
+        if (acc.length < steps.indexOf(st)) acc // chain already broken
+        else {
+          val after = acc.lastOption.getOrElse(Long.MinValue)
+          val cand = evs.collect { case (ts, t) if t == st && ts > after => ts }
+          if (cand.isEmpty) acc else acc :+ cand.min
+        }
+      }
+    val genEvents = Gen.listOfN(40, for {
+      u <- Gen.choose(1L, 4L)
+      ts <- Gen.choose(1L, 60L)
+      t <- Gen.oneOf(types)
+    } yield (u, ts, t))
+    val prop = Prop.forAll(genEvents) { evs =>
+      val df = eventsDf(evs: _*)
+      val got = Temporal.funnel(df, "user", "ts", "etype", steps, maxSpanUs = 30L)
+        .collect().map(r => r.getLong(0) ->
+          ((1 to 3).map(i => if (r.isNullAt(i)) None else Some(r.getLong(i))),
+            r.getLong(4))).toMap
+      evs.groupBy(_._1).forall { case (u, es) =>
+        val want = ref(es.map(e => (e._2, e._3)))
+        val (ts, done) = got(u)
+        done == want.length.toLong &&
+          ts.zipWithIndex.forall { case (t, i) => t == want.lift(i) }
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   // ------------------------------------------------------------ retention
 
   test("cohortRetention: triangle counts; pre-anchor activity excluded") {
