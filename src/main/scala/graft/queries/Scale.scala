@@ -668,6 +668,56 @@ object Scale {
       |  ('shipdate_range', (SELECT v_ship FROM a))) AS r(rule, n_violations)
       |ORDER BY r.rule""".stripMargin
 
+  // --------------------------------------- q100 training-data manifest
+
+  /** Capstone — the end-to-end training-data manifest, every stage an
+    * operator this library already declares singly: Gopher quality gate ∧
+    * exact-dedup survivor ∧ near-dup survivor ([[Curation.q61Curation]]) →
+    * deterministic md5 train split ([[Corpus.hashSplit]]) → fixed-length
+    * sequence packing ([[Corpus.packSequences]], 512 tokens × 4 shards).
+    * The output is what a trainer consumes: where every surviving train
+    * document's tokens land (shard, sequence, offset). One declared,
+    * hash-gated query composing the whole pipeline. */
+  def q100TrainManifest(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val kept = Curation.q61Curation(s, dir).filter(col("kept")).select("id")
+    val train = Corpus.hashSplit(d, "doc_id")
+      .filter(col("split") === "train").select("id")
+      .join(kept, "id")
+    Corpus.packSequences(
+        d.join(train.withColumnRenamed("id", "doc_id"), "doc_id"),
+        "doc_id", "text", seqLen = 512, nShards = 4)
+      .orderBy("id")
+  }
+
+  val q100Sql: String = {
+    // kept-set CTEs are q61's oracle verbatim (same semantics, same names)
+    val keptCtes = q61CtePrefix
+    s"""$keptCtes,
+      |kept AS (SELECT q.id FROM qual q JOIN ek ON ek.id = q.id
+      |         LEFT JOIN nd ON nd.id = q.id
+      |         WHERE q.q_pass AND NOT ek.exact_dup AND nd.id IS NULL),
+      |spl AS (SELECT doc_id AS id FROM documents
+      |        WHERE ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |             + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 100 < 80 * 256),
+      |train AS (SELECT id FROM kept INTERSECT SELECT id FROM spl),
+      |td AS (SELECT doc_id AS id, doc_id % 4 AS shard,
+      |         CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |       FROM documents JOIN train ON train.id = documents.doc_id),
+      |pk AS (SELECT *, CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY shard ORDER BY id
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS excl
+      |       FROM td)
+      |SELECT id, shard, excl // 512 AS seq_id, excl % 512 AS "offset", n_tokens
+      |FROM pk ORDER BY id""".stripMargin
+  }
+
+  /** q61's oracle CTE prefix (everything before its final SELECT) — shared
+    * with q100 so the kept-set semantics stay literally identical. */
+  private def q61CtePrefix: String = {
+    val sql = Curation.q61Sql
+    sql.substring(0, sql.lastIndexOf("SELECT q.id, q.q_pass")).stripSuffix("\n")
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -687,7 +737,8 @@ object Scale {
     "q96_transitions" -> (q96Transitions _),
     "q97_rfm" -> (q97Rfm _),
     "q98_media_dup" -> (q98MediaDup _),
-    "q99_expectations" -> (q99Expectations _))
+    "q99_expectations" -> (q99Expectations _),
+    "q100_train_manifest" -> (q100TrainManifest _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -706,5 +757,6 @@ object Scale {
     "q96_transitions" -> q96Sql,
     "q97_rfm" -> q97Sql,
     "q98_media_dup" -> q98Sql,
-    "q99_expectations" -> q99Sql)
+    "q99_expectations" -> q99Sql,
+    "q100_train_manifest" -> q100Sql)
 }
