@@ -147,6 +147,12 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(err.getMessage != null)
   }
 
+  test("zorder2 reaches the SQL surface via registerSql") {
+    org.apache.spark.sql.graft.Bridge.registerSql(spark)
+    // interleave(3=0b11, 5=0b101): x bits → 0b0101, y bits → 0b100010 ⇒ 0b100111 = 39
+    assert(spark.sql("SELECT zorder2(3L, 5L)").collect().head.getLong(0) == 39L)
+  }
+
   test("zorder2: z-range buckets bound both key ranges (the zone-map property)") {
     import spark.implicits._
     // a 64×64 grid z-bucketed into 16 buckets of 256 codes: every bucket's
