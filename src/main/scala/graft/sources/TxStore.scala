@@ -227,6 +227,22 @@ object TxStore {
   def read(spark: SparkSession, path: String, version: Option[Int] = None): DataFrame =
     readEntries(spark, path, version, _ => true)
 
+  /** Read a set of manifest entries, grouped by version dir so the
+    * `__bucket` partition column recovers from the directory layout.
+    * Version dirs written before an additive schema evolution lack the
+    * newer columns — they read as nulls (allowMissingColumns), exactly the
+    * Avro/parquet additive-evolution contract. Keeps `__bucket` (callers
+    * drop or reuse it). */
+  private def readFiles(spark: SparkSession, path: String,
+      entries: Seq[Entry]): DataFrame = {
+    val byVdir = entries.groupBy(_.file.split("/", 2)(0))
+    byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
+      spark.read
+        .option("basePath", Paths.get(path, "data", vdir).toString)
+        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Shared snapshot read over the entries passing `keep` — the manifest-
     * level file pruning every targeted read variant goes through. */
   private def readEntries(spark: SparkSession, path: String, version: Option[Int],
@@ -238,16 +254,7 @@ object TxStore {
     if (entries.isEmpty)
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], m.schema)
-    val byVdir = entries.groupBy(_.file.split("/", 2)(0))
-    byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
-      spark.read
-        .option("basePath", Paths.get(path, "data", vdir).toString)
-        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
-    }
-      // version dirs written before an additive schema evolution lack the
-      // newer columns — they read as nulls (allowMissingColumns), exactly
-      // the Avro/parquet additive-evolution contract
-      .reduce(_.unionByName(_, allowMissingColumns = true))
+    readFiles(spark, path, entries)
       .drop("__bucket")
       // the manifest schema is authoritative for column set AND order:
       // rows from pre-evolution files surface the added columns as null
@@ -357,14 +364,7 @@ object TxStore {
     // read ONLY the touched buckets' current rows
     val base =
       if (touchedEntries.isEmpty) d.limit(0).drop("__bucket")
-      else {
-        val byVdir = touchedEntries.groupBy(_.file.split("/", 2)(0))
-        byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
-          spark.read
-            .option("basePath", Paths.get(path, "data", vdir).toString)
-            .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
-        }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("__bucket")
-      }
+      else readFiles(spark, path, touchedEntries).drop("__bucket")
     // allowMissingColumns: surviving base rows null-fill any column this
     // delta just added (additive evolution)
     val merged = base
@@ -414,12 +414,7 @@ object TxStore {
     if (touched.isEmpty) return v
     val (touchedEntries, untouchedEntries) = m.entries.partition(e => touched(e.bucket))
     if (touchedEntries.isEmpty) return v // keys hash to buckets holding nothing
-    val byVdir = touchedEntries.groupBy(_.file.split("/", 2)(0))
-    val base = byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
-      spark.read
-        .option("basePath", Paths.get(path, "data", vdir).toString)
-        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)).drop("__bucket")
+    val base = readFiles(spark, path, touchedEntries).drop("__bucket")
     val remaining = base.join(d.select(col(key)), Seq(key), "left_anti")
       .withColumn("__bucket", bucketOf(col(key), m.nBuckets))
     val nv = v + 1
@@ -505,12 +500,7 @@ object TxStore {
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
     // each row's bucket comes from the ORIGINAL files' partition column, so
     // compaction never needs to know the key column
-    val byVdir = entries.groupBy(_.file.split("/", 2)(0))
-    val withBucket = byVdir.toSeq.sortBy(_._1).map { case (vdir, es) =>
-      spark.read
-        .option("basePath", Paths.get(path, "data", vdir).toString)
-        .parquet(es.map(e => Paths.get(path, "data", e.file).toString): _*)
-    }.reduce(_.unionByName(_, allowMissingColumns = true)) // pre-evolution dirs null-fill
+    val withBucket = readFiles(spark, path, entries)
     writeVersionData(withBucket.repartition(col("__bucket")), path, dirName)
     try commitManifest(path, nv, nBuckets, schemaJson,
       withStats(spark, path, listVersionFiles(path, dirName), m.statsCols),
