@@ -718,6 +718,33 @@ object Scale {
     sql.substring(0, sql.lastIndexOf("SELECT q.id, q.q_pass")).stripSuffix("\n")
   }
 
+  // --------------------------------------- q101 per-class centroid state
+
+  /** Embedding analytics — per-label centroid STATE over the embeddings
+    * table: for every (label, dimension), the exact ×1e8-quantized
+    * coordinate sum and the vector count. Emitting (sum, n) instead of the
+    * divided mean keeps the output pure integers (cross-engine integer
+    * division disagrees on negative operands) and mergeable — shard states
+    * add, the mean is one client-side division. Tall (label, j) aggregation
+    * with map-side combine: groups = labels × dim, not rows. */
+  def q101ClassCentroids(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("j", "x")))
+      .withColumn("x_q", expr(
+        "CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 100000000 + 0.5) AS BIGINT)"))
+      .groupBy("label", "j")
+      .agg(sum("x_q").as("sum_q"), count(lit(1)).as("n_vecs"))
+      .orderBy("label", "j")
+
+  val q101Sql: String =
+    """WITH e AS (SELECT label, CAST(j - 1 AS INT) AS j,
+      |             CAST(embedding[j] AS DOUBLE) AS x
+      |           FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS u(j))
+      |SELECT label, j,
+      |  CAST(sum(CAST(sign(x) * floor(abs(x) * 100000000 + 0.5) AS BIGINT)) AS BIGINT) AS sum_q,
+      |  count(*) AS n_vecs
+      |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -738,7 +765,8 @@ object Scale {
     "q97_rfm" -> (q97Rfm _),
     "q98_media_dup" -> (q98MediaDup _),
     "q99_expectations" -> (q99Expectations _),
-    "q100_train_manifest" -> (q100TrainManifest _))
+    "q100_train_manifest" -> (q100TrainManifest _),
+    "q101_class_centroids" -> (q101ClassCentroids _))
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
@@ -758,5 +786,6 @@ object Scale {
     "q97_rfm" -> q97Sql,
     "q98_media_dup" -> q98Sql,
     "q99_expectations" -> q99Sql,
-    "q100_train_manifest" -> q100Sql)
+    "q100_train_manifest" -> q100Sql,
+    "q101_class_centroids" -> q101Sql)
 }
