@@ -62,8 +62,8 @@ object Scale {
       |  FROM documents),
       |r AS (SELECT stratum, id, n_tokens,
       |    row_number() OVER (PARTITION BY stratum ORDER BY h, id) AS smp_rank,
-      |    COALESCE(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, id
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      |    CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY h, id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
       |  FROM s)
       |SELECT stratum, id, smp_rank, n_tokens, cum_before
       |FROM r WHERE cum_before < 20000 ORDER BY stratum, smp_rank""".stripMargin
