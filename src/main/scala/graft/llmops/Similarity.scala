@@ -113,6 +113,12 @@ object Similarity {
         round(col("cos_raw"), 12).as("cosine"))
   }
 
+  /** Element scale for exact-mode LSH signatures: 6 decimal digits. Plane
+    * dots are sums of ±(scaled element) terms, so they stay well under
+    * 2^63 at any realistic dimension; the smaller scale (vs [[ExactScale]])
+    * keeps the oracle's replication arithmetic cheap. */
+  val SigScale: Long = 1000000L
+
   /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
     * an LCG over i·d+j mapped to ±1 via bit 16 — no RNG state, reproducible
     * anywhere. (The LCG's low bit is pure parity — using it makes every
@@ -121,11 +127,23 @@ object Similarity {
     if ((((2654435761L * (i.toLong * dim + j) + 40503L) % 4294967296L) >> 16 & 1L) == 0L) -1 else 1
 
   /** Random-hyperplane LSH bucket signature: bit i = sign(v · plane_i).
-    * A single codegen'd expression tree (planes·dim multiply-adds). */
-  def hyperplaneSignature(vec: Column, planes: Int, dim: Int): Column = {
+    * A single codegen'd expression tree (planes·dim multiply-adds).
+    *
+    * `exact = true` quantizes elements to ×[[SigScale]] 64-bit integers
+    * first, so every plane dot is exact, order-independent integer
+    * arithmetic — the bucket assignment then replicates bit-for-bit on any
+    * engine (the q29 oracle recomputes it in SQL). Float mode keeps the
+    * cheaper production path. */
+  def hyperplaneSignature(vec: Column, planes: Int, dim: Int,
+      exact: Boolean = false): Column = {
+    val v = if (exact) transform(vec, x => {
+      val d = x.cast("double")
+      (signum(d) * floor(abs(d) * lit(SigScale.toDouble) + lit(0.5))).cast("long")
+    }) else vec
     val bits = (0 until planes).map { i =>
       val dot = (0 until dim).map { j =>
-        element_at(vec, j + 1).cast("double") * lit(planeSign(i, j, dim))
+        val e = element_at(v, j + 1)
+        (if (exact) e else e.cast("double")) * lit(planeSign(i, j, dim))
       }.reduce(_ + _)
       when(dot > 0, 1L << i).otherwise(0L)
     }
@@ -380,7 +398,7 @@ object Similarity {
     // signature pipeline
     val sig = vectors
       .select(col("id"), col("vec"),
-        hyperplaneSignature(col("vec"), planes, dim).as("sig"),
+        hyperplaneSignature(col("vec"), planes, dim, exact).as("sig"),
         sqrt(dot(col("vec"), col("vec"), exact).cast("double")).as("nrm"))
       .persist()
     val scored = sig.as("a")
@@ -408,4 +426,26 @@ object Similarity {
   def semanticDedup(vectors: DataFrame, minCosine: Double): DataFrame =
     Dedup.connectedComponentsStars(vectors.select("id"),
       cosinePairs(vectors, minCosine).select("id_a", "id_b"))
+
+  /** Hash-gate surface for model-dependent ANN variants (q43 IVF / q67
+    * IVF-PQ): project the ANN result to its rank-1 rows and re-emit the
+    * pair's cosine in exact ×[[ExactScale]] integer arithmetic. The oracle
+    * independently computes the TRUE top-1 per query (same quantization,
+    * same (cosine DESC, id) tie-break), so the driver's hash compare
+    * verifies both that the exact scoring agrees AND that the ANN index —
+    * at its pinned (nlist, nprobe, rescoreK, seed) operating point —
+    * returns the true nearest neighbor for every query. A single missed
+    * query fails the gate loudly; recall@k beyond rank 1 stays spec-pinned. */
+  def annTop1Invariant(ann: DataFrame, vectors: DataFrame): DataFrame = {
+    val n = norms(vectors, exact = true)
+    ann.filter(col("rank") === 1)
+      .select(col("vec_id"), col("neighbor_id"))
+      .join(vectors.select(col("id").as("vec_id"), col("vec").as("qv")), "vec_id")
+      .join(vectors.select(col("id").as("neighbor_id"), col("vec").as("cv")), "neighbor_id")
+      .join(n.select(col("id").as("vec_id"), col("nrm").as("qn")), "vec_id")
+      .join(n.select(col("id").as("neighbor_id"), col("nrm").as("cn")), "neighbor_id")
+      .select(col("vec_id"), col("neighbor_id"),
+        round(arrayDotScaled(col("qv"), col("cv"), ExactScale).cast("double")
+          / (col("qn") * col("cn")), 12).as("cosine"))
+  }
 }

@@ -333,26 +333,88 @@ object LlmOps {
       |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
       |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
-  // -------------------------------------- non-oracle (rows-only) operators
+  // ------------------------------------------ ANN variants, hash-gated
 
   /** Hyperplane-LSH approximate cosine top-k — the 100 TB similarity path.
-    * Not SQL-expressible economically in the oracle (signature expression
-    * tree); correctness pinned by LlmOpsSpec recall tests instead. */
+    * Exact mode end to end: bucket signatures are ×1e6 integer plane dots
+    * and in-bucket cosines are the ×1e8 integer formula, so the ENTIRE
+    * approximate result — bucket assignment, candidate set, ranks, cosines
+    * — replicates bit-for-bit in the oracle SQL below. No recall
+    * assumption; the hash gate checks the LSH index itself. */
   def q29CosineLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.cosineTopKLsh(e, k = 5, planes = 8, dim = 64)
+    Similarity.cosineTopKLsh(e, k = 5, planes = 8, dim = 64, exact = true)
       .orderBy("vec_id", "rank")
   }
 
+  /** Replicates the full LSH pipeline: the LCG ±1 plane table, exact
+    * integer plane dots (elements ×1e6), signature bits, same-bucket
+    * candidate pairs, ×1e8 exact cosines, (cosine DESC, cid) top-5. */
+  val q29Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 8) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM pd GROUP BY 1),
+      |q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid
+      |         FROM sig a JOIN sig b ON a.sg = b.sg AND a.vec_id <> b.vec_id),
+      |dots AS (SELECT c.qid, c.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM cand c JOIN q qa ON qa.vec_id = c.qid
+      |                     JOIN q qb ON qb.vec_id = c.cid AND qb.i = qa.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
   /** IVF approximate cosine top-k — the coarse-quantizer scale path
-    * (KMeans cells + nprobe probing). Model-dependent floats ⇒ rows-only;
-    * recall pinned by LlmOpsSpec. */
+    * (KMeans cells + nprobe probing). The KMeans centroids are
+    * model-dependent, so the declared surface is the
+    * [[Similarity.annTop1Invariant]] projection: the oracle computes the
+    * TRUE exact top-1 per query and the hash gate holds iff the IVF index
+    * at (nlist=16, nprobe=4, seed=42) finds it for every query. Full
+    * recall@k stays pinned by LlmOpsSpec. */
   def q43CosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.cosineTopKIvf(e, k = 5, nlist = 16, nprobe = 4,
-        indexKey = Some(s"q43:$dir"))
-      .orderBy("vec_id", "rank")
+    val ann = Similarity.cosineTopKIvf(e, k = 1, nlist = 16, nprobe = 4,
+      indexKey = Some(s"q43:$dir"))
+    Similarity.annTop1Invariant(ann, e).orderBy("vec_id")
   }
+
+  /** Exact top-1 neighbor per query over ALL vectors (the q27 formula at
+    * rank 1) — shared oracle shape for the IVF/IVF-PQ invariants. */
+  val annTop1Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" = 1 ORDER BY vec_id""".stripMargin
 
   /** Multimodal feature-extraction plumbing (deterministic stub decoder).
     * The mapPartitions decode stage emits `features ARRAY<FLOAT>`; the
@@ -412,7 +474,9 @@ object LlmOps {
     "q26_fingerprint" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
     "q28_media_frames" -> q28Sql,
+    "q29_cosine_lsh" -> q29Sql,
     "q30_media_features" -> q30Sql,
+    "q43_cosine_ivf" -> annTop1Sql,
     "q35_dup_clusters" -> q35Sql,
     "q46_cosine_pairs" -> q46Sql,
     "q50_winnow" -> q50Sql)
