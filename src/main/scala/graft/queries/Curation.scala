@@ -288,19 +288,90 @@ object Curation {
 
   // ---------------------------------------------------- q67 IVF-PQ ANN
 
-  /** North star/similarity — IVF-PQ approximate nearest neighbors
-    * ([[graft.llmops.Similarity.cosineTopKIvfPq]]): coarse cells prune,
-    * product-quantization codes (m=8 × ksub=16 ⇒ 8 small ints per vector)
-    * rank candidates via ADC table lookups, top-32 rescore exactly.
-    * Model-dependent floats ⇒ rows-only (the q29/q43 contract); recall
-    * vs the exact baseline pinned by CurationOpsSpec. */
+  /** North star/similarity — IVF-PQ (IVFADC) approximate nearest neighbors
+    * on closed-form quantizers ([[graft.llmops.Similarity.cosineTopKIvfPqPivot]]):
+    * pivot coarse cells prune (nlist=16, nprobe=4), sample-residual PQ codes
+    * (m=8 × ksub=16 ⇒ 8 small ints per vector) rank candidates via integer
+    * ADC table lookups, the top-10 shortlist rescores exactly. Every stage —
+    * pivots, cells, codebooks, codes, ADC scores, shortlist, rescore — is
+    * exact integer arithmetic, so the oracle below replicates the whole
+    * index bit-for-bit (the q29/q43 pattern; no recall assumption). The
+    * trained-quantizer IVF-PQ ([[graft.llmops.Similarity.cosineTopKIvfPq]],
+    * MLlib-style Lloyd codebooks + native-codegen ADC) stays the production
+    * path, recall pinned by CurationOpsSpec. */
   def q67IvfPq(s: SparkSession, dir: String): DataFrame = {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
-    graft.llmops.Similarity.cosineTopKIvfPq(e, k = 5, nlist = 32, nprobe = 4,
-        m = 8, ksub = 16, rescoreK = 32, indexKey = Some(s"q67:$dir"))
+    graft.llmops.Similarity.cosineTopKIvfPqPivot(e, k = 5, nlist = 16,
+        nprobe = 4, m = 8, ksub = 16, rescoreK = 10, dim = 64)
       .orderBy("vec_id", "rank")
   }
+
+  /** Replicates the full IVFADC index: hash-chosen pivots and codebook
+    * sample, integer residuals, argmin PQ encoding, integer ADC tables,
+    * adot = q·c_cell + Σ table[si, code], (adot/‖c‖ DESC, cid) top-10
+    * shortlist, exact ×1e8 rescore, (cosine DESC, cid) top-5. */
+  val q67Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |ord AS (SELECT vec_id, row_number() OVER (
+      |          ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rn
+      |        FROM embeddings),
+      |piv AS (SELECT vec_id AS pid, CAST(rn - 1 AS BIGINT) AS p FROM ord WHERE rn <= 16),
+      |samp AS (SELECT vec_id AS sid, CAST(rn - 17 AS BIGINT) AS c
+      |         FROM ord WHERE rn > 16 AND rn <= 32),
+      |pd AS (SELECT a.vec_id, piv.p, CAST(SUM(a.s * b.s) AS BIGINT) AS pdot
+      |       FROM piv JOIN q b ON b.vec_id = piv.pid
+      |                JOIN q a ON a.i = b.i
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT vec_id, p, pdot,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY pdot DESC, p) AS r
+      |       FROM pd),
+      |cells AS (SELECT vec_id, p AS cell FROM pr WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, p AS cell, pdot AS cdot FROM pr WHERE r <= 4),
+      |res AS (SELECT e.vec_id, e.i, e.s - pe.s AS rs
+      |        FROM q e JOIN cells cl ON cl.vec_id = e.vec_id
+      |                 JOIN piv ON piv.p = cl.cell
+      |                 JOIN q pe ON pe.vec_id = piv.pid AND pe.i = e.i),
+      |cb AS (SELECT samp.c, (res.i - 1) // 8 AS si, (res.i - 1) % 8 AS j, res.rs AS cw
+      |       FROM res JOIN samp ON samp.sid = res.vec_id),
+      |enc0 AS (SELECT res.vec_id, cb.si, cb.c,
+      |           CAST(SUM((res.rs - cb.cw) * (res.rs - cb.cw)) AS BIGINT) AS dist
+      |         FROM res JOIN cb ON cb.si = (res.i - 1) // 8 AND cb.j = (res.i - 1) % 8
+      |         GROUP BY 1, 2, 3),
+      |enc AS (SELECT vec_id, si, c AS code FROM (
+      |          SELECT vec_id, si, c,
+      |            row_number() OVER (PARTITION BY vec_id, si ORDER BY dist, c) AS er
+      |          FROM enc0) WHERE er = 1),
+      |tabs AS (SELECT e.vec_id AS qid, cb.si, cb.c, CAST(SUM(e.s * cb.cw) AS BIGINT) AS t
+      |         FROM q e JOIN cb ON cb.si = (e.i - 1) // 8 AND cb.j = (e.i - 1) % 8
+      |         GROUP BY 1, 2, 3),
+      |cand AS (SELECT pb.qid, cl.vec_id AS cid, pb.cdot
+      |         FROM probes pb JOIN cells cl ON cl.cell = pb.cell AND cl.vec_id <> pb.qid),
+      |adc AS (SELECT c.qid, c.cid, CAST(c.cdot + SUM(t.t) AS BIGINT) AS adot
+      |        FROM cand c JOIN enc ON enc.vec_id = c.cid
+      |                    JOIN tabs t ON t.qid = c.qid AND t.si = enc.si AND t.c = enc.code
+      |        GROUP BY c.qid, c.cid, c.cdot),
+      |short AS (SELECT qid, cid FROM (
+      |            SELECT a.qid, a.cid,
+      |              row_number() OVER (PARTITION BY a.qid
+      |                ORDER BY CAST(a.adot AS DOUBLE) / nb.nrm DESC, a.cid) AS ar
+      |            FROM adc a JOIN norms nb ON nb.vec_id = a.cid) WHERE ar <= 10),
+      |dots AS (SELECT sh.qid, sh.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM short sh JOIN q qa ON qa.vec_id = sh.qid
+      |                       JOIN q qb ON qb.vec_id = sh.cid AND qb.i = qa.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
   // ------------------------------------------------ q68 hybrid retrieval
 
@@ -915,7 +986,7 @@ object Curation {
     "q64_profile" -> q64Sql,
     "q65_repetition" -> q65Sql,
     "q66_bloom_join" -> q66Sql,
-    // q67 is rows-only by contract (model-dependent floats, like q29/q43)
+    "q67_ivfpq" -> q67Sql,
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
     "q70_tx_time_travel" -> q70Sql,

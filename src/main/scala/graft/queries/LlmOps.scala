@@ -382,39 +382,56 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
-  /** IVF approximate cosine top-k — the coarse-quantizer scale path
-    * (KMeans cells + nprobe probing). The KMeans centroids are
-    * model-dependent, so the declared surface is the
-    * [[Similarity.annTop1Invariant]] projection: the oracle computes the
-    * TRUE exact top-1 per query and the hash gate holds iff the IVF index
-    * at (nlist=16, nprobe=4, seed=42) finds it for every query. Full
-    * recall@k stays pinned by LlmOpsSpec. */
+  /** IVF approximate cosine top-k on the closed-form pivot quantizer
+    * ([[Similarity.cosineTopKIvfPivot]]): pivots at 16 hash-chosen ids,
+    * cell/probe assignment by exact ×1e8 integer pivot dots, nprobe=4,
+    * exact integer candidate cosines. The oracle below replicates the
+    * ENTIRE index — the q29 pattern, no recall assumption: a query whose
+    * probed cells miss its true neighbor misses identically on both
+    * engines. The MLlib-KMeans IVF ([[Similarity.cosineTopKIvf]]) stays
+    * the trained-quantizer production path, recall pinned by LlmOpsSpec. */
   def q43CosineIvf(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val ann = Similarity.cosineTopKIvf(e, k = 1, nlist = 16, nprobe = 4,
-      indexKey = Some(s"q43:$dir"))
-    Similarity.annTop1Invariant(ann, e).orderBy("vec_id")
+    Similarity.cosineTopKIvfPivot(e, k = 5, nlist = 16, nprobe = 4)
+      .orderBy("vec_id", "rank")
   }
 
-  /** Exact top-1 neighbor per query over ALL vectors (the q27 formula at
-    * rank 1) — shared oracle shape for the IVF/IVF-PQ invariants. */
-  val annTop1Sql: String =
+  /** Replicates the full pivot-IVF pipeline: Knuth-hash pivot choice, exact
+    * integer pivot dots, (pdot DESC, p) cell/probe ranks, in-cell candidate
+    * pairs, ×1e8 exact cosines, (cosine DESC, cid) top-5. */
+  val q43Sql: String =
     """WITH q AS (SELECT vec_id, i,
       |    CAST(sign(CAST(embedding[i] AS DOUBLE))
       |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
       |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
       |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
       |          FROM q GROUP BY 1),
-      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
-      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |ord AS (SELECT vec_id, row_number() OVER (
+      |          ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rn
+      |        FROM embeddings),
+      |piv AS (SELECT vec_id AS pid, CAST(rn - 1 AS BIGINT) AS p FROM ord WHERE rn <= 16),
+      |pd AS (SELECT a.vec_id, piv.p, CAST(SUM(a.s * b.s) AS BIGINT) AS pdot
+      |       FROM piv JOIN q b ON b.vec_id = piv.pid
+      |                JOIN q a ON a.i = b.i
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT vec_id, p, pdot,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY pdot DESC, p) AS r
+      |       FROM pd),
+      |cells AS (SELECT vec_id, p AS cell FROM pr WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, p AS cell FROM pr WHERE r <= 4),
+      |cand AS (SELECT pb.qid, cl.vec_id AS cid
+      |         FROM probes pb JOIN cells cl ON cl.cell = pb.cell AND cl.vec_id <> pb.qid),
+      |dots AS (SELECT c.qid, c.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM cand c JOIN q qa ON qa.vec_id = c.qid
+      |                     JOIN q qb ON qb.vec_id = c.cid AND qb.i = qa.i
       |         GROUP BY 1, 2),
       |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
       |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
       |rk AS (SELECT qid, cid, cosine,
       |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
       |       FROM cos)
-      |SELECT qid AS vec_id, cid AS neighbor_id, cosine
-      |FROM rk WHERE "rank" = 1 ORDER BY vec_id""".stripMargin
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
   /** Multimodal feature-extraction plumbing (deterministic stub decoder).
     * The mapPartitions decode stage emits `features ARRAY<FLOAT>`; the
@@ -476,7 +493,7 @@ object LlmOps {
     "q28_media_frames" -> q28Sql,
     "q29_cosine_lsh" -> q29Sql,
     "q30_media_features" -> q30Sql,
-    "q43_cosine_ivf" -> annTop1Sql,
+    "q43_cosine_ivf" -> q43Sql,
     "q35_dup_clusters" -> q35Sql,
     "q46_cosine_pairs" -> q46Sql,
     "q50_winnow" -> q50Sql)
