@@ -159,17 +159,25 @@ final class FreshReader(
   /** Evaluate one capsule against the base slice: predicate → budgeted stale
     * set → score. */
   private def computeScored(slice: DataFrame, c: Capsule): CapsuleOutcome = {
-    // R23: a policy that declares its own data request has its predicate
-    // evaluated against the FIRST column of that request instead of the
-    // attachment point (reference `shouldUseClientDataRequest() == false`,
+    // R23: a policy that declares its own data request has EVERY column of
+    // that request resolved and passed to isFreshCells (reference
+    // `shouldUseClientDataRequest() == false`,
     // `impl/InternalFreshKijiTableReader.java:588-617`: the policy's
-    // request is issued separately and fed to isFresh). The engine freshens
-    // over the full slice and projects the client request afterwards, so
-    // the policy's columns are always present here.
-    val policyColumn = c.policy.ownRequest.flatMap(_.columns.headOption)
-      .getOrElse(c.attachment)
-    val cell: Column = EntityView.resolveCell(slice.schema, policyColumn)
-    val freshP = c.policy.isFresh(cell, config.asOf)
+    // request is issued separately and its FULL row data fed to isFresh —
+    // so multi-column policies can correlate columns none of which is the
+    // attachment). The engine freshens over the full slice and projects
+    // the client request afterwards, so the policy's columns are always
+    // present here; the trait default keeps single-column policies on the
+    // first-column predicate they had before.
+    val freshP = c.policy.ownRequest match {
+      case Some(req) if req.columns.nonEmpty =>
+        val cells = req.columns.map(cn =>
+          cn -> EntityView.resolveCell(slice.schema, cn))
+        c.policy.isFreshCells(cells, config.asOf)
+      case _ =>
+        c.policy.isFresh(EntityView.resolveCell(slice.schema, c.attachment),
+          config.asOf)
+    }
     val stale = slice.filter(!coalesce(freshP, lit(false)))
 
     // Deterministic budget: the N smallest entity ids among stale rows get

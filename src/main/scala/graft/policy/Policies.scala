@@ -28,6 +28,16 @@ trait FreshnessPolicy extends Serializable {
     * this only affects which columns the engine must retain in the slice. */
   def ownRequest: Option[DataRequest] = None
 
+  /** Full own-request form (R23): when [[ownRequest]] is defined the engine
+    * resolves EVERY requested column's cell (in request order) and calls
+    * this — the analogue of the reference feeding the policy the complete
+    * row data of its own request
+    * (`impl/InternalFreshKijiTableReader.java:588-617`). The default
+    * delegates to the single-cell [[isFresh]] on the first requested
+    * column, so single-column policies are unchanged. */
+  def isFreshCells(cells: Seq[(ColumnName, Column)], asOf: Long): Column =
+    isFresh(cells.head._2, asOf)
+
   /** Serialized configuration state (JSON, like the stock reference policies:
     * `lib/ShelfLife.java:115-125`). */
   def serialize(): String = ""
@@ -83,6 +93,40 @@ final class ShelfLife(var shelfLifeMs: Long) extends FreshnessPolicy {
   override def serialize(): String = FreshnessPolicy.writeLongField("shelfLife", shelfLifeMs)
   override def deserialize(state: String): Unit =
     shelfLifeMs = FreshnessPolicy.readLongField(state, "shelfLife")
+}
+
+/** Cross-column freshness — the R23 FULL own-request form: fresh ⇔ the
+  * newest version of `colA` is at least as new as the newest version of
+  * `colB`, where BOTH columns come from the policy's own request and
+  * neither needs to be the attachment point. The canonical use: re-score a
+  * derived column when activity (`colB`, e.g. clicks) arrived after the
+  * last conversion (`colA`, e.g. purchases). A missing/empty column ranks
+  * oldest, so "activity but no conversion yet" is stale and "no activity"
+  * is fresh. Exercises the engine path mirroring
+  * `impl/InternalFreshKijiTableReader.java:588-617`, where the policy's
+  * own request is issued separately and its full row data fed to isFresh —
+  * inexpressible in the single-cell form. */
+final class NewerDependency(var colA: String, var colB: String) extends FreshnessPolicy {
+  def this() = this("", "")
+  override def ownRequest: Option[DataRequest] =
+    Some(DataRequest(Seq(ColumnName(colA), ColumnName(colB))))
+  override def isFresh(cell: Column, asOf: Long): Column =
+    throw new UnsupportedOperationException(
+      "NewerDependency correlates two columns; the engine calls isFreshCells")
+  override def isFreshCells(cells: Seq[(ColumnName, Column)], asOf: Long): Column = {
+    val newest = cells.map { case (_, c) =>
+      coalesce(Cells.newestTs(c), lit(Long.MinValue)) }
+    newest(0) >= newest(1)
+  }
+  override def serialize(): String = s"""{"colA":"$colA","colB":"$colB"}"""
+  override def deserialize(state: String): Unit = state match {
+    case NewerDependency.StateRe(a, b) => colA = a; colB = b
+    case other => throw new IllegalArgumentException(
+      s"""Cannot deserialize policy state '$other' (expected {"colA":…,"colB":…})""")
+  }
+}
+object NewerDependency {
+  private val StateRe = """\{"colA":"([^"]*)","colB":"([^"]*)"\}""".r
 }
 
 /** Fresh ⇔ the column has values and the newest version's timestamp is

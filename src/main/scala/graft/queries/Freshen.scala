@@ -165,6 +165,59 @@ object Freshen {
        |FROM a JOIN nv ON a.user_id = nv.user_id, mx
        |ORDER BY 1""".stripMargin
 
+  /** (e) R23 FULL own-request — a policy correlating TWO columns, NEITHER of
+    * which is the attachment point: [[graft.policy.NewerDependency]] marks a
+    * user stale when clicks arrived after the last purchase (activity since
+    * conversion ⇒ re-score), attached to `events:value` with ownRequest
+    * [events:purchase, events:click]. Runs the full engine end-to-end (the
+    * q33 shape) over a three-cell-column entity view; the merged state is
+    * the oracle surface. Inexpressible in the single-cell isFresh form —
+    * the gap the round-6 verdict flagged (reference
+    * `impl/InternalFreshKijiTableReader.java:588-617`). */
+  def q102FreshenCrossColumn(s: SparkSession, dir: String): DataFrame = {
+    import graft.policy.NewerDependency
+    val tall = Tables.load(s, dir, "events")
+      .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+    def cells(f: DataFrame, out: String): DataFrame =
+      EntityView.cellsFromTall(f, "user_id", "ts_ms", "value", out)
+    val view = cells(tall, "events_value")
+      .join(cells(tall.filter(col("event_type") === "purchase"), "events_purchase"),
+        Seq(EntityView.EntityId), "left")
+      .join(cells(tall.filter(col("event_type") === "click"), "events_click"),
+        Seq(EntityView.EntityId), "left")
+    val mgr = new FreshnessManager(n => if (n == "events") Some(view.schema) else None)
+    mgr.storePolicy("events", ColumnName("events:value"),
+      classOf[EventValueIncrement].getName,
+      new NewerDependency("events:purchase", "events:click"))
+    FreshReader.builder(mgr).withTable("events", view).withAsOf(AsOf).build()
+      .freshenAll(request)
+      .select(col(EntityView.EntityId),
+        Cells.newestValue(col("events_value")).as("value"),
+        Cells.newestTs(col("events_value")).as("ts"))
+      .orderBy(EntityView.EntityId)
+  }
+
+  /** Stale ⇔ newest purchase ts < newest click ts (missing ranks oldest;
+    * the sentinel mirrors the policy's Long.MinValue floor — all real ts
+    * are positive, so the comparisons agree exactly). */
+  val q102Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value, event_type FROM events),
+       |a AS (SELECT user_id, max(ts) AS nt FROM c GROUP BY 1),
+       |nv AS (SELECT c.user_id, max(c.value) AS v
+       |       FROM c JOIN a ON c.user_id = a.user_id AND c.ts = a.nt GROUP BY 1),
+       |dep AS (SELECT user_id,
+       |          max(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+       |          max(CASE WHEN event_type = 'click' THEN ts END) AS cts
+       |        FROM c GROUP BY 1),
+       |st AS (SELECT user_id,
+       |         coalesce(pts, -9223372036854775807) < coalesce(cts, -9223372036854775807) AS stale
+       |       FROM dep)
+       |SELECT a.user_id AS entity_id,
+       |  CASE WHEN st.stale THEN nv.v + 1.0 ELSE nv.v END AS value,
+       |  CASE WHEN st.stale THEN $AsOf ELSE a.nt END AS ts
+       |FROM a JOIN nv ON nv.user_id = a.user_id JOIN st ON st.user_id = a.user_id
+       |ORDER BY 1""".stripMargin
+
   /** The reference's signature read shape (§1.2): "the N most recent
     * versions within a time range" — a `DataRequest(maxVersions, timeRange)`
     * compiled onto the entity view, exploded back to rows for comparison.
@@ -234,7 +287,8 @@ object Freshen {
     "q33_freshen_merged" -> (q33FreshenMerged _),
     "q34_streaming_freshen" -> (q34StreamingFreshen _),
     "q37_version_window" -> (q37VersionWindow _),
-    "q44_streaming_window" -> (q44StreamingWindow _))
+    "q44_streaming_window" -> (q44StreamingWindow _),
+    "q102_freshen_crosscol" -> (q102FreshenCrossColumn _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_freshen_stale" -> q31Sql,
@@ -242,5 +296,6 @@ object Freshen {
     "q33_freshen_merged" -> q33Sql,
     "q34_streaming_freshen" -> q34Sql,
     "q37_version_window" -> q37Sql,
-    "q44_streaming_window" -> q44Sql)
+    "q44_streaming_window" -> q44Sql,
+    "q102_freshen_crosscol" -> q102Sql)
 }

@@ -6,7 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.engine.FreshReader
 import graft.model.{ColumnName, DataRequest}
-import graft.policy.{AlwaysFreshen, NewerThan, ShelfLife}
+import graft.policy.{AlwaysFreshen, NewerDependency, NewerThan, ShelfLife}
 import graft.registry.FreshnessManager
 
 /** Engine semantics — mirrors the scenarios of
@@ -74,6 +74,24 @@ class FreshReaderSpec extends AnyFunSuite with SparkSpec {
       .select(col("entity_id"), expr("family_qual0[0].value").as("v"))
       .collect().map(x => x.getString(0) -> x.getString(1)).toMap
     assert(out == Map("foo" -> "new-val", "bar" -> "new-val"))
+  }
+
+  test("R23 full own-request: policy correlates two NON-attached columns") {
+    val rowData = Fixtures.rowDataTest(spark)
+    val m = managerFor("table" -> rowData)
+    // attached to family:qual0, but freshness is a correlation between
+    // qual1 and qual2 — neither is the attachment point; the policy state
+    // round-trips through the registry's serialize/deserialize on the way
+    m.storePolicy("table", ColumnName("family:qual0"),
+      classOf[QualRewrite].getName,
+      new NewerDependency("family:qual1", "family:qual2"))
+    val r = FreshReader.builder(m).withTable("table", rowData).withAsOf(100L).build()
+    val out = r.freshenTable(DataRequest(Seq(ColumnName("family:qual0"))))
+      .select(col("entity_id"), expr("family_qual0[0].value").as("v"))
+      .collect().map(x => x.getString(0) -> x.getString(1)).toMap
+    // foo: qual1 (ts 5) >= qual2 (ts 5) → fresh, value kept;
+    // bar: qual1 empty ranks oldest vs qual2 (ts 5) → stale, rewritten
+    assert(out == Map("foo" -> "foo-val", "bar" -> "new-val"))
   }
 
   test("map-family counter increments per present qualifier; repeat increments again") {
