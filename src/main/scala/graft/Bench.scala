@@ -22,10 +22,12 @@ object Bench {
     val queries = sys.env.get("SPARK_GRAFT_ONLY")
       .map(re => SparkEntry.queries.filter(_._1.matches(re)))
       .getOrElse(SparkEntry.queries)
+    val w0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).count() catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
+    val warmupSec = (System.nanoTime() - w0) / 1e9
     // Median of 3 timed passes per query: single-shot timings on a shared
     // host swing 2-4x under outside load (BASELINE.md), which is wider than
     // the bars being graded — the median damps one-off spikes while staying
@@ -39,12 +41,21 @@ object Bench {
         spark.catalog.clearCache()
         dt
       }
-      name -> times.sorted.apply(1)
+      name -> times.sorted
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // `queries` stays the scalar median map (the graded shape); `spread`
+    // carries {min, max} per query and `warmup_sec` the warm-up wall time,
+    // so a contended run (outside load on this shared host) is
+    // machine-detectable from the artifact itself — a quiet run shows
+    // max/min within ~2x, a contended one 10x+ (round-6 forensics).
+    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(1) }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spread = results
+      .map { case (k, t) => s"""\"$k\":{"min":${t(0)},"max":${t(2)}}""" }
+      .mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.values.map(_(1)).sum else 0.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""spread":$spread,"warmup_sec":$warmupSec,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
