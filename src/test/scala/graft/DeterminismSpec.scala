@@ -9,7 +9,8 @@ import org.scalatest.funsuite.AnyFunSuite
   * locally vs 20k on a cluster). Covers one representative of each
   * determinism mechanism: decimal-exact money (q01), scaled-int cosine
   * (q27), quantized TF-IDF (q55), md5-derived sketch (q86), epoch-µs
-  * windows (q88).
+  * windows (q88), and the closed-form ANN indexes (q43 pivot-IVF, q67
+  * IVF-PQ) whose integer-dot ranking must not reorder across shuffles.
   */
 class DeterminismSpec extends AnyFunSuite with SparkSpec {
 
@@ -27,8 +28,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
-  for (q <- Seq("q01_pricing_summary", "q27_cosine_topk", "q55_tfidf",
-      "q86_hll_sketch", "q88_funnel", "q97_rfm")) {
+  for (q <- Seq("q01_pricing_summary", "q27_cosine_topk", "q43_cosine_ivf",
+      "q67_ivfpq", "q55_tfidf", "q86_hll_sketch", "q88_funnel", "q97_rfm")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

@@ -167,4 +167,84 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(approx - exact).toDouble / exact < 0.05,
       s"approx=$approx exact=$exact")
   }
+
+  // ---- closed-form pivot quantizer (q43/q67 coarse stage) ----
+
+  import graft.llmops.Similarity
+
+  // non-zero magnitudes so no vector quantizes to all-zeros (a zero norm
+  // would make cosines NaN and the monotonicity comparison vacuous)
+  private val genVecs: Gen[List[Array[Float]]] = for {
+    n <- Gen.choose(8, 24)
+    vecs <- Gen.listOfN(n, Gen.listOfN(8, for {
+      m <- Gen.chooseNum(0.1f, 1.0f)
+      s <- Gen.oneOf(-1f, 1f)
+    } yield m * s))
+  } yield vecs.map(_.toArray)
+
+  private def vecDf(vs: List[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }.toDF("id", "vec")
+  }
+
+  private def q8(x: Float): Long = {
+    val d = x.toDouble
+    (math.signum(d) * math.floor(math.abs(d) * 1e8 + 0.5)).toLong
+  }
+
+  /** Naive driver-side model of the pivot assignment: hash-ordered pivot
+    * ids, exact integer dots, argmax with ties to the lowest pivot. */
+  private def naiveCells(vs: List[Array[Float]], nlist: Int): Map[Long, Long] = {
+    val ids = vs.indices.map(_.toLong)
+    val pivots = ids.sortBy(id => ((id * 2654435761L) % 4294967296L, id)).take(nlist)
+    val pq = pivots.map(id => vs(id.toInt).map(q8))
+    ids.map { id =>
+      val v = vs(id.toInt).map(q8)
+      val dots = pq.map(p => p.zip(v).map { case (a, b) => a * b }.sum)
+      // reduceLeft keeps the FIRST (lowest pivot index) on tied dots
+      val best = dots.zipWithIndex.reduceLeft((a, b) => if (b._1 > a._1) b else a)
+      id -> best._2.toLong
+    }.toMap
+  }
+
+  test("property: pivot cell assignment matches the naive argmax oracle") {
+    val prop = Prop.forAll(genVecs) { vs =>
+      val cells = Similarity.pivotDots(vecDf(vs), nlist = 4)
+        .filter(col("pr") === 1).select("id", "p")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      cells == naiveCells(vs, 4)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: pivot-IVF best-found cosine is monotone in nprobe") {
+    val prop = Prop.forAll(genVecs) { vs =>
+      val df = vecDf(vs)
+      def top1(np: Int): Map[Long, Double] =
+        Similarity.cosineTopKIvfPivot(df, k = 1, nlist = 4, nprobe = np)
+          .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+      val lo = top1(1)
+      val hi = top1(4)
+      // more probes ⇒ candidate superset ⇒ the found neighbor only improves
+      lo.forall { case (q, c) => hi.getOrElse(q, Double.MinValue) >= c }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: pivot-IVF at nprobe=nlist equals the exact top-k baseline") {
+    val prop = Prop.forAll(genVecs) { vs =>
+      val df = vecDf(vs)
+      def key(df: DataFrame): Set[(Long, Int, Long, Double)] =
+        df.collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      // probing every cell scores every non-self pair exactly once (cells
+      // partition the corpus), so the "approximate" result IS the exact one
+      key(Similarity.cosineTopKIvfPivot(df, k = 3, nlist = 4, nprobe = 4)) ==
+        key(Similarity.cosineTopK(df, df, k = 3, exact = true))
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
