@@ -37,8 +37,8 @@ object StreamingDedup {
   case class TaggedArrival(sha: String, id: Long, batch: Long)
 
   /** First-seen dedup across micro-batches. `seen` state never expires —
-    * a production deployment bounds it with a TTL timeout or a compacted
-    * state store; the operator's contract (first batch wins) is the same. */
+    * [[firstSeenExpiring]] is the TTL-bounded form for continuous
+    * operation; the operator's contract (first batch wins) is the same. */
   def firstSeen(arrivals: Dataset[TaggedArrival]): Dataset[Accepted] = {
     import arrivals.sparkSession.implicits._
     arrivals
@@ -53,6 +53,52 @@ object StreamingDedup {
             // the same batch ordinal, but taking the pairwise min keeps the
             // contract honest if a trigger ever folds two files together
             val best = batch.map(a => (a.batch, a.id)).min
+            Iterator.single(Accepted(sha, best._2, best._1))
+          }
+      }
+  }
+
+  /** Arrival carrying an event timestamp (the watermark clock). */
+  case class TsArrival(sha: String, id: Long, batch: Long, ts: java.sql.Timestamp)
+
+  /** [[firstSeen]] with BOUNDED state — the TTL knob a continuous
+    * deployment needs: an accepted hash is remembered for `ttlMs` of EVENT
+    * time past its acceptance, then dropped from the state store, so state
+    * size tracks the TTL window instead of corpus history. After expiry
+    * the same content re-admits (is emitted again) — the standard
+    * dedup-TTL trade, made explicit rather than unbounded.
+    *
+    * Expiry is driven by the stream's own watermark (event time), never
+    * the wall clock, so a fixed batch sequence reproduces exactly. Two
+    * subtleties inherited from the state API: (a) Spark CLEARS a key's
+    * timeout on every invocation with data, so duplicate arrivals must
+    * re-arm the stored expiry or the entry would never expire; (b) a key
+    * whose expiry has passed but that keeps arriving in every batch stays
+    * deduped until a batch without it lets the timeout fire and clear the
+    * entry (data and timeout never fire together for one key). */
+  def firstSeenExpiring(arrivals: Dataset[TsArrival],
+      ttlMs: Long): Dataset[Accepted] = {
+    import arrivals.sparkSession.implicits._
+    arrivals.withWatermark("ts", "0 milliseconds")
+      .groupByKey(_.sha)
+      .flatMapGroupsWithState[Long, Accepted](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (sha, batch, state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else if (state.exists) {
+            // duplicate after acceptance: drop it, re-arm the ORIGINAL
+            // expiry (no refresh — "remembered ttl past acceptance"); if
+            // that expiry already passed, arm just past the watermark so
+            // the next X-free batch clears the entry
+            state.setTimeoutTimestamp(
+              math.max(state.get, state.getCurrentWatermarkMs() + 1))
+            Iterator.empty
+          } else {
+            val rows = batch.toSeq
+            val best = rows.map(a => (a.batch, a.id)).min
+            val expiry = rows.map(_.ts.getTime).max + ttlMs
+            state.update(expiry)
+            state.setTimeoutTimestamp(expiry)
             Iterator.single(Accepted(sha, best._2, best._1))
           }
       }

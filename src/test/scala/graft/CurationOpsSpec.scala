@@ -218,4 +218,35 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
       assert(got == Set(Accepted("X", 4L, 0L), Accepted("Y", 3L, 1L)))
     } finally q.stop()
   }
+
+  test("firstSeenExpiring: TTL drops state on watermark passage; hash re-admits") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    val input = MemoryStream[StreamingDedup.TsArrival]
+    val qn = "streaming_dedup_ttl_spec"
+    val q = StreamingDedup.firstSeenExpiring(input.toDS(), ttlMs = 5000L)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // b0: X accepted (expiry = 1000 + 5000 = 6000); watermark after b0 = 1000
+      input.addData(StreamingDedup.TsArrival("X", 4L, 0L, ts(1000)))
+      q.processAllAvailable()
+      // b1: X within TTL → dropped; Y accepted
+      input.addData(StreamingDedup.TsArrival("X", 2L, 1L, ts(2000)),
+        StreamingDedup.TsArrival("Y", 3L, 1L, ts(2000)))
+      q.processAllAvailable()
+      // b2: Z pushes the watermark far past X/Y expiry (wm after b2 = 50000)
+      input.addData(StreamingDedup.TsArrival("Z", 9L, 2L, ts(50000)))
+      q.processAllAvailable()
+      // b3: no X/Y data ⇒ their timeouts fire and clear the entries
+      input.addData(StreamingDedup.TsArrival("W", 1L, 3L, ts(60000)))
+      q.processAllAvailable()
+      // b4: X re-arrives AFTER expiry → re-admitted with the new batch
+      input.addData(StreamingDedup.TsArrival("X", 8L, 4L, ts(61000)))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[Accepted].collect().toSet
+      assert(got == Set(Accepted("X", 4L, 0L), Accepted("Y", 3L, 1L),
+        Accepted("Z", 9L, 2L), Accepted("W", 1L, 3L), Accepted("X", 8L, 4L)))
+    } finally q.stop()
+  }
 }
