@@ -257,4 +257,61 @@ final class FreshnessManager(schemaOf: String => Option[StructType]) {
       case line => throw new IllegalArgumentException(s"Bad registry line: $line")
     }
   }
+
+  /** Record schema mirroring the reference's Avro IDL field-for-field
+    * (reference: `src/main/avro/KijiFreshnessPolicy.avdl:29-41`), plus the
+    * (table, column) metatable key the reference keeps outside the record
+    * (`KijiFreshnessManager.java:80,235-239` store records under
+    * `kiji.scoring.fresh.<column>` metatable keys — there is no metatable
+    * here, so the key rides in-band). */
+  private val avroSchema = new org.apache.avro.Schema.Parser().parse(
+    """{"type":"record","name":"KijiFreshnessPolicyRecord",
+      |"namespace":"org.kiji.scoring.avro","fields":[
+      |{"name":"table","type":"string"},
+      |{"name":"column","type":"string"},
+      |{"name":"record_version","type":"string"},
+      |{"name":"producer_class","type":"string"},
+      |{"name":"freshness_policy_class","type":"string"},
+      |{"name":"freshness_policy_state","type":"string"}]}""".stripMargin)
+
+  /** Avro-BINARY snapshot — the reference's actual wire format for policy
+    * records (`KijiFreshnessManager.java:235-239`), as an Avro container
+    * file. Interchangeable with the JSON-lines [[save]]/[[load]] codec
+    * behind the same registry interface. */
+  def saveAvro(path: String): Unit = sync {
+    import org.apache.avro.file.DataFileWriter
+    import org.apache.avro.generic.{GenericData, GenericDatumWriter, GenericRecord}
+    val w = new DataFileWriter[GenericRecord](
+      new GenericDatumWriter[GenericRecord](avroSchema))
+    w.create(avroSchema, new java.io.File(path))
+    try records.values.foreach { r =>
+      val rec = new GenericData.Record(avroSchema)
+      rec.put("table", r.tableName)
+      rec.put("column", r.column.toString)
+      rec.put("record_version", r.recordVersion)
+      rec.put("producer_class", r.producerClass)
+      rec.put("freshness_policy_class", r.policyClass)
+      rec.put("freshness_policy_state", r.policyState)
+      w.append(rec)
+    } finally w.close()
+  }
+
+  /** Load an Avro container written by [[saveAvro]] (schema-checked by the
+    * Avro reader against the writer schema embedded in the file). */
+  def loadAvro(path: String): Unit = {
+    import org.apache.avro.file.DataFileReader
+    import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+    val rd = new DataFileReader[GenericRecord](new java.io.File(path),
+      new GenericDatumReader[GenericRecord](avroSchema))
+    try while (rd.hasNext) {
+      val rec = rd.next()
+      def s(f: String) = rec.get(f).toString
+      sync {
+        records((s("table"), s("column"))) = FreshnessRecord(s("table"),
+          ColumnName(s("column")), s("producer_class"),
+          s("freshness_policy_class"), s("freshness_policy_state"),
+          s("record_version"))
+      }
+    } finally rd.close()
+  }
 }

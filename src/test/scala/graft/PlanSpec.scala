@@ -139,8 +139,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.split("Window").length - 1 >= 3, "three chained step windows expected")
   }
 
-  test("q67: PQ stages stay inside whole-stage codegen (native loop expressions)") {
-    val df = SparkEntry.queries("q67_ivfpq")(spark, sf)
+  test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
+    // the trained-quantizer production path (the declared q67 moved to the
+    // exact pivot pipeline, whose hot loops are the array_dot expression)
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("vec"))
+    val df = graft.llmops.Similarity.cosineTopKIvfPq(e, k = 5, nlist = 8,
+      nprobe = 4, m = 8, ksub = 16, rescoreK = 16)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("pq_encode") || p.contains("argmin_cell"),
       "encode/assignment must be the native expressions")

@@ -184,4 +184,21 @@ class RegistrySpec extends AnyFunSuite with SparkSpec {
       m.retrievePolicy("user", ColumnName("info:name")))
     f.delete()
   }
+
+  test("saveAvro/loadAvro: Avro-binary codec round-trips, including odd strings") {
+    val m = mgr()
+    m.storePolicy("user", ColumnName("info:name"), classOf[NameRewrite].getName,
+      new ShelfLife(86400000L))
+    m.storePolicyWithStrings("user", ColumnName("info:email"), "a.B", "c.D",
+      """{"path":"C:\\tmp","note":"say \"hi\""}""")
+    val f = java.io.File.createTempFile("graft-registry", ".avro")
+    m.saveAvro(f.getAbsolutePath)
+    val m2 = mgr()
+    m2.loadAvro(f.getAbsolutePath)
+    assert(m2.retrievePolicies("user") == m.retrievePolicies("user"))
+    // binary, not JSON text: the container header is the Avro magic
+    val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+    assert(head.sameElements(Array('O'.toByte, 'b'.toByte, 'j'.toByte, 1.toByte)))
+    f.delete()
+  }
 }
