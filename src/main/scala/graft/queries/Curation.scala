@@ -292,7 +292,10 @@ object Curation {
     * on closed-form quantizers ([[graft.llmops.Similarity.cosineTopKIvfPqPivot]]):
     * pivot coarse cells prune (nlist=16, nprobe=4), sample-residual PQ codes
     * (m=8 × ksub=16 ⇒ 8 small ints per vector) rank candidates via integer
-    * ADC table lookups, the top-10 shortlist rescores exactly. Every stage —
+    * ADC table lookups, the top-32 shortlist rescores exactly (rescoreK ≫ k
+    * so ADC mistakes wash out in the exact rescore — recall@5 0.35 vs the
+    * plain pivot-IVF's 0.48 at these params, floor-pinned in
+    * CurationOpsSpec). Every stage —
     * pivots, cells, codebooks, codes, ADC scores, shortlist, rescore — is
     * exact integer arithmetic, so the oracle below replicates the whole
     * index bit-for-bit (the q29/q43 pattern; no recall assumption). The
@@ -303,13 +306,13 @@ object Curation {
     val e = t(s, dir, "embeddings")
       .select(col("vec_id").as("id"), col("embedding").as("vec"))
     graft.llmops.Similarity.cosineTopKIvfPqPivot(e, k = 5, nlist = 16,
-        nprobe = 4, m = 8, ksub = 16, rescoreK = 10, dim = 64)
+        nprobe = 4, m = 8, ksub = 16, rescoreK = 32, dim = 64)
       .orderBy("vec_id", "rank")
   }
 
   /** Replicates the full IVFADC index: hash-chosen pivots and codebook
     * sample, integer residuals, argmin PQ encoding, integer ADC tables,
-    * adot = q·c_cell + Σ table[si, code], (adot/‖c‖ DESC, cid) top-10
+    * adot = q·c_cell + Σ table[si, code], (adot/‖c‖ DESC, cid) top-32
     * shortlist, exact ×1e8 rescore, (cosine DESC, cid) top-5. */
   val q67Sql: String =
     """WITH q AS (SELECT vec_id, i,
@@ -360,7 +363,7 @@ object Curation {
       |            SELECT a.qid, a.cid,
       |              row_number() OVER (PARTITION BY a.qid
       |                ORDER BY CAST(a.adot AS DOUBLE) / nb.nrm DESC, a.cid) AS ar
-      |            FROM adc a JOIN norms nb ON nb.vec_id = a.cid) WHERE ar <= 10),
+      |            FROM adc a JOIN norms nb ON nb.vec_id = a.cid) WHERE ar <= 32),
       |dots AS (SELECT sh.qid, sh.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
       |         FROM short sh JOIN q qa ON qa.vec_id = sh.qid
       |                       JOIN q qb ON qb.vec_id = sh.cid AND qb.i = qa.i

@@ -127,6 +127,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(approx.groupBy(_._1).forall(_._2.size == 5))
   }
 
+  test("pivot IVF / IVF-PQ: recall@5 floors vs the exact baseline (declared gate variants)") {
+    import graft.llmops.Similarity
+    import graft.sources.Tables
+    val e = Tables.load(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = Similarity.cosineTopK(e, e, k = 5, exact = true)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val approx = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      (exact & approx).size.toDouble / exact.size
+    }
+    // the hash gates prove the index replicates; these floors prove the
+    // index is USEFUL — a quantizer bug that kept determinism but ruined
+    // cell quality (e.g. all vectors in one cell's probe shadow) fails here
+    val rIvf = recallOf(Similarity.cosineTopKIvfPivot(e, k = 5, nlist = 16, nprobe = 4))
+    assert(rIvf >= 0.4, s"pivot-IVF recall@5 too low: $rIvf")
+    val rPq = recallOf(Similarity.cosineTopKIvfPqPivot(e, k = 5, nlist = 16,
+      nprobe = 4, m = 8, ksub = 16, rescoreK = 32, dim = 64))
+    assert(rPq >= 0.3, s"pivot IVF-PQ recall@5 too low: $rPq")
+  }
+
   test("semanticDedup: cosine clusters get min-id labels; outliers are singletons") {
     import spark.implicits._
     import graft.llmops.Similarity
