@@ -139,6 +139,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.split("Window").length - 1 >= 3, "three chained step windows expected")
   }
 
+  test("q43: pivot-IVF candidates score via fused array_dot; no cartesian blow-up") {
+    val p = plan("q43_cosine_ivf")
+    assert(p.contains("array_dot"), "exact integer dots must be the native expression")
+    assert(!p.contains("CartesianProduct"),
+      "the only unconditioned join is the nlist-row pivot broadcast")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "pivot frame must broadcast")
+  }
+
+  test("q67: pivot IVF-PQ shortlist is window-limited; codebook joins broadcast") {
+    val p = plan("q67_ivfpq")
+    assert(!p.contains("CartesianProduct"),
+      "codebook/pivot fan-outs must be broadcast nested loops, not cartesians")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the m·ksub codebook frame must broadcast")
+    // rescoreK shortlist: rank computed under WindowGroupLimit pushdown, so
+    // per-query candidate streams truncate before the full sort
+    assert(p.contains("WindowGroupLimit"), "shortlist must use window-group-limit pruning")
+    assert(p.contains("array_dot"), "the exact rescore must be the native expression")
+  }
+
   test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
     // the trained-quantizer production path (the declared q67 moved to the
     // exact pivot pipeline, whose hot loops are the array_dot expression)
