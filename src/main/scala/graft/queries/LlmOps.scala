@@ -433,6 +433,45 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
+  /** North star/S23 — compressed-embedding search: int8 per-vector
+    * symmetric quantization (the 4× embedding-storage shrink) and cosine
+    * top-5 computed directly ON the codes for queries vec_id < 100 — the
+    * per-vector scale cancels in the cosine, so the search is exact
+    * integer arithmetic on ≤127 ints and the oracle replicates codes,
+    * dots and ranks bit-for-bit ([[Similarity.int8Codes]] /
+    * [[Similarity.cosineTopKInt8]]). Rank quality vs the float baseline
+    * is floor-pinned in LlmOpsSpec. */
+  def q103Int8Ann(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopKInt8(e.filter(col("id") < 100), e, k = 5)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Replicates quantization (round-half-away of x·127/max|x|), integer
+    * code dots/norms, and the (cosine DESC, cid) top-5. */
+  val q103Sql: String =
+    """WITH m AS (SELECT vec_id,
+      |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      |  FROM embeddings),
+      |q AS (SELECT e.vec_id, i,
+      |    CASE WHEN m.mx = 0 THEN 0
+      |         ELSE CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |              * floor(abs(CAST(embedding[i] AS DOUBLE)) * 127.0 / m.mx + 0.5) AS BIGINT)
+      |    END AS s
+      |  FROM embeddings e JOIN m ON m.vec_id = e.vec_id, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id AND a.vec_id < 100
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
   /** Multimodal feature-extraction plumbing (deterministic stub decoder).
     * The mapPartitions decode stage emits `features ARRAY<FLOAT>`; the
     * declared output explodes it to scalar `(media_id, j, feature_q)` rows
@@ -477,7 +516,8 @@ object LlmOps {
     "q35_dup_clusters" -> (q35DupClusters _),
     "q43_cosine_ivf" -> (q43CosineIvf _),
     "q46_cosine_pairs" -> (q46CosinePairs _),
-    "q50_winnow" -> (q50Winnow _))
+    "q50_winnow" -> (q50Winnow _),
+    "q103_int8_ann" -> (q103Int8Ann _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -496,5 +536,6 @@ object LlmOps {
     "q43_cosine_ivf" -> q43Sql,
     "q35_dup_clusters" -> q35Sql,
     "q46_cosine_pairs" -> q46Sql,
-    "q50_winnow" -> q50Sql)
+    "q50_winnow" -> q50Sql,
+    "q103_int8_ann" -> q103Sql)
 }

@@ -192,6 +192,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(recall >= 0.5, s"IVF recall too low: $recall")
   }
 
+  test("int8 codes: bounded to [-127,127], full range used, search tracks the float baseline") {
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec")).limit(200).cache()
+    val codes = Similarity.int8Codes(e).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    codes.values.foreach { c =>
+      assert(c.forall(v => v >= -127f && v <= 127f && v == math.rint(v).toFloat))
+      // symmetric max-abs scaling: the largest-magnitude element maps to ±127
+      assert(c.map(math.abs).max == 127f)
+    }
+    // 8 bits is plenty for cosine ranking: recall@3 vs the float baseline
+    val brute = Similarity.cosineTopK(e, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val int8 = Similarity.cosineTopKInt8(e, e, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (brute intersect int8).size.toDouble / brute.size
+    assert(recall >= 0.8, s"int8 search recall too low: $recall")
+  }
+
   test("media frames: empty payload yields zero frames; null payload features are zeros") {
     import spark.implicits._
     val d = Seq((1L, ""), (2L, "abc")).toDF("doc_id", "text")
