@@ -356,11 +356,20 @@ object Corpus {
     * expression the DuckDB oracle runs, so assignments are byte-identical
     * cross-engine. Returns (id, bucket, split). */
   def hashSplit(docs: DataFrame, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    hashSplitBy(docs.select(col(idCol).as("id")), "id", trainPct, valPct)
+      .select("id", "bucket", "split")
+
+  /** [[hashSplit]] keyed on an arbitrary GROUP column, appended to the
+    * input frame: every row whose `keyCol` matches gets the same split —
+    * the LEAKAGE-SAFE form, where correlated rows (a near-dup cluster, a
+    * URL host, a conversation) must never straddle train/eval. Same md5
+    * hex-nibble arithmetic as [[hashSplit]]; still zero shuffles. */
+  def hashSplitBy(df: DataFrame, keyCol: String,
       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100,
       s"need 0 < trainPct, 0 <= valPct, trainPct+valPct < 100; got $trainPct/$valPct")
-    docs.select(col(idCol).as("id"))
-      .withColumn("hx", md5(col("id").cast("string").cast("binary")))
+    df.withColumn("hx", md5(col(keyCol).cast("string").cast("binary")))
       .withColumn("bucket",
         (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
           expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
@@ -368,7 +377,7 @@ object Corpus {
         when(col("bucket") * 100 < trainPct * 256, "train")
           .when(col("bucket") * 100 < (trainPct + valPct) * 256, "val")
           .otherwise("test"))
-      .select("id", "bucket", "split")
+      .drop("hx")
   }
 
   /** Per-stratum token-budget cap — the mixture-quota primitive when the

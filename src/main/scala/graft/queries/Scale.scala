@@ -45,6 +45,53 @@ object Scale {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY id""".stripMargin
 
+  // --------------------------------------- q104 leakage-safe cluster split
+
+  /** North star/curation — LEAKAGE-SAFE train/val/test split: q83's md5
+    * assignment keyed on the near-dup CLUSTER canonical instead of the doc
+    * id, so near-duplicate documents can never straddle train and eval
+    * (the classic leakage bug: a test document whose 0.9-Jaccard twin sits
+    * in train inflates eval). Composition: q35's prefix-filtered Jaccard
+    * edges → connected components → canonical label →
+    * [[graft.llmops.Corpus.hashSplitBy]] on the label. Zero shuffles
+    * beyond the CC itself; singleton clusters reduce to exactly q83's
+    * assignment for their id. */
+  def q104LeakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = graft.llmops.Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.8, prefixFilter = true)
+    val comp = graft.llmops.Dedup.connectedComponents(
+      d.select(col("doc_id").as("id")), edges)
+    Corpus.hashSplitBy(comp, "component").orderBy("id")
+  }
+
+  val q104Sql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |e AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      |b AS (SELECT id, component,
+      |    CAST((instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+      |  FROM comp)
+      |SELECT id, component, bucket,
+      |  CASE WHEN bucket * 100 < 80 * 256 THEN 'train'
+      |       WHEN bucket * 100 < 90 * 256 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM b ORDER BY id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -749,6 +796,7 @@ object Scale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_hash_split" -> (q83HashSplit _),
+    "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -770,6 +818,7 @@ object Scale {
 
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
+    "q104_leakage_safe_split" -> q104Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -34,6 +34,24 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.agg(max("bucket")).collect().head.getLong(0) <= 255)
   }
 
+  test("hashSplitBy: one split per group; singletons reduce to hashSplit's assignment") {
+    import spark.implicits._
+    // groups of 3 ids sharing a key: (1,2,3)->1, (4,5,6)->4, ...
+    val df = (1L to 300L).map(i => (i, ((i - 1) / 3) * 3 + 1)).toDF("id", "component")
+    val got = Corpus.hashSplitBy(df, "component").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(3))).toSeq
+    // leakage invariant: every member of a group gets the GROUP's split
+    got.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).distinct.size == 1, s"group split leaked: $rows")
+    }
+    // keyed on itself ≡ plain hashSplit
+    val byId = Corpus.hashSplit((1L to 300L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    got.filter(r => r._1 == r._2).foreach { case (id, _, sp) =>
+      assert(byId(id) == sp)
+    }
+  }
+
   // ------------------------------------------------------ token-budget cap
 
   test("capTokenBudget: greedy admission stops once the budget is spent") {
