@@ -629,6 +629,85 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Binary sign sketch: the 32×-compression embedding code. Bit j of band
+    * word b is `sign(v[b·bandBits + j]) > 0` — sign extraction is exact on
+    * any engine (no quantization involved), so the codes replicate
+    * bit-for-bit in SQL. Words are `dim / nBands` bits each (≤ 63, so a
+    * signed 64-bit word never sees its sign bit); splitting one 64-bit
+    * code into band words serves double duty: the words ARE the
+    * multi-index Hamming bands (Norouzi et al., "Fast Search in Hamming
+    * Space with Multi-Index Hashing", CVPR 2012) AND the popcount operands.
+    * Returns (id, words ARRAY<BIGINT>[nBands]). */
+  def signCodes(vectors: DataFrame, dim: Int, nBands: Int): DataFrame = {
+    require(dim % nBands == 0, s"dim $dim not divisible by $nBands bands")
+    val bandBits = dim / nBands
+    require(bandBits <= 63, s"band word of $bandBits bits overflows a long")
+    val words = (0 until nBands).map { b =>
+      (0 until bandBits).map { j =>
+        when(element_at(col("vec"), b * bandBits + j + 1).cast("double") > 0,
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)
+    }
+    vectors.select(col("id"), array(words: _*).as("words"))
+  }
+
+  /** Hamming-shortlist ANN on binary sign sketches — the third declared
+    * compression point on the ANN surface (float → int8 ([[cosineTopKInt8]])
+    * → 1 bit/dim here): candidates are pairs agreeing EXACTLY on at least
+    * one band word (an equi-join on (band, word) — multi-index Hamming, no
+    * all-pairs stage anywhere), ranked by full 64-bit Hamming distance
+    * (popcount of XOR over the band words), and only the `shortlistK`
+    * Hamming-nearest per query pay an exact ×[[ExactScale]] integer cosine
+    * rescore for the final (cosine DESC, cid) top-k.
+    *
+    * Every stage is closed-form — sign bits, band equality, popcounts,
+    * integer dots — so the oracle replicates the whole index, misses
+    * included (the q29 gate pattern; no recall assumption). Scale posture:
+    * the candidate join shuffles nBands longs per vector (the 64-byte
+    * code), never the embedding; exact vectors are fetched only for the
+    * shortlist·|queries| rescore pairs. Recall floors vs the exact
+    * baseline are spec-pinned (LlmOpsSpec). Returns
+    * (vec_id, rank, neighbor_id, cosine, hamming). */
+  def cosineTopKHamming(vectors: DataFrame, k: Int, dim: Int, nBands: Int,
+      shortlistK: Int): DataFrame = {
+    val codes = signCodes(vectors, dim, nBands).persist()
+    val bands = codes.select(col("id"), posexplode(col("words")).as(Seq("b", "w")))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.b") === col("b.b") && col("a.w") === col("b.w") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"))
+      .distinct()
+    val hamming = (0 until nBands).map(b =>
+      bit_count(element_at(col("qw"), b + 1)
+        .bitwiseXOR(element_at(col("cw"), b + 1))))
+      .reduce(_ + _).cast("long")
+    val wShort = Window.partitionBy(col("qid"))
+      .orderBy(col("hamming"), col("cid"))
+    val shortlist = cand
+      .join(codes.select(col("id").as("qid"), col("words").as("qw")), "qid")
+      .join(codes.select(col("id").as("cid"), col("words").as("cw")), "cid")
+      .select(col("qid"), col("cid"), hamming.as("hamming"))
+      .withColumn("hr", row_number().over(wShort))
+      .filter(col("hr") <= shortlistK)
+      .select("qid", "cid", "hamming")
+    val norms8 = vectors.select(col("id"),
+      sqrt(arrayDotScaled(col("vec"), col("vec"), ExactScale).cast("double")).as("nrm"))
+    val wRank = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    shortlist
+      .join(vectors.select(col("id").as("qid"), col("vec").as("qv")), "qid")
+      .join(vectors.select(col("id").as("cid"), col("vec").as("cv")), "cid")
+      .join(norms8.select(col("id").as("qid"), col("nrm").as("qn")), "qid")
+      .join(norms8.select(col("id").as("cid"), col("nrm").as("cn")), "cid")
+      .select(col("qid"), col("cid"), col("hamming"),
+        round(arrayDotScaled(col("qv"), col("cv"), ExactScale).cast("double")
+          / (col("qn") * col("cn")), 12).as("cosine"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"),
+        col("cid").as("neighbor_id"), col("cosine"), col("hamming"))
+  }
+
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023): connected
     * components over the cosine ≥ `minCosine` graph, every vector labeled
     * with the min id of its semantic cluster (itself when unique) — the

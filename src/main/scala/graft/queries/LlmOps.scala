@@ -472,6 +472,57 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
+  /** North star/S23 — binary-sketch ANN: 1-bit/dim sign codes (the 32×
+    * compression point beyond q103's int8), multi-index Hamming banding
+    * for candidates, popcount shortlist, exact integer rescore
+    * ([[Similarity.signCodes]] / [[Similarity.cosineTopKHamming]]). The
+    * oracle replicates the ENTIRE index — packing, band collisions,
+    * XOR popcounts, ×1e8 rescore — the q29 pattern, no recall assumption. */
+  def q105HammingAnn(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosineTopKHamming(e, k = 5, dim = 64, nBands = 8, shortlistK = 32)
+      .orderBy("vec_id", "rank")
+  }
+
+  /** Replicates sign-bit packing into 8×8-bit band words, (band, word)
+    * collision candidates, 64-bit XOR popcount Hamming, the (hamming, cid)
+    * top-32 shortlist, and the exact ×1e8 (cosine DESC, cid) top-5. */
+  val q105Sql: String =
+    """WITH v AS (SELECT vec_id, b,
+      |    CAST(SUM(CASE WHEN CAST(embedding[CAST(8 * b + j + 1 AS INT)] AS DOUBLE) > 0
+      |                  THEN (1 << j) ELSE 0 END) AS BIGINT) AS w
+      |  FROM embeddings, UNNEST(range(0, 8)) AS t(b), UNNEST(range(0, 8)) AS u(j)
+      |  GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, c.vec_id AS cid
+      |         FROM v a JOIN v c ON c.b = a.b AND c.w = a.w AND c.vec_id <> a.vec_id),
+      |ham AS (SELECT cd.qid, cd.cid,
+      |          CAST(SUM(bit_count(xor(va.w, vb.w))) AS BIGINT) AS hamming
+      |        FROM cand cd JOIN v va ON va.vec_id = cd.qid
+      |                     JOIN v vb ON vb.vec_id = cd.cid AND vb.b = va.b
+      |        GROUP BY 1, 2),
+      |short AS (SELECT qid, cid, hamming,
+      |            row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS hr
+      |          FROM ham),
+      |q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT sh.qid, sh.cid, sh.hamming, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM short sh JOIN q qa ON qa.vec_id = sh.qid
+      |                       JOIN q qb ON qb.vec_id = sh.cid AND qb.i = qa.i
+      |         WHERE sh.hr <= 32
+      |         GROUP BY 1, 2, 3),
+      |cos AS (SELECT qid, cid, hamming,
+      |          round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, hamming, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine, hamming
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
   /** Multimodal feature-extraction plumbing (deterministic stub decoder).
     * The mapPartitions decode stage emits `features ARRAY<FLOAT>`; the
     * declared output explodes it to scalar `(media_id, j, feature_q)` rows
@@ -517,7 +568,8 @@ object LlmOps {
     "q43_cosine_ivf" -> (q43CosineIvf _),
     "q46_cosine_pairs" -> (q46CosinePairs _),
     "q50_winnow" -> (q50Winnow _),
-    "q103_int8_ann" -> (q103Int8Ann _))
+    "q103_int8_ann" -> (q103Int8Ann _),
+    "q105_hamming_ann" -> (q105HammingAnn _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -537,5 +589,6 @@ object LlmOps {
     "q35_dup_clusters" -> q35Sql,
     "q46_cosine_pairs" -> q46Sql,
     "q50_winnow" -> q50Sql,
-    "q103_int8_ann" -> q103Sql)
+    "q103_int8_ann" -> q103Sql,
+    "q105_hamming_ann" -> q105Sql)
 }
