@@ -160,6 +160,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("array_dot"), "the exact rescore must be the native expression")
   }
 
+  test("q105: Hamming banding is an equi-join; shortlist and rank are window-group-limited") {
+    val p = plan("q105_hamming_ann")
+    assert(!p.contains("CartesianProduct"),
+      "band collisions must be a (band, word) equi-join, never all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "candidate generation must be a hash-key join")
+    // both the hamming top-32 shortlist and the cosine top-5 rank windows
+    // truncate per-query streams before any full sort
+    assert(p.contains("WindowGroupLimit"), "shortlist must use window-group-limit pruning")
+    assert(p.contains("array_dot"), "the exact rescore must be the native expression")
+  }
+
   test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
     // the trained-quantizer production path (the declared q67 moved to the
     // exact pivot pipeline, whose hot loops are the array_dot expression)
