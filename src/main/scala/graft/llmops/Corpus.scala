@@ -1,6 +1,6 @@
 package graft.llmops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -191,6 +191,49 @@ object Corpus {
       .groupBy("id")
       .agg(sum("tf").as("n_words"), sum(col("tf") * col("lp_q")).as("sum_lp_q"))
       .withColumn("pass_ppl", col("sum_lp_q") >= lit(minAvgLpQ) * col("n_words"))
+  }
+
+  /** DSIR-style importance weighting (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score every
+    * document by how target-like its unigram distribution is,
+    * w(doc) = Σ_t tf_t · ln(p̂_target(t) / p̂_raw(t)), with add-one smoothed
+    * estimates p̂(t) = (cnt(t)+1)/(total+V). Selection keeps documents whose
+    * aggregate log-ratio is ≥ 0 (more target-like than raw-like) — the
+    * importance-resampling criterion with the noise draw dropped, which
+    * keeps the gate deterministic.
+    *
+    * Determinism: the log-ratio is ONE `ln` of ONE double — the ratio of
+    * two exact integer products ((cnt_t+1)·(T_r+V)) / ((cnt_r+1)·(T_t+V)),
+    * each ≤ ~1e13 at bench scale so the doubles are exact — quantized ×1e6
+    * half-up to a BIGINT before any per-doc summation, so engines can never
+    * disagree by an ulp-ordering (the q55/q71 rule).
+    *
+    * Scale: ONE term-frequency shuffle serves both distributions (the
+    * target count is a conditional re-aggregation of the same tf rows, not
+    * a second corpus pass); corpus scalars ride a broadcast 1-row frame;
+    * the per-doc reduce keys on the doc id. At 100 TB the only state that
+    * grows is the (term → counts) table — the same footprint as TF-IDF.
+    * Returns (id, n_tokens, dsir_q, keep) — one row per tokenizable doc. */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      isTarget: Column): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), isTarget.as("tgt"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("id", "tgt", "w").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("w").agg(
+      sum("tf").as("cnt_r"),
+      sum(when(col("tgt"), col("tf")).otherwise(0L)).as("cnt_t"))
+    val scal = broadcast(cnt.agg(
+      sum("cnt_r").as("tot_r"), sum("cnt_t").as("tot_t"),
+      count(lit(1)).as("vocab")))
+    tf.join(cnt, "w").crossJoin(scal)
+      .withColumn("lp_q", floor(
+        log(((col("cnt_t") + 1) * (col("tot_r") + col("vocab"))).cast("double")
+          / ((col("cnt_r") + 1) * (col("tot_t") + col("vocab"))).cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("lp_q")).as("dsir_q"))
+      .withColumn("keep", col("dsir_q") >= 0)
   }
 
   /** Corpus vocabulary report — the Zipf sanity check a curation run

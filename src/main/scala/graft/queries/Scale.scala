@@ -92,6 +92,38 @@ object Scale {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY id""".stripMargin
 
+  // ---------------------------------------------- q106 DSIR importance
+
+  /** North star/curation — DSIR importance weighting
+    * ([[Corpus.dsirWeights]]): every document scored by the smoothed
+    * unigram log-likelihood ratio of the English subcorpus (the target
+    * domain) against the whole corpus; `keep` marks docs more target-like
+    * than raw-like. The quantized-×1e6 log ratios make the whole pipeline
+    * — counts, smoothing, ratio, per-doc sums — hash-replicable. */
+  def q106DsirWeights(s: SparkSession, dir: String): DataFrame =
+    Corpus.dsirWeights(docs(s, dir), "doc_id", "text", col("lang") === "en")
+      .orderBy("id")
+
+  val q106Sql: String =
+    """WITH tok AS (SELECT doc_id, lang = 'en' AS tgt,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |tf AS (SELECT doc_id AS id, tgt, w, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |cnt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt_r,
+      |               CAST(sum(CASE WHEN tgt THEN tf ELSE 0 END) AS BIGINT) AS cnt_t
+      |        FROM tf GROUP BY 1),
+      |scal AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r,
+      |                CAST(sum(cnt_t) AS BIGINT) AS tot_t,
+      |                CAST(count(*) AS BIGINT) AS vocab FROM cnt),
+      |sc AS (SELECT id, tf,
+      |         CAST(floor(ln(CAST((cnt_t + 1) * (tot_r + vocab) AS DOUBLE)
+      |                      / CAST((cnt_r + 1) * (tot_t + vocab) AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+      |       FROM tf JOIN cnt USING (w) CROSS JOIN scal),
+      |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+      |        CAST(sum(tf * lp_q) AS BIGINT) AS dsir_q FROM sc GROUP BY 1)
+      |SELECT id, n_tokens, dsir_q, dsir_q >= 0 AS keep
+      |FROM a ORDER BY id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -797,6 +829,7 @@ object Scale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
+    "q106_dsir_weights" -> (q106DsirWeights _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -819,6 +852,7 @@ object Scale {
   val oracleSql: Map[String, String] = Map(
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
+    "q106_dsir_weights" -> q106Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -72,6 +72,36 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(strict(1L) && !strict(2L))
   }
 
+  test("dsirWeights: target-vocabulary docs score positive, off-target negative, hand-checked") {
+    import spark.implicits._
+    // two disjoint vocabularies: "good" lives only in target docs, "junk"
+    // only in raw-only docs; a mixed doc leans by majority token
+    val d = Seq(
+      (1L, "good good good", true),
+      (2L, "good good junk", true),
+      (3L, "junk junk junk", false),
+      (4L, "junk junk good", false),
+      (5L, "good junk", false)
+    ).toDF("doc_id", "text", "is_tgt")
+    val out = Corpus.dsirWeights(d, "doc_id", "text", col("is_tgt"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L))
+    // hand-compute: cnt_r(good)=7, cnt_t(good)=5, cnt_r(junk)=7, cnt_t(junk)=1,
+    // tot_r=14, tot_t=6, V=2
+    def lpq(ct: Long, cr: Long) =
+      math.floor(math.log(((ct + 1.0) * 16.0) / ((cr + 1.0) * 8.0)) * 1e6 + 0.5).toLong
+    val g = lpq(5, 7); val j = lpq(1, 7)
+    assert(out(1L).getAs[Long]("dsir_q") == 3 * g)
+    assert(out(3L).getAs[Long]("dsir_q") == 3 * j)
+    assert(out(5L).getAs[Long]("dsir_q") == g + j)
+    // good is target-heavy (positive), junk target-light (negative)
+    assert(g > 0 && j < 0)
+    assert(out(1L).getAs[Boolean]("keep") && out(2L).getAs[Boolean]("keep"))
+    assert(!out(3L).getAs[Boolean]("keep") && !out(4L).getAs[Boolean]("keep"))
+    // n_tokens is the plain token count
+    assert(out(1L).getAs[Long]("n_tokens") == 3 && out(5L).getAs[Long]("n_tokens") == 2)
+  }
+
   test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
     val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
     val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
