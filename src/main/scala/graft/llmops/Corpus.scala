@@ -236,6 +236,48 @@ object Corpus {
       .withColumn("keep", col("dsir_q") >= 0)
   }
 
+  /** CCNet-style perplexity bucketing (Wenzek et al., "CCNet: Extracting
+    * High Quality Monolingual Datasets from Web Crawl Data", LREC 2020):
+    * each language's documents are scored against THAT language's unigram
+    * distribution (the per-language LM proxy), ranked by average
+    * log-probability, and cut into `nTiles` equal tiers per language —
+    * head/middle/tail at nTiles=3, where CCNet trains on head+middle and
+    * drops the tail. Keeping the cut per-language is the point: a flat
+    * corpus-wide cut would mostly rank languages, not quality.
+    *
+    * Determinism: ranks order by the IEEE quotient of two exact integers
+    * (identical on every engine) with the doc id as tiebreak; the emitted
+    * columns are all integers/strings. `ntile` is the SQL-standard
+    * distribution (first buckets take the remainder rows) on both engines.
+    *
+    * Scale: per-language term counts and totals are one aggregation tree
+    * over the same tf shuffle as TF-IDF; the tier window partitions by
+    * language — never a global sort. Language totals are a |langs|-row
+    * broadcast. Returns (id, lang, n_words, sum_lp_q, bucket, tier). */
+  def perplexityBuckets(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, nTiles: Int = 3): DataFrame = {
+    val tf = docs
+      .select(col(idCol).as("id"), col(langCol).as("lang"),
+        explode(tokens(col(textCol))).as("w"))
+      .groupBy("id", "lang", "w").agg(count(lit(1)).as("tf"))
+    val cnt = tf.groupBy("lang", "w").agg(sum("tf").as("cnt"))
+    val tot = cnt.groupBy("lang").agg(sum("cnt").as("total"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy((col("sum_lp_q").cast("double") / col("n_words").cast("double")).desc,
+        col("id"))
+    tf.join(cnt, Seq("lang", "w"))
+      .join(broadcast(tot), "lang")
+      .withColumn("lp_q",
+        floor(log(col("cnt").cast("double") / col("total").cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .groupBy("id", "lang")
+      .agg(sum("tf").as("n_words"), sum(col("tf") * col("lp_q")).as("sum_lp_q"))
+      .withColumn("bucket", ntile(nTiles).over(w).cast("long"))
+      .withColumn("tier", when(col("bucket") === 1, "head")
+        .when(col("bucket") === nTiles, "tail").otherwise("middle"))
+      .select("id", "lang", "n_words", "sum_lp_q", "bucket", "tier")
+  }
+
   /** Corpus vocabulary report — the Zipf sanity check a curation run
     * prints before tokenizer training: the top-k tokens by frequency
     * alongside corpus-level scalars (vocabulary size, hapax-legomenon

@@ -124,6 +124,40 @@ object Scale {
       |SELECT id, n_tokens, dsir_q, dsir_q >= 0 AS keep
       |FROM a ORDER BY id""".stripMargin
 
+  // ------------------------------------------ q107 perplexity tiers
+
+  /** North star/curation — CCNet perplexity tiers
+    * ([[Corpus.perplexityBuckets]]): per-language head/middle/tail cut on
+    * average unigram log-probability against the language's own
+    * distribution. The tier window orders by an IEEE quotient of exact
+    * integers with an id tiebreak, so the cut replicates bit-for-bit. */
+  def q107PerplexityTiers(s: SparkSession, dir: String): DataFrame =
+    Corpus.perplexityBuckets(docs(s, dir), "doc_id", "text", "lang", nTiles = 3)
+      .orderBy("id")
+
+  val q107Sql: String =
+    """WITH tok AS (SELECT doc_id, lang,
+      |         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w FROM documents),
+      |tf AS (SELECT doc_id AS id, lang, w, count(*) AS tf FROM tok GROUP BY 1, 2, 3),
+      |cnt AS (SELECT lang, w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf GROUP BY 1, 2),
+      |tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS total FROM cnt GROUP BY 1),
+      |sc AS (SELECT id, tf.lang, tf.tf,
+      |         CAST(floor(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS lp_q
+      |       FROM tf JOIN cnt ON cnt.lang = tf.lang AND cnt.w = tf.w
+      |                JOIN tot ON tot.lang = tf.lang),
+      |a AS (SELECT id, lang, CAST(sum(tf) AS BIGINT) AS n_words,
+      |        CAST(sum(tf * lp_q) AS BIGINT) AS sum_lp_q FROM sc GROUP BY 1, 2),
+      |b AS (SELECT id, lang, n_words, sum_lp_q,
+      |        CAST(ntile(3) OVER (PARTITION BY lang
+      |          ORDER BY CAST(sum_lp_q AS DOUBLE) / CAST(n_words AS DOUBLE) DESC, id)
+      |          AS BIGINT) AS bucket
+      |      FROM a)
+      |SELECT id, lang, n_words, sum_lp_q, bucket,
+      |  CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+      |       ELSE 'middle' END AS tier
+      |FROM b ORDER BY id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -830,6 +864,7 @@ object Scale {
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
+    "q107_perplexity_tiers" -> (q107PerplexityTiers _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -853,6 +888,7 @@ object Scale {
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,
+    "q107_perplexity_tiers" -> q107Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -102,6 +102,38 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(out(1L).getAs[Long]("n_tokens") == 3 && out(5L).getAs[Long]("n_tokens") == 2)
   }
 
+  test("perplexityBuckets: per-language tiers, common-vocab docs land in the head") {
+    import spark.implicits._
+    // lang x: doc 1-2 use the dominant token, doc 3 a hapax → 3 is the tail.
+    // lang y: its own distribution — sizes [1,1,1] over 3 docs.
+    val d = Seq(
+      (1L, "alpha alpha alpha", "x"),
+      (2L, "alpha alpha beta", "x"),
+      (3L, "zeta zeta zeta", "x"),
+      (4L, "mu mu", "y"),
+      (5L, "mu nu", "y"),
+      (6L, "xi xi", "y")
+    ).toDF("doc_id", "text", "lang")
+    val out = Corpus.perplexityBuckets(d, "doc_id", "text", "lang", nTiles = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // lang x: avg lp ranks 1 (pure alpha) > 2 (alpha-heavy) > 3 (pure hapax...
+    // zeta count 3 of 9: same freq as... hand-order: alpha cnt=5, beta=1, zeta=3
+    // doc1 avg=ln(5/9); doc2=(2ln(5/9)+ln(1/9))/3; doc3=ln(3/9) → 1 > 3 > 2
+    assert(out(1L).getAs[String]("tier") == "head")
+    assert(out(3L).getAs[String]("tier") == "middle")
+    assert(out(2L).getAs[String]("tier") == "tail")
+    // every language distributes over all three tiers when it has ≥3 docs
+    Seq("x", "y").foreach { l =>
+      val tiers = out.values.filter(_.getAs[String]("lang") == l)
+        .map(_.getAs[String]("tier")).toSet
+      assert(tiers == Set("head", "middle", "tail"), s"lang $l tiers: $tiers")
+    }
+    // buckets are per-language ntile: each of x's 3 docs gets its own bucket
+    assert(out.values.filter(_.getAs[String]("lang") == "x")
+      .map(_.getAs[Long]("bucket")).toSet == Set(1L, 2L, 3L))
+  }
+
   test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
     val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
     val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
