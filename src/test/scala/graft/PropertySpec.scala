@@ -247,4 +247,26 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
+
+  // ---- binary sign sketch (q105) ----
+
+  test("property: reported Hamming = naive sign-bit mismatch count; candidates share a band") {
+    val prop = Prop.forAll(genVecs) { vs =>
+      // dim=8, 2 bands of 4 bits
+      def signBits(v: Array[Float]): Array[Boolean] = v.map(_.toDouble > 0)
+      def word(v: Array[Float], b: Int): Long =
+        (0 until 4).map(j => if (v(b * 4 + j).toDouble > 0) 1L << j else 0L).sum
+      val df = vecDf(vs)
+      val out = Similarity.cosineTopKHamming(df, k = 3, dim = 8, nBands = 2,
+        shortlistK = 8).collect()
+      out.forall { r =>
+        val (q, c, h) = (r.getLong(0).toInt, r.getLong(2).toInt, r.getLong(4))
+        val naive = signBits(vs(q)).zip(signBits(vs(c))).count(p => p._1 != p._2)
+        val shareBand = (0 until 2).exists(b => word(vs(q), b) == word(vs(c), b))
+        h == naive && shareBand
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
