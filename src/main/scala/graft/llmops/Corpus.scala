@@ -278,6 +278,51 @@ object Corpus {
       .select("id", "lang", "n_words", "sum_lp_q", "bucket", "tier")
   }
 
+  /** PMI phrase mining (the word2phrase pass of Mikolov et al.,
+    * "Distributed Representations of Words and Phrases", NeurIPS 2013,
+    * scored as pointwise mutual information): adjacent-token bigrams whose
+    * co-occurrence beats the independence baseline,
+    * PMI(a,b) = ln(p(ab) / (p(a)·p(b))) with p over the corpus's own
+    * unigram/bigram totals. Tokenizer prep: bigrams with cnt ≥ `minCount`
+    * and PMI ≥ threshold become single tokens before vocabulary training.
+    *
+    * Determinism: the PMI ratio multiplies counts as DOUBLES in one fixed
+    * association order — the products can exceed int64 at corpus scale, and
+    * IEEE double arithmetic is identically rounded on every engine — then
+    * quantizes ×1e6 half-up to a BIGINT (the q55/q71 rule).
+    *
+    * Scale: bigram extraction is a scan-stage generator (no join against
+    * shifted positions); one (w1, w2) count shuffle + one unigram count
+    * shuffle (TF-IDF's footprint); corpus totals ride a broadcast 1-row
+    * frame. Returns (w1, w2, cnt_big, cnt_w1, cnt_w2, pmi_q, is_phrase)
+    * for bigrams with cnt_big ≥ minCount. */
+  def pmiPhrases(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, minPmiQ: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_big"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val scal = broadcast(uni.agg(sum("cnt").as("tot_uni"))
+      .crossJoin(bg.agg(sum("cnt_big").as("tot_big"))))
+    bg.filter(col("cnt_big") >= minCount)
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_w2")), "w2")
+      .crossJoin(scal)
+      .withColumn("pmi_q", floor(log(
+        (col("cnt_big").cast("double") * col("tot_uni").cast("double")
+          * col("tot_uni").cast("double"))
+          / (col("cnt_w1").cast("double") * col("cnt_w2").cast("double")
+            * col("tot_big").cast("double")))
+        * 1000000.0 + 0.5).cast("long"))
+      .withColumn("is_phrase", col("pmi_q") >= minPmiQ)
+      .select("w1", "w2", "cnt_big", "cnt_w1", "cnt_w2", "pmi_q", "is_phrase")
+  }
+
   /** Corpus vocabulary report — the Zipf sanity check a curation run
     * prints before tokenizer training: the top-k tokens by frequency
     * alongside corpus-level scalars (vocabulary size, hapax-legomenon

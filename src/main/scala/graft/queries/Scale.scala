@@ -158,6 +158,39 @@ object Scale {
       |       ELSE 'middle' END AS tier
       |FROM b ORDER BY id""".stripMargin
 
+  // ------------------------------------------- q108 PMI phrase mining
+
+  /** North star/text analysis — word2phrase-style collocation mining
+    * ([[Corpus.pmiPhrases]]): adjacent-token bigrams at count ≥ 3 scored
+    * by ×1e6-quantized PMI against the corpus's own unigram model;
+    * `is_phrase` marks bigrams co-occurring at least e× over chance
+    * (pmi_q ≥ 1e6). */
+  def q108PmiPhrases(s: SparkSession, dir: String): DataFrame =
+    Corpus.pmiPhrases(docs(s, dir), "doc_id", "text",
+      minCount = 3L, minPmiQ = 1000000L)
+      .orderBy("w1", "w2")
+
+  val q108Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |        FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cnt_big FROM big GROUP BY 1, 2),
+      |uni AS (SELECT unnest(t) AS w FROM tok),
+      |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+      |scal AS (SELECT (SELECT CAST(sum(cnt) AS BIGINT) FROM cnt) AS tot_uni,
+      |                (SELECT CAST(sum(cnt_big) AS BIGINT) FROM bg) AS tot_big),
+      |j AS (SELECT w1, w2, cnt_big, c1.cnt AS cnt_w1, c2.cnt AS cnt_w2,
+      |        CAST(floor(ln((CAST(cnt_big AS DOUBLE) * CAST(tot_uni AS DOUBLE)
+      |                       * CAST(tot_uni AS DOUBLE))
+      |                    / (CAST(c1.cnt AS DOUBLE) * CAST(c2.cnt AS DOUBLE)
+      |                       * CAST(tot_big AS DOUBLE)))
+      |             * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+      |      FROM bg JOIN cnt c1 ON c1.w = bg.w1 JOIN cnt c2 ON c2.w = bg.w2
+      |           CROSS JOIN scal
+      |      WHERE cnt_big >= 3)
+      |SELECT w1, w2, cnt_big, cnt_w1, cnt_w2, pmi_q, pmi_q >= 1000000 AS is_phrase
+      |FROM j ORDER BY w1, w2""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -865,6 +898,7 @@ object Scale {
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
     "q107_perplexity_tiers" -> (q107PerplexityTiers _),
+    "q108_pmi_phrases" -> (q108PmiPhrases _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -889,6 +923,7 @@ object Scale {
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,
     "q107_perplexity_tiers" -> q107Sql,
+    "q108_pmi_phrases" -> q108Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -134,6 +134,28 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .map(_.getAs[Long]("bucket")).toSet == Set(1L, 2L, 3L))
   }
 
+  test("pmiPhrases: glued bigram scores high, chance co-occurrence low, hand-computed") {
+    // "new york" always adjacent (a phrase); "the cat"/"the dog"/"cat the"...
+    // scattered fillers co-occur only by chance
+    val d = docsDF(
+      1L -> "new york the cat new york",
+      2L -> "new york the dog new york",
+      3L -> "cat the dog the new york")
+    val out = Corpus.pmiPhrases(d, "doc_id", "text", minCount = 2L, minPmiQ = 1000000L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val ny = out(("new", "york"))
+    // hand-counts: "new york" appears 5×, new=5, york=5, tot_uni=18 (3 docs ×
+    // 6 tokens), tot_big=15 (3 docs × 5 bigrams)
+    assert(ny.getAs[Long]("cnt_big") == 5L)
+    assert(ny.getAs[Long]("cnt_w1") == 5L && ny.getAs[Long]("cnt_w2") == 5L)
+    val expectNy = math.floor(
+      math.log((5.0 * 18.0 * 18.0) / (5.0 * 5.0 * 15.0)) * 1e6 + 0.5).toLong
+    assert(ny.getAs[Long]("pmi_q") == expectNy)
+    assert(ny.getAs[Boolean]("is_phrase"), s"new york pmi_q=${ny.getAs[Long]("pmi_q")}")
+    // bigrams under minCount don't surface at all
+    assert(!out.contains(("the", "cat")) || out(("the", "cat")).getAs[Long]("cnt_big") >= 2)
+  }
+
   test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
     val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
     val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
