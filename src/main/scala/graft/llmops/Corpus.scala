@@ -323,6 +323,40 @@ object Corpus {
       .select("w1", "w2", "cnt_big", "cnt_w1", "cnt_w2", "pmi_q", "is_phrase")
   }
 
+  /** Deterministic mixture-curriculum scheduler: a single global training
+    * order in which every source's documents are spread evenly — source s's
+    * i-th document (under a per-source LCG-hash shuffle) is emitted at
+    * virtual time i / w_s, with w_s = ⌊√n_s · 10⁶⌋ the same
+    * integer-temperature weight as [[sampleTemperature]] (stride
+    * scheduling, the deterministic analogue of sampling-without-replacement
+    * from a weighted mixture). The trainer then streams position order and
+    * sees sources interleaved ∝ weight instead of concatenated — no RNG,
+    * so the schedule is reproducible and resumable from any position.
+    *
+    * Determinism: within-source order is the integer LCG rank; virtual
+    * times are IEEE quotients of exact integers (identical on every
+    * engine), tie-broken by (source, id).
+    *
+    * Scale: one per-source rank window (partitioned, never global), a
+    * |sources|-row broadcast for weights, and the global position from
+    * [[graft.operators.Ranks.globalRank]] — the distributed
+    * zip-with-index, no single-partition window anywhere. Returns
+    * (id, source, src_rank, n_src, position). */
+  def mixtureSchedule(docs: DataFrame, idCol: String, sourceCol: String): DataFrame = {
+    val ranked = docs
+      .select(col(sourceCol).as("source"), col(idCol).as("id"),
+        pmod(col(idCol).cast("long") * 2654435761L + 40503L, lit(P)).as("h"))
+      .withColumn("src_rank", row_number()
+        .over(Window.partitionBy("source").orderBy("h", "id")).cast("long"))
+    val wts = ranked.groupBy("source").agg(count(lit(1)).as("n_src"))
+      .withColumn("w", floor(sqrt(col("n_src").cast("double")) * 1000000.0).cast("long"))
+    val vt = ranked.join(broadcast(wts), "source")
+      .withColumn("vtime", col("src_rank").cast("double") / col("w").cast("double"))
+    graft.operators.Ranks.globalRank(vt, "position",
+      col("vtime"), col("source"), col("id"))
+      .select("id", "source", "src_rank", "n_src", "position")
+  }
+
   /** Corpus vocabulary report — the Zipf sanity check a curation run
     * prints before tokenizer training: the top-k tokens by frequency
     * alongside corpus-level scalars (vocabulary size, hapax-legomenon

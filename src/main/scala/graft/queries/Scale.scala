@@ -191,6 +191,34 @@ object Scale {
       |SELECT w1, w2, cnt_big, cnt_w1, cnt_w2, pmi_q, pmi_q >= 1000000 AS is_phrase
       |FROM j ORDER BY w1, w2""".stripMargin
 
+  // ------------------------------------------ q109 mixture schedule
+
+  /** North star/curation — deterministic mixture-curriculum order
+    * ([[Corpus.mixtureSchedule]]): stride-scheduled global training
+    * positions interleaving sources by √n temperature weight; the global
+    * position comes from the distributed zip-with-index, the oracle from a
+    * plain global window. */
+  def q109MixtureSchedule(s: SparkSession, dir: String): DataFrame =
+    Corpus.mixtureSchedule(docs(s, dir), "doc_id", "source")
+      .orderBy("id")
+
+  val q109Sql: String =
+    """WITH r AS (SELECT doc_id AS id, source,
+      |             (doc_id * 2654435761 + 40503) % 2147483647 AS h FROM documents),
+      |rk AS (SELECT id, source,
+      |         CAST(row_number() OVER (PARTITION BY source ORDER BY h, id) AS BIGINT)
+      |           AS src_rank
+      |       FROM r),
+      |w AS (SELECT source, CAST(count(*) AS BIGINT) AS n_src,
+      |        CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) * 1000000.0) AS BIGINT) AS w
+      |      FROM r GROUP BY 1),
+      |v AS (SELECT id, rk.source, src_rank, n_src,
+      |        CAST(src_rank AS DOUBLE) / CAST(w AS DOUBLE) AS vtime
+      |      FROM rk JOIN w ON w.source = rk.source)
+      |SELECT id, source, src_rank, n_src,
+      |  CAST(row_number() OVER (ORDER BY vtime, source, id) AS BIGINT) AS position
+      |FROM v ORDER BY id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -899,6 +927,7 @@ object Scale {
     "q106_dsir_weights" -> (q106DsirWeights _),
     "q107_perplexity_tiers" -> (q107PerplexityTiers _),
     "q108_pmi_phrases" -> (q108PmiPhrases _),
+    "q109_mixture_schedule" -> (q109MixtureSchedule _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -924,6 +953,7 @@ object Scale {
     "q106_dsir_weights" -> q106Sql,
     "q107_perplexity_tiers" -> q107Sql,
     "q108_pmi_phrases" -> q108Sql,
+    "q109_mixture_schedule" -> q109Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -156,6 +156,25 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(!out.contains(("the", "cat")) || out(("the", "cat")).getAs[Long]("cnt_big") >= 2)
   }
 
+  test("mixtureSchedule: positions are a permutation; stride interleaves by weight") {
+    import spark.implicits._
+    val d = (1L to 8L).map(i => (i, if (i <= 6) "big" else "small"))
+      .toDF("doc_id", "source")
+    val out = Corpus.mixtureSchedule(d, "doc_id", "source").collect()
+    assert(out.map(_.getAs[Long]("position")).sorted.sameElements(1L to 8L))
+    // stride keeps within-source order: src_rank increases with position
+    Seq("big", "small").foreach { s =>
+      val rs = out.filter(_.getAs[String]("source") == s)
+        .sortBy(_.getAs[Long]("position")).map(_.getAs[Long]("src_rank"))
+      assert(rs.sameElements(rs.sorted), s"source $s emitted out of order")
+    }
+    // w_big=⌊√6·1e6⌋, w_small=⌊√2·1e6⌋: big's vtime step ≈ 4.1e-7, small's
+    // ≈ 7.1e-7 — big1 precedes small1, and small never clumps at the front
+    val firstSmall = out.filter(_.getAs[String]("source") == "small")
+      .map(_.getAs[Long]("position")).min
+    assert(firstSmall >= 2, s"small source scheduled too early: $firstSmall")
+  }
+
   test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
     val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
     val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
