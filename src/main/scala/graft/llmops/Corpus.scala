@@ -357,6 +357,78 @@ object Corpus {
       .select("id", "source", "src_rank", "n_src", "position")
   }
 
+  /** Interpolated bigram language-model scoring — the next LM rung above
+    * [[unigramLogProb]]'s unigram proxy (Jelinek-Mercer smoothing, λ=1/2):
+    * p̂(w_i | w_{i−1}) = ½·cnt(w_{i−1}w_i)/cnt(w_{i−1}) + ½·cnt(w_i)/T.
+    * Doc score = Σ over bigram positions of the ×1e6-quantized ln p̂;
+    * `pass_ppl` gates on the average via the same integer cross-multiply
+    * as the unigram form (never a division on the gate path).
+    *
+    * Determinism: each distinct bigram's log-prob is quantized ONCE (two
+    * IEEE quotients + one ln, in fixed order), then per-doc sums are
+    * integer arithmetic — the q55/q71 rule.
+    *
+    * Scale: bigram extraction is the same scan-stage generator as
+    * [[pmiPhrases]]; one (id,w1,w2) shuffle, one (w1,w2) count, unigram
+    * counts joined in, corpus total broadcast. Single-token docs have no
+    * bigrams and drop out (exactly as tokenless docs do in the unigram
+    * form). Returns (id, n_bigrams, sum_blp_q, pass_ppl). */
+  def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
+      minAvgLpQ: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val pairs = toks.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val tfb = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tfb"))
+    val cb = tfb.groupBy("w1", "w2").agg(sum("tfb").as("cnt_big"))
+    val uni = toks.select(explode(col("t")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val tot = broadcast(uni.agg(sum("cnt").as("total")))
+    val lp = cb
+      .join(uni.select(col("w").as("w1"), col("cnt").as("cnt_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("cnt").as("cnt_w2")), "w2")
+      .crossJoin(tot)
+      .withColumn("blp_q", floor(log(
+        lit(0.5) * (col("cnt_big").cast("double") / col("cnt_w1").cast("double"))
+          + lit(0.5) * (col("cnt_w2").cast("double") / col("total").cast("double")))
+        * 1000000.0 + 0.5).cast("long"))
+      .select("w1", "w2", "blp_q")
+    tfb.join(lp, Seq("w1", "w2"))
+      .groupBy("id")
+      .agg(sum("tfb").as("n_bigrams"), sum(col("tfb") * col("blp_q")).as("sum_blp_q"))
+      .withColumn("pass_ppl", col("sum_blp_q") >= lit(minAvgLpQ) * col("n_bigrams"))
+  }
+
+  /** Fractional containment decontamination — the graded form of
+    * [[decontaminate]]: instead of flagging any shared n-gram, score each
+    * corpus document by WHAT SHARE of its distinct n-grams appear anywhere
+    * in the eval set, containment = |S(doc) ∩ S(eval)| / |S(doc)| (the
+    * asymmetric overlap of Broder's resemblance family — right for
+    * "my training doc quotes the benchmark", where the doc may be much
+    * longer than the quoted item). The gate is the exact integer
+    * cross-multiply n_shared·100 ≥ n_grams·thresholdPct.
+    *
+    * Scale: same asymmetry as [[decontaminate]] — the eval gram set (small
+    * by construction) broadcasts; corpus grams never shuffle for the
+    * probe. Every corpus doc with ≥n tokens gets a row (left join), so
+    * clean docs are auditable, not absent. Returns
+    * (id, n_grams, n_shared, contaminated). */
+  def decontaminateContainment(corpus: DataFrame, eval: DataFrame,
+      idCol: String, textCol: String, n: Int, thresholdPct: Int): DataFrame = {
+    val corpusGrams = Dedup.shingleIndex(corpus, idCol, textCol, n)
+    val sizes = corpusGrams.groupBy("id").agg(count(lit(1)).as("n_grams"))
+    val evalGrams = Dedup.shingleIndex(eval, idCol, textCol, n)
+      .select("s").distinct()
+    val inter = corpusGrams.join(broadcast(evalGrams), "s")
+      .groupBy("id").agg(count(lit(1)).as("n_shared"))
+    sizes.join(inter, Seq("id"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("contaminated",
+        col("n_shared") * 100 >= col("n_grams") * thresholdPct)
+  }
+
   /** Corpus vocabulary report — the Zipf sanity check a curation run
     * prints before tokenizer training: the top-k tokens by frequency
     * alongside corpus-level scalars (vocabulary size, hapax-legomenon

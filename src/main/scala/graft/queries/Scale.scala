@@ -219,6 +219,67 @@ object Scale {
       |  CAST(row_number() OVER (ORDER BY vtime, source, id) AS BIGINT) AS position
       |FROM v ORDER BY id""".stripMargin
 
+  // ------------------------------------------ q110 bigram LM scoring
+
+  /** North star/text analysis — interpolated bigram LM scoring
+    * ([[Corpus.bigramLogProb]]): Jelinek-Mercer λ=½ smoothing over the
+    * corpus's own bigram/unigram counts, per-bigram ×1e6-quantized
+    * log-probs, integer cross-multiply average gate at −6.0. */
+  def q110BigramLogprob(s: SparkSession, dir: String): DataFrame =
+    Corpus.bigramLogProb(docs(s, dir), "doc_id", "text", minAvgLpQ = -6000000L)
+      .orderBy("id")
+
+  val q110Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |pr AS (SELECT doc_id AS id, t[i] AS w1, t[i + 1] AS w2
+      |       FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |tfb AS (SELECT id, w1, w2, CAST(count(*) AS BIGINT) AS tfb FROM pr GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, CAST(sum(tfb) AS BIGINT) AS cnt_big FROM tfb GROUP BY 1, 2),
+      |uni AS (SELECT unnest(t) AS w FROM tok),
+      |cnt AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM uni GROUP BY 1),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+      |lp AS (SELECT cb.w1, cb.w2,
+      |         CAST(floor(ln(0.5 * (CAST(cnt_big AS DOUBLE) / CAST(c1.cnt AS DOUBLE))
+      |                     + 0.5 * (CAST(c2.cnt AS DOUBLE) / CAST(total AS DOUBLE)))
+      |              * 1000000.0 + 0.5) AS BIGINT) AS blp_q
+      |       FROM cb JOIN cnt c1 ON c1.w = cb.w1 JOIN cnt c2 ON c2.w = cb.w2
+      |            CROSS JOIN tot),
+      |a AS (SELECT id, CAST(sum(tfb) AS BIGINT) AS n_bigrams,
+      |        CAST(sum(tfb * blp_q) AS BIGINT) AS sum_blp_q
+      |      FROM tfb JOIN lp ON lp.w1 = tfb.w1 AND lp.w2 = tfb.w2 GROUP BY 1)
+      |SELECT id, n_bigrams, sum_blp_q, sum_blp_q >= -6000000 * n_bigrams AS pass_ppl
+      |FROM a ORDER BY id""".stripMargin
+
+  // ------------------------------------- q111 containment decontamination
+
+  /** North star/curation — graded decontamination
+    * ([[Corpus.decontaminateContainment]]): share of each training doc's
+    * distinct 8-grams appearing in the held-out set (doc_id % 10 = 0),
+    * integer cross-multiply gate at 20% — every corpus doc audited, not
+    * just the hit set (q60's binary form stays). */
+  def q111Containment(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    Corpus.decontaminateContainment(
+      d.filter(pmod(col("doc_id"), lit(10)) =!= 0),
+      d.filter(pmod(col("doc_id"), lit(10)) === 0),
+      "doc_id", "text", n = 8, thresholdPct = 20)
+      .orderBy("id")
+  }
+
+  val q111Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 8
+      |        THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+      |        ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_grams FROM g
+      |       WHERE id % 10 <> 0 GROUP BY 1),
+      |ev AS (SELECT DISTINCT s FROM g WHERE id % 10 = 0),
+      |inter AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shared FROM g JOIN ev USING (s)
+      |          WHERE id % 10 <> 0 GROUP BY 1)
+      |SELECT sz.id, n_grams, CAST(COALESCE(n_shared, 0) AS BIGINT) AS n_shared,
+      |  CAST(COALESCE(n_shared, 0) AS BIGINT) * 100 >= n_grams * 20 AS contaminated
+      |FROM sz LEFT JOIN inter ON inter.id = sz.id ORDER BY sz.id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -928,6 +989,8 @@ object Scale {
     "q107_perplexity_tiers" -> (q107PerplexityTiers _),
     "q108_pmi_phrases" -> (q108PmiPhrases _),
     "q109_mixture_schedule" -> (q109MixtureSchedule _),
+    "q110_bigram_logprob" -> (q110BigramLogprob _),
+    "q111_containment" -> (q111Containment _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -954,6 +1017,8 @@ object Scale {
     "q107_perplexity_tiers" -> q107Sql,
     "q108_pmi_phrases" -> q108Sql,
     "q109_mixture_schedule" -> q109Sql,
+    "q110_bigram_logprob" -> q110Sql,
+    "q111_containment" -> q111Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

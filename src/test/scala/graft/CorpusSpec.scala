@@ -175,6 +175,40 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(firstSmall >= 2, s"small source scheduled too early: $firstSmall")
   }
 
+  test("bigramLogProb: interpolated probs hand-computed; single-token docs drop") {
+    val d = docsDF(1L -> "a b a b", 2L -> "a b", 3L -> "solo")
+    val out = Corpus.bigramLogProb(d, "doc_id", "text", minAvgLpQ = -1000000L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // uni: a=3, b=3, total=7 (incl. "solo"); cnt_big(a,b)=3, (b,a)=1
+    def blp(cb: Long, c1: Long, c2: Long) = math.floor(math.log(
+      0.5 * (cb.toDouble / c1.toDouble) + 0.5 * (c2.toDouble / 7.0))
+      * 1e6 + 0.5).toLong
+    val ab = blp(3, 3, 3); val ba = blp(1, 3, 3)
+    assert(out(1L).getAs[Long]("n_bigrams") == 3L)
+    assert(out(1L).getAs[Long]("sum_blp_q") == 2 * ab + ba)
+    assert(out(2L).getAs[Long]("sum_blp_q") == ab)
+    // doc1 avg = (2ab+ba)/3 ≈ -0.47e6 ≥ -1e6 passes; both pass at this gate
+    assert(out(1L).getAs[Boolean]("pass_ppl") && out(2L).getAs[Boolean]("pass_ppl"))
+  }
+
+  test("decontaminateContainment: clean docs audited at zero; share gate cross-multiplies") {
+    import spark.implicits._
+    val corpus = docsDF(1L -> "x y z w", 2L -> "p q r")
+    val eval = docsDF(10L -> "y z q")
+    val out = Corpus.decontaminateContainment(corpus, eval, "doc_id", "text",
+      n = 2, thresholdPct = 30)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.keySet == Set(1L, 2L))
+    // doc1 grams {x y, y z, z w}; eval grams {y z, z q} → shared 1 of 3 = 33%
+    assert(out(1L).getAs[Long]("n_grams") == 3L)
+    assert(out(1L).getAs[Long]("n_shared") == 1L)
+    assert(out(1L).getAs[Boolean]("contaminated"), "33% ≥ 30% must flag")
+    // doc2 {p q, q r} shares nothing — present, zeroed, clean
+    assert(out(2L).getAs[Long]("n_shared") == 0L)
+    assert(!out(2L).getAs[Boolean]("contaminated"))
+  }
+
   test("vocabReport: top-k ranks, hapax count and scalars, hand-computed") {
     val d = docsDF(1L -> "a a a b b c", 2L -> "b d")
     val rows = Corpus.vocabReport(d, "doc_id", "text", k = 3)
