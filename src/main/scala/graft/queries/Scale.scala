@@ -280,6 +280,72 @@ object Scale {
       |  CAST(COALESCE(n_shared, 0) AS BIGINT) * 100 >= n_grams * 20 AS contaminated
       |FROM sz LEFT JOIN inter ON inter.id = sz.id ORDER BY sz.id""".stripMargin
 
+  // ------------------------------------- q112 streaming decontamination
+
+  /** Staged corpus stream for q112: non-eval documents split into three
+    * band files (doc_id mod 3), delivered oldest-band-first one file per
+    * micro-batch (the q63 arrival pattern). */
+  private def stageDocBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q112:$dir", {
+      import java.nio.file.{Files, Path}
+      val src = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0)
+        .select(col("doc_id").as("id"), col("text"),
+          pmod(col("doc_id"), lit(3)).as("batch"))
+      val d = Files.createTempDirectory("graft-sdecon-src")
+      val t0 = 1700000000000L
+      (0L until 3L).foreach { b =>
+        val tmp = Files.createTempDirectory("graft-sdecon-part")
+        src.filter(col("batch") === b).drop("batch").coalesce(1)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val listing = Files.list(tmp)
+        val part =
+          try listing.toArray.map(_.asInstanceOf[Path])
+            .find(_.toString.endsWith(".parquet")).get
+          finally listing.close()
+        val dst = d.resolve(f"$b%02d_band.parquet")
+        Files.move(part, dst)
+        Files.setLastModifiedTime(dst,
+          java.nio.file.attribute.FileTime.fromMillis(t0 + b * 60000))
+      }
+      d.toString
+    })
+
+  /** S26 depth — stream–STATIC join: documents stream in micro-batches
+    * against the broadcast eval gram index
+    * ([[graft.streaming.StreamDecontam.sharedGrams]]); result hash-matches
+    * the batch decontamination (the q44 contract: complete mode for the
+    * oracle check, the production path is watermarked append). */
+  def q112StreamDecontam(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamDecontam
+    val srcDir = stageDocBands(s, dir)
+    val evalGrams = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
+      .select(explode(StreamDecontam.gramSet(col("text"), 8)).as("s")).distinct()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("text", "string")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val flagged = StreamDecontam.sharedGrams(stream, evalGrams, n = 8)
+    val qn = s"q112_sdecon_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      flagged.writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sdecon-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn).orderBy("id")
+  }
+
+  val q112Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 8
+      |        THEN list_transform(range(1, len(t) - 6), i -> array_to_string(t[i:i+7], ' '))
+      |        ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |ev AS (SELECT DISTINCT s FROM g WHERE id % 10 = 0)
+      |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
+      |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -991,6 +1057,7 @@ object Scale {
     "q109_mixture_schedule" -> (q109MixtureSchedule _),
     "q110_bigram_logprob" -> (q110BigramLogprob _),
     "q111_containment" -> (q111Containment _),
+    "q112_stream_decontam" -> (q112StreamDecontam _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1019,6 +1086,7 @@ object Scale {
     "q109_mixture_schedule" -> q109Sql,
     "q110_bigram_logprob" -> q110Sql,
     "q111_containment" -> q111Sql,
+    "q112_stream_decontam" -> q112Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -146,6 +146,44 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
   }
 
+  test("stream-static decontamination ≡ batch decontaminate across multi-batch arrival") {
+    import graft.llmops.Corpus
+    import graft.streaming.StreamDecontam
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val corpusRows = Seq(
+      (1L, "a b c d e shared gram tail one two"),
+      (2L, "totally different words with no overlap at all here"),
+      (3L, "c d e shared gram tail one two three"),
+      (4L, "short doc"))
+    val evalRows = Seq((10L, "x c d e shared gram tail one two y"))
+    val corpus = corpusRows.toDF("doc_id", "text")
+    val eval = evalRows.toDF("doc_id", "text")
+    val batch = Corpus.decontaminate(corpus, eval, "doc_id", "text", n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // stream the corpus in two micro-batches against the static gram index
+    val evalGrams = eval
+      .select(explode(StreamDecontam.gramSet(col("text"), 8)).as("s")).distinct()
+    val mem = MemoryStream[(Long, String)]
+    val stream = mem.toDF.toDF("id", "text")
+    mem.addData(corpusRows.take(2).map(r => (r._1, r._2)): _*)
+    val out = StreamDecontam.sharedGrams(stream, evalGrams, n = 8)
+    val qn = "sdecon_spec"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdecon-spec").toString
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName(qn).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    mem.addData(corpusRows.drop(2).map(r => (r._1, r._2)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table(qn).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(streamed == batch, s"stream $streamed != batch $batch")
+    // sanity: the shared 8-gram run is detected, the clean docs are absent
+    assert(batch.keySet == Set(1L, 3L) && batch.values.forall(_ >= 1L))
+  }
+
   test("streaming funnel ≡ batch funnel on random streams split at random times") {
     import spark.implicits._
     import graft.streaming.StreamingFunnel
