@@ -202,11 +202,13 @@ object Corpus {
     * importance-resampling criterion with the noise draw dropped, which
     * keeps the gate deterministic.
     *
-    * Determinism: the log-ratio is ONE `ln` of ONE double — the ratio of
-    * two exact integer products ((cnt_t+1)·(T_r+V)) / ((cnt_r+1)·(T_t+V)),
-    * each ≤ ~1e13 at bench scale so the doubles are exact — quantized ×1e6
-    * half-up to a BIGINT before any per-doc summation, so engines can never
-    * disagree by an ulp-ordering (the q55/q71 rule).
+    * Determinism: the log-ratio is ONE `ln` of ONE double — the ratio
+    * ((cnt_t+1)·(T_r+V)) / ((cnt_r+1)·(T_t+V)) with the products taken in
+    * DOUBLE arithmetic (the q108 rule: int64 products overflow once corpus
+    * totals reach ~1e13 tokens; IEEE doubles round identically on every
+    * engine) — quantized ×1e6 half-up to a BIGINT before any per-doc
+    * summation, so engines can never disagree by an ulp-ordering (the
+    * q55/q71 rule).
     *
     * Scale: ONE term-frequency shuffle serves both distributions (the
     * target count is a conditional re-aggregation of the same tf rows, not
@@ -228,8 +230,10 @@ object Corpus {
       count(lit(1)).as("vocab")))
     tf.join(cnt, "w").crossJoin(scal)
       .withColumn("lp_q", floor(
-        log(((col("cnt_t") + 1) * (col("tot_r") + col("vocab"))).cast("double")
-          / ((col("cnt_r") + 1) * (col("tot_t") + col("vocab"))).cast("double"))
+        log(((col("cnt_t") + 1).cast("double")
+          * (col("tot_r") + col("vocab")).cast("double"))
+          / ((col("cnt_r") + 1).cast("double")
+            * (col("tot_t") + col("vocab")).cast("double")))
           * 1000000.0 + 0.5).cast("long"))
       .groupBy("id")
       .agg(sum("tf").as("n_tokens"), sum(col("tf") * col("lp_q")).as("dsir_q"))
@@ -296,15 +300,20 @@ object Corpus {
     * shuffle (TF-IDF's footprint); corpus totals ride a broadcast 1-row
     * frame. Returns (w1, w2, cnt_big, cnt_w1, cnt_w2, pmi_q, is_phrase)
     * for bigrams with cnt_big ≥ minCount. */
+  /** Adjacent-token bigram occurrences (id, w1, w2) from an (id, t) token
+    * frame — the scan-stage generator shared by [[pmiPhrases]] and
+    * [[bigramLogProb]] (and mirrored by both oracles' UNNEST(range)). */
+  private def bigramPairs(toks: DataFrame): DataFrame =
+    toks.filter(size(col("t")) >= 2)
+      .select(col("id"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
+      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+
   def pmiPhrases(docs: DataFrame, idCol: String, textCol: String,
       minCount: Long, minPmiQ: Long): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-    val pairs = toks.filter(size(col("t")) >= 2)
-      .select(explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> " +
-          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
-      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val bg = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("cnt_big"))
+    val bg = bigramPairs(toks).groupBy("w1", "w2").agg(count(lit(1)).as("cnt_big"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))
     val scal = broadcast(uni.agg(sum("cnt").as("tot_uni"))
@@ -376,12 +385,7 @@ object Corpus {
   def bigramLogProb(docs: DataFrame, idCol: String, textCol: String,
       minAvgLpQ: Long): DataFrame = {
     val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
-    val pairs = toks.filter(size(col("t")) >= 2)
-      .select(col("id"), explode(expr(
-        "transform(sequence(1, size(t) - 1), i -> " +
-          "struct(element_at(t, i) AS w1, element_at(t, i + 1) AS w2))")).as("p"))
-      .select(col("id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
-    val tfb = pairs.groupBy("id", "w1", "w2").agg(count(lit(1)).as("tfb"))
+    val tfb = bigramPairs(toks).groupBy("id", "w1", "w2").agg(count(lit(1)).as("tfb"))
     val cb = tfb.groupBy("w1", "w2").agg(sum("tfb").as("cnt_big"))
     val uni = toks.select(explode(col("t")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("cnt"))

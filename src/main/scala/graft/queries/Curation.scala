@@ -136,28 +136,14 @@ object Curation {
 
   private def stageDedupSource(s: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"q63:$dir", {
-      import java.nio.file.{Files, Path}
       val tagged = docs(s, dir).select(
         sha2(col("text").cast("binary"), 256).as("sha"),
         col("doc_id").as("id"),
         pmod(col("doc_id"), lit(3)).as("batch"))
-      val srcDir = Files.createTempDirectory("graft-dedup-src")
-      val t0 = 1700000000000L
-      (0L until 3L).foreach { b =>
-        val tmp = Files.createTempDirectory("graft-dedup-part")
-        tagged.filter(col("batch") === b).coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.toArray.map(_.asInstanceOf[Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally listing.close()
-        val dst = srcDir.resolve(f"$b%02d_band.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + b * 60000))
-      }
-      srcDir.toString
+      // the batch tag stays IN the rows: TaggedArrival carries it so the
+      // accepted representative records its arrival batch
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"band$b" -> tagged.filter(col("batch") === b)))
     })
 
   /** S26 depth — incremental exact dedup

@@ -120,7 +120,6 @@ object Extended {
 
   private def stageSessionSource(s: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"q53:$dir", {
-      import java.nio.file.{Files, Path, Paths}
       val split = 1705363200000L   // 2024-01-16T00:00:00Z
       val flushTs = 1709251200000L // 2024-03-01T00:00:00Z — beyond every event
       val tall = t(s, dir, "events").select(
@@ -131,24 +130,10 @@ object Extended {
       val sentinels = tall.select(col("entity_id")).distinct()
         .select(col("entity_id"), lit(flushTs).as("ts"),
           lit(0L).as("valueCents"), lit(true).as("flush"))
-      val srcDir = Files.createTempDirectory("graft-sess-src")
-      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft-sess-part")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.toArray.map(_.asInstanceOf[Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally listing.close()
-        val dst = srcDir.resolve(name)
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
-      val t0 = 1700000000000L // fixed mtimes: file order is part of the contract
-      stagePart(tall.filter(col("ts") < split), "00_first.parquet", t0)
-      stagePart(tall.filter(col("ts") >= split), "01_second.parquet", t0 + 60000)
-      stagePart(sentinels, "02_flush.parquet", t0 + 120000)
-      srcDir.toString
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> tall.filter(col("ts") < split),
+        "second" -> tall.filter(col("ts") >= split),
+        "flush" -> sentinels))
     })
 
   /** S26 depth — gap-based session windows (12 h) per user computed by

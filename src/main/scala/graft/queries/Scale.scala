@@ -115,8 +115,8 @@ object Scale {
       |                CAST(sum(cnt_t) AS BIGINT) AS tot_t,
       |                CAST(count(*) AS BIGINT) AS vocab FROM cnt),
       |sc AS (SELECT id, tf,
-      |         CAST(floor(ln(CAST((cnt_t + 1) * (tot_r + vocab) AS DOUBLE)
-      |                      / CAST((cnt_r + 1) * (tot_t + vocab) AS DOUBLE))
+      |         CAST(floor(ln((CAST(cnt_t + 1 AS DOUBLE) * CAST(tot_r + vocab AS DOUBLE))
+      |                      / (CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + vocab AS DOUBLE)))
       |              * 1000000.0 + 0.5) AS BIGINT) AS lp_q
       |       FROM tf JOIN cnt USING (w) CROSS JOIN scal),
       |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
@@ -287,27 +287,11 @@ object Scale {
     * micro-batch (the q63 arrival pattern). */
   private def stageDocBands(s: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"q112:$dir", {
-      import java.nio.file.{Files, Path}
       val src = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) =!= 0)
         .select(col("doc_id").as("id"), col("text"),
           pmod(col("doc_id"), lit(3)).as("batch"))
-      val d = Files.createTempDirectory("graft-sdecon-src")
-      val t0 = 1700000000000L
-      (0L until 3L).foreach { b =>
-        val tmp = Files.createTempDirectory("graft-sdecon-part")
-        src.filter(col("batch") === b).drop("batch").coalesce(1)
-          .write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.toArray.map(_.asInstanceOf[Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally listing.close()
-        val dst = d.resolve(f"$b%02d_band.parquet")
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst,
-          java.nio.file.attribute.FileTime.fromMillis(t0 + b * 60000))
-      }
-      d.toString
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"band$b" -> src.filter(col("batch") === b).drop("batch")))
     })
 
   /** S26 depth — stream–STATIC join: documents stream in micro-batches
@@ -755,7 +739,6 @@ object Scale {
     * staging contract). */
   private def stageFunnelSource(s: SparkSession, dir: String): String =
     staged.getOrElseUpdate(s"q95:$dir", {
-      import java.nio.file.{Files, Path}
       val split = 1705363200000000L   // 2024-01-16T00:00:00Z, µs
       val flushTs = 1709251200000000L // 2024-03-01T00:00:00Z — beyond every event
       val tall = t(s, dir, "events").select(
@@ -766,24 +749,10 @@ object Scale {
       val sentinels = tall.select(col("entity_id")).distinct()
         .select(col("entity_id"), lit(flushTs).as("ts_us"),
           lit("flush").as("etype"), lit(true).as("flush"))
-      val srcDir = Files.createTempDirectory("graft-funnel-src")
-      def stagePart(df: DataFrame, name: String, mtime: Long): Unit = {
-        val tmp = Files.createTempDirectory("graft-funnel-part")
-        df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val listing = Files.list(tmp)
-        val part =
-          try listing.toArray.map(_.asInstanceOf[Path])
-            .find(_.toString.endsWith(".parquet")).get
-          finally listing.close()
-        val dst = srcDir.resolve(name)
-        Files.move(part, dst)
-        Files.setLastModifiedTime(dst, java.nio.file.attribute.FileTime.fromMillis(mtime))
-      }
-      val t0 = 1700000000000L // fixed mtimes: file order is part of the contract
-      stagePart(tall.filter(col("ts_us") < split), "00_first.parquet", t0)
-      stagePart(tall.filter(col("ts_us") >= split), "01_second.parquet", t0 + 60000)
-      stagePart(sentinels, "02_flush.parquet", t0 + 120000)
-      srcDir.toString
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> tall.filter(col("ts_us") < split),
+        "second" -> tall.filter(col("ts_us") >= split),
+        "flush" -> sentinels))
     })
 
   /** Behavioral/streaming — the q88 funnel computed INCREMENTALLY

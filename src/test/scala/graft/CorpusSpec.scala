@@ -104,8 +104,9 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
 
   test("perplexityBuckets: per-language tiers, common-vocab docs land in the head") {
     import spark.implicits._
-    // lang x: doc 1-2 use the dominant token, doc 3 a hapax → 3 is the tail.
-    // lang y: its own distribution — sizes [1,1,1] over 3 docs.
+    // lang x: doc 1 is pure dominant-token (head); the hapax doc 3 still
+    // outranks doc 2, whose rare "beta" drags its average below ln(3/9) —
+    // the hand-order below works this out. lang y: sizes [1,1,1] over 3 docs.
     val d = Seq(
       (1L, "alpha alpha alpha", "x"),
       (2L, "alpha alpha beta", "x"),
