@@ -303,8 +303,13 @@ object Scale {
     import org.apache.spark.sql.streaming.Trigger
     import graft.streaming.StreamDecontam
     val srcDir = stageDocBands(s, dir)
+    // persist + materialize the STATIC side: the stream re-evaluates its
+    // static frames every micro-batch, so an uncached gram index would be
+    // recomputed (scan + explode + distinct) once per batch
     val evalGrams = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
       .select(explode(StreamDecontam.gramSet(col("text"), 8)).as("s")).distinct()
+      .persist()
+    evalGrams.count()
     val schema = new org.apache.spark.sql.types.StructType()
       .add("id", "long").add("text", "string")
     val stream = s.readStream.schema(schema)
