@@ -659,4 +659,63 @@ object Corpus {
     corpusGrams.join(broadcast(evalGrams), "s")
       .groupBy("id").agg(count(lit(1)).as("n_shared_grams"))
   }
+
+  /** Per-stratum document cap ranked by QUALITY — the per-domain cap a web
+    * pipeline applies against SEO/template farms: instead of admitting in
+    * hash order ([[sampleStratified]]) or by token budget
+    * ([[capTokenBudget]]), keep each stratum's `maxDocs` most
+    * lexically-diverse documents. Diversity is the type–token ratio as an
+    * EXACT integer: `ttr_q = (n_distinct · 1e6) div n_tokens` — integer
+    * division of integer counts, bit-equal on any engine, so the rank
+    * order (ttr_q desc, id) is total and portable.
+    *
+    * Scale: one scan computing both counts from a single tokenization, one
+    * stratum-keyed shuffle, one partitioned rank window — strata cap
+    * independently, a 100 TB crawl caps with millions of domains in
+    * parallel and no global coordination. Returns the admitted rows
+    * (stratum, id, n_tokens, n_distinct, ttr_q, q_rank). */
+  def capPerStratum(docs: DataFrame, idCol: String, strataCol: String,
+      textCol: String, maxDocs: Int): DataFrame = {
+    require(maxDocs > 0, s"maxDocs must be positive, got $maxDocs")
+    docs.select(col(strataCol).as("stratum"), col(idCol).as("id"),
+        tokens(col(textCol)).as("t"))
+      .select(col("stratum"), col("id"),
+        size(col("t")).cast("long").as("n_tokens"),
+        size(array_distinct(col("t"))).cast("long").as("n_distinct"))
+      .withColumn("ttr_q",
+        when(col("n_tokens") > 0,
+          expr("n_distinct * 1000000 div n_tokens")).otherwise(0L).cast("long"))
+      .withColumn("q_rank", row_number()
+        .over(Window.partitionBy("stratum").orderBy(col("ttr_q").desc, col("id"))))
+      .filter(col("q_rank") <= maxDocs)
+      .select("stratum", "id", "n_tokens", "n_distinct", "ttr_q", "q_rank")
+  }
+
+  /** Deterministic epoch shuffle — the global training-order permutation a
+    * trainer consumes each epoch, plus the shard every example lands in.
+    * Position is the rank of `md5(epoch ':' id)` (id tie-break): a seeded,
+    * engine-portable permutation that changes completely between epochs
+    * with zero RNG state, and is resumable from any position. Shards are
+    * round-robin over the permuted order, so every shard sees an unbiased
+    * slice of every epoch's order.
+    *
+    * Scale: one [[graft.operators.Ranks.globalRank]] per epoch — the
+    * distributed zip-with-index (range repartition + per-partition
+    * row_number + broadcast offsets), never a single-partition window; the
+    * epochs are independent unioned plans. Returns
+    * (epoch, id, position, shard). */
+  def epochOrder(docs: DataFrame, idCol: String, epochs: Int,
+      nShards: Int): DataFrame = {
+    require(epochs > 0 && nShards > 0,
+      s"epochs and nShards must be positive, got $epochs/$nShards")
+    val base = docs.select(col(idCol).as("id"))
+    (0 until epochs).map { ep =>
+      val keyed = base.withColumn("epoch", lit(ep.toLong))
+        .withColumn("k", md5(
+          concat(lit(ep.toString), lit(":"), col("id").cast("string")).cast("binary")))
+      graft.operators.Ranks.globalRank(keyed, "position", col("k"), col("id"))
+        .withColumn("shard", pmod(col("position") - 1L, lit(nShards.toLong)))
+        .select("epoch", "id", "position", "shard")
+    }.reduce(_ union _)
+  }
 }

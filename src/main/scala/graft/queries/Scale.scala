@@ -335,6 +335,54 @@ object Scale {
       |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
       |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // ---------------------------------------- q113 per-source quality caps
+
+  /** North star/curation — per-domain document cap ([[Corpus.capPerStratum]]):
+    * keep each source's 15 most lexically-diverse documents (exact integer
+    * type–token ratio), the FineWeb-style cap that stops any one domain —
+    * usually a template farm — from dominating the mixture. Complements
+    * q57 (hash-order sampling) and q84 (token budgets): same stratum
+    * machinery, quality-ranked admission. */
+  def q113SourceCaps(s: SparkSession, dir: String): DataFrame =
+    Corpus.capPerStratum(docs(s, dir), "doc_id", "source", "text", maxDocs = 15)
+      .orderBy("stratum", "q_rank")
+
+  val q113Sql: String =
+    """WITH s AS (SELECT source AS stratum, doc_id AS id,
+      |             regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |m AS (SELECT stratum, id, CAST(len(t) AS BIGINT) AS n_tokens,
+      |        CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct FROM s),
+      |q AS (SELECT *, CAST(CASE WHEN n_tokens > 0
+      |          THEN n_distinct * 1000000 // n_tokens ELSE 0 END AS BIGINT) AS ttr_q
+      |      FROM m),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY stratum
+      |          ORDER BY ttr_q DESC, id) AS q_rank
+      |      FROM q)
+      |SELECT stratum, id, n_tokens, n_distinct, ttr_q, q_rank
+      |FROM r WHERE q_rank <= 15 ORDER BY stratum, q_rank""".stripMargin
+
+  // --------------------------------------------- q115 epoch shuffle order
+
+  /** North star/curation — deterministic epoch shuffle
+    * ([[Corpus.epochOrder]]): the seeded global permutation + round-robin
+    * shard for two training epochs; position comes from the distributed
+    * zip-with-index over md5(epoch ':' id), so the order is reproducible,
+    * resumable, and changes completely between epochs. */
+  def q115EpochShuffle(s: SparkSession, dir: String): DataFrame =
+    Corpus.epochOrder(docs(s, dir), "doc_id", epochs = 2, nShards = 4)
+      .orderBy("epoch", "id")
+
+  val q115Sql: String =
+    """WITH e AS (SELECT CAST(ep AS BIGINT) AS epoch, doc_id AS id,
+      |             md5(CAST(ep AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS k
+      |           FROM documents, UNNEST([0, 1]) AS u(ep)),
+      |r AS (SELECT epoch, id,
+      |        CAST(row_number() OVER (PARTITION BY epoch ORDER BY k, id) AS BIGINT)
+      |          AS position
+      |      FROM e)
+      |SELECT epoch, id, position, CAST((position - 1) % 4 AS BIGINT) AS shard
+      |FROM r ORDER BY epoch, id""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -1032,6 +1080,8 @@ object Scale {
     "q110_bigram_logprob" -> (q110BigramLogprob _),
     "q111_containment" -> (q111Containment _),
     "q112_stream_decontam" -> (q112StreamDecontam _),
+    "q113_source_caps" -> (q113SourceCaps _),
+    "q115_epoch_shuffle" -> (q115EpochShuffle _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1061,6 +1111,8 @@ object Scale {
     "q110_bigram_logprob" -> q110Sql,
     "q111_containment" -> q111Sql,
     "q112_stream_decontam" -> q112Sql,
+    "q113_source_caps" -> q113Sql,
+    "q115_epoch_shuffle" -> q115Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,
