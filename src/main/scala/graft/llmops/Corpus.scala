@@ -61,6 +61,64 @@ object Corpus {
       .select("id", "rank", "w", "tf", "df", "tfidf_q")
   }
 
+  /** Sparse TF-IDF cosine k-NN via an inverted-index join — the SCALABLE
+    * text-similarity search (the sparse complement of the dense-embedding
+    * ANN surface): document vectors live as (id, term, weight) postings,
+    * and the candidate dot products come from a postings-list equi-join on
+    * the term, never an all-pairs comparison. Terms appearing in more than
+    * `maxDfPct` percent of documents are dropped first — the classic
+    * stopword/posting-length cut that bounds the join's fan-out (a term in
+    * f docs contributes f·|q| pairs; capping df caps the quadratic tail,
+    * exactly what makes this shape survive a 100 TB corpus where "the"
+    * would otherwise join everything with everything). The cut is RELATIVE
+    * (integer cross-multiply df·100 ≤ n_docs·pct) so the operating point
+    * is corpus-size-invariant.
+    *
+    * Determinism: weights are the ×1e6-quantized [[tfidfTopK]] scores, so
+    * dots and squared norms are exact 64-bit integer sums (order-free);
+    * cosine is one IEEE divide of exacts, rounded to 12 dp only in the
+    * output, ties broken by neighbor id — the q27 ranking rule.
+    *
+    * Scale: two shuffles on the term (df + join) and one on the pair key;
+    * the rank window is partitioned by query id. Query postings are the
+    * `queryPred` slice — broadcast-sized by construction.
+    * Returns (id, rank, neighbor_id, n_shared_terms, cosine). */
+  def tfidfKnn(docs: DataFrame, idCol: String, textCol: String, k: Int,
+      maxDfPct: Int, queryPred: Column): DataFrame = {
+    require(maxDfPct > 0 && maxDfPct <= 100,
+      s"maxDfPct must be in (0, 100], got $maxDfPct")
+    val tf = termFreqs(docs, idCol, textCol)
+    val df_ = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    val postings = tf.join(df_, "w")
+      .crossJoin(corpusN(docs, idCol))
+      .filter(col("df") * 100 <= col("n_docs") * maxDfPct)
+      .withColumn("wt",
+        floor(col("tf").cast("double") *
+          (log((col("n_docs").cast("double") + 1.0) / (col("df").cast("double") + 1.0)) + 1.0) *
+          1000000.0 + 0.5).cast("long"))
+      .select("id", "w", "wt")
+    val nrm = postings.groupBy("id")
+      .agg(sqrt(sum(col("wt") * col("wt")).cast("double")).as("nrm"))
+    val q = postings.filter(queryPred)
+      .select(col("id").as("qid"), col("w"), col("wt").as("qwt"))
+    val dots = broadcast(q)
+      .join(postings.select(col("id").as("cid"), col("w"), col("wt").as("cwt")), "w")
+      .filter(col("qid") =!= col("cid"))
+      .groupBy("qid", "cid")
+      .agg(sum(col("qwt") * col("cwt")).as("dot"),
+        count(lit(1)).as("n_shared_terms"))
+    dots
+      .join(nrm.select(col("id").as("qid"), col("nrm").as("qn")), "qid")
+      .join(nrm.select(col("id").as("cid"), col("nrm").as("cn")), "cid")
+      .withColumn("cosine",
+        round(col("dot").cast("double") / (col("qn") * col("cn")), 12))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("cosine").desc, col("cid"))))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("id"), col("rank"), col("cid").as("neighbor_id"),
+        col("n_shared_terms"), col("cosine"))
+  }
+
   /** BM25 (Robertson/Sparck Jones) relevance of every document against a
     * fixed bag of query terms. Per-term contributions quantize ×1e6 to
     * BIGINT before the final sum, so the score is an integer sum —

@@ -143,7 +143,41 @@ object Pipeline {
       |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
       |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** North star/similarity — SPARSE cosine k-NN over TF-IDF postings
+    * ([[Corpus.tfidfKnn]]): top-5 neighbors for query docs doc_id < 25 via
+    * an inverted-index equi-join with a df ≤ 78%-of-docs postings cut —
+    * the text-side similarity search complementing the dense-embedding ANN
+    * family (q27/q29/q43/q67/q105). */
+  def q114SparseKnn(s: SparkSession, dir: String): DataFrame =
+    Corpus.tfidfKnn(docs(s, dir), "doc_id", "text", k = 5,
+      maxDfPct = 78, queryPred = col("id") < 25)
+      .orderBy("id", "rank")
+
+  val q114Sql: String = DuckTf +
+    """,
+      |dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+      |n AS (SELECT count(doc_id) AS n_docs FROM documents),
+      |p AS (SELECT id, tf.w,
+      |        CAST(floor(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0) * 1000000.0 + 0.5)
+      |          AS BIGINT) AS wt
+      |      FROM tf JOIN dfq ON dfq.w = tf.w CROSS JOIN n
+      |      WHERE df * 100 <= n_docs * 78),
+      |nrm AS (SELECT id, sqrt(CAST(CAST(sum(wt * wt) AS BIGINT) AS DOUBLE)) AS nrm
+      |        FROM p GROUP BY 1),
+      |d AS (SELECT a.id AS qid, b.id AS cid, CAST(sum(a.wt * b.wt) AS BIGINT) AS dot,
+      |        CAST(count(*) AS BIGINT) AS n_shared_terms
+      |      FROM p a JOIN p b ON a.w = b.w AND a.id <> b.id
+      |      WHERE a.id < 25 GROUP BY 1, 2),
+      |c AS (SELECT qid, cid, n_shared_terms,
+      |        round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |      FROM d JOIN nrm na ON na.id = qid JOIN nrm nb ON nb.id = cid),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid)
+      |        AS "rank" FROM c)
+      |SELECT qid AS id, "rank", cid AS neighbor_id, n_shared_terms, cosine
+      |FROM r WHERE "rank" <= 5 ORDER BY id, "rank"""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q114_sparse_knn" -> (q114SparseKnn _),
     "q55_tfidf" -> (q55Tfidf _),
     "q56_quality_rules" -> (q56QualityRules _),
     "q57_stratified_sample" -> (q57StratifiedSample _),
@@ -152,6 +186,7 @@ object Pipeline {
     "q60_decontaminate" -> (q60Decontaminate _))
 
   val oracleSql: Map[String, String] = Map(
+    "q114_sparse_knn" -> q114Sql,
     "q55_tfidf" -> q55Sql,
     "q56_quality_rules" -> q56Sql,
     "q57_stratified_sample" -> q57Sql,
