@@ -81,6 +81,36 @@ object Similarity {
         col("cid").as("neighbor_id"), col("cosine"))
   }
 
+  /** k-NN label propagation — the neighbor-vote classifier a pipeline uses
+    * to spread scarce labels (quality ratings, topic tags) from a labeled
+    * seed set onto unlabeled examples: each query's k nearest labeled
+    * vectors by exact cosine vote; the majority label wins (ties: more
+    * votes, then the best cosine among each label's voters, then the
+    * lowest label). `corpus`: (id, vec, label); `queries`: (id, vec).
+    *
+    * Determinism: neighbor sets come from [[cosineTopK]]'s exact-integer
+    * ranking; votes are counts and best-cosine is a max over already
+    * 12-dp-rounded values — every tie-break key is engine-portable.
+    *
+    * Scale: inherits cosineTopK's broadcast-queries shape (swap in an ANN
+    * candidate generator for corpus-scale query sets); the vote is one
+    * (query, label) aggregation and a k-bounded rank window. Returns
+    * (vec_id, pred_label, votes, best_cosine). */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, k: Int,
+      exact: Boolean = true): DataFrame = {
+    val nn = cosineTopK(queries, corpus.select("id", "vec"), k, exact)
+    val votes = nn
+      .join(corpus.select(col("id").as("neighbor_id"), col("label")), "neighbor_id")
+      .groupBy("vec_id", "label")
+      .agg(count(lit(1)).as("votes"), max("cosine").as("best_cosine"))
+    votes
+      .withColumn("pr", row_number().over(Window.partitionBy("vec_id")
+        .orderBy(col("votes").desc, col("best_cosine").desc, col("label"))))
+      .filter(col("pr") === 1)
+      .select(col("vec_id"), col("label").as("pred_label"),
+        col("votes"), col("best_cosine"))
+  }
+
   /** Exact cosine near-dup PAIRS: all (id_a < id_b) with cosine ≥
     * `minCosine` (the threshold form of similarity search — the north-star
     * "embedding-cosine near-dup" shape, complementing top-k).

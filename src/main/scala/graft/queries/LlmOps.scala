@@ -264,6 +264,45 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
+  /** S23/north star — k-NN label propagation ([[Similarity.knnClassify]]):
+    * vectors vec_id % 10 = 0 play the unlabeled queries, the rest the
+    * labeled seed corpus; each query takes the majority label of its 5
+    * nearest seeds by exact ×1e8 integer cosine (ties: votes, best cosine,
+    * lowest label). */
+  def q116KnnLabel(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    Similarity.knnClassify(
+      e.filter(pmod(col("id"), lit(10)) === 0).select("id", "vec"),
+      e.filter(pmod(col("id"), lit(10)) =!= 0), k = 5)
+      .orderBy("vec_id")
+  }
+
+  val q116Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i
+      |         WHERE a.vec_id % 10 = 0 AND b.vec_id % 10 <> 0
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |       FROM cos),
+      |v AS (SELECT qid, label, CAST(count(*) AS BIGINT) AS votes,
+      |        max(cosine) AS best_cosine
+      |      FROM rk JOIN embeddings e ON e.vec_id = rk.cid
+      |      WHERE r <= 5 GROUP BY 1, 2),
+      |p AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY votes DESC, best_cosine DESC, label) AS pr FROM v)
+      |SELECT qid AS vec_id, label AS pred_label, votes, best_cosine
+      |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
+
   /** S23/north star — embedding-cosine near-dup PAIRS: all pairs with
     * cosine ≥ 0.4 (threshold picked to be non-empty on this corpus — its
     * synthetic embeddings top out near 0.5/0.6 cosine). Exact ×1e4
@@ -569,7 +608,8 @@ object LlmOps {
     "q46_cosine_pairs" -> (q46CosinePairs _),
     "q50_winnow" -> (q50Winnow _),
     "q103_int8_ann" -> (q103Int8Ann _),
-    "q105_hamming_ann" -> (q105HammingAnn _))
+    "q105_hamming_ann" -> (q105HammingAnn _),
+    "q116_knn_label" -> (q116KnnLabel _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -590,5 +630,6 @@ object LlmOps {
     "q46_cosine_pairs" -> q46Sql,
     "q50_winnow" -> q50Sql,
     "q103_int8_ann" -> q103Sql,
-    "q105_hamming_ann" -> q105Sql)
+    "q105_hamming_ann" -> q105Sql,
+    "q116_knn_label" -> q116Sql)
 }
