@@ -278,6 +278,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental dedup — the PRODUCTION ingestion shape at 100 TB: an
+    * already-deduplicated corpus keeps its LSH band index materialized, and
+    * each arriving delta batch probes that index instead of re-deduping the
+    * world. Delta docs' band keys equi-join the corpus index; colliding
+    * pairs rescore with exact Jaccard over the full token sets; each delta
+    * doc reports its candidate count, best corpus match (highest Jaccard,
+    * tie: lowest corpus id) and the `is_dup` admission verdict.
+    *
+    * `deltaPred` (over the `id` column) marks the delta slice; everything
+    * else is the index. Signatures minhash the doc's `n`-gram SHINGLE set
+    * (the discriminative unit — token sets saturate on a small vocabulary),
+    * with shingle ids from a shared dictionary (oracle-replicable); the
+    * true incremental path swaps the dictionary for [[TextOps.hashTokenId]]
+    * over the shingle string, whose ids never change as the corpus grows —
+    * no dictionary rebuild on ingest, which is what makes the index
+    * append-only.
+    *
+    * Scale: the corpus index is |corpus|·bands rows of (band, bkey) — tiny
+    * next to the text, shuffle-keyed on the band key exactly like
+    * [[lshCandidates]]; the rescore joins token sets only for colliding
+    * pairs. Cost per batch ∝ |delta| + collisions, never |corpus|².
+    * Returns (id, n_candidates, best_match, best_jaccard, is_dup) for
+    * every delta doc. */
+  def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
+      deltaPred: Column, n: Int, minhashK: Int, rowsPerBand: Int,
+      minJaccard: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val dict = graft.operators.Ranks.globalRank(
+      sh.select("s").distinct(), "tid", col("s"))
+    val ids = sh.join(dict, "s").select("id", "tid")
+    // full shingle-id sets + sizes for the exact rescore (sorted for a
+    // deterministic array payload; intersections are size-bounded)
+    val sets = ids.groupBy("id")
+      .agg(sort_array(collect_set(col("tid"))).as("ts"))
+      .withColumn("n_t", size(col("ts")).cast("long"))
+      .persist() // feeds both rescore sides; session-lifetime cache
+    val bands = minhash(ids, minhashK)
+      .withColumn("band", expr(s"i div $rowsPerBand"))
+      .groupBy("id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("bkey"))
+      .persist() // delta probe + corpus index share one computation
+    val cand = bands.filter(deltaPred).as("d")
+      .join(bands.filter(!deltaPred).as("c"),
+        col("d.band") === col("c.band") && col("d.bkey") === col("c.bkey"))
+      .select(col("d.id").as("id"), col("c.id").as("cand_id"))
+      .distinct()
+    val rescored = cand
+      .join(sets.select(col("id"), col("ts").as("ts_d"), col("n_t").as("n_d")), "id")
+      .join(sets.select(col("id").as("cand_id"), col("ts").as("ts_c"),
+        col("n_t").as("n_c")), "cand_id")
+      .withColumn("n_inter", size(array_intersect(col("ts_d"), col("ts_c"))).cast("long"))
+      .withColumn("jaccard", col("n_inter").cast("double") /
+        (col("n_d") + col("n_c") - col("n_inter")).cast("double"))
+    // best match + candidate count share ONE per-delta-doc partitioning
+    val w = Window.partitionBy("id")
+    val best = rescored
+      .withColumn("rn", row_number().over(
+        w.orderBy(col("jaccard").desc, col("cand_id"))))
+      .withColumn("n_candidates", count(lit(1)).over(w))
+      .filter(col("rn") === 1)
+    docs.select(col(idCol).as("id")).filter(deltaPred)
+      .join(best.select(col("id"), col("n_candidates"), col("cand_id"),
+        col("jaccard")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+        coalesce(col("cand_id"), lit(-1L)).as("best_match"),
+        coalesce(col("jaccard"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("jaccard"), lit(0.0)) >= minJaccard).as("is_dup"))
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * ends up labeled with the smallest node id in its component — the
     * canonical-document assignment for near-dup clusters (edges from

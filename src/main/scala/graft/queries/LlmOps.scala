@@ -104,6 +104,54 @@ object LlmOps {
       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S22/S23 — INCREMENTAL dedup ([[Dedup.incrementalDedup]]): docs
+    * doc_id ≥ 400 play the arriving delta batch, the rest the indexed
+    * corpus; delta band keys (trigram-shingle minhash k=32, 4 rows/band →
+    * 8 bands, ~89% recall at J=0.7) probe the corpus index, collisions
+    * rescore with exact shingle-set Jaccard, and every delta doc reports
+    * its admission verdict at J ≥ 0.7. */
+  def q118IncrementalDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.incrementalDedup(docs(s, dir), "doc_id", "text",
+      deltaPred = col("id") >= 400, n = 3, minhashK = 32, rowsPerBand = 4,
+      minJaccard = 0.7).orderBy("id")
+
+  val q118Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |shl AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS tid
+      |         FROM (SELECT DISTINCT s FROM shl)),
+      |tid AS (SELECT id, tid FROM shl JOIN dict USING (s)),
+      |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |           FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT d.id AS id, c.id AS cand_id
+      |         FROM banded d JOIN banded c ON d.band = c.band AND d.bkey = c.bkey
+      |         WHERE d.id >= 400 AND c.id < 400),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_t FROM tid GROUP BY 1),
+      |inter AS (SELECT cand.id, cand.cand_id, CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM cand JOIN tid a ON a.id = cand.id
+      |               JOIN tid b ON b.id = cand.cand_id AND b.tid = a.tid
+      |          GROUP BY 1, 2),
+      |resc AS (SELECT i.id, i.cand_id,
+      |           CAST(n_inter AS DOUBLE) / CAST(sd.n_t + sc.n_t - n_inter AS DOUBLE) AS jaccard
+      |         FROM inter i JOIN sz sd ON sd.id = i.id JOIN sz sc ON sc.id = i.cand_id),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_candidates FROM resc GROUP BY 1),
+      |best AS (SELECT id, cand_id, jaccard,
+      |           row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, cand_id) AS rn
+      |         FROM resc)
+      |SELECT d.doc_id AS id,
+      |  CAST(COALESCE(agg.n_candidates, 0) AS BIGINT) AS n_candidates,
+      |  CAST(COALESCE(b.cand_id, -1) AS BIGINT) AS best_match,
+      |  COALESCE(b.jaccard, 0.0) AS best_jaccard,
+      |  COALESCE(b.jaccard, 0.0) >= 0.7 AS is_dup
+      |FROM documents d
+      |  LEFT JOIN agg ON agg.id = d.doc_id
+      |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.id = d.doc_id
+      |WHERE d.doc_id >= 400 ORDER BY id""".stripMargin
+
   /** S23 — 16-bit SimHash fingerprints. */
   def q22Simhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simhash(Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text"), bits = 16)
@@ -609,7 +657,8 @@ object LlmOps {
     "q50_winnow" -> (q50Winnow _),
     "q103_int8_ann" -> (q103Int8Ann _),
     "q105_hamming_ann" -> (q105HammingAnn _),
-    "q116_knn_label" -> (q116KnnLabel _))
+    "q116_knn_label" -> (q116KnnLabel _),
+    "q118_incremental_dedup" -> (q118IncrementalDedup _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -631,5 +680,6 @@ object LlmOps {
     "q50_winnow" -> q50Sql,
     "q103_int8_ann" -> q103Sql,
     "q105_hamming_ann" -> q105Sql,
-    "q116_knn_label" -> q116Sql)
+    "q116_knn_label" -> q116Sql,
+    "q118_incremental_dedup" -> q118Sql)
 }
