@@ -383,6 +383,56 @@ object Scale {
       |SELECT epoch, id, position, CAST((position - 1) % 4 AS BIGINT) AS shard
       |FROM r ORDER BY epoch, id""".stripMargin
 
+  // ------------------------------------------ q117 streaming source quota
+
+  /** Staged quota stream for q117: documents split into three band files
+    * (doc_id mod 3), delivered oldest-band-first one file per micro-batch
+    * (the q63 arrival pattern); the batch ordinal rides in the rows. */
+  private def stageQuotaSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q117:$dir", {
+      val src = docs(s, dir).select(col("source").as("stratum"),
+        col("doc_id").as("id"), pmod(col("doc_id"), lit(3)).as("batch"))
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"band$b" -> src.filter(col("batch") === b)))
+    })
+
+  /** S26 depth — streaming per-source quota
+    * ([[graft.streaming.StreamingQuota.admitFirstN]]): the first 10
+    * documents of each source in arrival order are admitted, the rest
+    * dropped; the running count carries across three micro-batches, so
+    * the hash gate proves cross-batch quota state (a stateless engine
+    * would admit 10 PER BATCH). */
+  def q117StreamQuota(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamingQuota
+    import s.implicits._
+    val srcDir = stageQuotaSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingQuota.QuotaArrival].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val admitted = StreamingQuota.admitFirstN(
+      stream.as[StreamingQuota.QuotaArrival], quota = 10)
+    val qn = s"q117_quota_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      admitted.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-quota-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn).orderBy("stratum", "adm_rank")
+  }
+
+  val q117Sql: String =
+    """WITH d AS (SELECT source AS stratum, doc_id AS id, doc_id % 3 AS batch
+      |           FROM documents),
+      |r AS (SELECT stratum, id, batch,
+      |        CAST(row_number() OVER (PARTITION BY stratum ORDER BY batch, id) AS BIGINT)
+      |          AS adm_rank
+      |      FROM d)
+      |SELECT stratum, id, batch, adm_rank FROM r WHERE adm_rank <= 10
+      |ORDER BY stratum, adm_rank""".stripMargin
+
   // ------------------------------------------- q84 token-budget mixture cap
 
   /** North star/curation — per-source token budget
@@ -1082,6 +1132,7 @@ object Scale {
     "q112_stream_decontam" -> (q112StreamDecontam _),
     "q113_source_caps" -> (q113SourceCaps _),
     "q115_epoch_shuffle" -> (q115EpochShuffle _),
+    "q117_stream_quota" -> (q117StreamQuota _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1113,6 +1164,7 @@ object Scale {
     "q112_stream_decontam" -> q112Sql,
     "q113_source_caps" -> q113Sql,
     "q115_epoch_shuffle" -> q115Sql,
+    "q117_stream_quota" -> q117Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,
