@@ -313,4 +313,53 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(hits.toSeq == Seq((1L, 1L)))
   }
+
+  test("capPerStratum: keeps the top-TTR docs per stratum, exact integer ratio") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", "a b c d"),   // ttr 4/4 → 1000000
+      (2L, "s1", "a a a a"),   // 1/4 → 250000
+      (3L, "s1", "a b a b"),   // 2/4 → 500000
+      (4L, "s2", "x y")        // 2/2 → 1000000
+    ).toDF("doc_id", "source", "text")
+    val got = Corpus.capPerStratum(docs, "doc_id", "source", "text", maxDocs = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getInt(5)))
+    assert(got.toSet == Set(
+      ("s1", 1L, 1000000L, 1), ("s1", 3L, 500000L, 2), ("s2", 4L, 1000000L, 1)))
+  }
+
+  test("epochOrder: per-epoch permutation, balanced round-robin shards, epochs differ") {
+    import spark.implicits._
+    val docs = (1L to 100L).toDF("doc_id")
+    val got = Corpus.epochOrder(docs, "doc_id", epochs = 2, nShards = 4).collect()
+    assert(got.length == 200)
+    val byEpoch = got.groupBy(_.getLong(0))
+    assert(byEpoch.keySet == Set(0L, 1L))
+    byEpoch.values.foreach { rows =>
+      // positions are exactly the permutation 1..100
+      assert(rows.map(_.getLong(2)).sorted.toSeq == (1L to 100L))
+      // round-robin over position ⇒ perfectly balanced shards
+      assert(rows.groupBy(_.getLong(3)).values.map(_.size).toSet == Set(25))
+    }
+    // the two epochs order the ids differently (seeded by the epoch)
+    def order(ep: Long) =
+      byEpoch(ep).sortBy(_.getLong(2)).map(_.getLong(1)).toSeq
+    assert(order(0L) != order(1L))
+  }
+
+  test("tfidfKnn: self excluded, near-identical doc ranks first, ranks contiguous") {
+    import org.apache.spark.sql.functions.col
+    val docs = docsDF(
+      1L -> "apple banana cherry date egg",
+      2L -> "apple banana cherry date fig",   // shares 4 of 5 terms with 1
+      3L -> "car train plane boat bike",      // shares nothing with 1
+      4L -> "apple train zebra quartz nut")   // shares 1 term with 1
+    val got = Corpus.tfidfKnn(docs, "doc_id", "text", k = 2,
+      maxDfPct = 100, queryPred = col("id") === 1L).collect()
+    assert(got.forall(_.getLong(0) == 1L))
+    assert(got.forall(_.getLong(2) != 1L)) // never its own neighbor
+    assert(got.map(_.getInt(1)).sorted.toSeq == Seq(1, 2))
+    val byRank = got.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(byRank == Seq(2L, 4L)) // doc 3 shares no postings → absent
+  }
 }

@@ -270,4 +270,31 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
         Accepted("Z", 9L, 2L), Accepted("W", 1L, 3L), Accepted("X", 8L, 4L)))
     } finally q.stop()
   }
+
+  test("admitFirstN: quota counter carries across batches; ranks contiguous") {
+    import graft.streaming.StreamingQuota
+    import graft.streaming.StreamingQuota.{Admitted, QuotaArrival}
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[QuotaArrival]
+    val qn = "streaming_quota_spec"
+    val q = StreamingQuota.admitFirstN(input.toDS(), quota = 3)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // batch 0: stratum A gets 2 of its 3; B gets 1 (admission sorts by id)
+      input.addData(QuotaArrival("A", 7L, 0L), QuotaArrival("A", 4L, 0L),
+        QuotaArrival("B", 9L, 0L))
+      q.processAllAvailable()
+      // batch 1: A has 1 slot left → only the smallest id (2) admitted
+      input.addData(QuotaArrival("A", 6L, 1L), QuotaArrival("A", 2L, 1L))
+      q.processAllAvailable()
+      // batch 2: A is at quota → everything dropped
+      input.addData(QuotaArrival("A", 1L, 2L))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[Admitted].collect().toSet
+      assert(got == Set(
+        Admitted("A", 4L, 0L, 1L), Admitted("A", 7L, 0L, 2L),
+        Admitted("A", 2L, 1L, 3L), Admitted("B", 9L, 0L, 1L)))
+    } finally q.stop()
+  }
 }

@@ -297,4 +297,41 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     // 'a' = 0x61 → 97/255
     assert(math.abs(f1.getSeq[Float](1).head - 97f / 255f) < 1e-6)
   }
+
+  test("knnClassify: majority label of the nearest seeds wins") {
+    import spark.implicits._
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1),
+      (11L, Array(0.9f, 0.1f), 1),
+      (12L, Array(0.0f, 1.0f), 2),
+      (13L, Array(0.1f, 0.9f), 2),
+      (14L, Array(0.8f, 0.2f), 3)
+    ).toDF("id", "vec", "label")
+    val queries = Seq((1L, Array(1.0f, 0.05f))).toDF("id", "vec")
+    val got = Similarity.knnClassify(queries, corpus, k = 3).collect()
+    assert(got.length == 1)
+    // top-3 by cosine: 10, 11 (label 1) and 14 (label 3) → majority 1, 2 votes
+    assert(got.head.getLong(0) == 1L)
+    assert(got.head.getInt(1) == 1)
+    assert(got.head.getLong(2) == 2L)
+  }
+
+  test("incrementalDedup: delta dup of an indexed doc flags; novel doc admits") {
+    import org.apache.spark.sql.functions.col
+    val dup = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDF(
+      1L -> dup,
+      2L -> "completely different content about trains planes and boats here",
+      100L -> dup, // exact duplicate of indexed doc 1
+      101L -> "novel text that matches nothing in the corpus index at all")
+    val got = Dedup.incrementalDedup(docs, "doc_id", "text",
+        deltaPred = col("id") >= 100, n = 3, minhashK = 16, rowsPerBand = 4,
+        minJaccard = 0.8).collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(got.keySet == Set(100L, 101L)) // every delta doc audited, corpus absent
+    // identical shingle sets ⇒ identical signatures ⇒ all bands collide
+    assert(got(100L) == ((1L, 1L, 1.0, true)))
+    assert(got(101L) == ((0L, -1L, 0.0, false)))
+  }
 }
