@@ -172,6 +172,34 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("array_dot"), "the exact rescore must be the native expression")
   }
 
+  test("q114: sparse kNN is a postings equi-join; query postings broadcast") {
+    val p = plan("q114_sparse_knn")
+    // the only nested-loop join allowed is the 1-row corpusN scalar
+    // crossJoin (the q55/q59 pattern); pair generation must never cartesian
+    assert(!p.contains("CartesianProduct"),
+      "candidate dots must come from the shared-term equi-join, never all-pairs")
+    assert(p.contains("BroadcastHashJoin"), "the query-side postings must broadcast")
+    assert(p.contains("WindowGroupLimit"), "top-k rank must window-group-limit prune")
+  }
+
+  test("q116: kNN labels inherit q27's broadcast-queries shape; vote rank is group-limited") {
+    val p = plan("q116_knn_label")
+    assert(p.contains("array_dot"), "neighbor scoring must be the native fused expression")
+    assert(p.contains("BroadcastHashJoin"), "the query side must broadcast")
+    assert(p.contains("WindowGroupLimit"), "argmax label must window-group-limit prune")
+  }
+
+  test("q118: incremental dedup probes the corpus index via equi-joins only") {
+    val p = plan("q118_incremental_dedup")
+    // globalRank's one-row-per-partition triangular offsets join is the
+    // only nested-loop construct (bounded by the partition count, see
+    // Ranks.scala); the band probe and rescore must never cartesian
+    assert(!p.contains("CartesianProduct"),
+      "band probe and rescore must stay equi-joins, never all-pairs")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin") ||
+      p.contains("BroadcastHashJoin"), "the band probe must be a hash-key join")
+  }
+
   test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
     // the trained-quantizer production path (the declared q67 moved to the
     // exact pivot pipeline, whose hot loops are the array_dot expression)
