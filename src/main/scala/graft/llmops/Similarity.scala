@@ -143,6 +143,51 @@ object Similarity {
         round(col("cos_raw"), 12).as("cosine"))
   }
 
+  /** LSH-bucketed cosine near-dup PAIRS — the scale path [[cosinePairs]]
+    * names for when the broadcast no longer fits: candidates are pairs
+    * sharing a hyperplane-signature bucket (an equi-join on the signature,
+    * never all-pairs), rescored with the same exact ×`scale` integer
+    * cosine and threshold. Candidates come from a BANDED OR-construction
+    * (q21's shape in embedding space): the `planes`-bit signature splits
+    * into `bands` keys of planes/bands bits, and a pair collides if ANY
+    * band key matches — recall 1−(1−p^r)^b per pair (p = 1−θ/π), tunable
+    * without touching the rescore. Approximate by design — a pair missing
+    * every band is missed — but the miss set is deterministic: signatures
+    * are exact ×[[SigScale]] integer plane dots, so the candidate set (and
+    * therefore the output, misses and all) replicates bit-for-bit in the
+    * oracle.
+    *
+    * Scale: one signature expression in the scan stage, one (band, key)
+    * equi-join; pair cost ∝ Σ bucket², controlled by bits-per-band. */
+  def cosinePairsLsh(vectors: DataFrame, minCosine: Double, planes: Int,
+      bands: Int, dim: Int, scale: Long = 10000L): DataFrame = {
+    require(planes % bands == 0, s"bands must divide planes, got $planes/$bands")
+    val rpb = planes / bands
+    val sigs = vectors.select(col("id"), col("vec"),
+        hyperplaneSignature(col("vec"), planes, dim, exact = true).as("sg"),
+        sqrt(arrayDotScaled(col("vec"), col("vec"), scale).cast("double")).as("nrm"))
+      .persist() // band keys + both rescore sides share one computation
+    // OR-construction: band b's key is the signature's b-th rpb-bit slice;
+    // a pair is a candidate if ANY band key matches
+    val banded = sigs.select(col("id"), col("sg"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key", expr(s"shiftright(sg, band * $rpb) & ${(1 << rpb) - 1}"))
+      .select("id", "band", "key")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(sigs.select(col("id").as("id_a"), col("vec").as("va"), col("nrm").as("na")), "id_a")
+      .join(sigs.select(col("id").as("id_b"), col("vec").as("vb"), col("nrm").as("nb")), "id_b")
+      .withColumn("cos_raw",
+        arrayDotScaled(col("va"), col("vb"), scale).cast("double")
+          / (col("na") * col("nb")))
+      .filter(col("cos_raw") >= minCosine)
+      .select(col("id_a"), col("id_b"), round(col("cos_raw"), 12).as("cosine"))
+  }
+
   /** Element scale for exact-mode LSH signatures: 6 decimal digits. Plane
     * dots are sums of ±(scaled element) terms, so they stay well under
     * 2^63 at any realistic dimension; the smaller scale (vs [[ExactScale]])

@@ -420,6 +420,46 @@ object LlmOps {
       |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id)
       |SELECT id, min(lbl) AS component FROM reach GROUP BY id ORDER BY id""".stripMargin
 
+  /** S23/north star — the SCALE form of q46 ([[Similarity.cosinePairsLsh]]):
+    * near-dup pairs at cosine ≥ 0.4 where candidates come from a BANDED
+    * hyperplane-signature OR-construction (16 planes → 4 bands of 4 bits)
+    * instead of the all-pairs broadcast; rescore is the same exact ×1e4
+    * integer cosine. Approximate by design, but the index replicates in
+    * the oracle, so the hash gate checks the bucketed result EXACTLY —
+    * misses and all. */
+  def q119CosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16, bands = 4, dim = 64)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q119Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM pd GROUP BY 1),
+      |bk AS (SELECT vec_id, b, (sg >> (CAST(b AS INT) * 4)) & 15 AS key
+      |       FROM sig, range(0, 4) w(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
+      |              AND a.vec_id < b.vec_id),
+      |q AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q)
+      |SELECT c.id_a, c.id_b,
+      |  round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
+      |FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+      |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------ ANN variants, hash-gated
 
   /** Hyperplane-LSH approximate cosine top-k — the 100 TB similarity path.
@@ -658,7 +698,8 @@ object LlmOps {
     "q103_int8_ann" -> (q103Int8Ann _),
     "q105_hamming_ann" -> (q105HammingAnn _),
     "q116_knn_label" -> (q116KnnLabel _),
-    "q118_incremental_dedup" -> (q118IncrementalDedup _))
+    "q118_incremental_dedup" -> (q118IncrementalDedup _),
+    "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -681,5 +722,6 @@ object LlmOps {
     "q103_int8_ann" -> q103Sql,
     "q105_hamming_ann" -> q105Sql,
     "q116_knn_label" -> q116Sql,
-    "q118_incremental_dedup" -> q118Sql)
+    "q118_incremental_dedup" -> q118Sql,
+    "q119_cosine_pairs_lsh" -> q119Sql)
 }
