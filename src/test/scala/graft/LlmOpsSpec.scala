@@ -298,6 +298,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(f1.getSeq[Float](1).head - 97f / 255f) < 1e-6)
   }
 
+  test("cosinePairsLsh: bucketed pairs ⊆ exact all-pairs with identical cosines") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = graft.llmops.Similarity.cosinePairs(e, minCosine = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.llmops.Similarity.cosinePairsLsh(e, minCosine = 0.4,
+      planes = 16, bands = 4, dim = 64).collect()
+    assert(lsh.nonEmpty, "banded buckets should recall some of the 66 exact pairs")
+    // the rescore is lossless: every surfaced pair is a TRUE pair with the
+    // exact pipeline's cosine, bit for bit (misses are the only divergence)
+    lsh.foreach { r =>
+      val k = (r.getLong(0), r.getLong(1))
+      assert(exact.contains(k), s"bucketed pair $k absent from the exact result")
+      assert(exact(k) == r.getDouble(2), s"cosine diverged for $k")
+    }
+  }
+
   test("knnClassify: majority label of the nearest seeds wins") {
     import spark.implicits._
     val corpus = Seq(
