@@ -100,6 +100,47 @@ object Dedup {
           expr("(n_dup_positions * 1000) div n_tokens")).otherwise(lit(0L)))
   }
 
+  /** INTRA-document repeated-span coverage — the self-repetition signal
+    * ([[dupSpanCoverage]]'s complement: that operator isolates
+    * cross-document contamination and deliberately ignores within-doc
+    * repeats; this one measures exactly those). A position is covered when
+    * it sits inside an `n`-gram occurrence whose identical gram already
+    * occurred EARLIER in the same document — the "remove repeated
+    * generations" / looping-decoder signal a curation pipeline gates on.
+    * First occurrences never count, so a clean document scores zero.
+    *
+    * Scale: every aggregation keys on (id) or (id, gram) — the work is
+    * per-document and embarrassingly parallel; grams are sha-256'd before
+    * the shuffle (fixed-width digests, never text). Returns one row per
+    * document: (id, n_tokens, n_repeat_positions, repeat_permille). */
+  def selfRepeatCoverage(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val tall = docs.select(col(idCol).as("id"),
+      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
+    val grams = tall.select((col("id") +: col("pos") +: parts): _*)
+      .filter(if (n == 1) lit(true) else col(s"t${n - 1}").isNotNull)
+      .select(col("id"), col("pos"),
+        sha2(concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*)
+          .cast("binary"), 256).as("g"))
+      .persist() // occurrence stream feeds the first-position agg AND the probe
+    val firsts = grams.groupBy("id", "g").agg(min("pos").as("first_pos"))
+    val covered = grams.join(firsts, Seq("id", "g"))
+      .filter(col("pos") > col("first_pos"))
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("n_repeat_positions"))
+    docs.select(col(idCol).as("id"),
+        size(tokens(col(textCol))).cast("long").as("n_tokens"))
+      .join(covered, Seq("id"), "left")
+      .withColumn("n_repeat_positions", coalesce(col("n_repeat_positions"), lit(0L)))
+      .withColumn("repeat_permille",
+        when(col("n_tokens") > 0,
+          expr("(n_repeat_positions * 1000) div n_tokens")).otherwise(lit(0L)))
+  }
+
   /** N-gram Jaccard similarity for pairs clearing `minJaccard`, with two
     * candidate-bounding knobs for the 100 TB path:
     *

@@ -484,6 +484,35 @@ object Scale {
       |            ELSE 0 END AS BIGINT) AS dup_permille
       |FROM tot LEFT JOIN nd ON nd.id = tot.id ORDER BY tot.id""".stripMargin
 
+  // ------------------------------------- q120 intra-doc repeated spans
+
+  /** North star/dedup — self-repetition coverage
+    * ([[Dedup.selfRepeatCoverage]]): per document, how many token positions
+    * sit inside a trigram that already occurred earlier in the SAME
+    * document — the looping-generation signal q85's cross-document form
+    * deliberately ignores. Integer permille, every doc audited. */
+  def q120SelfRepeats(s: SparkSession, dir: String): DataFrame =
+    Dedup.selfRepeatCoverage(docs(s, dir), "doc_id", "text", n = 3).orderBy("id")
+
+  val q120Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |gr AS (SELECT id, CAST(i AS BIGINT) AS pos, sha256(array_to_string(t[i+1:i+3], ' ')) AS g
+      |       FROM tok, UNNEST(range(0, greatest(len(t) - 2, 0))) AS u(i)),
+      |f AS (SELECT id, g, min(pos) AS first_pos FROM gr GROUP BY 1, 2),
+      |cov AS (SELECT DISTINCT gr.id, gr.pos + o AS p
+      |        FROM gr JOIN f ON f.id = gr.id AND f.g = gr.g, UNNEST(range(0, 3)) AS v(o)
+      |        WHERE gr.pos > f.first_pos),
+      |nd AS (SELECT id, CAST(count(*) AS BIGINT) AS n_repeat_positions FROM cov GROUP BY 1),
+      |tot AS (SELECT doc_id AS id,
+      |          CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tokens
+      |        FROM documents)
+      |SELECT tot.id, tot.n_tokens,
+      |  CAST(COALESCE(nd.n_repeat_positions, 0) AS BIGINT) AS n_repeat_positions,
+      |  CAST(CASE WHEN tot.n_tokens > 0
+      |            THEN COALESCE(nd.n_repeat_positions, 0) * 1000 // tot.n_tokens
+      |            ELSE 0 END AS BIGINT) AS repeat_permille
+      |FROM tot LEFT JOIN nd ON nd.id = tot.id ORDER BY tot.id""".stripMargin
+
   // ------------------------------------------------- q86 HLL sketch
 
   /** Sketch — HyperLogLog registers ([[Sketches.hllRegisters]]) of
@@ -1133,6 +1162,7 @@ object Scale {
     "q113_source_caps" -> (q113SourceCaps _),
     "q115_epoch_shuffle" -> (q115EpochShuffle _),
     "q117_stream_quota" -> (q117StreamQuota _),
+    "q120_self_repeats" -> (q120SelfRepeats _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1165,6 +1195,7 @@ object Scale {
     "q113_source_caps" -> q113Sql,
     "q115_epoch_shuffle" -> q115Sql,
     "q117_stream_quota" -> q117Sql,
+    "q120_self_repeats" -> q120Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -103,6 +103,32 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == ((3L, 0L, 0L)))
   }
 
+  test("selfRepeatCoverage: first occurrences free, later repeats covered") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c x y a b c z"),        // trigram (a b c) at pos 0 and 5 → 5,6,7 covered
+      (2L, "solo solo solo solo solo"), // trigrams at 0,1,2 identical → pos 1-4 covered
+      (3L, "all tokens distinct here"), // clean document
+      (4L, "tiny doc")                  // shorter than n: no grams at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.selfRepeatCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((9L, 3L, 333L)))
+    assert(got(2L) == ((5L, 4L, 800L))) // repeats at pos 1,2 cover positions 1-4
+    assert(got(3L) == ((4L, 0L, 0L)))
+    assert(got(4L) == ((2L, 0L, 0L)))
+  }
+
+  test("selfRepeatCoverage: cross-document duplication alone scores zero") {
+    import spark.implicits._
+    // same text in two docs — dupSpanCoverage flags it, selfRepeatCoverage must not
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"))
+      .toDF("doc_id", "text")
+    val got = Dedup.selfRepeatCoverage(docs, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) == 0L && got(2L) == 0L)
+  }
+
   test("dupSpanCoverage: overlapping duplicated grams count positions once") {
     import spark.implicits._
     // "a b c d" appears in both docs → doc 1 grams (a b c) and (b c d) both
