@@ -776,4 +776,106 @@ object Corpus {
         .select("epoch", "id", "position", "shard")
     }.reduce(_ union _)
   }
+
+  // ------------------------------------------------------- BPE training
+
+  /** Word dictionary with corpus counts, each word pre-segmented into
+    * '_'-prefixed character symbols ("low" → "_l_o_w"; '_' cannot occur
+    * inside a [a-z0-9]+ token, so "_a_b" only ever matches a symbol
+    * BOUNDARY — substring collisions like "ax_y" ⊃ "x_y" are impossible).
+    * Shared by [[bpeMerges]] and [[bpeVocab]]. */
+  private def bpeDict(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("wc"))
+      .withColumn("syms", regexp_replace(col("word"), "(.)", "_$1"))
+
+  /** Corpus-weighted adjacent symbol pairs of a (word, wc, syms) dictionary:
+    * (lhs, rhs, cnt = Σ wc over occurrences, counting multiplicity). */
+  private def bpePairCounts(dict: DataFrame): DataFrame =
+    dict.withColumn("t", filter(split(col("syms"), "_"), x => x =!= ""))
+      .filter(size(col("t")) >= 2)
+      .select(col("wc"), explode(expr(
+        "transform(sequence(1, size(t) - 1), i -> " +
+          "struct(element_at(t, i) AS lhs, element_at(t, i + 1) AS rhs))")).as("p"))
+      .groupBy("p.lhs", "p.rhs").agg(sum("wc").as("cnt"))
+
+  /** One BPE training iteration: pick the most frequent adjacent symbol
+    * pair (tie: lexicographic (lhs, rhs)) and merge every occurrence —
+    * `replace` is left-to-right non-overlapping in Spark, DuckDB, and
+    * Java alike, which IS greedy BPE merge application ("_a_a_a" under
+    * merge (a,a) → "_aa_a"). Returns (merged dictionary, merge row or
+    * None when no pairs remain). */
+  private def bpeStep(dict: DataFrame): (DataFrame, Option[(String, String, Long, Long)]) = {
+    val pairs = bpePairCounts(dict)
+    val top = pairs.orderBy(desc("cnt"), asc("lhs"), asc("rhs")).limit(1).collect()
+    if (top.isEmpty) (dict, None)
+    else {
+      val (l, r) = (top(0).getString(0), top(0).getString(1))
+      val merged = dict.withColumn("syms",
+        expr(s"replace(syms, '_${l}_${r}', '_${l}${r}')"))
+      (merged, Some((l, r, top(0).getLong(2), pairs.count())))
+    }
+  }
+
+  /** Distributed BPE merge mining — the tokenizer-training core: `iters`
+    * rounds of (count corpus-weighted adjacent symbol pairs → merge the
+    * most frequent pair everywhere). The classic byte-pair-encoding
+    * algorithm, run over the WORD DICTIONARY weighted by corpus counts —
+    * the standard trick that makes BPE tractable at scale: the corpus is
+    * touched exactly once (one (word) aggregation over the token stream);
+    * every iteration after that is vocabulary-scale, not corpus-scale.
+    *
+    * Determinism: pure integer counts; ties broken (cnt DESC, lhs, rhs);
+    * merge application is engine-portable `replace` (see [[bpeStep]]).
+    * The per-iteration top-pair collect is metadata-scale (1 row) — the
+    * merge table IS the driver-side artifact BPE training produces.
+    *
+    * Returns one row per completed iteration (fewer than `iters` only
+    * when the dictionary runs out of pairs):
+    * (iter, lhs, rhs, pair_count, n_pairs). */
+  def bpeMerges(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var dict = bpeDict(docs, textCol).persist()
+    val out = Seq.newBuilder[(Long, String, String, Long, Long)]
+    var it = 0
+    var exhausted = false
+    while (it < iters && !exhausted) {
+      val (merged, m) = bpeStep(dict)
+      m match {
+        case Some((l, r, cnt, nPairs)) =>
+          it += 1
+          out += ((it.toLong, l, r, cnt, nPairs))
+          dict = merged.persist() // next iteration re-reads the merged dictionary twice
+        case None => exhausted = true
+      }
+    }
+    out.result().toDF("iter", "lhs", "rhs", "pair_count", "n_pairs")
+  }
+
+  /** Post-merge symbol vocabulary — what the corpus looks like to a
+    * tokenizer after `iters` BPE merges ([[bpeMerges]]): for every symbol
+    * in the merged segmentation, the number of distinct dictionary words
+    * containing it and its corpus occurrence count (multiplicity ×
+    * word frequency). The coverage report a tokenizer run prints.
+    *
+    * Scale: same single corpus-scale (word) aggregation as [[bpeMerges]];
+    * the vocabulary explode and (sym) aggregation are dictionary-scale.
+    * Returns (sym, n_words, corpus_count). */
+  def bpeVocab(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    var dict = bpeDict(docs, textCol).persist()
+    var it = 0
+    var exhausted = false
+    while (it < iters && !exhausted) {
+      val (merged, m) = bpeStep(dict)
+      if (m.isEmpty) exhausted = true
+      else { it += 1; dict = merged.persist() }
+    }
+    dict.select(col("word"), col("wc"),
+        explode(filter(split(col("syms"), "_"), x => x =!= "")).as("sym"))
+      .groupBy("sym")
+      .agg(countDistinct("word").as("n_words"), sum("wc").as("corpus_count"))
+  }
 }

@@ -513,6 +513,68 @@ object Scale {
       |            ELSE 0 END AS BIGINT) AS repeat_permille
       |FROM tot LEFT JOIN nd ON nd.id = tot.id ORDER BY tot.id""".stripMargin
 
+  // -------------------------------------------- q121/q122 BPE training
+
+  /** Tokenizer prep — distributed BPE merge mining ([[Corpus.bpeMerges]]):
+    * 3 rounds of (corpus-weighted adjacent-pair count → merge the top
+    * pair), run over the word dictionary so the corpus is scanned exactly
+    * once. One row per merge: the learned merge table. */
+  def q121BpeMerges(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeMerges(docs(s, dir), "text", iters = 3).orderBy("iter")
+
+  /** The shared 3-iteration BPE CTE chain (dictionary → pairs → top merge
+    * → apply, ×3) — mirrored stage-for-stage by [[Corpus.bpeDict]]/
+    * [[Corpus.bpePairCounts]]/[[Corpus.bpeStep]]. */
+  private val bpeChainSql: String =
+    """w AS (SELECT tok AS word, CAST(count(*) AS BIGINT) AS wc
+      |      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok FROM documents)
+      |      GROUP BY 1),
+      |s0 AS (SELECT word, regexp_replace(word, '(.)', '_\1', 'g') AS syms, wc FROM w),
+      |p1 AS (SELECT t[i+1] AS lhs, t[i+2] AS rhs, SUM(wc) AS cnt
+      |       FROM (SELECT list_filter(string_split(syms, '_'), x -> x <> '') AS t, wc FROM s0),
+      |            UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+      |       GROUP BY 1, 2),
+      |m1 AS (SELECT lhs, rhs, cnt FROM p1 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |s1 AS (SELECT word, replace(syms, '_' || (SELECT lhs FROM m1) || '_' || (SELECT rhs FROM m1),
+      |                            '_' || (SELECT lhs FROM m1) || (SELECT rhs FROM m1)) AS syms, wc FROM s0),
+      |p2 AS (SELECT t[i+1] AS lhs, t[i+2] AS rhs, SUM(wc) AS cnt
+      |       FROM (SELECT list_filter(string_split(syms, '_'), x -> x <> '') AS t, wc FROM s1),
+      |            UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+      |       GROUP BY 1, 2),
+      |m2 AS (SELECT lhs, rhs, cnt FROM p2 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |s2 AS (SELECT word, replace(syms, '_' || (SELECT lhs FROM m2) || '_' || (SELECT rhs FROM m2),
+      |                            '_' || (SELECT lhs FROM m2) || (SELECT rhs FROM m2)) AS syms, wc FROM s1),
+      |p3 AS (SELECT t[i+1] AS lhs, t[i+2] AS rhs, SUM(wc) AS cnt
+      |       FROM (SELECT list_filter(string_split(syms, '_'), x -> x <> '') AS t, wc FROM s2),
+      |            UNNEST(range(0, greatest(len(t) - 1, 0))) AS u(i)
+      |       GROUP BY 1, 2),
+      |m3 AS (SELECT lhs, rhs, cnt FROM p3 ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+      |s3 AS (SELECT word, replace(syms, '_' || (SELECT lhs FROM m3) || '_' || (SELECT rhs FROM m3),
+      |                            '_' || (SELECT lhs FROM m3) || (SELECT rhs FROM m3)) AS syms, wc FROM s2)""".stripMargin
+
+  val q121Sql: String =
+    s"""WITH $bpeChainSql
+       |SELECT CAST(1 AS BIGINT) AS iter, lhs, rhs, CAST(cnt AS BIGINT) AS pair_count,
+       |       (SELECT CAST(count(*) AS BIGINT) FROM p1) AS n_pairs FROM m1
+       |UNION ALL SELECT 2, lhs, rhs, CAST(cnt AS BIGINT),
+       |       (SELECT CAST(count(*) AS BIGINT) FROM p2) FROM m2
+       |UNION ALL SELECT 3, lhs, rhs, CAST(cnt AS BIGINT),
+       |       (SELECT CAST(count(*) AS BIGINT) FROM p3) FROM m3
+       |ORDER BY iter""".stripMargin
+
+  /** Tokenizer prep — post-merge symbol vocabulary ([[Corpus.bpeVocab]]):
+    * the corpus as a tokenizer sees it after q121's 3 merges — per symbol,
+    * distinct dictionary words containing it and corpus occurrences. */
+  def q122BpeVocab(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeVocab(docs(s, dir), "text", iters = 3).orderBy("sym")
+
+  val q122Sql: String =
+    s"""WITH $bpeChainSql
+       |SELECT sym, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+       |       CAST(SUM(wc) AS BIGINT) AS corpus_count
+       |FROM (SELECT word, wc, unnest(list_filter(string_split(syms, '_'), x -> x <> '')) AS sym FROM s3)
+       |GROUP BY 1 ORDER BY sym""".stripMargin
+
   // ------------------------------------------------- q86 HLL sketch
 
   /** Sketch — HyperLogLog registers ([[Sketches.hllRegisters]]) of
@@ -1163,6 +1225,8 @@ object Scale {
     "q115_epoch_shuffle" -> (q115EpochShuffle _),
     "q117_stream_quota" -> (q117StreamQuota _),
     "q120_self_repeats" -> (q120SelfRepeats _),
+    "q121_bpe_merges" -> (q121BpeMerges _),
+    "q122_bpe_vocab" -> (q122BpeVocab _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1196,6 +1260,8 @@ object Scale {
     "q115_epoch_shuffle" -> q115Sql,
     "q117_stream_quota" -> q117Sql,
     "q120_self_repeats" -> q120Sql,
+    "q121_bpe_merges" -> q121Sql,
+    "q122_bpe_vocab" -> q122Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

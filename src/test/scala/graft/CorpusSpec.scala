@@ -362,4 +362,41 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     val byRank = got.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
     assert(byRank == Seq(2L, 4L)) // doc 3 shares no postings → absent
   }
+
+  test("bpeMerges learns the classic low/lower/newest/widest merge table") {
+    // Sennrich et al.'s worked example, corpus-weighted:
+    //   low×3  lower×2  newest×4  widest×1
+    // iter 1: (w,e) 2+4=6;  iter 2: (l,o) 5 ties (s,t) 5, lex wins;
+    // iter 3: (s,t) 5.
+    val d = docsDF(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest")
+    val got = Corpus.bpeMerges(d, "text", iters = 3)
+      .orderBy("iter").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(
+      (1L, "w", "e", 6L, 11L),
+      (2L, "l", "o", 5L, 12L),
+      (3L, "s", "t", 5L, 11L)))
+  }
+
+  test("bpeMerges stops early when the dictionary runs out of pairs") {
+    val d = docsDF(1L -> "a b a b c") // single-char words: one round of pairs, then none
+    val got = Corpus.bpeMerges(d, "text", iters = 5).collect()
+    assert(got.isEmpty) // every word is one symbol — no adjacent pairs at all
+  }
+
+  test("bpeVocab reports the post-merge segmentation") {
+    val d = docsDF(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest")
+    // after (w,e), (l,o), (s,t): low→[lo,w] lower→[lo,we,r]
+    // newest→[n,e,we,st] widest→[w,i,d,e,st]
+    val got = Corpus.bpeVocab(d, "text", iters = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "d" -> ((1L, 1L)), "e" -> ((2L, 5L)), "i" -> ((1L, 1L)),
+      "lo" -> ((2L, 5L)), "n" -> ((1L, 4L)), "r" -> ((1L, 2L)),
+      "st" -> ((2L, 5L)), "w" -> ((2L, 4L)), "we" -> ((2L, 6L))))
+  }
 }
