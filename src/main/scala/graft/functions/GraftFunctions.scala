@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, InterleaveBits}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -19,6 +19,12 @@ object GraftFunctions {
     * (see [[org.apache.spark.sql.graft.InterleaveBits]]). */
   def zorder2(x: Column, y: Column): Column =
     Bridge.column(InterleaveBits(Bridge.expression(x), Bridge.expression(y)))
+
+  /** Random-hyperplane LSH signature as one native loop
+    * (see [[org.apache.spark.sql.graft.HyperplaneSig]]); `scale > 0`
+    * quantizes elements for exact integer plane dots, 0 = double mode. */
+  def hyperplaneSig(vec: Column, planes: Int, dim: Int, scale: Long): Column =
+    Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, dim, scale))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -329,12 +329,12 @@ object Dedup {
     *
     * `deltaPred` (over the `id` column) marks the delta slice; everything
     * else is the index. Signatures minhash the doc's `n`-gram SHINGLE set
-    * (the discriminative unit — token sets saturate on a small vocabulary),
-    * with shingle ids from a shared dictionary (oracle-replicable); the
-    * true incremental path swaps the dictionary for [[TextOps.hashTokenId]]
-    * over the shingle string, whose ids never change as the corpus grows —
-    * no dictionary rebuild on ingest, which is what makes the index
-    * append-only.
+    * (the discriminative unit — token sets saturate on a small vocabulary).
+    * Shingle ids are the first 48 bits of md5(shingle), computed in the
+    * scan stage: cross-engine deterministic (DuckDB decodes the same hex
+    * prefix) and APPEND-ONLY as the corpus grows — no shared dictionary,
+    * so ingest never rebuilds or shuffles a vocabulary, which is what
+    * makes the index incrementally maintainable.
     *
     * Scale: the corpus index is |corpus|·bands rows of (band, bkey) — tiny
     * next to the text, shuffle-keyed on the band key exactly like
@@ -345,10 +345,9 @@ object Dedup {
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
       deltaPred: Column, n: Int, minhashK: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
-    val sh = shingleIndex(docs, idCol, textCol, n)
-    val dict = graft.operators.Ranks.globalRank(
-      sh.select("s").distinct(), "tid", col("s"))
-    val ids = sh.join(dict, "s").select("id", "tid")
+    val ids = shingleIndex(docs, idCol, textCol, n)
+      .select(col("id"), conv(substring(md5(col("s").cast("binary")), 1, 12),
+        16, 10).cast("long").as("tid"))
     // full shingle-id sets + sizes for the exact rescore (sorted for a
     // deterministic array payload; intersections are size-bounded)
     val sets = ids.groupBy("id")

@@ -194,15 +194,12 @@ object Similarity {
     * keeps the oracle's replication arithmetic cheap. */
   val SigScale: Long = 1000000L
 
-  /** Deterministic pseudo-random hyperplane component for (plane i, dim j):
-    * an LCG over i·d+j mapped to ±1 via bit 16 — no RNG state, reproducible
-    * anywhere. (The LCG's low bit is pure parity — using it makes every
-    * plane identical; a middle bit is well mixed.) */
-  private def planeSign(i: Int, j: Int, dim: Int): Int =
-    if ((((2654435761L * (i.toLong * dim + j) + 40503L) % 4294967296L) >> 16 & 1L) == 0L) -1 else 1
-
-  /** Random-hyperplane LSH bucket signature: bit i = sign(v · plane_i).
-    * A single codegen'd expression tree (planes·dim multiply-adds).
+  /** Random-hyperplane LSH bucket signature: bit i = sign(v · plane_i),
+    * as ONE native loop expression
+    * ([[org.apache.spark.sql.graft.HyperplaneSig]] — the unrolled
+    * planes×dim tree it replaces cost seconds of Catalyst analysis and
+    * codegen per plan compile at 16×64; generated code is now
+    * constant-size in the operating point, the q67 rule).
     *
     * `exact = true` quantizes elements to ×[[SigScale]] 64-bit integers
     * first, so every plane dot is exact, order-independent integer
@@ -210,20 +207,9 @@ object Similarity {
     * engine (the q29 oracle recomputes it in SQL). Float mode keeps the
     * cheaper production path. */
   def hyperplaneSignature(vec: Column, planes: Int, dim: Int,
-      exact: Boolean = false): Column = {
-    val v = if (exact) transform(vec, x => {
-      val d = x.cast("double")
-      (signum(d) * floor(abs(d) * lit(SigScale.toDouble) + lit(0.5))).cast("long")
-    }) else vec
-    val bits = (0 until planes).map { i =>
-      val dot = (0 until dim).map { j =>
-        val e = element_at(v, j + 1)
-        (if (exact) e else e.cast("double")) * lit(planeSign(i, j, dim))
-      }.reduce(_ + _)
-      when(dot > 0, 1L << i).otherwise(0L)
-    }
-    bits.reduce(_ + _)
-  }
+      exact: Boolean = false): Column =
+    graft.functions.GraftFunctions.hyperplaneSig(vec, planes, dim,
+      if (exact) SigScale else 0L)
 
   /** IVF (inverted-file) approximate nearest neighbors: a KMeans coarse
     * quantizer assigns every vector to one of `nlist` cells; each query

@@ -109,7 +109,9 @@ object LlmOps {
     * corpus; delta band keys (trigram-shingle minhash k=32, 4 rows/band →
     * 8 bands, ~89% recall at J=0.7) probe the corpus index, collisions
     * rescore with exact shingle-set Jaccard, and every delta doc reports
-    * its admission verdict at J ≥ 0.7. */
+    * its admission verdict at J ≥ 0.7. Shingle ids are 48-bit md5
+    * prefixes (append-only, dictionary-free — the production ingest
+    * shape, and 3 fewer shuffles than a dictionary build). */
   def q118IncrementalDedup(s: SparkSession, dir: String): DataFrame =
     Dedup.incrementalDedup(docs(s, dir), "doc_id", "text",
       deltaPred = col("id") >= 400, n = 3, minhashK = 32, rowsPerBand = 4,
@@ -120,9 +122,7 @@ object LlmOps {
       |shl AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
       |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
       |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
-      |dict AS (SELECT s, CAST(row_number() OVER (ORDER BY s) AS BIGINT) AS tid
-      |         FROM (SELECT DISTINCT s FROM shl)),
-      |tid AS (SELECT id, tid FROM shl JOIN dict USING (s)),
+      |tid AS (SELECT DISTINCT id, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS tid FROM shl),
       |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
       |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
       |banded AS (SELECT id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
