@@ -865,6 +865,17 @@ object Corpus {
     * Returns (sym, n_words, corpus_count). */
   def bpeVocab(docs: DataFrame, textCol: String, iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    dictAfterMerges(docs, textCol, iters)
+      .select(col("word"), col("wc"),
+        explode(filter(split(col("syms"), "_"), x => x =!= "")).as("sym"))
+      .groupBy("sym")
+      .agg(countDistinct("word").as("n_words"), sum("wc").as("corpus_count"))
+  }
+
+  /** The word dictionary after `iters` [[bpeStep]] merges (stops early if
+    * the dictionary runs out of pairs). */
+  private def dictAfterMerges(docs: DataFrame, textCol: String,
+      iters: Int): DataFrame = {
     var dict = bpeDict(docs, textCol).persist()
     var it = 0
     var exhausted = false
@@ -873,9 +884,76 @@ object Corpus {
       if (m.isEmpty) exhausted = true
       else { it += 1; dict = merged.persist() }
     }
-    dict.select(col("word"), col("wc"),
-        explode(filter(split(col("syms"), "_"), x => x =!= "")).as("sym"))
-      .groupBy("sym")
-      .agg(countDistinct("word").as("n_words"), sum("wc").as("corpus_count"))
+    dict
+  }
+
+  /** Per-source distribution drift — KL(P_source ‖ P_corpus) over unigram
+    * distributions, the outlier-domain detector a mixture pipeline runs
+    * before trusting per-source weights: a source whose language model
+    * diverges from the corpus (template farm, wrong language, binary
+    * spill) shows a large divergence even when its per-doc quality scores
+    * look fine. KL = Σ_w P_s(w)·ln(P_s(w)/Q(w)), reported in integer
+    * micro-nats as (Σ_w cnt_s(w)·lq(w)) div n_s with
+    * lq = round(ln((cnt_s·N)/(cnt·n_s))·1e6) — the weighted sum is exact
+    * 64-bit integer arithmetic (order-free), and the log's argument
+    * multiplies as DOUBLES in one fixed association order on both engines
+    * (the q106/q108 overflow rule). Every source term has cnt ≥ cnt_s > 0,
+    * so the log never sees zero.
+    *
+    * Scale: two term-keyed aggregations ((source, w) then (w)) and one
+    * |sources|-row broadcast — TF-IDF's shuffle footprint; no shuffle
+    * carries text beyond the tokens themselves. Returns
+    * (source, n_tokens, n_distinct, kl_q). */
+  def sourceDivergence(docs: DataFrame, sourceCol: String,
+      textCol: String): DataFrame = {
+    val sw = docs.select(col(sourceCol).as("source"), explode(tokens(col(textCol))).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("cnt_sw"))
+    val cw = sw.groupBy("w").agg(sum("cnt_sw").as("cnt_w"))
+    val ns = sw.groupBy("source").agg(sum("cnt_sw").as("n_s"),
+      count(lit(1)).as("n_distinct"))
+    val tot = broadcast(cw.agg(sum("cnt_w").as("n_tot")))
+    sw.join(cw, "w").join(broadcast(ns), "source").crossJoin(tot)
+      .withColumn("lq", floor(log(
+        (col("cnt_sw").cast("double") * col("n_tot").cast("double"))
+          / (col("cnt_w").cast("double") * col("n_s").cast("double")))
+        * 1000000.0 + 0.5).cast("long"))
+      .groupBy("source")
+      .agg(max("n_s").as("n_tokens"), max("n_distinct").as("n_distinct"),
+        sum(col("cnt_sw") * col("lq")).as("sum_lq"))
+      .select(col("source"), col("n_tokens"), col("n_distinct"),
+        expr("sum_lq div n_tokens").as("kl_q"))
+  }
+
+  /** Tokenizer fertility — symbols emitted per word token when the corpus
+    * is segmented with [[bpeMerges]]' learned merges: per document,
+    * n_tokens (word count), n_symbols (total BPE symbols across those
+    * words) and fertility_permille = n_symbols·1000 div n_tokens. THE
+    * tokenizer-evaluation metric (a fertility near 1000 means words
+    * collapse to single symbols; high fertility flags a vocabulary that
+    * fragments the corpus and inflates sequence lengths).
+    *
+    * Scale: per-word symbol counts come from the vocabulary-scale merged
+    * dictionary; the corpus-scale work is one (doc, word) explode joined
+    * to that dictionary (broadcast-sized next to a crawl) and one (id)
+    * aggregation. Every doc is audited — tokenless docs report zeros.
+    * Returns (id, n_tokens, n_symbols, fertility_permille). */
+  def bpeFertility(docs: DataFrame, idCol: String, textCol: String,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val seg = dictAfterMerges(docs, textCol, iters)
+      .select(col("word"),
+        size(filter(split(col("syms"), "_"), x => x =!= "")).cast("long").as("nsym"))
+    val per = docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("word"))
+      .join(broadcast(seg), "word")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum("nsym").as("n_symbols"))
+    docs.select(col(idCol).as("id"))
+      .join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_symbols"), lit(0L)).as("n_symbols"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          expr("(n_symbols * 1000) div n_tokens")).otherwise(lit(0L))
+          .as("fertility_permille"))
   }
 }

@@ -575,6 +575,53 @@ object Scale {
        |FROM (SELECT word, wc, unnest(list_filter(string_split(syms, '_'), x -> x <> '')) AS sym FROM s3)
        |GROUP BY 1 ORDER BY sym""".stripMargin
 
+  /** North star/curation — per-source unigram drift
+    * ([[Corpus.sourceDivergence]]): KL of each source's unigram
+    * distribution from the corpus in integer micro-nats — the
+    * outlier-domain detector behind mixture weighting. */
+  def q124SourceDrift(s: SparkSession, dir: String): DataFrame =
+    Corpus.sourceDivergence(docs(s, dir), "source", "text").orderBy("source")
+
+  val q124Sql: String =
+    """WITH tall AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |              FROM documents),
+      |sw AS (SELECT source, w, CAST(count(*) AS BIGINT) AS cnt_sw FROM tall GROUP BY 1, 2),
+      |cw AS (SELECT w, CAST(SUM(cnt_sw) AS BIGINT) AS cnt_w FROM sw GROUP BY 1),
+      |ns AS (SELECT source, CAST(SUM(cnt_sw) AS BIGINT) AS n_s,
+      |         CAST(count(*) AS BIGINT) AS n_distinct FROM sw GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cnt_w) AS BIGINT) AS n_tot FROM cw),
+      |terms AS (SELECT sw.source, sw.cnt_sw,
+      |    CAST(floor(ln((CAST(sw.cnt_sw AS DOUBLE) * CAST(n_tot AS DOUBLE))
+      |                  / (CAST(cw.cnt_w AS DOUBLE) * CAST(ns.n_s AS DOUBLE)))
+      |               * 1000000 + 0.5) AS BIGINT) AS lq
+      |  FROM sw JOIN cw USING (w) JOIN ns USING (source), tot)
+      |SELECT t.source, ns.n_tokens, ns.n_distinct,
+      |  CAST(SUM(t.cnt_sw * t.lq) // ns.n_tokens AS BIGINT) AS kl_q
+      |FROM terms t JOIN (SELECT source, n_s AS n_tokens, n_distinct FROM ns) ns USING (source)
+      |GROUP BY 1, 2, 3 ORDER BY source""".stripMargin
+
+  /** Tokenizer prep — segmentation fertility ([[Corpus.bpeFertility]]):
+    * symbols per word token under q121's learned merges, per document —
+    * the metric that says whether the vocabulary fragments the corpus.
+    * Every doc audited, integer permille. */
+  def q123BpeFertility(s: SparkSession, dir: String): DataFrame =
+    Corpus.bpeFertility(docs(s, dir), "doc_id", "text", iters = 3).orderBy("id")
+
+  val q123Sql: String =
+    s"""WITH $bpeChainSql,
+       |seg AS (SELECT word, CAST(len(list_filter(string_split(syms, '_'), x -> x <> '')) AS BIGINT) AS nsym
+       |        FROM s3),
+       |tokd AS (SELECT doc_id AS id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |         FROM documents),
+       |per AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tokens, CAST(SUM(nsym) AS BIGINT) AS n_symbols
+       |        FROM tokd JOIN seg USING (word) GROUP BY 1)
+       |SELECT d.doc_id AS id,
+       |  CAST(COALESCE(per.n_tokens, 0) AS BIGINT) AS n_tokens,
+       |  CAST(COALESCE(per.n_symbols, 0) AS BIGINT) AS n_symbols,
+       |  CAST(CASE WHEN COALESCE(per.n_tokens, 0) > 0
+       |            THEN per.n_symbols * 1000 // per.n_tokens ELSE 0 END AS BIGINT) AS fertility_permille
+       |FROM documents d LEFT JOIN per ON per.id = d.doc_id ORDER BY id""".stripMargin
+
   // ------------------------------------------------- q86 HLL sketch
 
   /** Sketch — HyperLogLog registers ([[Sketches.hllRegisters]]) of
@@ -1227,6 +1274,8 @@ object Scale {
     "q120_self_repeats" -> (q120SelfRepeats _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
+    "q123_bpe_fertility" -> (q123BpeFertility _),
+    "q124_source_drift" -> (q124SourceDrift _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1262,6 +1311,8 @@ object Scale {
     "q120_self_repeats" -> q120Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,
+    "q123_bpe_fertility" -> q123Sql,
+    "q124_source_drift" -> q124Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

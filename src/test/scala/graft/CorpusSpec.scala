@@ -386,6 +386,38 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
     assert(got.isEmpty) // every word is one symbol — no adjacent pairs at all
   }
 
+  test("sourceDivergence: skewed source diverges, representative source doesn't") {
+    import spark.implicits._
+    // corpus = 3 sources; a and b share the corpus-wide distribution,
+    // c is all one word — c must carry the largest KL
+    val d = Seq(
+      ("a", "x y z x y z"), ("b", "x y z x y z"),
+      ("c", "q q q q q q")).toDF("source", "text")
+    val got = Corpus.sourceDivergence(d, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got.keySet == Set("a", "b", "c"))
+    assert(got("a") == got("b")) // identical distributions, identical report
+    assert(got("a")._1 == 6L && got("a")._2 == 3L)
+    // a: P(x)=1/3 vs Q(x)=4/18=2/9 → KL = ln(3/2) > 0; exact quantized value
+    val expectedA = (6L * math.floor(math.log((2.0 * 18.0) / (4.0 * 6.0)) * 1e6 + 0.5).toLong) / 6L
+    assert(got("a")._3 == expectedA)
+    // c: KL = ln(18/6) = ln 3 — the outlier
+    assert(got("c")._3 == math.floor(math.log((6.0 * 18.0) / (6.0 * 6.0)) * 1e6 + 0.5).toLong)
+    assert(got("c")._3 > got("a")._3)
+  }
+
+  test("bpeFertility scores symbols per word under the learned merges") {
+    val d = docsDF(
+      1L -> "low low low lower lower",
+      2L -> "newest newest newest newest widest")
+    // segmentations: low→2 syms, lower→3, newest→4, widest→5
+    // doc 1: 5 tokens, 3·2+2·3=12 symbols → 2400; doc 2: 5 tokens, 4·4+5=21 → 4200
+    val got = Corpus.bpeFertility(d, "doc_id", "text", iters = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L) == ((5L, 12L, 2400L)))
+    assert(got(2L) == ((5L, 21L, 4200L)))
+  }
+
   test("bpeVocab reports the post-merge segmentation") {
     val d = docsDF(
       1L -> "low low low lower lower",
