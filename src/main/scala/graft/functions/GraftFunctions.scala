@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits, PlaneDots}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -25,6 +25,11 @@ object GraftFunctions {
     * quantizes elements for exact integer plane dots, 0 = double mode. */
   def hyperplaneSig(vec: Column, planes: Int, dim: Int, scale: Long): Column =
     Bridge.column(HyperplaneSig(Bridge.expression(vec), planes, dim, scale))
+
+  /** JL ±1 random-projection coordinates as exact scaled-integer plane dots
+    * (see [[org.apache.spark.sql.graft.PlaneDots]]). */
+  def planeDots(vec: Column, planes: Int, dim: Int, scale: Long): Column =
+    Bridge.column(PlaneDots(Bridge.expression(vec), planes, dim, scale))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -194,6 +194,27 @@ object Similarity {
     * keeps the oracle's replication arithmetic cheap. */
   val SigScale: Long = 1000000L
 
+  /** Johnson-Lindenstrauss ±1 random projection (Achlioptas' construction)
+    * to `planes` dimensions — the dimensionality-reduction rung of the
+    * embedding-compression family (q103 int8 keeps the dimension, q105
+    * keeps one BIT per plane; this keeps the full plane dot, preserving
+    * pairwise geometry within the JL distortion bound). Coordinates are
+    * exact ×[[SigScale]] integer plane dots over the SAME LCG plane table
+    * as [[hyperplaneSignature]] — sign(coord) IS the q105 signature bit,
+    * and every coordinate replicates term-for-term in the oracle. Output
+    * is tall ((id, plane, coord_q), one row per projected coordinate), so
+    * downstream ops treat it as an ordinary keyed frame.
+    *
+    * Scale: one native loop expression in the scan stage
+    * ([[org.apache.spark.sql.graft.PlaneDots]]), a posexplode, no shuffle
+    * at all — the projection is embarrassingly parallel, and the projected
+    * corpus is planes/dim the size of the original. */
+  def jlProject(vectors: DataFrame, planes: Int, dim: Int): DataFrame =
+    vectors.select(col("id"),
+        posexplode(graft.functions.GraftFunctions.planeDots(
+          col("vec"), planes, dim, SigScale)).as(Seq("plane", "coord_q")))
+      .select(col("id"), col("plane").cast("long").as("plane"), col("coord_q"))
+
   /** Random-hyperplane LSH bucket signature: bit i = sign(v · plane_i),
     * as ONE native loop expression
     * ([[org.apache.spark.sql.graft.HyperplaneSig]] — the unrolled

@@ -460,6 +460,29 @@ object LlmOps {
       |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
+    * 64-dim embeddings down to 16 exact integer plane-dot coordinates
+    * over the q29/q105 LCG plane table — the dimensionality-reduction
+    * member of the compression family; every coordinate replicates
+    * term-for-term in the oracle. */
+  def q125JlProject(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.jlProject(e, planes = 16, dim = 64).orderBy("id", "plane")
+  }
+
+  val q125Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2)
+      |SELECT vec_id AS id, CAST(i AS BIGINT) AS plane, d AS coord_q
+      |FROM pd ORDER BY id, plane""".stripMargin
+
   // ------------------------------------------ ANN variants, hash-gated
 
   /** Hyperplane-LSH approximate cosine top-k — the 100 TB similarity path.
@@ -699,7 +722,8 @@ object LlmOps {
     "q105_hamming_ann" -> (q105HammingAnn _),
     "q116_knn_label" -> (q116KnnLabel _),
     "q118_incremental_dedup" -> (q118IncrementalDedup _),
-    "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _))
+    "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _),
+    "q125_jl_project" -> (q125JlProject _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -723,5 +747,6 @@ object LlmOps {
     "q105_hamming_ann" -> q105Sql,
     "q116_knn_label" -> q116Sql,
     "q118_incremental_dedup" -> q118Sql,
-    "q119_cosine_pairs_lsh" -> q119Sql)
+    "q119_cosine_pairs_lsh" -> q119Sql,
+    "q125_jl_project" -> q125Sql)
 }

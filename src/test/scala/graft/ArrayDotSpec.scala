@@ -81,4 +81,35 @@ class ArrayDotSpec extends AnyFunSuite with SparkSpec {
     assert(f.keySet == x.keySet)
     f.foreach { case (k, v) => assert(math.abs(v - x(k)) < 1e-9, s"pair $k") }
   }
+
+  test("planeDots matches an independent reference and signs match hyperplaneSig") {
+    import spark.implicits._
+    val dim = 8
+    val planes = 6
+    val scale = 1000000L
+    // deterministic but non-trivial vectors
+    val vecs = (0 until 4).map { k =>
+      (k.toLong, Array.tabulate(dim)(j => ((k * 31 + j * 7) % 11 - 5) / 4.0f))
+    }
+    val df = vecs.toDF("id", "vec")
+    val got = df.select($"id",
+        GraftFunctions.planeDots($"vec", planes, dim, scale).as("pd"),
+        GraftFunctions.hyperplaneSig($"vec", planes, dim, scale).as("sg"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1), r.getLong(2))).toList
+    def q(f: Float): Long = {
+      val xd = f.toDouble
+      (math.signum(xd) * math.floor(math.abs(xd) * scale + 0.5)).toLong
+    }
+    def sgn(i: Int, j: Int): Long =
+      if ((((2654435761L * (i.toLong * dim + j) + 40503L) % 4294967296L) >> 16 & 1L) == 0L) -1L else 1L
+    got.foreach { case (id, pd, sg) =>
+      val v = vecs(id.toInt)._2
+      val want = (0 until planes).map(i => (0 until dim).map(j => q(v(j)) * sgn(i, j)).sum)
+      assert(pd == want, s"vector $id")
+      // bit i of the signature is exactly sign(coord_i) — the q105/q125 contract
+      (0 until planes).foreach { i =>
+        assert(((sg >> i & 1L) == 1L) == (pd(i) > 0L), s"vector $id plane $i")
+      }
+    }
+  }
 }
