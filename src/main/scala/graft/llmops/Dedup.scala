@@ -389,6 +389,36 @@ object Dedup {
         (coalesce(col("jaccard"), lit(0.0)) >= minJaccard).as("is_dup"))
   }
 
+  /** Cross-source duplication matrix — mirror-site detection: near-dup
+    * document pairs ([[jaccardPairs]]' lossless prefix-filtered exact
+    * machinery) aggregated by UNORDERED source pair. A heavy off-diagonal
+    * cell means two domains mirror each other's content (syndication,
+    * scraped re-hosting); a heavy diagonal cell is intra-source
+    * templating. The report a curation run reads before deciding which
+    * source of a mirrored pair to keep.
+    *
+    * Scale: pair generation is the bucketed [[jaccardPairs]] path (never
+    * all-pairs); the matrix aggregation keys on (source_lo, source_hi) —
+    * at most |sources|² rows out. Returns
+    * (source_lo, source_hi, n_pairs, n_docs). */
+  def crossSourceDupMatrix(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, n: Int, minJaccard: Double): DataFrame = {
+    val pairs = jaccardPairs(docs, idCol, textCol, n, minJaccard,
+      prefixFilter = true)
+    val src = docs.select(col(idCol).as("id"), col(sourceCol).as("source"))
+    val lab = pairs
+      .join(src.select(col("id").as("id_a"), col("source").as("sa")), "id_a")
+      .join(src.select(col("id").as("id_b"), col("source").as("sb")), "id_b")
+      .select(least(col("sa"), col("sb")).as("source_lo"),
+        greatest(col("sa"), col("sb")).as("source_hi"),
+        col("id_a"), col("id_b"))
+    val np = lab.groupBy("source_lo", "source_hi").agg(count(lit(1)).as("n_pairs"))
+    val nd = lab.select(col("source_lo"), col("source_hi"),
+        explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("source_lo", "source_hi").agg(countDistinct("id").as("n_docs"))
+    np.join(nd, Seq("source_lo", "source_hi"))
+  }
+
   /** Connected components by iterative min-label propagation: every node
     * ends up labeled with the smallest node id in its component — the
     * canonical-document assignment for near-dup clusters (edges from

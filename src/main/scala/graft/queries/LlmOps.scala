@@ -460,6 +460,39 @@ object LlmOps {
       |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S23/north star — cross-source duplication matrix
+    * ([[Dedup.crossSourceDupMatrix]]): trigram-Jaccard near-dup pairs at
+    * J ≥ 0.7 (the lossless prefix-filtered machinery) rolled up by
+    * unordered source pair — mirror-site detection. */
+  def q126SourceDupMatrix(s: SparkSession, dir: String): DataFrame =
+    Dedup.crossSourceDupMatrix(docs(s, dir), "doc_id", "text", "source",
+      n = 3, minJaccard = 0.7).orderBy("source_lo", "source_hi")
+
+  val q126Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |pairs AS (SELECT id_a, id_b
+      |          FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7),
+      |lab AS (SELECT least(da.source, db.source) AS source_lo,
+      |               greatest(da.source, db.source) AS source_hi, id_a, id_b
+      |        FROM pairs JOIN documents da ON da.doc_id = id_a
+      |                   JOIN documents db ON db.doc_id = id_b),
+      |np AS (SELECT source_lo, source_hi, CAST(count(*) AS BIGINT) AS n_pairs
+      |       FROM lab GROUP BY 1, 2),
+      |tall AS (SELECT source_lo, source_hi, id_a AS id FROM lab
+      |         UNION ALL SELECT source_lo, source_hi, id_b FROM lab),
+      |nd AS (SELECT source_lo, source_hi, CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+      |       FROM tall GROUP BY 1, 2)
+      |SELECT np.source_lo, np.source_hi, np.n_pairs, nd.n_docs
+      |FROM np JOIN nd USING (source_lo, source_hi)
+      |ORDER BY source_lo, source_hi""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
@@ -723,7 +756,8 @@ object LlmOps {
     "q116_knn_label" -> (q116KnnLabel _),
     "q118_incremental_dedup" -> (q118IncrementalDedup _),
     "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _),
-    "q125_jl_project" -> (q125JlProject _))
+    "q125_jl_project" -> (q125JlProject _),
+    "q126_source_dup_matrix" -> (q126SourceDupMatrix _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -748,5 +782,6 @@ object LlmOps {
     "q116_knn_label" -> q116Sql,
     "q118_incremental_dedup" -> q118Sql,
     "q119_cosine_pairs_lsh" -> q119Sql,
-    "q125_jl_project" -> q125Sql)
+    "q125_jl_project" -> q125Sql,
+    "q126_source_dup_matrix" -> q126Sql)
 }

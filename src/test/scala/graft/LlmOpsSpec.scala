@@ -334,6 +334,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.head.getLong(2) == 2L)
   }
 
+  test("crossSourceDupMatrix: mirrored content rolls up by unordered source pair") {
+    import spark.implicits._
+    val dup = "alpha beta gamma delta epsilon zeta eta theta"
+    val d = Seq(
+      (1L, dup, "siteA"), (2L, dup, "siteB"),          // cross-source mirror
+      (3L, dup, "siteB"),                              // also dups 1 and 2
+      (4L, "totally different text about other things here", "siteC"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.llmops.Dedup.crossSourceDupMatrix(d, "doc_id", "text", "source",
+        n = 3, minJaccard = 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    // pairs: (1,2) A-B, (1,3) A-B, (2,3) B-B; siteC clean → absent
+    assert(got == Map(
+      ("siteA", "siteB") -> ((2L, 3L)),
+      ("siteB", "siteB") -> ((1L, 2L))))
+  }
+
   test("incrementalDedup: delta dup of an indexed doc flags; novel doc admits") {
     import org.apache.spark.sql.functions.col
     val dup = "the quick brown fox jumps over the lazy dog again and again"
