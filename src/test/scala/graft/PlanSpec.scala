@@ -200,6 +200,28 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       p.contains("BroadcastHashJoin"), "the band probe must be a hash-key join")
   }
 
+  test("q125: JL projection is shuffle-free — native plane_dots in the scan stage") {
+    val p = plan("q125_jl_project")
+    assert(p.contains("plane_dots"), "projection must be the native loop expression")
+    // the only Exchange allowed is the output orderBy's range partitioning —
+    // the projection itself must add none
+    assert(!p.contains("hashpartitioning"),
+      "projection must not introduce a hash shuffle:\n" + p.linesIterator.take(25).mkString("\n"))
+  }
+
+  test("q118/q119: signature/banding probes are hash-key joins, no nested loop") {
+    for (q <- Seq("q118_incremental_dedup", "q119_cosine_pairs_lsh")) {
+      val p = plan(q)
+      assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+        s"$q candidate join must stay an equi-join")
+    }
+  }
+
+  test("q126: matrix rollup joins sources by key — no cartesian anywhere") {
+    val p = plan("q126_source_dup_matrix")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+  }
+
   test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
     // the trained-quantizer production path (the declared q67 moved to the
     // exact pivot pipeline, whose hot loops are the array_dot expression)
