@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits, PlaneDots}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits, PlaneDots, TokenGramHashes}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -30,6 +30,11 @@ object GraftFunctions {
     * (see [[org.apache.spark.sql.graft.PlaneDots]]). */
   def planeDots(vec: Column, planes: Int, dim: Int, scale: Long): Column =
     Bridge.column(PlaneDots(Bridge.expression(vec), planes, dim, scale))
+
+  /** Distinct 64-bit token n-gram digests as one native loop — internal
+    * join plumbing (see [[org.apache.spark.sql.graft.TokenGramHashes]]). */
+  def tokenGramHashes(toks: Column, n: Int): Column =
+    Bridge.column(TokenGramHashes(Bridge.expression(toks), n))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -307,7 +307,7 @@ object Scale {
     // static frames every micro-batch, so an uncached gram index would be
     // recomputed (scan + explode + distinct) once per batch
     val evalGrams = docs(s, dir).filter(pmod(col("doc_id"), lit(10)) === 0)
-      .select(explode(StreamDecontam.gramSet(col("text"), 8)).as("s")).distinct()
+      .select(explode(StreamDecontam.gramDigests(col("text"), 8)).as("h")).distinct()
       .persist()
     evalGrams.count()
     val schema = new org.apache.spark.sql.types.StructType()
@@ -334,6 +334,83 @@ object Scale {
       |ev AS (SELECT DISTINCT s FROM g WHERE id % 10 = 0)
       |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
       |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------- q127 streaming ANN probe
+
+  /** Staged embedding stream for q127: vectors vec_id ≡ 0 (mod 4) arrive
+    * in three band files ((vec_id div 4) mod 3), oldest band first. */
+  private def stageVecBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q127:$dir", {
+      val src = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(4)) === 0)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"),
+          pmod(expr("vec_id div 4"), lit(3)).cast("long").as("batch"))
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"vband$b" -> src.filter(col("batch") === b).drop("batch")))
+    })
+
+  /** S26 depth — streaming ANN at ingest ([[graft.streaming.StreamAnn]]):
+    * arriving embeddings (vec_id ≡ 0 mod 4, three micro-batches) hash to
+    * their 8-plane LSH bucket and probe the static corpus index
+    * (vec_id ≢ 0 mod 4); collisions rescore with the exact ×1e8 integer
+    * cosine and each arrival keeps its best match — the embedding twin of
+    * q112's gram-index probe. */
+  def q127StreamAnn(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageVecBands(s, dir)
+    val index = t(s, dir, "embeddings").filter(pmod(col("vec_id"), lit(4)) =!= 0)
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      .persist() // static side: re-evaluated per micro-batch if uncached
+    index.count()
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("vec", "array<float>")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val best = graft.streaming.StreamAnn.bestMatch(stream, index, planes = 8, dim = 64)
+    val qn = s"q127_sann_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      best.writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-sann-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn).orderBy("id")
+  }
+
+  val q127Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 8) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM pd GROUP BY 1),
+      |q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |cand AS (SELECT a.vec_id AS qid, b.vec_id AS cid
+      |         FROM sig a JOIN sig b ON a.sg = b.sg
+      |         WHERE a.vec_id % 4 = 0 AND b.vec_id % 4 <> 0),
+      |dots AS (SELECT c.qid, c.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM cand c JOIN q qa ON qa.vec_id = c.qid
+      |                     JOIN q qb ON qb.vec_id = c.cid AND qb.i = qa.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |best AS (SELECT qid, cid, cosine,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rn,
+      |           count(*) OVER (PARTITION BY qid) AS n_candidates
+      |         FROM cos)
+      |SELECT qid AS id, CAST(n_candidates AS BIGINT) AS n_candidates,
+      |       cid AS best_match, cosine AS best_cosine
+      |FROM best WHERE rn = 1 ORDER BY id""".stripMargin
 
   // ---------------------------------------- q113 per-source quality caps
 
@@ -1276,6 +1353,7 @@ object Scale {
     "q122_bpe_vocab" -> (q122BpeVocab _),
     "q123_bpe_fertility" -> (q123BpeFertility _),
     "q124_source_drift" -> (q124SourceDrift _),
+    "q127_stream_ann" -> (q127StreamAnn _),
     "q84_token_budget" -> (q84TokenBudget _),
     "q85_dup_spans" -> (q85DupSpans _),
     "q86_hll_sketch" -> (q86HllSketch _),
@@ -1313,6 +1391,7 @@ object Scale {
     "q122_bpe_vocab" -> q122Sql,
     "q123_bpe_fertility" -> q123Sql,
     "q124_source_drift" -> q124Sql,
+    "q127_stream_ann" -> q127Sql,
     "q84_token_budget" -> q84Sql,
     "q85_dup_spans" -> q85Sql,
     "q86_hll_sketch" -> q86Sql,

@@ -35,15 +35,24 @@ object StreamDecontam {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Distinct 64-bit gram DIGESTS of `text` — the native-loop fast path
+    * ([[graft.functions.GraftFunctions.tokenGramHashes]]) both sides of
+    * the probe join compute inside one engine, so digest equality stands
+    * in for gram equality ([[gramSet]] stays the string form the oracle
+    * replicates); the broadcast index shrinks to 8 bytes per gram. */
+  def gramDigests(text: Column, n: Int): Column =
+    graft.functions.GraftFunctions.tokenGramHashes(tokens(text), n)
+
   /** Per-document shared-gram counts of a streaming (id, text) frame
-    * against a static one-column (s) eval gram set: (id, n_shared_grams),
-    * one row per contaminated doc — the streaming form of
-    * [[graft.llmops.Corpus.decontaminate]]. Inner stream-static join, so
-    * the probe itself is stateless; the count aggregation carries the
-    * per-doc state. */
-  def sharedGrams(stream: DataFrame, evalGrams: DataFrame, n: Int): DataFrame =
+    * against a static one-column (h) eval gram DIGEST set
+    * (`evalDocs.select(explode(gramDigests(colsText, n)).as("h")).distinct`):
+    * (id, n_shared_grams), one row per contaminated doc — the streaming
+    * form of [[graft.llmops.Corpus.decontaminate]]. Inner stream-static
+    * join, so the probe itself is stateless; the count aggregation carries
+    * the per-doc state. */
+  def sharedGrams(stream: DataFrame, evalGramDigests: DataFrame, n: Int): DataFrame =
     stream
-      .select(col("id"), explode(gramSet(col("text"), n)).as("s"))
-      .join(broadcast(evalGrams), "s")
+      .select(col("id"), explode(gramDigests(col("text"), n)).as("h"))
+      .join(broadcast(evalGramDigests), "h")
       .groupBy("id").agg(count(lit(1)).as("n_shared_grams"))
 }

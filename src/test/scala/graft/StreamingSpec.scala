@@ -164,7 +164,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // stream the corpus in two micro-batches against the static gram index
     val evalGrams = eval
-      .select(explode(StreamDecontam.gramSet(col("text"), 8)).as("s")).distinct()
+      .select(explode(StreamDecontam.gramDigests(col("text"), 8)).as("h")).distinct()
     val mem = MemoryStream[(Long, String)]
     val stream = mem.toDF.toDF("id", "text")
     mem.addData(corpusRows.take(2).map(r => (r._1, r._2)): _*)
@@ -182,6 +182,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch, s"stream $streamed != batch $batch")
     // sanity: the shared 8-gram run is detected, the clean docs are absent
     assert(batch.keySet == Set(1L, 3L) && batch.values.forall(_ >= 1L))
+  }
+
+  test("streaming ANN probe ≡ batch LSH best-match across multi-batch arrival") {
+    import graft.streaming.StreamAnn
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val dim = 8
+    // index vectors 1-4 (deterministic), queries: 100 = exact copy of 1
+    // (cosine 1.0 in its bucket), 101 = near 3, 102 = isolated direction
+    def v(seed: Int): Array[Float] =
+      Array.tabulate(dim)(j => ((seed * 13 + j * 5) % 9 - 4) / 3.0f)
+    val index = Seq(1L, 2L, 3L, 4L).map(i => (i, v(i.toInt))).toDF("id", "vec")
+    val queries = Seq((100L, v(1)), (101L, v(3).map(x => x * 0.9f)), (102L, v(7)))
+    val mem = MemoryStream[(Long, Array[Float])]
+    val stream = mem.toDF.toDF("id", "vec")
+    val out = StreamAnn.bestMatch(stream, index, planes = 6, dim = dim)
+    val qn = "sann_spec"
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-sann-spec").toString
+    mem.addData(queries.take(1): _*)
+    val q = out.writeStream.outputMode("complete").format("memory")
+      .queryName(qn).option("checkpointLocation", ckpt).start()
+    q.processAllAvailable()
+    mem.addData(queries.drop(1): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(qn).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    // batch reference: same join + best computed on a static frame
+    val batchRef = StreamAnn.bestMatch(queries.toDF("id", "vec"), index,
+        planes = 6, dim = dim)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got == batchRef, s"stream $got != batch $batchRef")
+    // the exact copy must find its original at cosine 1.0
+    assert(got.contains(100L) && got(100L) == ((1L, 1.0)))
   }
 
   test("streaming funnel ≡ batch funnel on random streams split at random times") {
