@@ -928,6 +928,44 @@ object Curation {
       |           + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Selective small-file compaction ([[graft.sources.TxStore.compactBuckets]])
+    * made query-visible: a DEDICATED store (so the shared q69/q70 version
+    * history stays untouched) takes three base-derived merges per run —
+    * each fragments its touched buckets — then compacts and reads back.
+    * Per-segment balances must equal the plain upsert arithmetic:
+    * compaction changes layout, never data (the hash gate proves it); the
+    * TxStoreSpec pins the file-count mechanics. Every bench re-run
+    * re-merges the SAME base-derived deltas (content-idempotent) and
+    * re-compacts whatever they fragmented. */
+  def q128TxCompact(s: SparkSession, dir: String): DataFrame = {
+    val path = txStores.getOrElseUpdate(s"cmp:$dir",
+      java.nio.file.Files.createTempDirectory("graft-txc").resolve("customer").toString)
+    val base = t(s, dir, "customer").select(col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"),
+      col("c_mktsegment"))
+    if (graft.sources.TxStore.currentVersion(path) < 0)
+      graft.sources.TxStore.init(base.coalesce(1), path, "c_custkey", nBuckets = 8)
+    for ((m, bump) <- Seq((10, 10000L), (7, 700L), (13, 1300L)))
+      graft.sources.TxStore.merge(s, path,
+        base.filter(pmod(col("c_custkey"), lit(m)) === 0)
+          .withColumn("bal_q", col("bal_q") + bump), "c_custkey")
+    graft.sources.TxStore.compactBuckets(s, path)
+    graft.sources.TxStore.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_q").as("bal_sum_q"))
+      .orderBy("c_mktsegment")
+  }
+
+  // delta wins per merge, so a key in several deltas keeps the LAST bump
+  // (13 applied after 7 after 10) — the oracle mirrors the merge order
+  val q128Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           + CASE WHEN c_custkey % 13 = 0 THEN 1300
+      |                  WHEN c_custkey % 7 = 0 THEN 700
+      |                  WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Time travel: the same store read AT VERSION 0 — the pre-upsert
     * snapshot, byte-stable no matter how many merges later runs have
     * committed (the snapshot-isolation contract, query-visible). */
@@ -954,6 +992,7 @@ object Curation {
     "q67_ivfpq" -> (q67IvfPq _),
     "q68_hybrid_rrf" -> (q68HybridRrf _),
     "q69_tx_upsert" -> (q69TxUpsert _),
+    "q128_tx_compact" -> (q128TxCompact _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
     "q71_unigram_logprob" -> (q71UnigramLogprob _),
     "q72_vocab_report" -> (q72VocabReport _),
@@ -978,6 +1017,7 @@ object Curation {
     "q67_ivfpq" -> q67Sql,
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
+    "q128_tx_compact" -> q128Sql,
     "q70_tx_time_travel" -> q70Sql,
     "q71_unigram_logprob" -> q71Sql,
     "q72_vocab_report" -> q72Sql,

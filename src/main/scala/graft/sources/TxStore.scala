@@ -393,6 +393,54 @@ object TxStore {
     nv
   }
 
+  /** SELECTIVE small-file compaction — the incremental form of
+    * [[compact]] (which rewrites the whole table): rewrite only buckets
+    * whose rows are spread across more than `maxFilesPerBucket` files
+    * (every [[merge]]/[[delete]] adds one file per touched bucket, so
+    * after k upserts a hot bucket reads k files); already-compact buckets
+    * re-enter the new manifest by reference, exactly like an untouched
+    * bucket in a merge. Row content is IDENTICAL before and after — the
+    * operation changes layout, never data — and the commit is the same
+    * atomic CAS rename, so readers and racing writers see old or new
+    * layout, never a mix. Fresh files get fresh zone maps (a compacted
+    * bucket's min/max tighten to the union of its parts); the txn
+    * watermark carries over unchanged.
+    *
+    * Scale: this is the form a 100 TB table runs on a cadence — cost ∝
+    * fragmented buckets only (one shuffle keyed on the bucket id; all
+    * rows of a bucket land in one task, one file), while [[compact]]'s
+    * full rewrite is ∝ the whole table. Returns
+    * (version, filesBefore, filesAfter); version is unchanged when
+    * nothing is fragmented. */
+  def compactBuckets(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
+      expectedVersion: Option[Int] = None): (Int, Int, Int) = {
+    require(maxFilesPerBucket >= 1,
+      s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
+    val v = expectedVersion.getOrElse(currentVersion(path))
+    require(v >= 0, s"no committed snapshot at $path — init first")
+    val m = readManifest(path, v)
+    val total = m.entries.size
+    val frag = m.entries.groupBy(_.bucket)
+      .collect { case (b, es) if es.size > maxFilesPerBucket => b }.toSet
+    if (frag.isEmpty) return (v, total, total)
+    val (touched, untouched) = m.entries.partition(e => frag(e.bucket))
+    // one shuffle on the bucket id: every fragmented bucket's rows land in
+    // one task, so partitionBy emits exactly one file per bucket
+    val rows = readFiles(spark, path, touched).repartition(col("__bucket"))
+    val nv = v + 1
+    val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
+    writeVersionData(rows, path, dirName)
+    val fresh = withStats(spark, path, listVersionFiles(path, dirName), m.statsCols)
+    try commitManifest(path, nv, m.nBuckets, m.schemaJson,
+      fresh ++ untouched, m.txn, m.statsCols)
+    catch {
+      case e: java.util.ConcurrentModificationException =>
+        deleteRecursively(Paths.get(path, "data", dirName))
+        throw e
+    }
+    (nv, total, fresh.size + untouched.size)
+  }
+
   /** Copy-on-write DELETE: remove every row whose `key` appears in `keys`
     * (a frame exposing the key column). Same bucket-scoped rewrite as
     * [[merge]] — only buckets containing a deleted key are read and

@@ -98,6 +98,37 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: gram digests ≡ gram strings on random corpora (probe equivalence)") {
+    import spark.implicits._
+    import graft.streaming.StreamDecontam
+    import org.apache.spark.sql.functions._
+    // the digest probe must flag exactly the docs (with exactly the counts)
+    // the string probe flags — shared vocab so grams actually collide
+    val vocab = Vector("a", "b", "c", "d", "e", "f")
+    val genCase = for {
+      nc <- Gen.choose(1, 6)
+      corpus <- Gen.listOfN(nc, Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      ev <- Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" ")))
+    } yield (corpus, ev)
+    val prop = Prop.forAll(genCase) { case (corpus, ev) =>
+      val cdf = corpus.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+      val edf = Seq((100L, ev)).toDF("id", "text")
+      val n = 3
+      val viaStrings = cdf.select(col("id"), explode(StreamDecontam.gramSet(col("text"), n)).as("s"))
+        .join(edf.select(explode(StreamDecontam.gramSet(col("text"), n)).as("s")).distinct(), "s")
+        .groupBy("id").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val viaDigests = StreamDecontam.sharedGrams(cdf,
+          edf.select(explode(StreamDecontam.gramDigests(col("text"), n)).as("h")).distinct(), n)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      viaStrings == viaDigests
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: prefix-filter + df-cap ≡ df-cap alone on random corpora") {
     import spark.implicits._
     import graft.llmops.Dedup

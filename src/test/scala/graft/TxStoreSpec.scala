@@ -345,4 +345,37 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(kept == total)
     assert(TxStore.readWhere(spark, p, "entity_id", 1L, 1L).count() == 1)
   }
+
+  test("compactBuckets: only fragmented buckets rewritten, content identical, history intact") {
+    val p = freshPath()
+    // single-partition init: v0 is exactly one file per bucket, so the only
+    // fragmentation below comes from the merges
+    TxStore.init((1L to 64L).map(i => (i, s"v$i")).toDF("entity_id", "v").coalesce(1),
+      p, "entity_id", nBuckets = 8)
+    // fragment a couple of buckets with repeated single-key merges (the
+    // base partition and the delta partition both write into the bucket)
+    TxStore.merge(spark, p, rows(7L -> "x1"), "entity_id")
+    TxStore.merge(spark, p, rows(7L -> "x2"), "entity_id")
+    TxStore.merge(spark, p, rows(9L -> "y1"), "entity_id")
+    val before = TxStore.read(spark, p).as[(Long, String)].collect().toSet
+    val vPre = TxStore.currentVersion(p)
+    val (nv, fBefore, fAfter) = TxStore.compactBuckets(spark, p)
+    assert(nv == vPre + 1 && fAfter < fBefore, s"$fBefore -> $fAfter")
+    // content bit-identical; fragmented buckets now one file each
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet == before)
+    val manifest = Files.readAllLines(
+      Paths.get(p, "_manifests", f"v$nv%06d.manifest"))
+    val entries = manifest.subList(2, manifest.size()).asScala
+      .map(_.split("\t")).map(a => a(0).toInt -> a(1))
+    assert(entries.groupBy(_._1).values.forall(_.size == 1),
+      "every bucket must be a single file after full-threshold compaction")
+    // untouched buckets still referenced from v0 by name (no rewrite)
+    assert(entries.exists(_._2.startsWith("v0/")), "untouched buckets must stay by reference")
+    // pre-compaction snapshot still time-travels to the same content
+    assert(TxStore.read(spark, p, version = Some(vPre))
+      .as[(Long, String)].collect().toSet == before)
+    // a second pass is a no-op at the same version
+    val (nv2, b2, a2) = TxStore.compactBuckets(spark, p)
+    assert(nv2 == nv && b2 == a2)
+  }
 }
