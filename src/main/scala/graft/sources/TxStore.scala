@@ -200,9 +200,13 @@ object TxStore {
     entries.map(e => e.copy(stats = byFile.getOrElse(e.file, Map.empty)))
   }
 
-  private def writeVersionData(df: DataFrame, path: String, dirName: String): Unit =
-    df.write.mode("errorifexists").partitionBy("__bucket")
+  private def writeVersionData(df: DataFrame, path: String, dirName: String,
+      maxRecordsPerFile: Long = 0L): Unit = {
+    val w = df.write.mode("errorifexists").partitionBy("__bucket")
+    (if (maxRecordsPerFile > 0)
+      w.option("maxRecordsPerFile", maxRecordsPerFile.toString) else w)
       .parquet(Paths.get(path, "data", dirName).toString)
+  }
 
   /** Create snapshot v0 from `df`, bucketed by `key`. `statsCols` declares
     * the store's zone-map columns (LONG-castable): every commit records
@@ -406,14 +410,22 @@ object TxStore {
     * bucket's min/max tighten to the union of its parts); the txn
     * watermark carries over unchanged.
     *
+    * `sortCols` turns this into CLUSTERED compaction (the OPTIMIZE …
+    * SORT/ZORDER BY verb): each rewritten bucket sorts by the given
+    * columns and, with `maxRecordsPerFile > 0`, splits into consecutive
+    * range-tight files — so the store's zone maps ([[readWhere]]) prune
+    * WITHIN a bucket, not just across buckets. Pass a single time/key
+    * column for range clustering or a precomputed
+    * [[graft.functions.GraftFunctions.zorder2]] column for 2-D locality.
+    *
     * Scale: this is the form a 100 TB table runs on a cadence — cost ∝
     * fragmented buckets only (one shuffle keyed on the bucket id; all
-    * rows of a bucket land in one task, one file), while [[compact]]'s
-    * full rewrite is ∝ the whole table. Returns
-    * (version, filesBefore, filesAfter); version is unchanged when
-    * nothing is fragmented. */
+    * rows of a bucket land in one task), while [[compact]]'s full rewrite
+    * is ∝ the whole table. Returns (version, filesBefore, filesAfter);
+    * version is unchanged when nothing is fragmented. */
   def compactBuckets(spark: SparkSession, path: String, maxFilesPerBucket: Int = 1,
-      expectedVersion: Option[Int] = None): (Int, Int, Int) = {
+      expectedVersion: Option[Int] = None, sortCols: Seq[String] = Nil,
+      maxRecordsPerFile: Long = 0L): (Int, Int, Int) = {
     require(maxFilesPerBucket >= 1,
       s"maxFilesPerBucket must be >= 1, got $maxFilesPerBucket")
     val v = expectedVersion.getOrElse(currentVersion(path))
@@ -425,11 +437,15 @@ object TxStore {
     if (frag.isEmpty) return (v, total, total)
     val (touched, untouched) = m.entries.partition(e => frag(e.bucket))
     // one shuffle on the bucket id: every fragmented bucket's rows land in
-    // one task, so partitionBy emits exactly one file per bucket
-    val rows = readFiles(spark, path, touched).repartition(col("__bucket"))
+    // one task, so partitionBy emits one file per bucket (or consecutive
+    // sorted chunks of maxRecordsPerFile rows under clustered compaction)
+    val repart = readFiles(spark, path, touched).repartition(col("__bucket"))
+    val rows =
+      if (sortCols.isEmpty) repart
+      else repart.sortWithinPartitions(col("__bucket") +: sortCols.map(col): _*)
     val nv = v + 1
     val dirName = s"v$nv-${java.util.UUID.randomUUID().toString.take(8)}"
-    writeVersionData(rows, path, dirName)
+    writeVersionData(rows, path, dirName, maxRecordsPerFile)
     val fresh = withStats(spark, path, listVersionFiles(path, dirName), m.statsCols)
     try commitManifest(path, nv, m.nBuckets, m.schemaJson,
       fresh ++ untouched, m.txn, m.statsCols)

@@ -346,6 +346,29 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
     assert(TxStore.readWhere(spark, p, "entity_id", 1L, 1L).count() == 1)
   }
 
+  test("clustered compaction: sortCols + maxRecordsPerFile tighten zone maps within a bucket") {
+    val p = freshPath()
+    // ONE bucket so all pruning must come from within-bucket clustering;
+    // ts values deliberately interleaved across two commits so every
+    // pre-compaction file spans the whole ts range (zone maps useless)
+    TxStore.init(tsRows((1L to 40L by 2).map(i => (i, 100L + i * 10L)): _*).coalesce(1),
+      p, "entity_id", nBuckets = 1, statsCols = Seq("ts_us"))
+    TxStore.merge(spark, p,
+      tsRows((2L to 40L by 2).map(i => (i, 100L + i * 10L)): _*).coalesce(1), "entity_id")
+    val before = TxStore.read(spark, p).as[(Long, Long)].collect().toSet
+    val (k0, t0) = TxStore.pruneCount(p, "ts_us", 110L, 150L)
+    assert(k0 == t0, "interleaved files must NOT prune before clustering")
+    val (nv, fb, fa) = TxStore.compactBuckets(spark, p,
+      sortCols = Seq("ts_us"), maxRecordsPerFile = 10L)
+    assert(nv >= 1 && fa >= 4, s"expected >=4 sorted chunk files, got $fa (from $fb)")
+    // content identical, narrow range now prunes most chunk files
+    assert(TxStore.read(spark, p).as[(Long, Long)].collect().toSet == before)
+    val (k1, t1) = TxStore.pruneCount(p, "ts_us", 110L, 150L)
+    assert(k1 < t1, s"clustered files must prune: kept $k1 of $t1")
+    assert(TxStore.readWhere(spark, p, "ts_us", 110L, 150L)
+      .as[(Long, Long)].collect().toSet == before.filter(r => r._2 >= 110L && r._2 <= 150L))
+  }
+
   test("compactBuckets: only fragmented buckets rewritten, content identical, history intact") {
     val p = freshPath()
     // single-partition init: v0 is exactly one file per bucket, so the only
