@@ -141,6 +141,59 @@ object Dedup {
           expr("(n_repeat_positions * 1000) div n_tokens")).otherwise(lit(0L)))
   }
 
+  /** Corpus-wide VERBATIM chunk dedup — the C4-style "remove any repeated
+    * span, keep one copy" operator (Raffel et al. 2020 dropped any
+    * three-sentence span occurring more than once; this corpus has no
+    * sentence boundaries, so the unit is a non-overlapping `chunkLen`-token
+    * chunk, trailing partial chunk included). The FIRST occurrence in
+    * (doc id, chunk index) order keeps the chunk; every later verbatim
+    * copy anywhere in the corpus is dropped, and each document is
+    * reassembled from its surviving chunks in order.
+    *
+    * Differs from [[dupSpanCoverage]] (measures overlap, removes nothing)
+    * and [[selfRepeatCoverage]] (within-doc only): this one REWRITES the
+    * corpus, the mutation C4 actually applies before training.
+    *
+    * Scale: chunk lists are built scan-side from the token array (no
+    * window over positions); the keep/drop decision is one rank window
+    * keyed on the chunk digest (fixed-width SHA-256 — high cardinality,
+    * partitions evenly); reassembly is one per-document aggregation whose
+    * state is bounded by document length. Nothing is ever compared
+    * pairwise. Returns (id, n_chunks, n_kept, kept_sha) where kept_sha is
+    * SHA-256 of the reassembled text — the gate proves the rewrite
+    * byte-for-byte without shipping bodies to the output. */
+  def chunkDedup(docs: DataFrame, idCol: String, textCol: String,
+      chunkLen: Int): DataFrame = {
+    require(chunkLen >= 1, s"chunkLen must be >= 1, got $chunkLen")
+    val chunks = docs
+      .select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, (size(t) - 1) div $chunkLen),
+           |          c -> array_join(slice(t, c * $chunkLen + 1, $chunkLen), ' '))"""
+          .stripMargin)).as(Seq("cidx", "ctext")))
+      .withColumn("g", sha2(col("ctext").cast("binary"), 256))
+    // first corpus-wide occurrence of a digest keeps its chunk
+    val w = Window.partitionBy("g").orderBy("id", "cidx")
+    val flagged = chunks.withColumn("kept", row_number().over(w) === 1)
+    val rebuilt = flagged.groupBy("id").agg(
+      count(lit(1)).as("n_chunks"),
+      sum(col("kept").cast("long")).as("n_kept"),
+      sha2(array_join(
+        transform(
+          filter(sort_array(collect_list(struct(col("cidx"), col("kept"),
+            col("ctext")))), x => x.getField("kept")),
+          x => x.getField("ctext")), " ").cast("binary"), 256).as("kept_sha"))
+    // empty documents surface with zero chunks and the empty-text digest
+    docs.select(col(idCol).as("id"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("kept_sha"),
+          sha2(lit("").cast("binary"), 256)).as("kept_sha"))
+  }
+
   /** N-gram Jaccard similarity for pairs clearing `minJaccard`, with two
     * candidate-bounding knobs for the 100 TB path:
     *

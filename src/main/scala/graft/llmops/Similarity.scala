@@ -111,6 +111,46 @@ object Similarity {
         col("votes"), col("best_cosine"))
   }
 
+  /** Contrastive HARD-NEGATIVE mining — for each query vector, the k most
+    * similar corpus vectors carrying a DIFFERENT label: the near-boundary
+    * examples a contrastive/embedding trainer pairs against its positives
+    * (the highest-cosine wrong-label neighbors are exactly the negatives
+    * that carry gradient signal). `queries`/`corpus`: (id, vec, label).
+    * Self-pairs are excluded by id as well as by label so an id present on
+    * both sides can never be its own negative even under label noise.
+    *
+    * Determinism: exact ×[[ExactScale]] integer dots, 12-dp-rounded cosine,
+    * ties broken by neighbor id — q27's portable ranking contract, plus the
+    * negative's label in the output for the pair-builder downstream.
+    *
+    * Scale: inherits [[cosineTopK]]'s broadcast-queries shape (the mining
+    * runs per training round over a bounded query batch); for corpus-scale
+    * query sets, generate candidates with the LSH/IVF index and apply the
+    * same label-mismatch filter before the exact rescore. Returns
+    * (vec_id, rank, neg_id, neg_label, cosine). */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, k: Int,
+      exact: Boolean = true): DataFrame = {
+    val q = norms(queries.select("id", "vec"), exact)
+      .select(col("id").as("qid"), col("nrm").as("qn"))
+      .join(queries.select(col("id").as("qid"), col("vec").as("qv"),
+        col("label").as("qlabel")), "qid")
+    val c = norms(corpus.select("id", "vec"), exact)
+      .select(col("id").as("cid"), col("nrm").as("cn"))
+      .join(corpus.select(col("id").as("cid"), col("vec").as("cv"),
+        col("label").as("clabel")), "cid")
+    val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+    c.join(broadcast(q),
+        col("qid") =!= col("cid") && col("qlabel") =!= col("clabel"))
+      .select(col("qid"), col("cid"), col("clabel"),
+        dot(col("qv"), col("cv"), exact).as("dot"), col("qn"), col("cn"))
+      .withColumn("cosine",
+        round(col("dot").cast("double") / (col("qn") * col("cn")), 12))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid").as("vec_id"), col("rank"), col("cid").as("neg_id"),
+        col("clabel").as("neg_label"), col("cosine"))
+  }
+
   /** Exact cosine near-dup PAIRS: all (id_a < id_b) with cosine ≥
     * `minCosine` (the threshold form of similarity search — the north-star
     * "embedding-cosine near-dup" shape, complementing top-k).

@@ -7,7 +7,7 @@ import graft.engine.FreshReader
 import graft.model.{Cells, ColumnName, DataRequest, EntityView}
 import graft.policy.ShelfLife
 import graft.registry.FreshnessManager
-import graft.score.{EventValueIncrement, Scorer, ScorerContext}
+import graft.score.{EventValueIncrement, EventValueRescale, Scorer, ScorerContext}
 import graft.sources.Tables
 
 /** The freshening pipeline as declared oracle queries (SURVEY.md §2.3): for
@@ -279,6 +279,46 @@ object Freshen {
       |FROM events
       |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------- q131 champion/challenger shadow
+
+  /** Model-ops — champion/challenger SHADOW SCORING: the challenger
+    * producer scores the same entity slice as the serving champion without
+    * being served, and the report quantifies where they disagree — the
+    * promotion gate of a scoring-model rollout. Both models run through
+    * the reflective [[Scorer]] SPI (same machinery as the freshen engine's
+    * capsule path); the slice is the FULL entity view, since a shadow eval
+    * wants coverage, not just the stale set. Both scorings share one base
+    * read, exactly like the engine's shared-base contract (R4).
+    *
+    * Determinism: both formulas are single-expression IEEE double
+    * arithmetic evaluated identically by DuckDB; the disagreement flag
+    * compares against an exact decimal threshold. */
+  def q131ShadowScore(s: SparkSession, dir: String): DataFrame = {
+    val view = entityView(s, dir)
+    val champion = Scorer.load(classOf[EventValueIncrement].getName)
+    val challenger = Scorer.load(classOf[EventValueRescale].getName)
+    val ctx = ScorerContext(AsOf, Map.empty)
+    val a = champion.score(champion.dataRequest.select(view), ctx)
+      .select(col(EntityView.EntityId), col("value").as("champion"))
+    val b = challenger.score(challenger.dataRequest.select(view), ctx)
+      .select(col(EntityView.EntityId), col("value").as("challenger"))
+    a.join(b, EntityView.EntityId)
+      .withColumn("delta", col("champion") - col("challenger"))
+      .withColumn("disagree", abs(col("delta")) > lit(0.5d))
+      .orderBy(EntityView.EntityId)
+  }
+
+  val q131Sql: String =
+    s"""WITH c AS (SELECT user_id, epoch_ms(ts) AS ts, value FROM events),
+       |a AS (SELECT user_id, max(ts) AS nt FROM c GROUP BY 1),
+       |nv AS (SELECT c.user_id, max(c.value) AS v
+       |       FROM c JOIN a ON c.user_id = a.user_id AND c.ts = a.nt GROUP BY 1)
+       |SELECT user_id AS entity_id, v + 1.0 AS champion,
+       |  v * 0.9 + 1.0 AS challenger,
+       |  (v + 1.0) - (v * 0.9 + 1.0) AS delta,
+       |  abs((v + 1.0) - (v * 0.9 + 1.0)) > 0.5 AS disagree
+       |FROM nv ORDER BY 1""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -288,7 +328,8 @@ object Freshen {
     "q34_streaming_freshen" -> (q34StreamingFreshen _),
     "q37_version_window" -> (q37VersionWindow _),
     "q44_streaming_window" -> (q44StreamingWindow _),
-    "q102_freshen_crosscol" -> (q102FreshenCrossColumn _))
+    "q102_freshen_crosscol" -> (q102FreshenCrossColumn _),
+    "q131_shadow_score" -> (q131ShadowScore _))
 
   val oracleSql: Map[String, String] = Map(
     "q31_freshen_stale" -> q31Sql,
@@ -297,5 +338,6 @@ object Freshen {
     "q34_streaming_freshen" -> q34Sql,
     "q37_version_window" -> q37Sql,
     "q44_streaming_window" -> q44Sql,
-    "q102_freshen_crosscol" -> q102Sql)
+    "q102_freshen_crosscol" -> q102Sql,
+    "q131_shadow_score" -> q131Sql)
 }

@@ -351,6 +351,40 @@ object LlmOps {
       |SELECT qid AS vec_id, label AS pred_label, votes, best_cosine
       |FROM p WHERE pr = 1 ORDER BY vec_id""".stripMargin
 
+  /** S23/north star — contrastive hard-negative mining
+    * ([[Similarity.hardNegatives]]): for each query (vec_id % 10 = 0, the
+    * q116 query cohort) the 5 highest-cosine vectors with a DIFFERENT
+    * label — exact ×1e8 integer dots, neighbor-id tie-breaks. */
+  def q130HardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"),
+      col("embedding").as("vec"), col("label"))
+    Similarity.hardNegatives(
+      e.filter(pmod(col("id"), lit(10)) === 0), e, k = 5)
+      .orderBy("vec_id", "rank")
+  }
+
+  val q130Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |dots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |         JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |         JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |         WHERE a.vec_id % 10 = 0 AND ea.label <> eb.label
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS "rank"
+      |       FROM cos)
+      |SELECT qid AS vec_id, "rank", cid AS neg_id,
+      |  (SELECT label FROM embeddings e WHERE e.vec_id = rk.cid) AS neg_label, cosine
+      |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
   /** S23/north star — embedding-cosine near-dup PAIRS: all pairs with
     * cosine ≥ 0.4 (threshold picked to be non-empty on this corpus — its
     * synthetic embeddings top out near 0.5/0.6 cosine). Exact ×1e4
@@ -754,6 +788,7 @@ object LlmOps {
     "q103_int8_ann" -> (q103Int8Ann _),
     "q105_hamming_ann" -> (q105HammingAnn _),
     "q116_knn_label" -> (q116KnnLabel _),
+    "q130_hard_negatives" -> (q130HardNegatives _),
     "q118_incremental_dedup" -> (q118IncrementalDedup _),
     "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _),
     "q125_jl_project" -> (q125JlProject _),
@@ -780,6 +815,7 @@ object LlmOps {
     "q103_int8_ann" -> q103Sql,
     "q105_hamming_ann" -> q105Sql,
     "q116_knn_label" -> q116Sql,
+    "q130_hard_negatives" -> q130Sql,
     "q118_incremental_dedup" -> q118Sql,
     "q119_cosine_pairs_lsh" -> q119Sql,
     "q125_jl_project" -> q125Sql,

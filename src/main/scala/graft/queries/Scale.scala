@@ -571,6 +571,37 @@ object Scale {
   def q120SelfRepeats(s: SparkSession, dir: String): DataFrame =
     Dedup.selfRepeatCoverage(docs(s, dir), "doc_id", "text", n = 3).orderBy("id")
 
+  // --------------------------------------- q129 C4-style chunk dedup
+
+  /** North star/dedup — corpus-REWRITING verbatim chunk dedup
+    * ([[Dedup.chunkDedup]]): non-overlapping 16-token chunks, first
+    * corpus-wide occurrence wins, documents reassembled from survivors.
+    * The mutation C4 applies (q85/q120 only measure); the kept_sha digest
+    * hash-gates the rewritten text byte-for-byte. */
+  def q129ChunkDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.chunkDedup(docs(s, dir), "doc_id", "text", chunkLen = 16)
+      .orderBy("id")
+
+  val q129Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |ch AS (SELECT id, CAST(c AS BIGINT) AS cidx,
+      |         array_to_string(t[c*16+1:c*16+16], ' ') AS ctext
+      |       FROM tok, UNNEST(range(0, (len(t) - 1) // 16 + 1)) AS u(c)
+      |       WHERE len(t) > 0),
+      |fl AS (SELECT id, cidx, ctext,
+      |         row_number() OVER (PARTITION BY sha256(ctext) ORDER BY id, cidx) = 1 AS kept
+      |       FROM ch),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_chunks,
+      |          CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |          sha256(COALESCE(string_agg(CASE WHEN kept THEN ctext END, ' ' ORDER BY cidx), '')) AS kept_sha
+      |        FROM fl GROUP BY 1)
+      |SELECT d.doc_id AS id,
+      |  COALESCE(agg.n_chunks, 0) AS n_chunks,
+      |  COALESCE(agg.n_kept, 0) AS n_kept,
+      |  COALESCE(agg.kept_sha, sha256('')) AS kept_sha
+      |FROM documents d LEFT JOIN agg ON agg.id = d.doc_id
+      |ORDER BY id""".stripMargin
+
   val q120Sql: String =
     """WITH tok AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
       |gr AS (SELECT id, CAST(i AS BIGINT) AS pos, sha256(array_to_string(t[i+1:i+3], ' ')) AS g
@@ -1349,6 +1380,7 @@ object Scale {
     "q115_epoch_shuffle" -> (q115EpochShuffle _),
     "q117_stream_quota" -> (q117StreamQuota _),
     "q120_self_repeats" -> (q120SelfRepeats _),
+    "q129_chunk_dedup" -> (q129ChunkDedup _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
     "q123_bpe_fertility" -> (q123BpeFertility _),
@@ -1387,6 +1419,7 @@ object Scale {
     "q115_epoch_shuffle" -> q115Sql,
     "q117_stream_quota" -> q117Sql,
     "q120_self_repeats" -> q120Sql,
+    "q129_chunk_dedup" -> q129Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,
     "q123_bpe_fertility" -> q123Sql,

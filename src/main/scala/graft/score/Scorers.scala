@@ -76,6 +76,19 @@ class EventValueIncrement extends ExprScorer {
     Cells.newestValue(col("events_value")) + lit(1.0d)
 }
 
+/** Challenger variant of [[EventValueIncrement]] for champion/challenger
+  * shadow evaluation: newest value × 0.9 + 1.0 — a deliberately different
+  * deterministic formula so disagreement with the champion is measurable.
+  * Same SPI shape as any producer (reference:
+  * `src/main/java/org/kiji/scoring/KijiProducer.java`) — shadow scoring is
+  * just a second producer scored over the same slice without being served. */
+class EventValueRescale extends ExprScorer {
+  override def dataRequest: DataRequest = DataRequest(Seq(ColumnName("events:value")))
+  override def outputColumn: ColumnName = ColumnName("events:value")
+  override def scoreExpr(ctx: ScorerContext): Column =
+    Cells.newestValue(col("events_value")) * lit(0.9d) + lit(1.0d)
+}
+
 /** Broadcast KV-store lookup scorer — the reference's `TestKVStores` producer
   * (`src/test/java/org/kiji/scoring/TestKVStores.java:85-92`): score =
   * store[key] where key is the newest value of an input cell. */

@@ -155,6 +155,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(top1 == Map(1L -> 2L, 2L -> 1L, 3L -> 4L, 4L -> 3L))
   }
 
+  test("hardNegatives: highest-cosine different-label neighbors; same label never mined") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0),  // query's own label — must never surface
+      (2L, Array(0.9f, 0.1f), 1),
+      (3L, Array(0.0f, 1.0f), 1),
+      (4L, Array(1.0f, 0.01f), 2)
+    ).toDF("id", "vec", "label")
+    val queries = Seq((0L, Array(1.0f, 0.0f), 0)).toDF("id", "vec", "label")
+    val got = Similarity.hardNegatives(queries, corpus, k = 2)
+      .orderBy("rank").collect()
+    assert(got.map(_.getLong(0)).forall(_ == 0L))
+    // ranked by cosine among labels ≠ 0: id 4 (≈0.99995, label 2) then id 2
+    assert(got.map(r => (r.getInt(1), r.getLong(2), r.getInt(3))).toSeq ==
+      Seq((1, 4L, 2), (2, 2L, 1)))
+  }
+
   test("cosinePairs: duplicate vectors pair at cosine 1.0, orthogonal ones are excluded") {
     import spark.implicits._
     val vecs = Seq(1L -> Array(1f, 0f), 2L -> Array(1f, 0f), 3L -> Array(0f, 1f))

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.model.{ColumnName, DataRequest}
-import graft.score.{EventDecayedSum, MllibScorer, ScorerContext}
+import graft.score.{EventDecayedSum, EventValueIncrement, EventValueRescale, MllibScorer, ScorerContext}
 
 /** MLlib model scorer over a feature cell. Train-once on y=2x (exact fit). */
 class DoubleItScorer extends MllibScorer {
@@ -51,6 +51,25 @@ class MlScorersSpec extends AnyFunSuite with SparkSpec {
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
     assert(math.abs(out("e1") - 10.0) < 1e-9)
     assert(math.abs(out("e2") - 3.0) < 1e-9)
+  }
+
+  test("EventValueRescale: challenger scores newest × 0.9 + 1; shadow delta vs champion") {
+    import spark.implicits._
+    // cells kept sorted newest-first, per the Cells contract
+    val view = Seq(("e1", Seq((2L, 20.0), (1L, 10.0))), ("e2", Seq((1L, 2.0))))
+      .toDF("entity_id", "events_value")
+      .withColumn("events_value",
+        expr("transform(events_value, v -> named_struct('ts', v._1, 'value', v._2))"))
+    val ctx = ScorerContext(5L, Map.empty)
+    val challenger = new EventValueRescale().score(view, ctx)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(challenger("e1") - 19.0) < 1e-12) // 20·0.9 + 1
+    assert(math.abs(challenger("e2") - 2.8) < 1e-12)  // 2·0.9 + 1
+    // shadow disagreement against the champion (newest + 1): |Δ| = 0.1·v
+    val champion = new EventValueIncrement().score(view, ctx)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(champion("e1") - challenger("e1")) > 0.5)  // v=20 disagrees
+    assert(math.abs(champion("e2") - challenger("e2")) <= 0.5) // v=2 agrees
   }
 
   test("AggScorer: NULL/empty stale cells still receive a score (emptyValue)") {

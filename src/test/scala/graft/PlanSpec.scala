@@ -222,6 +222,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
   }
 
+  test("q129: chunk dedup never compares documents pairwise — no nested-loop join") {
+    val p = plan("q129_chunk_dedup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"))
+    // keep/drop is a digest-keyed rank window, not a self-join on chunks
+    assert(p.contains("Window"), p.linesIterator.take(30).mkString("\n"))
+  }
+
+  test("q130: hard negatives broadcast the query batch — corpus side never shuffles for the pair stream") {
+    val p = plan("q130_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      p.linesIterator.take(30).mkString("\n"))
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("production IVF-PQ: stages stay inside whole-stage codegen (native loop expressions)") {
     // the trained-quantizer production path (the declared q67 moved to the
     // exact pivot pipeline, whose hot loops are the array_dot expression)

@@ -129,6 +129,37 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(1L) == 0L && got(2L) == 0L)
   }
 
+  private def sha256Hex(s: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("chunkDedup: first corpus-wide occurrence keeps, later copies drop, docs reassemble") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c d"), // chunks "a b","c d" — both first occurrences
+      (2L, "a b x y"), // "a b" already seen in doc 1 → dropped; "x y" kept
+      (3L, "c d"),     // whole doc is a repeat → rewritten to empty
+      (4L, "e")        // trailing partial chunk kept
+    ).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 2L, sha256Hex("a b c d"))))
+    assert(got(2L) == ((2L, 1L, sha256Hex("x y"))))
+    assert(got(3L) == ((1L, 0L, sha256Hex(""))))
+    assert(got(4L) == ((1L, 1L, sha256Hex("e"))))
+  }
+
+  test("chunkDedup: within-document verbatim repeats dedup too; empty docs surface") {
+    import spark.implicits._
+    val docs = Seq((1L, "p q p q"), (2L, "")).toDF("doc_id", "text")
+    val got = Dedup.chunkDedup(docs, "doc_id", "text", chunkLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((2L, 1L, sha256Hex("p q"))))
+    assert(got(2L) == ((0L, 0L, sha256Hex(""))))
+  }
+
   test("dupSpanCoverage: overlapping duplicated grams count positions once") {
     import spark.implicits._
     // "a b c d" appears in both docs → doc 1 grams (a b c) and (b c d) both
