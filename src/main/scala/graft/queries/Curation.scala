@@ -966,6 +966,44 @@ object Curation {
       |                  WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Additive schema evolution ([[graft.sources.TxStore.merge]]'s widening
+    * path) made query-visible: a DEDICATED store inits WITHOUT the `tier`
+    * column, then one base-derived merge adds it for the c_custkey % 5 = 0
+    * cohort — pre-evolution rows read the new column as NULL (surfaced as
+    * 'none'), exactly the Avro/parquet additive contract the reader
+    * implements via unionByName(allowMissingColumns). The per-(segment,
+    * tier) counts hash-gate both the widened schema and the null-fill:
+    * an evolution bug (dropped column, wrong null-fill, old files
+    * re-written) shifts a group count. Content-idempotent across bench
+    * re-runs: the same delta re-merges to the same table. */
+  def q133TxEvolve(s: SparkSession, dir: String): DataFrame = {
+    val path = txStores.getOrElseUpdate(s"evo:$dir",
+      java.nio.file.Files.createTempDirectory("graft-txe").resolve("customer").toString)
+    val base = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"))
+    if (graft.sources.TxStore.currentVersion(path) < 0)
+      graft.sources.TxStore.init(
+        base.select("c_custkey", "c_mktsegment").coalesce(1), path,
+        "c_custkey", nBuckets = 8)
+    val delta = base.filter(pmod(col("c_custkey"), lit(5)) === 0)
+      .select(col("c_custkey"), col("c_mktsegment"),
+        when(col("bal_q") > 500000L, lit("high")).otherwise(lit("low")).as("tier"))
+    graft.sources.TxStore.merge(s, path, delta, "c_custkey")
+    graft.sources.TxStore.read(s, path)
+      .groupBy(col("c_mktsegment"), coalesce(col("tier"), lit("none")).as("tier"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("c_mktsegment", "tier")
+  }
+
+  val q133Sql: String =
+    """SELECT c_mktsegment,
+      |  CASE WHEN c_custkey % 5 = 0
+      |       THEN (CASE WHEN CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) > 500000
+      |                  THEN 'high' ELSE 'low' END)
+      |       ELSE 'none' END AS tier,
+      |  count(*) AS n
+      |FROM customer GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   /** Time travel: the same store read AT VERSION 0 — the pre-upsert
     * snapshot, byte-stable no matter how many merges later runs have
     * committed (the snapshot-isolation contract, query-visible). */
@@ -993,6 +1031,7 @@ object Curation {
     "q68_hybrid_rrf" -> (q68HybridRrf _),
     "q69_tx_upsert" -> (q69TxUpsert _),
     "q128_tx_compact" -> (q128TxCompact _),
+    "q133_tx_evolve" -> (q133TxEvolve _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
     "q71_unigram_logprob" -> (q71UnigramLogprob _),
     "q72_vocab_report" -> (q72VocabReport _),
@@ -1018,6 +1057,7 @@ object Curation {
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
     "q128_tx_compact" -> q128Sql,
+    "q133_tx_evolve" -> q133Sql,
     "q70_tx_time_travel" -> q70Sql,
     "q71_unigram_logprob" -> q71Sql,
     "q72_vocab_report" -> q72Sql,

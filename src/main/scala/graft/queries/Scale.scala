@@ -92,6 +92,79 @@ object Scale {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY id""".stripMargin
 
+  // ------------------------------------ q132 cluster canonical selection
+
+  /** North star/curation — QUALITY-PRIORITY canonical selection per
+    * near-dup cluster (the RefinedWeb/C4 "keep the best copy" decision):
+    * q35's prefix-filtered Jaccard edges → connected components, then
+    * within each cluster the representative is chosen by (quality pass
+    * DESC, n_words DESC, id) — a passing, longer document beats a failing
+    * or shorter twin, and the tie-break is the id. q61 reports boolean
+    * keep/drop signals; q104 keys the SPLIT on the cluster; this one picks
+    * WHICH member survives — the decision an actual dedup rewrite ships.
+    *
+    * Scale: CC as q35 (lineage-truncated, dup subgraph only); the pick is
+    * one rank window partitioned by component (clusters rank
+    * independently); quality signals come from the same single
+    * tokenization aggregation as q56. Every ordering key is an integer or
+    * boolean — engine-portable. */
+  def q132ClusterCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.8, prefixFilter = true)
+    val comp = Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+    val qual = Corpus.qualityRules(d, "doc_id", "text")
+      .select(col("id"), col("pass"), col("n_words"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("component")
+      .orderBy(col("pass").desc, col("n_words").desc, col("id"))
+    comp.join(qual, "id")
+      .withColumn("canonical_id", first("id").over(w.rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .select(col("id"), col("component"), col("canonical_id"),
+        (col("id") === col("canonical_id")).as("keep"))
+      .orderBy("id")
+  }
+
+  val q132Sql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |e AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      |tw AS (SELECT doc_id AS id, unnest(t) AS w FROM tok),
+      |tf AS (SELECT id, w, count(*) AS tf FROM tw GROUP BY 1, 2),
+      |pw AS (SELECT id, w, tf, tf * length(w) AS chars FROM tf),
+      |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_words,
+      |        CAST(sum(chars) AS BIGINT) AS n_token_chars,
+      |        CAST(max(chars) AS BIGINT) AS top_word_chars,
+      |        count(DISTINCT CASE WHEN w IN ('the','a','of','to','and') THEN w END) AS n_stop_distinct
+      |      FROM pw GROUP BY 1),
+      |q AS (SELECT id, n_words,
+      |        (n_words BETWEEN 30 AND 100000)
+      |          AND (CAST(n_token_chars AS DOUBLE) / CAST(n_words AS DOUBLE) BETWEEN 3.0 AND 10.0)
+      |          AND (CAST(top_word_chars AS DOUBLE) / CAST(n_token_chars AS DOUBLE) <= 0.14)
+      |          AND (n_stop_distinct >= 2) AS pass
+      |      FROM a),
+      |r AS (SELECT c.id, c.component, q.pass, q.n_words,
+      |        row_number() OVER (PARTITION BY c.component
+      |          ORDER BY q.pass DESC, q.n_words DESC, c.id) AS pick
+      |      FROM comp c JOIN q ON q.id = c.id),
+      |canon AS (SELECT component, id AS canonical_id FROM r WHERE pick = 1)
+      |SELECT r.id, r.component, canon.canonical_id,
+      |  r.id = canon.canonical_id AS keep
+      |FROM r JOIN canon USING (component) ORDER BY id""".stripMargin
+
   // ---------------------------------------------- q106 DSIR importance
 
   /** North star/curation — DSIR importance weighting
@@ -1381,6 +1454,7 @@ object Scale {
     "q117_stream_quota" -> (q117StreamQuota _),
     "q120_self_repeats" -> (q120SelfRepeats _),
     "q129_chunk_dedup" -> (q129ChunkDedup _),
+    "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
     "q123_bpe_fertility" -> (q123BpeFertility _),
@@ -1420,6 +1494,7 @@ object Scale {
     "q117_stream_quota" -> q117Sql,
     "q120_self_repeats" -> q120Sql,
     "q129_chunk_dedup" -> q129Sql,
+    "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,
     "q123_bpe_fertility" -> q123Sql,

@@ -14,6 +14,35 @@ import graft.streaming.StreamingDedup.{Accepted, TaggedArrival}
   * column profiling, repetition metrics, streaming first-seen dedup. */
 class CurationOpsSpec extends AnyFunSuite with SparkSpec {
 
+  // -------------------------------------- cluster canonical / tx evolve
+
+  test("q132: exactly one canonical per cluster; it is a max-quality member") {
+    val got = graft.queries.Scale.q132ClusterCanonical(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
+    assert(got.nonEmpty)
+    val byComp = got.groupBy(_._2)
+    byComp.foreach { case (comp, rows) =>
+      val canons = rows.filter(_._4)
+      assert(canons.length == 1, s"component $comp must keep exactly one member")
+      assert(canons.head._1 == canons.head._3) // the keeper IS the canonical
+      assert(rows.forall(_._3 == canons.head._1)) // all members agree on it
+    }
+    // every document appears exactly once
+    assert(got.map(_._1).distinct.length == got.length)
+  }
+
+  test("q133: evolved store null-fills pre-evolution rows, counts cover the table") {
+    val got = graft.queries.Curation.q133TxEvolve(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // the non-cohort rows surface as tier='none' — evolution observable
+    assert(got.exists(_._2 == "none"))
+    assert(got.map(_._2).toSet.subsetOf(Set("high", "low", "none")))
+    val total = got.map(_._3).sum
+    val nCustomers = graft.sources.Tables
+      .load(spark, "/root/testdata/sf0.001", "customer").count()
+    assert(total == nCustomers, "every customer row lands in exactly one group")
+  }
+
   // ------------------------------------------------------------- pagerank
 
   test("pagerank: hand-computed integer ranks on a 3-node star, 3 iters") {

@@ -37,7 +37,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q88_funnel", "q97_rfm", "q120_self_repeats", "q121_bpe_merges",
       "q122_bpe_vocab", "q123_bpe_fertility", "q124_source_drift",
       "q125_jl_project", "q126_source_dup_matrix", "q128_tx_compact",
-      "q129_chunk_dedup", "q130_hard_negatives", "q131_shadow_score")) {
+      "q129_chunk_dedup", "q130_hard_negatives", "q131_shadow_score",
+      "q132_cluster_canonical")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
