@@ -183,6 +183,80 @@ object Curation {
       |GROUP BY d.text, m.first_batch
       |ORDER BY id""".stripMargin
 
+  // -------------------------------------- q134 streaming chunk dedup
+
+  /** The shared chunk frame for q134: every document's non-overlapping
+    * 16-token chunks with digest, tagged with its arrival band. */
+  private def chunkArrivals(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id").as("id"),
+        pmod(col("doc_id"), lit(3)).as("batch"),
+        graft.llmops.TextOps.tokens(col("text")).as("t"))
+      .filter(size(col("t")) > 0)
+      .select(col("id"), col("batch"), posexplode(expr(
+        """transform(sequence(0, (size(t) - 1) div 16),
+          |          c -> array_join(slice(t, c * 16 + 1, 16), ' '))""".stripMargin))
+        .as(Seq("cidx", "ctext")))
+      .select(sha2(col("ctext").cast("binary"), 256).as("g"),
+        col("id"), col("cidx").cast("long").as("cidx"), col("batch"))
+
+  private def stageChunkSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q134:$dir", {
+      val ch = chunkArrivals(s, dir)
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"band$b" -> ch.filter(col("batch") === b)))
+    })
+
+  /** S26 depth (TWELFTH streaming path) — chunk-granular first-seen dedup
+    * ([[graft.streaming.StreamingDedup.firstSeenChunks]]): q129's C4-style
+    * rewrite at ingest. Documents arrive in three micro-batches; each
+    * chunk digest keeps its first occurrence (earliest batch, then min
+    * (id, cidx) within it) and every later verbatim copy drops. Output:
+    * per document, total chunks vs chunks it got to keep — the
+    * novel-content budget of each arriving shard. */
+  def q134StreamChunkDedup(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingDedup
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = stageChunkSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingDedup.ChunkArrival].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val accepted = StreamingDedup.firstSeenChunks(stream.as[StreamingDedup.ChunkArrival])
+    val qn = s"q134_chunks_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      accepted.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-chunk-ckpt").toString)
+        .start().awaitTermination()
+    }
+    val kept = s.table(qn).groupBy(col("keep_id").as("id"))
+      .agg(count(lit(1)).as("n_kept"))
+    chunkArrivals(s, dir).groupBy("id")
+      .agg(count(lit(1)).as("n_chunks"))
+      .join(kept, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+      .orderBy("id")
+  }
+
+  val q134Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, doc_id % 3 AS batch,
+      |         regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |ch AS (SELECT id, batch, CAST(c AS BIGINT) AS cidx,
+      |         sha256(array_to_string(t[c*16+1:c*16+16], ' ')) AS g
+      |       FROM tok, UNNEST(range(0, (len(t) - 1) // 16 + 1)) AS u(c)
+      |       WHERE len(t) > 0),
+      |r AS (SELECT id, cidx, g,
+      |        row_number() OVER (PARTITION BY g ORDER BY batch, id, cidx) AS rn
+      |      FROM ch),
+      |k AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept FROM r WHERE rn = 1 GROUP BY 1),
+      |tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_chunks FROM ch GROUP BY 1)
+      |SELECT tot.id, tot.n_chunks, CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+      |FROM tot LEFT JOIN k ON k.id = tot.id
+      |ORDER BY tot.id""".stripMargin
+
   // ------------------------------------------------------ q64 profiling
 
   private val ProfileCols =
@@ -1032,6 +1106,7 @@ object Curation {
     "q69_tx_upsert" -> (q69TxUpsert _),
     "q128_tx_compact" -> (q128TxCompact _),
     "q133_tx_evolve" -> (q133TxEvolve _),
+    "q134_stream_chunk_dedup" -> (q134StreamChunkDedup _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
     "q71_unigram_logprob" -> (q71UnigramLogprob _),
     "q72_vocab_report" -> (q72VocabReport _),
@@ -1058,6 +1133,7 @@ object Curation {
     "q69_tx_upsert" -> q69Sql,
     "q128_tx_compact" -> q128Sql,
     "q133_tx_evolve" -> q133Sql,
+    "q134_stream_chunk_dedup" -> q134Sql,
     "q70_tx_time_travel" -> q70Sql,
     "q71_unigram_logprob" -> q71Sql,
     "q72_vocab_report" -> q72Sql,

@@ -58,6 +58,40 @@ object StreamingDedup {
       }
   }
 
+  /** Chunk-granular arrival: a document's `cidx`-th chunk with digest `g`
+    * ([[graft.llmops.Dedup.chunkDedup]]'s unit, streamed). */
+  case class ChunkArrival(g: String, id: Long, cidx: Long, batch: Long)
+
+  /** Emitted once per distinct chunk digest: the surviving occurrence. */
+  case class ChunkAccepted(g: String, keep_id: Long, keep_cidx: Long,
+      first_batch: Long)
+
+  /** First-seen dedup at CHUNK granularity — the streaming form of the
+    * C4-style rewrite ([[graft.llmops.Dedup.chunkDedup]]): the first
+    * micro-batch containing a chunk digest keeps exactly one occurrence
+    * (the min (id, cidx) within that batch); every later verbatim copy of
+    * the chunk — same batch or any later one — drops. A crawl pipeline
+    * admits only the novel spans of each arriving shard without
+    * re-scanning accepted history.
+    *
+    * State: one boolean per distinct chunk digest, hash-partitioned —
+    * same footprint class as [[firstSeen]], keyed one level finer. */
+  def firstSeenChunks(arrivals: Dataset[ChunkArrival]): Dataset[ChunkAccepted] = {
+    import arrivals.sparkSession.implicits._
+    arrivals
+      .groupByKey(_.g)
+      .flatMapGroupsWithState[Boolean, ChunkAccepted](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (g, batch, state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            val best = batch.map(a => (a.batch, a.id, a.cidx)).min
+            Iterator.single(ChunkAccepted(g, best._2, best._3, best._1))
+          }
+      }
+  }
+
   /** Arrival carrying an event timestamp (the watermark clock). */
   case class TsArrival(sha: String, id: Long, batch: Long, ts: java.sql.Timestamp)
 

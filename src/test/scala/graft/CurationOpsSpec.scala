@@ -269,6 +269,28 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     } finally q.stop()
   }
 
+  test("firstSeenChunks: chunk digests dedup across batches at (id, cidx) granularity") {
+    import spark.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import StreamingDedup.{ChunkArrival, ChunkAccepted}
+    val input = MemoryStream[ChunkArrival]
+    val qn = "streaming_chunk_dedup_spec"
+    val q = StreamingDedup.firstSeenChunks(input.toDS())
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    try {
+      // batch 0: doc 5 carries gram G twice (cidx 0 and 2) — min cidx wins
+      input.addData(ChunkArrival("G", 5L, 2L, 0L), ChunkArrival("G", 5L, 0L, 0L),
+        ChunkArrival("H", 5L, 1L, 0L))
+      q.processAllAvailable()
+      // batch 1: doc 2 re-sends G (lower id, later batch — must NOT win); J is new
+      input.addData(ChunkArrival("G", 2L, 0L, 1L), ChunkArrival("J", 2L, 1L, 1L))
+      q.processAllAvailable()
+      val got = spark.table(qn).as[ChunkAccepted].collect().toSet
+      assert(got == Set(ChunkAccepted("G", 5L, 0L, 0L),
+        ChunkAccepted("H", 5L, 1L, 0L), ChunkAccepted("J", 2L, 1L, 1L)))
+    } finally q.stop()
+  }
+
   test("firstSeenExpiring: TTL drops state on watermark passage; hash re-admits") {
     import spark.implicits._
     implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
