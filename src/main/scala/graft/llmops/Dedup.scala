@@ -298,6 +298,65 @@ object Dedup {
     }
   }
 
+  /** DIRECTED n-gram containment pairs — the asymmetric near-dup signal
+    * symmetric Jaccard misses: C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|. A short
+    * document quoted or aggregated inside a much longer one scores
+    * containment ≈ 1 while its Jaccard stays far below any dedup
+    * threshold (the |B|-dominated denominator) — this is the "partial
+    * mirror / quote page" detector (the one-sided form of the same
+    * shingle overlap [[jaccardPairs]] scores symmetrically).
+    *
+    * Candidate bounding is the ASYMMETRIC prefix filter: only the
+    * contained side A is prefix-truncated. Required overlap α_A =
+    * ⌈t·n_A⌉ depends on A alone, so indexing A's first
+    * n_A − α_A + 1 shingles in the global rarest-first (df, s) order
+    * against B's FULL set is lossless: if none of those prefix shingles
+    * hit sh(B), the ≤ α_A − 1 remaining ones cannot reach α_A. Survivors
+    * rescore exactly over full shingle sets — a plan bound, not a
+    * semantics change. Both directions of a pair emerge independently
+    * (A ⊂ B does not imply B ⊂ A).
+    *
+    * Scale: index rows ∝ Σ(n_A − ⌈t·n_A⌉ + 1) ≈ (1−t)·corpus shingles on
+    * the probe side; the build side is the full inverted index (same
+    * frame [[jaccardPairs]] already materializes). The rescore is one
+    * fused array_intersect per candidate. Returns directed
+    * (id_a, id_b, n_inter, n_a, containment) rows with id_a ≠ id_b and
+    * containment ≥ minContainment. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minContainment: Double): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+    val perDoc = sh.join(dfreq, "s")
+      .groupBy("id")
+      .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("items"))
+      .withColumn("n_sh", size(col("items")).cast("long"))
+      .withColumn("ss", col("items").getField("s"))
+      .persist() // feeds probe prefix, full build index, and both rescore sides
+    // probe side: A's prefix of length n_A − ⌈t·n_A⌉ + 1 in (df, s) order
+    val probeIdx = perDoc
+      .select(col("id"), explode(slice(col("items"), lit(1),
+        greatest(lit(1L),
+          col("n_sh") - ceil(lit(minContainment) * col("n_sh")) + 1).cast("int")))
+        .as("item"))
+      .select(col("id"), col("item").getField("s").as("s"))
+    // build side: the full inverted index (containment puts no lower bound
+    // on B's overlap fraction, so B may not be truncated)
+    val buildIdx = perDoc.select(col("id"), explode(col("ss")).as("s"))
+    val cand = probeIdx.as("a")
+      .join(buildIdx.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    cand
+      .join(perDoc.select(col("id").as("id_a"), col("ss").as("ss_a"),
+        col("n_sh").as("n_a")), "id_a")
+      .join(perDoc.select(col("id").as("id_b"), col("ss").as("ss_b")), "id_b")
+      .withColumn("n_inter", size(array_intersect(col("ss_a"), col("ss_b"))).cast("long"))
+      .withColumn("containment",
+        col("n_inter").cast("double") / col("n_a").cast("double"))
+      .filter(col("containment") >= minContainment)
+      .select("id_a", "id_b", "n_inter", "n_a", "containment")
+  }
+
   /** Tall distinct (id, tid) token-id frame, ids from streaming xxhash64 —
     * the scale path (no dictionary materialization). */
   def tokenIdsByHash(docs: DataFrame, idCol: String, textCol: String): DataFrame =

@@ -527,6 +527,30 @@ object LlmOps {
       |FROM np JOIN nd USING (source_lo, source_hi)
       |ORDER BY source_lo, source_hi""".stripMargin
 
+  /** S23/north star — DIRECTED trigram containment pairs
+    * ([[Dedup.containmentPairs]]): C(A→B) = |sh(A)∩sh(B)| / |sh(A)| ≥ 0.9
+    * — the asymmetric near-dup signal (quote pages, aggregators, partial
+    * mirrors) that symmetric Jaccard's |B|-dominated denominator hides.
+    * Candidates come from the lossless asymmetric prefix filter (only the
+    * contained side truncates); rescore is exact over full shingle sets. */
+  def q135ContainmentPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.containmentPairs(docs(s, dir), "doc_id", "text", n = 3,
+      minContainment = 0.9).orderBy("id_a", "id_b")
+
+  val q135Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id <> b.id GROUP BY 1, 2)
+      |SELECT id_a, id_b, n_inter, sa.n_sh AS n_a,
+      |  CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS containment
+      |FROM inter JOIN sizes sa ON sa.id = id_a
+      |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.9
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
