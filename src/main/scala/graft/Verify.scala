@@ -22,11 +22,17 @@ object Verify {
     val queries = sys.env.get("SPARK_GRAFT_ONLY")
       .map(re => SparkEntry.queries.filter(_._1.matches(re)))
       .getOrElse(SparkEntry.queries)
+    // Failures are RECORDED, not just logged: a query that errors gets an
+    // entry in errors.json, so a break shrinks the artifact loudly instead
+    // of silently (round 7 lost 25 queries to a testdata-dtype drift that
+    // only stderr saw).
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // operators persist self-joined intermediates for their own stages;
       // release them between queries so the run's footprint stays bounded
@@ -47,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (errors.nonEmpty) {
+      System.err.println(s"[verify] ${errors.size}/${queries.size} queries FAILED " +
+        s"(recorded in $outDir/errors.json): ${errors.keys.mkString(", ")}")
+    }
     spark.stop()
   }
 }

@@ -321,9 +321,21 @@ object Dedup {
     * frame [[jaccardPairs]] already materializes). The rescore is one
     * fused array_intersect per candidate. Returns directed
     * (id_a, id_b, n_inter, n_a, containment) rows with id_a ≠ id_b and
-    * containment ≥ minContainment. */
+    * containment ≥ minContainment.
+    *
+    * `maxShingleDocFreq` (LOSSY, like [[jaccardPairs]]'s knob): drops
+    * shingles with document frequency > cap from BOTH candidate sides
+    * (probe prefix and build index) — a stop shingle in d docs would
+    * otherwise fan out d candidate rows per probe hit. May miss pairs
+    * whose only common shingles are stop shingles; the exact rescore
+    * still uses full sets, so survivors' scores are exact.
+    *
+    * Persists an intermediate per-doc frame for the run (feeds probe,
+    * build, and both rescore sides); unpersist from the caller once
+    * results are final — same contract as [[jaccardPairs]]. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
-      n: Int, minContainment: Double): DataFrame = {
+      n: Int, minContainment: Double,
+      maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingleIndex(docs, idCol, textCol, n)
     val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
     val perDoc = sh.join(dfreq, "s")
@@ -332,16 +344,27 @@ object Dedup {
       .withColumn("n_sh", size(col("items")).cast("long"))
       .withColumn("ss", col("items").getField("s"))
       .persist() // feeds probe prefix, full build index, and both rescore sides
+    // cap drops stop-shingles from the CANDIDATE frames only (filter
+    // preserves the (df, s) sorted order); prefix length uses the FULL
+    // set size, so the un-capped prefix bound still holds for every
+    // shingle that survives the cap
+    val cappedItems = maxShingleDocFreq match {
+      case Some(c) => filter(col("items"), x => x.getField("df") <= c)
+      case None => col("items")
+    }
     // probe side: A's prefix of length n_A − ⌈t·n_A⌉ + 1 in (df, s) order
     val probeIdx = perDoc
-      .select(col("id"), explode(slice(col("items"), lit(1),
+      .select(col("id"), explode(slice(cappedItems, lit(1),
         greatest(lit(1L),
           col("n_sh") - ceil(lit(minContainment) * col("n_sh")) + 1).cast("int")))
         .as("item"))
       .select(col("id"), col("item").getField("s").as("s"))
     // build side: the full inverted index (containment puts no lower bound
-    // on B's overlap fraction, so B may not be truncated)
-    val buildIdx = perDoc.select(col("id"), explode(col("ss")).as("s"))
+    // on B's overlap fraction, so B may not be PREFIX-truncated; the df
+    // cap, when set, applies here too — candidates only, rescore exact)
+    val buildIdx = perDoc
+      .select(col("id"), explode(cappedItems).as("item"))
+      .select(col("id"), col("item").getField("s").as("s"))
     val cand = probeIdx.as("a")
       .join(buildIdx.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
@@ -660,6 +683,74 @@ object Dedup {
       .join(covered, Seq("id"), "left_anti")
       .select(col("id"), col("id").as("component"))
     comp.unionByName(roots).unionByName(singletons).distinct()
+  }
+
+  /** EXACT edit-distance self-join via deletion neighborhoods (the
+    * FastSS / SymSpell symmetric-delete scheme): if lev(a, b) ≤ d, the
+    * aligned-match characters of any optimal edit script form a common
+    * string reachable from BOTH a and b by deleting ≤ d characters — so
+    * joining on the delete-≤d variant sets finds every such pair
+    * (lossless), and an exact thresholded `levenshtein` rescore removes
+    * the false candidates. The record-linkage fuzzy join: typo'd names,
+    * product codes, near-identical titles.
+    *
+    * Scale: each string fans out to Σ_{k≤d} C(len, k) variants (len 12,
+    * d = 2 → ≤ 79), so the index is rows × O(len^d) — built for SHORT
+    * strings (names/codes/titles ≤ a few dozen chars), where q-gram count
+    * filters are toothless (a 7-char string has 5 trigrams; d = 2 destroys
+    * up to 6 — no bound survives). For long strings use
+    * [[containmentPairs]]/[[jaccardPairs]] instead. The candidate join is
+    * a variant-keyed equi-join (hash-partitioned, no n²); the `|len_a −
+    * len_b| ≤ d` filter and the early-abandoning thresholded DP keep the
+    * rescore O(d·len) per candidate. Variants are generated with
+    * higher-order array expressions (no UDF; array sizes are len-bounded
+    * so interpreted lambdas stay off the per-row hot path).
+    *
+    * Returns (id_a, id_b, dist) with id_a < id_b and dist ≤ maxDist. */
+  def fuzzyPairs(rows: DataFrame, idCol: String, strCol: String,
+      maxDist: Int): DataFrame = {
+    require(maxDist == 1 || maxDist == 2, s"maxDist must be 1 or 2, got $maxDist")
+    val base = rows.select(col(idCol).as("id"), col(strCol).as("str"))
+    // delete-1 variants of `c`: one array element per dropped position
+    def del1(c: String): String =
+      s"transform(sequence(1, length($c)), i -> " +
+        s"concat(substring($c, 1, i - 1), substring($c, i + 1, length($c))))"
+    val variants =
+      if (maxDist == 1) expr(s"array_distinct(concat(array(str), ${del1("str")}))")
+      else expr("array_distinct(concat(array(str), " + del1("str") + ", " +
+        s"flatten(transform(${del1("str")}, v -> ${del1("v")}))))")
+    val idx = base.select(col("id"), col("str"), explode(variants).as("v"))
+    idx.as("a")
+      .join(idx.as("b"), col("a.v") === col("b.v") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("a.str").as("str_a"),
+        col("b.id").as("id_b"), col("b.str").as("str_b"))
+      .distinct()
+      .filter(abs(length(col("str_a")) - length(col("str_b"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("str_a"), col("str_b"), maxDist))
+      .filter(col("dist") >= 0 && col("dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("dist").cast("int").as("dist"))
+  }
+
+  /** Corpus novelty curve in ingest (id) order: for each document, the
+    * fraction of its distinct n-gram shingles whose FIRST corpus
+    * occurrence (minimum doc id) is this document. A corpus of fresh
+    * content scores ≈ 1 throughout; template churn / syndication shows as
+    * a falling curve — the ingest-monitoring signal behind "are we still
+    * adding new data?" (cf. [[selfRepeatCoverage]] within a doc, dup-span
+    * coverage across docs). One shingle-keyed aggregation (min id) joined
+    * back to the index; both shuffles key on the shingle / the doc id —
+    * never the text. Docs with fewer than n tokens have no shingles and
+    * are absent (documented; the oracle mirrors this). */
+  def noveltyCurve(docs: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val sh = shingleIndex(docs, idCol, textCol, n)
+    val first = sh.groupBy("s").agg(min(col("id")).as("first_id"))
+    sh.join(first, "s")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("first_id") === col("id"), 1L).otherwise(0L)).as("n_novel"))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_sh").cast("double"))
   }
 
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.

@@ -151,4 +151,40 @@ object Temporal {
       .groupBy(col("cohort_period"), (col("period") - col("cohort_period")).as("period_offset"))
       .agg(count(lit(1)).as("n_active"))
   }
+
+  /** Slowly-changing-dimension type-2 build: collapse an entity's event
+    * history into validity intervals of `attrCol` runs — a new interval
+    * opens whenever the attribute CHANGES (in (ts, tiebreak-id) order),
+    * `valid_to_us` is the next interval's start (NULL = current). The
+    * warehouse-side dimension-history op: CDC streams land as events, this
+    * materializes the queryable interval table.
+    *
+    * Determinism: the event order must be total, so ties on `tsCol` break
+    * on `idCol` (unique by contract). Plan: ONE entity-keyed shuffle feeds
+    * both windows (lag detects changes, a running sum numbers the runs),
+    * then a per-(entity, run) aggregation and one more entity window for
+    * `lead` — all partitioned by entity, no single-partition window
+    * anywhere. Returns (entity, run_id, attr, valid_from_us, valid_to_us,
+    * n_events). */
+  def scd2(events: DataFrame, entityCol: String, tsCol: String,
+      idCol: String, attrCol: String): DataFrame = {
+    val wOrd = Window.partitionBy("entity").orderBy("ts_us", "eid")
+    val base = events.select(col(entityCol).as("entity"),
+      unix_micros(col(tsCol)).as("ts_us"), col(idCol).as("eid"),
+      col(attrCol).as("attr"))
+    val runs = base
+      .withColumn("chg", when(lag(col("attr"), 1).over(wOrd).isNull ||
+        lag(col("attr"), 1).over(wOrd) =!= col("attr"), 1L).otherwise(0L))
+      .withColumn("run_id", sum(col("chg")).over(
+        wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("entity", "run_id")
+      .agg(min(col("attr")).as("attr"), // constant within a run
+        min(col("ts_us")).as("valid_from_us"),
+        count(lit(1)).as("n_events"))
+    runs.withColumn("valid_to_us",
+        lead(col("valid_from_us"), 1).over(
+          Window.partitionBy("entity").orderBy("run_id")))
+      .select("entity", "run_id", "attr", "valid_from_us", "valid_to_us",
+        "n_events")
+  }
 }

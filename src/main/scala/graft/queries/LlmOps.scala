@@ -551,6 +551,50 @@ object LlmOps {
       |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) >= 0.9
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S23/north star — EXACT fuzzy self-join via deletion neighborhoods
+    * ([[Dedup.fuzzyPairs]], the FastSS/SymSpell symmetric-delete scheme):
+    * all part-name pairs within Levenshtein distance 2, found by joining
+    * delete-≤2 variant sets (lossless for short strings — exactly where
+    * q-gram count filters are toothless) and rescoring with the exact
+    * thresholded DP. The record-linkage primitive q38 solves by blocking;
+    * this is the unblocked index-driven form — no brand key needed, no
+    * per-block n². The oracle is the brute-force distance join, so every
+    * candidate the index generates AND every pair it must not miss is
+    * hash-gated. */
+  def q136FuzzyJoin(s: SparkSession, dir: String): DataFrame =
+    Dedup.fuzzyPairs(Tables.load(s, dir, "part"), "p_partkey", "p_name",
+      maxDist = 2).orderBy("id_a", "id_b")
+
+  val q136Sql: String =
+    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
+      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** S24/north star — corpus novelty curve ([[Dedup.noveltyCurve]]): per
+    * document in ingest (doc_id) order, the fraction of its distinct
+    * trigrams first seen in THIS document — the "are we still adding new
+    * data?" ingest monitor (falling curve = template churn/syndication;
+    * q120 measures repetition within a doc, q85 across docs, this one
+    * across ingest time). */
+  def q137NoveltyCurve(s: SparkSession, dir: String): DataFrame =
+    Dedup.noveltyCurve(docs(s, dir), "doc_id", "text", n = 3)
+      .orderBy("id")
+
+  val q137Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |first AS (SELECT s, min(id) AS first_id FROM sh GROUP BY 1)
+      |SELECT sh.id, CAST(count(*) AS BIGINT) AS n_sh,
+      |  CAST(sum(CASE WHEN first.first_id = sh.id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+      |  CAST(sum(CASE WHEN first.first_id = sh.id THEN 1 ELSE 0 END) AS DOUBLE)
+      |    / CAST(count(*) AS DOUBLE) AS novelty
+      |FROM sh JOIN first USING (s)
+      |GROUP BY sh.id ORDER BY sh.id""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
@@ -816,7 +860,10 @@ object LlmOps {
     "q118_incremental_dedup" -> (q118IncrementalDedup _),
     "q119_cosine_pairs_lsh" -> (q119CosinePairsLsh _),
     "q125_jl_project" -> (q125JlProject _),
-    "q126_source_dup_matrix" -> (q126SourceDupMatrix _))
+    "q126_source_dup_matrix" -> (q126SourceDupMatrix _),
+    "q135_containment_pairs" -> (q135ContainmentPairs _),
+    "q136_fuzzy_join" -> (q136FuzzyJoin _),
+    "q137_novelty_curve" -> (q137NoveltyCurve _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -843,5 +890,8 @@ object LlmOps {
     "q118_incremental_dedup" -> q118Sql,
     "q119_cosine_pairs_lsh" -> q119Sql,
     "q125_jl_project" -> q125Sql,
-    "q126_source_dup_matrix" -> q126Sql)
+    "q126_source_dup_matrix" -> q126Sql,
+    "q135_containment_pairs" -> q135Sql,
+    "q136_fuzzy_join" -> q136Sql,
+    "q137_novelty_curve" -> q137Sql)
 }

@@ -1297,6 +1297,37 @@ object Scale {
       |  CAST((m_rank * 4 + n_users - 1) // n_users AS BIGINT) AS m_score
       |FROM r CROSS JOIN n ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- q138 SCD2 interval build
+
+  /** Warehouse/CDC — slowly-changing-dimension type-2 build
+    * ([[graft.operators.Temporal.scd2]]): each user's event stream
+    * collapses into validity intervals of `event_type` runs — a new
+    * interval opens on every change (ties on ts break on event_id),
+    * `valid_to_us` is the next interval's start (NULL = current). The
+    * dimension-history materialization a CDC feed lands into; q82 diffs
+    * snapshots, this one builds the queryable interval table. One
+    * entity-keyed shuffle serves every window. */
+  def q138Scd2(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Temporal.scd2(t(s, dir, "events"), "user_id", "ts",
+      "event_id", "event_type").orderBy("entity", "run_id")
+
+  val q138Sql: String =
+    """WITH e AS (SELECT user_id AS entity, epoch_us(ts) AS ts_us, event_id, event_type
+      |           FROM events),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS NULL
+      |          OR lag(event_type) OVER w <> event_type THEN 1 ELSE 0 END AS chg
+      |      FROM e WINDOW w AS (PARTITION BY entity ORDER BY ts_us, event_id)),
+      |r AS (SELECT *, sum(chg) OVER (PARTITION BY entity ORDER BY ts_us, event_id
+      |                               ROWS UNBOUNDED PRECEDING) AS run_id FROM c),
+      |g AS (SELECT entity, CAST(run_id AS BIGINT) AS run_id, min(event_type) AS attr,
+      |        CAST(min(ts_us) AS BIGINT) AS valid_from_us,
+      |        CAST(count(*) AS BIGINT) AS n_events
+      |      FROM r GROUP BY entity, run_id)
+      |SELECT entity, run_id, attr, valid_from_us,
+      |  lead(valid_from_us) OVER (PARTITION BY entity ORDER BY run_id) AS valid_to_us,
+      |  n_events
+      |FROM g ORDER BY entity, run_id""".stripMargin
+
   // --------------------------------------- q98 media frame dedup coverage
 
   /** North star/multimodal — cross-media duplicated-frame coverage
@@ -1474,6 +1505,7 @@ object Scale {
     "q95_stream_funnel" -> (q95StreamFunnel _),
     "q96_transitions" -> (q96Transitions _),
     "q97_rfm" -> (q97Rfm _),
+    "q138_scd2_intervals" -> (q138Scd2 _),
     "q98_media_dup" -> (q98MediaDup _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
@@ -1514,6 +1546,7 @@ object Scale {
     "q95_stream_funnel" -> q88Sql,
     "q96_transitions" -> q96Sql,
     "q97_rfm" -> q97Sql,
+    "q138_scd2_intervals" -> q138Sql,
     "q98_media_dup" -> q98Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,

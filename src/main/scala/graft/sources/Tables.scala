@@ -30,17 +30,37 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     catalog.getOrElseUpdate((System.identityHashCode(spark), dir, name),
-      if (name == "events") {
-        // events.ts is parquet TIMESTAMP(NANOS) which Spark 4 refuses to read
-        // natively; read the raw int64 nanos and floor to microseconds — the
-        // same truncation DuckDB applies when coercing ns→µs, so oracle
-        // comparisons stay exact. NOTE: session-wide conf — every later
-        // TIMESTAMP(NANOS) parquet read in this session also surfaces int64
-        // nanos (deliberate: this engine's catalog treats nanos as int64).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(path(dir, name))
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      } else spark.read.parquet(path(dir, name)))
+      if (name == "events") loadEvents(spark, path(dir, name))
+      else spark.read.parquet(path(dir, name)))
+
+  /** Load the events table, normalizing `ts` to a session-TZ `TIMESTAMP`
+    * (µs precision) regardless of how the parquet writer encoded it. The
+    * testdata generator has shipped `ts` as TIMESTAMP(NANOS) (which Spark 4
+    * only reads via `nanosAsLong` as raw int64) and as TIMESTAMP(MICROS)
+    * (surfaced as TIMESTAMP or TIMESTAMP_NTZ depending on
+    * `inferTimestampNTZ`); both encodings must yield the identical frame so
+    * the DuckDB oracle (which coerces ns→µs by flooring) stays exact.
+    */
+  private[graft] def loadEvents(spark: SparkSession, file: String): DataFrame = {
+    // Session-wide conf so a TIMESTAMP(NANOS) footer surfaces as int64
+    // instead of throwing; a MICROS footer is unaffected by it.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.parquet(file)
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType =>
+        // int64 nanos → floor to µs, same truncation DuckDB applies on ns→µs.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampType => raw // already µs-precision TIMESTAMP
+      case TimestampNTZType =>
+        // NTZ → TIMESTAMP is wall-clock identity under the engine's UTC
+        // session TZ; keeps every downstream query on one timestamp type.
+        raw.withColumn("ts", expr("CAST(ts AS TIMESTAMP)"))
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other (expected int64 nanos, TIMESTAMP, or TIMESTAMP_NTZ)")
+    }
+  }
 
   /** Register every testdata table as a temp view (for spark.sql parity tests). */
   def registerAll(spark: SparkSession, dir: String): Unit =

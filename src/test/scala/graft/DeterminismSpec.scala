@@ -38,7 +38,9 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q122_bpe_vocab", "q123_bpe_fertility", "q124_source_drift",
       "q125_jl_project", "q126_source_dup_matrix", "q128_tx_compact",
       "q129_chunk_dedup", "q130_hard_negatives", "q131_shadow_score",
-      "q132_cluster_canonical")) {
+      "q132_cluster_canonical", "q133_tx_evolve", "q134_stream_chunk_dedup",
+      "q135_containment_pairs", "q136_fuzzy_join", "q137_novelty_curve",
+      "q138_scd2_intervals")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

@@ -98,6 +98,110 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: prefix-filtered containment ≡ brute-force directed containment") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    import org.apache.spark.sql.functions._
+    // The asymmetric-prefix losslessness claim (Dedup.containmentPairs
+    // scaladoc): truncating only the contained side A to its first
+    // n_A − ⌈t·n_A⌉ + 1 shingles in (df, s) order drops no directed pair
+    // the full cross of shingle sets would keep. Brute force = explode
+    // both sides fully, count common shingles, divide by |sh(A)|.
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta", "eta", "theta")
+    val genDocs: Gen[List[String]] = for {
+      n <- Gen.choose(2, 8)
+      base <- Gen.listOfN(n, Gen.choose(3, 10).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(vocab)).map(_.mkString(" "))))
+      dups <- Gen.someOf(base)
+    } yield base ++ dups
+    def brute(df: DataFrame, t: Double): Set[(Long, Long, Long)] = {
+      val sh = Dedup.shingleIndex(df, "doc_id", "text", 2)
+      val sizes = sh.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      sh.as("a").join(sh.as("b"), col("a.s") === col("b.s") && col("a.id") =!= col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+        .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .filter(col("n_inter").cast("double") / col("n_a").cast("double") >= t)
+        .select("id_a", "id_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    }
+    def viaPrefix(df: DataFrame, t: Double): Set[(Long, Long, Long)] =
+      Dedup.containmentPairs(df, "doc_id", "text", n = 2, minContainment = t)
+        .select("id_a", "id_b", "n_inter").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val prop = Prop.forAll(genDocs, Gen.oneOf(0.6, 0.8, 0.9, 1.0)) { (texts, t) =>
+      val df = texts.zipWithIndex.map { case (x, i) => (i.toLong, x) }.toDF("doc_id", "text")
+      viaPrefix(df, t) == brute(df, t)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("containment: short doc embedded in long one scores ≈1 while Jaccard stays low") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    // The quote-page behavior the scaladoc advertises: doc 1 is doc 0's
+    // text verbatim inside a much longer page. C(1→0 direction embedded
+    // in the long page) ≈ 1; symmetric Jaccard is |B|-dominated and low.
+    val short = "alpha beta gamma delta eps zeta"
+    val long = ("x" + (1 to 40).map(i => s" filler$i").mkString) + " " + short + " tail one two"
+    val df = Seq((0L, long), (1L, short)).toDF("doc_id", "text")
+    val cont = Dedup.containmentPairs(df, "doc_id", "text", n = 2, minContainment = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(4))).toSeq
+    // directed: the SHORT doc (1) is contained in the long one (0); the
+    // reverse direction must NOT appear at t=0.9
+    assert(cont.map(c => (c._1, c._2)) == Seq((1L, 0L)), cont.toString)
+    assert(cont.head._3 >= 0.9)
+    val jac = Dedup.jaccardPairs(df, "doc_id", "text", n = 2, minJaccard = 0.5)
+      .collect()
+    assert(jac.isEmpty, "symmetric Jaccard should miss the quote-page pair")
+  }
+
+  test("property: deletion-neighborhood fuzzy join ≡ brute-force levenshtein join") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    import org.apache.spark.sql.functions._
+    // The FastSS/SymSpell losslessness claim (Dedup.fuzzyPairs scaladoc):
+    // joining delete-≤d variant sets finds EVERY pair with lev ≤ d. Tiny
+    // alphabet + short strings so near-misses actually occur; duplicates
+    // of strings are allowed (distinct ids, identical text → dist 0).
+    val genStrs: Gen[List[String]] = for {
+      n <- Gen.choose(2, 10)
+      base <- Gen.listOfN(n, Gen.choose(1, 7).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')).map(_.mkString)))
+    } yield base
+    def brute(df: DataFrame, d: Int): Set[(Long, Long, Int)] =
+      df.as("a").join(df.as("b"), col("a.id") < col("b.id"))
+        .withColumn("dist", levenshtein(col("a.str"), col("b.str")))
+        .filter(col("dist") <= d)
+        .select(col("a.id"), col("b.id"), col("dist"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    def viaIndex(df: DataFrame, d: Int): Set[(Long, Long, Int)] =
+      Dedup.fuzzyPairs(df, "id", "str", d)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val prop = Prop.forAll(genStrs, Gen.oneOf(1, 2)) { (strs, d) =>
+      val df = strs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "str")
+      viaIndex(df, d) == brute(df, d)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("noveltyCurve: first doc fully novel, verbatim copy scores zero") {
+    import spark.implicits._
+    import graft.llmops.Dedup
+    val a = "alpha beta gamma delta eps"
+    val b = "zeta eta theta iota kappa"
+    val df = Seq((0L, a), (1L, a), (2L, b), (3L, a + " " + b)).toDF("doc_id", "text")
+    val got = Dedup.noveltyCurve(df, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(0L) == (3L, 3L))     // first occurrence of everything
+    assert(got(1L) == (3L, 0L))     // verbatim copy: nothing novel
+    assert(got(2L) == (3L, 3L))     // disjoint vocabulary: fully novel
+    // concat doc: only the 2 bridge trigrams spanning the a|b seam are new
+    assert(got(3L) == (8L, 2L))
+  }
+
   test("property: gram digests ≡ gram strings on random corpora (probe equivalence)") {
     import spark.implicits._
     import graft.streaming.StreamDecontam

@@ -222,4 +222,34 @@ class TemporalSpec extends AnyFunSuite with SparkSpec {
     assert(got == Map((0L, 0L) -> 1L, (0L, 1L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
   }
+
+  // ----------------------------------------------------------------- SCD2
+
+  private def scd2Df(rows: (Long, Long, Long, String)*): DataFrame =
+    rows.toSeq.toDF("user", "us", "eid", "etype")
+      .select(col("user"), timestamp_micros(col("us")).as("ts"),
+        col("eid"), col("etype"))
+
+  test("scd2: runs collapse, changes open intervals, valid_to chains, NULL = current") {
+    val ev = scd2Df(
+      (1L, 100L, 1L, "a"), (1L, 200L, 2L, "a"), (1L, 300L, 3L, "b"),
+      (1L, 400L, 4L, "a"),                       // a×2 → b → a again (new run)
+      (2L, 50L, 5L, "x"))
+    val got = Temporal.scd2(ev, "user", "ts", "eid", "etype")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5))).toSet
+    assert(got == Set(
+      (1L, 1L, "a", 100L, 300L, 2L),
+      (1L, 2L, "b", 300L, 400L, 1L),
+      (1L, 3L, "a", 400L, -1L, 1L),
+      (2L, 1L, "x", 50L, -1L, 1L)))
+  }
+
+  test("scd2: ties on ts break on the id column (total order)") {
+    // same timestamp, ids decide the order: eid 1 ("a") before eid 2 ("b")
+    val ev = scd2Df((1L, 100L, 1L, "a"), (1L, 100L, 2L, "b"))
+    val got = Temporal.scd2(ev, "user", "ts", "eid", "etype")
+      .collect().map(r => (r.getLong(1), r.getString(2))).toSet
+    assert(got == Set((1L, "a"), (2L, "b")))
+  }
 }
