@@ -848,4 +848,58 @@ object Similarity {
     Dedup.connectedComponentsStars(vectors.select("id"),
       cosinePairs(vectors, minCosine).select("id_a", "id_b"))
 
+  /** Lloyd's k-means in EXACT integer arithmetic — the TRAINED quantizer,
+    * fully oracle-replicable (the gap [[cosineTopKIvf]]'s MLlib KMeans
+    * leaves: its float centroids can't be re-derived in SQL, so its gate
+    * is recall-based; this one's every intermediate is a BIGINT). Elements
+    * quantize to ×[[ExactScale]] longs; squared L2 distances, argmin
+    * assignment (tie: lowest centroid id) and floor-div centroid means are
+    * all integer ops, so `iters` full Lloyd rounds replicate bit-for-bit
+    * in any engine. Init: centroids are the vectors with the `k` lowest
+    * ids (deterministic, engine-portable).
+    *
+    * Scale: centroids are k rows — broadcast to every assignment (a
+    * k-way nested-loop per vector, the textbook plan); the update is one
+    * (cluster, dim)-keyed aggregation over posexploded dims (map-side
+    * partials apply) and one k-row re-assembly. Nothing driver-side, no
+    * collect; lineage grows one join per iteration (iters is small by
+    * contract — this is a quantizer trainer, not a convergence loop; cap
+    * via localCheckpoint if you push iters past ~10). Overflow headroom:
+    * |elem| ≤ ~2·scale ⇒ per-dim square ≤ 4·scale² = 4e16, dims ≤ 200
+    * stays under 2^63.
+    *
+    * Returns the final assignment (id, cluster, dist2) — dist2 in scaled²
+    * units. */
+  def kmeansIntAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
+    val q = vectors.select(col("id"), expr(
+      s"transform(vec, v -> CAST(sign(CAST(v AS DOUBLE)) * " +
+        s"floor(abs(CAST(v AS DOUBLE)) * $ExactScale + 0.5) AS BIGINT))").as("x"))
+    val dist2 = expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+    def assign(cents: DataFrame): DataFrame = {
+      val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+      q.join(broadcast(cents))
+        .withColumn("dist2", dist2)
+        .withColumn("r", row_number().over(w))
+        .filter(col("r") === 1)
+        .select(col("id"), col("cid").as("cluster"), col("dist2"))
+    }
+    val init = q.filter(col("id") < k).select(col("id").as("cid"), col("x").as("c"))
+    val finalCents = (1 until iters).foldLeft(init) { (cents, _) =>
+      assign(cents)
+        .join(q, "id")
+        .select(col("cluster"), posexplode(col("x")).as(Seq("i", "xi")))
+        .groupBy("cluster", "i")
+        .agg(sum(col("xi")).as("sx"), count(lit(1)).as("cnt"))
+        // portable floor division for possibly-negative sums:
+        // (sx − pmod(sx, cnt)) is an exact multiple of cnt
+        .withColumn("ci", expr("(sx - pmod(sx, cnt)) div cnt"))
+        .groupBy(col("cluster").as("cid"))
+        .agg(sort_array(collect_list(struct(col("i"), col("ci")))).as("items"))
+        .select(col("cid"), col("items").getField("ci").as("c"))
+    }
+    assign(finalCents)
+  }
+
 }

@@ -595,6 +595,41 @@ object LlmOps {
       |FROM sh JOIN first USING (s)
       |GROUP BY sh.id ORDER BY sh.id""".stripMargin
 
+  /** S23/S21/north star — TRAINED quantizer, fully oracled
+    * ([[Similarity.kmeansIntAssign]]): 2 Lloyd rounds of k-means in exact
+    * ×1e8 integer arithmetic (squared-L2 argmin assignment, floor-div
+    * centroid means, id-ordered init) — closes the gap the MLlib-KMeans
+    * IVF variant leaves (float centroids can't replicate in SQL; these
+    * BIGINTs do, so assignment, every distance, and both centroid
+    * generations are hash-gated with zero tolerance). */
+  def q140KmeansInt(s: SparkSession, dir: String): DataFrame =
+    Similarity.kmeansIntAssign(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 8, iters = 2).orderBy("id")
+
+  val q140Sql: String =
+    """WITH q AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c0 AS (SELECT id AS cid, i, x AS c FROM q WHERE id < 8),
+      |d1 AS (SELECT q.id, c0.cid, CAST(SUM((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c0 ON c0.i = q.i GROUP BY 1, 2),
+      |a1 AS (SELECT id, cid AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d1) WHERE r = 1),
+      |s1 AS (SELECT a1.cluster, q.i, CAST(SUM(q.x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM a1 JOIN q ON q.id = a1.id GROUP BY 1, 2),
+      |c1 AS (SELECT cluster AS cid, i,
+      |         CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS c FROM s1),
+      |d2 AS (SELECT q.id, c1.cid, CAST(SUM((q.x - c1.c) * (q.x - c1.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2),
+      |a2 AS (SELECT id, cid, dist2,
+      |         row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r FROM d2)
+      |SELECT id, CAST(cid AS BIGINT) AS cluster, dist2
+      |FROM a2 WHERE r = 1 ORDER BY id""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
@@ -863,7 +898,8 @@ object LlmOps {
     "q126_source_dup_matrix" -> (q126SourceDupMatrix _),
     "q135_containment_pairs" -> (q135ContainmentPairs _),
     "q136_fuzzy_join" -> (q136FuzzyJoin _),
-    "q137_novelty_curve" -> (q137NoveltyCurve _))
+    "q137_novelty_curve" -> (q137NoveltyCurve _),
+    "q140_kmeans_int" -> (q140KmeansInt _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -893,5 +929,6 @@ object LlmOps {
     "q126_source_dup_matrix" -> q126Sql,
     "q135_containment_pairs" -> q135Sql,
     "q136_fuzzy_join" -> q136Sql,
-    "q137_novelty_curve" -> q137Sql)
+    "q137_novelty_curve" -> q137Sql,
+    "q140_kmeans_int" -> q140Sql)
 }

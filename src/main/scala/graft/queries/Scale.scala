@@ -1328,6 +1328,60 @@ object Scale {
       |  n_events
       |FROM g ORDER BY entity, run_id""".stripMargin
 
+  // ------------------------------------------ q139 streaming SCD2 build
+
+  private def stageScd2Source(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q139:$dir", {
+      val split = 1705363200000000L   // 2024-01-16T00:00:00Z, µs
+      val flushTs = 1709251200000000L // 2024-03-01T00:00:00Z — beyond every event
+      val tall = t(s, dir, "events").select(
+        col("user_id").as("entity_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        col("event_id").as("eid"),
+        col("event_type").as("attr"),
+        lit(false).as("flush"))
+      val sentinels = tall.select(col("entity_id")).distinct()
+        .select(col("entity_id"), lit(flushTs).as("ts_us"), lit(-1L).as("eid"),
+          lit("flush").as("attr"), lit(true).as("flush"))
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> tall.filter(col("ts_us") < split),
+        "second" -> tall.filter(col("ts_us") >= split),
+        "flush" -> sentinels))
+    })
+
+  /** Warehouse/streaming — the q138 SCD2 build computed INCREMENTALLY
+    * ([[graft.streaming.StreamingScd2]]): one open run per entity carried
+    * in flatMapGroupsWithState state across three micro-batches; closed
+    * intervals emit exactly once the moment the attribute changes, the
+    * open interval emits on the flush sentinel. Output hash-matches the
+    * BATCH oracle (same SQL as q138) — live dimension history with
+    * constant-size state per entity. */
+  def q139StreamScd2(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingScd2
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = stageScd2Source(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingScd2.Scd2Event].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val results = StreamingScd2.scd2(stream.as[StreamingScd2.Scd2Event])
+    val qn = s"q139_scd2_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      results.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("entity_id").as("entity"), col("run_id"), col("attr"),
+        col("valid_from_us"), col("valid_to_us"), col("n_events"))
+      .orderBy("entity", "run_id")
+  }
+
+  // q139's oracle IS q138's: the streaming fold must reproduce the batch
+  // SCD2 interval table bit-for-bit (same change detection, same shape)
+
   // --------------------------------------- q98 media frame dedup coverage
 
   /** North star/multimodal — cross-media duplicated-frame coverage
@@ -1506,6 +1560,7 @@ object Scale {
     "q96_transitions" -> (q96Transitions _),
     "q97_rfm" -> (q97Rfm _),
     "q138_scd2_intervals" -> (q138Scd2 _),
+    "q139_stream_scd2" -> (q139StreamScd2 _),
     "q98_media_dup" -> (q98MediaDup _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
@@ -1547,6 +1602,7 @@ object Scale {
     "q96_transitions" -> q96Sql,
     "q97_rfm" -> q97Sql,
     "q138_scd2_intervals" -> q138Sql,
+    "q139_stream_scd2" -> q138Sql,
     "q98_media_dup" -> q98Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,

@@ -202,6 +202,57 @@ class PropertySpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == (8L, 2L))
   }
 
+  test("property: integer k-means ≡ naive in-memory Lloyd reference") {
+    import spark.implicits._
+    import graft.llmops.Similarity
+    // Exact arithmetic means the distributed plan must agree with a naive
+    // single-machine fold BIT-FOR-BIT: same quantization, same (dist2, cid)
+    // argmin tie-break, same floor-div centroid means.
+    val scale = Similarity.ExactScale
+    def quant(v: Float): Long = {
+      val d = v.toDouble
+      (math.signum(d) * math.floor(math.abs(d) * scale + 0.5)).toLong
+    }
+    def reference(vecs: Map[Long, Array[Long]], k: Int, iters: Int): Map[Long, (Long, Long)] = {
+      var cents: Map[Long, Array[Long]] =
+        vecs.filter(_._1 < k).map { case (id, x) => id -> x }
+      def assign(): Map[Long, (Long, Long)] = vecs.map { case (id, x) =>
+        val scored = cents.toSeq.map { case (cid, c) =>
+          val d2 = x.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+          (d2, cid)
+        }.sorted
+        id -> (scored.head._2, scored.head._1)
+      }
+      for (_ <- 1 until iters) {
+        val a = assign()
+        cents = vecs.groupBy { case (id, _) => a(id)._1 }.map { case (cid, members) =>
+          val dims = members.head._2.length
+          cid -> Array.tabulate(dims) { i =>
+            val sx = members.valuesIterator.map(_(i)).sum
+            Math.floorDiv(sx, members.size.toLong)
+          }
+        }
+      }
+      assign()
+    }
+    val genVecs: Gen[List[Array[Float]]] = for {
+      n <- Gen.choose(4, 16)
+      vs <- Gen.listOfN(n, Gen.listOfN(4,
+        Gen.choose(-1000, 1000).map(_ / 1000.0f)).map(_.toArray))
+    } yield vs
+    val prop = Prop.forAll(genVecs) { vs =>
+      val k = 3
+      val df = vs.zipWithIndex.map { case (v, i) => (i.toLong, v.toSeq) }.toDF("id", "vec")
+      val got = Similarity.kmeansIntAssign(df, k, iters = 2)
+        .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      val want = reference(
+        vs.zipWithIndex.map { case (v, i) => i.toLong -> v.map(quant) }.toMap, k, 2)
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("property: gram digests ≡ gram strings on random corpora (probe equivalence)") {
     import spark.implicits._
     import graft.streaming.StreamDecontam

@@ -258,6 +258,78 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("streaming SCD2 ≡ batch scd2 on random streams split at random times") {
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.Scd2Event
+    implicit val sq = spark.sqlContext
+    val attrs = Seq("a", "b", "c")
+    val rnd = new scala.util.Random(7)
+    for (round <- 1 to 3) {
+      // unique (entity, ts) so a time cut preserves per-entity (ts, eid) order
+      val evs = rnd.shuffle((1 to 40).toList).zipWithIndex.map { case (t, i) =>
+        (rnd.nextInt(3) + 1L, t.toLong, i.toLong, attrs(rnd.nextInt(attrs.length)))
+      }
+      val cut = rnd.nextInt(40) + 1L
+      val mem = MemoryStream[Scd2Event]
+      val out = StreamingScd2.scd2(mem.toDS())
+      val qn = s"scd2_prop_$round"
+      val q = out.writeStream.outputMode("append").format("memory").queryName(qn).start()
+      def feed(es: Seq[(Long, Long, Long, String)]): Unit =
+        if (es.nonEmpty) {
+          mem.addData(es.map(e => Scd2Event(e._1, e._2, e._3, e._4, flush = false)))
+          q.processAllAvailable()
+        }
+      feed(evs.filter(_._2 < cut))
+      feed(evs.filter(_._2 >= cut))
+      mem.addData(evs.map(_._1).distinct.map(u =>
+        Scd2Event(u, 99999L, -1L, "flush", flush = true)))
+      q.processAllAvailable()
+      val streamed = spark.table(qn).collect()
+        .map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+      val batch = graft.operators.Temporal.scd2(
+        evs.toDF("user", "us", "eid", "etype")
+          .select(col("user"), timestamp_micros(col("us")).as("ts"),
+            col("eid"), col("etype")),
+        "user", "ts", "eid", "etype")
+        .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+          ((r.getString(2), r.getLong(3),
+            if (r.isNullAt(4)) -1L else r.getLong(4), r.getLong(5)))).toMap
+      assert(streamed == batch, s"round $round mismatch (cut=$cut)")
+      q.stop()
+    }
+  }
+
+  test("streaming SCD2: closed intervals emit immediately, open one on flush only") {
+    import spark.implicits._
+    import graft.streaming.StreamingScd2
+    import graft.streaming.StreamingScd2.Scd2Event
+    implicit val sq = spark.sqlContext
+    val mem = MemoryStream[Scd2Event]
+    val q = StreamingScd2.scd2(mem.toDS())
+      .writeStream.outputMode("append").format("memory").queryName("scd2_t").start()
+    // batch 1: run of "a" opens — nothing emits
+    mem.addData(Scd2Event(1L, 100L, 1L, "a", flush = false),
+      Scd2Event(1L, 200L, 2L, "a", flush = false))
+    q.processAllAvailable()
+    assert(spark.table("scd2_t").count() == 0)
+    // batch 2: change to "b" ACROSS the batch boundary — "a" interval closes NOW
+    mem.addData(Scd2Event(1L, 300L, 3L, "b", flush = false))
+    q.processAllAvailable()
+    val closed = spark.table("scd2_t").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(closed.toSeq == Seq((1L, "a", 100L, 300L, 2L)))
+    // batch 3: flush emits the open "b" interval with NULL valid_to
+    mem.addData(Scd2Event(1L, 99999L, -1L, "flush", flush = true))
+    q.processAllAvailable()
+    val all = spark.table("scd2_t").collect()
+      .map(r => (r.getLong(1), r.getString(2), r.isNullAt(4))).toSet
+    assert(all == Set((1L, "a", false), (2L, "b", true)))
+    q.stop()
+  }
+
   test("streaming funnel: partial matches cross batches, flush emits once") {
     import spark.implicits._
     import graft.streaming.StreamingFunnel
