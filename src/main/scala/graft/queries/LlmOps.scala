@@ -553,24 +553,46 @@ object LlmOps {
 
   /** S23/north star — EXACT fuzzy self-join via deletion neighborhoods
     * ([[Dedup.fuzzyPairs]], the FastSS/SymSpell symmetric-delete scheme):
-    * all part-name pairs within Levenshtein distance 2, found by joining
-    * delete-≤2 variant sets (lossless for short strings — exactly where
-    * q-gram count filters are toothless) and rescoring with the exact
-    * thresholded DP. The record-linkage primitive q38 solves by blocking;
-    * this is the unblocked index-driven form — no brand key needed, no
-    * per-block n². The oracle is the brute-force distance join, so every
-    * candidate the index generates AND every pair it must not miss is
-    * hash-gated. */
-  def q136FuzzyJoin(s: SparkSession, dir: String): DataFrame =
-    Dedup.fuzzyPairs(Tables.load(s, dir, "part"), "p_partkey", "p_name",
-      maxDist = 2).orderBy("id_a", "id_b")
+    * name pairs within Levenshtein distance 2, found by joining delete-≤2
+    * variant sets (lossless for short strings — exactly where q-gram count
+    * filters are toothless) and rescoring with the exact thresholded DP.
+    * The record-linkage primitive q38 solves by blocking; this is the
+    * unblocked index-driven form — no brand key needed, no per-block n².
+    *
+    * Scale shape (the load-bearing decision): the corpus DEDUPES BY VALUE
+    * first — 20k part rows carry only 64 distinct names, and at any scale
+    * a fuzzy-match answer keyed on row ids is Ω(rows²) in the
+    * dense-duplicate regime (5.5M id pairs at sf0.1; an engine can only
+    * lose by materializing them). The operator therefore links VALUES:
+    * distinct names with their group size and min-id representative,
+    * index + rescore over the 64-value frame, output
+    * (name_a, name_b, dist, n_a, n_b) — the id-level expansion is a
+    * trivial downstream join-back IF a consumer really wants it. Candidate
+    * and output cost scale with distinct values, never rows. */
+  def q136FuzzyJoin(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_ids"), min(col("p_partkey")).as("rep"))
+    val pairs = Dedup.fuzzyPairs(names.select(col("rep").as("id"),
+      col("name").as("str")), "id", "str", maxDist = 2)
+    pairs
+      .join(names.select(col("rep").as("id_a"), col("name").as("name_a"),
+        col("n_ids").as("n_a")), "id_a")
+      .join(names.select(col("rep").as("id_b"), col("name").as("name_b"),
+        col("n_ids").as("n_b")), "id_b")
+      .select("name_a", "name_b", "dist", "n_a", "n_b")
+      .orderBy("name_a", "name_b")
+  }
 
   val q136Sql: String =
-    """SELECT a.p_partkey AS id_a, b.p_partkey AS id_b,
-      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist
-      |FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    """WITH n AS (SELECT p_name, CAST(count(*) AS BIGINT) AS cnt,
+      |             min(p_partkey) AS rep FROM part GROUP BY 1)
+      |SELECT a.p_name AS name_a, b.p_name AS name_b,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS dist,
+      |  a.cnt AS n_a, b.cnt AS n_b
+      |FROM n a JOIN n b ON a.rep < b.rep
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
-      |ORDER BY id_a, id_b""".stripMargin
+      |ORDER BY name_a, name_b""".stripMargin
 
   /** S24/north star — corpus novelty curve ([[Dedup.noveltyCurve]]): per
     * document in ingest (doc_id) order, the fraction of its distinct
