@@ -902,4 +902,80 @@ object Similarity {
     assign(finalCents)
   }
 
+  /** ANN index-quality evaluation: recall@k of the pivot-IVF index
+    * ([[cosineTopKIvfPivot]]) against brute-force exact top-k
+    * ([[cosineTopK]]) on a bounded query sample (`id < maxQueryId`) — the
+    * measurement every production ANN deployment runs before trusting an
+    * index, as a first-class operator. Both sides rank by the same
+    * 12-dp-rounded exact-integer cosine with the same (cosine DESC, id)
+    * tie-break, so the hit count per query is deterministic and
+    * cross-engine replicable — the recall NUMBER itself is hash-gated, not
+    * asserted.
+    *
+    * Scale: the exact side is |sample|·n·d with the sample broadcast —
+    * recall estimation cost is chosen by the caller via `maxQueryId`, never
+    * n². The approx side is the index's own query path. Returns one row
+    * per sampled query: (vec_id, n_hits, recall). */
+  def annRecall(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      maxQueryId: Long): DataFrame = {
+    val approx = cosineTopKIvfPivot(vectors, k, nlist, nprobe)
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("neighbor_id"))
+    val exact = cosineTopK(vectors.filter(col("id") < maxQueryId), vectors,
+        k, exact = true)
+      .select(col("vec_id"), col("neighbor_id"))
+    val hits = exact.join(approx, Seq("vec_id", "neighbor_id"))
+      .groupBy("vec_id").agg(count(lit(1)).as("n_hits"))
+    vectors.filter(col("id") < maxQueryId).select(col("id").as("vec_id"))
+      .join(hits, Seq("vec_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+      .withColumn("recall", round(col("n_hits").cast("double") / k, 12))
+  }
+
+  /** SemDeDup (Abbas et al., arXiv:2303.09540 — "SemDeDup: Data-efficient
+    * learning at web-scale through semantic deduplication"): semantic
+    * near-dup removal that pays pairwise cosine cost only WITHIN k-means
+    * clusters. Clustering comes from [[kmeansIntAssign]] (exact integer
+    * Lloyd, fully oracled), so the cluster partition — and therefore the
+    * candidate pair set — replicates bit-for-bit in SQL; the rescore is the
+    * q46 exact pattern (×`scale` integer dots, raw-double cosine threshold,
+    * 12-dp round only in the output).
+    *
+    * Keep rule (deterministic): a vector is dropped iff some SMALLER-id
+    * vector in its cluster has cosine ≥ `minCosine` with it — the
+    * first-occurrence-wins canonical the exact-dedup family (q18, q129)
+    * uses, applied in embedding space.
+    *
+    * Scale: pair generation is an equi-join on the cluster id — cost
+    * Σ cluster², never n². With k sized so clusters fit the skew budget
+    * (n/k ≈ 1e5 rows at 100 TB-scale corpora) the join is an ordinary
+    * hash-partitioned shuffle; a runaway cluster is the AQE-skew case, and
+    * the fix is raising k, not changing the operator. The k-means step is
+    * `iters` broadcast-join passes over the corpus (centroids ≤ k rows).
+    *
+    * Output: (id, cluster, n_dup_prior, keep) — one row per input vector;
+    * `n_dup_prior` = how many smaller-id in-cluster twins cleared the
+    * threshold (0 ⇔ keep). */
+  def semDedup(vectors: DataFrame, k: Int, iters: Int, minCosine: Double,
+      scale: Long = 10000L): DataFrame = {
+    val assign = kmeansIntAssign(vectors, k, iters)
+      .select(col("id"), col("cluster"))
+    val withNorm = vectors.select(col("id"), col("vec"),
+        sqrt(arrayDotScaled(col("vec"), col("vec"), scale).cast("double")).as("nrm"))
+      .join(assign, "id")
+      .persist() // both sides of the in-cluster pair join + the output spine
+    val dupPriors = withNorm.as("a").join(withNorm.as("b"),
+        col("a.cluster") === col("b.cluster") && col("a.id") < col("b.id"))
+      .withColumn("cos_raw",
+        arrayDotScaled(col("a.vec"), col("b.vec"), scale).cast("double")
+          / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos_raw") >= minCosine)
+      .groupBy(col("b.id").as("id"))
+      .agg(count(lit(1)).as("n_dup_prior"))
+    withNorm.select(col("id"), col("cluster"))
+      .join(dupPriors, Seq("id"), "left")
+      .withColumn("n_dup_prior", coalesce(col("n_dup_prior"), lit(0L)))
+      .withColumn("keep", col("n_dup_prior") === 0)
+  }
+
 }

@@ -180,4 +180,52 @@ object TextAnalysis {
         when(col("total_chars") > 0,
           expr("dup_chars * 1000000 div total_chars")).otherwise(0L))
   }
+
+  /** Hashed n-gram linear classifier scoring — the INFERENCE shape of the
+    * fastText-style quality filters production pipelines run over every
+    * document (GPT-3's WebText classifier, DCLM's fastText filter): each
+    * document's unigrams+bigrams hash into `buckets` weight slots (the
+    * hashing trick), the score is the sparse dot of occurrence counts with
+    * the weight vector, and the keep label is a threshold on the score.
+    *
+    * The weight table here is DERIVED (weight(b) = Knuth-LCG over the
+    * bucket index, integers in [-1000, 1000]) so the whole computation is
+    * exact integer arithmetic and hash-gates cross-engine; a production
+    * deployment swaps in trained weights as a (bucket, w) table — the
+    * plumbing (hash → bucket → join/dot → threshold) is what this operator
+    * pins, and it is identical either way.
+    *
+    * Scale: one projection per document — grams explode map-side, the
+    * bucket hash and weight are expressions (no weight-table join needed in
+    * derived mode; trained mode is a broadcast join against ≤ `buckets`
+    * rows), and the score is a single hash-agg on the document id. No
+    * shuffle wider than (id, score).
+    *
+    * Output: (id, n_grams, score_raw, score_milli, label) — score_milli =
+    * floor(1000·score_raw / n_grams) (length-normalized, exact floor div),
+    * label = score_raw ≥ 0. */
+  def hashedNgramScore(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = 4096): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+      regexp_extract_all(lower(col(textCol)), lit("[a-z0-9]+"), lit(0)).as("t"))
+    val grams = toks.select(col("id"), explode(concat(col("t"),
+        expr("CASE WHEN size(t) >= 2 THEN transform(sequence(0, size(t) - 2), " +
+          "i -> concat(t[i], ' ', t[i + 1])) ELSE array() END"))).as("g"))
+    val agg = grams
+      .withColumn("bucket",
+        pmod(conv(substring(md5(col("g")), 1, 12), 16, 10).cast("long"),
+          lit(buckets.toLong)))
+      .withColumn("w", expr("(bucket * 2654435761 + 97) % 4294967296 % 2001 - 1000"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_grams"), sum(col("w")).as("score_raw"))
+    docs.select(col(idCol).as("id"))
+      .join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("score_raw"), lit(0L)).as("score_raw"))
+      .withColumn("score_milli",
+        when(col("n_grams") === 0, lit(0L)).otherwise(
+          expr("(score_raw * 1000 - pmod(score_raw * 1000, n_grams)) div n_grams")))
+      .withColumn("label", col("score_raw") >= 0)
+  }
 }

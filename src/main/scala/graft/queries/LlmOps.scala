@@ -652,6 +652,155 @@ object LlmOps {
       |SELECT id, CAST(cid AS BIGINT) AS cluster, dist2
       |FROM a2 WHERE r = 1 ORDER BY id""".stripMargin
 
+  /** S23/S22/north star — SemDeDup ([[Similarity.semDedup]], Abbas et al.
+    * arXiv:2303.09540): semantic dedup WITHIN the q140 integer-k-means
+    * clusters — pairwise exact-integer cosine only among cluster-mates
+    * (Σ cluster², never n²), drop any vector with a smaller-id in-cluster
+    * twin at cosine ≥ 0.4. The whole pipeline (Lloyd rounds, assignment,
+    * candidate pairs, every dot) replicates in the oracle — the
+    * paper-shaped embedding-space dedup, composed from two already-gated
+    * primitives (q140 clustering + q46 rescore). */
+  def q141SemDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semDedup(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 8, iters = 2, minCosine = 0.4).orderBy("id")
+
+  val q141Sql: String =
+    """WITH q AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c0 AS (SELECT id AS cid, i, x AS c FROM q WHERE id < 8),
+      |d1 AS (SELECT q.id, c0.cid, CAST(SUM((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c0 ON c0.i = q.i GROUP BY 1, 2),
+      |a1 AS (SELECT id, cid AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d1) WHERE r = 1),
+      |s1 AS (SELECT a1.cluster, q.i, CAST(SUM(q.x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM a1 JOIN q ON q.id = a1.id GROUP BY 1, 2),
+      |c1 AS (SELECT cluster AS cid, i,
+      |         CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS c FROM s1),
+      |d2 AS (SELECT q.id, c1.cid, CAST(SUM((q.x - c1.c) * (q.x - c1.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2),
+      |asg AS (SELECT id, CAST(cid AS BIGINT) AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d2) WHERE r = 1),
+      |p AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |nrm AS (SELECT id, sqrt(CAST(SUM(x * x) AS DOUBLE)) AS nrm FROM p GROUP BY 1),
+      |pc AS (SELECT p.id, asg.cluster, p.i, p.x FROM p JOIN asg USING (id)),
+      |dots AS (SELECT a.id AS id_a, b.id AS id_b, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+      |         FROM pc a JOIN pc b ON a.cluster = b.cluster AND a.i = b.i AND a.id < b.id
+      |         GROUP BY 1, 2),
+      |dup AS (SELECT d.id_b AS id, CAST(count(*) AS BIGINT) AS n_dup_prior
+      |        FROM dots d
+      |          JOIN nrm na ON na.id = d.id_a JOIN nrm nb ON nb.id = d.id_b
+      |        WHERE CAST(d.dot AS DOUBLE) / (na.nrm * nb.nrm) >= 0.4
+      |        GROUP BY 1)
+      |SELECT asg.id, asg.cluster,
+      |  coalesce(dup.n_dup_prior, 0) AS n_dup_prior,
+      |  dup.id IS NULL AS keep
+      |FROM asg LEFT JOIN dup USING (id) ORDER BY asg.id""".stripMargin
+
+  /** S23/north star — ANN recall@k evaluation ([[Similarity.annRecall]]):
+    * the q43 pivot-IVF index measured against brute-force exact top-5 on a
+    * 200-query sample — per query the hit count and recall, both ranked by
+    * the same 12-dp exact-integer cosine so the recall number itself
+    * hash-gates. The index-quality report every ANN deployment runs before
+    * shipping an index, as a first-class operator (cost: |sample|·n·d,
+    * chosen by the sample bound, never n²). */
+  def q142AnnRecall(s: SparkSession, dir: String): DataFrame =
+    Similarity.annRecall(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 5, nlist = 16, nprobe = 4, maxQueryId = 200L).orderBy("vec_id")
+
+  val q142Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |ord AS (SELECT vec_id, row_number() OVER (
+      |          ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rn
+      |        FROM embeddings),
+      |piv AS (SELECT vec_id AS pid, CAST(rn - 1 AS BIGINT) AS p FROM ord WHERE rn <= 16),
+      |pd AS (SELECT a.vec_id, piv.p, CAST(SUM(a.s * b.s) AS BIGINT) AS pdot
+      |       FROM piv JOIN q b ON b.vec_id = piv.pid
+      |                JOIN q a ON a.i = b.i
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT vec_id, p, pdot,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY pdot DESC, p) AS r
+      |       FROM pd),
+      |cells AS (SELECT vec_id, p AS cell FROM pr WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, p AS cell FROM pr WHERE r <= 4 AND vec_id < 200),
+      |cand AS (SELECT pb.qid, cl.vec_id AS cid
+      |         FROM probes pb JOIN cells cl ON cl.cell = pb.cell AND cl.vec_id <> pb.qid),
+      |dots AS (SELECT c.qid, c.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM cand c JOIN q qa ON qa.vec_id = c.qid
+      |                     JOIN q qb ON qb.vec_id = c.cid AND qb.i = qa.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |atop AS (SELECT qid, cid FROM (
+      |         SELECT qid, cid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |         FROM cos) WHERE r <= 5),
+      |edots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |          FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+      |          WHERE a.vec_id < 200
+      |          GROUP BY 1, 2),
+      |ecos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |         FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |etop AS (SELECT qid, cid FROM (
+      |         SELECT qid, cid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |         FROM ecos) WHERE r <= 5),
+      |hits AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS n_hits
+      |         FROM etop e JOIN atop a ON a.qid = e.qid AND a.cid = e.cid
+      |         GROUP BY 1)
+      |SELECT e.vec_id, coalesce(h.n_hits, 0) AS n_hits,
+      |  round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 5, 12) AS recall
+      |FROM embeddings e LEFT JOIN hits h ON h.qid = e.vec_id
+      |WHERE e.vec_id < 200 ORDER BY e.vec_id""".stripMargin
+
+  /** S24/north star — hashed n-gram classifier scoring
+    * ([[TextAnalysis.hashedNgramScore]]): the fastText-style quality-filter
+    * INFERENCE every curation pipeline runs (GPT-3 WebText classifier,
+    * DCLM fastText) — unigrams+bigrams → hashing trick → sparse dot with a
+    * weight table → keep label. Derived integer weights make every score
+    * exact and hash-gated; trained weights drop in as a broadcast (bucket,
+    * w) table without changing the plumbing this query pins. */
+  def q143ClassifierScore(s: SparkSession, dir: String): DataFrame =
+    TextAnalysis.hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .orderBy("id")
+
+  val q143Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(t) AS g FROM tok
+      |      UNION ALL
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |w AS (SELECT doc_id,
+      |        ((CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 4096)
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000 AS w
+      |      FROM g),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(sum(w) AS BIGINT) AS score_raw
+      |        FROM w GROUP BY 1)
+      |SELECT d.doc_id AS id, coalesce(agg.n_grams, 0) AS n_grams,
+      |  coalesce(agg.score_raw, 0) AS score_raw,
+      |  CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((agg.score_raw * 1000
+      |              - ((agg.score_raw * 1000 % agg.n_grams) + agg.n_grams) % agg.n_grams)
+      |            // agg.n_grams AS BIGINT) END AS score_milli,
+      |  coalesce(agg.score_raw, 0) >= 0 AS label
+      |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
@@ -921,7 +1070,10 @@ object LlmOps {
     "q135_containment_pairs" -> (q135ContainmentPairs _),
     "q136_fuzzy_join" -> (q136FuzzyJoin _),
     "q137_novelty_curve" -> (q137NoveltyCurve _),
-    "q140_kmeans_int" -> (q140KmeansInt _))
+    "q140_kmeans_int" -> (q140KmeansInt _),
+    "q141_semdedup" -> (q141SemDedup _),
+    "q142_ann_recall" -> (q142AnnRecall _),
+    "q143_classifier_score" -> (q143ClassifierScore _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -952,5 +1104,8 @@ object LlmOps {
     "q135_containment_pairs" -> q135Sql,
     "q136_fuzzy_join" -> q136Sql,
     "q137_novelty_curve" -> q137Sql,
-    "q140_kmeans_int" -> q140Sql)
+    "q140_kmeans_int" -> q140Sql,
+    "q141_semdedup" -> q141Sql,
+    "q142_ann_recall" -> q142Sql,
+    "q143_classifier_score" -> q143Sql)
 }
