@@ -40,7 +40,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q129_chunk_dedup", "q130_hard_negatives", "q131_shadow_score",
       "q132_cluster_canonical", "q133_tx_evolve", "q134_stream_chunk_dedup",
       "q135_containment_pairs", "q136_fuzzy_join", "q137_novelty_curve",
-      "q138_scd2_intervals", "q139_stream_scd2", "q140_kmeans_int")) {
+      "q138_scd2_intervals", "q139_stream_scd2", "q140_kmeans_int",
+      "q141_semdedup", "q142_ann_recall", "q143_classifier_score")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

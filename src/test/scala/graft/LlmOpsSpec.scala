@@ -386,4 +386,68 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(100L) == ((1L, 1L, 1.0, true)))
     assert(got(101L) == ((0L, -1L, 0.0, false)))
   }
+
+  test("semDedup ≡ brute force: in-cluster smaller-id twins at cos ≥ t, and only those") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val cluster = Similarity.kmeansIntAssign(e, k = 8, iters = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // brute force: ALL exact pairs at the threshold, then keep in-cluster ones
+    val expect = Similarity.cosinePairs(e, minCosine = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => cluster(a) == cluster(b) }
+      .groupBy(_._2).map { case (b, ps) => b -> ps.length.toLong }
+    val got = Similarity.semDedup(e, k = 8, iters = 2, minCosine = 0.4).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert(got.keySet == cluster.keySet) // one row per vector
+    got.foreach { case (id, (cl, nDup, keep)) =>
+      assert(cl == cluster(id), s"cluster diverged for $id")
+      assert(nDup == expect.getOrElse(id, 0L), s"n_dup_prior diverged for $id")
+      assert(keep == (nDup == 0L))
+    }
+    assert(got.values.exists(!_._3), "fixture should drop at least one vector")
+  }
+
+  test("annRecall ≡ set intersection of the IVF and exact top-k neighbor lists") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val approx = Similarity.cosineTopKIvfPivot(e, k = 5, nlist = 16, nprobe = 4)
+      .filter(col("vec_id") < 50).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = Similarity.cosineTopK(e.filter(col("id") < 50), e, k = 5,
+        exact = true).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val got = Similarity.annRecall(e, k = 5, nlist = 16, nprobe = 4,
+        maxQueryId = 50L).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got.keySet == exact.keySet)
+    got.foreach { case (q, (nHits, recall)) =>
+      val expect = (exact(q) & approx.getOrElse(q, Set.empty)).size.toLong
+      assert(nHits == expect, s"hit count diverged for query $q")
+      assert(recall == nHits.toDouble / 5)
+    }
+  }
+
+  test("hashedNgramScore: hand-computed grams, buckets, and weights; empty doc scores 0") {
+    def bucket(g: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(g.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(12), 16) % 4096
+    }
+    def w(g: String): Long = (bucket(g) * 2654435761L + 97) % 4294967296L % 2001 - 1000
+    val d = docsDF(1L -> "aa bb cc", 2L -> "aa", 3L -> "")
+    val got = TextAnalysis.hashedNgramScore(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val g1 = Seq("aa", "bb", "cc", "aa bb", "bb cc")
+    val s1 = g1.map(w).sum
+    val floorDiv1 = Math.floorDiv(s1 * 1000, g1.length.toLong)
+    assert(got(1L) == ((g1.length.toLong, s1, floorDiv1, s1 >= 0)))
+    assert(got(2L) == ((1L, w("aa"), w("aa") * 1000, w("aa") >= 0)))
+    assert(got(3L) == ((0L, 0L, 0L, true)))
+  }
 }
