@@ -164,4 +164,61 @@ object Multimodal {
   /** Stub-decoder convenience used by the oracle-checked q30. */
   def fakeDecodeFeatures(media: DataFrame, dim: Int = 8): DataFrame =
     decodeFeatures(media, dim, () => new StubDecoder)
+
+  /** Media-pair near-dup: Jaccard over each item's DISTINCT frame-hash set
+    * — the video/asset-level duplicate detector ("these two videos share
+    * most of their frames") complementing [[frameDupCoverage]]'s per-item
+    * coverage report. A re-encoded copy with a changed header or appended
+    * trailer keeps most frame hashes, so pairs surface at high Jaccard
+    * where whole-payload SHA equality (exact dedup) misses them.
+    *
+    * Candidates come from the inverted frame-hash index (pairs sharing ≥1
+    * frame — an equi-join on the digest, never all-pairs). A frame whose
+    * hash appears in many items fans out quadratically; `maxFrameDocFreq`
+    * (LOSSY, the [[Dedup.jaccardPairs]] knob) drops such stop-frames from
+    * candidate generation — a pair whose ONLY shared frames are stop-frames
+    * is missed; set sizes and the Jaccard stay computed over full sets.
+    *
+    * Returns (id_a, id_b, n_inter, n_a, n_b, jaccard) with id_a < id_b and
+    * jaccard ≥ minJaccard. */
+  def frameJaccardPairs(media: DataFrame, frameBytes: Int, minJaccard: Double,
+      maxFrameDocFreq: Option[Int] = None): DataFrame = {
+    val sets = frames(media, frameBytes)
+      .select(col("media_id").as("id"), col("frame_sha").as("g"))
+      .distinct()
+      .persist() // candidate index + sizes share one chunk+hash pass; caller unpersists
+    val sizes = sets.groupBy("id").agg(count(lit(1)).as("n_fr"))
+    def score(pairCounts: DataFrame): DataFrame = pairCounts
+      .join(sizes.select(col("id").as("id_a"), col("n_fr").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_fr").as("n_b")), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= minJaccard)
+      .select("id_a", "id_b", "n_inter", "n_a", "n_b", "jaccard")
+    maxFrameDocFreq match {
+      case None =>
+        // uncapped: the inverted-index join IS the full intersection count
+        score(sets.as("a")
+          .join(sets.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .agg(count(lit(1)).as("n_inter")))
+      case Some(c) =>
+        // capped: stop-frames bound CANDIDATE generation only; survivors
+        // rescore with one fused array_intersect over the FULL hash sets,
+        // so n_inter/jaccard are exact (only recall is lossy)
+        val fdf = sets.groupBy("g").agg(count(lit(1)).as("fdf"))
+        val candIdx = sets.join(fdf.filter(col("fdf") <= c).select("g"), "g")
+        val cand = candIdx.as("a")
+          .join(candIdx.as("b"), col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+          .distinct()
+        val full = sets.groupBy("id").agg(sort_array(collect_list(col("g"))).as("gs"))
+        score(cand
+          .join(full.select(col("id").as("id_a"), col("gs").as("gs_a")), "id_a")
+          .join(full.select(col("id").as("id_b"), col("gs").as("gs_b")), "id_b")
+          .withColumn("n_inter",
+            size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+          .select("id_a", "id_b", "n_inter"))
+    }
+  }
 }

@@ -1409,6 +1409,33 @@ object Scale {
       |FROM tot LEFT JOIN d ON d.media_id = tot.media_id
       |ORDER BY tot.media_id""".stripMargin
 
+  // ------------------------------------------- q144 media pair near-dup
+
+  /** S25/north star — media-pair near-dup
+    * ([[graft.llmops.Multimodal.frameJaccardPairs]]): Jaccard over each
+    * item's distinct frame-hash set, candidates from the inverted
+    * frame-hash index — the asset-level "these two videos share most of
+    * their frames" detector that whole-payload SHA (exact dedup) misses
+    * and q98's per-item coverage doesn't pair up. */
+  def q144MediaPairDup(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Multimodal.frameJaccardPairs(
+      graft.llmops.Multimodal.asMedia(docs(s, dir), "doc_id", "text"),
+      frameBytes = 64, minJaccard = 0.3).orderBy("id_a", "id_b")
+
+  val q144Sql: String =
+    """WITH m AS (SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+      |f AS (SELECT media_id, sha256(substring(text, CAST(i * 64 + 1 AS INT), 64)) AS g
+      |      FROM m, UNNEST(range(0, (n - 1) // 64 + 1)) AS u(i) WHERE n > 0),
+      |s AS (SELECT DISTINCT media_id AS id, g FROM f),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_fr FROM s GROUP BY 1),
+      |i AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      |      FROM s a JOIN s b ON a.g = b.g AND a.id < b.id GROUP BY 1, 2)
+      |SELECT i.id_a, i.id_b, i.n_inter, sa.n_fr AS n_a, sb.n_fr AS n_b,
+      |  CAST(i.n_inter AS DOUBLE) / (sa.n_fr + sb.n_fr - i.n_inter) AS jaccard
+      |FROM i JOIN sz sa ON sa.id = i.id_a JOIN sz sb ON sb.id = i.id_b
+      |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_fr + sb.n_fr - i.n_inter) >= 0.3
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------- q99 quality expectations
 
   /** Pipeline depth — declarative data-quality expectations
@@ -1562,6 +1589,7 @@ object Scale {
     "q138_scd2_intervals" -> (q138Scd2 _),
     "q139_stream_scd2" -> (q139StreamScd2 _),
     "q98_media_dup" -> (q98MediaDup _),
+    "q144_media_pair_dup" -> (q144MediaPairDup _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1604,6 +1632,7 @@ object Scale {
     "q138_scd2_intervals" -> q138Sql,
     "q139_stream_scd2" -> q138Sql,
     "q98_media_dup" -> q98Sql,
+    "q144_media_pair_dup" -> q144Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

@@ -41,7 +41,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q132_cluster_canonical", "q133_tx_evolve", "q134_stream_chunk_dedup",
       "q135_containment_pairs", "q136_fuzzy_join", "q137_novelty_curve",
       "q138_scd2_intervals", "q139_stream_scd2", "q140_kmeans_int",
-      "q141_semdedup", "q142_ann_recall", "q143_classifier_score")) {
+      "q141_semdedup", "q142_ann_recall", "q143_classifier_score",
+      "q144_media_pair_dup")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

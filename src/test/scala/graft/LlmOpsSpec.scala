@@ -387,6 +387,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(101L) == ((0L, -1L, 0.0, false)))
   }
 
+  test("frameJaccardPairs: identical payloads score 1.0; cap bounds candidates but not n_inter") {
+    import graft.llmops.Multimodal
+    val a = "x" * 200 // frames (64B): 4 per payload, 3 identical across a/b
+    val d = docsDF(
+      1L -> a,
+      2L -> (a.substring(0, 192) + "DIFFERENT-TAIL-HERE-NOW!"),
+      3L -> "completely unrelated payload text that shares nothing at all.")
+    val media = Multimodal.asMedia(d, "doc_id", "text")
+    val got = Multimodal.frameJaccardPairs(media, frameBytes = 64, minJaccard = 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    // payloads 1/2 share the three full 64B "xxxx" frames; doc 1's distinct
+    // set is {xxxx-frame, 8-byte tail}, doc 2's is {xxxx-frame, other tail}
+    // -> n_inter=1 over sets of 2 and 2 => J = 1/3 >= 0.3
+    assert(got.keySet == Set((1L, 2L)))
+    assert(got((1L, 2L)) == ((1L, 2L, 2L)))
+    // capped at fdf<=1 the shared frame is a stop-frame: pair missed (lossy
+    // recall), but nothing else surfaces and nothing mis-scores
+    assert(Multimodal.frameJaccardPairs(media, frameBytes = 64, minJaccard = 0.3,
+      maxFrameDocFreq = Some(1)).count() == 0)
+    // cap high enough keeps the pair with the SAME exact jaccard
+    val capped = Multimodal.frameJaccardPairs(media, frameBytes = 64,
+        minJaccard = 0.3, maxFrameDocFreq = Some(10))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5)).toMap
+    assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0 / 3)
+  }
+
   test("semDedup ≡ brute force: in-cluster smaller-id twins at cos ≥ t, and only those") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
