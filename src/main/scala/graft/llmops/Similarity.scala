@@ -932,6 +932,65 @@ object Similarity {
       .withColumn("recall", round(col("n_hits").cast("double") / k, 12))
   }
 
+  /** MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR'98)
+    * diverse top-m selection PER GROUP — the data-selection step that picks
+    * representative-yet-diverse exemplars from each stratum (per-domain
+    * seed docs, per-class few-shot pools, eval-set panels): greedily take
+    * the item maximizing `centrality − max-similarity-to-already-picked`.
+    *
+    * Determinism: centrality is the exact integer dot with the group's
+    * floor-div integer centroid (q140's arithmetic); inter-item similarity
+    * is the same ×`scale` integer dot; every argmax tie-breaks by id — the
+    * full greedy trajectory replicates in SQL (the oracle unrolls the m
+    * steps the way q140 unrolls Lloyd rounds).
+    *
+    * Scale: one centroid aggregation (partial-agg shuffle), then m rounds
+    * each joining candidates against the ≤ m·|groups| selected rows
+    * (broadcast) — never a candidate×candidate product. m is small by
+    * construction (a selection panel), so the loop is m bounded stages.
+    *
+    * Input: (id, grp, vec). Output: (grp, rank, id, mmr_score) — rank k =
+    * picked at step k, mmr_score = the winning score at pick time (step
+    * 1's score is the centrality itself). */
+  def mmrSelect(vectors: DataFrame, m: Int, scale: Long = 10000L): DataFrame = {
+    require(m >= 1, s"need m >= 1, got $m")
+    val intDot = (a: String, b: String) =>
+      expr(s"aggregate(zip_with($a, $b, (p, v) -> p * v), CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+    val q = vectors.select(col("id"), col("grp"), expr(
+      s"transform(vec, v -> CAST(sign(CAST(v AS DOUBLE)) * " +
+        s"floor(abs(CAST(v AS DOUBLE)) * $scale + 0.5) AS BIGINT))").as("x"))
+    val cents = q.select(col("grp"), posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("grp", "i").agg(sum("xi").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("ci", expr("(sx - pmod(sx, cnt)) div cnt"))
+      .groupBy("grp").agg(sort_array(collect_list(struct(col("i"), col("ci")))).as("it"))
+      .select(col("grp"), col("it").getField("ci").as("c"))
+    val rel = q.join(broadcast(cents), "grp")
+      .withColumn("rel", intDot("x", "c"))
+      .select("id", "grp", "x", "rel")
+      .persist() // feeds every greedy round; caller unpersists
+    val w = Window.partitionBy(col("grp")).orderBy(col("score").desc, col("id"))
+    var selected = rel.withColumn("score", col("rel"))
+      .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+      .select(col("grp"), lit(1).cast("int").as("rank"), col("id"),
+        col("score"), col("x"))
+    for (k <- 2 to m) {
+      val sims = rel
+        .join(selected.select(col("id").as("sel_id")),
+          col("id") === col("sel_id"), "left_anti")
+        .join(broadcast(selected.select(col("grp").as("sgrp"), col("x").as("sx"))),
+          col("grp") === col("sgrp"))
+        .withColumn("sim", intDot("x", "sx"))
+        .groupBy("id").agg(max(col("sim")).as("maxsim"))
+      val pick = rel.join(sims, "id")
+        .withColumn("score", col("rel") - col("maxsim"))
+        .withColumn("r", row_number().over(w)).filter(col("r") === 1)
+        .select(col("grp"), lit(k).cast("int").as("rank"), col("id"),
+          col("score"), col("x"))
+      selected = selected.unionByName(pick)
+    }
+    selected.select(col("grp"), col("rank"), col("id"), col("score").as("mmr_score"))
+  }
+
   /** SemDeDup (Abbas et al., arXiv:2303.09540 — "SemDeDup: Data-efficient
     * learning at web-scale through semantic deduplication"): semantic
     * near-dup removal that pays pairwise cosine cost only WITHIN k-means

@@ -801,6 +801,63 @@ object LlmOps {
       |  coalesce(agg.score_raw, 0) >= 0 AS label
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
 
+  /** S23/north star — MMR diverse top-3 per class ([[Similarity.mmrSelect]],
+    * Carbonell & Goldstein SIGIR'98): per label, greedily pick the
+    * exemplar panel maximizing integer-centroid centrality minus
+    * max-similarity-to-picked — the few-shot/seed-doc selection step. The
+    * oracle unrolls all three greedy rounds (selection, pairwise dots,
+    * argmax with id tie-break) exactly as q140 unrolls Lloyd. */
+  def q145MmrSelect(s: SparkSession, dir: String): DataFrame =
+    Similarity.mmrSelect(
+      emb(s, dir).select(col("vec_id").as("id"), col("label").as("grp"),
+        col("embedding").as("vec")),
+      m = 3).orderBy("grp", "rank")
+
+  val q145Sql: String =
+    """WITH q AS (SELECT vec_id AS id, label AS grp, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |cs AS (SELECT grp, i, CAST(SUM(x) AS BIGINT) AS sx,
+      |         CAST(count(*) AS BIGINT) AS cnt FROM q GROUP BY 1, 2),
+      |c AS (SELECT grp, i,
+      |        CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS ci FROM cs),
+      |rel AS (SELECT q.id, q.grp, CAST(SUM(q.x * c.ci) AS BIGINT) AS rel
+      |        FROM q JOIN c ON c.grp = q.grp AND c.i = q.i GROUP BY 1, 2),
+      |s1 AS (SELECT grp, id, rel AS score FROM (
+      |         SELECT grp, id, rel,
+      |           row_number() OVER (PARTITION BY grp ORDER BY rel DESC, id) AS r
+      |         FROM rel) WHERE r = 1),
+      |d1 AS (SELECT p.id, CAST(MAX(p.sim) AS BIGINT) AS maxsim FROM (
+      |         SELECT a.id, s.id AS sid, CAST(SUM(a.x * b.x) AS BIGINT) AS sim
+      |         FROM s1 s JOIN q b ON b.id = s.id
+      |                   JOIN q a ON a.grp = s.grp AND a.i = b.i
+      |         WHERE a.id NOT IN (SELECT id FROM s1)
+      |         GROUP BY 1, 2) p GROUP BY 1),
+      |sc2 AS (SELECT rel.grp, rel.id, rel.rel - d1.maxsim AS score
+      |        FROM rel JOIN d1 ON d1.id = rel.id),
+      |s2 AS (SELECT grp, id, score FROM (
+      |         SELECT grp, id, score,
+      |           row_number() OVER (PARTITION BY grp ORDER BY score DESC, id) AS r
+      |         FROM sc2) WHERE r = 1),
+      |sel2 AS (SELECT grp, id FROM s1 UNION ALL SELECT grp, id FROM s2),
+      |d2 AS (SELECT p.id, CAST(MAX(p.sim) AS BIGINT) AS maxsim FROM (
+      |         SELECT a.id, s.id AS sid, CAST(SUM(a.x * b.x) AS BIGINT) AS sim
+      |         FROM sel2 s JOIN q b ON b.id = s.id
+      |                     JOIN q a ON a.grp = s.grp AND a.i = b.i
+      |         WHERE a.id NOT IN (SELECT id FROM sel2)
+      |         GROUP BY 1, 2) p GROUP BY 1),
+      |sc3 AS (SELECT rel.grp, rel.id, rel.rel - d2.maxsim AS score
+      |        FROM rel JOIN d2 ON d2.id = rel.id),
+      |s3 AS (SELECT grp, id, score FROM (
+      |         SELECT grp, id, score,
+      |           row_number() OVER (PARTITION BY grp ORDER BY score DESC, id) AS r
+      |         FROM sc3) WHERE r = 1)
+      |SELECT grp, CAST(1 AS INT) AS "rank", id, CAST(score AS BIGINT) AS mmr_score FROM s1
+      |UNION ALL SELECT grp, CAST(2 AS INT), id, CAST(score AS BIGINT) FROM s2
+      |UNION ALL SELECT grp, CAST(3 AS INT), id, CAST(score AS BIGINT) FROM s3
+      |ORDER BY grp, "rank"""".stripMargin
+
   /** S23/north star — JL ±1 random projection ([[Similarity.jlProject]]):
     * 64-dim embeddings down to 16 exact integer plane-dot coordinates
     * over the q29/q105 LCG plane table — the dimensionality-reduction
@@ -1073,7 +1130,8 @@ object LlmOps {
     "q140_kmeans_int" -> (q140KmeansInt _),
     "q141_semdedup" -> (q141SemDedup _),
     "q142_ann_recall" -> (q142AnnRecall _),
-    "q143_classifier_score" -> (q143ClassifierScore _))
+    "q143_classifier_score" -> (q143ClassifierScore _),
+    "q145_mmr_select" -> (q145MmrSelect _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -1107,5 +1165,6 @@ object LlmOps {
     "q140_kmeans_int" -> q140Sql,
     "q141_semdedup" -> q141Sql,
     "q142_ann_recall" -> q142Sql,
-    "q143_classifier_score" -> q143Sql)
+    "q143_classifier_score" -> q143Sql,
+    "q145_mmr_select" -> q145Sql)
 }

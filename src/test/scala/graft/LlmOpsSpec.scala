@@ -459,6 +459,44 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("mmrSelect ≡ naive greedy: centrality/diversity trajectory and tie-breaks") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("label").as("grp"), col("embedding").as("vec"))
+    // naive in-memory reference with the same integer arithmetic
+    val rows = e.collect().map { r =>
+      val v = r.getSeq[Float](2).map(f =>
+        (math.signum(f.toDouble) * math.floor(math.abs(f.toDouble) * 10000 + 0.5)).toLong)
+      (r.getLong(0), r.getInt(1), v.toArray)
+    }
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (p, q) => p * q }.sum
+    val expect = rows.groupBy(_._2).flatMap { case (grp, vs) =>
+      val cent = Array.tabulate(vs.head._3.length) { i =>
+        Math.floorDiv(vs.map(_._3(i)).sum, vs.length.toLong) }
+      val rel = vs.map(v => v._1 -> dot(v._3, cent)).toMap
+      val byId = vs.map(v => v._1 -> v._3).toMap
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Long, Long)]
+      var picked = List.empty[Long]
+      for (k <- 1 to 3) {
+        val cands = vs.map(_._1).filterNot(picked.contains).map { id =>
+          val score = if (picked.isEmpty) rel(id)
+            else rel(id) - picked.map(s => dot(byId(id), byId(s))).max
+          (id, score)
+        }
+        if (cands.nonEmpty) {
+          val (id, score) = cands.minBy { case (i, s) => (-s, i) }
+          sel += ((grp, k, score, id))
+          picked ::= id
+        }
+      }
+      sel.map { case (g, k, s, id) => (g, k) -> (id, s) }
+    }
+    val got = Similarity.mmrSelect(e, m = 3).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(got == expect, "greedy trajectory diverged from the naive reference")
+  }
+
   test("hashedNgramScore: hand-computed grams, buckets, and weights; empty doc scores 0") {
     def bucket(g: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
