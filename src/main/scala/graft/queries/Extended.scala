@@ -183,17 +183,102 @@ object Extended {
       |FROM s GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  // ------------------------------------------ q146 streaming top-k per key
+
+  /** The q143 hashed-ngram classifier score as ONE pure expression
+    * (unigrams + bigrams → md5 bucket → LCG weight → sum), so a stream can
+    * score rows without a pre-shuffle aggregation. */
+  private def classifierScoreExpr: Column = expr(
+    """aggregate(
+      |  transform(
+      |    concat(regexp_extract_all(lower(text), '[a-z0-9]+', 0),
+      |      CASE WHEN size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) >= 2
+      |        THEN transform(
+      |          sequence(0, size(regexp_extract_all(lower(text), '[a-z0-9]+', 0)) - 2),
+      |          i -> concat(regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i], ' ',
+      |                      regexp_extract_all(lower(text), '[a-z0-9]+', 0)[i + 1]))
+      |        ELSE array() END),
+      |    g -> (CAST(conv(substring(md5(g), 1, 12), 16, 10) AS BIGINT) % 4096
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000),
+      |  CAST(0 AS BIGINT), (acc, w) -> acc + w)""".stripMargin)
+
+  private val topkStaged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def stageTopKSource(s: SparkSession, dir: String): String =
+    topkStaged.getOrElseUpdate(s"q146:$dir", {
+      val scored = t(s, dir, "documents")
+        .select(col("source").as("key"), col("doc_id").as("id"),
+          classifierScoreExpr.as("score"), lit(false).as("flush"))
+      val sentinels = scored.select(col("key")).distinct()
+        .select(col("key"), lit(0L).as("id"), lit(0L).as("score"),
+          lit(true).as("flush"))
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> scored.filter(col("id") % 2 === 0),
+        "second" -> scored.filter(col("id") % 2 === 1),
+        "flush" -> sentinels))
+    })
+
+  /** S26 depth (13th streaming path) — continuously maintained top-5
+    * leaderboard per source ([[graft.streaming.StreamingTopK]]): documents
+    * arrive over three micro-batches scored by the q143 classifier
+    * expression; state is EXACTLY the k best (score, id) pairs per key, an
+    * order-independent fold, so the flushed boards hash-match the batch
+    * `row_number()` oracle. */
+  def q146StreamTopK(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingTopK
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = stageTopKSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingTopK.Scored].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val boards = StreamingTopK.topK(stream.as[StreamingTopK.Scored], k = 5)
+    val qn = s"q146_topk_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      boards.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-topk-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn).select(col("key"), col("rank"), col("id"), col("score"))
+      .orderBy("key", "rank")
+  }
+
+  val q146Sql: String =
+    """WITH tok AS (SELECT doc_id, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(t) AS g FROM tok
+      |      UNION ALL
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |w AS (SELECT doc_id,
+      |        ((CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 4096)
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000 AS w
+      |      FROM g),
+      |agg AS (SELECT doc_id, CAST(sum(w) AS BIGINT) AS score FROM w GROUP BY 1),
+      |scored AS (SELECT d.source AS key, d.doc_id AS id,
+      |             coalesce(agg.score, 0) AS score
+      |           FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id)
+      |SELECT key, CAST(r AS INT) AS "rank", id, score FROM (
+      |  SELECT key, id, score,
+      |    row_number() OVER (PARTITION BY key ORDER BY score DESC, id) AS r
+      |  FROM scored) WHERE r <= 5 ORDER BY key, "rank"""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q51_asof_join" -> (q51AsofJoin _),
     "q52_range_join" -> (q52RangeJoin _),
     "q53_streaming_sessions" -> (q53StreamingSessions _),
-    "q54_heavy_hitters" -> (q54HeavyHitters _))
+    "q54_heavy_hitters" -> (q54HeavyHitters _),
+    "q146_stream_topk" -> (q146StreamTopK _))
 
   val oracleSql: Map[String, String] = Map(
     "q51_asof_join" -> q51Sql,
     "q52_range_join" -> q52Sql,
     "q53_streaming_sessions" -> q53Sql,
-    "q54_heavy_hitters" -> q54Sql)
+    "q54_heavy_hitters" -> q54Sql,
+    "q146_stream_topk" -> q146Sql)
 }

@@ -360,4 +360,33 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(spark.table("funnel_t").count() == 2) // exactly one row per entity
     q.stop()
   }
+
+  test("streaming topK: arrival-order independent, k-truncated, ties broken by id") {
+    import spark.implicits._
+    import graft.streaming.StreamingTopK
+    import graft.streaming.StreamingTopK.{Scored, TopEntry}
+    implicit val sq = spark.sqlContext
+    val items = Seq(
+      Scored("a", 1L, 10L, flush = false), Scored("a", 2L, 30L, flush = false),
+      Scored("a", 3L, 20L, flush = false), Scored("a", 4L, 30L, flush = false),
+      Scored("b", 5L, 7L, flush = false))
+    def run(name: String, batches: Seq[Seq[Scored]]): Map[(String, Int), (Long, Long)] = {
+      val mem = MemoryStream[Scored]
+      val q = StreamingTopK.topK(mem.toDS(), k = 3)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(Scored("a", 0L, 0L, flush = true), Scored("b", 0L, 0L, flush = true))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[TopEntry].collect()
+        .map(e => (e.key, e.rank) -> (e.id, e.score)).toMap
+    }
+    // score 30 ties between ids 2 and 4 -> id ASC wins rank 1; k=3 drops id 1
+    val expect = Map(
+      ("a", 1) -> (2L, 30L), ("a", 2) -> (4L, 30L), ("a", 3) -> (3L, 20L),
+      ("b", 1) -> (5L, 7L))
+    assert(run("topk_fwd", Seq(items.take(2), items.drop(2))) == expect)
+    assert(run("topk_rev", Seq(items.reverse.take(3), items.reverse.drop(3))) == expect)
+    assert(run("topk_one", Seq(items)) == expect)
+  }
 }
