@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, HyperplaneSig, InterleaveBits, PlaneDots, TokenGramHashes}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, CdcChunks, HyperplaneSig, InterleaveBits, PlaneDots, TokenGramHashes}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -35,6 +35,11 @@ object GraftFunctions {
     * join plumbing (see [[org.apache.spark.sql.graft.TokenGramHashes]]). */
   def tokenGramHashes(toks: Column, n: Int): Column =
     Bridge.column(TokenGramHashes(Bridge.expression(toks), n))
+
+  /** Content-defined chunks of a string column as one native loop
+    * (see [[org.apache.spark.sql.graft.CdcChunks]]). */
+  def cdcChunks(payload: Column, window: Int, div: Int): Column =
+    Bridge.column(CdcChunks(Bridge.expression(payload), window, div))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

@@ -165,6 +165,36 @@ object Multimodal {
   def fakeDecodeFeatures(media: DataFrame, dim: Int = 8): DataFrame =
     decodeFeatures(media, dim, () => new StubDecoder)
 
+  /** Cross-media duplicated-chunk coverage with CONTENT-DEFINED boundaries
+    * ([[graft.functions.GraftFunctions.cdcChunks]] — the rsync/LBFS
+    * rolling-hash cut): the insertion-robust form of [[frameDupCoverage]].
+    * A fixed 64-byte frame grid loses all dedup signal past any edit
+    * (every downstream frame shifts); CDC boundaries depend only on local
+    * content, so a mirrored payload with an inserted banner still shares
+    * every chunk outside the edit neighborhood.
+    *
+    * Scale: chunking is one native codegen'd loop in the scan stage (no
+    * explode-then-window, no shuffle of payload bytes); everything after
+    * is the q98 shape — document frequency and the coverage join key on
+    * the chunk digest. Returns (media_id, n_chunks, n_dup_chunks,
+    * dup_permille); empty payloads emit zero chunks and drop out, exactly
+    * like [[frameDupCoverage]]. */
+  def cdcDupCoverage(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, div: Int = 64): DataFrame = {
+    import graft.functions.GraftFunctions.cdcChunks
+    val ck = docs.select(col(idCol).as("media_id"),
+        explode(cdcChunks(col(textCol), window, div)).as("chunk"))
+      .select(col("media_id"), md5(col("chunk")).as("g"))
+    val fdf = ck.select("media_id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("fdf"))
+    val dup = ck.join(fdf.filter(col("fdf") >= 2).select("g"), "g")
+      .groupBy("media_id").agg(count(lit(1)).as("n_dup_chunks"))
+    ck.groupBy("media_id").agg(count(lit(1)).as("n_chunks"))
+      .join(dup, Seq("media_id"), "left")
+      .withColumn("n_dup_chunks", coalesce(col("n_dup_chunks"), lit(0L)))
+      .withColumn("dup_permille", expr("(n_dup_chunks * 1000) div n_chunks"))
+  }
+
   /** Media-pair near-dup: Jaccard over each item's DISTINCT frame-hash set
     * — the video/asset-level duplicate detector ("these two videos share
     * most of their frames") complementing [[frameDupCoverage]]'s per-item

@@ -1436,6 +1436,52 @@ object Scale {
       |WHERE CAST(i.n_inter AS DOUBLE) / (sa.n_fr + sb.n_fr - i.n_inter) >= 0.3
       |ORDER BY id_a, id_b""".stripMargin
 
+  // ------------------------------------------- q147 CDC chunk dedup
+
+  /** S25/engine depth — content-defined-chunk dup coverage
+    * ([[graft.llmops.Multimodal.cdcDupCoverage]], boundaries from the
+    * native [[org.apache.spark.sql.graft.CdcChunks]] rolling-hash loop):
+    * q98's coverage report with insertion-robust boundaries — a mirror
+    * with one inserted line still shares every chunk outside the edit.
+    * The oracle recomputes every rolling hash, cut, and chunk digest. */
+  def q147CdcDedup(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.Multimodal.cdcDupCoverage(docs(s, dir), "doc_id", "text")
+      .orderBy("media_id")
+
+  val q147Sql: String =
+    """WITH m AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |ch AS (SELECT doc_id, i, ord(substr(text, CAST(i AS INT), 1)) AS c
+      |       FROM m, UNNEST(range(1, n + 1)) AS u(i)),
+      |pw AS (SELECT j, CAST(p AS BIGINT) AS p FROM (VALUES (0, 1), (1, 31),
+      |        (2, 961), (3, 29791), (4, 923521), (5, 28629151),
+      |        (6, 887503681), (7, 27512614111)) AS t(j, p)),
+      |h AS (SELECT c1.doc_id, c1.i, CAST(SUM(c2.c * pw.p) AS BIGINT) AS h
+      |      FROM ch c1 JOIN ch c2 ON c2.doc_id = c1.doc_id
+      |                           AND c2.i BETWEEN c1.i - 7 AND c1.i
+      |                 JOIN pw ON pw.j = c1.i - c2.i
+      |      WHERE c1.i >= 8 GROUP BY 1, 2),
+      |bnd AS (SELECT doc_id, i FROM h WHERE h % 64 = 0),
+      |cuts AS (SELECT doc_id, i AS en,
+      |           coalesce(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) + 1 AS st
+      |         FROM bnd
+      |         UNION ALL
+      |         SELECT m.doc_id, m.n AS en, coalesce(mx.mi, 0) + 1 AS st
+      |         FROM m LEFT JOIN (SELECT doc_id, max(i) AS mi FROM bnd GROUP BY 1) mx
+      |           USING (doc_id)
+      |         WHERE m.n > coalesce(mx.mi, 0)),
+      |ck AS (SELECT c.doc_id AS media_id,
+      |         md5(substr(m.text, CAST(c.st AS INT), CAST(c.en - c.st + 1 AS INT))) AS g
+      |       FROM cuts c JOIN m ON m.doc_id = c.doc_id),
+      |fdf AS (SELECT g, count(DISTINCT media_id) AS cdf FROM ck GROUP BY 1),
+      |d AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_dup_chunks
+      |      FROM ck JOIN fdf USING (g) WHERE cdf >= 2 GROUP BY 1),
+      |tot AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks FROM ck GROUP BY 1)
+      |SELECT tot.media_id, tot.n_chunks,
+      |  CAST(coalesce(d.n_dup_chunks, 0) AS BIGINT) AS n_dup_chunks,
+      |  CAST(coalesce(d.n_dup_chunks, 0) * 1000 // tot.n_chunks AS BIGINT) AS dup_permille
+      |FROM tot LEFT JOIN d ON d.media_id = tot.media_id
+      |ORDER BY tot.media_id""".stripMargin
+
   // ------------------------------------------- q99 quality expectations
 
   /** Pipeline depth — declarative data-quality expectations
@@ -1590,6 +1636,7 @@ object Scale {
     "q139_stream_scd2" -> (q139StreamScd2 _),
     "q98_media_dup" -> (q98MediaDup _),
     "q144_media_pair_dup" -> (q144MediaPairDup _),
+    "q147_cdc_dedup" -> (q147CdcDedup _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1633,6 +1680,7 @@ object Scale {
     "q139_stream_scd2" -> q138Sql,
     "q98_media_dup" -> q98Sql,
     "q144_media_pair_dup" -> q144Sql,
+    "q147_cdc_dedup" -> q147Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

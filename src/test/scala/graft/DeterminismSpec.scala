@@ -42,7 +42,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q135_containment_pairs", "q136_fuzzy_join", "q137_novelty_curve",
       "q138_scd2_intervals", "q139_stream_scd2", "q140_kmeans_int",
       "q141_semdedup", "q142_ann_recall", "q143_classifier_score",
-      "q144_media_pair_dup", "q145_mmr_select", "q146_stream_topk")) {
+      "q144_media_pair_dup", "q145_mmr_select", "q146_stream_topk",
+      "q147_cdc_dedup")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

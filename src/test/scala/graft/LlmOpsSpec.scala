@@ -414,6 +414,28 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(capped.keySet == Set((1L, 2L)) && capped((1L, 2L)) == 1.0 / 3)
   }
 
+  test("cdcDupCoverage survives an insertion that destroys fixed-frame dedup") {
+    import graft.llmops.Multimodal
+    val base = (1 to 40).map(i => s"sentence number $i with some shared words here.").mkString(" ")
+    val edited = base.substring(0, 200) + " [INSERTED BANNER TEXT] " + base.substring(200)
+    val d = docsDF(1L -> base, 2L -> edited)
+    val cdc = Multimodal.cdcDupCoverage(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // CDC: only the chunks overlapping the edit neighborhood diverge
+    assert(cdc(1L)._3 > 700, s"CDC coverage collapsed: ${cdc(1L)}")
+    assert(cdc(2L)._3 > 700, s"CDC coverage collapsed: ${cdc(2L)}")
+    // fixed 64-byte frames: everything after the insertion point shifts,
+    // so shared frames are (roughly) only the pre-edit prefix
+    val fixed = Multimodal.frameDupCoverage(
+        Multimodal.asMedia(d, "doc_id", "text"), frameBytes = 64).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(fixed(2L) < cdc(2L)._3,
+      s"fixed frames ${fixed(2L)} should lose signal CDC keeps ${cdc(2L)._3}")
+    // chunk lengths are content-defined: identical content -> identical cuts
+    val n1 = cdc(1L)._1
+    assert(n1 > 5, s"expected several ~64-char chunks over ${base.length} chars, got $n1")
+  }
+
   test("semDedup ≡ brute force: in-cluster smaller-id twins at cos ≥ t, and only those") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
