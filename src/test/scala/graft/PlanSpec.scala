@@ -251,4 +251,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // fall back to interpreted eval, visible as a codegen compile ERROR in
     // stderr — the expressions are loop-based precisely so this cannot recur
   }
+
+  test("q141: semdedup pairs come from a cluster equi-join — no cartesian anywhere") {
+    val p = plan("q141_semdedup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "in-cluster pair generation must be an equi-join on the cluster id")
+    assert(p.contains("BroadcastHashJoin"), "k-row centroid frames must broadcast")
+  }
+
+  test("q145: MMR panel joins broadcast the selected rows") {
+    val p = plan("q145_mmr_select")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroids and selected panels are ≤ m·|groups| rows — they must broadcast")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q147: CDC chunking is the native expression in the scan stage") {
+    val p = plan("q147_cdc_dedup")
+    assert(p.contains("cdc_chunks"), "boundary detection must be the native loop")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
