@@ -956,4 +956,48 @@ object Corpus {
           expr("(n_symbols * 1000) div n_tokens")).otherwise(lit(0L))
           .as("fertility_permille"))
   }
+
+  /** Cross-split leakage audit — the VALIDATION step behind the
+    * leakage-safe split (q104): find document pairs in DIFFERENT splits
+    * sharing ≥ `minShared` distinct n-gram shingles. Run on a naive
+    * per-document split this surfaces every near-dup twin straddling
+    * train/eval (the contamination that inflates eval scores); run on the
+    * cluster-canonical split it must return zero rows — the auditable
+    * proof of the q104 invariant.
+    *
+    * Shingle ids are the 48-bit md5 prefix ([[Dedup.incrementalDedup]]'s
+    * convention — engine-portable, dictionary-free). Candidates come from
+    * the inverted gram index restricted to CROSS-split hits (equi-join on
+    * the gram id, never all-pairs). `maxGramDocFreq` (LOSSY) drops grams
+    * with document frequency above the cap from the audit universe —
+    * boilerplate grams shared by hundreds of documents are excluded from
+    * the leakage definition rather than fanning out d² candidate rows;
+    * n_shared then counts capped-universe grams (the conservative audit).
+    *
+    * Input: `docs` must carry `idCol`, `textCol`, and `splitCol`. Output:
+    * (split_a, split_b, id_a, id_b, n_shared) with id_a < id_b. */
+  def splitLeakageAudit(docs: DataFrame, idCol: String, textCol: String,
+      splitCol: String, n: Int, minShared: Long,
+      maxGramDocFreq: Option[Int] = None): DataFrame = {
+    val ids = Dedup.shingleIndex(docs, idCol, textCol, n)
+      .select(col("id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("g"))
+    val capped = maxGramDocFreq match {
+      case Some(c) =>
+        val dfreq = ids.groupBy("g").agg(count(lit(1)).as("df"))
+        ids.join(dfreq.filter(col("df") <= c).select("g"), "g")
+      case None => ids
+    }
+    val sp = docs.select(col(idCol).as("id"), col(splitCol).as("split"))
+    val tagged = capped.join(sp, "id")
+    tagged.as("a").join(tagged.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          col("a.split") =!= col("b.split"))
+      .groupBy(col("a.id").as("id_a"), col("a.split").as("split_a"),
+        col("b.id").as("id_b"), col("b.split").as("split_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .select("split_a", "split_b", "id_a", "id_b", "n_shared")
+  }
 }

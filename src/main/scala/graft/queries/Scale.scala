@@ -1482,6 +1482,42 @@ object Scale {
       |FROM tot LEFT JOIN d ON d.media_id = tot.media_id
       |ORDER BY tot.media_id""".stripMargin
 
+  // ------------------------------------------- q148 split leakage audit
+
+  /** North star/eval hygiene — cross-split leakage audit
+    * ([[Corpus.splitLeakageAudit]]): document pairs in DIFFERENT q83-naive
+    * splits sharing ≥ 5 distinct trigram shingles — the measured
+    * contamination that motivates q104's cluster-canonical split (on which
+    * this audit returns zero rows, spec-pinned). Candidates from the
+    * inverted gram index restricted to cross-split hits. */
+  def q148LeakageAudit(s: SparkSession, dir: String): DataFrame =
+    Corpus.splitLeakageAudit(
+      Corpus.hashSplit(docs(s, dir), "doc_id")
+        .select(col("id").as("doc_id"), col("split"))
+        .join(docs(s, dir), "doc_id"),
+      "doc_id", "text", "split", n = 3, minShared = 5L)
+      .orderBy("id_a", "id_b")
+
+  val q148Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |shl AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |          THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |          ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |gid AS (SELECT id, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS g FROM shl),
+      |sp AS (SELECT doc_id AS id,
+      |         CASE WHEN ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 100 < 80 * 256 THEN 'train'
+      |              WHEN ((instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+      |              + instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1) * 100 < 90 * 256 THEN 'val'
+      |              ELSE 'test' END AS split
+      |       FROM documents),
+      |tg AS (SELECT gid.id, gid.g, sp.split FROM gid JOIN sp USING (id))
+      |SELECT a.split AS split_a, b.split AS split_b, a.id AS id_a, b.id AS id_b,
+      |  CAST(count(*) AS BIGINT) AS n_shared
+      |FROM tg a JOIN tg b ON a.g = b.g AND a.id < b.id AND a.split <> b.split
+      |GROUP BY 1, 2, 3, 4 HAVING count(*) >= 5
+      |ORDER BY id_a, id_b""".stripMargin
+
   // ------------------------------------------- q99 quality expectations
 
   /** Pipeline depth — declarative data-quality expectations
@@ -1637,6 +1673,7 @@ object Scale {
     "q98_media_dup" -> (q98MediaDup _),
     "q144_media_pair_dup" -> (q144MediaPairDup _),
     "q147_cdc_dedup" -> (q147CdcDedup _),
+    "q148_leakage_audit" -> (q148LeakageAudit _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1681,6 +1718,7 @@ object Scale {
     "q98_media_dup" -> q98Sql,
     "q144_media_pair_dup" -> q144Sql,
     "q147_cdc_dedup" -> q147Sql,
+    "q148_leakage_audit" -> q148Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

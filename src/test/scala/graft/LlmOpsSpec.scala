@@ -519,6 +519,30 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got == expect, "greedy trajectory diverged from the naive reference")
   }
 
+  test("splitLeakageAudit: naive split leaks twins; cluster-canonical split audits clean") {
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{Corpus, Dedup}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def audit(split: org.apache.spark.sql.DataFrame) =
+      Corpus.splitLeakageAudit(
+        split.select(col("id").as("doc_id"), col("split")).join(d, "doc_id"),
+        "doc_id", "text", "split", n = 3, minShared = 5L)
+    val naive = audit(Corpus.hashSplit(d, "doc_id")).count()
+    // the q104 construction: split keyed on the near-dup cluster canonical
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.8, prefixFilter = true)
+    val comp = Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+    val safeSplit = Corpus.hashSplitBy(comp, "component")
+    // audit pairs = docs sharing >=5 trigrams across splits at ANY jaccard;
+    // the invariant protects >=0.8-jaccard twins, so check those: every
+    // leaked pair under the safe split must NOT be a 0.8-twin
+    val leaked = audit(safeSplit)
+      .join(edges.select(col("id_a"), col("id_b")), Seq("id_a", "id_b"))
+      .count()
+    assert(naive > 0, "fixture must contain naive-split leakage to audit")
+    assert(leaked == 0, "no near-dup twin may straddle the cluster-keyed split")
+  }
+
   test("hashedNgramScore: hand-computed grams, buckets, and weights; empty doc scores 0") {
     def bucket(g: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
