@@ -636,6 +636,76 @@ object LlmOps {
       |FROM n JOIN comp ON comp.id = n.rep
       |GROUP BY 1 ORDER BY comp.component""".stripMargin
 
+  /** S23/capstone — contrastive training-pair manifest: the labeled pair
+    * dataset embedding-model training starts from (SimCSE/E5 prep) —
+    * POSITIVES = near-dup pairs from the q119 banded-LSH index (cos ≥
+    * 0.4, exact rescore), NEGATIVES = q130's hard negatives (top-5
+    * highest-cosine LABEL-MISMATCHED corpus vectors per anchor). One
+    * unioned frame, both halves already individually hash-gated; the
+    * oracle replays both pipelines and unions them. */
+  def q150ContrastivePairs(s: SparkSession, dir: String): DataFrame = {
+    val ev = emb(s, dir)
+    val e = ev.select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val el = ev.select(col("vec_id").as("id"), col("embedding").as("vec"),
+      col("label"))
+    val pos = Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16,
+        bands = 4, dim = 64)
+      .select(lit("pos").as("pair_type"), col("id_a"), col("id_b"), col("cosine"))
+    val neg = Similarity.hardNegatives(
+        el.filter(pmod(col("id"), lit(10)) === 0), el, k = 5)
+      .select(lit("neg").as("pair_type"), col("vec_id").as("id_a"),
+        col("neg_id").as("id_b"), col("cosine"))
+    pos.unionByName(neg).orderBy("pair_type", "id_a", "id_b")
+  }
+
+  val q150Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM pd GROUP BY 1),
+      |bk AS (SELECT vec_id, b, (sg >> (CAST(b AS INT) * 4)) & 15 AS key
+      |       FROM sig, range(0, 4) w(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
+      |              AND a.vec_id < b.vec_id),
+      |qq AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |nn AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM qq),
+      |pos AS (SELECT 'pos' AS pair_type, c.id_a, c.id_b,
+      |    round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
+      |  FROM cand c JOIN nn a ON a.vec_id = c.id_a JOIN nn b ON b.vec_id = c.id_b
+      |  WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4),
+      |q2 AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms2 AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |           FROM q2 GROUP BY 1),
+      |dots2 AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |          FROM q2 a JOIN q2 b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |          JOIN embeddings ea ON ea.vec_id = a.vec_id
+      |          JOIN embeddings eb ON eb.vec_id = b.vec_id
+      |          WHERE a.vec_id % 10 = 0 AND ea.label <> eb.label
+      |          GROUP BY 1, 2),
+      |cos2 AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |         FROM dots2 JOIN norms2 na ON na.vec_id = qid JOIN norms2 nb ON nb.vec_id = cid),
+      |rk2 AS (SELECT qid, cid, cosine,
+      |          row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |        FROM cos2),
+      |neg AS (SELECT 'neg' AS pair_type, qid AS id_a, cid AS id_b, cosine
+      |        FROM rk2 WHERE r <= 5)
+      |SELECT pair_type, id_a, id_b, cosine FROM pos
+      |UNION ALL SELECT pair_type, id_a, id_b, cosine FROM neg
+      |ORDER BY pair_type, id_a, id_b""".stripMargin
+
   /** S24/north star — corpus novelty curve ([[Dedup.noveltyCurve]]): per
     * document in ingest (doc_id) order, the fraction of its distinct
     * trigrams first seen in THIS document — the "are we still adding new
@@ -1174,7 +1244,8 @@ object LlmOps {
     "q142_ann_recall" -> (q142AnnRecall _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
-    "q149_golden_record" -> (q149GoldenRecord _))
+    "q149_golden_record" -> (q149GoldenRecord _),
+    "q150_contrastive_pairs" -> (q150ContrastivePairs _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -1210,5 +1281,6 @@ object LlmOps {
     "q142_ann_recall" -> q142Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
-    "q149_golden_record" -> q149Sql)
+    "q149_golden_record" -> q149Sql,
+    "q150_contrastive_pairs" -> q150Sql)
 }
