@@ -718,6 +718,70 @@ object Similarity {
     rank(scored, k)
   }
 
+  /** Multi-probe LSH top-k (Lv et al., VLDB'07 "Multi-Probe LSH"): the
+    * recall upgrade that does NOT grow the index — each query probes its
+    * base band buckets PLUS, per band (`probeFlips = 1`), the bucket whose
+    * key flips the band's lowest-|margin| plane bit. A vector near a
+    * hyperplane (small |plane dot|) is the one whose twin most likely
+    * landed on the other side, so flipping exactly that bit buys the most
+    * recall per extra probe; the corpus stays indexed once under base
+    * keys (asymmetric probing — standard multi-probe).
+    *
+    * Determinism: margins are the exact ×[[SigScale]] integer plane dots
+    * over the shared LCG plane table ([[jlProject]]'s), argmin ties break
+    * on the lowest plane index, and the rescore is the exact ×`scale`
+    * integer cosine with (cosine DESC, cid) ranking — the probe set, the
+    * candidate set (misses and all), and every cosine replicate in SQL.
+    *
+    * Scale: candidates remain (band, key) equi-join collisions — never
+    * all-pairs; `probeFlips = 1` doubles the PROBE rows only (the build
+    * side and its shuffle are unchanged), where raising recall by adding
+    * planes or tables would grow the indexed corpus itself. */
+  def cosineTopKLshMultiProbe(vectors: DataFrame, k: Int, planes: Int,
+      bands: Int, dim: Int, probeFlips: Int = 1,
+      scale: Long = 10000L): DataFrame = {
+    require(planes % bands == 0, s"bands must divide planes, got $planes/$bands")
+    require(probeFlips == 0 || probeFlips == 1,
+      s"probeFlips must be 0 (single-probe) or 1, got $probeFlips")
+    val rpb = planes / bands
+    val withDots = vectors.select(col("id"), col("vec"),
+        graft.functions.GraftFunctions.planeDots(col("vec"), planes, dim,
+          SigScale).as("pd"),
+        sqrt(arrayDotScaled(col("vec"), col("vec"), scale).cast("double")).as("nrm"))
+      .persist() // keys, probes, and both rescore sides; caller unpersists
+    val banded = withDots.select(col("id"), col("pd"),
+        explode(sequence(lit(0), lit(bands - 1))).as("band"))
+      .withColumn("key", expr(
+        s"aggregate(sequence(0, $rpb - 1), CAST(0 AS BIGINT), (acc, j) -> " +
+          s"acc + CASE WHEN pd[band * $rpb + j] > 0 " +
+          s"THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END)"))
+    val build = banded.select(col("id"), col("band"), col("key"))
+    val probes =
+      if (probeFlips == 0) build
+      else build.unionByName(banded
+        .withColumn("flip", expr(
+          s"aggregate(sequence(1, $rpb - 1), CAST(0 AS BIGINT), (best, j) -> " +
+            s"CASE WHEN abs(pd[band * $rpb + j]) < " +
+            s"abs(pd[band * $rpb + CAST(best AS INT)]) " +
+            s"THEN CAST(j AS BIGINT) ELSE best END)"))
+        .select(col("id"), col("band"),
+          expr("key ^ shiftleft(CAST(1 AS BIGINT), CAST(flip AS INT))").as("key")))
+    val cand = probes.as("a").join(build.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("qid"), col("b.id").as("cid"))
+      .distinct()
+    val scored = cand
+      .join(withDots.select(col("id").as("qid"), col("vec").as("qv"),
+        col("nrm").as("qn")), "qid")
+      .join(withDots.select(col("id").as("cid"), col("vec").as("cv"),
+        col("nrm").as("cn")), "cid")
+      .select(col("qid"), col("cid"),
+        arrayDotScaled(col("qv"), col("cv"), scale).as("dot"),
+        col("qn"), col("cn"))
+    rank(scored, k)
+  }
+
   /** Int8 embedding compression: per-vector symmetric linear quantization,
     * code = round(x · 127 / max|x|) ∈ [−127, 127] — the 4× storage/shuffle
     * shrink for embedding columns at rest (the form vector stores ship).

@@ -706,6 +706,56 @@ object LlmOps {
       |UNION ALL SELECT pair_type, id_a, id_b, cosine FROM neg
       |ORDER BY pair_type, id_a, id_b""".stripMargin
 
+  /** S23/north star — multi-probe LSH ANN
+    * ([[Similarity.cosineTopKLshMultiProbe]], Lv et al. VLDB'07): each
+    * query probes its base band buckets PLUS the bucket flipping the
+    * band's lowest-|margin| plane bit — recall bought with probe rows,
+    * not index size. Margins are the exact integer plane dots over the
+    * q119/q125 shared LCG plane table, so probe set, candidates, and
+    * cosines all replicate in the oracle. */
+  def q151MultiProbeLsh(s: SparkSession, dir: String): DataFrame =
+    Similarity.cosineTopKLshMultiProbe(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 5, planes = 16, bands = 4, dim = 64)
+      .orderBy("vec_id", "rank")
+
+  val q151Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |keys AS (SELECT vec_id, CAST(i // 4 AS BIGINT) AS band,
+      |           CAST(SUM(CASE WHEN d > 0 THEN 1 << (i % 4) ELSE 0 END) AS BIGINT) AS key
+      |         FROM pd GROUP BY 1, 2),
+      |fl AS (SELECT vec_id, band, jf FROM (
+      |         SELECT vec_id, CAST(i // 4 AS BIGINT) AS band, CAST(i % 4 AS INT) AS jf,
+      |           row_number() OVER (PARTITION BY vec_id, i // 4 ORDER BY abs(d), i) AS r
+      |         FROM pd) WHERE r = 1),
+      |pk AS (SELECT k.vec_id, k.band, CAST(xor(k.key, 1 << f.jf) AS BIGINT) AS key
+      |       FROM keys k JOIN fl f ON f.vec_id = k.vec_id AND f.band = k.band),
+      |probes AS (SELECT vec_id, band, key FROM keys
+      |           UNION ALL SELECT vec_id, band, key FROM pk),
+      |cand AS (SELECT DISTINCT a.vec_id AS qid, b.vec_id AS cid
+      |         FROM probes a JOIN keys b ON a.band = b.band AND a.key = b.key
+      |              AND b.vec_id <> a.vec_id),
+      |qq AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |nn AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM qq),
+      |cs AS (SELECT c.qid, c.cid,
+      |         round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
+      |       FROM cand c JOIN nn a ON a.vec_id = c.qid JOIN nn b ON b.vec_id = c.cid),
+      |rk AS (SELECT qid, cid, cosine,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |       FROM cs)
+      |SELECT qid AS vec_id, CAST(r AS INT) AS "rank", cid AS neighbor_id, cosine
+      |FROM rk WHERE r <= 5 ORDER BY vec_id, "rank"""".stripMargin
+
   /** S24/north star — corpus novelty curve ([[Dedup.noveltyCurve]]): per
     * document in ingest (doc_id) order, the fraction of its distinct
     * trigrams first seen in THIS document — the "are we still adding new
@@ -1245,7 +1295,8 @@ object LlmOps {
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
-    "q150_contrastive_pairs" -> (q150ContrastivePairs _))
+    "q150_contrastive_pairs" -> (q150ContrastivePairs _),
+    "q151_multiprobe_lsh" -> (q151MultiProbeLsh _))
 
   val oracleSql: Map[String, String] = Map(
     "q18_exact_dedup" -> q18Sql,
@@ -1282,5 +1333,6 @@ object LlmOps {
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,
-    "q150_contrastive_pairs" -> q150Sql)
+    "q150_contrastive_pairs" -> q150Sql,
+    "q151_multiprobe_lsh" -> q151Sql)
 }

@@ -481,6 +481,31 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("multi-probe LSH: lowest-margin flip probes never lose recall vs single-probe") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    def sets(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(2))).groupBy(_._1)
+      .map { case (q, ns) => q -> ns.map(_._2).toSet }
+    val exact = sets(Similarity.cosineTopK(e, e, k = 5, exact = true))
+    val single = sets(Similarity.cosineTopKLshMultiProbe(e, k = 5, planes = 16,
+      bands = 4, dim = 64, probeFlips = 0))
+    val multi = sets(Similarity.cosineTopKLshMultiProbe(e, k = 5, planes = 16,
+      bands = 4, dim = 64, probeFlips = 1))
+    def hits(approx: Map[Long, Set[Long]]) = exact.map { case (q, ex) =>
+      (ex & approx.getOrElse(q, Set.empty)).size }.sum
+    val (hs, hm) = (hits(single), hits(multi))
+    assert(hm >= hs, s"multi-probe recall regressed: $hm < $hs")
+    assert(hm > 0 && exact.nonEmpty)
+    // the flip probes only ADD candidates: every single-probe query keeps
+    // at least its single-probe neighbor count
+    single.foreach { case (q, ns) =>
+      assert(multi.getOrElse(q, Set.empty).size >= math.min(ns.size, 5) ||
+        multi(q).size == 5)
+    }
+  }
+
   test("mmrSelect ≡ naive greedy: centrality/diversity trajectory and tie-breaks") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
