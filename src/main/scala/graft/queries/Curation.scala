@@ -1002,6 +1002,51 @@ object Curation {
       |           + CASE WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
       |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** Snapshot retention ([[graft.sources.TxStore.expire]]) made
+    * query-visible — the VACUUM/retention verb every table format pairs
+    * with time travel: a dedicated store takes two full-coverage merges
+    * (every bucket rewritten), then drops all snapshots older than the
+    * current one. Runtime gates in the q90 style make regressions fail
+    * correctness, not just perf: expire must actually reclaim data dirs
+    * (both superseded versions' files), reading an expired version must
+    * throw, and the surviving snapshot's per-segment balances hash-match
+    * the plain upsert arithmetic — retention changes history, never
+    * current data. */
+  def q152TxExpire(s: SparkSession, dir: String): DataFrame = {
+    val path = txStores.getOrElseUpdate(s"exp:$dir",
+      java.nio.file.Files.createTempDirectory("graft-txe").resolve("customer").toString)
+    val base = t(s, dir, "customer").select(col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_q"),
+      col("c_mktsegment"))
+    if (graft.sources.TxStore.currentVersion(path) < 0) {
+      graft.sources.TxStore.init(base.coalesce(1), path, "c_custkey", nBuckets = 8)
+      for ((m, bump) <- Seq((10, 10000L), (7, 700L)))
+        graft.sources.TxStore.merge(s, path,
+          base.filter(pmod(col("c_custkey"), lit(m)) === 0)
+            .withColumn("bal_q", col("bal_q") + bump), "c_custkey")
+      val cur = graft.sources.TxStore.currentVersion(path)
+      val dropped = graft.sources.TxStore.expire(path, keepFrom = cur)
+      require(dropped.nonEmpty,
+        s"expire(keepFrom=$cur) reclaimed nothing — retention is not working")
+      val expiredFails =
+        try { graft.sources.TxStore.read(s, path, Some(0)).count(); false }
+        catch { case _: Exception => true }
+      require(expiredFails, "reading an expired snapshot must fail loudly")
+    }
+    graft.sources.TxStore.read(s, path)
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n"), sum("bal_q").as("bal_sum_q"))
+      .orderBy("c_mktsegment")
+  }
+
+  // delta wins per merge: %7 bump applied after %10 (the oracle mirrors it)
+  val q152Sql: String =
+    """SELECT c_mktsegment, count(*) AS n,
+      |  CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |           + CASE WHEN c_custkey % 7 = 0 THEN 700
+      |                  WHEN c_custkey % 10 = 0 THEN 10000 ELSE 0 END) AS BIGINT) AS bal_sum_q
+      |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin
+
   /** Selective small-file compaction ([[graft.sources.TxStore.compactBuckets]])
     * made query-visible: a DEDICATED store (so the shared q69/q70 version
     * history stays untouched) takes three base-derived merges per run —
@@ -1105,6 +1150,7 @@ object Curation {
     "q68_hybrid_rrf" -> (q68HybridRrf _),
     "q69_tx_upsert" -> (q69TxUpsert _),
     "q128_tx_compact" -> (q128TxCompact _),
+    "q152_tx_expire" -> (q152TxExpire _),
     "q133_tx_evolve" -> (q133TxEvolve _),
     "q134_stream_chunk_dedup" -> (q134StreamChunkDedup _),
     "q70_tx_time_travel" -> (q70TxTimeTravel _),
@@ -1132,6 +1178,7 @@ object Curation {
     "q68_hybrid_rrf" -> q68Sql,
     "q69_tx_upsert" -> q69Sql,
     "q128_tx_compact" -> q128Sql,
+    "q152_tx_expire" -> q152Sql,
     "q133_tx_evolve" -> q133Sql,
     "q134_stream_chunk_dedup" -> q134Sql,
     "q70_tx_time_travel" -> q70Sql,
