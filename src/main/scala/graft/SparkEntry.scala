@@ -20,7 +20,7 @@ object SparkEntry {
     graft.queries.Relational.queries ++ graft.queries.LlmOps.queries ++
       graft.queries.Freshen.queries ++ graft.queries.Extended.queries ++
       graft.queries.Pipeline.queries ++ graft.queries.Curation.queries ++
-      graft.queries.Scale.queries
+      graft.queries.Scale.queries ++ graft.queries.Analytics.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -28,5 +28,5 @@ object SparkEntry {
     graft.queries.Relational.oracleSql ++ graft.queries.LlmOps.oracleSql ++
       graft.queries.Freshen.oracleSql ++ graft.queries.Extended.oracleSql ++
       graft.queries.Pipeline.oracleSql ++ graft.queries.Curation.oracleSql ++
-      graft.queries.Scale.oracleSql
+      graft.queries.Scale.oracleSql ++ graft.queries.Analytics.oracleSql
 }

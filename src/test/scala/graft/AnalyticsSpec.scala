@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** Pins for the round-8 analytics operators: skyline2D against brute-force
+  * dominance, histogramQuantiles against the exact order statistic's bin. */
+class AnalyticsSpec extends AnyFunSuite with SparkSpec {
+
+  private val genPoints: Gen[List[(Long, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    pts <- Gen.listOfN(n, Gen.zip(Gen.choose(0L, 12L), Gen.choose(0L, 12L)))
+  } yield pts
+
+  test("property: skyline2D ≡ brute-force Pareto dominance on random points") {
+    import spark.implicits._
+    val prop = Prop.forAll(genPoints) { pts =>
+      val df = pts.zipWithIndex
+        .map { case ((u, d), i) => (i.toLong, u, d) }.toDF("id", "up", "down")
+      val got = Analytics.skyline2D(df, "id", "up", "down")
+        .select("id").collect().map(_.getLong(0)).toSet
+      val want = pts.zipWithIndex.collect { case ((u, d), i)
+        if !pts.exists { case (u2, d2) =>
+          u2 >= u && d2 <= d && (u2 > u || d2 < d) } => i.toLong
+      }.toSet
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("skyline2D: duplicate frontier points all survive; dominated dupes all drop") {
+    import spark.implicits._
+    val df = Seq((1L, 10L, 2L), (2L, 10L, 2L), (3L, 5L, 5L), (4L, 5L, 5L))
+      .toDF("id", "up", "down")
+    val ids = Analytics.skyline2D(df, "id", "up", "down")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(ids == Set(1L, 2L)) // (5,5) dominated by (10,2); both copies of (10,2) kept
+  }
+
+  private val genVals: Gen[List[Long]] = for {
+    n <- Gen.choose(1, 60)
+    vs <- Gen.listOfN(n, Gen.choose(0L, 500L))
+  } yield vs
+
+  test("property: histogramQuantiles picks the exact rank-r order statistic's bin") {
+    import spark.implicits._
+    val W = 50L
+    val prop = Prop.forAll(genVals) { vs =>
+      val df = vs.map(("g", _)).toDF("g", "v")
+      val out = Analytics.histogramQuantiles(df, "g", "v", W, Seq(50, 95, 99))
+        .collect().map(r => (r.getAs[Long]("pct"),
+          (r.getAs[Long]("n"), r.getAs[Long]("r"), r.getAs[Long]("bin"),
+           r.getAs[Long]("est_q")))).toMap
+      val sorted = vs.sorted
+      Seq(50L, 95L, 99L).forall { pct =>
+        val (n, r, bin, est) = out(pct)
+        val exact = sorted((r - 1).toInt) // rank-r order statistic (1-based)
+        n == vs.size && r == (vs.size * pct + 99) / 100 &&
+          bin == exact / W &&                    // the bin IS the exact one
+          est >= bin * W && est <= bin * W + W   // interpolation stays in-bin
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
+    // (the synthetic testdata draws price independently of quantity, so no
+    // strength claim — only the Cauchy–Schwarz invariant every valid set of
+    // moment pieces must satisfy)
+    val rows = graft.queries.Analytics.q155CorrPieces(spark, "/root/testdata/sf0.001")
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { p =>
+      val (n, sx, sy, sxx, sxy, syy) = (p.getLong(1), p.getLong(2), p.getLong(3),
+        p.getLong(4), p.getLong(5), p.getLong(6))
+      val num = (n.toDouble * sxy - sx.toDouble * sy)
+      val den = (n.toDouble * sxx - sx.toDouble * sx) * (n.toDouble * syy - sy.toDouble * sy)
+      val r2 = num * num / den
+      assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"pair ${p.getString(0)}: r²=$r2")
+    }
+  }
+}
