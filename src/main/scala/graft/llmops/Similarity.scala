@@ -966,6 +966,58 @@ object Similarity {
     assign(finalCents)
   }
 
+  /** Sampled silhouette of the [[kmeansIntAssign]] clustering — the
+    * cluster-quality number (Rousseeuw 1987) every production clustering
+    * (q140/q141 SemDeDup, IVF cell balance) gets judged by, as a
+    * first-class hash-gated operator: per sample point, a = mean
+    * squared-L2 distance to its own cluster's other members, b = min over
+    * other clusters of the mean distance, s = (b−a)/max(a,b). All exact
+    * integer: vectors quantize at ×1e4 (the q141 rescore scale — chosen
+    * so 10⁶·(b−a) holds in BIGINT through ~200 dims), means and the final
+    * ×1e6 ratio are portable floor divisions. Squared-distance variant
+    * (no sqrt — sqrt would put a float between the gate and the data);
+    * singleton convention s = 0.
+    *
+    * Scale: the sample is BOUNDED (id < maxSampleId and id ≡ rem mod
+    * `mod`), so the distance stage is |sample|·n broadcast work like
+    * q142's recall probe — never n². */
+  def silhouetteSampled(vectors: DataFrame, k: Int, iters: Int,
+      mod: Long, rem: Long, maxSampleId: Long): DataFrame = {
+    val asg = kmeansIntAssign(vectors, k, iters).select(col("id"), col("cluster"))
+    val p = vectors.select(col("id"), expr(
+      "transform(vec, v -> CAST(sign(CAST(v AS DOUBLE)) * " +
+        "floor(abs(CAST(v AS DOUBLE)) * 10000 + 0.5) AS BIGINT))").as("x"))
+    val sampleAsg = asg
+      .filter(pmod(col("id"), lit(mod)) === rem && col("id") < maxSampleId)
+    val sampleVec = p.join(sampleAsg, "id")
+      .select(col("id").as("sid"), col("cluster").as("scl"), col("x").as("sx"))
+    val others = p.join(asg, "id")
+      .select(col("id").as("oid"), col("cluster").as("ocl"), col("x").as("ox"))
+    val d2 = expr("aggregate(zip_with(sx, ox, (a, b) -> (a - b) * (a - b)), " +
+      "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
+    val perCluster = others.crossJoin(broadcast(sampleVec))
+      .filter(col("oid") =!= col("sid"))
+      .withColumn("d2", d2)
+      .groupBy("sid", "scl", "ocl")
+      .agg(sum("d2").as("sd"), count(lit(1)).as("cnt"))
+      .withColumn("m", expr("(sd - pmod(sd, cnt)) div cnt"))
+    val a = perCluster.filter(col("ocl") === col("scl"))
+      .select(col("sid"), col("m").as("a_mean"))
+    val b = perCluster.filter(col("ocl") =!= col("scl"))
+      .groupBy("sid").agg(min("m").as("b_mean"))
+    sampleAsg
+      .join(a, col("id") === a("sid"), "left").drop("sid")
+      .join(b, col("id") === b("sid"), "left").drop("sid")
+      .select(col("id"), col("cluster"),
+        coalesce(col("a_mean"), lit(0L)).as("a_q"),
+        coalesce(col("b_mean"), lit(0L)).as("b_q"),
+        expr("CAST(CASE WHEN a_mean IS NULL OR b_mean IS NULL " +
+          "OR greatest(a_mean, b_mean) = 0 THEN 0 ELSE " +
+          "(1000000 * (b_mean - a_mean) " +
+          " - pmod(1000000 * (b_mean - a_mean), greatest(a_mean, b_mean))) " +
+          "div greatest(a_mean, b_mean) END AS BIGINT)").as("s_q"))
+  }
+
   /** ANN index-quality evaluation: recall@k of the pivot-IVF index
     * ([[cosineTopKIvfPivot]]) against brute-force exact top-k
     * ([[cosineTopK]]) on a bounded query sample (`id < maxQueryId`) — the

@@ -1258,6 +1258,74 @@ object LlmOps {
       |FROM m, UNNEST(range(0, 8)) AS u(j)
       |ORDER BY media_id, j""".stripMargin
 
+  // ------------------------------------------------- q156 silhouette
+
+  /** S23/S21 eval — sampled silhouette of the q140 integer k-means
+    * ([[Similarity.silhouetteSampled]]): the cluster-quality number every
+    * production clustering gets judged by, hash-gated end-to-end — the
+    * oracle replicates both Lloyd rounds, the ×1e4 rescale, every
+    * sample-to-point squared distance, the floor-div means, and the ×1e6
+    * ratio. Complements q142 (which grades the ANN index's recall; this
+    * grades the CLUSTERING itself). Bounded sample (id ≡ 3 mod 16, id <
+    * 512) keeps the distance stage |sample|·n, like q142's probe. */
+  def q156Silhouette(s: SparkSession, dir: String): DataFrame =
+    Similarity.silhouetteSampled(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 8, iters = 2, mod = 16L, rem = 3L, maxSampleId = 512L)
+      .orderBy("id")
+
+  val q156Sql: String =
+    """WITH q AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c0 AS (SELECT id AS cid, i, x AS c FROM q WHERE id < 8),
+      |d1 AS (SELECT q.id, c0.cid, CAST(SUM((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c0 ON c0.i = q.i GROUP BY 1, 2),
+      |a1 AS (SELECT id, cid AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d1) WHERE r = 1),
+      |s1 AS (SELECT a1.cluster, q.i, CAST(SUM(q.x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM a1 JOIN q ON q.id = a1.id GROUP BY 1, 2),
+      |c1 AS (SELECT cluster AS cid, i,
+      |         CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS c FROM s1),
+      |d2 AS (SELECT q.id, c1.cid, CAST(SUM((q.x - c1.c) * (q.x - c1.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c1 ON c1.i = q.i GROUP BY 1, 2),
+      |asg AS (SELECT id, CAST(cid AS BIGINT) AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d2) WHERE r = 1),
+      |p AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |samp AS (SELECT id, cluster FROM asg WHERE id % 16 = 3 AND id < 512),
+      |sp AS (SELECT samp.id AS sid, samp.cluster AS scl, p.i, p.x
+      |       FROM p JOIN samp ON samp.id = p.id),
+      |op AS (SELECT p.id AS oid, asg.cluster AS ocl, p.i, p.x
+      |       FROM p JOIN asg ON asg.id = p.id),
+      |d AS (SELECT sp.sid, sp.scl, op.oid, op.ocl,
+      |        CAST(SUM((sp.x - op.x) * (sp.x - op.x)) AS BIGINT) AS d2
+      |      FROM sp JOIN op ON sp.i = op.i AND op.oid <> sp.sid
+      |      GROUP BY 1, 2, 3, 4),
+      |pc AS (SELECT sid, scl, ocl, CAST(SUM(d2) AS BIGINT) AS sd,
+      |         CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1, 2, 3),
+      |m AS (SELECT sid, scl, ocl,
+      |        (sd - (((sd % cnt) + cnt) % cnt)) // cnt AS m FROM pc),
+      |a AS (SELECT sid, m AS a_mean FROM m WHERE ocl = scl),
+      |b AS (SELECT sid, min(m) AS b_mean FROM m WHERE ocl <> scl GROUP BY 1)
+      |SELECT samp.id, samp.cluster,
+      |  CAST(coalesce(a.a_mean, 0) AS BIGINT) AS a_q,
+      |  CAST(coalesce(b.b_mean, 0) AS BIGINT) AS b_q,
+      |  CAST(CASE WHEN a.a_mean IS NULL OR b.b_mean IS NULL
+      |            OR greatest(a.a_mean, b.b_mean) = 0 THEN 0
+      |       ELSE (1000000 * (b.b_mean - a.a_mean)
+      |             - (((1000000 * (b.b_mean - a.a_mean)) % greatest(a.a_mean, b.b_mean)
+      |                 + greatest(a.a_mean, b.b_mean)) % greatest(a.a_mean, b.b_mean)))
+      |            // greatest(a.a_mean, b.b_mean) END AS BIGINT) AS s_q
+      |FROM samp LEFT JOIN a ON a.sid = samp.id LEFT JOIN b ON b.sid = samp.id
+      |ORDER BY samp.id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1292,6 +1360,7 @@ object LlmOps {
     "q140_kmeans_int" -> (q140KmeansInt _),
     "q141_semdedup" -> (q141SemDedup _),
     "q142_ann_recall" -> (q142AnnRecall _),
+    "q156_silhouette" -> (q156Silhouette _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1330,6 +1399,7 @@ object LlmOps {
     "q140_kmeans_int" -> q140Sql,
     "q141_semdedup" -> q141Sql,
     "q142_ann_recall" -> q142Sql,
+    "q156_silhouette" -> q156Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

@@ -68,6 +68,24 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("silhouetteSampled: separated clusters score positive, s bounded by ±1e6") {
+    import spark.implicits._
+    // two tight, well-separated blobs in 4-d; ids 0/1 seed the k=2 init
+    val pts = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)), (2L, Array(0.9f, 0.1f, 0.0f, 0.0f)),
+      (4L, Array(1.0f, 0.1f, 0.0f, 0.0f)), (6L, Array(0.95f, 0.0f, 0.1f, 0.0f)),
+      (1L, Array(0.0f, 0.0f, 1.0f, 0.0f)), (3L, Array(0.0f, 0.1f, 0.9f, 0.0f)),
+      (5L, Array(0.1f, 0.0f, 1.0f, 0.0f)), (7L, Array(0.0f, 0.0f, 0.95f, 0.1f)))
+    val df = pts.toDF("id", "vec")
+    val out = graft.llmops.Similarity
+      .silhouetteSampled(df, k = 2, iters = 2, mod = 1L, rem = 0L, maxSampleId = 100L)
+      .collect().map(r => (r.getAs[Long]("id"), r.getAs[Long]("s_q")))
+    assert(out.length == 8)
+    out.foreach { case (id, s) =>
+      assert(s > 0L && s <= 1000000L, s"id=$id silhouette s_q=$s should be in (0, 1e6]")
+    }
+  }
+
   test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
     // (the synthetic testdata draws price independently of quantity, so no
     // strength claim — only the Cauchy–Schwarz invariant every valid set of
