@@ -266,6 +266,74 @@ object Extended {
       |    row_number() OVER (PARTITION BY key ORDER BY score DESC, id) AS r
       |  FROM scored) WHERE r <= 5 ORDER BY key, "rank"""".stripMargin
 
+  // ---------------------------------- q157 streaming MV maintenance
+
+  private val mvStores = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def mvAggOf(df: DataFrame): DataFrame = df
+    .groupBy("user_id", "event_type")
+    .agg(count(lit(1)).as("n_events"), sum("cents").as("value_cents"))
+    .select(concat(col("user_id").cast("string"), lit(":"), col("event_type")).as("k"),
+      col("user_id"), col("event_type"), col("n_events"), col("value_cents"))
+
+  /** Stage the MV stream source + run the maintenance stream exactly once
+    * per (session, dir); q157 then reads the maintained store. */
+  private def ensureMvStore(s: SparkSession, dir: String): String =
+    mvStores.getOrElseUpdate(s"q157:$dir", {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val srcDir = graft.sources.Staging.stageParts(Seq(
+        "b0" -> ev.filter(pmod(col("event_id"), lit(3)) === 0),
+        "b1" -> ev.filter(pmod(col("event_id"), lit(3)) === 1),
+        "b2" -> ev.filter(pmod(col("event_id"), lit(3)) === 2)))
+      val p = java.nio.file.Files.createTempDirectory("graft-streammv")
+        .resolve("mv_user_type").toString
+      graft.sources.TxStore.init(mvAggOf(ev.filter(lit(false))), p, "k", nBuckets = 8)
+      val stream = s.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      graft.streaming.StreamConf.withStatePartitions(s, 8) {
+        stream.writeStream
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            val part = mvAggOf(batch)
+            // bucket-pruned fetch of ONLY the touched keys' current totals,
+            // additive fold, copy-on-write commit — the streaming upsert
+            // a Delta/Iceberg MERGE runs per micro-batch
+            val old = graft.sources.TxStore.readFor(s, p, "k", part.select("k"))
+            val delta = old.unionByName(part)
+              .groupBy("k", "user_id", "event_type")
+              .agg(sum("n_events").as("n_events"), sum("value_cents").as("value_cents"))
+            graft.sources.TxStore.merge(s, p, delta, "k")
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory("graft-streammv-ckpt").toString)
+          .start().awaitTermination()
+      }
+      p
+    })
+
+  /** S26 depth (14th streaming path) + S2/q92's streaming form —
+    * incremental materialized-view maintenance at ingest: per-user/type
+    * totals upserted into the transactional store per micro-batch
+    * (foreachBatch partial agg → bucket-pruned [[graft.sources.TxStore
+    * .readFor]] of exactly the touched keys → additive merge). Three
+    * micro-batches maintain the MV the oracle recomputes from scratch;
+    * the additive fold is arrival-order-independent, so the maintained
+    * store hash-matches batch truth. Per-batch cost ∝ the batch's key
+    * footprint — the MV never rebuilds. */
+  def q157StreamMv(s: SparkSession, dir: String): DataFrame =
+    graft.sources.TxStore.read(s, ensureMvStore(s, dir))
+      .select("user_id", "event_type", "n_events", "value_cents")
+      .orderBy("user_id", "event_type")
+
+  val q157Sql: String =
+    """SELECT user_id, event_type, count(*) AS n_events,
+      |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
+      |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -273,12 +341,14 @@ object Extended {
     "q52_range_join" -> (q52RangeJoin _),
     "q53_streaming_sessions" -> (q53StreamingSessions _),
     "q54_heavy_hitters" -> (q54HeavyHitters _),
-    "q146_stream_topk" -> (q146StreamTopK _))
+    "q146_stream_topk" -> (q146StreamTopK _),
+    "q157_stream_mv" -> (q157StreamMv _))
 
   val oracleSql: Map[String, String] = Map(
     "q51_asof_join" -> q51Sql,
     "q52_range_join" -> q52Sql,
     "q53_streaming_sessions" -> q53Sql,
     "q54_heavy_hitters" -> q54Sql,
-    "q146_stream_topk" -> q146Sql)
+    "q146_stream_topk" -> q146Sql,
+    "q157_stream_mv" -> q157Sql)
 }

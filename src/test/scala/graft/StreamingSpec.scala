@@ -361,6 +361,19 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     q.stop()
   }
 
+  test("streaming MV maintenance (q157): maintained store ≡ batch aggregation") {
+    val sf = "/root/testdata/sf0.001"
+    val got = SparkEntry.queries("q157_stream_mv")(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val want = graft.sources.Tables.load(spark, sf, "events")
+      .groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)")).as("value_cents"))
+      .orderBy("user_id", "event_type")
+      .collect().map(_.toSeq).toSeq
+    assert(got == want)
+  }
+
   test("streaming topK: arrival-order independent, k-truncated, ties broken by id") {
     import spark.implicits._
     import graft.streaming.StreamingTopK
