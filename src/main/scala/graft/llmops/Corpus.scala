@@ -678,6 +678,22 @@ object Corpus {
       .drop("hx")
   }
 
+  /** Group-aware k-fold assignment (scikit-learn's GroupKFold, made
+    * deterministic): every row whose `keyCol` matches lands in the same
+    * fold — fold = md5-bucket(key) mod k, the same nibble arithmetic as
+    * [[hashSplitBy]], so cross-validation folds never split a near-dup
+    * cluster (or host, or conversation) across train/eval. Zero
+    * shuffles; stable under corpus growth. */
+  def kFoldBy(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k > 1 && k <= 256, s"need 1 < k <= 256; got $k")
+    df.withColumn("hx", md5(col(keyCol).cast("string").cast("binary")))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
+      .withColumn("fold", pmod(col("bucket"), lit(k.toLong)))
+      .drop("hx")
+  }
+
   /** Per-stratum token-budget cap — the mixture-quota primitive when the
     * quota is measured in TOKENS, not documents (how real mixtures are
     * specified: "at most B tokens of source d"). Documents are admitted

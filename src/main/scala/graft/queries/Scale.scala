@@ -92,6 +92,47 @@ object Scale {
       |       ELSE 'test' END AS split
       |FROM b ORDER BY id""".stripMargin
 
+  // ------------------------------------ q158 group-aware k-fold CV
+
+  /** North star/eval — group-aware 5-fold cross-validation assignment
+    * ([[Corpus.kFoldBy]] on the q104 near-dup components): GroupKFold
+    * with the dup CLUSTER as the group, so no fold's eval slice ever
+    * contains a twin of another fold's train slice — q104's leakage-safe
+    * guarantee extended from one split to every CV rotation. Fold =
+    * md5-bucket(component) mod 5: deterministic, growth-stable,
+    * zero-shuffle once components exist. */
+  def q158GroupKfold(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.8, prefixFilter = true)
+    val comp = Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+    Corpus.kFoldBy(comp, "component", k = 5).orderBy("id")
+  }
+
+  val q158Sql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |sh AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |sizes AS (SELECT id, count(*) AS n_sh FROM sh GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS n_inter
+      |          FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |e AS (SELECT id_a, id_b FROM inter JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+      |      WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.8),
+      |bidir AS (SELECT id_a AS src, id_b AS dst FROM e UNION ALL SELECT id_b, id_a FROM e),
+      |reach(id, lbl) AS (
+      |  SELECT doc_id, doc_id FROM documents
+      |  UNION
+      |  SELECT b.dst, r.lbl FROM reach r JOIN bidir b ON b.src = r.id),
+      |comp AS (SELECT id, min(lbl) AS component FROM reach GROUP BY id),
+      |b AS (SELECT id, component,
+      |    CAST((instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 1, 1)) - 1) * 16
+      |       + instr('0123456789abcdef', substr(md5(CAST(component AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+      |  FROM comp)
+      |SELECT id, component, bucket, bucket % 5 AS fold
+      |FROM b ORDER BY id""".stripMargin
+
   // ------------------------------------ q132 cluster canonical selection
 
   /** North star/curation — QUALITY-PRIORITY canonical selection per
@@ -1674,6 +1715,7 @@ object Scale {
     "q144_media_pair_dup" -> (q144MediaPairDup _),
     "q147_cdc_dedup" -> (q147CdcDedup _),
     "q148_leakage_audit" -> (q148LeakageAudit _),
+    "q158_group_kfold" -> (q158GroupKfold _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1719,6 +1761,7 @@ object Scale {
     "q144_media_pair_dup" -> q144Sql,
     "q147_cdc_dedup" -> q147Sql,
     "q148_leakage_audit" -> q148Sql,
+    "q158_group_kfold" -> q158Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

@@ -568,6 +568,23 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(leaked == 0, "no near-dup twin may straddle the cluster-keyed split")
   }
 
+  test("kFoldBy: twins share a fold across every CV rotation; folds are 0..k-1") {
+    import org.apache.spark.sql.functions.col
+    import graft.llmops.{Corpus, Dedup}
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val edges = Dedup.jaccardPairs(d, "doc_id", "text", n = 3,
+      minJaccard = 0.8, prefixFilter = true)
+    val comp = Dedup.connectedComponents(d.select(col("doc_id").as("id")), edges)
+    val folds = Corpus.kFoldBy(comp, "component", k = 5)
+    val byId = folds.select("id", "fold").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byId.values.forall(f => f >= 0 && f < 5))
+    assert(byId.values.toSet.size == 5, "500 docs should populate all 5 folds")
+    val straddling = edges.select("id_a", "id_b").collect()
+      .count(r => byId(r.getLong(0)) != byId(r.getLong(1)))
+    assert(straddling == 0, "a near-dup twin pair must never straddle folds")
+  }
+
   test("hashedNgramScore: hand-computed grams, buckets, and weights; empty doc scores 0") {
     def bucket(g: String): Long = {
       val hex = java.security.MessageDigest.getInstance("MD5")
