@@ -963,6 +963,55 @@ object LlmOps {
       |  coalesce(agg.score_raw, 0) >= 0 AS label
       |FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY id""".stripMargin
 
+  /** North star/curation — percentile-rank calibration of the q143
+    * classifier score (the DCLM/fastText "keep the top X%" rule needs the
+    * PERCENTILE, not the raw score, because raw score scales shift with
+    * vocabulary): every document's score mapped to its global percentile
+    * ×1e6 via the distributed zip-with-index rank
+    * ([[graft.operators.Ranks.globalRank]] — range partition +
+    * per-partition row_number + broadcast offsets, NO single-partition
+    * window), tie-broken on id for a total order, then one exact integer
+    * cross-multiply. Threshold-at-percentile now composes downstream as a
+    * plain filter on `pct_q`. */
+  def q160QualityPercentile(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val scored = TextAnalysis.hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    globalRank(scored, "rnk", col("score_milli"), col("id"))
+      .crossJoin(n)
+      .withColumn("pct_q", expr("((rnk - 1) * 1000000) div (n_docs - 1)"))
+      .select("id", "score_milli", "rnk", "pct_q")
+      .orderBy("id")
+  }
+
+  val q160Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(t) AS g FROM tok
+      |      UNION ALL
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |w AS (SELECT doc_id,
+      |        ((CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 4096)
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000 AS w
+      |      FROM g),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(sum(w) AS BIGINT) AS score_raw
+      |        FROM w GROUP BY 1),
+      |sc AS (SELECT d.doc_id AS id,
+      |         CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST((agg.score_raw * 1000
+      |                     - ((agg.score_raw * 1000 % agg.n_grams) + agg.n_grams) % agg.n_grams)
+      |                   // agg.n_grams AS BIGINT) END AS score_milli
+      |       FROM documents d LEFT JOIN agg USING (doc_id)),
+      |n AS (SELECT count(*) AS n_docs FROM sc),
+      |r AS (SELECT id, score_milli,
+      |        row_number() OVER (ORDER BY score_milli, id) AS rnk FROM sc)
+      |SELECT id, score_milli, rnk,
+      |  CAST(((rnk - 1) * 1000000) // (n_docs - 1) AS BIGINT) AS pct_q
+      |FROM r CROSS JOIN n ORDER BY id""".stripMargin
+
   /** S23/north star — MMR diverse top-3 per class ([[Similarity.mmrSelect]],
     * Carbonell & Goldstein SIGIR'98): per label, greedily pick the
     * exemplar panel maximizing integer-centroid centrality minus
@@ -1361,6 +1410,7 @@ object LlmOps {
     "q141_semdedup" -> (q141SemDedup _),
     "q142_ann_recall" -> (q142AnnRecall _),
     "q156_silhouette" -> (q156Silhouette _),
+    "q160_quality_percentile" -> (q160QualityPercentile _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1400,6 +1450,7 @@ object LlmOps {
     "q141_semdedup" -> q141Sql,
     "q142_ann_recall" -> q142Sql,
     "q156_silhouette" -> q156Sql,
+    "q160_quality_percentile" -> q160Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

@@ -1338,6 +1338,46 @@ object Scale {
       |  CAST((m_rank * 4 + n_users - 1) // n_users AS BIGINT) AS m_score
       |FROM r CROSS JOIN n ORDER BY user_id""".stripMargin
 
+  // --------------------------------------------- q159 time-decayed value
+
+  /** Behavioral depth (q97's recency-weighted refinement) — exponentially
+    * time-decayed user value: each event's cents are halved per 3 days of
+    * age (age anchored at the corpus max ts — data-derived, no wall
+    * clock), then summed per user. The decay is exact-integer: weight =
+    * floor-div by 2^(age_days div 3), power computed as CAST(power(2, w)
+    * AS BIGINT) (exact in double through 2^52, shifts here cap at ~10).
+    * The recency signal a plain RFM rank can't express — two users with
+    * equal totals separate by WHEN the value arrived.
+    *
+    * Scale: one scalar anchor (1-row broadcast crossJoin), one partial-
+    * aggregating groupBy — the same two-shuffle shape as q97's base. */
+  def q159DecayValue(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val anchor = broadcast(ev.agg(max("ts_us").as("anchor_us")))
+    ev.crossJoin(anchor)
+      .withColumn("w", expr("((anchor_us - ts_us) div 86400000000) div 3"))
+      .withColumn("decayed", expr("cents div CAST(power(2, w) AS BIGINT)"))
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum("cents").as("cents"),
+        sum("decayed").as("decayed_cents"))
+      .orderBy("user_id")
+  }
+
+  val q159Sql: String =
+    """WITH ev AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT CAST(max(ts_us) AS BIGINT) AS anchor_us FROM ev),
+      |d AS (SELECT user_id, cents,
+      |        cents // CAST(power(2, ((anchor_us - ts_us) // 86400000000) // 3) AS BIGINT) AS decayed
+      |      FROM ev CROSS JOIN a)
+      |SELECT user_id, count(*) AS n_events, CAST(sum(cents) AS BIGINT) AS cents,
+      |  CAST(sum(decayed) AS BIGINT) AS decayed_cents
+      |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
+
   // --------------------------------------------- q138 SCD2 interval build
 
   /** Warehouse/CDC — slowly-changing-dimension type-2 build
@@ -1716,6 +1756,7 @@ object Scale {
     "q147_cdc_dedup" -> (q147CdcDedup _),
     "q148_leakage_audit" -> (q148LeakageAudit _),
     "q158_group_kfold" -> (q158GroupKfold _),
+    "q159_decay_value" -> (q159DecayValue _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1762,6 +1803,7 @@ object Scale {
     "q147_cdc_dedup" -> q147Sql,
     "q148_leakage_audit" -> q148Sql,
     "q158_group_kfold" -> q158Sql,
+    "q159_decay_value" -> q159Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

@@ -86,6 +86,27 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q159 decay: same-total users separate by recency; fresh events undecayed") {
+    val out = graft.queries.Scale.q159DecayValue(spark, "/root/testdata/sf0.001")
+      .collect()
+    out.foreach { r =>
+      val (cents, decayed) = (r.getAs[Long]("cents"), r.getAs[Long]("decayed_cents"))
+      assert(decayed <= cents && decayed >= 0,
+        s"decayed value must be within [0, total] (got $decayed of $cents)")
+    }
+    // the 30-day testdata span forces real decay somewhere
+    assert(out.exists(r => r.getAs[Long]("decayed_cents") < r.getAs[Long]("cents")))
+  }
+
+  test("q160 percentile: endpoints hit 0 and 1e6, rank is a total order") {
+    val out = graft.queries.LlmOps.q160QualityPercentile(spark, "/root/testdata/sf0.001")
+      .collect()
+    val pcts = out.map(_.getAs[Long]("pct_q"))
+    assert(pcts.min == 0L && pcts.max == 1000000L)
+    val ranks = out.map(_.getAs[Long]("rnk")).sorted
+    assert(ranks.toSeq == (1L to out.length).toSeq, "ranks must be a 1..n total order")
+  }
+
   test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
     // (the synthetic testdata draws price independently of quantity, so no
     // strength claim — only the Cauchy–Schwarz invariant every valid set of

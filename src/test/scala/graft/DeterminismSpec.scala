@@ -46,7 +46,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q147_cdc_dedup", "q148_leakage_audit", "q149_golden_record",
       "q150_contrastive_pairs", "q151_multiprobe_lsh", "q152_tx_expire",
       "q153_skyline", "q154_hist_quantiles", "q155_corr_pieces",
-      "q156_silhouette", "q157_stream_mv", "q158_group_kfold")) {
+      "q156_silhouette", "q157_stream_mv", "q158_group_kfold",
+      "q159_decay_value", "q160_quality_percentile")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
