@@ -1378,6 +1378,89 @@ object Scale {
       |  CAST(sum(decayed) AS BIGINT) AS decayed_cents
       |FROM d GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // --------------------------------------------- q161 rolling time window
+
+  /** S11 depth — per-event 3-day trailing aggregates via a RANGE-interval
+    * frame (not a rows frame: the window is defined by TIME, so gaps and
+    * bursts weigh correctly): for every event, the count and cents sum of
+    * the same user's events in the trailing 72 h. Per-user partitioned
+    * window over µs epochs — ties share a frame, so the result is a pure
+    * function of the data at any partition count. The building block of
+    * velocity/fraud features ("3 purchases in 10 minutes") q09's rows
+    * frames can't express. */
+  def q161RollingWindow(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"), col("event_id"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-259200000000L, 0L)
+    ev.withColumn("roll_n", count(lit(1)).over(w))
+      .withColumn("roll_cents", sum("cents").over(w))
+      .orderBy("user_id", "ts_us", "event_id")
+  }
+
+  val q161Sql: String =
+    """WITH ev AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events)
+      |SELECT user_id, event_id, ts_us, cents,
+      |  CAST(count(*) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_n,
+      |  CAST(sum(cents) OVER (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 259200000000 PRECEDING AND CURRENT ROW) AS BIGINT) AS roll_cents
+      |FROM ev ORDER BY user_id, ts_us, event_id""".stripMargin
+
+  // --------------------------------------------- q162 value drift
+
+  /** MLOps monitoring (q124's numeric counterpart) — value-distribution
+    * drift per event type between the corpus's two time halves: cents
+    * bucket into fixed $50 bins, and each (type, bin) row carries early/
+    * late counts, the per-type totals, and the exact chi-square cross
+    * term diff = n_early·tot_late − n_late·tot_early (zero for identical
+    * shapes; all integers — the drift DECISION thresholds on |diff|
+    * downstream without ever computing a float). Anchor = midpoint of
+    * the data's own ts range, so the report is wall-clock-free.
+    *
+    * Scale: one partial-aggregating groupBy to (type, bin) rows + a
+    * broadcast of per-type totals — the same two-shuffle shape as q124. */
+  def q162ValueDrift(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("ts_us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val anchor = broadcast(ev.agg(
+      expr("(min(ts_us) + max(ts_us)) div 2").as("mid_us")))
+    val binned = ev.crossJoin(anchor)
+      .withColumn("bin", expr("cents div 5000"))
+      .withColumn("early", (col("ts_us") < col("mid_us")).cast("long"))
+      .groupBy("event_type", "bin")
+      .agg(sum("early").as("n_early"),
+        sum(lit(1L) - col("early")).as("n_late"))
+    val totals = binned.groupBy("event_type")
+      .agg(sum("n_early").as("tot_early"), sum("n_late").as("tot_late"))
+    binned.join(broadcast(totals), "event_type")
+      .withColumn("diff", expr("n_early * tot_late - n_late * tot_early"))
+      .select("event_type", "bin", "n_early", "n_late",
+        "tot_early", "tot_late", "diff")
+      .orderBy("event_type", "bin")
+  }
+
+  val q162Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid_us FROM ev),
+      |b AS (SELECT event_type, cents // 5000 AS bin,
+      |        CAST(sum(CASE WHEN ts_us < mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+      |        CAST(sum(CASE WHEN ts_us < mid_us THEN 0 ELSE 1 END) AS BIGINT) AS n_late
+      |      FROM ev CROSS JOIN a GROUP BY 1, 2),
+      |tt AS (SELECT event_type, CAST(sum(n_early) AS BIGINT) AS tot_early,
+      |         CAST(sum(n_late) AS BIGINT) AS tot_late FROM b GROUP BY 1)
+      |SELECT b.event_type, bin, n_early, n_late, tot_early, tot_late,
+      |  n_early * tot_late - n_late * tot_early AS diff
+      |FROM b JOIN tt ON tt.event_type = b.event_type
+      |ORDER BY b.event_type, bin""".stripMargin
+
   // --------------------------------------------- q138 SCD2 interval build
 
   /** Warehouse/CDC — slowly-changing-dimension type-2 build
@@ -1757,6 +1840,8 @@ object Scale {
     "q148_leakage_audit" -> (q148LeakageAudit _),
     "q158_group_kfold" -> (q158GroupKfold _),
     "q159_decay_value" -> (q159DecayValue _),
+    "q161_rolling_window" -> (q161RollingWindow _),
+    "q162_value_drift" -> (q162ValueDrift _),
     "q99_expectations" -> (q99Expectations _),
     "q100_train_manifest" -> (q100TrainManifest _),
     "q101_class_centroids" -> (q101ClassCentroids _))
@@ -1804,6 +1889,8 @@ object Scale {
     "q148_leakage_audit" -> q148Sql,
     "q158_group_kfold" -> q158Sql,
     "q159_decay_value" -> q159Sql,
+    "q161_rolling_window" -> q161Sql,
+    "q162_value_drift" -> q162Sql,
     "q99_expectations" -> q99Sql,
     "q100_train_manifest" -> q100Sql,
     "q101_class_centroids" -> q101Sql)

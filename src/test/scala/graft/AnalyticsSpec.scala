@@ -107,6 +107,29 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(ranks.toSeq == (1L to out.length).toSeq, "ranks must be a 1..n total order")
   }
 
+  test("q161 rolling window ≡ in-memory recompute of every 72h trailing frame") {
+    val rows = graft.queries.Scale.q161RollingWindow(spark, "/root/testdata/sf0.001")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("ts_us"),
+        r.getAs[Long]("cents"), r.getAs[Long]("roll_n"), r.getAs[Long]("roll_cents")))
+    rows.groupBy(_._1).foreach { case (_, evs) =>
+      evs.foreach { case (_, ts, _, n, rc) =>
+        val frame = evs.filter(e => e._2 >= ts - 259200000000L && e._2 <= ts)
+        assert(n == frame.length && rc == frame.map(_._3).sum)
+      }
+    }
+  }
+
+  test("q162 drift: per type, Σ diff over bins telescopes to exactly zero") {
+    val rows = graft.queries.Scale.q162ValueDrift(spark, "/root/testdata/sf0.001")
+      .collect()
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (et, rs) =>
+      assert(rs.map(_.getAs[Long]("diff")).sum == 0L, s"$et: Σ diff must be 0")
+      assert(rs.map(_.getAs[Long]("n_early")).sum == rs.head.getAs[Long]("tot_early"))
+      assert(rs.map(_.getAs[Long]("n_late")).sum == rs.head.getAs[Long]("tot_late"))
+    }
+  }
+
   test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
     // (the synthetic testdata draws price independently of quantity, so no
     // strength claim — only the Cauchy–Schwarz invariant every valid set of

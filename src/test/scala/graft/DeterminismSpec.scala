@@ -47,7 +47,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q150_contrastive_pairs", "q151_multiprobe_lsh", "q152_tx_expire",
       "q153_skyline", "q154_hist_quantiles", "q155_corr_pieces",
       "q156_silhouette", "q157_stream_mv", "q158_group_kfold",
-      "q159_decay_value", "q160_quality_percentile")) {
+      "q159_decay_value", "q160_quality_percentile", "q161_rolling_window",
+      "q162_value_drift")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
