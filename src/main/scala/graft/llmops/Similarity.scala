@@ -1048,6 +1048,33 @@ object Similarity {
       .withColumn("recall", round(col("n_hits").cast("double") / k, 12))
   }
 
+  /** MRR@k of the pivot-IVF index against brute-force truth — the rank-
+    * position companion to [[annRecall]]: recall says how MANY true
+    * neighbors the index returns, MRR says how EARLY the first one
+    * appears (the number that matters when only the top result is
+    * consumed, e.g. dedup-canonical lookups). Per query: the minimum ANN
+    * rank among true-top-k hits, and rr = floor(1e6 / that rank)
+    * (0 when the index misses entirely). Both sides rank by the same
+    * 12-dp exact-integer cosine with (cosine DESC, id) tie-break, so the
+    * rank — and therefore the MRR — replicates in SQL. Same bounded
+    * query sample as [[annRecall]]: cost |sample|·n, never n². */
+  def annMrr(vectors: DataFrame, k: Int, nlist: Int, nprobe: Int,
+      maxQueryId: Long): DataFrame = {
+    val approx = cosineTopKIvfPivot(vectors, k, nlist, nprobe)
+      .filter(col("vec_id") < maxQueryId)
+      .select(col("vec_id"), col("neighbor_id"), col("rank"))
+    val exact = cosineTopK(vectors.filter(col("id") < maxQueryId), vectors,
+        k, exact = true)
+      .select(col("vec_id"), col("neighbor_id"))
+    val firstHit = approx.join(exact, Seq("vec_id", "neighbor_id"))
+      .groupBy("vec_id").agg(min("rank").cast("long").as("first_hit_rank"))
+    vectors.filter(col("id") < maxQueryId).select(col("id").as("vec_id"))
+      .join(firstHit, Seq("vec_id"), "left")
+      .withColumn("first_hit_rank", coalesce(col("first_hit_rank"), lit(0L)))
+      .withColumn("rr_q", expr("CAST(CASE WHEN first_hit_rank = 0 THEN 0 " +
+        "ELSE 1000000 div first_hit_rank END AS BIGINT)"))
+  }
+
   /** MMR (maximal marginal relevance, Carbonell & Goldstein SIGIR'98)
     * diverse top-m selection PER GROUP — the data-selection step that picks
     * representative-yet-diverse exemplars from each stratum (per-domain

@@ -929,6 +929,116 @@ object LlmOps {
       |FROM embeddings e LEFT JOIN hits h ON h.qid = e.vec_id
       |WHERE e.vec_id < 200 ORDER BY e.vec_id""".stripMargin
 
+  /** Embedding-space stability check (the embedding counterpart of the
+    * numeric/text drift reports) — per-label centroid separation between
+    * the even-id and odd-id halves of the corpus: both half-centroids in
+    * ×1e4 floor-div integer arithmetic, output = squared-L2 between them.
+    * For a stable, homogeneous class the halves are exchangeable and
+    * dist2 is small; a large dist2 flags a drifting or mixed class BEFORE
+    * a model trains on it. One posexplode aggregation + a (label, dim)
+    * equi-join of two ≤ |labels|·dims centroid frames — metadata-scale
+    * after the first shuffle. */
+  def q163EmbedDrift(s: SparkSession, dir: String): DataFrame = {
+    val p = emb(s, dir).select(col("label"), col("vec_id"), expr(
+      "transform(embedding, v -> CAST(sign(CAST(v AS DOUBLE)) * " +
+        "floor(abs(CAST(v AS DOUBLE)) * 10000 + 0.5) AS BIGINT))").as("x"))
+    val cents = p
+      .select(col("label"), pmod(col("vec_id"), lit(2L)).as("half"),
+        posexplode(col("x")).as(Seq("i", "xi")))
+      .groupBy("label", "half", "i")
+      .agg(sum("xi").as("sx"), count(lit(1)).as("cnt"))
+      .withColumn("c", expr("(sx - pmod(sx, cnt)) div cnt"))
+    val even = cents.filter(col("half") === 0)
+      .select(col("label"), col("i"), col("c").as("ce"), col("cnt").as("n_even"))
+    val odd = cents.filter(col("half") === 1)
+      .select(col("label"), col("i"), col("c").as("co"), col("cnt").as("n_odd"))
+    even.join(odd, Seq("label", "i"))
+      .groupBy("label")
+      .agg(max("n_even").as("n_even"), max("n_odd").as("n_odd"),
+        sum(expr("(ce - co) * (ce - co)")).as("dist2"))
+      .orderBy("label")
+  }
+
+  val q163Sql: String =
+    """WITH p AS (SELECT label, vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c AS (SELECT label, vec_id % 2 AS half, i, CAST(sum(x) AS BIGINT) AS sx,
+      |        CAST(count(*) AS BIGINT) AS cnt
+      |      FROM p GROUP BY 1, 2, 3),
+      |fc AS (SELECT label, half, i,
+      |         (sx - ((sx % cnt) + cnt) % cnt) // cnt AS c, cnt FROM c),
+      |e AS (SELECT label, i, c AS ce, cnt AS n_even FROM fc WHERE half = 0),
+      |o AS (SELECT label, i, c AS co, cnt AS n_odd FROM fc WHERE half = 1)
+      |SELECT e.label, CAST(max(n_even) AS BIGINT) AS n_even,
+      |  CAST(max(n_odd) AS BIGINT) AS n_odd,
+      |  CAST(sum((ce - co) * (ce - co)) AS BIGINT) AS dist2
+      |FROM e JOIN o ON o.label = e.label AND o.i = e.i
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  /** S23/north star — MRR@5 of the pivot-IVF index
+    * ([[Similarity.annMrr]]): q142 grades how many true neighbors the
+    * index returns; this grades how EARLY the first one appears — the
+    * retrieval metric that matters when only the top hit is consumed.
+    * first_hit_rank and rr = floor(1e6/rank) are exact integers; the
+    * oracle replicates the whole index, both rankings, and the argmin. */
+  def q164AnnMrr(s: SparkSession, dir: String): DataFrame =
+    Similarity.annMrr(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k = 5, nlist = 16, nprobe = 4, maxQueryId = 200L).orderBy("vec_id")
+
+  val q164Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |norms AS (SELECT vec_id, sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q GROUP BY 1),
+      |ord AS (SELECT vec_id, row_number() OVER (
+      |          ORDER BY (CAST(vec_id AS BIGINT) * 2654435761) % 4294967296, vec_id) AS rn
+      |        FROM embeddings),
+      |piv AS (SELECT vec_id AS pid, CAST(rn - 1 AS BIGINT) AS p FROM ord WHERE rn <= 16),
+      |pd AS (SELECT a.vec_id, piv.p, CAST(SUM(a.s * b.s) AS BIGINT) AS pdot
+      |       FROM piv JOIN q b ON b.vec_id = piv.pid
+      |                JOIN q a ON a.i = b.i
+      |       GROUP BY 1, 2),
+      |pr AS (SELECT vec_id, p, pdot,
+      |         row_number() OVER (PARTITION BY vec_id ORDER BY pdot DESC, p) AS r
+      |       FROM pd),
+      |cells AS (SELECT vec_id, p AS cell FROM pr WHERE r = 1),
+      |probes AS (SELECT vec_id AS qid, p AS cell FROM pr WHERE r <= 4 AND vec_id < 200),
+      |cand AS (SELECT pb.qid, cl.vec_id AS cid
+      |         FROM probes pb JOIN cells cl ON cl.cell = pb.cell AND cl.vec_id <> pb.qid),
+      |dots AS (SELECT c.qid, c.cid, CAST(SUM(qa.s * qb.s) AS BIGINT) AS dot
+      |         FROM cand c JOIN q qa ON qa.vec_id = c.qid
+      |                     JOIN q qb ON qb.vec_id = c.cid AND qb.i = qa.i
+      |         GROUP BY 1, 2),
+      |cos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |atop AS (SELECT qid, cid, r FROM (
+      |         SELECT qid, cid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |         FROM cos) WHERE r <= 5),
+      |edots AS (SELECT a.vec_id AS qid, b.vec_id AS cid, CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |          FROM q a JOIN q b ON b.i = a.i AND b.vec_id <> a.vec_id
+      |          WHERE a.vec_id < 200
+      |          GROUP BY 1, 2),
+      |ecos AS (SELECT qid, cid, round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |         FROM edots JOIN norms na ON na.vec_id = qid JOIN norms nb ON nb.vec_id = cid),
+      |etop AS (SELECT qid, cid FROM (
+      |         SELECT qid, cid,
+      |           row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS r
+      |         FROM ecos) WHERE r <= 5),
+      |fh AS (SELECT a.qid, CAST(min(a.r) AS BIGINT) AS first_hit_rank
+      |       FROM atop a JOIN etop e ON e.qid = a.qid AND e.cid = a.cid
+      |       GROUP BY 1)
+      |SELECT e.vec_id, coalesce(fh.first_hit_rank, 0) AS first_hit_rank,
+      |  CAST(CASE WHEN coalesce(fh.first_hit_rank, 0) = 0 THEN 0
+      |       ELSE 1000000 // fh.first_hit_rank END AS BIGINT) AS rr_q
+      |FROM embeddings e LEFT JOIN fh ON fh.qid = e.vec_id
+      |WHERE e.vec_id < 200 ORDER BY e.vec_id""".stripMargin
+
   /** S24/north star — hashed n-gram classifier scoring
     * ([[TextAnalysis.hashedNgramScore]]): the fastText-style quality-filter
     * INFERENCE every curation pipeline runs (GPT-3 WebText classifier,
@@ -1411,6 +1521,8 @@ object LlmOps {
     "q142_ann_recall" -> (q142AnnRecall _),
     "q156_silhouette" -> (q156Silhouette _),
     "q160_quality_percentile" -> (q160QualityPercentile _),
+    "q163_embed_drift" -> (q163EmbedDrift _),
+    "q164_ann_mrr" -> (q164AnnMrr _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1451,6 +1563,8 @@ object LlmOps {
     "q142_ann_recall" -> q142Sql,
     "q156_silhouette" -> q156Sql,
     "q160_quality_percentile" -> q160Sql,
+    "q163_embed_drift" -> q163Sql,
+    "q164_ann_mrr" -> q164Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

@@ -130,6 +130,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q164 MRR is consistent with q142 recall: hits agree, full recall ⇒ rank 1") {
+    val sf = "/root/testdata/sf0.001"
+    val mrr = graft.queries.LlmOps.q164AnnMrr(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Long]("first_hit_rank"), r.getAs[Long]("rr_q"))).toMap
+    val recall = graft.queries.LlmOps.q142AnnRecall(spark, sf).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("n_hits")).toMap
+    assert(mrr.keySet == recall.keySet)
+    mrr.foreach { case (id, (rank, rr)) =>
+      val hits = recall(id)
+      assert((rank > 0) == (hits > 0), s"vec $id: hit presence must agree with recall")
+      if (rank > 0) {
+        assert(rank >= 1 && rank <= 5 && rr == 1000000L / rank)
+      } else assert(rr == 0L)
+      if (hits == 5) assert(rank == 1L,
+        s"vec $id: all 5 ANN results true ⇒ the first is a hit")
+    }
+  }
+
   test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
     // (the synthetic testdata draws price independently of quantity, so no
     // strength claim — only the Cauchy–Schwarz invariant every valid set of
