@@ -273,4 +273,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("cdc_chunks"), "boundary detection must be the native loop")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("q153: skyline recovers survivors via a broadcast join; no shuffled cartesian") {
+    val p = plan("q153_skyline")
+    assert(p.contains("BroadcastHashJoin"),
+      "the metadata-scale staircase must broadcast back onto the corpus")
+    assert(!p.contains("CartesianProduct"),
+      "the only unkeyed join allowed is the metadata-scale triangular staircase" +
+        " (broadcast), never a shuffle cartesian")
+  }
+
+  test("q154: histogram quantile windows are group-partitioned, never global") {
+    val p = plan("q154_hist_quantiles")
+    // every Window operator must carry a partition spec (no 'Window [..], []'
+    // single-partition form) — check via the sort that feeds it
+    assert(!p.contains("SinglePartition"),
+      "no stage of the histogram walk may collapse to one partition")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("q159: decay anchor is a 1-row broadcast, not a shuffle barrier") {
+    val p = plan("q159_decay_value")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the scalar anchor must reach rows via broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q160: percentile rank plan has no single-partition window") {
+    // the 1-row n_docs aggregate legitimately passes through SinglePartition;
+    // the pin is that every WINDOW operator is partitioned (globalRank's
+    // per-partition row_number windows key on __pid)
+    val p = plan("q160_quality_percentile")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "globalRank's per-partition row_number must appear")
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"window not keyed on the range-partition id in the rank plan: $w"))
+  }
+
+  test("q161: rolling window partitions by user — no global sort of all events") {
+    val p = plan("q161_rolling_window")
+    assert(p.contains("Window"), "the range frame must be a window operator")
+    assert(!p.matches("(?s).*Window[^\\n]*SinglePartition.*"),
+      "the trailing-72h frame must stay user-partitioned")
+  }
 }
