@@ -251,4 +251,57 @@ object Multimodal {
           .select("id_a", "id_b", "n_inter"))
     }
   }
+
+  /** Perceptual-hash (aHash) media near-dup — the third media dedup
+    * signal, orthogonal to [[frameJaccardPairs]] (shared content blocks)
+    * and [[cdcDupCoverage]] (insertion-robust chunks): a 64-bit
+    * AVERAGE-HASH of each item's decoded pixels (here the deterministic
+    * fake decode: byte j of the payload at j mod n — the q30 convention),
+    * bit j = pixel_j >= floor-mean. Global brightness/contrast shifts
+    * preserve the sign pattern, so re-encoded copies land within a few
+    * bits. Stored as two 32-bit words; candidate pairs share at least one
+    * exact word (two-band Hamming LSH: Hamming <= 6 over 64 bits forces
+    * one half <= 3, so band collision at distance <= 3-per-half is
+    * guaranteed for equal halves... candidates with BOTH halves differing
+    * are missed only when both halves carry flips — the standard banding
+    * trade documented like q105), then exact XOR-popcount rescore keeps
+    * Hamming <= `maxHamming`. A hot identical word fans out
+    * quadratically at corpus scale; cap it with a stop-band df filter
+    * like q144's stop-frame knob when deploying wide.
+    *
+    * Returns (id_a, id_b, hamming), id_a < id_b. */
+  def aHashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val h = docs
+      .filter(length(col(textCol)) > 0)
+      .select(col(idCol).as("id"), col(textCol).as("t"))
+      .withColumn("px", expr(
+        "transform(sequence(0, 63), j -> CAST(ascii(substr(t, " +
+          "CAST(j % length(t) AS INT) + 1, 1)) AS BIGINT))"))
+      .withColumn("mean",
+        expr("aggregate(px, CAST(0 AS BIGINT), (a, e) -> a + e) div 64"))
+      .withColumn("h_lo", expr(
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT), (a, j) -> " +
+          "a + IF(element_at(px, CAST(j AS INT) + 1) >= mean, " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT)), CAST(0 AS BIGINT)))"))
+      .withColumn("h_hi", expr(
+        "aggregate(sequence(32, 63), CAST(0 AS BIGINT), (a, j) -> " +
+          "a + IF(element_at(px, CAST(j AS INT) + 1) >= mean, " +
+          "shiftleft(CAST(1 AS BIGINT), CAST(j AS INT) - 32), CAST(0 AS BIGINT)))"))
+      .select("id", "h_lo", "h_hi")
+      .persist() // feeds both band joins + the rescore; caller unpersists
+    val byLo = h.as("a").join(h.as("b"),
+        col("a.h_lo") === col("b.h_lo") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    val byHi = h.as("a").join(h.as("b"),
+        col("a.h_hi") === col("b.h_hi") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    byLo.union(byHi).distinct()
+      .join(h.select(col("id").as("id_a"), col("h_lo").as("lo_a"), col("h_hi").as("hi_a")), "id_a")
+      .join(h.select(col("id").as("id_b"), col("h_lo").as("lo_b"), col("h_hi").as("hi_b")), "id_b")
+      .withColumn("hamming", expr(
+        "CAST(bit_count(lo_a ^ lo_b) + bit_count(hi_a ^ hi_b) AS BIGINT)"))
+      .filter(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
 }

@@ -1039,6 +1039,43 @@ object LlmOps {
       |FROM embeddings e LEFT JOIN fh ON fh.qid = e.vec_id
       |WHERE e.vec_id < 200 ORDER BY e.vec_id""".stripMargin
 
+  /** S25/S23 — perceptual-hash (aHash) media near-dup
+    * ([[Multimodal.aHashPairs]]): 64-bit average-hash over each item's
+    * deterministic fake-decoded pixels (the q30 byte convention), stored
+    * as two 32-bit words; candidates share an exact word (two-band
+    * Hamming LSH — lossy for pairs with flips in BOTH halves, the
+    * standard banding trade, stated like q105/q144), exact XOR-popcount
+    * rescore keeps Hamming ≤ 6. The pHash-style signature dedup that
+    * catches re-encoded copies whole-payload SHA (q18) and frame sets
+    * (q144) treat differently. */
+  def q165MediaPhash(s: SparkSession, dir: String): DataFrame =
+    Multimodal.aHashPairs(docs(s, dir), "doc_id", "text", maxHamming = 6)
+      .orderBy("id_a", "id_b")
+
+  val q165Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text AS t FROM documents WHERE length(text) > 0),
+      |p AS (SELECT id, list_transform(range(0, 64), j ->
+      |        CAST(ascii(substr(t, CAST(j % length(t) AS INT) + 1, 1)) AS BIGINT)) AS px
+      |      FROM d),
+      |m AS (SELECT id, px, CAST(list_sum(px) AS BIGINT) // 64 AS mean FROM p),
+      |h AS (SELECT id,
+      |  CAST(list_sum(list_transform(range(0, 32), j -> CASE
+      |    WHEN px[CAST(j AS INT) + 1] >= mean
+      |    THEN (CAST(1 AS BIGINT) << CAST(j AS INT)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_lo,
+      |  CAST(list_sum(list_transform(range(32, 64), j -> CASE
+      |    WHEN px[CAST(j AS INT) + 1] >= mean
+      |    THEN (CAST(1 AS BIGINT) << (CAST(j AS INT) - 32)) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS h_hi
+      |  FROM m),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b
+      |         FROM h a JOIN h b ON a.h_lo = b.h_lo AND a.id < b.id
+      |         UNION
+      |         SELECT a.id, b.id FROM h a JOIN h b ON a.h_hi = b.h_hi AND a.id < b.id)
+      |SELECT c.id_a, c.id_b,
+      |  CAST(bit_count(xor(ha.h_lo, hb.h_lo)) + bit_count(xor(ha.h_hi, hb.h_hi)) AS BIGINT) AS hamming
+      |FROM cand c JOIN h ha ON ha.id = c.id_a JOIN h hb ON hb.id = c.id_b
+      |WHERE bit_count(xor(ha.h_lo, hb.h_lo)) + bit_count(xor(ha.h_hi, hb.h_hi)) <= 6
+      |ORDER BY id_a, id_b""".stripMargin
+
   /** S24/north star — hashed n-gram classifier scoring
     * ([[TextAnalysis.hashedNgramScore]]): the fastText-style quality-filter
     * INFERENCE every curation pipeline runs (GPT-3 WebText classifier,
@@ -1523,6 +1560,7 @@ object LlmOps {
     "q160_quality_percentile" -> (q160QualityPercentile _),
     "q163_embed_drift" -> (q163EmbedDrift _),
     "q164_ann_mrr" -> (q164AnnMrr _),
+    "q165_media_phash" -> (q165MediaPhash _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1565,6 +1603,7 @@ object LlmOps {
     "q160_quality_percentile" -> q160Sql,
     "q163_embed_drift" -> q163Sql,
     "q164_ann_mrr" -> q164Sql,
+    "q165_media_phash" -> q165Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

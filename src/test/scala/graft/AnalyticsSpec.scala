@@ -149,6 +149,23 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("aHashPairs: re-encoded twin lands within Hamming budget; unrelated doc stays out") {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog and keeps running " * 4
+    // transpose two sampled bytes within the LOW word: the pixel sum (hence
+    // the mean) is unchanged, only bits 10/20 can flip, and the untouched
+    // high word guarantees a band hit — the aHash invariance being pinned
+    val twin = base.updated(10, base(20)).updated(20, base(10))
+    val other = "zzzz AAAA 0101 completely different rhythm and bytes ~~~ " * 5
+    val df = Seq((1L, base), (2L, twin), (3L, other)).toDF("doc_id", "text")
+    val pairs = graft.llmops.Multimodal.aHashPairs(df, "doc_id", "text", maxHamming = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("hamming")))
+    assert(pairs.exists { case (a, b, _) => a == 1L && b == 2L },
+      "the two-char edit must stay within the 6-bit budget")
+    assert(pairs.forall { case (a, b, _) => Set(a, b) != Set(1L, 3L) &&
+      Set(a, b) != Set(2L, 3L) }, "the unrelated doc must not pair")
+  }
+
   test("q155 correlation pieces assemble a valid r² in [0,1] for every pair") {
     // (the synthetic testdata draws price independently of quantity, so no
     // strength claim — only the Cauchy–Schwarz invariant every valid set of

@@ -48,7 +48,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q153_skyline", "q154_hist_quantiles", "q155_corr_pieces",
       "q156_silhouette", "q157_stream_mv", "q158_group_kfold",
       "q159_decay_value", "q160_quality_percentile", "q161_rolling_window",
-      "q162_value_drift", "q163_embed_drift", "q164_ann_mrr")) {
+      "q162_value_drift", "q163_embed_drift", "q164_ann_mrr",
+      "q165_media_phash")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
