@@ -75,4 +75,35 @@ object Analytics {
         col("bin"),
         expr(s"bin * ${binWidth}L + ((r - cumb) * ${binWidth}L) div c").as("est_q"))
   }
+
+  /** Exact tie-corrected ROC-AUC by Mann–Whitney rank-sum, in doubled-rank
+    * integer arithmetic: under the (score, id) total order a tie group's
+    * ordinal ranks span exactly [lo, hi], so twice a member's AVERAGE rank
+    * is lo + hi — no fractional ranks and no prefix-sum pass.
+    * u2 = 2U = Σ₊(lo+hi) − n₊(n₊+1) equals 2·#{(p,n): s_p > s_n} +
+    * #{(p,n): s_p = s_n}; auc_ppm = ⌊1e6·u2 / (2n₊n₋)⌋.
+    *
+    * Shape: one distributed rank ([[Ranks.globalRank]] — range partition +
+    * offsets, no single-partition window), one groupBy over DISTINCT scores
+    * for the tie bounds, one scalar aggregate. `scoreCol` must be integral
+    * and `idCol` a unique tie-breaker; `truthCol` boolean. Output is a
+    * single row (n_pos, n_neg, u2, auc_ppm).
+    */
+  def aucRankSum(df: DataFrame, scoreCol: String, idCol: String,
+      truthCol: String): DataFrame = {
+    val ranked = Ranks.globalRank(
+      df.select(col(scoreCol).as("__s"), col(idCol).as("__id"),
+        col(truthCol).as("__t")),
+      "__rnk", col("__s"), col("__id"))
+    val ties = ranked.groupBy("__s")
+      .agg(min("__rnk").as("__lo"), max("__rnk").as("__hi"))
+    ranked.join(ties, "__s")
+      .agg(
+        sum(when(col("__t"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("__t"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("__t"), col("__lo") + col("__hi")).otherwise(0L)).as("r2_pos"))
+      .withColumn("u2", expr("r2_pos - n_pos * (n_pos + 1)"))
+      .withColumn("auc_ppm", expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
+      .select("n_pos", "n_neg", "u2", "auc_ppm")
+  }
 }

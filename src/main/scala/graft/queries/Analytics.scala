@@ -153,15 +153,278 @@ object Analytics {
       |UNION ALL SELECT 'qty_tax', n, s_q, s_t, s_qq, s_qt, s_tt FROM a
       |ORDER BY pair""".stripMargin
 
+  // ------------------------------------------------- q166 AUC eval
+
+  /** Shared DuckDB CTE replicating q143's hashed-n-gram classifier score
+    * (mirrors [[graft.llmops.TextAnalysis.hashedNgramScore]]); ends with
+    * `sc(id, score_raw, score_milli)` covering EVERY document. */
+  private val DuckClassifierScore: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(t) AS g FROM tok
+      |      UNION ALL
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |w AS (SELECT doc_id,
+      |        ((CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 4096)
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000 AS w
+      |      FROM g),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(sum(w) AS BIGINT) AS score_raw
+      |        FROM w GROUP BY 1),
+      |sc AS (SELECT d.doc_id AS id, coalesce(agg.score_raw, 0) AS score_raw,
+      |         CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |              ELSE CAST((agg.score_raw * 1000
+      |                     - ((agg.score_raw * 1000 % agg.n_grams) + agg.n_grams) % agg.n_grams)
+      |                   // agg.n_grams AS BIGINT) END AS score_milli
+      |       FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  /** Model-eval — exact ROC-AUC of the q143 classifier score against an
+    * INDEPENDENT reference label (`lang = 'en'`), by the tie-corrected
+    * Mann–Whitney rank-sum: AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with tied
+    * scores taking the average rank of their tie group. Everything stays
+    * integer by working in doubled ranks: a tie group's ordinal ranks
+    * under the (score, id) total order span exactly [lo, hi], so
+    * 2·avg_rank = lo + hi — no fractional ranks, no prefix-sum pass, and
+    * no single-partition window ([[graft.operators.Ranks.globalRank]]
+    * supplies the ordinal ranks distributively; the tie bounds are one
+    * groupBy over distinct scores). u2 = 2U; auc_ppm = ⌊1e6·2U / 2n⁺n⁻⌋.
+    * The discrimination number every quality filter gets judged by before
+    * its threshold is chosen (q160 turns the same score into percentiles;
+    * this grades whether the ORDERING means anything). */
+  def q166AucEval(s: SparkSession, dir: String): DataFrame = {
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val truth = docs(s, dir)
+      .select(col("doc_id").as("id"), (col("lang") === "en").as("truth"))
+    Ops.aucRankSum(scored.join(truth, "id"), "score_milli", "id", "truth")
+  }
+
+  val q166Sql: String = DuckClassifierScore +
+    """,
+      |r AS (SELECT id, score_milli,
+      |        CAST(row_number() OVER (ORDER BY score_milli, id) AS BIGINT) AS rnk
+      |      FROM sc),
+      |ties AS (SELECT score_milli, min(rnk) AS lo, max(rnk) AS hi FROM r GROUP BY 1),
+      |j AS (SELECT r.id, ties.lo, ties.hi, d.lang = 'en' AS truth
+      |      FROM r JOIN ties USING (score_milli) JOIN documents d ON d.doc_id = r.id),
+      |a AS (SELECT CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |        CAST(sum(CASE WHEN truth THEN lo + hi ELSE 0 END) AS BIGINT) AS r2_pos
+      |      FROM j)
+      |SELECT n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2,
+      |  ((r2_pos - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+      |FROM a""".stripMargin
+
+  // ------------------------------------------------- q168 A/B lift
+
+  /** Experimentation — deterministic A/B lift readout over events: users
+    * split into arms by id parity (the hash-split q83 applies to docs,
+    * applied to experiment units), per-user outcomes (converted = ≥ 1
+    * 'purchase', revenue = cent sum) reduced once per user then once per
+    * arm. Effects are reported as exact integer CROSS terms
+    * (convᵦnₐ − convₐnᵦ, centsᵦnₐ − centsₐnᵦ — sign = direction of lift,
+    * zero division anywhere) plus per-arm ppm rates; z-scores assemble
+    * downstream from these gated pieces. Two shuffles total (user agg,
+    * arm agg of 2 rows) — the shape that reads 100 TB of raw events
+    * once. */
+  def q168AbLift(s: SparkSession, dir: String): DataFrame = {
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"),
+        (col("event_type") === "purchase").cast("long").as("is_purchase"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("user_id")
+      .agg(sum("is_purchase").as("n_purch"), sum("cents").as("cents"))
+      .withColumn("arm", expr("user_id % 2"))
+    perUser.groupBy()
+      .agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+        sum(when(col("arm") === 0 && col("n_purch") > 0, 1L).otherwise(0L)).as("conv_a"),
+        sum(when(col("arm") === 1 && col("n_purch") > 0, 1L).otherwise(0L)).as("conv_b"),
+        sum(when(col("arm") === 0, col("cents")).otherwise(0L)).as("cents_a"),
+        sum(when(col("arm") === 1, col("cents")).otherwise(0L)).as("cents_b"))
+      .withColumn("conv_cross", expr("conv_b * n_a - conv_a * n_b"))
+      .withColumn("cents_cross", expr("cents_b * n_a - cents_a * n_b"))
+      .withColumn("rate_a_ppm", expr("(conv_a * 1000000) div n_a"))
+      .withColumn("rate_b_ppm", expr("(conv_b * 1000000) div n_b"))
+  }
+
+  val q168Sql: String =
+    """WITH pu AS (SELECT user_id,
+      |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purch,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents,
+      |    user_id % 2 AS arm
+      |  FROM events GROUP BY user_id),
+      |a AS (SELECT
+      |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+      |    CAST(sum(CASE WHEN arm = 0 AND n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_a,
+      |    CAST(sum(CASE WHEN arm = 1 AND n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT) AS conv_b,
+      |    CAST(sum(CASE WHEN arm = 0 THEN cents ELSE 0 END) AS BIGINT) AS cents_a,
+      |    CAST(sum(CASE WHEN arm = 1 THEN cents ELSE 0 END) AS BIGINT) AS cents_b
+      |  FROM pu)
+      |SELECT n_a, n_b, conv_a, conv_b, cents_a, cents_b,
+      |  conv_b * n_a - conv_a * n_b AS conv_cross,
+      |  cents_b * n_a - cents_a * n_b AS cents_cross,
+      |  (conv_a * 1000000) // n_a AS rate_a_ppm,
+      |  (conv_b * 1000000) // n_b AS rate_b_ppm
+      |FROM a""".stripMargin
+
+  // --------------------------------------------- q171 path trigrams
+
+  /** Sequence mining — the top-20 event-type TRIGRAM paths (q96's
+    * transition matrix is the bigram form; three steps expose journeys
+    * two can't: view>click>purchase vs view>click>error). Per-user lead
+    * window under the (ts, event_id) total order — partitioned by user,
+    * never global — then one count shuffle; top-20 under the total order
+    * (n DESC, path) so the cut is deterministic. */
+  def q171PathTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("b", lead("event_type", 1).over(w))
+      .withColumn("c", lead("event_type", 2).over(w))
+      .filter(col("c").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("b"), col("c")).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(20)
+  }
+
+  val q171Sql: String =
+    """WITH s AS (SELECT user_id, event_type,
+      |    lead(event_type, 1) OVER w AS b, lead(event_type, 2) OVER w AS c
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT event_type || '>' || b || '>' || c AS path, CAST(count(*) AS BIGINT) AS n
+      |FROM s WHERE c IS NOT NULL
+      |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ q173 trend fit
+
+  /** Monitoring — per-event-type OLS trend of daily volume: is this
+    * source growing or shrinking, as a NUMBER (slope in events/day ×1e6),
+    * not a chart. x = epoch-day minus the corpus's min day (broadcast
+    * 1-row anchor keeps Σx² small), y = day count; the five OLS sums come
+    * from one aggregate over ≤ |types|·|days| rows, and the slope is the
+    * exact floor ⌊1e6·(nΣxy−ΣxΣy)/(nΣx²−(Σx)²)⌋ — negative-safe via the
+    * floor-mod identity, because truncating `div` and flooring `//`
+    * disagree on negative slopes. q155's regression counterpart over
+    * time. */
+  def q173TrendFit(s: SparkSession, dir: String): DataFrame = {
+    val days = t(s, dir, "events")
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+    val anchor = broadcast(days.agg(min("day").as("day0")))
+    val daily = days.groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .crossJoin(anchor)
+      .withColumn("x", col("day") - col("day0"))
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("s_x"), sum("y").as("s_y"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("x") * col("y")).as("s_xy"))
+      .withColumn("slope_num", expr("n_days * s_xy - s_x * s_y"))
+      .withColumn("slope_den", expr("n_days * s_xx - s_x * s_x"))
+      .withColumn("slope_micro", expr(
+        """(slope_num * 1000000
+          | - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den)
+          | div slope_den""".stripMargin))
+      .orderBy("event_type")
+  }
+
+  val q173Sql: String =
+    """WITH d AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |a AS (SELECT CAST(min(day) AS BIGINT) AS day0 FROM d),
+      |daily AS (SELECT event_type, day - day0 AS x, CAST(count(*) AS BIGINT) AS y
+      |          FROM d CROSS JOIN a GROUP BY event_type, day - day0),
+      |o AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+      |        CAST(sum(x) AS BIGINT) AS s_x, CAST(sum(y) AS BIGINT) AS s_y,
+      |        CAST(sum(x * x) AS BIGINT) AS s_xx, CAST(sum(x * y) AS BIGINT) AS s_xy
+      |      FROM daily GROUP BY 1),
+      |w AS (SELECT *, n_days * s_xy - s_x * s_y AS slope_num,
+      |        n_days * s_xx - s_x * s_x AS slope_den FROM o)
+      |SELECT event_type, n_days, s_x, s_y, s_xx, s_xy, slope_num, slope_den,
+      |  (slope_num * 1000000
+      |    - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den) // slope_den AS slope_micro
+      |FROM w ORDER BY event_type""".stripMargin
+
+  // ---------------------------------------------- q174 Cohen's kappa
+
+  /** Label QA — Cohen's κ agreement between two independent weak
+    * labelers of document quality: A = the q143 classifier's keep label
+    * (score_raw ≥ 0), B = a length rule (n_chars ≥ 500). The
+    * chance-corrected agreement that tells you whether stacking the two
+    * filters adds signal or redundancy. One confusion-matrix aggregate;
+    * κ×1e6 = ⌊1e6·(N·agree − Σrᵢcᵢ)/(N² − Σrᵢcᵢ)⌋ exact-integer,
+    * negative-safe via the floor-mod identity (κ < 0 = worse than
+    * chance). */
+  def q174Kappa(s: SparkSession, dir: String): DataFrame = {
+    val a = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), (col("score_raw") >= 0).as("la"))
+    val b = docs(s, dir)
+      .select(col("doc_id").as("id"), (col("n_chars") >= 500).as("lb"))
+    a.join(b, "id")
+      .agg(
+        sum(when(col("la") && col("lb"), 1L).otherwise(0L)).as("n11"),
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(!col("la") && !col("lb"), 1L).otherwise(0L)).as("n00"))
+      .withColumn("n_docs", expr("n11 + n10 + n01 + n00"))
+      .withColumn("pe_num", expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
+      .withColumn("kappa_num", expr("n_docs * (n11 + n00) - pe_num"))
+      .withColumn("kappa_den", expr("n_docs * n_docs - pe_num"))
+      .withColumn("kappa_ppm", expr(
+        """(kappa_num * 1000000
+          | - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den)
+          | div kappa_den""".stripMargin))
+      .select("n11", "n10", "n01", "n00", "n_docs", "kappa_num", "kappa_den", "kappa_ppm")
+  }
+
+  val q174Sql: String = DuckClassifierScore +
+    """,
+      |lab AS (SELECT sc.id, sc.score_raw >= 0 AS la, d.n_chars >= 500 AS lb
+      |        FROM sc JOIN documents d ON d.doc_id = sc.id),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |    CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN NOT la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |  FROM lab),
+      |k AS (SELECT *, n11 + n10 + n01 + n00 AS n_docs,
+      |        (n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00) AS pe_num
+      |      FROM c),
+      |k2 AS (SELECT *, n_docs * (n11 + n00) - pe_num AS kappa_num,
+      |         n_docs * n_docs - pe_num AS kappa_den FROM k)
+      |SELECT n11, n10, n01, n00, n_docs, kappa_num, kappa_den,
+      |  (kappa_num * 1000000
+      |    - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den) // kappa_den AS kappa_ppm
+      |FROM k2""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q153_skyline" -> (q153Skyline _),
     "q154_hist_quantiles" -> (q154HistQuantiles _),
-    "q155_corr_pieces" -> (q155CorrPieces _))
+    "q155_corr_pieces" -> (q155CorrPieces _),
+    "q166_auc_eval" -> (q166AucEval _),
+    "q168_ab_lift" -> (q168AbLift _),
+    "q171_path_trigrams" -> (q171PathTrigrams _),
+    "q173_trend_fit" -> (q173TrendFit _),
+    "q174_kappa" -> (q174Kappa _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
     "q154_hist_quantiles" -> q154Sql,
-    "q155_corr_pieces" -> q155Sql)
+    "q155_corr_pieces" -> q155Sql,
+    "q166_auc_eval" -> q166Sql,
+    "q168_ab_lift" -> q168Sql,
+    "q171_path_trigrams" -> q171Sql,
+    "q173_trend_fit" -> q173Sql,
+    "q174_kappa" -> q174Sql)
 }

@@ -182,4 +182,73 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(r2 >= 0.0 && r2 <= 1.0 + 1e-12, s"pair ${p.getString(0)}: r²=$r2")
     }
   }
+
+  private val genScored: Gen[List[(Long, Boolean)]] = for {
+    n <- Gen.choose(2, 50)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.choose(-5L, 5L), Gen.oneOf(true, false)))
+    // need at least one of each class for AUC to be defined
+    if rows.exists(_._2) && rows.exists(!_._2)
+  } yield rows
+
+  test("property: aucRankSum u2 ≡ brute-force doubled pair count 2#{p>n} + #{p=n}") {
+    import spark.implicits._
+    val prop = Prop.forAll(genScored) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((s, t), i) => (i.toLong, s, t) }.toDF("id", "s", "t")
+      val got = Analytics.aucRankSum(df, "s", "id", "t").collect().head
+      val pos = rows.collect { case (s, true) => s }
+      val neg = rows.collect { case (s, false) => s }
+      val u2 = pos.map(p => 2L * neg.count(p > _) + neg.count(p == _)).sum
+      got.getAs[Long]("n_pos") == pos.length &&
+        got.getAs[Long]("n_neg") == neg.length &&
+        got.getAs[Long]("u2") == u2 &&
+        got.getAs[Long]("auc_ppm") ==
+          u2 * 1000000L / (2L * pos.length * neg.length)
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("aucRankSum endpoints: perfect separation → 1e6; inverted → 0; all-tied → half") {
+    import spark.implicits._
+    val perfect = (1L to 6L).map(i => (i, i, i > 3)).toDF("id", "s", "t")
+    assert(Analytics.aucRankSum(perfect, "s", "id", "t")
+      .collect().head.getAs[Long]("auc_ppm") == 1000000L)
+    val inverted = (1L to 6L).map(i => (i, -i, i > 3)).toDF("id", "s", "t")
+    assert(Analytics.aucRankSum(inverted, "s", "id", "t")
+      .collect().head.getAs[Long]("auc_ppm") == 0L)
+    val tied = (1L to 6L).map(i => (i, 7L, i > 3)).toDF("id", "s", "t")
+    assert(Analytics.aucRankSum(tied, "s", "id", "t")
+      .collect().head.getAs[Long]("auc_ppm") == 500000L)
+  }
+
+  test("q174 kappa: confusion matrix sums to corpus; kappa bounded by ±1e6") {
+    val r = graft.queries.Analytics.q174Kappa(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val n = r.getAs[Long]("n_docs")
+    assert(n == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+    val k = r.getAs[Long]("kappa_ppm")
+    assert(k >= -1000000L && k <= 1000000L)
+  }
+
+  test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
+    import spark.implicits._
+    // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6
+    val daily = (0L until 10L).flatMap(x => Seq.fill((7 + 3 * x).toInt)(x))
+    val df = daily.map(("a", _)).toDF("event_type", "x")
+    val o = df.groupBy("event_type", "x").agg(count(lit(1)).as("y"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum("x").as("s_x"), sum("y").as("s_y"),
+        sum(col("x") * col("x")).as("s_xx"),
+        sum(col("x") * col("y")).as("s_xy"))
+      .withColumn("slope_num", expr("n_days * s_xy - s_x * s_y"))
+      .withColumn("slope_den", expr("n_days * s_xx - s_x * s_x"))
+      .withColumn("slope_micro", expr(
+        """(slope_num * 1000000
+          | - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den)
+          | div slope_den""".stripMargin))
+      .collect().head
+    assert(o.getAs[Long]("slope_micro") == 3000000L)
+  }
 }
