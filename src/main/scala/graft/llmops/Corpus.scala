@@ -149,6 +149,42 @@ object Corpus {
       .agg(count(lit(1)).as("n_terms_hit"), sum("contrib_q").as("score_q"))
   }
 
+  /** Dirichlet-smoothed query-likelihood retrieval (Zhai & Lafferty,
+    * SIGIR'01) — the language-modeling alternative to [[bm25]]:
+    * score(d,q) = Σ_t ln((tf_{t,d} + μ·p_c(t)) / (dl_d + μ)), INCLUDING
+    * zero-tf terms (the smoothing is the point — absent terms cost
+    * ln(μ·p_c(t)/(dl+μ)), so verbose documents aren't free). Every log
+    * argument is assembled as ONE exact-integer ratio —
+    * (tf·total + μ·cnt_t) / (total·(dl + μ)) — so both engines feed `ln`
+    * the identical double; contributions are quantized ×1e6 before the
+    * sum (the q55/q59 rule). Query terms must occur in the corpus
+    * (p_c = 0 has no defined log-likelihood).
+    *
+    * Shape: the doc×term grid is |docs|·|terms| rows (terms is a literal
+    * handful — linear, not a blow-up); term stats and the corpus total
+    * broadcast. Returns (id, n_terms_hit, score_q). */
+  def dirichletQl(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], mu: Long = 2000L): DataFrame = {
+    val tf = termFreqs(docs, idCol, textCol)
+    val dl = tf.groupBy("id").agg(sum("tf").as("dl"))
+    val cnt = broadcast(tf.filter(col("w").isin(terms: _*))
+      .groupBy("w").agg(sum("tf").as("cnt")))
+    val total = broadcast(tf.agg(sum("tf").as("total")))
+    docs.select(col(idCol).as("id")).crossJoin(cnt)
+      .join(tf.filter(col("w").isin(terms: _*)), Seq("id", "w"), "left")
+      .na.fill(0L, Seq("tf"))
+      .join(dl, Seq("id"), "left")
+      .na.fill(0L, Seq("dl"))
+      .crossJoin(total)
+      .withColumn("contrib_q",
+        floor(log((col("tf") * col("total") + lit(mu) * col("cnt")).cast("double") /
+            (col("total") * (col("dl") + lit(mu))).cast("double")) *
+          1000000.0 + 0.5).cast("long"))
+      .groupBy("id")
+      .agg(sum(when(col("tf") > 0, 1L).otherwise(0L)).as("n_terms_hit"),
+        sum("contrib_q").as("score_q"))
+  }
+
   /** Gopher-style repetition/quality gate. Per document:
     *   - n_words, mean word length (alnum chars / words),
     *   - top_word_char_frac: the largest share of the doc's token characters

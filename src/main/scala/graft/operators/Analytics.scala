@@ -89,6 +89,41 @@ object Analytics {
     * and `idCol` a unique tie-breaker; `truthCol` boolean. Output is a
     * single row (n_pos, n_neg, u2, auc_ppm).
     */
+  /** Robust per-group outlier report by median absolute deviation: median
+    * and MAD are the EXACT rank-⌈n/2⌉ order statistics (lower median, id
+    * tie-break — no averaging of middles, so every number is an input
+    * integer), outliers are rows with |v − med| > k·MAD. The
+    * Hampel-filter answer to "which values are anomalous" that, unlike
+    * mean/stddev (q64), a few huge outliers cannot drag.
+    *
+    * Shape: two group-partitioned windows (never global) over the value
+    * and deviation orders, a broadcast join of the metadata-scale
+    * per-group medians, one final aggregate. Output one row per group:
+    * (key, n, med, mad, n_outliers). */
+  def madOutliers(df: DataFrame, keyCol: String, valueCol: String,
+      idCol: String, k: Long = 3L): DataFrame = {
+    val v = df.select(col(keyCol).as("g"), col(valueCol).as("v"),
+      col(idCol).as("rid"))
+    val wv = Window.partitionBy("g").orderBy("v", "rid")
+    val med = v
+      .withColumn("rn", row_number().over(wv))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("v").as("med"), col("n"))
+    val dev = v.join(broadcast(med), "g")
+      .withColumn("dev", abs(col("v") - col("med")))
+    val wd = Window.partitionBy("g").orderBy("dev", "rid")
+    val mad = dev
+      .withColumn("rn", row_number().over(wd))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("g"), col("dev").as("mad"))
+    dev.join(broadcast(mad), "g")
+      .groupBy(col("g").as("key"))
+      .agg(count(lit(1)).as("n"), max("med").as("med"), max("mad").as("mad"),
+        sum(when(col("dev") > lit(k) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+  }
+
   def aucRankSum(df: DataFrame, scoreCol: String, idCol: String,
       truthCol: String): DataFrame = {
     val ranked = Ranks.globalRank(

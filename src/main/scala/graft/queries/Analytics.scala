@@ -353,6 +353,40 @@ object Analytics {
       |    - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den) // slope_den AS slope_micro
       |FROM w ORDER BY event_type""".stripMargin
 
+  // ---------------------------------------------- q169 MAD outliers
+
+  /** Profiling/anomaly — robust per-event-type outlier report
+    * ([[graft.operators.Analytics.madOutliers]]): median and MAD as exact
+    * rank-⌈n/2⌉ order statistics over cents (lower median, event_id
+    * tie-break), outliers = |v − med| > 3·MAD. q64's mean/stddev profile
+    * breaks exactly when you need it (the outliers drag the fence); the
+    * MAD fence is what a 100 TB ingest monitor actually alerts on.
+    * Group-partitioned windows only; per-group medians broadcast. */
+  def q169MadOutliers(s: SparkSession, dir: String): DataFrame =
+    Ops.madOutliers(
+      t(s, dir, "events").select(col("event_type"), col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents")),
+      "event_type", "cents", "event_id", k = 3L)
+      .orderBy("key")
+
+  val q169Sql: String =
+    """WITH v AS (SELECT event_type AS g, event_id AS rid,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY v, rid) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY g) AS BIGINT) AS n
+      |      FROM v),
+      |med AS (SELECT g, v AS med, n FROM r WHERE rn = (n + 1) // 2),
+      |d AS (SELECT v.g, v.v, v.rid, med.med, med.n, abs(v.v - med.med) AS dev
+      |      FROM v JOIN med USING (g)),
+      |rd AS (SELECT *, row_number() OVER (PARTITION BY g ORDER BY dev, rid) AS rn
+      |       FROM d),
+      |mad AS (SELECT g, dev AS mad FROM rd WHERE rn = (n + 1) // 2)
+      |SELECT d.g AS key, max(d.n) AS n, max(d.med) AS med, max(mad.mad) AS mad,
+      |  CAST(sum(CASE WHEN d.dev > 3 * mad.mad THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM d JOIN mad USING (g)
+      |GROUP BY d.g ORDER BY key""".stripMargin
+
   // ---------------------------------------------- q174 Cohen's kappa
 
   /** Label QA — Cohen's κ agreement between two independent weak
@@ -414,6 +448,7 @@ object Analytics {
     "q155_corr_pieces" -> (q155CorrPieces _),
     "q166_auc_eval" -> (q166AucEval _),
     "q168_ab_lift" -> (q168AbLift _),
+    "q169_mad_outliers" -> (q169MadOutliers _),
     "q171_path_trigrams" -> (q171PathTrigrams _),
     "q173_trend_fit" -> (q173TrendFit _),
     "q174_kappa" -> (q174Kappa _))
@@ -424,6 +459,7 @@ object Analytics {
     "q155_corr_pieces" -> q155Sql,
     "q166_auc_eval" -> q166Sql,
     "q168_ab_lift" -> q168Sql,
+    "q169_mad_outliers" -> q169Sql,
     "q171_path_trigrams" -> q171Sql,
     "q173_trend_fit" -> q173Sql,
     "q174_kappa" -> q174Sql)

@@ -104,6 +104,136 @@ object LlmOps {
       |FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S23 eval — MinHash estimator accuracy audit: for every q21 LSH
+    * candidate pair, the k=32 signature's match-fraction estimate of
+    * Jaccard next to the EXACT token-set Jaccard (both ×1e6 floored) and
+    * the signed error. The dedup pipeline's decisions ride on the
+    * estimator (q21's banding, q118's admission verdicts); this is the
+    * measured estimation error that justifies — or indicts — those
+    * parameters, the q142-recall idea applied to MinHash instead of ANN.
+    * Pair set = the banding's own candidates, so the audit cost is the
+    * index's candidate volume, never n². */
+  def q167MinhashEval(s: SparkSession, dir: String): DataFrame = {
+    val tid = Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text")
+    val mh = Dedup.minhash(tid, k = 32)
+    val cand = Dedup.lshCandidates(mh, rowsPerBand = 16)
+    val est = cand
+      .join(mh.select(col("id").as("id_a"), col("i"), col("mh").as("mh_a")), Seq("id_a"))
+      .join(mh.select(col("id").as("id_b"), col("i"), col("mh").as("mh_b")), Seq("id_b", "i"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("est_matches"))
+    val sizes = tid.groupBy("id").agg(count(lit(1)).as("n_tok"))
+    val inter = cand
+      .join(tid.select(col("id").as("id_a"), col("tid")), Seq("id_a"))
+      .join(tid.select(col("id").as("id_b"), col("tid")), Seq("id_b", "tid"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    est.join(inter, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col("id").as("id_a"), col("n_tok").as("n_a")), "id_a")
+      .join(sizes.select(col("id").as("id_b"), col("n_tok").as("n_b")), "id_b")
+      .withColumn("est_ppm", expr("(est_matches * 1000000) div 32"))
+      .withColumn("jac_ppm", expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
+      .withColumn("err_ppm", expr("est_ppm - jac_ppm"))
+      .select("id_a", "id_b", "est_matches", "n_inter", "n_a", "n_b",
+        "est_ppm", "jac_ppm", "err_ppm")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q167Sql: String = DuckTokenIds +
+    """,
+      |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 16 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |           FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |est AS (SELECT c.id_a, c.id_b,
+      |          CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
+      |        FROM cand c JOIN mh ma ON ma.id = c.id_a
+      |                    JOIN mh mb ON mb.id = c.id_b AND mb.i = ma.i
+      |        GROUP BY 1, 2),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tok FROM tid GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM cand c JOIN tid a ON a.id = c.id_a
+      |                      JOIN tid b ON b.id = c.id_b AND b.tid = a.tid
+      |          GROUP BY 1, 2),
+      |o AS (SELECT e.id_a, e.id_b, e.est_matches, COALESCE(i.n_inter, 0) AS n_inter,
+      |        sa.n_tok AS n_a, sb.n_tok AS n_b
+      |      FROM est e LEFT JOIN inter i ON i.id_a = e.id_a AND i.id_b = e.id_b
+      |                 JOIN sz sa ON sa.id = e.id_a JOIN sz sb ON sb.id = e.id_b)
+      |SELECT id_a, id_b, est_matches, n_inter, n_a, n_b,
+      |  (est_matches * 1000000) // 32 AS est_ppm,
+      |  (n_inter * 1000000) // (n_a + n_b - n_inter) AS jac_ppm,
+      |  (est_matches * 1000000) // 32 - (n_inter * 1000000) // (n_a + n_b - n_inter) AS err_ppm
+      |FROM o ORDER BY id_a, id_b""".stripMargin
+
+  /** S23 eval — blocking-quality audit of the shingle-MinHash banding
+    * (q118's index parameters: md5-48-bit shingle ids, k=32, 4 rows/band →
+    * 8 bands): PAIR COMPLETENESS against the exact J ≥ 0.7 truth (the
+    * lossless prefix-filtered [[Dedup.jaccardPairs]]) and REDUCTION RATIO
+    * against all n(n−1)/2 pairs — the two numbers record-linkage grades
+    * every blocking scheme by (how much recall the bands lose vs how much
+    * work they save). Single-row report; the truth side is the certified
+    * exact path, so n_true is ground truth, not another estimate. */
+  def q175BlockingEval(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val ids = Dedup.shingleIndex(d, "doc_id", "text", n = 3)
+      .select(col("id"),
+        conv(substring(md5(col("s").cast("binary")), 1, 12), 16, 10)
+          .cast("long").as("tid"))
+    val bands = Dedup.minhash(ids, 32)
+      .withColumn("band", expr("i div 4"))
+      .groupBy("id", "band")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh").cast("string")), ",").as("bkey"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.7,
+      prefixFilter = true).select("id_a", "id_b")
+    val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
+    val nCand = broadcast(cand.agg(count(lit(1)).as("n_cand")))
+    val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))
+    val nHit = broadcast(truth.join(cand, Seq("id_a", "id_b"))
+      .agg(count(lit(1)).as("n_hit")))
+    nDocs.crossJoin(nCand).crossJoin(nTrue).crossJoin(nHit)
+      .withColumn("total_pairs", expr("n_docs * (n_docs - 1) div 2"))
+      .withColumn("completeness_ppm", expr(
+        "CASE WHEN n_true = 0 THEN 1000000L ELSE (n_hit * 1000000) div n_true END"))
+      .withColumn("reduction_ppm", expr("(n_cand * 1000000) div total_pairs"))
+  }
+
+  val q175Sql: String =
+    """WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |shl AS (SELECT doc_id AS id, unnest(list_distinct(CASE WHEN len(t) >= 3
+      |         THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |         ELSE CAST([] AS VARCHAR[]) END)) AS s FROM tok),
+      |tid AS (SELECT DISTINCT id, CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT) AS tid FROM shl),
+      |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 4 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |           FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n_sh FROM tid GROUP BY 1),
+      |inter AS (SELECT a.id AS id_a, b.id AS id_b, CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM shl a JOIN shl b ON a.s = b.s AND a.id < b.id GROUP BY 1, 2),
+      |truth AS (SELECT id_a, id_b
+      |          FROM inter JOIN sz sa ON sa.id = id_a JOIN sz sb ON sb.id = id_b
+      |          WHERE CAST(n_inter AS DOUBLE) / CAST(sa.n_sh + sb.n_sh - n_inter AS DOUBLE) >= 0.7),
+      |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n_cand FROM cand),
+      |n3 AS (SELECT CAST(count(*) AS BIGINT) AS n_true FROM truth),
+      |n4 AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+      |       FROM truth t JOIN cand c ON c.id_a = t.id_a AND c.id_b = t.id_b)
+      |SELECT n_docs, n_cand, n_true, n_hit,
+      |  n_docs * (n_docs - 1) // 2 AS total_pairs,
+      |  CASE WHEN n_true = 0 THEN 1000000 ELSE (n_hit * 1000000) // n_true END AS completeness_ppm,
+      |  (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2) AS reduction_ppm
+      |FROM n1 CROSS JOIN n2 CROSS JOIN n3 CROSS JOIN n4""".stripMargin
+
   /** S22/S23 — INCREMENTAL dedup ([[Dedup.incrementalDedup]]): docs
     * doc_id ≥ 400 play the arriving delta batch, the rest the indexed
     * corpus; delta band keys (trigram-shingle minhash k=32, 4 rows/band →
@@ -1561,6 +1691,8 @@ object LlmOps {
     "q163_embed_drift" -> (q163EmbedDrift _),
     "q164_ann_mrr" -> (q164AnnMrr _),
     "q165_media_phash" -> (q165MediaPhash _),
+    "q167_minhash_eval" -> (q167MinhashEval _),
+    "q175_blocking_eval" -> (q175BlockingEval _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1604,6 +1736,8 @@ object LlmOps {
     "q163_embed_drift" -> q163Sql,
     "q164_ann_mrr" -> q164Sql,
     "q165_media_phash" -> q165Sql,
+    "q167_minhash_eval" -> q167Sql,
+    "q175_blocking_eval" -> q175Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

@@ -122,6 +122,37 @@ object Pipeline {
       |SELECT id, count(*) AS n_terms_hit, CAST(sum(contrib_q) AS BIGINT) AS score_q
       |FROM c GROUP BY 1 ORDER BY id""".stripMargin
 
+  /** North star/retrieval — Dirichlet-smoothed query likelihood (Zhai &
+    * Lafferty SIGIR'01, [[Corpus.dirichletQl]] with μ=2000) of every
+    * document against the same {join, window, scan} query bag q59 scores
+    * with BM25 — the language-modeling retrieval family member, and the
+    * one that charges documents for ABSENT query terms (zero-tf terms
+    * contribute ln(μ·p_c/(dl+μ)), so length is never free). Each log
+    * argument is one exact-integer ratio, contributions quantized ×1e6
+    * before the sum (the q55/q59 determinism rule). */
+  def q170DirichletQl(s: SparkSession, dir: String): DataFrame =
+    Corpus.dirichletQl(docs(s, dir), "doc_id", "text",
+      Seq("join", "window", "scan"), mu = 2000L)
+      .orderBy("id")
+
+  val q170Sql: String = DuckTf +
+    """,
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |tot AS (SELECT CAST(sum(tf) AS BIGINT) AS total FROM tf),
+      |cnt AS (SELECT w, CAST(sum(tf) AS BIGINT) AS cnt FROM tf
+      |        WHERE w IN ('join', 'window', 'scan') GROUP BY 1),
+      |grid AS (SELECT d.doc_id AS id, c.w, c.cnt FROM documents d CROSS JOIN cnt c),
+      |j AS (SELECT g.id, g.cnt, COALESCE(t.tf, 0) AS tf, COALESCE(dl.dl, 0) AS dl
+      |      FROM grid g LEFT JOIN tf t ON t.id = g.id AND t.w = g.w
+      |                  LEFT JOIN dl ON dl.id = g.id),
+      |c2 AS (SELECT id, tf, CAST(floor(
+      |         ln(CAST(tf * total + 2000 * cnt AS DOUBLE)
+      |            / CAST(total * (dl + 2000) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      |       FROM j CROSS JOIN tot)
+      |SELECT id, CAST(sum(CASE WHEN tf > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_terms_hit,
+      |  CAST(sum(contrib_q) AS BIGINT) AS score_q
+      |FROM c2 GROUP BY 1 ORDER BY id""".stripMargin
+
   /** North star — benchmark decontamination: corpus documents (doc_id % 10
     * ≠ 0) sharing any token 8-gram with the held-out set (doc_id % 10 = 0);
     * the eval gram index broadcasts. */
@@ -183,7 +214,8 @@ object Pipeline {
     "q57_stratified_sample" -> (q57StratifiedSample _),
     "q58_pack_sequences" -> (q58PackSequences _),
     "q59_bm25" -> (q59Bm25 _),
-    "q60_decontaminate" -> (q60Decontaminate _))
+    "q60_decontaminate" -> (q60Decontaminate _),
+    "q170_dirichlet_ql" -> (q170DirichletQl _))
 
   val oracleSql: Map[String, String] = Map(
     "q114_sparse_knn" -> q114Sql,
@@ -192,5 +224,6 @@ object Pipeline {
     "q57_stratified_sample" -> q57Sql,
     "q58_pack_sequences" -> q58Sql,
     "q59_bm25" -> q59Sql,
-    "q60_decontaminate" -> q60Sql)
+    "q60_decontaminate" -> q60Sql,
+    "q170_dirichlet_ql" -> q170Sql)
 }

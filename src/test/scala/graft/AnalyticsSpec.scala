@@ -231,6 +231,35 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(k >= -1000000L && k <= 1000000L)
   }
 
+  private val genGrouped: Gen[List[(String, Long)]] = for {
+    n <- Gen.choose(1, 40)
+    rows <- Gen.listOfN(n, Gen.zip(Gen.oneOf("a", "b"), Gen.choose(-100L, 100L)))
+  } yield rows
+
+  test("property: madOutliers ≡ in-memory lower-median / MAD / 3σ-fence recompute") {
+    import spark.implicits._
+    val prop = Prop.forAll(genGrouped) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i.toLong) }.toDF("g", "v", "rid")
+      val got = Analytics.madOutliers(df, "g", "v", "rid", k = 3L)
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("n"), r.getAs[Long]("med"), r.getAs[Long]("mad"),
+           r.getAs[Long]("n_outliers"))).toMap
+      rows.groupBy(_._1).forall { case (g, grp) =>
+        // lower median under (value, insertion-id) order = element at
+        // rank (n+1)/2 — recompute both order statistics brute-force
+        val vs = grp.map(_._2)
+        val med = vs.sorted.apply((vs.length + 1) / 2 - 1)
+        val devs = vs.map(v => (v - med).abs)
+        val mad = devs.sorted.apply((devs.length + 1) / 2 - 1)
+        got(g) == ((vs.length.toLong, med, mad,
+          devs.count(_ > 3L * mad).toLong))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
     import spark.implicits._
     // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6
