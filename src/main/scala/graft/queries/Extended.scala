@@ -334,6 +334,77 @@ object Extended {
       |  CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS value_cents
       |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  // --------------------------------------------- q172 streaming rate alert
+
+  /** Deterministic staging of the rate stream: per-(type, day) counts in
+    * two files split MID-day (2024-01-16T12:00Z, so day 16's count is
+    * assembled across two micro-batches — the open-window state path is
+    * genuinely exercised) plus a flush-sentinel file closing every type's
+    * final day. */
+  private def stageRateSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q172:$dir", {
+      val splitUs = 1705406400000000L // 2024-01-16T12:00:00Z
+      val d = t(s, dir, "events").select(col("event_type").as("key"),
+        expr("unix_micros(ts) div 86400000000").as("win"),
+        expr("unix_micros(ts)").as("us"))
+      def agg(df: DataFrame): DataFrame =
+        df.groupBy("key", "win").agg(count(lit(1)).as("n"))
+          .withColumn("flush", lit(false)).select("key", "win", "n", "flush")
+      val sentinels = d.select("key").distinct()
+        .select(col("key"), lit(Long.MaxValue).as("win"), lit(0L).as("n"),
+          lit(true).as("flush"))
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> agg(d.filter(col("us") < splitUs)),
+        "second" -> agg(d.filter(col("us") >= splitUs)),
+        "flush" -> sentinels))
+    })
+
+  /** S26 depth (FIFTEENTH streaming path) — per-type daily-volume anomaly
+    * alerts ([[graft.streaming.StreamingRate]]): each closed day judged
+    * against the trailing mean of every previously closed day by the
+    * exact cross-multiply n·priorW > 2·priorTotal (no division — the
+    * alert bit hash-gates). State per type is four longs; day 16 spans
+    * two micro-batches, so the window-accumulation path is exercised, and
+    * the flush sentinel closes day 30. The ingest-health monitor that
+    * catches a collapsed (or runaway) source the day it happens. */
+  def q172StreamRate(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamingRate
+    import org.apache.spark.sql.streaming.Trigger
+    import s.implicits._
+    val srcDir = stageRateSource(s, dir)
+    val schema = org.apache.spark.sql.Encoders.product[StreamingRate.RateEvent].schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val alerts = StreamingRate.alerts(stream.as[StreamingRate.RateEvent])
+    val qn = s"q172_rate_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      alerts.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-rate-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("key").as("event_type"), col("win").as("day"),
+        col("n_events"), col("prior_windows"), col("prior_total"), col("is_spike"))
+      .orderBy("event_type", "day")
+  }
+
+  val q172Sql: String =
+    """WITH d AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |c AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_events
+      |      FROM d GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |        CAST(row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS BIGINT)
+      |          AS prior_windows,
+      |        CAST(COALESCE(sum(n_events) OVER (PARTITION BY event_type ORDER BY day
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS prior_total
+      |      FROM c)
+      |SELECT event_type, day, n_events, prior_windows, prior_total,
+      |  prior_windows > 0 AND n_events * prior_windows > 2 * prior_total AS is_spike
+      |FROM w ORDER BY event_type, day""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -342,7 +413,8 @@ object Extended {
     "q53_streaming_sessions" -> (q53StreamingSessions _),
     "q54_heavy_hitters" -> (q54HeavyHitters _),
     "q146_stream_topk" -> (q146StreamTopK _),
-    "q157_stream_mv" -> (q157StreamMv _))
+    "q157_stream_mv" -> (q157StreamMv _),
+    "q172_stream_rate" -> (q172StreamRate _))
 
   val oracleSql: Map[String, String] = Map(
     "q51_asof_join" -> q51Sql,
@@ -350,5 +422,6 @@ object Extended {
     "q53_streaming_sessions" -> q53Sql,
     "q54_heavy_hitters" -> q54Sql,
     "q146_stream_topk" -> q146Sql,
-    "q157_stream_mv" -> q157Sql)
+    "q157_stream_mv" -> q157Sql,
+    "q172_stream_rate" -> q172Sql)
 }

@@ -51,8 +51,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q162_value_drift", "q163_embed_drift", "q164_ann_mrr",
       "q165_media_phash", "q166_auc_eval", "q167_minhash_eval",
       "q168_ab_lift", "q169_mad_outliers", "q170_dirichlet_ql",
-      "q171_path_trigrams", "q173_trend_fit", "q174_kappa",
-      "q175_blocking_eval")) {
+      "q171_path_trigrams", "q172_stream_rate", "q173_trend_fit",
+      "q174_kappa", "q175_blocking_eval")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }

@@ -402,4 +402,37 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(run("topk_rev", Seq(items.reverse.take(3), items.reverse.drop(3))) == expect)
     assert(run("topk_one", Seq(items)) == expect)
   }
+
+  test("streaming rate alerts: mid-window batch split accumulates; spike judged on trailing mean") {
+    import spark.implicits._
+    import graft.streaming.StreamingRate
+    import graft.streaming.StreamingRate.{RateAlert, RateEvent}
+    implicit val sq = spark.sqlContext
+    // windows 1..4 for key a: counts 10, 10, 50 (spike: 50*2 > 2*20), 10
+    // (no spike: 10*3 < 2*70); window 3's count arrives split 30+20 across
+    // two batches — the open-window accumulation path
+    val b1 = Seq(RateEvent("a", 1L, 10L, flush = false),
+      RateEvent("a", 2L, 10L, flush = false),
+      RateEvent("a", 3L, 30L, flush = false))
+    val b2 = Seq(RateEvent("a", 3L, 20L, flush = false),
+      RateEvent("a", 4L, 10L, flush = false))
+    def run(name: String, batches: Seq[Seq[RateEvent]]): Seq[(Long, Long, Long, Long, Boolean)] = {
+      val mem = MemoryStream[RateEvent]
+      val q = StreamingRate.alerts(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      mem.addData(RateEvent("a", Long.MaxValue, 0L, flush = true))
+      q.processAllAvailable()
+      q.stop()
+      spark.table(name).as[RateAlert].collect().sortBy(_.win)
+        .map(a => (a.win, a.n_events, a.prior_windows, a.prior_total, a.is_spike)).toSeq
+    }
+    val expect = Seq(
+      (1L, 10L, 0L, 0L, false),  // first window: no history, never a spike
+      (2L, 10L, 1L, 10L, false),
+      (3L, 50L, 2L, 20L, true),  // 50·2 = 100 > 2·20
+      (4L, 10L, 3L, 70L, false)) // 10·3 = 30 < 2·70
+    assert(run("rate_split", Seq(b1, b2)) == expect)
+    assert(run("rate_one", Seq(b1 ++ b2)) == expect)
+  }
 }
