@@ -48,6 +48,36 @@ object TextAnalysis {
         / (size(toks) + 1).cast("double")).as("quality"))
   }
 
+  /** Per-document character-level Shannon entropy, exact-integer gated:
+    * ent_q = Σ_chars c·⌊1e6·ln(n/c) + ½⌋ (= n·1e6·H up to per-term
+    * rounding — the quantize-before-sum rule, so both engines add the
+    * same integers), plus ent_ppm_per_char = ent_q div n (≈ 1e6·H in
+    * nats). The gibberish/boilerplate detector a quality stack runs
+    * before any model: natural prose sits near H≈3 nats, `aaaa…` at 0,
+    * base64 blobs near ln(64). Characters come from one explode of a
+    * substring transform (identical on both engines — no locale-dependent
+    * split('') semantics); zero-length docs report 0. */
+  def charEntropy(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val chars = docs
+      .select(col(idCol).as("id"),
+        explode(expr(s"CASE WHEN length($textCol) = 0 THEN array() " +
+          s"ELSE transform(sequence(1, length($textCol)), i -> substring($textCol, i, 1)) END"))
+          .as("ch"))
+      .groupBy("id", "ch").agg(count(lit(1)).as("c"))
+    val perDoc = chars.groupBy("id")
+      .agg(sum("c").as("n_chars"), count(lit(1)).as("n_distinct_chars"))
+    val ent = chars.join(perDoc, "id")
+      .withColumn("term",
+        col("c") * floor(log(col("n_chars").cast("double") / col("c").cast("double")) *
+          1000000.0 + 0.5).cast("long"))
+      .groupBy("id").agg(sum("term").as("ent_q"))
+    docs.select(col(idCol).as("id"))
+      .join(perDoc, Seq("id"), "left").na.fill(0L, Seq("n_chars", "n_distinct_chars"))
+      .join(ent, Seq("id"), "left").na.fill(0L, Seq("ent_q"))
+      .withColumn("ent_ppm_per_char", expr(
+        "CASE WHEN n_chars = 0 THEN 0L ELSE ent_q div n_chars END"))
+  }
+
   /** Heuristic language ID: stopword-lexicon hit counts per language,
     * prediction = argmax with alphabetical tie-break. Pure CASE expression —
     * zero joins, runs in the scan stage. */

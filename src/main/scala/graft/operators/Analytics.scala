@@ -76,6 +76,57 @@ object Analytics {
         expr(s"bin * ${binWidth}L + ((r - cumb) * ${binWidth}L) div c").as("est_q"))
   }
 
+  /** Leave-one-out target encoding of a categorical column: each row's
+    * encoding is the mean target of its category EXCLUDING the row itself —
+    * ⌊1e6·(Σ_g y − y_i) / (n_g − 1)⌋ — the standard high-cardinality
+    * categorical feature that, computed naively (full-group mean), leaks
+    * each row's own label into its feature. Exact integers throughout
+    * (binary target); singleton categories encode as −1 (no peers — the
+    * caller decides a prior). One groupBy shuffle + one equi-join back;
+    * the category stats frame is |categories| rows. */
+  def looTargetEncode(df: DataFrame, catCol: String, idCol: String,
+      targetCol: String): DataFrame = {
+    val g = df.groupBy(col(catCol))
+      .agg(count(lit(1)).as("n_cat"), sum(col(targetCol)).as("sum_y"))
+    df.select(col(idCol), col(catCol), col(targetCol).as("y"))
+      .join(g, catCol)
+      .withColumn("loo_ppm", expr(
+        "CASE WHEN n_cat = 1 THEN -1L ELSE ((sum_y - y) * 1000000) div (n_cat - 1) END"))
+      .select(col(idCol), col(catCol), col("y"), col("n_cat"), col("loo_ppm"))
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov statistic per group, in crossed
+    * integer arithmetic: D = max_v |F_a(v) − F_b(v)| is reported as
+    * d_num = max_v |cumA(v)·n_b − cumB(v)·n_a| (so D = d_num/(n_a·n_b) —
+    * no floats anywhere) plus the floored d_ppm. The distribution-drift
+    * test q162's fixed bins approximate, made exact: evaluated at every
+    * DISTINCT value, ties handled by grouping before the cumulative walk.
+    *
+    * Shape: one groupBy to (group, value) rows, two group-partitioned
+    * cumulative windows, one max aggregate — never a global sort. `flagCol`
+    * (boolean) marks the A sample. */
+  def ksStat(df: DataFrame, keyCol: String, valueCol: String,
+      flagCol: String): DataFrame = {
+    val c = df.select(col(keyCol).as("g"), col(valueCol).as("v"),
+        col(flagCol).as("a"))
+      .groupBy("g", "v")
+      .agg(sum(when(col("a"), 1L).otherwise(0L)).as("c_a"),
+        sum(when(!col("a"), 1L).otherwise(0L)).as("c_b"))
+    val wcum = Window.partitionBy("g").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("g")
+    c.withColumn("cum_a", sum("c_a").over(wcum))
+      .withColumn("cum_b", sum("c_b").over(wcum))
+      .withColumn("n_a", sum("c_a").over(wall))
+      .withColumn("n_b", sum("c_b").over(wall))
+      .groupBy(col("g").as("key"))
+      .agg(max("n_a").as("n_a"), max("n_b").as("n_b"),
+        max(abs(col("cum_a") * col("n_b") - col("cum_b") * col("n_a")))
+          .as("d_num"))
+      .withColumn("d_ppm", expr(
+        "CASE WHEN n_a = 0 OR n_b = 0 THEN -1L ELSE (d_num * 1000000) div (n_a * n_b) END"))
+  }
+
   /** Exact tie-corrected ROC-AUC by Mann–Whitney rank-sum, in doubled-rank
     * integer arithmetic: under the (score, id) total order a tie group's
     * ordinal ranks span exactly [lo, hi], so twice a member's AVERAGE rank

@@ -440,6 +440,160 @@ object Analytics {
       |    - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den) // kappa_den AS kappa_ppm
       |FROM k2""".stripMargin
 
+  // --------------------------------------- q176 leave-one-out encoding
+
+  /** Feature engineering — leave-one-out target encoding
+    * ([[graft.operators.Analytics.looTargetEncode]]): event_type encoded
+    * by the mean big-ticket rate (cents ≥ 10000) of its category
+    * EXCLUDING the row itself — the standard high-cardinality categorical
+    * feature with the self-leak removed (the naive full-group mean hands
+    * each row its own label; on rare categories that's memorization, the
+    * tabular twin of q104's split leakage). Exact ⌊1e6·(Σy−yᵢ)/(n−1)⌋. */
+  def q176TargetEncoding(s: SparkSession, dir: String): DataFrame =
+    Ops.looTargetEncode(
+      t(s, dir, "events").select(col("event_id"), col("event_type"),
+        expr("CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 10000 THEN 1L ELSE 0L END")
+          .as("y")),
+      "event_type", "event_id", "y")
+      .orderBy("event_id")
+
+  val q176Sql: String =
+    """WITH e AS (SELECT event_id, event_type,
+      |    CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 10000
+      |         THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cat,
+      |        CAST(sum(y) AS BIGINT) AS sum_y
+      |      FROM e GROUP BY 1)
+      |SELECT e.event_id, e.event_type, CAST(e.y AS BIGINT) AS y, g.n_cat,
+      |  CASE WHEN g.n_cat = 1 THEN -1
+      |       ELSE ((g.sum_y - e.y) * 1000000) // (g.n_cat - 1) END AS loo_ppm
+      |FROM e JOIN g USING (event_type) ORDER BY event_id""".stripMargin
+
+  // ------------------------------------------------- q177 Zipf fit
+
+  /** Corpus health — per-source Zipf fit: OLS slope of ln(freq) on
+    * ln(rank) over each source's top-200 tokens (milli-quantized logs ⇒
+    * exact-integer OLS pieces; slope via the q173 floor-mod identity —
+    * it's ≈ −1000 for natural language). A source whose slope drifts far
+    * from −1 is template spam (too flat) or a tag vocabulary (too steep) —
+    * the one-number version of q72's eyeballed report. Rank windows are
+    * source-partitioned; the head cap bounds the fit frame at
+    * |sources|·200 rows. */
+  def q177ZipfFit(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(col("freq").desc, col("w"))
+    val f = docs(s, dir)
+      .select(col("source"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .groupBy("source", "w").agg(count(lit(1)).as("freq"))
+    f.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter(col("rnk") <= 200)
+      .select(col("source"),
+        floor(log(col("rnk").cast("double")) * 1000.0 + 0.5).cast("long").as("lx"),
+        floor(log(col("freq").cast("double")) * 1000.0 + 0.5).cast("long").as("ly"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_ranks"),
+        sum("lx").as("s_x"), sum("ly").as("s_y"),
+        sum(col("lx") * col("lx")).as("s_xx"),
+        sum(col("lx") * col("ly")).as("s_xy"))
+      .withColumn("num", expr("n_ranks * s_xy - s_x * s_y"))
+      .withColumn("den", expr("n_ranks * s_xx - s_x * s_x"))
+      .withColumn("slope_milli", expr(
+        "(num * 1000 - ((num * 1000 % den) + den) % den) div den"))
+      .orderBy("source")
+  }
+
+  val q177Sql: String =
+    """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+      |  FROM documents),
+      |f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, w) AS BIGINT) AS rnk
+      |      FROM f),
+      |h AS (SELECT source,
+      |        CAST(floor(ln(CAST(rnk AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS lx,
+      |        CAST(floor(ln(CAST(freq AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS ly
+      |      FROM r WHERE rnk <= 200),
+      |o AS (SELECT source, CAST(count(*) AS BIGINT) AS n_ranks,
+      |        CAST(sum(lx) AS BIGINT) AS s_x, CAST(sum(ly) AS BIGINT) AS s_y,
+      |        CAST(sum(lx * lx) AS BIGINT) AS s_xx, CAST(sum(lx * ly) AS BIGINT) AS s_xy
+      |      FROM h GROUP BY 1),
+      |w2 AS (SELECT *, n_ranks * s_xy - s_x * s_y AS num,
+      |         n_ranks * s_xx - s_x * s_x AS den FROM o)
+      |SELECT source, n_ranks, s_x, s_y, s_xx, s_xy, num, den,
+      |  (num * 1000 - ((num * 1000 % den) + den) % den) // den AS slope_milli
+      |FROM w2 ORDER BY source""".stripMargin
+
+  // -------------------------------------------- q178 char entropy
+
+  /** Text analysis — per-document character-entropy report
+    * ([[graft.llmops.TextAnalysis.charEntropy]]): exact-integer Shannon
+    * entropy (quantize-before-sum), the gibberish/boilerplate signal the
+    * q56 rule battery lacks — `aaaa…` and base64 blobs both pass length
+    * and stopword gates but sit at entropy extremes. */
+  def q178CharEntropy(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextAnalysis.charEntropy(docs(s, dir), "doc_id", "text")
+      .orderBy("id")
+
+  val q178Sql: String =
+    """WITH ch AS (SELECT doc_id AS id, substr(text, CAST(i AS INT), 1) AS ch
+      |  FROM documents, UNNEST(range(1, length(text) + 1)) AS u(i)),
+      |c AS (SELECT id, ch, CAST(count(*) AS BIGINT) AS c FROM ch GROUP BY 1, 2),
+      |pd AS (SELECT id, CAST(sum(c) AS BIGINT) AS n_chars,
+      |         CAST(count(*) AS BIGINT) AS n_distinct_chars FROM c GROUP BY 1),
+      |e AS (SELECT c.id, CAST(sum(c.c *
+      |         CAST(floor(ln(CAST(pd.n_chars AS DOUBLE) / CAST(c.c AS DOUBLE))
+      |           * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS ent_q
+      |      FROM c JOIN pd USING (id) GROUP BY 1)
+      |SELECT d.doc_id AS id, COALESCE(pd.n_chars, 0) AS n_chars,
+      |  COALESCE(pd.n_distinct_chars, 0) AS n_distinct_chars,
+      |  COALESCE(e.ent_q, 0) AS ent_q,
+      |  CASE WHEN COALESCE(pd.n_chars, 0) = 0 THEN 0
+      |       ELSE e.ent_q // pd.n_chars END AS ent_ppm_per_char
+      |FROM documents d LEFT JOIN pd ON pd.id = d.doc_id LEFT JOIN e ON e.id = d.doc_id
+      |ORDER BY id""".stripMargin
+
+  // ------------------------------------------------ q179 KS statistic
+
+  /** Drift — exact two-sample Kolmogorov–Smirnov per event type between
+    * the corpus's two time halves ([[graft.operators.Analytics.ksStat]]):
+    * D as the integer d_num = max|cumA·n_b − cumB·n_a| over every distinct
+    * cent value (q162's $50 bins made exact — the KS answer to "did the
+    * value distribution move?", no binning assumption). Time midpoint is
+    * a 1-row broadcast anchor. */
+  def q179KsStat(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      unix_micros(col("ts")).as("us"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val mid = broadcast(ev.agg(expr("(min(us) + max(us)) div 2").as("tmid")))
+    Ops.ksStat(
+      ev.crossJoin(mid).withColumn("a", col("us") < col("tmid")),
+      "event_type", "cents", "a")
+      .orderBy("key")
+  }
+
+  val q179Sql: String =
+    """WITH ev AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |m AS (SELECT (CAST(min(us) AS BIGINT) + CAST(max(us) AS BIGINT)) // 2 AS tmid FROM ev),
+      |s AS (SELECT event_type AS g, v, us < tmid AS a FROM ev CROSS JOIN m),
+      |c AS (SELECT g, v,
+      |        CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS c_a,
+      |        CAST(sum(CASE WHEN NOT a THEN 1 ELSE 0 END) AS BIGINT) AS c_b
+      |      FROM s GROUP BY 1, 2),
+      |w AS (SELECT *,
+      |        CAST(sum(c_a) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_a,
+      |        CAST(sum(c_b) OVER (PARTITION BY g ORDER BY v) AS BIGINT) AS cum_b,
+      |        CAST(sum(c_a) OVER (PARTITION BY g) AS BIGINT) AS n_a,
+      |        CAST(sum(c_b) OVER (PARTITION BY g) AS BIGINT) AS n_b
+      |      FROM c)
+      |SELECT g AS key, max(n_a) AS n_a, max(n_b) AS n_b,
+      |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
+      |  (CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) * 1000000)
+      |    // (max(n_a) * max(n_b)) AS d_ppm
+      |FROM w GROUP BY g ORDER BY key""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -451,7 +605,11 @@ object Analytics {
     "q169_mad_outliers" -> (q169MadOutliers _),
     "q171_path_trigrams" -> (q171PathTrigrams _),
     "q173_trend_fit" -> (q173TrendFit _),
-    "q174_kappa" -> (q174Kappa _))
+    "q174_kappa" -> (q174Kappa _),
+    "q176_target_encoding" -> (q176TargetEncoding _),
+    "q177_zipf_fit" -> (q177ZipfFit _),
+    "q178_char_entropy" -> (q178CharEntropy _),
+    "q179_ks_stat" -> (q179KsStat _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -462,5 +620,9 @@ object Analytics {
     "q169_mad_outliers" -> q169Sql,
     "q171_path_trigrams" -> q171Sql,
     "q173_trend_fit" -> q173Sql,
-    "q174_kappa" -> q174Sql)
+    "q174_kappa" -> q174Sql,
+    "q176_target_encoding" -> q176Sql,
+    "q177_zipf_fit" -> q177Sql,
+    "q178_char_entropy" -> q178Sql,
+    "q179_ks_stat" -> q179Sql)
 }

@@ -260,6 +260,51 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("property: ksStat d_num ≡ brute-force max CDF-difference cross term") {
+    import spark.implicits._
+    val prop = Prop.forAll(genGrouped) { rows =>
+      // flag alternates by index so both samples are usually non-empty
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (g, v, i % 2 == 0) }.toDF("g", "v", "a")
+      val got = Analytics.ksStat(df, "g", "v", "a")
+        .collect().map(r => r.getAs[String]("key") ->
+          (r.getAs[Long]("n_a"), r.getAs[Long]("n_b"), r.getAs[Long]("d_num"))).toMap
+      rows.zipWithIndex.groupBy(_._1._1).forall { case (g, grp) =>
+        val as = grp.collect { case ((_, v), i) if i % 2 == 0 => v }
+        val bs = grp.collect { case ((_, v), i) if i % 2 != 0 => v }
+        val dNum = grp.map(_._1._2).distinct.map { v =>
+          (as.count(_ <= v).toLong * bs.length - bs.count(_ <= v).toLong * as.length).abs
+        }.max
+        got(g) == ((as.length.toLong, bs.length.toLong, dNum))
+      }
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("charEntropy: uniform text hits exact ln(k); constant text hits 0; empty doc 0") {
+    import spark.implicits._
+    val df = Seq((1L, "abcd"), (2L, "aaaa"), (3L, "")).toDF("doc_id", "text")
+    val out = graft.llmops.TextAnalysis.charEntropy(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("n_chars"), r.getAs[Long]("ent_ppm_per_char"))).toMap
+    assert(out(1L) == ((4L, math.floor(math.log(4.0) * 1e6 + 0.5).toLong)))
+    assert(out(2L) == ((4L, 0L)))
+    assert(out(3L) == ((0L, 0L)))
+  }
+
+  test("looTargetEncode: encoding excludes own label; singleton category -> -1") {
+    import spark.implicits._
+    val df = Seq((1L, "x", 1L), (2L, "x", 0L), (3L, "x", 1L), (4L, "solo", 1L))
+      .toDF("id", "cat", "y")
+    val out = Analytics.looTargetEncode(df, "cat", "id", "y")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("loo_ppm")).toMap
+    assert(out(1L) == 500000L)  // peers 0,1 -> 1/2
+    assert(out(2L) == 1000000L) // peers 1,1 -> 1
+    assert(out(3L) == 500000L)
+    assert(out(4L) == -1L)      // no peers
+  }
+
   test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
     import spark.implicits._
     // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6
