@@ -316,4 +316,49 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!p.matches("(?s).*Window[^\\n]*SinglePartition.*"),
       "the trailing-72h frame must stay user-partitioned")
   }
+
+  test("q166: AUC rank plan — every window keyed on the range-partition id") {
+    val p = plan("q166_auc_eval")
+    val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windows.nonEmpty, "globalRank's per-partition row_number must appear")
+    windows.foreach(w => assert(w.contains("__pid"),
+      s"window not keyed on the range-partition id in the AUC plan: $w"))
+  }
+
+  test("q167: estimator audit probes signatures via hash joins, no nested loop") {
+    val p = plan("q167_minhash_eval")
+    assert(!p.contains("CartesianProduct"),
+      "candidate/signature/token probes must all be equi-joins")
+    // the ONLY permitted nested loop is the token dictionary's triangular
+    // partition-offset join — one row per shuffle partition (metadata
+    // scale, same construct as Ranks.globalRank)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("__pid"),
+        s"non-metadata nested loop in the estimator audit plan: $l"))
+  }
+
+  test("q175: blocking audit — bands and truth join by key, scalars broadcast") {
+    val p = plan("q175_blocking_eval")
+    assert(!p.contains("CartesianProduct"),
+      "the only row-combining joins must be band/pair equi-joins")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      "the four 1-row counters must assemble via broadcast")
+  }
+
+  test("q177/q179: zipf and KS windows stay group-partitioned") {
+    for (q <- Seq("q177_zipf_fit", "q179_ks_stat")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: expected a window operator")
+      assert(!p.matches("(?s).*Window[^\\n]*SinglePartition.*"),
+        s"$q: window must stay source/type-partitioned")
+    }
+  }
+
+  test("q169: MAD plan — windows partitioned by type, medians broadcast back") {
+    val p = plan("q169_mad_outliers")
+    assert(!p.matches("(?s).*Window[^\\n]*SinglePartition.*"),
+      "order-statistic windows must stay group-partitioned")
+    assert(p.contains("BroadcastHashJoin"),
+      "per-group medians must broadcast, not shuffle the corpus again")
+  }
 }
