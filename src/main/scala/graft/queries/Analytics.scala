@@ -594,6 +594,50 @@ object Analytics {
       |    // (max(n_a) * max(n_b)) AS d_ppm
       |FROM w GROUP BY g ORDER BY key""".stripMargin
 
+  // --------------------------------------------- q181 mutual information
+
+  /** Feature selection — mutual information between event_type and the
+    * big-ticket outcome (cents ≥ 10000), reported as exact per-cell
+    * pieces: term_q = n_xy·⌊1e6·ln(n_xy·N / (n_x·n_y)) + ½⌋ (so
+    * Σ term_q = N·1e6·MI up to per-cell rounding — quantize-before-sum,
+    * the q71 rule; each log argument ONE integer ratio). The
+    * model-agnostic "does this feature carry signal" number behind every
+    * filter-style feature ranking — q155/q173 measure LINEAR association,
+    * MI catches any dependence. Marginals broadcast (|types| and 2
+    * rows). */
+  def q181MutualInfo(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events").select(col("event_type"),
+      expr("CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 10000 THEN 1L ELSE 0L END")
+        .as("y"))
+    val cells = e.groupBy("event_type", "y").agg(count(lit(1)).as("n_xy"))
+    val margX = cells.groupBy("event_type").agg(sum("n_xy").as("n_x"))
+    val margY = cells.groupBy("y").agg(sum("n_xy").as("n_y"))
+    val tot = broadcast(cells.agg(sum("n_xy").as("n")))
+    cells.join(broadcast(margX), "event_type").join(broadcast(margY), "y")
+      .crossJoin(tot)
+      .withColumn("term_q", col("n_xy") *
+        floor(log((col("n_xy") * col("n")).cast("double") /
+          (col("n_x") * col("n_y")).cast("double")) * 1000000.0 + 0.5).cast("long"))
+      .select("event_type", "y", "n_xy", "n_x", "n_y", "n", "term_q")
+      .orderBy("event_type", "y")
+  }
+
+  val q181Sql: String =
+    """WITH e AS (SELECT event_type,
+      |    CASE WHEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) >= 10000
+      |         THEN 1 ELSE 0 END AS y
+      |  FROM events),
+      |c AS (SELECT event_type, CAST(y AS BIGINT) AS y, CAST(count(*) AS BIGINT) AS n_xy
+      |      FROM e GROUP BY 1, 2),
+      |mx AS (SELECT event_type, CAST(sum(n_xy) AS BIGINT) AS n_x FROM c GROUP BY 1),
+      |my AS (SELECT y, CAST(sum(n_xy) AS BIGINT) AS n_y FROM c GROUP BY 1),
+      |n AS (SELECT CAST(sum(n_xy) AS BIGINT) AS n FROM c)
+      |SELECT c.event_type, c.y, c.n_xy, mx.n_x, my.n_y, n.n,
+      |  c.n_xy * CAST(floor(ln(CAST(c.n_xy * n.n AS DOUBLE)
+      |    / CAST(mx.n_x * my.n_y AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS term_q
+      |FROM c JOIN mx USING (event_type) JOIN my USING (y) CROSS JOIN n
+      |ORDER BY event_type, y""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -607,6 +651,7 @@ object Analytics {
     "q173_trend_fit" -> (q173TrendFit _),
     "q174_kappa" -> (q174Kappa _),
     "q176_target_encoding" -> (q176TargetEncoding _),
+    "q181_mutual_info" -> (q181MutualInfo _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -622,6 +667,7 @@ object Analytics {
     "q173_trend_fit" -> q173Sql,
     "q174_kappa" -> q174Sql,
     "q176_target_encoding" -> q176Sql,
+    "q181_mutual_info" -> q181Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

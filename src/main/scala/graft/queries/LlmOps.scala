@@ -234,6 +234,104 @@ object LlmOps {
       |  (n_cand * 1000000) // (n_docs * (n_docs - 1) // 2) AS reduction_ppm
       |FROM n1 CROSS JOIN n2 CROSS JOIN n3 CROSS JOIN n4""".stripMargin
 
+  /** S25 — media frame-energy / silence profile: payloads split into
+    * 64-byte frames, each frame's energy the exact byte-value sum
+    * computed by ONE native `aggregate(transform(...))` expression in the
+    * scan stage (no per-byte row explosion, no shuffle of payload
+    * bytes); a frame is silent when its mean byte value < 80. Reports
+    * per item the silent fraction and the LONGEST consecutive silent run
+    * (gaps-and-islands per media — the lead/trail trim an audio ingest
+    * pipeline cuts before feature extraction). Empty payloads emit zero
+    * frames, exactly like [[Multimodal.frames]]. */
+  def q180MediaEnergy(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val fr = docs(s, dir)
+      .select(col("doc_id").as("media_id"), col("text"),
+        length(col("text")).cast("long").as("n"))
+      .filter(col("n") > 0)
+      .select(col("media_id"), col("text"), col("n"),
+        explode(expr("sequence(0L, (n - 1) div 64)")).as("f"))
+      .withColumn("flen", least(lit(64L), col("n") - col("f") * 64))
+      .withColumn("energy", expr(
+        """aggregate(
+          |  transform(sequence(1, CAST(flen AS INT)),
+          |    j -> CAST(ascii(substring(text, CAST(f * 64 + j AS INT), 1)) AS BIGINT)),
+          |  0L, (a, x) -> a + x)""".stripMargin))
+      .withColumn("silent", col("energy") < col("flen") * 80)
+    val runs = fr.filter(col("silent"))
+      .withColumn("grp", col("f") -
+        row_number().over(Window.partitionBy("media_id").orderBy("f")).cast("long"))
+      .groupBy("media_id", "grp").agg(count(lit(1)).as("run"))
+      .groupBy("media_id").agg(max("run").as("max_silent_run"))
+    fr.groupBy("media_id")
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+      .join(runs, Seq("media_id"), "left")
+      .na.fill(0L, Seq("max_silent_run"))
+      .withColumn("silent_ppm", expr("(n_silent * 1000000) div n_frames"))
+      .select("media_id", "n_frames", "n_silent", "silent_ppm", "max_silent_run")
+      .orderBy("media_id")
+  }
+
+  val q180Sql: String =
+    """WITH d AS (SELECT doc_id AS media_id, text FROM documents WHERE length(text) > 0),
+      |ch AS (SELECT media_id, (i - 1) // 64 AS f,
+      |         ascii(substr(text, CAST(i AS INT), 1)) AS b
+      |       FROM d, UNNEST(range(1, length(text) + 1)) AS u(i)),
+      |fr AS (SELECT media_id, f, CAST(count(*) AS BIGINT) AS flen,
+      |         CAST(sum(b) AS BIGINT) AS energy
+      |       FROM ch GROUP BY 1, 2),
+      |s AS (SELECT *, energy < flen * 80 AS silent FROM fr),
+      |runs AS (SELECT media_id, grp, CAST(count(*) AS BIGINT) AS run
+      |         FROM (SELECT media_id,
+      |                 f - row_number() OVER (PARTITION BY media_id ORDER BY f) AS grp
+      |               FROM s WHERE silent)
+      |         GROUP BY 1, 2),
+      |mr AS (SELECT media_id, max(run) AS max_silent_run FROM runs GROUP BY 1),
+      |agg AS (SELECT media_id, CAST(count(*) AS BIGINT) AS n_frames,
+      |          CAST(sum(CASE WHEN silent THEN 1 ELSE 0 END) AS BIGINT) AS n_silent
+      |        FROM s GROUP BY 1)
+      |SELECT a.media_id, n_frames, n_silent,
+      |  (n_silent * 1000000) // n_frames AS silent_ppm,
+      |  COALESCE(mr.max_silent_run, 0) AS max_silent_run
+      |FROM agg a LEFT JOIN mr USING (media_id) ORDER BY media_id""".stripMargin
+
+  /** S24 eval — language-ID accuracy audit: the q24 heuristic's confusion
+    * matrix against the corpus's DECLARED `lang` column — (declared,
+    * predicted, n) cells plus the diagonal flag, the measured
+    * error-structure of the classifier the curation stack routes on
+    * (q107's per-language tiers, q113's caps). zh has no Latin-stopword
+    * lexicon, so its row is all error by construction — the audit makes
+    * that blind spot a NUMBER instead of a footnote. */
+  def q182LangidEval(s: SparkSession, dir: String): DataFrame = {
+    val pred = TextAnalysis.langId(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("predicted"))
+    docs(s, dir).select(col("doc_id").as("id"), col("lang"))
+      .join(pred, "id")
+      .groupBy("lang", "predicted").agg(count(lit(1)).as("n"))
+      .withColumn("correct", col("lang") === col("predicted"))
+      .orderBy("lang", "predicted")
+  }
+
+  val q182Sql: String = {
+    def lex(ws: Seq[String]) = ws.map("'" + _ + "'").mkString("[", ", ", "]")
+    s"""WITH s AS (SELECT doc_id AS id, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |h AS (SELECT id, lang,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopDe)}, x))) AS hits_de,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopEn)}, x))) AS hits_en,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopEs)}, x))) AS hits_es,
+       |  len(list_filter(t, x -> list_contains(${lex(TextAnalysis.StopFr)}, x))) AS hits_fr
+       |FROM s),
+       |p AS (SELECT id, lang,
+       |  CASE WHEN hits_de >= GREATEST(hits_en, hits_es, hits_fr) THEN 'de'
+       |       WHEN hits_en >= GREATEST(hits_es, hits_fr) THEN 'en'
+       |       WHEN hits_es >= hits_fr THEN 'es'
+       |       ELSE 'fr' END AS predicted
+       |FROM h)
+       |SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n, lang = predicted AS correct
+       |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
+  }
+
   /** S22/S23 — INCREMENTAL dedup ([[Dedup.incrementalDedup]]): docs
     * doc_id ≥ 400 play the arriving delta batch, the rest the indexed
     * corpus; delta band keys (trigram-shingle minhash k=32, 4 rows/band →
@@ -1693,6 +1791,8 @@ object LlmOps {
     "q165_media_phash" -> (q165MediaPhash _),
     "q167_minhash_eval" -> (q167MinhashEval _),
     "q175_blocking_eval" -> (q175BlockingEval _),
+    "q180_media_energy" -> (q180MediaEnergy _),
+    "q182_langid_eval" -> (q182LangidEval _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1738,6 +1838,8 @@ object LlmOps {
     "q165_media_phash" -> q165Sql,
     "q167_minhash_eval" -> q167Sql,
     "q175_blocking_eval" -> q175Sql,
+    "q180_media_energy" -> q180Sql,
+    "q182_langid_eval" -> q182Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

@@ -53,7 +53,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q168_ab_lift", "q169_mad_outliers", "q170_dirichlet_ql",
       "q171_path_trigrams", "q172_stream_rate", "q173_trend_fit",
       "q174_kappa", "q175_blocking_eval", "q176_target_encoding",
-      "q177_zipf_fit", "q178_char_entropy", "q179_ks_stat")) {
+      "q177_zipf_fit", "q178_char_entropy", "q179_ks_stat",
+      "q180_media_energy", "q181_mutual_info", "q182_langid_eval")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
