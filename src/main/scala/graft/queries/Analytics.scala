@@ -638,6 +638,142 @@ object Analytics {
       |FROM c JOIN mx USING (event_type) JOIN my USING (y) CROSS JOIN n
       |ORDER BY event_type, y""".stripMargin
 
+  // --------------------------------------------- q183 calibration deciles
+
+  /** Model-eval — reliability table of the q143 classifier against the
+    * q166 reference label, by combined-rank deciles: per decile the doc
+    * count, observed positive rate (×1e6) and the score mass — the
+    * calibration companion of q166 (AUC says the ORDER is right;
+    * calibration says the LEVEL means something before a threshold is
+    * picked on it). Deciles from the same distributed zip-with-index rank
+    * as q160 — no single-partition window. */
+  def q183Calibration(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val truth = docs(s, dir)
+      .select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("long").as("pos"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    globalRank(scored, "rnk", col("score_milli"), col("id"))
+      .join(truth, "id").crossJoin(n)
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_docs"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"),
+        sum("score_milli").as("sum_score_milli"))
+      .withColumn("obs_ppm", expr("(n_pos * 1000000) div n"))
+      .orderBy("decile")
+  }
+
+  val q183Sql: String = DuckClassifierScore +
+    """,
+      |r AS (SELECT id, score_milli,
+      |        CAST(row_number() OVER (ORDER BY score_milli, id) AS BIGINT) AS rnk
+      |      FROM sc),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sc),
+      |j AS (SELECT r.rnk, r.score_milli,
+      |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos,
+      |        ((r.rnk - 1) * 10) // n.n_docs AS decile
+      |      FROM r JOIN documents d ON d.doc_id = r.id CROSS JOIN n)
+      |SELECT decile, CAST(count(*) AS BIGINT) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+      |  CAST(sum(score_milli) AS BIGINT) AS sum_score_milli,
+      |  (CAST(sum(pos) AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT) AS obs_ppm
+      |FROM j GROUP BY 1 ORDER BY decile""".stripMargin
+
+  // ------------------------------------------------- q184 PSI drift
+
+  /** Model monitoring — population stability index pieces of the q143
+    * score between the corpus's two id-parity halves, over combined-rank
+    * decile bins with +1 Laplace smoothing (the standard PSI recipe —
+    * smoothing makes empty bins finite and is stated, not hidden): per
+    * bin the halves' counts, the exact integer difference numerator
+    * (sₐ·(t_b+10) − s_b·(tₐ+10)) and the ×1e6-quantized log-ratio —
+    * PSI assembles downstream as Σ num·lr_q / ((tₐ+10)(t_b+10)·1e6).
+    * Exchangeable halves pin the expectation near zero; a real
+    * train-vs-serve drift swaps the halves for the two time periods
+    * without touching the plan. */
+  def q184PsiDrift(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    val bins = globalRank(scored, "rnk", col("score_milli"), col("id"))
+      .crossJoin(n)
+      .withColumn("bin", expr("((rnk - 1) * 10) div n_docs"))
+      .groupBy("bin")
+      .agg(sum(when(pmod(col("id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("id"), lit(2)) =!= 0, 1L).otherwise(0L)).as("n_b"))
+    val tot = broadcast(bins.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b")))
+    bins.crossJoin(tot)
+      .withColumn("diff_num",
+        expr("(n_a + 1) * (t_b + 10) - (n_b + 1) * (t_a + 10)"))
+      .withColumn("lr_q",
+        floor(log(((col("n_a") + 1) * (col("t_b") + 10)).cast("double") /
+          ((col("n_b") + 1) * (col("t_a") + 10)).cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+      .select("bin", "n_a", "n_b", "t_a", "t_b", "diff_num", "lr_q")
+      .orderBy("bin")
+  }
+
+  val q184Sql: String = DuckClassifierScore +
+    """,
+      |r AS (SELECT id, score_milli,
+      |        CAST(row_number() OVER (ORDER BY score_milli, id) AS BIGINT) AS rnk
+      |      FROM sc),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sc),
+      |b AS (SELECT ((rnk - 1) * 10) // n_docs AS bin,
+      |        CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      |      FROM r CROSS JOIN n GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b FROM b)
+      |SELECT bin, n_a, n_b, t_a, t_b,
+      |  (n_a + 1) * (t_b + 10) - (n_b + 1) * (t_a + 10) AS diff_num,
+      |  CAST(floor(ln(CAST((n_a + 1) * (t_b + 10) AS DOUBLE)
+      |    / CAST((n_b + 1) * (t_a + 10) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+      |FROM b CROSS JOIN t ORDER BY bin""".stripMargin
+
+  // --------------------------------------------- q185 last-touch attribution
+
+  /** Attribution — every purchase credited to the SAME user's most recent
+    * preceding non-purchase event (last-touch): per touch type the
+    * purchase count and cent sum, `none` for purchases with no prior
+    * touch. One user-partitioned `last(..., ignoreNulls)` window under
+    * the (ts, event_id) total order — the as-of lookup q51 does across
+    * tables, applied within one stream; the report every campaign
+    * dashboard starts from. */
+  def q185Attribution(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("touch",
+        last(when(col("event_type") =!= "purchase", col("event_type")), ignoreNulls = true)
+          .over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch"))
+      .agg(count(lit(1)).as("n_purchases"), sum("cents").as("cents"))
+      .orderBy("touch")
+  }
+
+  val q185Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, ts,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |a AS (SELECT *,
+      |        last_value(CASE WHEN event_type <> 'purchase' THEN event_type END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+      |      FROM e)
+      |SELECT COALESCE(touch, 'none') AS touch, CAST(count(*) AS BIGINT) AS n_purchases,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM a WHERE event_type = 'purchase'
+      |GROUP BY 1 ORDER BY touch""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -652,6 +788,9 @@ object Analytics {
     "q174_kappa" -> (q174Kappa _),
     "q176_target_encoding" -> (q176TargetEncoding _),
     "q181_mutual_info" -> (q181MutualInfo _),
+    "q183_calibration" -> (q183Calibration _),
+    "q184_psi_drift" -> (q184PsiDrift _),
+    "q185_attribution" -> (q185Attribution _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -668,6 +807,9 @@ object Analytics {
     "q174_kappa" -> q174Sql,
     "q176_target_encoding" -> q176Sql,
     "q181_mutual_info" -> q181Sql,
+    "q183_calibration" -> q183Sql,
+    "q184_psi_drift" -> q184Sql,
+    "q185_attribution" -> q185Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

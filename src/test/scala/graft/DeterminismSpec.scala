@@ -54,7 +54,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q171_path_trigrams", "q172_stream_rate", "q173_trend_fit",
       "q174_kappa", "q175_blocking_eval", "q176_target_encoding",
       "q177_zipf_fit", "q178_char_entropy", "q179_ks_stat",
-      "q180_media_energy", "q181_mutual_info", "q182_langid_eval")) {
+      "q180_media_energy", "q181_mutual_info", "q182_langid_eval",
+      "q183_calibration", "q184_psi_drift", "q185_attribution")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
