@@ -774,6 +774,58 @@ object Analytics {
       |FROM a WHERE event_type = 'purchase'
       |GROUP BY 1 ORDER BY touch""".stripMargin
 
+  // --------------------------------------------- q188 per-group AUC
+
+  /** Model-eval — the q166 AUC stratified per SOURCE: the subgroup
+    * discrimination audit ("the filter works globally — does it work on
+    * every domain?") that catches a classifier riding one domain's
+    * artifacts. Same doubled-rank tie algebra as q166, but ranks come
+    * from source-PARTITIONED windows (no global rank needed — each
+    * group's AUC only orders within the group); one-class sources report
+    * the −1 sentinel instead of a divide-by-zero. */
+  def q188AucByGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy("score_milli", "id")
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val d = docs(s, dir).select(col("doc_id").as("id"), col("source").as("g"),
+      (col("lang") === "en").as("truth"))
+    val ranked = scored.join(d, "id")
+      .withColumn("rnk", row_number().over(w).cast("long"))
+    val ties = ranked.groupBy("g", "score_milli")
+      .agg(min("rnk").as("lo"), max("rnk").as("hi"))
+    ranked.join(ties, Seq("g", "score_milli"))
+      .groupBy(col("g").as("source"))
+      .agg(
+        sum(when(col("truth"), 1L).otherwise(0L)).as("n_pos"),
+        sum(when(!col("truth"), 1L).otherwise(0L)).as("n_neg"),
+        sum(when(col("truth"), col("lo") + col("hi")).otherwise(0L)).as("r2_pos"))
+      .withColumn("u2", expr("r2_pos - n_pos * (n_pos + 1)"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1L ELSE (u2 * 1000000) div (2 * n_pos * n_neg) END"))
+      .select("source", "n_pos", "n_neg", "u2", "auc_ppm")
+      .orderBy("source")
+  }
+
+  val q188Sql: String = DuckClassifierScore +
+    """,
+      |j AS (SELECT sc.id, sc.score_milli, d.source AS g, d.lang = 'en' AS truth
+      |      FROM sc JOIN documents d ON d.doc_id = sc.id),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY g ORDER BY score_milli, id) AS BIGINT) AS rnk
+      |      FROM j),
+      |ties AS (SELECT g, score_milli, min(rnk) AS lo, max(rnk) AS hi
+      |         FROM r GROUP BY 1, 2),
+      |a AS (SELECT r.g AS source,
+      |        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+      |        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS n_neg,
+      |        CAST(sum(CASE WHEN truth THEN lo + hi ELSE 0 END) AS BIGINT) AS r2_pos
+      |      FROM r JOIN ties USING (g, score_milli) GROUP BY 1)
+      |SELECT source, n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2,
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+      |       ELSE ((r2_pos - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) END AS auc_ppm
+      |FROM a ORDER BY source""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -791,6 +843,7 @@ object Analytics {
     "q183_calibration" -> (q183Calibration _),
     "q184_psi_drift" -> (q184PsiDrift _),
     "q185_attribution" -> (q185Attribution _),
+    "q188_auc_by_group" -> (q188AucByGroup _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -810,6 +863,7 @@ object Analytics {
     "q183_calibration" -> q183Sql,
     "q184_psi_drift" -> q184Sql,
     "q185_attribution" -> q185Sql,
+    "q188_auc_by_group" -> q188Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

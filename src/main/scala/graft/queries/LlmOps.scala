@@ -332,6 +332,40 @@ object LlmOps {
        |FROM p GROUP BY 1, 2 ORDER BY lang, predicted""".stripMargin
   }
 
+  /** S23 monitoring — embedding-health report per label: vector counts,
+    * degenerate (zero-norm) vectors, and the exact ×1e4-quantized squared
+    * norm's sum/min/max — the "are the embeddings sane" audit every
+    * ANN/clustering consumer (q43/q67/q140) silently assumes. norm²_q is
+    * ONE native fused `array_dot` self-dot per vector in the scan stage
+    * (no explode); a zero-norm vector breaks every cosine downstream, so
+    * it's counted, not averaged away. */
+  def q186EmbedHealth(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.arrayDotScaled
+    emb(s, dir)
+      .select(col("label"),
+        arrayDotScaled(col("embedding"), col("embedding"), 10000L).as("norm2_q"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("norm2_q") === 0, 1L).otherwise(0L)).as("n_zero"),
+        sum("norm2_q").as("sum_norm2_q"),
+        min("norm2_q").as("min_norm2_q"),
+        max("norm2_q").as("max_norm2_q"))
+      .orderBy("label")
+  }
+
+  val q186Sql: String =
+    """WITH q AS (SELECT vec_id, label, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 10000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |n AS (SELECT vec_id, label, CAST(SUM(x * x) AS BIGINT) AS norm2_q
+      |      FROM q GROUP BY 1, 2)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+      |  CAST(sum(CASE WHEN norm2_q = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+      |  CAST(sum(norm2_q) AS BIGINT) AS sum_norm2_q,
+      |  min(norm2_q) AS min_norm2_q, max(norm2_q) AS max_norm2_q
+      |FROM n GROUP BY 1 ORDER BY label""".stripMargin
+
   /** S22/S23 — INCREMENTAL dedup ([[Dedup.incrementalDedup]]): docs
     * doc_id ≥ 400 play the arriving delta batch, the rest the indexed
     * corpus; delta band keys (trigram-shingle minhash k=32, 4 rows/band →
@@ -1793,6 +1827,7 @@ object LlmOps {
     "q175_blocking_eval" -> (q175BlockingEval _),
     "q180_media_energy" -> (q180MediaEnergy _),
     "q182_langid_eval" -> (q182LangidEval _),
+    "q186_embed_health" -> (q186EmbedHealth _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1840,6 +1875,7 @@ object LlmOps {
     "q175_blocking_eval" -> q175Sql,
     "q180_media_energy" -> q180Sql,
     "q182_langid_eval" -> q182Sql,
+    "q186_embed_health" -> q186Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,

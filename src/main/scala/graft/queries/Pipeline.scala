@@ -153,6 +153,67 @@ object Pipeline {
       |  CAST(sum(contrib_q) AS BIGINT) AS score_q
       |FROM c2 GROUP BY 1 ORDER BY id""".stripMargin
 
+  /** Retrieval eval — nDCG@10 of the q59 BM25 ranking against the graded
+    * relevance label rel = n_terms_hit (how many distinct query terms the
+    * doc contains, 0–3): DCG = Σ relᵢ·w(i) with the ×1e6-quantized rank
+    * weight w(i) = ⌊1e6·ln2/ln(i+1) + ½⌋ computed identically from the
+    * rank on both engines, IDCG from the ideal (rel DESC, id) order,
+    * ndcg_ppm their floored ratio. Completes the retrieval-eval family:
+    * q142 recall (how many), q164 MRR (how early), nDCG (how WELL-ORDERED
+    * the whole graded list is). No-hit documents rank with score 0 so the
+    * cut is over the full corpus; both rankings via the distributed
+    * zip-with-index — no single-partition window. */
+  def q187Ndcg(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val scored = docs(s, dir).select(col("doc_id").as("id"))
+      .join(Corpus.bm25(docs(s, dir), "doc_id", "text",
+        Seq("join", "window", "scan")), Seq("id"), "left")
+      .na.fill(0L, Seq("n_terms_hit", "score_q"))
+      .select(col("id"), col("score_q"), col("n_terms_hit").as("rel"))
+    def dcgOf(df: DataFrame, rankCol: String, out: String): DataFrame =
+      df.filter(col(rankCol) <= 10)
+        .withColumn("w_q",
+          floor(lit(1000000.0) * log(lit(2.0)) /
+            log((col(rankCol) + 1).cast("double")) + 0.5).cast("long"))
+        .agg(sum(col("rel") * col("w_q")).as(out))
+    val byScore = dcgOf(
+      globalRank(scored, "rnk", col("score_q").desc, col("id")), "rnk", "dcg_q")
+    val ideal = dcgOf(
+      globalRank(scored, "irnk", col("rel").desc, col("id")), "irnk", "idcg_q")
+    byScore.crossJoin(ideal)
+      .withColumn("ndcg_ppm", expr("(dcg_q * 1000000) div idcg_q"))
+  }
+
+  val q187Sql: String = DuckTf +
+    """,
+      |dl AS (SELECT id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+      |st AS (SELECT count(DISTINCT id) AS n_docs, CAST(sum(tf) AS BIGINT) AS total_len FROM tf),
+      |qtf AS (SELECT * FROM tf WHERE w IN ('join', 'window', 'scan')),
+      |df AS (SELECT w, count(*) AS df FROM qtf GROUP BY 1),
+      |c AS (SELECT id, CAST(floor(
+      |        ln(1.0 + (CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5))
+      |          * (tf * (1.2 + 1.0))
+      |          / (tf + 1.2 * (1.0 - 0.75 + 0.75 * CAST(dl AS DOUBLE)
+      |               / (CAST(total_len AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+      |          * 1000000.0 + 0.5) AS BIGINT) AS contrib_q
+      |      FROM qtf JOIN df USING (w) JOIN dl USING (id) CROSS JOIN st),
+      |s AS (SELECT id, CAST(count(*) AS BIGINT) AS rel,
+      |        CAST(sum(contrib_q) AS BIGINT) AS score_q FROM c GROUP BY 1),
+      |al AS (SELECT d.doc_id AS id, COALESCE(s.score_q, 0) AS score_q,
+      |         COALESCE(s.rel, 0) AS rel
+      |       FROM documents d LEFT JOIN s ON s.id = d.doc_id),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY score_q DESC, id) AS BIGINT) AS rnk,
+      |        CAST(row_number() OVER (ORDER BY rel DESC, id) AS BIGINT) AS irnk
+      |      FROM al),
+      |d1 AS (SELECT CAST(sum(rel * CAST(floor(1000000.0 * ln(2.0)
+      |         / ln(CAST(rnk + 1 AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS dcg_q
+      |       FROM r WHERE rnk <= 10),
+      |d2 AS (SELECT CAST(sum(rel * CAST(floor(1000000.0 * ln(2.0)
+      |         / ln(CAST(irnk + 1 AS DOUBLE)) + 0.5) AS BIGINT)) AS BIGINT) AS idcg_q
+      |       FROM r WHERE irnk <= 10)
+      |SELECT dcg_q, idcg_q, (dcg_q * 1000000) // idcg_q AS ndcg_ppm
+      |FROM d1 CROSS JOIN d2""".stripMargin
+
   /** North star — benchmark decontamination: corpus documents (doc_id % 10
     * ≠ 0) sharing any token 8-gram with the held-out set (doc_id % 10 = 0);
     * the eval gram index broadcasts. */
@@ -215,7 +276,8 @@ object Pipeline {
     "q58_pack_sequences" -> (q58PackSequences _),
     "q59_bm25" -> (q59Bm25 _),
     "q60_decontaminate" -> (q60Decontaminate _),
-    "q170_dirichlet_ql" -> (q170DirichletQl _))
+    "q170_dirichlet_ql" -> (q170DirichletQl _),
+    "q187_ndcg" -> (q187Ndcg _))
 
   val oracleSql: Map[String, String] = Map(
     "q114_sparse_knn" -> q114Sql,
@@ -225,5 +287,6 @@ object Pipeline {
     "q58_pack_sequences" -> q58Sql,
     "q59_bm25" -> q59Sql,
     "q60_decontaminate" -> q60Sql,
-    "q170_dirichlet_ql" -> q170Sql)
+    "q170_dirichlet_ql" -> q170Sql,
+    "q187_ndcg" -> q187Sql)
 }

@@ -337,6 +337,28 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q187 nDCG: dcg never exceeds idcg; ratio lands in [0, 1e6]") {
+    val r = graft.queries.Pipeline.q187Ndcg(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (dcg, idcg, ndcg) = (r.getAs[Long]("dcg_q"), r.getAs[Long]("idcg_q"),
+      r.getAs[Long]("ndcg_ppm"))
+    assert(dcg <= idcg, s"dcg=$dcg > idcg=$idcg — ideal order must dominate")
+    assert(ndcg >= 0L && ndcg <= 1000000L)
+  }
+
+  test("q188 per-source AUC: counts re-sum to the corpus; sentinel only for one-class groups") {
+    val rows = graft.queries.Analytics.q188AucByGroup(spark, "/root/testdata/sf0.001")
+      .collect()
+    val total = rows.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).sum
+    assert(total == spark.read.parquet("/root/testdata/sf0.001/documents.parquet").count())
+    rows.foreach { r =>
+      val (p, n, auc) = (r.getAs[Long]("n_pos"), r.getAs[Long]("n_neg"),
+        r.getAs[Long]("auc_ppm"))
+      if (p > 0 && n > 0) assert(auc >= 0L && auc <= 1000000L)
+      else assert(auc == -1L)
+    }
+  }
+
   test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
     import spark.implicits._
     // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6

@@ -55,7 +55,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q174_kappa", "q175_blocking_eval", "q176_target_encoding",
       "q177_zipf_fit", "q178_char_entropy", "q179_ks_stat",
       "q180_media_energy", "q181_mutual_info", "q182_langid_eval",
-      "q183_calibration", "q184_psi_drift", "q185_attribution")) {
+      "q183_calibration", "q184_psi_drift", "q185_attribution",
+      "q186_embed_health", "q187_ndcg", "q188_auc_by_group")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
