@@ -21,6 +21,31 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
+  /** Distributed INCLUSIVE prefix sum of `valueCol` under a total `order` —
+    * the scan primitive behind CDF walks (threshold sweeps, cumulative
+    * gains): same two-pass shape as [[globalRank]] (range repartition →
+    * per-partition window scan → broadcast per-partition offsets via the
+    * metadata triangular join), so no single-partition window ever
+    * materializes. The order columns must form a total order. */
+  def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
+      order: Column*): DataFrame = {
+    val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
+    val parted = df.repartitionByRange(nParts, order: _*)
+      .withColumn("__pid", spark_partition_id())
+      .persist()
+    val local = parted.withColumn("__ls",
+      sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(order: _*)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val totals = parted.groupBy("__pid").agg(sum(col(valueCol)).as("__tot"))
+    val offsets = totals.as("a")
+      .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
+      .groupBy(col("a.__pid").as("__pid"))
+      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
+    local.join(broadcast(offsets), "__pid")
+      .withColumn(sumCol, col("__ls") + col("__off"))
+      .drop("__pid", "__ls", "__off")
+  }
+
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     // persist() pins ONE materialized range partitioning so ranks and

@@ -826,6 +826,61 @@ object Analytics {
       |       ELSE ((r2_pos - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) END AS auc_ppm
       |FROM a ORDER BY source""".stripMargin
 
+  // --------------------------------------------- q189 best F1 threshold
+
+  /** Model-eval — optimal decision threshold for the q143 classifier
+    * against the q166 reference label: sweep EVERY distinct score as the
+    * "predict positive if score ≥ t" cut, compute exact (tp, fp, fn) from
+    * a distributed prefix sum over the descending score order
+    * ([[graft.operators.Ranks.prefixSum]] — the scan primitive, no
+    * single-partition window), and keep the cut maximizing the floored
+    * F1×1e6 (ties → lowest threshold). The step q160's percentile rule
+    * skips: it picks the cut the DATA justifies rather than a quota.
+    * Sweep frame is ≤ |distinct scores| rows. */
+  def q189BestThreshold(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.prefixSum
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val truth = docs(s, dir)
+      .select(col("doc_id").as("id"), (col("lang") === "en").as("truth"))
+    val g = scored.join(truth, "id").groupBy("score_milli")
+      .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("pos_s"),
+        sum(when(!col("truth"), 1L).otherwise(0L)).as("neg_s"))
+    val n = broadcast(g.agg(sum("pos_s").as("n_pos")))
+    val swept = prefixSum(
+      prefixSum(g, "pos_s", "tp", col("score_milli").desc),
+      "neg_s", "fp", col("score_milli").desc)
+    swept.crossJoin(n)
+      .withColumn("fn", col("n_pos") - col("tp"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN tp = 0 THEN 0L ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END"))
+      .select(col("score_milli").as("threshold_milli"),
+        col("tp"), col("fp"), col("fn"), col("f1_ppm"))
+      .orderBy(col("f1_ppm").desc, col("threshold_milli"))
+      .limit(1)
+  }
+
+  val q189Sql: String = DuckClassifierScore +
+    """,
+      |tr AS (SELECT sc.score_milli, d.lang = 'en' AS truth
+      |       FROM sc JOIN documents d ON d.doc_id = sc.id),
+      |gp AS (SELECT score_milli,
+      |        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos_s,
+      |        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS neg_s
+      |      FROM tr GROUP BY 1),
+      |c AS (SELECT score_milli,
+      |        CAST(sum(pos_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS tp,
+      |        CAST(sum(neg_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS fp,
+      |        CAST((SELECT sum(pos_s) FROM gp) AS BIGINT) AS n_pos
+      |      FROM gp),
+      |f AS (SELECT score_milli AS threshold_milli, tp, fp, n_pos - tp AS fn,
+      |        CASE WHEN tp = 0 THEN 0
+      |             ELSE (2 * tp * 1000000) // (2 * tp + fp + n_pos - tp) END AS f1_ppm
+      |      FROM c)
+      |SELECT threshold_milli, tp, fp, fn, f1_ppm
+      |FROM f ORDER BY f1_ppm DESC, threshold_milli LIMIT 1""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -844,6 +899,7 @@ object Analytics {
     "q184_psi_drift" -> (q184PsiDrift _),
     "q185_attribution" -> (q185Attribution _),
     "q188_auc_by_group" -> (q188AucByGroup _),
+    "q189_best_threshold" -> (q189BestThreshold _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -864,6 +920,7 @@ object Analytics {
     "q184_psi_drift" -> q184Sql,
     "q185_attribution" -> q185Sql,
     "q188_auc_by_group" -> q188Sql,
+    "q189_best_threshold" -> q189Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

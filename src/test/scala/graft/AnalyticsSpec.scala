@@ -359,6 +359,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("property: prefixSum ≡ in-memory running total under the same total order") {
+    import spark.implicits._
+    import graft.operators.Ranks
+    val prop = Prop.forAll(genGrouped) { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, v), i) => (i.toLong, g, v) }.toDF("id", "g", "v")
+      val got = Ranks.prefixSum(df, "v", "cum", col("g"), col("id"))
+        .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("cum")).toMap
+      val want = rows.zipWithIndex.map { case ((g, v), i) => (g, i.toLong, v) }
+        .sortBy { case (g, i, _) => (g, i) }
+        .scanLeft((("", -1L), 0L)) { case ((_, acc), (g, i, v)) => ((g, i), acc + v) }
+        .drop(1).map { case ((_, i), acc) => i -> acc }.toMap
+      got == want
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(25), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("q189 best threshold: the picked cut's confusion counts are self-consistent") {
+    val r = graft.queries.Analytics.q189BestThreshold(spark, "/root/testdata/sf0.001")
+      .collect().head
+    val (tp, fp, fn, f1) = (r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+      r.getAs[Long]("fn"), r.getAs[Long]("f1_ppm"))
+    assert(tp >= 0 && fp >= 0 && fn >= 0)
+    assert(f1 == (if (tp == 0) 0L else 2 * tp * 1000000L / (2 * tp + fp + fn)))
+  }
+
   test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
     import spark.implicits._
     // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6
