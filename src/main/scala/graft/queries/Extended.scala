@@ -405,6 +405,82 @@ object Extended {
       |  prior_windows > 0 AND n_events * prior_windows > 2 * prior_total AS is_spike
       |FROM w ORDER BY event_type, day""".stripMargin
 
+  // ------------------------------------------ q190 watermark late-data path
+
+  /** Deterministic staging of the late-data stream: batch 1 = days ≤ Jan 20
+    * MINUS a straggler subset (days 1–5, event_id ≡ 0 mod 7); batch 2 =
+    * days 21–25; batch 3 = the stragglers plus days 26–30. The stragglers
+    * arrive TWO batches after their windows, because Spark's late filter
+    * for batch k uses the watermark in effect during batch k−1 (probed
+    * empirically: stragglers one batch after emission are MERGED, two
+    * batches after are DROPPED with numRowsDroppedByWatermark counting
+    * them). Epoch-day constants: 2024-01-01 = 19723. */
+  private def stageLateSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q190:$dir", {
+      val ev = t(s, dir, "events").select(col("event_type"), col("ts"),
+        expr("unix_micros(ts) div 86400000000").as("day"), col("event_id"))
+      val straggler = col("day") <= 19727 && pmod(col("event_id"), lit(7)) === 0
+      def strip(df: DataFrame): DataFrame = df.select("event_type", "ts")
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> strip(ev.filter(col("day") <= 19742 && !straggler)),
+        "second" -> strip(ev.filter(col("day") >= 19743 && col("day") <= 19747)),
+        "third" -> strip(ev.filter((col("day") <= 19742 && straggler) ||
+          col("day") >= 19748))))
+    })
+
+  /** S26 depth (SIXTEENTH streaming path) — APPEND-mode watermarked
+    * windowed aggregation with genuinely late data: daily event counts
+    * under a 2-day watermark, where the staged replay delivers a
+    * straggler subset of days 1–5 in the THIRD micro-batch — their
+    * windows were emitted and evicted a batch earlier, so Spark DROPS the
+    * stragglers (`numRowsDroppedByWatermark` = their count, probed
+    * empirically) and the emitted counts are visibly ≠ the raw GROUP BY
+    * (q44's complete-mode query shows the opposite). Windows newer than
+    * the final watermark never emit. The oracle replicates the protocol
+    * — the straggler drop and the `window.end ≤ final-watermark`
+    * emission cut — so the append-mode semantics themselves are
+    * hash-gated. The missing-semantic complement of q63's state-TTL
+    * watermark. */
+  def q190StreamLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageLateSource(s, dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.TimestampType)))
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+    val qn = s"q190_late_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-late-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(date_format(col("w.start"), "yyyy-MM-dd").as("day"),
+        col("event_type"), col("n_events"))
+      .orderBy("day", "event_type")
+  }
+
+  val q190Sql: String =
+    """WITH e AS (SELECT event_type, event_id, CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |kept AS (SELECT * FROM e WHERE NOT (day <= 19727 AND event_id % 7 = 0)),
+      |wm AS (SELECT CAST(max(us) AS BIGINT) - 172800000000 AS wmf FROM e),
+      |agg AS (SELECT day, event_type, CAST(count(*) AS BIGINT) AS n_events
+      |        FROM kept GROUP BY 1, 2)
+      |SELECT strftime(make_timestamp(day * 86400000000), '%Y-%m-%d') AS day,
+      |  event_type, n_events
+      |FROM agg CROSS JOIN wm WHERE (day + 1) * 86400000000 <= wmf
+      |ORDER BY day, event_type""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -414,7 +490,8 @@ object Extended {
     "q54_heavy_hitters" -> (q54HeavyHitters _),
     "q146_stream_topk" -> (q146StreamTopK _),
     "q157_stream_mv" -> (q157StreamMv _),
-    "q172_stream_rate" -> (q172StreamRate _))
+    "q172_stream_rate" -> (q172StreamRate _),
+    "q190_stream_late" -> (q190StreamLate _))
 
   val oracleSql: Map[String, String] = Map(
     "q51_asof_join" -> q51Sql,
@@ -423,5 +500,6 @@ object Extended {
     "q54_heavy_hitters" -> q54Sql,
     "q146_stream_topk" -> q146Sql,
     "q157_stream_mv" -> q157Sql,
-    "q172_stream_rate" -> q172Sql)
+    "q172_stream_rate" -> q172Sql,
+    "q190_stream_late" -> q190Sql)
 }

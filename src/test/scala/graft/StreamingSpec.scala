@@ -435,4 +435,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(run("rate_split", Seq(b1, b2)) == expect)
     assert(run("rate_one", Seq(b1 ++ b2)) == expect)
   }
+
+  test("q190 append-mode watermark: stragglers dropped, unfinished windows never emit") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Extended.q190StreamLate(spark, sf)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_events")).toMap
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"))
+    val wmf = ev.agg(max("us")).collect().head.getLong(0) - 172800000000L
+    val expect = ev
+      .filter(!(col("day") <= 19727 && pmod(col("event_id"), lit(7)) === 0))
+      .filter((col("day") + 1) * 86400000000L <= wmf)
+      .groupBy(expr("date_format(timestamp_micros(day * 86400000000), 'yyyy-MM-dd')").as("d"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n")).toMap
+    assert(out == expect, "emitted counts must equal batch minus stragglers, cut at the final watermark")
+    // and the straggler drop is real: raw day-1..5 counts are strictly larger
+    val raw = ev.filter(col("day") <= 19727).count()
+    val emitted15 = out.collect { case ((d, _), n) if d <= "2024-01-05" => n }.sum
+    assert(emitted15 < raw, "stragglers must be missing from the emitted counts")
+  }
 }
