@@ -436,7 +436,17 @@ object Dedup {
     * band share a bucket; emits distinct candidate pairs (id_a < id_b).
     * The band key is the ordered comma-join of the band's minhash values, so
     * the candidate search is a pure equi-join on (band, key). */
-  def lshCandidates(minhashTall: DataFrame, rowsPerBand: Int): DataFrame = {
+  def lshCandidates(minhashTall: DataFrame, rowsPerBand: Int): DataFrame =
+    lshCandidatesSampled(minhashTall, rowsPerBand, 1L)
+
+  /** [[lshCandidates]] with a deterministic 1/`sampleMod` pair sample
+    * (mixed-id arithmetic, no RNG) applied BEFORE the distinct — for
+    * audit-style consumers that need a representative candidate subset,
+    * the join's pair stream is thinned ahead of the dedup shuffle, so
+    * cost scales with the sampled fraction, not the full collision
+    * volume. `sampleMod = 1` keeps every pair. */
+  def lshCandidatesSampled(minhashTall: DataFrame, rowsPerBand: Int,
+      sampleMod: Long): DataFrame = {
     // persisted: both self-join sides would otherwise recompute the whole
     // tokenize→minhash pipeline (session-lifetime cache; unpersist from the
     // caller once results are final)
@@ -446,11 +456,14 @@ object Dedup {
       .agg(array_join(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
         x => x.getField("mh").cast("string")), ",").as("bkey"))
       .persist()
-    banded.as("a")
+    val pairs = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+    (if (sampleMod <= 1L) pairs
+     else pairs.filter(
+       pmod(col("id_a") * 1000003L + col("id_b"), lit(sampleMod)) === 0))
       .distinct()
   }
 

@@ -111,26 +111,36 @@ object LlmOps {
     * estimator (q21's banding, q118's admission verdicts); this is the
     * measured estimation error that justifies — or indicts — those
     * parameters, the q142-recall idea applied to MinHash instead of ANN.
-    * Pair set = the banding's own candidates, so the audit cost is the
-    * index's candidate volume, never n². */
+    * Pair set = a deterministic 1/16 SAMPLE of the banding's own
+    * candidates (mixed-id arithmetic, no RNG) — an accuracy audit needs a
+    * representative pair set, not every pair, and the template-heavy
+    * corpus's band collisions grow superlinearly with corpus size; the
+    * sample keeps audit cost a stated fraction of candidate volume,
+    * never n². */
   def q167MinhashEval(s: SparkSession, dir: String): DataFrame = {
     val tid = Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text")
     val mh = Dedup.minhash(tid, k = 32)
-    val cand = Dedup.lshCandidates(mh, rowsPerBand = 16)
-    val est = cand
-      .join(mh.select(col("id").as("id_a"), col("i"), col("mh").as("mh_a")), Seq("id_a"))
-      .join(mh.select(col("id").as("id_b"), col("i"), col("mh").as("mh_b")), Seq("id_b", "i"))
-      .groupBy("id_a", "id_b")
-      .agg(sum(when(col("mh_a") === col("mh_b"), 1L).otherwise(0L)).as("est_matches"))
-    val sizes = tid.groupBy("id").agg(count(lit(1)).as("n_tok"))
-    val inter = cand
-      .join(tid.select(col("id").as("id_a"), col("tid")), Seq("id_a"))
-      .join(tid.select(col("id").as("id_b"), col("tid")), Seq("id_b", "tid"))
-      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    est.join(inter, Seq("id_a", "id_b"), "left")
-      .na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col("id").as("id_a"), col("n_tok").as("n_a")), "id_a")
-      .join(sizes.select(col("id").as("id_b"), col("n_tok").as("n_b")), "id_b")
+    val cand = Dedup.lshCandidatesSampled(mh, rowsPerBand = 16, sampleMod = 16L)
+    // array payloads, ONE row per pair: the signature vector (k entries)
+    // and the sorted token set ride as arrays, matches/intersections are
+    // native zip_with/array_intersect expressions — no ×k or ×|tokens|
+    // row fanout on the pair stream
+    val sig = mh.groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("mh")))),
+        x => x.getField("mh")).as("sig"))
+    val sets = tid.groupBy("id")
+      .agg(sort_array(collect_set(col("tid"))).as("ts"))
+      .withColumn("n_tok", size(col("ts")).cast("long"))
+    cand
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("n_tok").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("n_tok").as("n_b")), "id_b")
+      .withColumn("est_matches", expr(
+        "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)"))
+      .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
       .withColumn("est_ppm", expr("(est_matches * 1000000) div 32"))
       .withColumn("jac_ppm", expr("(n_inter * 1000000) div (n_a + n_b - n_inter)"))
       .withColumn("err_ppm", expr("est_ppm - jac_ppm"))
@@ -145,8 +155,10 @@ object LlmOps {
       |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
       |banded AS (SELECT id, i // 16 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
       |           FROM mh GROUP BY 1, 2),
-      |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
-      |         FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id),
+      |cand AS (SELECT id_a, id_b FROM (
+      |           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |           FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+      |         WHERE (id_a * 1000003 + id_b) % 16 = 0),
       |est AS (SELECT c.id_a, c.id_b,
       |          CAST(sum(CASE WHEN ma.mh = mb.mh THEN 1 ELSE 0 END) AS BIGINT) AS est_matches
       |        FROM cand c JOIN mh ma ON ma.id = c.id_a
