@@ -28,22 +28,37 @@ object Ranks {
     * metadata triangular join), so no single-partition window ever
     * materializes. The order columns must form a total order. */
   def prefixSum(df: DataFrame, valueCol: String, sumCol: String,
+      order: Column*): DataFrame =
+    prefixSums(df, Seq(valueCol -> sumCol), order: _*)
+
+  /** Multi-column [[prefixSum]]: every (valueCol → sumCol) pair scans under
+    * ONE shared range partitioning, window pass, and offset broadcast —
+    * a k-column sweep costs one shuffle, not k. */
+  def prefixSums(df: DataFrame, cols: Seq[(String, String)],
       order: Column*): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions
     val parted = df.repartitionByRange(nParts, order: _*)
       .withColumn("__pid", spark_partition_id())
       .persist()
-    val local = parted.withColumn("__ls",
-      sum(col(valueCol)).over(Window.partitionBy("__pid").orderBy(order: _*)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val totals = parted.groupBy("__pid").agg(sum(col(valueCol)).as("__tot"))
+    val w = Window.partitionBy("__pid").orderBy(order: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = cols.foldLeft(parted) { case (acc, (v, out)) =>
+      acc.withColumn(s"__ls_$out", sum(col(v)).over(w)) }
+    val totals = parted.groupBy("__pid")
+      .agg(cols.head match { case (v, out) => sum(col(v)).as(s"__tot_$out") },
+        cols.tail.map { case (v, out) => sum(col(v)).as(s"__tot_$out") }: _*)
     val offsets = totals.as("a")
       .join(totals.as("b"), col("b.__pid") < col("a.__pid"), "left")
       .groupBy(col("a.__pid").as("__pid"))
-      .agg(coalesce(sum(col("b.__tot")), lit(0L)).as("__off"))
-    local.join(broadcast(offsets), "__pid")
-      .withColumn(sumCol, col("__ls") + col("__off"))
-      .drop("__pid", "__ls", "__off")
+      .agg(cols.head match { case (_, out) =>
+          coalesce(sum(col(s"b.__tot_$out")), lit(0L)).as(s"__off_$out") },
+        cols.tail.map { case (_, out) =>
+          coalesce(sum(col(s"b.__tot_$out")), lit(0L)).as(s"__off_$out") }: _*)
+    val joined = local.join(broadcast(offsets), "__pid")
+    cols.foldLeft(joined) { case (acc, (_, out)) =>
+      acc.withColumn(out, col(s"__ls_$out") + col(s"__off_$out"))
+        .drop(s"__ls_$out", s"__off_$out")
+    }.drop("__pid")
   }
 
   def globalRank(df: DataFrame, rankCol: String, order: Column*): DataFrame = {

@@ -838,7 +838,7 @@ object Analytics {
     * skips: it picks the cut the DATA justifies rather than a quota.
     * Sweep frame is ≤ |distinct scores| rows. */
   def q189BestThreshold(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Ranks.prefixSum
+    import graft.operators.Ranks.prefixSums
     val scored = graft.llmops.TextAnalysis
       .hashedNgramScore(docs(s, dir), "doc_id", "text")
       .select(col("id"), col("score_milli"))
@@ -848,9 +848,8 @@ object Analytics {
       .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("pos_s"),
         sum(when(!col("truth"), 1L).otherwise(0L)).as("neg_s"))
     val n = broadcast(g.agg(sum("pos_s").as("n_pos")))
-    val swept = prefixSum(
-      prefixSum(g, "pos_s", "tp", col("score_milli").desc),
-      "neg_s", "fp", col("score_milli").desc)
+    val swept = prefixSums(g, Seq("pos_s" -> "tp", "neg_s" -> "fp"),
+      col("score_milli").desc)
     swept.crossJoin(n)
       .withColumn("fn", col("n_pos") - col("tp"))
       .withColumn("f1_ppm", expr(
