@@ -880,6 +880,191 @@ object Analytics {
       |SELECT threshold_milli, tp, fp, fn, f1_ppm
       |FROM f ORDER BY f1_ppm DESC, threshold_milli LIMIT 1""".stripMargin
 
+  // ------------------------------------- q191 multi-touch attribution
+
+  /** Attribution — LINEAR multi-touch: each purchase's cents split evenly
+    * across ALL the user's non-purchase events in the trailing 7 days
+    * (q185 gives the last touch everything; linear is the other standard
+    * model). ZERO self-joins: per purchase, the trailing touch counts per
+    * type come from five conditional RANGE-window sums over the same
+    * user-partitioned frame (q161's shape), and each type's credit is the
+    * exact floor cents·cnt_t div n_touches — remainders deliberately
+    * unassigned (stated), so credits never exceed revenue. */
+  def q191LinearAttribution(s: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-604800000000L, -1L) // (ts − 7 d, ts)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val types = Seq("click", "error", "signup", "view")
+    val withCounts = types.foldLeft(
+      ev.withColumn("n_touches",
+        count(when(col("event_type") =!= "purchase", 1)).over(w))) {
+      case (df, tpe) => df.withColumn(s"cnt_$tpe",
+        count(when(col("event_type") === tpe, 1)).over(w))
+    }
+    val purchases = withCounts.filter(col("event_type") === "purchase")
+    val credits = types.map { tpe =>
+      purchases.filter(col("n_touches") > 0)
+        .select(lit(tpe).as("touch"),
+          col(s"cnt_$tpe").as("n_credits"),
+          expr(s"(cents * cnt_$tpe) div n_touches").as("credited"))
+    }.reduce(_ union _)
+    credits.groupBy("touch")
+      .agg(sum("n_credits").as("n_credits"),
+        sum("credited").as("credited_cents"))
+      .orderBy("touch")
+  }
+
+  val q191Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type,
+      |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |p AS (SELECT *,
+      |    count(CASE WHEN event_type <> 'purchase' THEN 1 END)
+      |      OVER tw AS n_touches,
+      |    count(CASE WHEN event_type = 'click' THEN 1 END) OVER tw AS cnt_click,
+      |    count(CASE WHEN event_type = 'error' THEN 1 END) OVER tw AS cnt_error,
+      |    count(CASE WHEN event_type = 'signup' THEN 1 END) OVER tw AS cnt_signup,
+      |    count(CASE WHEN event_type = 'view' THEN 1 END) OVER tw AS cnt_view
+      |  FROM e
+      |  WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+      |pur AS (SELECT * FROM p WHERE event_type = 'purchase' AND n_touches > 0),
+      |c AS (SELECT 'click' AS touch, CAST(cnt_click AS BIGINT) AS n_credits,
+      |        (cents * cnt_click) // n_touches AS credited FROM pur
+      |      UNION ALL SELECT 'error', CAST(cnt_error AS BIGINT),
+      |        (cents * cnt_error) // n_touches FROM pur
+      |      UNION ALL SELECT 'signup', CAST(cnt_signup AS BIGINT),
+      |        (cents * cnt_signup) // n_touches FROM pur
+      |      UNION ALL SELECT 'view', CAST(cnt_view AS BIGINT),
+      |        (cents * cnt_view) // n_touches FROM pur)
+      |SELECT touch, CAST(sum(n_credits) AS BIGINT) AS n_credits,
+      |  CAST(sum(credited) AS BIGINT) AS credited_cents
+      |FROM c GROUP BY 1 ORDER BY touch""".stripMargin
+
+  // ------------------------------------------- q192 session statistics
+
+  /** Behavioral profile — BATCH sessionization report: gap-based 12 h
+    * sessions (the q53 streaming path's batch twin, islands via one lag +
+    * one cumulative-flag window per user — both user-partitioned), rolled
+    * into a session-length histogram: events-per-session bucket → session
+    * count, total events, cent volume. The "how do visits look" readout
+    * every engagement dashboard opens with. */
+  def q192SessionStats(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wcum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sessions = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("new_sess",
+        when(col("ts_us") - lag("ts_us", 1).over(wo) <= 43200000000L, 0L)
+          .otherwise(1L))
+      .withColumn("sess_no", sum("new_sess").over(wcum))
+      .groupBy("user_id", "sess_no")
+      .agg(count(lit(1)).as("n_events"), sum("cents").as("cents"))
+    sessions.groupBy(least(col("n_events"), lit(10L)).as("len_bucket"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum("n_events").as("n_events"), sum("cents").as("cents"))
+      .orderBy("len_bucket")
+  }
+
+  val q192Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |f AS (SELECT *, CASE WHEN ts_us - lag(ts_us) OVER w <= 43200000000
+      |        THEN 0 ELSE 1 END AS new_sess
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+      |g AS (SELECT *, CAST(sum(new_sess) OVER (PARTITION BY user_id
+      |        ORDER BY ts_us, event_id) AS BIGINT) AS sess_no FROM f),
+      |sess AS (SELECT user_id, sess_no, CAST(count(*) AS BIGINT) AS n_events,
+      |           CAST(sum(cents) AS BIGINT) AS cents
+      |         FROM g GROUP BY 1, 2)
+      |SELECT least(n_events, 10) AS len_bucket,
+      |  CAST(count(*) AS BIGINT) AS n_sessions,
+      |  CAST(sum(n_events) AS BIGINT) AS n_events,
+      |  CAST(sum(cents) AS BIGINT) AS cents
+      |FROM sess GROUP BY 1 ORDER BY len_bucket""".stripMargin
+
+  // ------------------------------------------ q193 conversion hazard
+
+  /** Lifecycle — discrete conversion-hazard table (Kaplan–Meier shape,
+    * day granularity): for day offset k, how many users were observable
+    * for ≥ k days after their first event (at risk) and how many
+    * converted (first purchase) EXACTLY k days in. hazard_ppm =
+    * ⌊1e6·converted/at_risk⌋ — the time-to-convert curve a funnel (q88)
+    * flattens away. Two aggregates (per-user firsts, per-k rollup)
+    * against a 1-row broadcast horizon; the k frame is ≤ |days| rows. */
+  def q193ConversionHazard(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+    val users = ev.groupBy("user_id")
+      .agg(min("day").as("first_day"),
+        min(when(col("event_type") === "purchase", col("day"))).as("first_purchase"))
+    val horizon = broadcast(ev.agg(max("day").as("last_day")))
+    val grid = users.crossJoin(horizon)
+      .select(col("user_id"), col("first_day"), col("first_purchase"),
+        explode(expr("sequence(0L, last_day - first_day)")).as("k"))
+    grid
+      .filter(col("first_purchase").isNull ||
+        col("first_purchase") - col("first_day") >= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("at_risk"),
+        sum(when(col("first_purchase") - col("first_day") === col("k"), 1L)
+          .otherwise(0L)).as("converted"))
+      .withColumn("hazard_ppm", expr("(converted * 1000000) div at_risk"))
+      .orderBy("k")
+  }
+
+  val q193Sql: String =
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    event_type
+      |  FROM events),
+      |u AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+      |        min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+      |      FROM e GROUP BY 1),
+      |h AS (SELECT CAST(max(day) AS BIGINT) AS last_day FROM e),
+      |grid AS (SELECT u.*, CAST(k AS BIGINT) AS k
+      |         FROM u CROSS JOIN h, UNNEST(range(0, last_day - first_day + 1)) AS t(k)),
+      |r AS (SELECT k, CAST(count(*) AS BIGINT) AS at_risk,
+      |        CAST(sum(CASE WHEN first_purchase - first_day = k THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS converted
+      |      FROM grid
+      |      WHERE first_purchase IS NULL OR first_purchase - first_day >= k
+      |      GROUP BY 1)
+      |SELECT k, at_risk, converted, (converted * 1000000) // at_risk AS hazard_ppm
+      |FROM r ORDER BY k""".stripMargin
+
+  // --------------------------------------- q194 exact-dup histogram
+
+  /** Dedup monitoring — exact-duplicate cluster-size histogram: SHA-256
+    * content groups (q18's keys) rolled into (copies, n_groups, n_docs) —
+    * the one-glance "how duplicated is this corpus" shape a curation run
+    * reads before choosing dedup aggressiveness. Two count shuffles,
+    * digests only. */
+  def q194DupHistogram(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .groupBy(sha2(col("text").cast("binary"), 256).as("text_sha"))
+      .agg(count(lit(1)).as("copies"))
+      .groupBy("copies")
+      .agg(count(lit(1)).as("n_groups"),
+        sum("copies").as("n_docs"))
+      .orderBy("copies")
+
+  val q194Sql: String =
+    """WITH g AS (SELECT sha256(text) AS text_sha, CAST(count(*) AS BIGINT) AS copies
+      |  FROM documents GROUP BY 1)
+      |SELECT copies, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(copies) AS BIGINT) AS n_docs
+      |FROM g GROUP BY 1 ORDER BY copies""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -899,6 +1084,10 @@ object Analytics {
     "q185_attribution" -> (q185Attribution _),
     "q188_auc_by_group" -> (q188AucByGroup _),
     "q189_best_threshold" -> (q189BestThreshold _),
+    "q191_linear_attribution" -> (q191LinearAttribution _),
+    "q192_session_stats" -> (q192SessionStats _),
+    "q193_conversion_hazard" -> (q193ConversionHazard _),
+    "q194_dup_histogram" -> (q194DupHistogram _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -920,6 +1109,10 @@ object Analytics {
     "q185_attribution" -> q185Sql,
     "q188_auc_by_group" -> q188Sql,
     "q189_best_threshold" -> q189Sql,
+    "q191_linear_attribution" -> q191Sql,
+    "q192_session_stats" -> q192Sql,
+    "q193_conversion_hazard" -> q193Sql,
+    "q194_dup_histogram" -> q194Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

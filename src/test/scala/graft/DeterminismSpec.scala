@@ -57,7 +57,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q180_media_energy", "q181_mutual_info", "q182_langid_eval",
       "q183_calibration", "q184_psi_drift", "q185_attribution",
       "q186_embed_health", "q187_ndcg", "q188_auc_by_group",
-      "q189_best_threshold", "q190_stream_late")) {
+      "q189_best_threshold", "q190_stream_late", "q191_linear_attribution",
+      "q192_session_stats", "q193_conversion_hazard", "q194_dup_histogram")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
