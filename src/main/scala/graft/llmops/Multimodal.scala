@@ -260,12 +260,13 @@ object Multimodal {
     * bit j = pixel_j >= floor-mean. Global brightness/contrast shifts
     * preserve the sign pattern, so re-encoded copies land within a few
     * bits. Stored as two 32-bit words; candidate pairs share at least one
-    * exact word (two-band Hamming LSH: Hamming <= 6 over 64 bits forces
-    * one half <= 3, so band collision at distance <= 3-per-half is
-    * guaranteed for equal halves... candidates with BOTH halves differing
-    * are missed only when both halves carry flips — the standard banding
-    * trade documented like q105), then exact XOR-popcount rescore keeps
-    * Hamming <= `maxHamming`. A hot identical word fans out
+    * EXACT word (two-band Hamming LSH). The banding guarantee is
+    * therefore only Hamming ≤ 1 by pigeonhole (a single flip leaves the
+    * other word identical); any pair with ≥ 1 flip in EACH half is
+    * missed regardless of total distance — the standard lossy banding
+    * trade, stated like q105/q144. The exact XOR-popcount rescore then
+    * keeps surviving candidates at Hamming <= `maxHamming`, so every
+    * SURFACED pair is true. A hot identical word fans out
     * quadratically at corpus scale; cap it with a stop-band df filter
     * like q144's stop-frame knob when deploying wide.
     *

@@ -127,19 +127,19 @@ object Analytics {
         "CASE WHEN n_a = 0 OR n_b = 0 THEN -1L ELSE (d_num * 1000000) div (n_a * n_b) END"))
   }
 
-  /** Exact tie-corrected ROC-AUC by Mann–Whitney rank-sum, in doubled-rank
-    * integer arithmetic: under the (score, id) total order a tie group's
-    * ordinal ranks span exactly [lo, hi], so twice a member's AVERAGE rank
-    * is lo + hi — no fractional ranks and no prefix-sum pass.
-    * u2 = 2U = Σ₊(lo+hi) − n₊(n₊+1) equals 2·#{(p,n): s_p > s_n} +
-    * #{(p,n): s_p = s_n}; auc_ppm = ⌊1e6·u2 / (2n₊n₋)⌋.
-    *
-    * Shape: one distributed rank ([[Ranks.globalRank]] — range partition +
-    * offsets, no single-partition window), one groupBy over DISTINCT scores
-    * for the tie bounds, one scalar aggregate. `scoreCol` must be integral
-    * and `idCol` a unique tie-breaker; `truthCol` boolean. Output is a
-    * single row (n_pos, n_neg, u2, auc_ppm).
-    */
+  /** Floored scaled division ⌊num·scale / den⌋ as a SQL expression string
+    * over integral column/sub-expressions, negative-safe: Spark's `div`
+    * and DuckDB's `//` both truncate toward zero, so the floor for
+    * possibly-negative numerators needs the floor-mod identity
+    * (num·s − ((num·s mod d) + d) mod d) div d — spelled ONCE here. The
+    * DuckDB oracle spells the identical arithmetic with `//` (swap the
+    * operator; the mod identity is the same). NULL when `den` is zero
+    * (both engines hash NULL = NULL), flagging degenerate groups instead
+    * of silently dividing. */
+  def floorDivScaledSql(num: String, den: String, scale: Long): String =
+    s"CASE WHEN $den = 0 THEN CAST(NULL AS BIGINT) " +
+      s"ELSE ($num * ${scale}L - ((($num * ${scale}L) % $den) + $den) % $den) div $den END"
+
   /** Robust per-group outlier report by median absolute deviation: median
     * and MAD are the EXACT rank-⌈n/2⌉ order statistics (lower median, id
     * tie-break — no averaging of middles, so every number is an input
@@ -175,6 +175,19 @@ object Analytics {
           .as("n_outliers"))
   }
 
+  /** Exact tie-corrected ROC-AUC by Mann–Whitney rank-sum, in doubled-rank
+    * integer arithmetic: under the (score, id) total order a tie group's
+    * ordinal ranks span exactly [lo, hi], so twice a member's AVERAGE rank
+    * is lo + hi — no fractional ranks and no prefix-sum pass.
+    * u2 = 2U = Σ₊(lo+hi) − n₊(n₊+1) equals 2·#{(p,n): s_p > s_n} +
+    * #{(p,n): s_p = s_n}; auc_ppm = ⌊1e6·u2 / (2n₊n₋)⌋.
+    *
+    * Shape: one distributed rank ([[Ranks.globalRank]] — range partition +
+    * offsets, no single-partition window), one groupBy over DISTINCT scores
+    * for the tie bounds, one scalar aggregate. `scoreCol` must be integral
+    * and `idCol` a unique tie-breaker; `truthCol` boolean. Output is a
+    * single row (n_pos, n_neg, u2, auc_ppm).
+    */
   def aucRankSum(df: DataFrame, scoreCol: String, idCol: String,
       truthCol: String): DataFrame = {
     val ranked = Ranks.globalRank(

@@ -329,10 +329,8 @@ object Analytics {
         sum(col("x") * col("y")).as("s_xy"))
       .withColumn("slope_num", expr("n_days * s_xy - s_x * s_y"))
       .withColumn("slope_den", expr("n_days * s_xx - s_x * s_x"))
-      .withColumn("slope_micro", expr(
-        """(slope_num * 1000000
-          | - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den)
-          | div slope_den""".stripMargin))
+      .withColumn("slope_micro",
+        expr(Ops.floorDivScaledSql("slope_num", "slope_den", 1000000L)))
       .orderBy("event_type")
   }
 
@@ -349,8 +347,10 @@ object Analytics {
       |w AS (SELECT *, n_days * s_xy - s_x * s_y AS slope_num,
       |        n_days * s_xx - s_x * s_x AS slope_den FROM o)
       |SELECT event_type, n_days, s_x, s_y, s_xx, s_xy, slope_num, slope_den,
-      |  (slope_num * 1000000
-      |    - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den) // slope_den AS slope_micro
+      |  CASE WHEN slope_den = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (slope_num * 1000000
+      |         - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den) // slope_den
+      |  END AS slope_micro
       |FROM w ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------- q169 MAD outliers
@@ -413,10 +413,8 @@ object Analytics {
       .withColumn("pe_num", expr("(n11 + n10) * (n11 + n01) + (n01 + n00) * (n10 + n00)"))
       .withColumn("kappa_num", expr("n_docs * (n11 + n00) - pe_num"))
       .withColumn("kappa_den", expr("n_docs * n_docs - pe_num"))
-      .withColumn("kappa_ppm", expr(
-        """(kappa_num * 1000000
-          | - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den)
-          | div kappa_den""".stripMargin))
+      .withColumn("kappa_ppm",
+        expr(Ops.floorDivScaledSql("kappa_num", "kappa_den", 1000000L)))
       .select("n11", "n10", "n01", "n00", "n_docs", "kappa_num", "kappa_den", "kappa_ppm")
   }
 
@@ -436,8 +434,10 @@ object Analytics {
       |k2 AS (SELECT *, n_docs * (n11 + n00) - pe_num AS kappa_num,
       |         n_docs * n_docs - pe_num AS kappa_den FROM k)
       |SELECT n11, n10, n01, n00, n_docs, kappa_num, kappa_den,
-      |  (kappa_num * 1000000
-      |    - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den) // kappa_den AS kappa_ppm
+      |  CASE WHEN kappa_den = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (kappa_num * 1000000
+      |         - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den) // kappa_den
+      |  END AS kappa_ppm
       |FROM k2""".stripMargin
 
   // --------------------------------------- q176 leave-one-out encoding
@@ -499,8 +499,8 @@ object Analytics {
         sum(col("lx") * col("ly")).as("s_xy"))
       .withColumn("num", expr("n_ranks * s_xy - s_x * s_y"))
       .withColumn("den", expr("n_ranks * s_xx - s_x * s_x"))
-      .withColumn("slope_milli", expr(
-        "(num * 1000 - ((num * 1000 % den) + den) % den) div den"))
+      .withColumn("slope_milli",
+        expr(Ops.floorDivScaledSql("num", "den", 1000L)))
       .orderBy("source")
   }
 
@@ -521,7 +521,9 @@ object Analytics {
       |w2 AS (SELECT *, n_ranks * s_xy - s_x * s_y AS num,
       |         n_ranks * s_xx - s_x * s_x AS den FROM o)
       |SELECT source, n_ranks, s_x, s_y, s_xx, s_xy, num, den,
-      |  (num * 1000 - ((num * 1000 % den) + den) % den) // den AS slope_milli
+      |  CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE (num * 1000 - ((num * 1000 % den) + den) % den) // den
+      |  END AS slope_milli
       |FROM w2 ORDER BY source""".stripMargin
 
   // -------------------------------------------- q178 char entropy
@@ -590,8 +592,9 @@ object Analytics {
       |      FROM c)
       |SELECT g AS key, max(n_a) AS n_a, max(n_b) AS n_b,
       |  CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) AS d_num,
-      |  (CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) * 1000000)
-      |    // (max(n_a) * max(n_b)) AS d_ppm
+      |  CASE WHEN max(n_a) = 0 OR max(n_b) = 0 THEN -1
+      |       ELSE (CAST(max(abs(cum_a * n_b - cum_b * n_a)) AS BIGINT) * 1000000)
+      |         // (max(n_a) * max(n_b)) END AS d_ppm
       |FROM w GROUP BY g ORDER BY key""".stripMargin
 
   // --------------------------------------------- q181 mutual information
@@ -905,14 +908,15 @@ object Analytics {
       case (df, tpe) => df.withColumn(s"cnt_$tpe",
         count(when(col("event_type") === tpe, 1)).over(w))
     }
-    val purchases = withCounts.filter(col("event_type") === "purchase")
-    val credits = types.map { tpe =>
-      purchases.filter(col("n_touches") > 0)
-        .select(lit(tpe).as("touch"),
-          col(s"cnt_$tpe").as("n_credits"),
-          expr(s"(cents * cnt_$tpe) div n_touches").as("credited"))
-    }.reduce(_ union _)
-    credits.groupBy("touch")
+    val purchases = withCounts
+      .filter(col("event_type") === "purchase" && col("n_touches") > 0)
+    // unpivot with stack(): the window pipeline evaluates ONCE; a per-type
+    // filter+union would re-run the six window aggregates four times
+    purchases
+      .select(expr(types.map(t =>
+          s"'$t', cnt_$t, (cents * cnt_$t) div n_touches")
+        .mkString(s"stack(${types.length}, ", ", ", ") AS (touch, n_credits, credited)")))
+      .groupBy("touch")
       .agg(sum("n_credits").as("n_credits"),
         sum("credited").as("credited_cents"))
       .orderBy("touch")
