@@ -1069,6 +1069,118 @@ object Analytics {
       |  CAST(sum(copies) AS BIGINT) AS n_docs
       |FROM g GROUP BY 1 ORDER BY copies""".stripMargin
 
+  // ----------------------------------------- q195 per-source F1 at cut
+
+  /** Model-eval — the q189 best-F1 cut APPLIED, stratified per source:
+    * confusion counts and F1 pieces of "keep if score ≥ t*" against the
+    * q166 reference label, per source, with t* the globally swept
+    * threshold (a 1-row broadcast). Closes the eval loop q188 (per-source
+    * AUC) opens: AUC says the ordering works per domain; this says what
+    * the DEPLOYED cut actually does to each domain. Sources where the cut
+    * keeps nothing or misses every positive report the −1 sentinel. */
+  def q195SourceF1(s: SparkSession, dir: String): DataFrame = {
+    val cut = broadcast(q189BestThreshold(s, dir).select("threshold_milli"))
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val d = docs(s, dir).select(col("doc_id").as("id"), col("source"),
+      (col("lang") === "en").as("truth"))
+    scored.join(d, "id").crossJoin(cut)
+      .withColumn("pred", col("score_milli") >= col("threshold_milli"))
+      .groupBy("source")
+      .agg(
+        sum(when(col("pred") && col("truth"), 1L).otherwise(0L)).as("tp"),
+        sum(when(col("pred") && !col("truth"), 1L).otherwise(0L)).as("fp"),
+        sum(when(!col("pred") && col("truth"), 1L).otherwise(0L)).as("fn"),
+        sum(when(!col("pred") && !col("truth"), 1L).otherwise(0L)).as("tn"))
+      .withColumn("f1_ppm", expr(
+        "CASE WHEN 2 * tp + fp + fn = 0 THEN -1L ELSE (2 * tp * 1000000) div (2 * tp + fp + fn) END"))
+      .orderBy("source")
+  }
+
+  val q195Sql: String = DuckClassifierScore +
+    """,
+      |tr AS (SELECT sc.id, sc.score_milli, d.source, d.lang = 'en' AS truth
+      |       FROM sc JOIN documents d ON d.doc_id = sc.id),
+      |gp AS (SELECT score_milli,
+      |        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos_s,
+      |        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS neg_s
+      |      FROM tr GROUP BY 1),
+      |c AS (SELECT score_milli,
+      |        CAST(sum(pos_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS tp,
+      |        CAST(sum(neg_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS fp,
+      |        CAST((SELECT sum(pos_s) FROM gp) AS BIGINT) AS n_pos
+      |      FROM gp),
+      |best AS (SELECT score_milli AS t FROM (
+      |           SELECT score_milli,
+      |             CASE WHEN tp = 0 THEN 0
+      |                  ELSE (2 * tp * 1000000) // (2 * tp + fp + n_pos - tp) END AS f1_ppm
+      |           FROM c) ORDER BY f1_ppm DESC, score_milli LIMIT 1),
+      |conf AS (SELECT source,
+      |    CAST(sum(CASE WHEN score_milli >= t AND truth THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+      |    CAST(sum(CASE WHEN score_milli >= t AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+      |    CAST(sum(CASE WHEN score_milli < t AND truth THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+      |    CAST(sum(CASE WHEN score_milli < t AND NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      |  FROM tr CROSS JOIN best GROUP BY 1)
+      |SELECT source, tp, fp, fn, tn,
+      |  CASE WHEN 2 * tp + fp + fn = 0 THEN -1
+      |       ELSE (2 * tp * 1000000) // (2 * tp + fp + fn) END AS f1_ppm
+      |FROM conf ORDER BY source""".stripMargin
+
+  // ------------------------------------------------- q196 gains table
+
+  /** Model-eval — cumulative-gains table: rank the corpus by classifier
+    * score DESC, cut into deciles, and report how many reference
+    * positives the top-k deciles capture (gain_ppm = cum_pos·1e6 /
+    * total_pos; the random baseline captures (d+1)/10). q183 reads the
+    * calibration LEVEL per decile; this reads the TARGETING power — "how
+    * much of the good data do I keep if I take the top 30%?", the
+    * question a token-budgeted curation run actually asks. Decile
+    * cumulative via [[graft.operators.Ranks.prefixSum]] over the 10-row
+    * decile frame — no single-partition window even here. */
+  def q196GainsTable(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.{globalRank, prefixSum}
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val truth = docs(s, dir)
+      .select(col("doc_id").as("id"), (col("lang") === "en").cast("long").as("pos"))
+    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    val deciles = globalRank(scored, "rnk",
+        col("score_milli").desc, col("id"))
+      .join(truth, "id").crossJoin(n)
+      .withColumn("decile", expr("((rnk - 1) * 10) div n_docs"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+    val tot = broadcast(deciles.agg(sum("n_pos").as("total_pos")))
+    prefixSum(deciles, "n_pos", "cum_pos", col("decile"))
+      .crossJoin(tot)
+      .withColumn("gain_ppm", expr(
+        "CASE WHEN total_pos = 0 THEN -1L ELSE (cum_pos * 1000000) div total_pos END"))
+      .select("decile", "n", "n_pos", "cum_pos", "gain_ppm")
+      .orderBy("decile")
+  }
+
+  val q196Sql: String = DuckClassifierScore +
+    """,
+      |r AS (SELECT id, score_milli,
+      |        CAST(row_number() OVER (ORDER BY score_milli DESC, id) AS BIGINT) AS rnk
+      |      FROM sc),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sc),
+      |j AS (SELECT ((r.rnk - 1) * 10) // n.n_docs AS decile,
+      |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      |      FROM r JOIN documents d ON d.doc_id = r.id CROSS JOIN n),
+      |dec AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      |          CAST(sum(pos) AS BIGINT) AS n_pos
+      |        FROM j GROUP BY 1),
+      |t AS (SELECT CAST(sum(n_pos) AS BIGINT) AS total_pos FROM dec)
+      |SELECT decile, n, n_pos,
+      |  CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) AS cum_pos,
+      |  CASE WHEN total_pos = 0 THEN -1
+      |       ELSE (CAST(sum(n_pos) OVER (ORDER BY decile) AS BIGINT) * 1000000) // total_pos
+      |  END AS gain_ppm
+      |FROM dec CROSS JOIN t ORDER BY decile""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1092,6 +1204,8 @@ object Analytics {
     "q192_session_stats" -> (q192SessionStats _),
     "q193_conversion_hazard" -> (q193ConversionHazard _),
     "q194_dup_histogram" -> (q194DupHistogram _),
+    "q195_source_f1" -> (q195SourceF1 _),
+    "q196_gains_table" -> (q196GainsTable _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -1117,6 +1231,8 @@ object Analytics {
     "q192_session_stats" -> q192Sql,
     "q193_conversion_hazard" -> q193Sql,
     "q194_dup_histogram" -> q194Sql,
+    "q195_source_f1" -> q195Sql,
+    "q196_gains_table" -> q196Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)
