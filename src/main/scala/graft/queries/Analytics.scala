@@ -1181,6 +1181,104 @@ object Analytics {
       |  END AS gain_ppm
       |FROM dec CROSS JOIN t ORDER BY decile""".stripMargin
 
+  // -------------------------------------- q197 weighted sample (A-ES)
+
+  /** Sampling — weighted sampling WITHOUT replacement (Efraimidis &
+    * Spirakis 2006), derandomized: doc i gets priority ln(uᵢ)/wᵢ with
+    * uᵢ ∈ (0,1) derived from md5(doc_id) (the corpus-wide no-RNG rule)
+    * and weight wᵢ = n_chars; the top-20 priorities ARE a
+    * weight-proportional sample without replacement. Complements q57
+    * (stratified, uniform within stratum) and q76 (temperature over
+    * sources): this weights every INDIVIDUAL row. The log rides the
+    * quantize-once rule (×1e12 before ranking), so the selected set and
+    * order hash-gate. */
+  def q197WeightedSample(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val prio = docs(s, dir).select(col("doc_id"), col("n_chars"))
+      .withColumn("u_num",
+        expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) + 1"))
+      // u = u_num / 2^48 ∈ (0, 1]; priority_q = ⌊1e12 · ln(u) / w + ½⌋
+      .withColumn("priority_q",
+        floor(log(col("u_num").cast("double") / lit(281474976710656.0)) /
+          col("n_chars").cast("double") * 1000000000000.0 + 0.5).cast("long"))
+    globalRank(prio, "rnk", col("priority_q").desc, col("doc_id"))
+      .filter(col("rnk") <= 20)
+      .select(col("rnk"), col("doc_id"), col("n_chars"), col("priority_q"))
+      .orderBy("rnk")
+  }
+
+  val q197Sql: String =
+    """WITH p AS (SELECT doc_id, n_chars,
+      |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u_num
+      |  FROM documents),
+      |q AS (SELECT doc_id, n_chars,
+      |        CAST(floor(ln(CAST(u_num AS DOUBLE) / 281474976710656.0)
+      |          / CAST(n_chars AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS priority_q
+      |      FROM p),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority_q DESC, doc_id) AS BIGINT) AS rnk
+      |      FROM q)
+      |SELECT rnk, doc_id, n_chars, priority_q
+      |FROM r WHERE rnk <= 20 ORDER BY rnk""".stripMargin
+
+  // --------------------------------- q198 referential-integrity audit
+
+  /** Data quality — cross-table referential-integrity audit over the
+    * TPC-H-ish FK chain (lineitem→orders, orders→customer,
+    * customer→nation, part/supplier spot FKs): orphan counts (child rows
+    * whose FK matches no parent — anti-join semantics, dims broadcast)
+    * and parent coverage (distinct FK values used vs parent size). q99's
+    * expectations audit single-table invariants; this is the BETWEEN-
+    * tables contract every join in the suite silently assumes. One row
+    * per edge. */
+  def q198RefIntegrity(s: SparkSession, dir: String): DataFrame = {
+    def edge(name: String, child: DataFrame, fk: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val orphans = child.join(broadcast(parent),
+        child(fk) === parent(pk), "left_anti")
+      val stats = child.agg(count(lit(1)).as("n_child"),
+        count_distinct(col(fk)).as("n_fk_distinct"))
+      val np = broadcast(parent.agg(count(lit(1)).as("n_parent")))
+      val no = broadcast(orphans.agg(count(lit(1)).as("n_orphans")))
+      stats.crossJoin(np).crossJoin(no)
+        .select(lit(name).as("edge"), col("n_child"), col("n_orphans"),
+          col("n_fk_distinct"), col("n_parent"),
+          expr("(n_fk_distinct * 1000000) div n_parent").as("coverage_ppm"))
+    }
+    Seq(
+      edge("lineitem.orderkey", t(s, dir, "lineitem"), "l_orderkey",
+        t(s, dir, "orders").select("o_orderkey"), "o_orderkey"),
+      edge("orders.custkey", t(s, dir, "orders"), "o_custkey",
+        t(s, dir, "customer").select("c_custkey"), "c_custkey"),
+      edge("customer.nationkey", t(s, dir, "customer"), "c_nationkey",
+        t(s, dir, "nation").select("n_nationkey"), "n_nationkey"),
+      edge("lineitem.partkey", t(s, dir, "lineitem"), "l_partkey",
+        t(s, dir, "part").select("p_partkey"), "p_partkey"),
+      edge("lineitem.suppkey", t(s, dir, "lineitem"), "l_suppkey",
+        t(s, dir, "supplier").select("s_suppkey"), "s_suppkey"))
+      .reduce(_ union _)
+      .orderBy("edge")
+  }
+
+  val q198Sql: String = {
+    def edge(name: String, child: String, fk: String,
+        parent: String, pk: String): String =
+      s"""SELECT '$name' AS edge,
+         |  CAST((SELECT count(*) FROM $child) AS BIGINT) AS n_child,
+         |  CAST((SELECT count(*) FROM $child c LEFT JOIN $parent p ON c.$fk = p.$pk
+         |        WHERE p.$pk IS NULL) AS BIGINT) AS n_orphans,
+         |  CAST((SELECT count(DISTINCT $fk) FROM $child) AS BIGINT) AS n_fk_distinct,
+         |  CAST((SELECT count(*) FROM $parent) AS BIGINT) AS n_parent,
+         |  ((SELECT count(DISTINCT $fk) FROM $child) * 1000000)
+         |    // (SELECT count(*) FROM $parent) AS coverage_ppm""".stripMargin
+    Seq(
+      edge("lineitem.orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      edge("orders.custkey", "orders", "o_custkey", "customer", "c_custkey"),
+      edge("customer.nationkey", "customer", "c_nationkey", "nation", "n_nationkey"),
+      edge("lineitem.partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+      edge("lineitem.suppkey", "lineitem", "l_suppkey", "supplier", "s_suppkey"))
+      .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1206,6 +1304,8 @@ object Analytics {
     "q194_dup_histogram" -> (q194DupHistogram _),
     "q195_source_f1" -> (q195SourceF1 _),
     "q196_gains_table" -> (q196GainsTable _),
+    "q197_weighted_sample" -> (q197WeightedSample _),
+    "q198_ref_integrity" -> (q198RefIntegrity _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -1233,6 +1333,8 @@ object Analytics {
     "q194_dup_histogram" -> q194Sql,
     "q195_source_f1" -> q195Sql,
     "q196_gains_table" -> q196Sql,
+    "q197_weighted_sample" -> q197Sql,
+    "q198_ref_integrity" -> q198Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

@@ -59,7 +59,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q186_embed_health", "q187_ndcg", "q188_auc_by_group",
       "q189_best_threshold", "q190_stream_late", "q191_linear_attribution",
       "q192_session_stats", "q193_conversion_hazard", "q194_dup_histogram",
-      "q195_source_f1", "q196_gains_table")) {
+      "q195_source_f1", "q196_gains_table", "q197_weighted_sample",
+      "q198_ref_integrity")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
