@@ -776,6 +776,120 @@ object LlmOps {
       |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
       |ORDER BY id_a, id_b""".stripMargin
 
+  /** S23 monitoring — embedding near-dup graph DEGREE histogram: the q119
+    * banded-LSH ≥ 0.4-cosine pair stream rolled to per-vector degrees
+    * (degree-0 vectors included via the left join back), then to
+    * (degree → n_vecs) — the structural readout that distinguishes "a few
+    * giant clone clusters" from "diffuse pairwise similarity" BEFORE
+    * committing to a dedup strategy (CC for cliques, canonical-pick for
+    * stars). Composes the certified q119 machinery; two count shuffles on
+    * top. */
+  def q199DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16,
+      bands = 4, dim = 64).select("id_a", "id_b")
+    val deg = pairs.select(col("id_a").as("id"))
+      .union(pairs.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    emb(s, dir).select(col("vec_id").as("id"))
+      .join(deg, Seq("id"), "left").na.fill(0L, Seq("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("degree")
+  }
+
+  val q199Sql: String =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
+      |  FROM embeddings),
+      |pl AS (SELECT i, j,
+      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
+      |         THEN -1 ELSE 1 END AS sgn
+      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
+      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
+      |  FROM v, pl GROUP BY 1, 2),
+      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
+      |  FROM pd GROUP BY 1),
+      |bk AS (SELECT vec_id, b, (sg >> (CAST(b AS INT) * 4)) & 15 AS key
+      |       FROM sig, range(0, 4) w(b)),
+      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
+      |              AND a.vec_id < b.vec_id),
+      |q AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+      |pairs AS (SELECT c.id_a, c.id_b
+      |          FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
+      |          WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4),
+      |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
+      |          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
+      |        GROUP BY 1)
+      |SELECT COALESCE(deg.degree, 0) AS degree, CAST(count(*) AS BIGINT) AS n_vecs
+      |FROM embeddings e LEFT JOIN deg ON deg.id = e.vec_id
+      |GROUP BY 1 ORDER BY degree""".stripMargin
+
+  /** North star — the one-page corpus scorecard: the headline numbers a
+    * curation run reads FIRST, as (metric, value) rows — doc/source/
+    * language counts, exact-duplicate volume (docs in SHA groups of ≥ 2),
+    * English share, char/token volumes, floored mean length. Every value
+    * an exact integer from three cheap aggregation passes; the detailed
+    * per-metric queries (q194, q23, q72…) drill into what this page
+    * flags. */
+  def q200Scorecard(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val base = d.agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(col("source")).as("n_sources"),
+      count_distinct(col("lang")).as("n_langs"),
+      sum(when(col("lang") === "en", 1L).otherwise(0L)).as("en_docs"),
+      sum("n_chars").as("total_chars"))
+    val dup = d.groupBy(sha2(col("text").cast("binary"), 256).as("sha"))
+      .agg(count(lit(1)).as("copies"))
+      .agg(sum(when(col("copies") >= 2, col("copies")).otherwise(0L))
+        .as("exact_dup_docs"))
+    val tok = d.select(explode(
+        expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
+      .agg(count(lit(1)).as("total_tokens"))
+    base.crossJoin(broadcast(dup)).crossJoin(broadcast(tok))
+      .select(expr(
+        """stack(8,
+          |  'en_docs', en_docs,
+          |  'exact_dup_docs', exact_dup_docs,
+          |  'mean_chars', total_chars div n_docs,
+          |  'n_docs', n_docs,
+          |  'n_langs', n_langs,
+          |  'n_sources', n_sources,
+          |  'total_chars', total_chars,
+          |  'total_tokens', total_tokens
+          |) AS (metric, value)""".stripMargin))
+      .orderBy("metric")
+  }
+
+  val q200Sql: String =
+    """WITH base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+      |    CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+      |    CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en_docs,
+      |    CAST(sum(n_chars) AS BIGINT) AS total_chars
+      |  FROM documents),
+      |dup AS (SELECT CAST(COALESCE(sum(CASE WHEN copies >= 2 THEN copies ELSE 0 END), 0) AS BIGINT)
+      |          AS exact_dup_docs
+      |        FROM (SELECT sha256(text) AS sha, count(*) AS copies
+      |              FROM documents GROUP BY 1)),
+      |tok AS (SELECT CAST(count(*) AS BIGINT) AS total_tokens
+      |        FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+      |              FROM documents))
+      |SELECT metric, value FROM (
+      |  SELECT 'en_docs' AS metric, en_docs AS value FROM base
+      |  UNION ALL SELECT 'exact_dup_docs', exact_dup_docs FROM dup
+      |  UNION ALL SELECT 'mean_chars', total_chars // n_docs FROM base
+      |  UNION ALL SELECT 'n_docs', n_docs FROM base
+      |  UNION ALL SELECT 'n_langs', n_langs FROM base
+      |  UNION ALL SELECT 'n_sources', n_sources FROM base
+      |  UNION ALL SELECT 'total_chars', total_chars FROM base
+      |  UNION ALL SELECT 'total_tokens', total_tokens FROM tok)
+      |ORDER BY metric""".stripMargin
+
   /** S23/north star — cross-source duplication matrix
     * ([[Dedup.crossSourceDupMatrix]]): trigram-Jaccard near-dup pairs at
     * J ≥ 0.7 (the lossless prefix-filtered machinery) rolled up by
@@ -1848,6 +1962,8 @@ object LlmOps {
     "q180_media_energy" -> (q180MediaEnergy _),
     "q182_langid_eval" -> (q182LangidEval _),
     "q186_embed_health" -> (q186EmbedHealth _),
+    "q199_degree_histogram" -> (q199DegreeHistogram _),
+    "q200_scorecard" -> (q200Scorecard _),
     "q143_classifier_score" -> (q143ClassifierScore _),
     "q145_mmr_select" -> (q145MmrSelect _),
     "q149_golden_record" -> (q149GoldenRecord _),
@@ -1896,6 +2012,8 @@ object LlmOps {
     "q180_media_energy" -> q180Sql,
     "q182_langid_eval" -> q182Sql,
     "q186_embed_health" -> q186Sql,
+    "q199_degree_histogram" -> q199Sql,
+    "q200_scorecard" -> q200Sql,
     "q143_classifier_score" -> q143Sql,
     "q145_mmr_select" -> q145Sql,
     "q149_golden_record" -> q149Sql,
