@@ -386,6 +386,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(f1 == (if (tp == 0) 0L else 2 * tp * 1000000L / (2 * tp + fp + fn)))
   }
 
+  test("q196 gains: cumulative capture is monotone and ends at exactly 1e6") {
+    val rows = graft.queries.Analytics.q196GainsTable(spark, "/root/testdata/sf0.001")
+      .collect().sortBy(_.getAs[Long]("decile"))
+    val gains = rows.map(_.getAs[Long]("gain_ppm"))
+    assert(gains.zip(gains.tail).forall { case (a, b) => a <= b }, "gains must be monotone")
+    assert(gains.last == 1000000L, "the full corpus captures every positive")
+    assert(rows.map(_.getAs[Long]("n_pos")).sum == rows.last.getAs[Long]("cum_pos"))
+  }
+
+  test("q195 per-source confusion re-sums to the global q189 sweep at the same cut") {
+    val sf = "/root/testdata/sf0.001"
+    val global = graft.queries.Analytics.q189BestThreshold(spark, sf).collect().head
+    val perSource = graft.queries.Analytics.q195SourceF1(spark, sf).collect()
+    assert(perSource.map(_.getAs[Long]("tp")).sum == global.getAs[Long]("tp"))
+    assert(perSource.map(_.getAs[Long]("fp")).sum == global.getAs[Long]("fp"))
+    assert(perSource.map(_.getAs[Long]("fn")).sum == global.getAs[Long]("fn"))
+  }
+
+  test("q197 weighted sample: heavier docs hold higher (closer-to-zero) priorities on a rigged corpus") {
+    import spark.implicits._
+    // one giant doc among tiny ones: ln(u)/w pushes its priority toward 0,
+    // so it must appear in a top-3 cut with near-certainty BY CONSTRUCTION
+    // (w = 10000 vs 1): verify the exact ranking math, not a probability
+    val tmp = java.nio.file.Files.createTempDirectory("graft-q197").toString
+    (Seq((1L, "x" * 10000)) ++ (2L to 40L).map(i => (i, "y")))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = graft.queries.Analytics.q197WeightedSample(spark, tmp)
+      .collect().map(_.getAs[Long]("doc_id")).take(3)
+    assert(top.contains(1L), s"the 10000-char doc must rank in the top 3, got ${top.toSeq}")
+  }
+
   test("q173 trend fit: a perfectly linear synthetic series recovers its exact slope") {
     import spark.implicits._
     // y = 7 + 3x over 10 days: slope_micro must be exactly 3e6

@@ -361,4 +361,38 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("BroadcastHashJoin"),
       "per-group medians must broadcast, not shuffle the corpus again")
   }
+
+  test("q185/q191/q192: attribution and session windows stay user-partitioned") {
+    for (q <- Seq("q185_attribution", "q191_linear_attribution", "q192_session_stats")) {
+      val p = plan(q)
+      assert(p.contains("Window"), s"$q: expected a window operator")
+      assert(!p.matches("(?s).*Window[^\\n]*SinglePartition.*"),
+        s"$q: behavioral windows must stay user-partitioned")
+    }
+  }
+
+  test("q187/q189/q196: rank/scan plans keyed on the range-partition id only") {
+    for (q <- Seq("q187_ndcg", "q189_best_threshold", "q196_gains_table")) {
+      val p = plan(q)
+      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
+      assert(windows.nonEmpty, s"$q: globalRank/prefixSum windows must appear")
+      windows.foreach(w => assert(w.contains("__pid"),
+        s"$q: window not keyed on the range-partition id: $w"))
+    }
+  }
+
+  test("q193/q198: hazard horizon and FK parents are broadcast, never shuffled") {
+    assert(plan("q193_conversion_hazard").contains("BroadcastNestedLoopJoin") ||
+      plan("q193_conversion_hazard").contains("BroadcastHashJoin"),
+      "the 1-row horizon must broadcast")
+    val p = plan("q198_ref_integrity")
+    assert(p.contains("BroadcastHashJoin"), "FK parents must broadcast for the anti-joins")
+    assert(!p.contains("SortMergeJoin"),
+      "no FK edge should shuffle the fact side for its parent probe")
+  }
+
+  test("q199: degree rollup composes the LSH pair stream with equi-joins only") {
+    assert(!plan("q199_degree_histogram").contains("CartesianProduct"),
+      "band collisions and the degree join-back must be key joins")
+  }
 }
