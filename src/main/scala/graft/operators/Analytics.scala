@@ -136,9 +136,16 @@ object Analytics {
     * operator; the mod identity is the same). NULL when `den` is zero
     * (both engines hash NULL = NULL), flagging degenerate groups instead
     * of silently dividing. */
-  def floorDivScaledSql(num: String, den: String, scale: Long): String =
-    s"CASE WHEN $den = 0 THEN CAST(NULL AS BIGINT) " +
-      s"ELSE ($num * ${scale}L - ((($num * ${scale}L) % $den) + $den) % $den) div $den END"
+  def floorDivScaledSql(num: String, den: String, scale: Long,
+      op: String = "div"): String = {
+    // the L suffix is Spark-only; DuckDB (`op = "//"`) takes a bare literal.
+    // Operands are parenthesized so compound sub-expressions keep their
+    // precedence. The floor-mod identity assumes den > 0 (or 0 -> NULL);
+    // a negative denominator would need the sign folded into num first.
+    val k = if (op == "div") s"${scale}L" else scale.toString
+    s"CASE WHEN ($den) = 0 THEN CAST(NULL AS BIGINT) " +
+      s"ELSE (($num) * $k - (((($num) * $k) % ($den)) + ($den)) % ($den)) $op ($den) END"
+  }
 
   /** Robust per-group outlier report by median absolute deviation: median
     * and MAD are the EXACT rank-⌈n/2⌉ order statistics (lower median, id

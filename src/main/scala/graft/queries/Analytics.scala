@@ -335,7 +335,7 @@ object Analytics {
   }
 
   val q173Sql: String =
-    """WITH d AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+    s"""WITH d AS (SELECT event_type, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
       |  FROM events),
       |a AS (SELECT CAST(min(day) AS BIGINT) AS day0 FROM d),
       |daily AS (SELECT event_type, day - day0 AS x, CAST(count(*) AS BIGINT) AS y
@@ -347,10 +347,7 @@ object Analytics {
       |w AS (SELECT *, n_days * s_xy - s_x * s_y AS slope_num,
       |        n_days * s_xx - s_x * s_x AS slope_den FROM o)
       |SELECT event_type, n_days, s_x, s_y, s_xx, s_xy, slope_num, slope_den,
-      |  CASE WHEN slope_den = 0 THEN CAST(NULL AS BIGINT)
-      |       ELSE (slope_num * 1000000
-      |         - ((slope_num * 1000000 % slope_den) + slope_den) % slope_den) // slope_den
-      |  END AS slope_micro
+      |  ${Ops.floorDivScaledSql("slope_num", "slope_den", 1000000L, "//")} AS slope_micro
       |FROM w ORDER BY event_type""".stripMargin
 
   // ---------------------------------------------- q169 MAD outliers
@@ -419,7 +416,7 @@ object Analytics {
   }
 
   val q174Sql: String = DuckClassifierScore +
-    """,
+    s""",
       |lab AS (SELECT sc.id, sc.score_raw >= 0 AS la, d.n_chars >= 500 AS lb
       |        FROM sc JOIN documents d ON d.doc_id = sc.id),
       |c AS (SELECT
@@ -434,10 +431,7 @@ object Analytics {
       |k2 AS (SELECT *, n_docs * (n11 + n00) - pe_num AS kappa_num,
       |         n_docs * n_docs - pe_num AS kappa_den FROM k)
       |SELECT n11, n10, n01, n00, n_docs, kappa_num, kappa_den,
-      |  CASE WHEN kappa_den = 0 THEN CAST(NULL AS BIGINT)
-      |       ELSE (kappa_num * 1000000
-      |         - ((kappa_num * 1000000 % kappa_den) + kappa_den) % kappa_den) // kappa_den
-      |  END AS kappa_ppm
+      |  ${Ops.floorDivScaledSql("kappa_num", "kappa_den", 1000000L, "//")} AS kappa_ppm
       |FROM k2""".stripMargin
 
   // --------------------------------------- q176 leave-one-out encoding
@@ -505,7 +499,7 @@ object Analytics {
   }
 
   val q177Sql: String =
-    """WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
+    s"""WITH tok AS (SELECT source, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS w
       |  FROM documents),
       |f AS (SELECT source, w, CAST(count(*) AS BIGINT) AS freq FROM tok GROUP BY 1, 2),
       |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY source ORDER BY freq DESC, w) AS BIGINT) AS rnk
@@ -521,9 +515,7 @@ object Analytics {
       |w2 AS (SELECT *, n_ranks * s_xy - s_x * s_y AS num,
       |         n_ranks * s_xx - s_x * s_x AS den FROM o)
       |SELECT source, n_ranks, s_x, s_y, s_xx, s_xy, num, den,
-      |  CASE WHEN den = 0 THEN CAST(NULL AS BIGINT)
-      |       ELSE (num * 1000 - ((num * 1000 % den) + den) % den) // den
-      |  END AS slope_milli
+      |  ${Ops.floorDivScaledSql("num", "den", 1000L, "//")} AS slope_milli
       |FROM w2 ORDER BY source""".stripMargin
 
   // -------------------------------------------- q178 char entropy
@@ -840,14 +832,21 @@ object Analytics {
     * F1×1e6 (ties → lowest threshold). The step q160's percentile rule
     * skips: it picks the cut the DATA justifies rather than a quota.
     * Sweep frame is ≤ |distinct scores| rows. */
-  def q189BestThreshold(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Ranks.prefixSums
-    val scored = graft.llmops.TextAnalysis
+  /** The classifier score joined with the q166 reference label (and the
+    * doc's source) — the one expensive frame q189 sweeps and q195 applies;
+    * callers that consume it twice persist it so the scorer runs once. */
+  private def scoredTruth(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextAnalysis
       .hashedNgramScore(docs(s, dir), "doc_id", "text")
       .select(col("id"), col("score_milli"))
-    val truth = docs(s, dir)
-      .select(col("doc_id").as("id"), (col("lang") === "en").as("truth"))
-    val g = scored.join(truth, "id").groupBy("score_milli")
+      .join(docs(s, dir).select(col("doc_id").as("id"), col("source"),
+        (col("lang") === "en").as("truth")), "id")
+
+  /** The q189 sweep over a pre-scored (score_milli, truth) frame — shared
+    * with q195 so the apply pass reuses the same scored relation. */
+  private def bestThresholdOf(st: DataFrame): DataFrame = {
+    import graft.operators.Ranks.prefixSums
+    val g = st.groupBy("score_milli")
       .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("pos_s"),
         sum(when(!col("truth"), 1L).otherwise(0L)).as("neg_s"))
     val n = broadcast(g.agg(sum("pos_s").as("n_pos")))
@@ -863,9 +862,17 @@ object Analytics {
       .limit(1)
   }
 
-  val q189Sql: String = DuckClassifierScore +
+  def q189BestThreshold(s: SparkSession, dir: String): DataFrame =
+    bestThresholdOf(scoredTruth(s, dir))
+
+  /** Shared DuckDB CTE: the classifier score with truth/source (`tr`), the
+    * per-score class counts (`gp`) and the descending cumulative sweep
+    * (`c`) — appended after [[DuckClassifierScore]]; q189 reads the best
+    * row, q195 re-applies the best cut per source. One definition, so the
+    * tie-break and F1 formula cannot drift between the two oracles. */
+  private val DuckThresholdSweep: String =
     """,
-      |tr AS (SELECT sc.score_milli, d.lang = 'en' AS truth
+      |tr AS (SELECT sc.id, sc.score_milli, d.source, d.lang = 'en' AS truth
       |       FROM sc JOIN documents d ON d.doc_id = sc.id),
       |gp AS (SELECT score_milli,
       |        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos_s,
@@ -875,7 +882,10 @@ object Analytics {
       |        CAST(sum(pos_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS tp,
       |        CAST(sum(neg_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS fp,
       |        CAST((SELECT sum(pos_s) FROM gp) AS BIGINT) AS n_pos
-      |      FROM gp),
+      |      FROM gp)""".stripMargin
+
+  val q189Sql: String = DuckClassifierScore + DuckThresholdSweep +
+    """,
       |f AS (SELECT score_milli AS threshold_milli, tp, fp, n_pos - tp AS fn,
       |        CASE WHEN tp = 0 THEN 0
       |             ELSE (2 * tp * 1000000) // (2 * tp + fp + n_pos - tp) END AS f1_ppm
@@ -1079,13 +1089,12 @@ object Analytics {
     * the DEPLOYED cut actually does to each domain. Sources where the cut
     * keeps nothing or misses every positive report the −1 sentinel. */
   def q195SourceF1(s: SparkSession, dir: String): DataFrame = {
-    val cut = broadcast(q189BestThreshold(s, dir).select("threshold_milli"))
-    val scored = graft.llmops.TextAnalysis
-      .hashedNgramScore(docs(s, dir), "doc_id", "text")
-      .select(col("id"), col("score_milli"))
-    val d = docs(s, dir).select(col("doc_id").as("id"), col("source"),
-      (col("lang") === "en").as("truth"))
-    scored.join(d, "id").crossJoin(cut)
+    // persisted: the sweep and the apply pass share ONE scored relation —
+    // without the pin the tokenize+hash scorer would execute twice
+    // (released by the harness's clearCache discipline)
+    val st = scoredTruth(s, dir).persist()
+    val cut = broadcast(bestThresholdOf(st).select("threshold_milli"))
+    st.crossJoin(cut)
       .withColumn("pred", col("score_milli") >= col("threshold_milli"))
       .groupBy("source")
       .agg(
@@ -1098,19 +1107,8 @@ object Analytics {
       .orderBy("source")
   }
 
-  val q195Sql: String = DuckClassifierScore +
+  val q195Sql: String = DuckClassifierScore + DuckThresholdSweep +
     """,
-      |tr AS (SELECT sc.id, sc.score_milli, d.source, d.lang = 'en' AS truth
-      |       FROM sc JOIN documents d ON d.doc_id = sc.id),
-      |gp AS (SELECT score_milli,
-      |        CAST(sum(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT) AS pos_s,
-      |        CAST(sum(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS BIGINT) AS neg_s
-      |      FROM tr GROUP BY 1),
-      |c AS (SELECT score_milli,
-      |        CAST(sum(pos_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS tp,
-      |        CAST(sum(neg_s) OVER (ORDER BY score_milli DESC) AS BIGINT) AS fp,
-      |        CAST((SELECT sum(pos_s) FROM gp) AS BIGINT) AS n_pos
-      |      FROM gp),
       |best AS (SELECT score_milli AS t FROM (
       |           SELECT score_milli,
       |             CASE WHEN tp = 0 THEN 0
@@ -1145,13 +1143,17 @@ object Analytics {
       .select(col("id"), col("score_milli"))
     val truth = docs(s, dir)
       .select(col("doc_id").as("id"), (col("lang") === "en").cast("long").as("pos"))
-    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    // n_docs from the plain parquet scan — the scorer need not run for a
+    // row count; deciles persisted so the total and the prefix scan share
+    // one evaluation of the rank+join lineage (10-row cache)
+    val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
     val deciles = globalRank(scored, "rnk",
         col("score_milli").desc, col("id"))
       .join(truth, "id").crossJoin(n)
       .withColumn("decile", expr("((rnk - 1) * 10) div n_docs"))
       .groupBy("decile")
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
+      .persist()
     val tot = broadcast(deciles.agg(sum("n_pos").as("total_pos")))
     prefixSum(deciles, "n_pos", "cum_pos", col("decile"))
       .crossJoin(tot)
@@ -1199,8 +1201,10 @@ object Analytics {
         expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 12), 16, 10) AS BIGINT) + 1"))
       // u = u_num / 2^48 ∈ (0, 1]; priority_q = ⌊1e12 · ln(u) / w + ½⌋
       .withColumn("priority_q",
-        floor(log(col("u_num").cast("double") / lit(281474976710656.0)) /
-          col("n_chars").cast("double") * 1000000000000.0 + 0.5).cast("long"))
+        when(col("n_chars") === 0, lit(null).cast("long"))
+          .otherwise(
+            floor(log(col("u_num").cast("double") / lit(281474976710656.0)) /
+              col("n_chars").cast("double") * 1000000000000.0 + 0.5).cast("long")))
     globalRank(prio, "rnk", col("priority_q").desc, col("doc_id"))
       .filter(col("rnk") <= 20)
       .select(col("rnk"), col("doc_id"), col("n_chars"), col("priority_q"))
@@ -1212,8 +1216,10 @@ object Analytics {
       |    CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS u_num
       |  FROM documents),
       |q AS (SELECT doc_id, n_chars,
-      |        CAST(floor(ln(CAST(u_num AS DOUBLE) / 281474976710656.0)
-      |          / CAST(n_chars AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT) AS priority_q
+      |        CASE WHEN n_chars = 0 THEN CAST(NULL AS BIGINT)
+      |             ELSE CAST(floor(ln(CAST(u_num AS DOUBLE) / 281474976710656.0)
+      |               / CAST(n_chars AS DOUBLE) * 1000000000000.0 + 0.5) AS BIGINT)
+      |        END AS priority_q
       |      FROM p),
       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY priority_q DESC, doc_id) AS BIGINT) AS rnk
       |      FROM q)

@@ -743,61 +743,12 @@ object LlmOps {
     * integer cosine. Approximate by design, but the index replicates in
     * the oracle, so the hash gate checks the bucketed result EXACTLY —
     * misses and all. */
-  def q119CosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16, bands = 4, dim = 64)
-      .orderBy("id_a", "id_b")
-  }
-
-  val q119Sql: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
-      |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
-      |  FROM embeddings),
-      |pl AS (SELECT i, j,
-      |    CASE WHEN ((((2654435761 * (i * 64 + j) + 40503) % 4294967296) >> 16) & 1) = 0
-      |         THEN -1 ELSE 1 END AS sgn
-      |  FROM range(0, 16) t(i), range(0, 64) u(j)),
-      |pd AS (SELECT vec_id, i, CAST(SUM(q6[CAST(j AS INT) + 1] * sgn) AS BIGINT) AS d
-      |  FROM v, pl GROUP BY 1, 2),
-      |sig AS (SELECT vec_id, CAST(SUM(CASE WHEN d > 0 THEN 1 << i ELSE 0 END) AS BIGINT) AS sg
-      |  FROM pd GROUP BY 1),
-      |bk AS (SELECT vec_id, b, (sg >> (CAST(b AS INT) * 4)) & 15 AS key
-      |       FROM sig, range(0, 4) w(b)),
-      |cand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-      |         FROM bk a JOIN bk b ON a.b = b.b AND a.key = b.key
-      |              AND a.vec_id < b.vec_id),
-      |q AS (SELECT vec_id, list_transform(embedding, x ->
-      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
-      |      FROM embeddings),
-      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q)
-      |SELECT c.id_a, c.id_b,
-      |  round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
-      |FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
-      |WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4
-      |ORDER BY id_a, id_b""".stripMargin
-
-  /** S23 monitoring — embedding near-dup graph DEGREE histogram: the q119
-    * banded-LSH ≥ 0.4-cosine pair stream rolled to per-vector degrees
-    * (degree-0 vectors included via the left join back), then to
-    * (degree → n_vecs) — the structural readout that distinguishes "a few
-    * giant clone clusters" from "diffuse pairwise similarity" BEFORE
-    * committing to a dedup strategy (CC for cliques, canonical-pick for
-    * stars). Composes the certified q119 machinery; two count shuffles on
-    * top. */
-  def q199DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
-    val pairs = Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16,
-      bands = 4, dim = 64).select("id_a", "id_b")
-    val deg = pairs.select(col("id_a").as("id"))
-      .union(pairs.select(col("id_b").as("id")))
-      .groupBy("id").agg(count(lit(1)).as("degree"))
-    emb(s, dir).select(col("vec_id").as("id"))
-      .join(deg, Seq("id"), "left").na.fill(0L, Seq("degree"))
-      .groupBy("degree").agg(count(lit(1)).as("n_vecs"))
-      .orderBy("degree")
-  }
-
-  val q199Sql: String =
+  /** Shared DuckDB CTE replicating the q119 banded hyperplane-LSH cosine
+    * pair stream end to end (signatures over the LCG plane table, 4-bit
+    * band collisions, exact ×1e4 rescore at cosine ≥ 0.4); ends with
+    * `pairs(id_a, id_b)` plus the per-vector norm frame `n`. One
+    * definition keeps q119 and its degree rollup (q199) byte-identical. */
+  private val DuckCosinePairs: String =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
       |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
       |  FROM embeddings),
@@ -820,7 +771,46 @@ object LlmOps {
       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
       |pairs AS (SELECT c.id_a, c.id_b
       |          FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
-      |          WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4),
+      |          WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
+
+  def q119CosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16, bands = 4, dim = 64)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q119Sql: String = DuckCosinePairs +
+    """
+      |SELECT p.id_a, p.id_b,
+      |  round(CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm), 12) AS cosine
+      |FROM pairs p JOIN n a ON a.vec_id = p.id_a JOIN n b ON b.vec_id = p.id_b
+      |ORDER BY id_a, id_b""".stripMargin
+
+  /** S23 monitoring — embedding near-dup graph DEGREE histogram: the q119
+    * banded-LSH ≥ 0.4-cosine pair stream rolled to per-vector degrees
+    * (degree-0 vectors included via the left join back), then to
+    * (degree → n_vecs) — the structural readout that distinguishes "a few
+    * giant clone clusters" from "diffuse pairwise similarity" BEFORE
+    * committing to a dedup strategy (CC for cliques, canonical-pick for
+    * stars). Composes the certified q119 machinery; two count shuffles on
+    * top. */
+  def q199DegreeHistogram(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairsLsh(e, minCosine = 0.4, planes = 16,
+      bands = 4, dim = 64).select("id_a", "id_b")
+    // both endpoints in ONE pass over the pair stream (a two-branch union
+    // would re-run the candidate join + rescore)
+    val deg = pairs
+      .select(explode(array(col("id_a"), col("id_b"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("degree"))
+    emb(s, dir).select(col("vec_id").as("id"))
+      .join(deg, Seq("id"), "left").na.fill(0L, Seq("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_vecs"))
+      .orderBy("degree")
+  }
+
+  val q199Sql: String = DuckCosinePairs +
+    """,
       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS degree FROM (
       |          SELECT id_a AS id FROM pairs UNION ALL SELECT id_b FROM pairs)
       |        GROUP BY 1)
@@ -845,8 +835,8 @@ object LlmOps {
       sum("n_chars").as("total_chars"))
     val dup = d.groupBy(sha2(col("text").cast("binary"), 256).as("sha"))
       .agg(count(lit(1)).as("copies"))
-      .agg(sum(when(col("copies") >= 2, col("copies")).otherwise(0L))
-        .as("exact_dup_docs"))
+      .agg(coalesce(sum(when(col("copies") >= 2, col("copies")).otherwise(0L)),
+        lit(0L)).as("exact_dup_docs"))
     val tok = d.select(explode(
         expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("w"))
       .agg(count(lit(1)).as("total_tokens"))
