@@ -1285,6 +1285,95 @@ object Analytics {
       .mkString("", "\nUNION ALL\n", "\nORDER BY edge")
   }
 
+  // ---------------------------------------- q201 repurchase cadence
+
+  /** Lifecycle — per-user repurchase cadence: the exact lower-median gap
+    * (hours) between a user's consecutive purchases, rolled into a
+    * cadence histogram (median-gap day bucket → user count). q193 reads
+    * time-to-FIRST-purchase; this reads the rhythm AFTER it — the number
+    * behind "weekly shopper vs one-off". Gaps via one user-partitioned
+    * lag; the median is the rank-⌈n/2⌉ order statistic under (gap, order)
+    * — windows stay user-partitioned throughout. */
+  def q201RepurchaseCadence(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val gaps = t(s, dir, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("gap_us", col("ts_us") - lag("ts_us", 1).over(wo))
+      .filter(col("gap_us").isNotNull)
+    val wg = Window.partitionBy("user_id").orderBy("gap_us", "event_id")
+    val med = gaps
+      .withColumn("rn", row_number().over(wg))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("user_id")))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .select(col("user_id"), col("n").as("n_gaps"),
+        col("gap_us").as("median_gap_us"))
+    med.groupBy(expr("median_gap_us div 86400000000").as("gap_days"))
+      .agg(count(lit(1)).as("n_users"), sum("n_gaps").as("n_gaps"))
+      .orderBy("gap_days")
+  }
+
+  val q201Sql: String =
+    """WITH p AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us
+      |  FROM events WHERE event_type = 'purchase'),
+      |g AS (SELECT user_id, event_id,
+      |        ts_us - lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS gap_us
+      |      FROM p),
+      |gg AS (SELECT * FROM g WHERE gap_us IS NOT NULL),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY gap_us, event_id) AS rn,
+      |        CAST(count(*) OVER (PARTITION BY user_id) AS BIGINT) AS n
+      |      FROM gg),
+      |med AS (SELECT user_id, n AS n_gaps, gap_us AS median_gap_us
+      |        FROM r WHERE rn = (n + 1) // 2)
+      |SELECT median_gap_us // 86400000000 AS gap_days,
+      |  CAST(count(*) AS BIGINT) AS n_users, CAST(sum(n_gaps) AS BIGINT) AS n_gaps
+      |FROM med GROUP BY 1 ORDER BY gap_days""".stripMargin
+
+  // ------------------------------------------------ q202 revenue Gini
+
+  /** Concentration — exact Gini coefficient of per-user revenue: how
+    * concentrated is spend across users, as the closed-form rank sum
+    * G = (2·Σᵢ i·xᵢ − (n+1)·Σx) / (n·Σx) over the ascending (cents,
+    * user_id) order — every term an exact integer, the ranks from the
+    * distributed zip-with-index. The one-number inequality readout
+    * (0 = uniform, →1 = one whale) behind every "top 1% of users" claim;
+    * the same arithmetic applied to per-source token counts reads corpus
+    * concentration. */
+  def q202RevenueGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val perUser = t(s, dir, "events")
+      .select(col("user_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("user_id").agg(sum("cents").as("cents"))
+    globalRank(perUser, "rnk", col("cents"), col("user_id"))
+      .agg(count(lit(1)).as("n_users"), sum("cents").as("total_cents"),
+        sum(col("rnk") * col("cents")).as("rank_weighted"))
+      .withColumn("g_num", expr("2 * rank_weighted - (n_users + 1) * total_cents"))
+      .withColumn("g_den", expr("n_users * total_cents"))
+      .withColumn("gini_ppm", expr(
+        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) ELSE (g_num * 1000000) div g_den END"))
+      .select("n_users", "total_cents", "g_num", "g_den", "gini_ppm")
+  }
+
+  val q202Sql: String =
+    """WITH u AS (SELECT user_id,
+      |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM events GROUP BY 1),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY cents, user_id) AS BIGINT) AS rnk
+      |      FROM u),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(cents) AS BIGINT) AS total_cents,
+      |        CAST(sum(rnk * cents) AS BIGINT) AS rank_weighted
+      |      FROM r)
+      |SELECT n_users, total_cents,
+      |  2 * rank_weighted - (n_users + 1) * total_cents AS g_num,
+      |  n_users * total_cents AS g_den,
+      |  CASE WHEN n_users * total_cents = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE ((2 * rank_weighted - (n_users + 1) * total_cents) * 1000000)
+      |         // (n_users * total_cents) END AS gini_ppm
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1312,6 +1401,8 @@ object Analytics {
     "q196_gains_table" -> (q196GainsTable _),
     "q197_weighted_sample" -> (q197WeightedSample _),
     "q198_ref_integrity" -> (q198RefIntegrity _),
+    "q201_repurchase_cadence" -> (q201RepurchaseCadence _),
+    "q202_revenue_gini" -> (q202RevenueGini _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -1341,6 +1432,8 @@ object Analytics {
     "q196_gains_table" -> q196Sql,
     "q197_weighted_sample" -> q197Sql,
     "q198_ref_integrity" -> q198Sql,
+    "q201_repurchase_cadence" -> q201Sql,
+    "q202_revenue_gini" -> q202Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

@@ -60,7 +60,8 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q189_best_threshold", "q190_stream_late", "q191_linear_attribution",
       "q192_session_stats", "q193_conversion_hazard", "q194_dup_histogram",
       "q195_source_f1", "q196_gains_table", "q197_weighted_sample",
-      "q198_ref_integrity", "q199_degree_histogram", "q200_scorecard")) {
+      "q198_ref_integrity", "q199_degree_histogram", "q200_scorecard",
+      "q201_repurchase_cadence", "q202_revenue_gini")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
