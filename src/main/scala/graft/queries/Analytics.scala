@@ -1374,6 +1374,49 @@ object Analytics {
       |         // (n_users * total_cents) END AS gini_ppm
       |FROM a""".stripMargin
 
+  // -------------------------------------- q203 corpus-concentration Gini
+
+  /** Concentration — q202's exact Gini rank-sum applied to the CORPUS:
+    * inequality of per-source token counts (0 = every source contributes
+    * evenly, →1 = one source dominates). The one-number mixture-health
+    * check behind q76/q109's balancing knobs — if it trends up, the
+    * temperature/caps aren't holding. Identical closed-form arithmetic
+    * over the distributed zip-with-index order. */
+  def q203CorpusGini(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val perSource = docs(s, dir)
+      .select(col("source"),
+        size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .cast("long").as("toks"))
+      .groupBy("source").agg(sum("toks").as("toks"))
+    globalRank(perSource, "rnk", col("toks"), col("source"))
+      .agg(count(lit(1)).as("n_sources"), sum("toks").as("total_tokens"),
+        sum(col("rnk") * col("toks")).as("rank_weighted"))
+      .withColumn("g_num", expr("2 * rank_weighted - (n_sources + 1) * total_tokens"))
+      .withColumn("g_den", expr("n_sources * total_tokens"))
+      .withColumn("gini_ppm", expr(
+        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) ELSE (g_num * 1000000) div g_den END"))
+      .select("n_sources", "total_tokens", "g_num", "g_den", "gini_ppm")
+  }
+
+  val q203Sql: String =
+    """WITH src AS (SELECT source,
+      |    CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY 1),
+      |r AS (SELECT *, CAST(row_number() OVER (ORDER BY toks, source) AS BIGINT) AS rnk
+      |      FROM src),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+      |        CAST(sum(toks) AS BIGINT) AS total_tokens,
+      |        CAST(sum(rnk * toks) AS BIGINT) AS rank_weighted
+      |      FROM r)
+      |SELECT n_sources, total_tokens,
+      |  2 * rank_weighted - (n_sources + 1) * total_tokens AS g_num,
+      |  n_sources * total_tokens AS g_den,
+      |  CASE WHEN n_sources * total_tokens = 0 THEN CAST(NULL AS BIGINT)
+      |       ELSE ((2 * rank_weighted - (n_sources + 1) * total_tokens) * 1000000)
+      |         // (n_sources * total_tokens) END AS gini_ppm
+      |FROM a""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1403,6 +1446,7 @@ object Analytics {
     "q198_ref_integrity" -> (q198RefIntegrity _),
     "q201_repurchase_cadence" -> (q201RepurchaseCadence _),
     "q202_revenue_gini" -> (q202RevenueGini _),
+    "q203_corpus_gini" -> (q203CorpusGini _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
     "q179_ks_stat" -> (q179KsStat _))
@@ -1434,6 +1478,7 @@ object Analytics {
     "q198_ref_integrity" -> q198Sql,
     "q201_repurchase_cadence" -> q201Sql,
     "q202_revenue_gini" -> q202Sql,
+    "q203_corpus_gini" -> q203Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
     "q179_ks_stat" -> q179Sql)

@@ -61,7 +61,7 @@ class DeterminismSpec extends AnyFunSuite with SparkSpec {
       "q192_session_stats", "q193_conversion_hazard", "q194_dup_histogram",
       "q195_source_f1", "q196_gains_table", "q197_weighted_sample",
       "q198_ref_integrity", "q199_degree_histogram", "q200_scorecard",
-      "q201_repurchase_cadence", "q202_revenue_gini")) {
+      "q201_repurchase_cadence", "q202_revenue_gini", "q203_corpus_gini")) {
     test(s"$q: identical bytes at 2 and 9 shuffle partitions") {
       assert(rows(q, 2) == rows(q, 9), s"$q result depends on partitioning")
     }
