@@ -193,7 +193,8 @@ object Analytics {
     * offsets, no single-partition window), one groupBy over DISTINCT scores
     * for the tie bounds, one scalar aggregate. `scoreCol` must be integral
     * and `idCol` a unique tie-breaker; `truthCol` boolean. Output is a
-    * single row (n_pos, n_neg, u2, auc_ppm).
+    * single row (n_pos, n_neg, u2, auc_ppm); a one-class input (n_pos or
+    * n_neg = 0) yields the -1 sentinel, never NULL or a crash.
     */
   def aucRankSum(df: DataFrame, scoreCol: String, idCol: String,
       truthCol: String): DataFrame = {
@@ -209,7 +210,9 @@ object Analytics {
         sum(when(!col("__t"), 1L).otherwise(0L)).as("n_neg"),
         sum(when(col("__t"), col("__lo") + col("__hi")).otherwise(0L)).as("r2_pos"))
       .withColumn("u2", expr("r2_pos - n_pos * (n_pos + 1)"))
-      .withColumn("auc_ppm", expr("(u2 * 1000000) div (2 * n_pos * n_neg)"))
+      .withColumn("auc_ppm", expr(
+        "CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1L " +
+          "ELSE (u2 * 1000000) div (2 * n_pos * n_neg) END"))
       .select("n_pos", "n_neg", "u2", "auc_ppm")
   }
 }

@@ -214,7 +214,9 @@ object Analytics {
       |        CAST(sum(CASE WHEN truth THEN lo + hi ELSE 0 END) AS BIGINT) AS r2_pos
       |      FROM j)
       |SELECT n_pos, n_neg, r2_pos - n_pos * (n_pos + 1) AS u2,
-      |  ((r2_pos - n_pos * (n_pos + 1)) * 1000000) // (2 * n_pos * n_neg) AS auc_ppm
+      |  CASE WHEN n_pos = 0 OR n_neg = 0 THEN -1
+      |       ELSE ((r2_pos - n_pos * (n_pos + 1)) * 1000000)
+      |         // (2 * n_pos * n_neg) END AS auc_ppm
       |FROM a""".stripMargin
 
   // ------------------------------------------------- q168 A/B lift
@@ -1351,8 +1353,12 @@ object Analytics {
         sum(col("rnk") * col("cents")).as("rank_weighted"))
       .withColumn("g_num", expr("2 * rank_weighted - (n_users + 1) * total_cents"))
       .withColumn("g_den", expr("n_users * total_cents"))
+      // g_num·1e6 overflows int64 past ~SF1 (n_users·total_cents ≳ 9.2e12),
+      // so the ppm scale rides DECIMAL(38,0) — `div` truncates identically
+      // to DuckDB's HUGEINT `//` on these nonnegative operands.
       .withColumn("gini_ppm", expr(
-        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) ELSE (g_num * 1000000) div g_den END"))
+        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((CAST(g_num AS DECIMAL(38,0)) * 1000000) div g_den AS BIGINT) END"))
       .select("n_users", "total_cents", "g_num", "g_den", "gini_ppm")
   }
 
@@ -1370,8 +1376,8 @@ object Analytics {
       |  2 * rank_weighted - (n_users + 1) * total_cents AS g_num,
       |  n_users * total_cents AS g_den,
       |  CASE WHEN n_users * total_cents = 0 THEN CAST(NULL AS BIGINT)
-      |       ELSE ((2 * rank_weighted - (n_users + 1) * total_cents) * 1000000)
-      |         // (n_users * total_cents) END AS gini_ppm
+      |       ELSE CAST((CAST(2 * rank_weighted - (n_users + 1) * total_cents AS HUGEINT)
+      |           * 1000000) // (n_users * total_cents) AS BIGINT) END AS gini_ppm
       |FROM a""".stripMargin
 
   // -------------------------------------- q203 corpus-concentration Gini
@@ -1394,8 +1400,10 @@ object Analytics {
         sum(col("rnk") * col("toks")).as("rank_weighted"))
       .withColumn("g_num", expr("2 * rank_weighted - (n_sources + 1) * total_tokens"))
       .withColumn("g_den", expr("n_sources * total_tokens"))
+      // same DECIMAL(38,0) routing as q202 — see the overflow note there
       .withColumn("gini_ppm", expr(
-        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) ELSE (g_num * 1000000) div g_den END"))
+        "CASE WHEN g_den = 0 THEN CAST(NULL AS BIGINT) " +
+          "ELSE CAST((CAST(g_num AS DECIMAL(38,0)) * 1000000) div g_den AS BIGINT) END"))
       .select("n_sources", "total_tokens", "g_num", "g_den", "gini_ppm")
   }
 
@@ -1413,8 +1421,8 @@ object Analytics {
       |  2 * rank_weighted - (n_sources + 1) * total_tokens AS g_num,
       |  n_sources * total_tokens AS g_den,
       |  CASE WHEN n_sources * total_tokens = 0 THEN CAST(NULL AS BIGINT)
-      |       ELSE ((2 * rank_weighted - (n_sources + 1) * total_tokens) * 1000000)
-      |         // (n_sources * total_tokens) END AS gini_ppm
+      |       ELSE CAST((CAST(2 * rank_weighted - (n_sources + 1) * total_tokens AS HUGEINT)
+      |           * 1000000) // (n_sources * total_tokens) AS BIGINT) END AS gini_ppm
       |FROM a""".stripMargin
 
   // ------------------------------------------------------------------

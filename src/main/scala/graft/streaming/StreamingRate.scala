@@ -22,7 +22,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * window count + total) — O(|keys|) regardless of stream length; each
   * batch's work is one local fold per touched key. Requires in-order
   * window DELIVERY across batches (the staged-replay contract; a real
-  * deployment puts a watermark upstream to bound disorder).
+  * deployment puts a watermark upstream to bound disorder) — a window id
+  * older than the open one, or a flush sentinel carrying a count, FAILS
+  * the query loudly rather than silently corrupting the emitted stats.
   */
 object StreamingRate {
 
@@ -48,7 +50,10 @@ object StreamingRate {
           // within a micro-batch is not deterministic; window order is)
           val byWin = batch.toSeq.groupBy(_.win).toSeq
             .map { case (w, rs) =>
-              (w, rs.map(_.n).sum, rs.exists(_.flush)) }
+              val flushN = rs.filter(_.flush).map(_.n).sum
+              require(flushN == 0L,
+                s"flush sentinel for key=$key win=$w carries n=$flushN (must be 0)")
+              (w, rs.filterNot(_.flush).map(_.n).sum, rs.exists(_.flush)) }
             .sortBy(_._1)
           var st = state.getOption.getOrElse(RateState(-1L, 0L, 0L, 0L))
           val out = Seq.newBuilder[RateAlert]
@@ -58,9 +63,19 @@ object StreamingRate {
             st = RateState(-1L, 0L, st.priorW + 1, st.priorTotal + st.n)
           }
           byWin.foreach { case (w, n, isFlush) =>
+            // fold any real contribution first, then honor a flush
+            if (n > 0L || !isFlush) {
+              if (st.win == w) st = st.copy(n = st.n + n)
+              else {
+                // in-order window delivery is the contract; re-opening an
+                // OLDER window would silently emit duplicate (key, win)
+                // rows with wrong trailing stats — fail loudly instead
+                require(st.win < 0 || w > st.win,
+                  s"out-of-order window for key=$key: got win=$w after open win=${st.win}")
+                close(); st = RateState(w, n, st.priorW, st.priorTotal)
+              }
+            }
             if (isFlush) close()
-            else if (st.win == w) st = st.copy(n = st.n + n)
-            else { close(); st = RateState(w, n, st.priorW, st.priorTotal) }
           }
           state.update(st)
           out.result().iterator

@@ -222,6 +222,16 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       .collect().head.getAs[Long]("auc_ppm") == 500000L)
   }
 
+  test("aucRankSum one-class input: -1 sentinel, never NULL or a crash") {
+    import spark.implicits._
+    for (cls <- Seq(true, false)) {
+      val oneClass = (1L to 5L).map(i => (i, i, cls)).toDF("id", "s", "t")
+      val r = Analytics.aucRankSum(oneClass, "s", "id", "t").collect().head
+      assert(!r.isNullAt(r.fieldIndex("auc_ppm")))
+      assert(r.getAs[Long]("auc_ppm") == -1L, s"cls=$cls")
+    }
+  }
+
   test("q174 kappa: confusion matrix sums to corpus; kappa bounded by ±1e6") {
     val r = graft.queries.Analytics.q174Kappa(spark, "/root/testdata/sf0.001")
       .collect().head

@@ -458,6 +458,25 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.exists(!_._3), "fixture should drop at least one vector")
   }
 
+  test("semDedup k-scaling: raising k bounds the per-cluster pair cost (k ∝ corpus rule)") {
+    import org.apache.spark.sql.functions.col
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val n = e.count()
+    val allPairs = n * (n - 1) / 2
+    // Σ c·(c−1)/2 over cluster sizes = the pairwise-cosine work semDedup does
+    def pairCost(k: Int): Long = Similarity.kmeansIntAssign(e, k, iters = 2)
+      .groupBy("cluster").count().collect()
+      .map(r => { val c = r.getLong(1); c * (c - 1) / 2 }).sum
+    val at2 = pairCost(2)
+    val at32 = pairCost(32)
+    // the SCALE.md contract: k is the knob that keeps (n/k)² bounded —
+    // 16× the clusters must cut the pair work by well over 2×, and even
+    // the coarse clustering must already beat the quadratic baseline
+    assert(at2 < allPairs, s"k=2 pair cost $at2 should beat all-pairs $allPairs")
+    assert(at32 * 2 < at2, s"k=32 pair cost $at32 should be ≪ k=2 cost $at2")
+  }
+
   test("annRecall ≡ set intersection of the IVF and exact top-k neighbor lists") {
     import org.apache.spark.sql.functions.col
     val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")

@@ -436,6 +436,36 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(run("rate_one", Seq(b1 ++ b2)) == expect)
   }
 
+  test("streaming rate alerts: contract violations fail loudly, not corrupt") {
+    import spark.implicits._
+    import graft.streaming.StreamingRate
+    import graft.streaming.StreamingRate.RateEvent
+    implicit val sq = spark.sqlContext
+    def expectFailure(name: String, batches: Seq[Seq[RateEvent]], msgPart: String): Unit = {
+      val mem = MemoryStream[RateEvent]
+      val q = StreamingRate.alerts(mem.toDS())
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      val ex = intercept[Exception] {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      }
+      q.stop()
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains(msgPart)),
+        s"expected '$msgPart' in failure chain, got: ${msgs(ex).mkString(" | ")}")
+    }
+    // a window id OLDER than the open one (in-order delivery violated)
+    expectFailure("rate_ooo",
+      Seq(Seq(RateEvent("a", 5L, 10L, flush = false)),
+        Seq(RateEvent("a", 3L, 10L, flush = false))),
+      "out-of-order window")
+    // a flush sentinel carrying a nonzero count (its n would be lost)
+    expectFailure("rate_badflush",
+      Seq(Seq(RateEvent("a", 1L, 10L, flush = false),
+        RateEvent("a", 2L, 7L, flush = true))),
+      "flush sentinel")
+  }
+
   test("q190 append-mode watermark: stragglers dropped, unfinished windows never emit") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
