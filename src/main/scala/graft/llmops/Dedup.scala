@@ -766,6 +766,94 @@ object Dedup {
         col("n_novel").cast("double") / col("n_sh").cast("double"))
   }
 
+  /** EXACT substring dedup (Lee et al. 2022, "Deduplicating Training Data
+    * Makes Language Models Better", the ExactSubstr operator): remove
+    * every character that sits inside a substring of length ≥ `minLen`
+    * occurring at two or more distinct (doc, offset) positions in the
+    * corpus — overlapping occurrences and within-document repeats both
+    * count, and ALL occurrences are removed (the symmetric variant; a
+    * keep-first policy is one extra rank over the same candidate set).
+    *
+    * Suffix-array-free reformulation (the Spark-first shape): a character
+    * is covered by a duplicated substring of length ≥ L **iff** it is
+    * covered by a duplicated L-gram. (⇐ a duplicated L-gram IS a
+    * duplicated substring of length L; ⇒ any substring of a duplicated
+    * string is duplicated, and every character of a length-≥L span lies
+    * in one of its L-windows.) So the exact removal set is the union of
+    * duplicated fixed-width L-grams — a groupBy + interval merge, not a
+    * distributed suffix array. SubstringDedupSpec pins this equivalence
+    * against a naive all-spans scan on randomized fixtures.
+    *
+    * Plan (two scans, fingerprint-width shuffles):
+    *   1. explode every L-window offset, shuffle only (xxhash64(gram),
+    *      id, pos) — 8-byte keys, never the L-char gram — and count by
+    *      fingerprint; fingerprints with ≥ 2 occurrences are candidates.
+    *   2. re-derive candidate windows from a second scan (compute is
+    *      scan-bound; the join with the winner set is fingerprint-keyed,
+    *      AQE broadcasts it when small) and confirm with an exact count
+    *      on the gram itself, so hash collisions cannot leak into the
+    *      result (candidates are typically a small fraction, so this
+    *      shuffle carries grams only for near-duplicate positions).
+    *   3. merge covered windows per doc into maximal spans (one per-doc
+    *      window: islands by `pos > lag(pos) + L`), rebuild the kept text
+    *      from the gap segments, digest it.
+    *
+    * Scale: shuffle 1 is O(total_chars · 24 B) — the L× gram blowup never
+    * ships; per-gram state is one counter (map-side partials apply), so a
+    * mega-frequent gram (whitespace runs, boilerplate) costs a counter,
+    * not a collected list. Returns one row per input doc:
+    * (id, doc_len, n_dup_spans, dup_chars, kept_sha) ordered by caller. */
+  def substringDedup(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    def windows = d.filter(length(col("text")) >= L)
+      .select(col("id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
+      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys
+    val winners = windows.select(xxhash64(col("gram")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("fp")
+    // pass 2: re-derive candidate windows, confirm on the exact gram
+    val cand = windows.withColumn("fp", xxhash64(col("gram")))
+      .join(winners, "fp").select("id", "pos", "gram")
+    val confirmed = cand
+      .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("gram"), "gram")
+      .select("id", "pos")
+    // merge covered windows into maximal spans per doc
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    val spans = confirmed
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wDoc) + L, 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(wDoc))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("start"), (max("pos") + L).as("end"))
+    // kept text = the gap segments between spans, plus the tail
+    val wSpan = Window.partitionBy("id").orderBy("start")
+    val dupAgg = spans
+      .withColumn("prev_end", lag("end", 1, 0).over(wSpan))
+      .join(d, "id")
+      .withColumn("gap_text",
+        expr("substring(text, prev_end + 1, start - prev_end)"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_dup_spans"),
+        sum(col("end") - col("start")).cast("long").as("dup_chars"),
+        array_join(expr("transform(array_sort(collect_list(" +
+          "struct(start, gap_text))), x -> x.gap_text)"), "").as("body"),
+        max("end").as("last_end"))
+    d.join(dupAgg, Seq("id"), "left")
+      .withColumn("kept", when(col("n_dup_spans").isNull, col("text"))
+        .otherwise(concat(col("body"),
+          expr("substring(text, last_end + 1, length(text))"))))
+      .select(col("id"), length(col("text")).cast("long").as("doc_len"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
+        sha2(col("kept").cast("binary"), 256).as("kept_sha"))
+  }
+
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.
     * h(t) = (2654435761·t + 40503) mod 2^32; bit j of the simhash is 1 iff
     * Σ_t (2·bit_j(h(t)) − 1) > 0. */

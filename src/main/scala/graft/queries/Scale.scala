@@ -675,6 +675,57 @@ object Scale {
       |            ELSE 0 END AS BIGINT) AS dup_permille
       |FROM tot LEFT JOIN nd ON nd.id = tot.id ORDER BY tot.id""".stripMargin
 
+  // ------------------------------------ q204 exact substring dedup
+
+  /** North star/dedup — EXACT substring dedup, Lee et al.'s ExactSubstr
+    * ([[Dedup.substringDedup]]): remove every character inside a
+    * substring of length ≥ 40 chars occurring twice anywhere in the
+    * corpus (any two distinct (doc, offset) positions — cross-doc,
+    * within-doc, and overlapping occurrences all count). The operator
+    * q85 (8-gram coverage) and q129 (aligned-chunk rewrite) only
+    * approximate: arbitrary-offset, arbitrary-length verbatim repetition,
+    * detected exactly via the duplicated-L-gram union (see the operator
+    * Scaladoc for the equivalence proof; SubstringDedupSpec pins it
+    * against a naive all-spans scan). kept_sha digests the rewritten
+    * document byte-for-byte, q129-style. */
+  def q204SubstringDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedup(docs(s, dir), "doc_id", "text", minLen = 40)
+      .orderBy("id")
+
+  val q204Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, substr(text, i + 1, 40) AS gram
+      |      FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)),
+      |dup AS (SELECT id, pos FROM
+      |          (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g)
+      |        WHERE n >= 2),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM dup)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |gaps AS (SELECT id, s, e,
+      |           COALESCE(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS prev_end
+      |         FROM sp),
+      |agg AS (SELECT gaps.id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_chars,
+      |          string_agg(substr(d.text, CAST(prev_end + 1 AS BIGINT),
+      |            CAST(s - prev_end AS BIGINT)), '' ORDER BY s) AS body,
+      |          max(e) AS last_end
+      |        FROM gaps JOIN d USING (id) GROUP BY 1),
+      |k AS (SELECT agg.id, n_dup_spans, dup_chars,
+      |        body || substr(d.text, CAST(last_end + 1 AS BIGINT)) AS kept
+      |      FROM agg JOIN d USING (id))
+      |SELECT d.id, CAST(len(d.text) AS BIGINT) AS doc_len,
+      |  COALESCE(k.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(k.dup_chars, 0) AS dup_chars,
+      |  sha256(COALESCE(k.kept, d.text)) AS kept_sha
+      |FROM d LEFT JOIN k ON k.id = d.id
+      |ORDER BY d.id""".stripMargin
+
   // ------------------------------------- q120 intra-doc repeated spans
 
   /** North star/dedup — self-repetition coverage
@@ -1812,6 +1863,7 @@ object Scale {
     "q117_stream_quota" -> (q117StreamQuota _),
     "q120_self_repeats" -> (q120SelfRepeats _),
     "q129_chunk_dedup" -> (q129ChunkDedup _),
+    "q204_substring_dedup" -> (q204SubstringDedup _),
     "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
@@ -1861,6 +1913,7 @@ object Scale {
     "q117_stream_quota" -> q117Sql,
     "q120_self_repeats" -> q120Sql,
     "q129_chunk_dedup" -> q129Sql,
+    "q204_substring_dedup" -> q204Sql,
     "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,

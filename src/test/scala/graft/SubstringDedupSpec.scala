@@ -1,0 +1,102 @@
+package graft
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.functions.col
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.llmops.Dedup
+
+/** Pins [[Dedup.substringDedup]]'s duplicated-L-gram reformulation against
+  * the DEFINITION: a character is removed iff it sits inside SOME substring
+  * of length ≥ L occurring at two or more distinct (doc, offset) positions
+  * in the corpus — brute-forced here by enumerating every span of every
+  * length ≥ L and counting its occurrences with an overlapping indexOf
+  * scan. Random two-letter-alphabet corpora keep duplicate density high.
+  */
+class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
+
+  private def sha256Hex(s: String): String =
+    MessageDigest.getInstance("SHA-256").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** All occurrence start offsets of `sub` in `s`, overlapping included. */
+  private def occurrences(s: String, sub: String): Seq[Int] = {
+    val b = Seq.newBuilder[Int]
+    var i = s.indexOf(sub)
+    while (i >= 0) { b += i; i = s.indexOf(sub, i + 1) }
+    b.result()
+  }
+
+  /** The definitional removal mask: docId -> covered-position flags. */
+  private def bruteMask(docs: Seq[(Long, String)], minLen: Int): Map[Long, Array[Boolean]] = {
+    val mask = docs.map { case (id, t) => id -> new Array[Boolean](t.length) }.toMap
+    for {
+      (id, t) <- docs
+      s <- 0 to t.length - minLen
+      e <- (s + minLen) to t.length
+      sub = t.substring(s, e)
+      // distinct (doc, offset) occurrence count across the whole corpus
+      if docs.iterator.map { case (_, u) => occurrences(u, sub).size }.sum >= 2
+      p <- s until e
+    } mask(id)(p) = true
+    mask
+  }
+
+  test("property: substringDedup ≡ naive all-spans duplicated-substring scan") {
+    import spark.implicits._
+    val genDoc = for {
+      len <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.choose(1, 6)
+      ds <- Gen.listOfN(n, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus, Gen.choose(3, 6)) { (docs, minLen) =>
+      val mask = bruteMask(docs, minLen)
+      val expect = docs.map { case (id, t) =>
+        val m = mask(id)
+        val spans = {
+          // runs of covered positions
+          var n = 0; var i = 0
+          while (i < m.length) {
+            if (m(i) && (i == 0 || !m(i - 1))) n += 1
+            i += 1
+          }
+          n
+        }
+        val kept = t.zipWithIndex.collect { case (c, i) if !m(i) => c }.mkString
+        id -> ((t.length.toLong, spans.toLong, m.count(identity).toLong, sha256Hex(kept)))
+      }.toMap
+      val got = Dedup.substringDedup(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minLen)
+        .collect()
+        .map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      got == expect
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("substringDedup fixture: overlapping within-doc repeat and a clean doc") {
+    import spark.implicits._
+    // doc 0: "aaaaaaaaaa" — every 4-gram repeats (overlapping), whole doc removed
+    // doc 1: shares a 6-char span with doc 2 at different offsets
+    // doc 3: all-distinct content, untouched
+    val docs = Seq(
+      (0L, "aaaaaaaaaa"),
+      (1L, "xxQWERTYzz"),
+      (2L, "ppppQWERTY"),
+      (3L, "bcdefghijk")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1L, 10L, sha256Hex(""))))
+    assert(got(1L) == ((1L, 6L, sha256Hex("xxzz"))))
+    assert(got(2L) == ((1L, 6L, sha256Hex("pppp"))))
+    assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
+  }
+}
