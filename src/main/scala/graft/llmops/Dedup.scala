@@ -805,32 +805,9 @@ object Dedup {
     * (id, doc_len, n_dup_spans, dup_chars, kept_sha) ordered by caller. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val L = minLen
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    def windows = d.filter(length(col("text")) >= L)
-      .select(col("id"), col("text"),
-        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
-      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
-    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys
-    val winners = windows.select(xxhash64(col("gram")).as("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("fp")
-    // pass 2: re-derive candidate windows, confirm on the exact gram
-    val cand = windows.withColumn("fp", xxhash64(col("gram")))
-      .join(winners, "fp").select("id", "pos", "gram")
-    val confirmed = cand
-      .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("gram"), "gram")
-      .select("id", "pos")
-    // merge covered windows into maximal spans per doc
-    val wDoc = Window.partitionBy("id").orderBy("pos")
-    val spans = confirmed
-      .withColumn("brk",
-        when(col("pos") > lag("pos", 1).over(wDoc) + L, 1L).otherwise(0L))
-      .withColumn("isl", sum("brk").over(wDoc))
-      .groupBy("id", "isl")
-      .agg(min("pos").as("start"), (max("pos") + L).as("end"))
+    val spans = dupSpans(d, L)
     // kept text = the gap segments between spans, plus the tail
     val wSpan = Window.partitionBy("id").orderBy("start")
     val dupAgg = spans
@@ -852,6 +829,70 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         sha2(col("kept").cast("binary"), 256).as("kept_sha"))
+  }
+
+  /** [[substringDedup]]'s span machinery, shared with [[topBoilerplate]]:
+    * maximal per-doc character intervals covered by duplicated
+    * `minLen`-grams, as (id, start, end) with end exclusive. Input must
+    * already be shaped (id, text). */
+  private def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    def windows = d.filter(length(col("text")) >= L)
+      .select(col("id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
+      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys
+    val winners = windows.select(xxhash64(col("gram")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("fp")
+    // pass 2: re-derive candidate windows, confirm on the exact gram
+    val cand = windows.withColumn("fp", xxhash64(col("gram")))
+      .join(winners, "fp").select("id", "pos", "gram")
+    val confirmed = cand
+      .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("gram"), "gram")
+      .select("id", "pos")
+    // merge covered windows into maximal spans per doc
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    confirmed
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wDoc) + L, 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(wDoc))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("start"), (max("pos") + L).as("end"))
+      .select("id", "start", "end")
+  }
+
+  /** Top duplicated passages — the "what IS the boilerplate" report a
+    * curation run reads before tuning its dedup knobs: the `k` most
+    * frequent MAXIMAL duplicated span texts (the merged intervals of
+    * [[substringDedup]]/[[dupSpans]], extracted verbatim), ranked by
+    * occurrence count with the span digest as the deterministic
+    * tie-break. Identical boilerplate injected into many documents
+    * surfaces as ONE row with its occurrence and document counts — the
+    * actionable complement of q204's per-doc removal accounting (which
+    * documents are dirty vs what dirt keeps recurring).
+    *
+    * Scale: inherits [[dupSpans]]'s fingerprint-shuffle bounds; span
+    * texts shuffle as SHA-256 digests (the verbatim text never leaves
+    * the doc-local span extraction), the rollup keys on the digest, and
+    * only the global top-k — k rows — sorts at the driver end. */
+  def topBoilerplate(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, k: Int): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    dupSpans(d, minLen)
+      .join(d, "id")
+      .select(col("id"), (col("end") - col("start")).cast("long").as("span_len"),
+        sha2(expr("substring(text, start + 1, end - start)").cast("binary"), 256)
+          .as("span_sha"))
+      .groupBy("span_sha", "span_len")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("id")).as("n_docs"))
+      .orderBy(col("n_occurrences").desc, col("span_sha"))
+      .limit(k)
+      .select("span_sha", "span_len", "n_occurrences", "n_docs")
   }
 
   /** SimHash over token ids: `bits`-wide sign-aggregated fingerprint.

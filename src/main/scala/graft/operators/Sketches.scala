@@ -148,6 +148,65 @@ object Sketches {
                          ELSE 3 END""").cast("long") + 1L))
       .drop("hx", "sfx", "rest")
 
+  /** FracMinHash "scaled" signatures (the sourmash scheme, Irber et al.
+    * 2022): a group's signature keeps a shingle iff the top `hexZeros`
+    * hex digits of md5(shingle) are all zero — i.e. h < H/16^k, a
+    * content-defined 16^-k sample of the shingle space. Unlike fixed-k
+    * MinHash (bounded but resolution-capped), the signature GROWS with
+    * distinct content (|sig| ≈ |shingles|/16^k), merges by plain set
+    * union, and supports unbiased CONTAINMENT estimation — asymmetric
+    * overlap, the quantity fixed-k MinHash cannot estimate well when set
+    * sizes differ by orders of magnitude (the typical corpus-vs-corpus
+    * case). Returns one row per distinct (grp, kept-hash).
+    *
+    * Scale: the filter runs scan-side (keep-rate 16^-k), so everything
+    * downstream — distinct, sizes, the pair join — operates on the
+    * sampled fraction; signatures for a 100 TB corpus at k=4 are ~2^-16
+    * of its shingle count, small enough to broadcast per source. */
+  def fracMinHashSignatures(docs: DataFrame, grpCol: String, idCol: String,
+      textCol: String, n: Int, hexZeros: Int): DataFrame = {
+    require(hexZeros >= 1 && hexZeros <= 8,
+      s"hexZeros must be in [1, 8], got $hexZeros")
+    val sh = graft.llmops.Dedup.shingleIndex(docs, idCol, textCol, n)
+    val grp = docs.select(col(idCol).as("id"), col(grpCol).as("grp"))
+    sh.join(grp, "id")
+      .select(col("grp"), md5(col("s").cast("binary")).as("h"))
+      .filter(substring(col("h"), 1, hexZeros) === lit("0" * hexZeros))
+      .distinct()
+  }
+
+  /** Pairwise containment / Jaccard estimates between group signatures
+    * ([[fracMinHashSignatures]]): for every unordered group pair, the
+    * shared kept-hash count with both directed containments and the
+    * Jaccard estimate, in exact integer ppm over the kept hashes
+    * (the estimator ratios are exact; only their relation to the true
+    * full-set values is sampling-approximate — stated, like q20).
+    * Zero-overlap pairs are included (the "no leakage between A and B"
+    * readout is the point of the audit). The pair frame is |groups|²
+    * METADATA scale (sizes only); the data-bearing join is hash-keyed
+    * equi on the sampled signatures. */
+  def fracMinHashContainment(docs: DataFrame, grpCol: String, idCol: String,
+      textCol: String, n: Int, hexZeros: Int): DataFrame = {
+    val sig = fracMinHashSignatures(docs, grpCol, idCol, textCol, n, hexZeros)
+    val sizes = sig.groupBy("grp").agg(count(lit(1)).as("size"))
+    val pairs = sizes.select(col("grp").as("grp_a"), col("size").as("sig_a"))
+      .join(sizes.select(col("grp").as("grp_b"), col("size").as("sig_b")),
+        col("grp_a") < col("grp_b"))
+    val shared = sig.as("a")
+      .join(sig.as("b"),
+        col("a.h") === col("b.h") && col("a.grp") < col("b.grp"))
+      .groupBy(col("a.grp").as("grp_a"), col("b.grp").as("grp_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs.join(shared, Seq("grp_a", "grp_b"), "left")
+      .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
+      .withColumn("containment_ab_ppm", expr("(n_shared * 1000000) div sig_a"))
+      .withColumn("containment_ba_ppm", expr("(n_shared * 1000000) div sig_b"))
+      .withColumn("jaccard_ppm",
+        expr("(n_shared * 1000000) div (sig_a + sig_b - n_shared)"))
+      .select("grp_a", "grp_b", "sig_a", "sig_b", "n_shared",
+        "containment_ab_ppm", "containment_ba_ppm", "jaccard_ppm")
+  }
+
   /** Client-side HLL estimate from [[hllRegisters]] rows of ONE group:
     * the standard α·m²/Σ2^-M[j] with linear counting below 2.5m — here for
     * spec-level validation against exact distincts (the engine keeps

@@ -726,6 +726,84 @@ object Scale {
       |FROM d LEFT JOIN k ON k.id = d.id
       |ORDER BY d.id""".stripMargin
 
+  // ------------------------------------ q205 top boilerplate passages
+
+  /** North star/dedup — the top-10 most-repeated maximal duplicated
+    * passages ([[Dedup.topBoilerplate]]): q204 says which documents carry
+    * duplicated spans; this says WHAT keeps recurring — the report a
+    * curation run reads before tuning its knobs. Spans are q204's merged
+    * ≥40-char intervals, grouped by verbatim content (as SHA-256 — the
+    * text never shuffles), ranked by occurrence count with the digest as
+    * the deterministic tie-break. */
+  def q205TopBoilerplate(s: SparkSession, dir: String): DataFrame =
+    Dedup.topBoilerplate(docs(s, dir), "doc_id", "text", minLen = 40, k = 10)
+      .orderBy(col("n_occurrences").desc, col("span_sha"))
+
+  val q205Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, substr(text, i + 1, 40) AS gram
+      |      FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)),
+      |dup AS (SELECT id, pos FROM
+      |          (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g)
+      |        WHERE n >= 2),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM dup)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |spans AS (SELECT id, CAST(e - s AS BIGINT) AS span_len,
+      |            sha256(substr(d.text, CAST(s + 1 AS BIGINT),
+      |              CAST(e - s AS BIGINT))) AS span_sha
+      |          FROM sp JOIN d USING (id))
+      |SELECT span_sha, span_len,
+      |  CAST(count(*) AS BIGINT) AS n_occurrences,
+      |  CAST(count(DISTINCT id) AS BIGINT) AS n_docs
+      |FROM spans GROUP BY 1, 2
+      |ORDER BY n_occurrences DESC, span_sha LIMIT 10""".stripMargin
+
+  // --------------------------------- q206 FracMinHash source containment
+
+  /** North star/dedup — cross-source containment audit over FracMinHash
+    * scaled signatures ([[Sketches.fracMinHashContainment]]): per-source
+    * 5-gram shingle sets sampled content-defined at 1/16 (md5 first hex
+    * digit zero — the sourmash h < H/s rule), pairwise shared-hash
+    * counts with BOTH directed containments and the Jaccard estimate in
+    * exact integer ppm. The constant-fraction, mergeable-sketch form of
+    * q126's exact source matrix — the one that still fits in memory when
+    * each source is 10 TB; the estimator arithmetic itself is exact and
+    * hash-gated, the sampling relation to the full sets is the stated
+    * approximation (like q20). */
+  def q206FracMinHash(s: SparkSession, dir: String): DataFrame =
+    Sketches.fracMinHashContainment(docs(s, dir), "source", "doc_id", "text",
+        n = 5, hexZeros = 1)
+      .orderBy("grp_a", "grp_b")
+
+  val q206Sql: String =
+    """WITH tok AS (SELECT doc_id AS id, source,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |gr AS (SELECT DISTINCT source, array_to_string(t[i+1:i+5], ' ') AS s
+      |       FROM tok, UNNEST(range(0, greatest(len(t) - 4, 0))) u(i)),
+      |sig AS (SELECT DISTINCT source AS grp, md5(s) AS h
+      |        FROM gr WHERE substr(md5(s), 1, 1) = '0'),
+      |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sig GROUP BY 1),
+      |pairs AS (SELECT a.grp AS grp_a, a.n AS sig_a, b.grp AS grp_b, b.n AS sig_b
+      |          FROM sz a JOIN sz b ON a.grp < b.grp),
+      |shared AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
+      |             CAST(count(*) AS BIGINT) AS n_shared
+      |           FROM sig a JOIN sig b ON a.h = b.h AND a.grp < b.grp
+      |           GROUP BY 1, 2)
+      |SELECT grp_a, grp_b, sig_a, sig_b,
+      |  COALESCE(n_shared, 0) AS n_shared,
+      |  (COALESCE(n_shared, 0) * 1000000) // sig_a AS containment_ab_ppm,
+      |  (COALESCE(n_shared, 0) * 1000000) // sig_b AS containment_ba_ppm,
+      |  (COALESCE(n_shared, 0) * 1000000)
+      |    // (sig_a + sig_b - COALESCE(n_shared, 0)) AS jaccard_ppm
+      |FROM pairs LEFT JOIN shared USING (grp_a, grp_b)
+      |ORDER BY grp_a, grp_b""".stripMargin
+
   // ------------------------------------- q120 intra-doc repeated spans
 
   /** North star/dedup — self-repetition coverage
@@ -1864,6 +1942,8 @@ object Scale {
     "q120_self_repeats" -> (q120SelfRepeats _),
     "q129_chunk_dedup" -> (q129ChunkDedup _),
     "q204_substring_dedup" -> (q204SubstringDedup _),
+    "q205_top_boilerplate" -> (q205TopBoilerplate _),
+    "q206_fracminhash" -> (q206FracMinHash _),
     "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
@@ -1914,6 +1994,8 @@ object Scale {
     "q120_self_repeats" -> q120Sql,
     "q129_chunk_dedup" -> q129Sql,
     "q204_substring_dedup" -> q204Sql,
+    "q205_top_boilerplate" -> q205Sql,
+    "q206_fracminhash" -> q206Sql,
     "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,

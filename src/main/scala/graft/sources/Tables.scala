@@ -25,6 +25,12 @@ object Tables {
   // by session identity so concurrent/test sessions stay isolated. The
   // testdata contract is immutable directories — a mutable table would
   // need invalidation here (cf. TxStore, which versions instead).
+  // Growth bound: one entry per live (session, dir, table) triple — in
+  // the harness that is a handful of sf dirs × 10 tables per JVM, and
+  // entries are leaf plans (~KB). A long-lived multi-tenant service
+  // cycling many sessions/dirs would want an eviction hook here (e.g.
+  // drop a session's entries on sessionState cleanup); documented, not
+  // needed at the driver's session-per-process lifecycle.
   private val catalog =
     scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
 

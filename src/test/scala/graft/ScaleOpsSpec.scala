@@ -199,6 +199,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(merged == whole)
   }
 
+  test("fracMinHash: content-defined subset — B ⊆ A content gives sig_B ⊆ sig_A and containment_ba = 1e6") {
+    import spark.implicits._
+    // source B's docs are a verbatim subset of source A's; C is disjoint.
+    // FracMinHash keeps a shingle by its own hash, so the subset relation
+    // survives sampling EXACTLY (the property fixed-k MinHash lacks).
+    val base = (1 to 40).map(i =>
+      s"alpha bravo$i charlie delta$i echo foxtrot golf$i hotel india juliet")
+    val docs = (
+      base.zipWithIndex.map { case (t, i) => (i.toLong, "A", t) } ++
+      base.take(10).zipWithIndex.map { case (t, i) => (100L + i, "B", t) } ++
+      (1 to 40).map(i => (200L + i.toLong, "C",
+        s"kilo lima$i mike november$i oscar papa quebec$i romeo sierra tango"))
+    ).toDF("doc_id", "source", "text")
+    val rows = Sketches.fracMinHashContainment(docs, "source", "doc_id", "text",
+        n = 3, hexZeros = 1)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    val (sigA, sigB, sharedAB, _, contBA) = rows(("A", "B"))
+    assert(sharedAB == sigB, "B's kept hashes must ALL appear in A's signature")
+    assert(contBA == 1000000L, s"containment of B in A must be exact 1e6, got $contBA")
+    assert(sigA > sigB, "A has strictly more distinct content than B")
+    // disjoint pair surfaces with zero overlap (the 'no leakage' readout)
+    val (_, _, sharedAC, contAC, contCA) = rows(("A", "C"))
+    assert(sharedAC == 0L && contAC == 0L && contCA == 0L)
+  }
+
   // ------------------------------------------------------ Z-order interleave
 
   test("zorder2: matches the bit-by-bit reference interleave") {

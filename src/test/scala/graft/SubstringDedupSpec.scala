@@ -99,4 +99,28 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((1L, 6L, sha256Hex("pppp"))))
     assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
   }
+
+  test("topBoilerplate: most-frequent maximal span leads; counts split occurrences vs docs") {
+    import spark.implicits._
+    // one 12-char boilerplate block in four docs (one doc carries it
+    // TWICE), a 6-char span shared by two docs. Every char ADJACENT to a
+    // repeated block is unique per occurrence — a shared neighbor would
+    // (correctly) extend the maximal span and change its digest
+    val bp = "CALLXYZTODAY"
+    val docs = Seq(
+      (0L, s"aa1${bp}zz1"),
+      (1L, s"bb22${bp}yy22"),
+      (2L, s"c3${bp}x5${bp}ww"),
+      (3L, s"dd4444${bp}vv4444"),
+      (4L, "ee50505QWERTY05050"),
+      (5L, "ff61616QWERTY16161")).toDF("doc_id", "text")
+    val got = Dedup.topBoilerplate(docs, "doc_id", "text", minLen = 6, k = 10)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.head == ((sha256Hex(bp), 12L, 5L, 4L)),
+      s"expected the $bp block first, got ${got.head}")
+    assert(got.exists(_ == ((sha256Hex("QWERTY"), 6L, 2L, 2L))))
+    // ranking is by occurrence count, digest tie-broken — strictly ordered
+    assert(got.map(-_._3).toSeq == got.map(-_._3).sorted.toSeq)
+  }
 }

@@ -317,6 +317,43 @@ class TxStoreSpec extends AnyFunSuite with SparkSpec {
       Set(1L -> "A", 2L -> "B")) // neither writer's delta was lost
   }
 
+  test("two writers racing from the same snapshot on real threads: one CAS win per version, history linear, no delta lost") {
+    val p = freshPath()
+    TxStore.init(rows(1L -> "a", 2L -> "b"), p, "entity_id", nBuckets = 2)
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val retries = new java.util.concurrent.atomic.AtomicInteger(0)
+    def writer(delta: (Long, String)): Thread = {
+      val t = new Thread(() => {
+        start.await()
+        var committed = false
+        var attempts = 0
+        while (!committed && attempts < 10) {
+          attempts += 1
+          try {
+            TxStore.merge(spark, p, rows(delta), "entity_id",
+              expectedVersion = Some(TxStore.currentVersion(p)))
+            committed = true
+          } catch {
+            case _: java.util.ConcurrentModificationException =>
+              retries.incrementAndGet() // lost the CAS — re-read and retry
+          }
+        }
+        assert(committed, s"writer $delta never committed in 10 attempts")
+      })
+      t.start(); t
+    }
+    val (a, b) = (writer(1L -> "A"), writer(2L -> "B"))
+    start.countDown(); a.join(120000); b.join(120000)
+    // both deltas landed regardless of commit order or CAS retries
+    assert(TxStore.read(spark, p).as[(Long, String)].collect().toSet ==
+      Set(1L -> "A", 2L -> "B"))
+    // history is linear: exactly v0..v2, each snapshot readable, and the
+    // losing writer's abandoned staging dirs were cleaned up on the spot
+    assert(TxStore.currentVersion(p) == 2)
+    (0 to 2).foreach(v => TxStore.read(spark, p, Some(v)).collect())
+    assert(TxStore.vacuum(p).isEmpty, "CAS loser left orphaned staging dirs")
+  }
+
   test("expire: drops old snapshots and their exclusive files, keeps the window") {
     val p = freshPath()
     TxStore.init(rows((1L to 32L).map(i => (i, s"v$i")): _*), p, "entity_id", nBuckets = 4)

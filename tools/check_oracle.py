@@ -1,14 +1,19 @@
 #!/usr/bin/env python3
 """Dev-only differential checker mimicking the driver's DuckDB-oracle compare.
 
-Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir>
+Usage: python3 tools/check_oracle.py <sfDir> <verifyOutDir> [timingsOut.json]
 
 Reads each <verifyOutDir>/<name> parquet (written by graft.Verify), runs the
 matching oracle SQL from oracle_sql.json in DuckDB over the sfDir tables, and
 compares: column names (sorted), dtypes-ish, row count, and cell values after
 sorting rows. NOT part of the shipped library (driver-side python only).
+
+With a third argument, also dumps per-query DuckDB oracle wall times as
+{"<query>": seconds} JSON — the per-query denominator for the bench-vs-oracle
+comparison (commit e.g. ORACLE_TIMINGS_r9.json so the 2x bar is checkable
+from artifacts alone).
 """
-import sys, os, json, glob
+import sys, os, json, glob, time
 import duckdb
 import pandas as pd
 
@@ -40,6 +45,8 @@ def main():
         name = os.path.basename(p)[: -len(".parquet")]
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(os.path.join(out_dir, "oracle_sql.json")))
+    timings_out = sys.argv[3] if len(sys.argv) > 3 else None
+    timings = {}
     n_pass = n_fail = 0
     for name in sorted(oracle):
         qdir = os.path.join(out_dir, name)
@@ -50,7 +57,10 @@ def main():
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf())
-            want = canon(con.execute(oracle[name]).fetchdf())
+            t0 = time.time()
+            want = con.execute(oracle[name]).fetchdf()
+            timings[name] = round(time.time() - t0, 3)
+            want = canon(want)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
             n_fail += 1
@@ -74,6 +84,11 @@ def main():
         else:
             print(f"PASS {name} ({len(got)} rows)")
             n_pass += 1
+    if timings_out:
+        with open(timings_out, "w") as f:
+            json.dump({"oracle_secs": timings,
+                       "total": round(sum(timings.values()), 3),
+                       "sf": sf_dir}, f, indent=0, sort_keys=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
 
