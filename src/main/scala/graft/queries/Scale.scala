@@ -449,6 +449,83 @@ object Scale {
       |SELECT id, count(*) AS n_shared_grams FROM g JOIN ev USING (s)
       |WHERE id % 10 <> 0 GROUP BY 1 ORDER BY 1""".stripMargin
 
+  // -------------------------------- q207 streaming substring admission
+
+  /** Staged arrival stream for q207: documents doc_id ≡ 0 (mod 4) split
+    * into three band files ((doc_id div 4) mod 3), oldest band first —
+    * the q112 arrival pattern. */
+  private def stageSubstrBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q207:$dir", {
+      val src = docs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id"), col("text"),
+          pmod(expr("doc_id div 4"), lit(3)).cast("long").as("batch"))
+      graft.sources.Staging.stageParts((0L until 3L).map(b =>
+        s"sband$b" -> src.filter(col("batch") === b).drop("batch")))
+    })
+
+  /** S26 depth — SEVENTEENTH streaming path: incremental ExactSubstr
+    * admission ([[graft.streaming.StreamSubstr]]). Arriving documents
+    * (doc_id ≡ 0 mod 4, three micro-batches) probe the static corpus'
+    * 40-gram digest index; per doc, covered characters fold windowlessly
+    * (a higher-order aggregate over sorted hit positions — streaming
+    * plans cannot window) into dup span/char counts and an exact
+    * integer admission verdict (dup share < 20%). q204 cleans the
+    * corpus; this gates the door. */
+  def q207StreamSubstr(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamSubstr
+    val srcDir = stageSubstrBands(s, dir)
+    val statIdx = StreamSubstr.gramIndex(
+      docs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0), "text", L = 40)
+      .persist()
+    statIdx.count() // materialize once; streams re-evaluate static frames
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("text", "string")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val verdicts = StreamSubstr.admission(stream, statIdx, L = 40,
+      permilleMax = 200L)
+    val qn = s"q207_ssub_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      verdicts.writeStream.outputMode("complete").format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory("graft-ssub-ckpt").toString)
+        .start().awaitTermination()
+    }
+    s.table(qn).orderBy("id")
+  }
+
+  val q207Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |arr AS (SELECT id, text, len(text) AS dl FROM d
+      |        WHERE id % 4 = 0 AND len(text) >= 40),
+      |stat AS (SELECT DISTINCT substr(text, CAST(i + 1 AS BIGINT), 40) AS gram
+      |         FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)
+      |         WHERE id % 4 <> 0),
+      |g AS (SELECT arr.id, CAST(i AS BIGINT) AS pos,
+      |        substr(arr.text, CAST(i + 1 AS BIGINT), 40) AS gram
+      |      FROM arr, UNNEST(range(0, arr.dl - 39)) u(i)),
+      |hit AS (SELECT g.id, g.pos FROM g JOIN stat USING (gram)),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM hit)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_chars
+      |        FROM sp GROUP BY 1)
+      |SELECT arr.id, CAST(arr.dl AS BIGINT) AS doc_len,
+      |  COALESCE(agg.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(agg.dup_chars, 0) AS dup_chars,
+      |  COALESCE(agg.dup_chars, 0) * 1000 < arr.dl * 200 AS admitted
+      |FROM arr LEFT JOIN agg USING (id)
+      |ORDER BY arr.id""".stripMargin
+
   // ------------------------------------------- q127 streaming ANN probe
 
   /** Staged embedding stream for q127: vectors vec_id ≡ 0 (mod 4) arrive
@@ -1944,6 +2021,7 @@ object Scale {
     "q204_substring_dedup" -> (q204SubstringDedup _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
+    "q207_stream_substr" -> (q207StreamSubstr _),
     "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
@@ -1996,6 +2074,7 @@ object Scale {
     "q204_substring_dedup" -> q204Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
+    "q207_stream_substr" -> q207Sql,
     "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,

@@ -466,6 +466,40 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       "flush sentinel")
   }
 
+  test("streaming substring admission: hand-computed coverage, verdicts, and batch-split invariance") {
+    import spark.implicits._
+    import graft.streaming.StreamSubstr
+    implicit val sq = spark.sqlContext
+    // a 45-char block X present in the static corpus; arriving docs embed
+    // it with unique neighbors so covered spans are exactly |X| = 45
+    val x = "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOGSAGAIN0123" // 45 chars
+    assert(x.length == 45)
+    val static = Seq((100L, s"zz$x zz tail of the static corpus document")).toDF("id", "text")
+    val statIdx = StreamSubstr.gramIndex(static, "text", L = 40).persist()
+    statIdx.count()
+    val arrivals = Seq(
+      (1L, s"aa${x}bb"),                                  // 45/49 dup -> reject
+      (2L, "totally novel content with no dup at all 1"), // clean -> admit
+      (3L, s"ee$x"))                                      // 45/47 dup -> reject
+    def run(name: String, batches: Seq[Seq[(Long, String)]]): Map[Long, (Long, Long, Long, Boolean)] = {
+      val mem = MemoryStream[(Long, String)]
+      val q = StreamSubstr.admission(
+          mem.toDS().toDF("id", "text"), statIdx, L = 40, permilleMax = 200L)
+        .writeStream.outputMode("complete").format("memory").queryName(name).start()
+      batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    }
+    val expect = Map(
+      1L -> ((49L, 1L, 45L, false)),
+      2L -> ((42L, 0L, 0L, true)),
+      3L -> ((47L, 1L, 45L, false)))
+    assert(run("ssub_split", arrivals.map(Seq(_))) == expect)
+    assert(run("ssub_one", Seq(arrivals)) == expect)
+    statIdx.unpersist()
+  }
+
   test("q190 append-mode watermark: stragglers dropped, unfinished windows never emit") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
