@@ -24,7 +24,8 @@ object Bench {
       .getOrElse(SparkEntry.queries)
     val w0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
-      try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      try fn(spark, warmDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     val warmupSec = (System.nanoTime() - w0) / 1e9
@@ -37,7 +38,8 @@ object Bench {
     // staging, and also warms codegen against the target schemas.
     val p0 = System.nanoTime()
     queries.foreach { case (_, fn) =>
-      try fn(spark, sfDir).count() catch { case _: Throwable => () }
+      try fn(spark, sfDir).queryExecution.toRdd.count()
+      catch { case _: Throwable => () }
     }
     spark.catalog.clearCache()
     val prestageSec = (System.nanoTime() - p0) / 1e9
@@ -48,7 +50,12 @@ object Bench {
     val results = queries.map { case (name, fn) =>
       val times = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // materialize the query's OWN physical plan (toRdd), not a count()
+        // on top: count() re-optimizes and can legally eliminate
+        // row-preserving work (e.g. q204's unique-key left join — and with
+        // it the whole dedup pipeline), silently under-measuring the query
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-operator persisted intermediates between runs
         spark.catalog.clearCache()

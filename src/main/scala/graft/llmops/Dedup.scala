@@ -835,20 +835,24 @@ object Dedup {
     * maximal per-doc character intervals covered by duplicated
     * `minLen`-grams, as (id, start, end) with end exclusive. Input must
     * already be shaped (id, text). */
-  private def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
+  private[graft] def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val L = minLen
     def windows = d.filter(length(col("text")) >= L)
       .select(col("id"), col("text"),
         explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
       .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
-    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys
+    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys.
+    // persisted: the winner set feeds the probe join AND would otherwise
+    // re-run its full explode+aggregate per consumer
     val winners = windows.select(xxhash64(col("gram")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("fp")
-    // pass 2: re-derive candidate windows, confirm on the exact gram
+      .select("fp").persist()
+    // pass 2: re-derive candidate windows, confirm on the exact gram.
+    // cand is candidate-scale (a few % of positions) and referenced twice
+    // (probe + its own count) — persist, or the whole upstream doubles
     val cand = windows.withColumn("fp", xxhash64(col("gram")))
-      .join(winners, "fp").select("id", "pos", "gram")
+      .join(winners, "fp").select("id", "pos", "gram").persist()
     val confirmed = cand
       .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select("gram"), "gram")
