@@ -190,7 +190,7 @@ object Sketches {
     val sig = fracMinHashSignatures(docs, grpCol, idCol, textCol, n, hexZeros)
     val sizes = sig.groupBy("grp").agg(count(lit(1)).as("size"))
     val pairs = sizes.select(col("grp").as("grp_a"), col("size").as("sig_a"))
-      .join(sizes.select(col("grp").as("grp_b"), col("size").as("sig_b")),
+      .join(broadcast(sizes.select(col("grp").as("grp_b"), col("size").as("sig_b"))),
         col("grp_a") < col("grp_b"))
     val shared = sig.as("a")
       .join(sig.as("b"),

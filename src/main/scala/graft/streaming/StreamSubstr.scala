@@ -11,14 +11,15 @@ import org.apache.spark.sql.functions._
   * boilerplate in" gate, where q204 is the "clean what's already in"
   * batch pass.
   *
-  * Per micro-batch, stateless stream–static work: the arriving doc's
-  * L-gram digests probe the (persisted) static gram index with a LEFT
-  * join, and the covered-character total is folded per document. Streaming
-  * plans cannot use ordinary window functions, so the q204 island merge is
-  * re-expressed as a higher-order `aggregate` over the doc's sorted hit
-  * positions — a per-document array bounded by document length, evaluated
-  * scan-side, no state store at all (the whole query's only aggregation is
-  * the per-doc rollup).
+  * Per micro-batch: the arriving doc's L-gram digests probe the
+  * (persisted) static gram index with a LEFT join, and the
+  * covered-character total is folded per document. Streaming plans cannot
+  * use ordinary window functions, so the q204 island merge is re-expressed
+  * as a higher-order `aggregate` over the doc's sorted hit positions — a
+  * per-document array bounded by document length. The only stateful
+  * operator is the per-doc rollup (state = one verdict row per arriving
+  * document — position rows never enter the state store; a production
+  * deployment appends with a watermark to expire emitted docs).
   *
   * Scale: the static index shuffles fixed-width digests (built once and
   * persisted — the stream re-evaluates static frames per batch otherwise);

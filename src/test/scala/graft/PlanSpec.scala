@@ -395,4 +395,44 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(!plan("q199_degree_histogram").contains("CartesianProduct"),
       "band collisions and the degree join-back must be key joins")
   }
+
+  test("q204: the wide candidate shuffle keys on the 8-byte fingerprint, never the gram") {
+    val p = plan("q204_substring_dedup")
+    // the SCALE.md claim: the full-cardinality exchange (every window
+    // position) partitions by fp — the L-char gram string must only ever
+    // shuffle for the (small) confirmed-candidate aggregation
+    assert(p.contains("hashpartitioning(fp"),
+      "candidate detection must aggregate on the xxhash64 fingerprint")
+    assert(!p.contains("CartesianProduct"))
+    // gram-keyed exchanges exist only ABOVE the fp filter (the confirm
+    // aggregation + its co-partitioned join), i.e. at candidate scale —
+    // never for the full position set
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning(gram"))
+    assert(exchanges <= 2,
+      s"gram strings may shuffle only for the candidate confirm (agg + join), found $exchanges")
+  }
+
+  test("q206: FracMinHash pair frame is sizes-only; the data join keys on the kept hash") {
+    val p = plan("q206_fracminhash")
+    assert(!p.contains("CartesianProduct"),
+      "the |sources|x|sources| pair frame must be a (metadata-scale) non-equi join, " +
+        "and the signature overlap an equi-join on h")
+    assert(p.contains("hashpartitioning(h") || p.contains("[h#"),
+      "shared-hash counting must key on the sampled hash")
+  }
+
+  test("q207: the admission pipeline is windowless — the island merge is a scan-side fold") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // the claim that lets this run as a stream: no WindowExec anywhere —
+    // the q204 gaps-and-islands is a higher-order fold. Assert on the same
+    // operators applied to a batch frame (streaming wraps, not reshapes)
+    val docs = Seq((1L, "x" * 50)).toDF("id", "text")
+    val idx = graft.streaming.StreamSubstr.gramIndex(docs, "text", 40)
+    val p = graft.streaming.StreamSubstr.admission(docs, idx, 40, 200L)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Window"), "island merge must not use window functions")
+    assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
+      "per-doc rollup must be the only aggregation shape")
+  }
 }
