@@ -805,9 +805,89 @@ object Dedup {
     * (id, doc_len, n_dup_spans, dup_chars, kept_sha) ordered by caller. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
       minLen: Int): DataFrame = {
-    val L = minLen
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val spans = dupSpans(d, L)
+    docReport(d, dupSpans(d, minLen))
+  }
+
+  /** Keep-FIRST variant of [[substringDedup]] (the other removal policy
+    * Lee et al. discuss): a character is removed iff it sits inside an
+    * L-window whose content already occurred at a strictly smaller
+    * (doc, offset) position — i.e. each document is deduped against all
+    * PRIOR corpus content in (id, pos) order and the first copy of every
+    * duplicated substring SURVIVES ([[substringDedup]] removes all
+    * copies symmetrically; q207's streaming admission is this operator's
+    * against-a-static-reference form). Same candidate machinery; the
+    * count-≥2 confirm is replaced by a per-gram occurrence rank (rank 1
+    * keeps — a gram that is unique, or a collision-only fp candidate,
+    * has only rank 1 and never covers anything).
+    *
+    * Scale: identical to [[substringDedup]] plus one candidate-scale
+    * rank window partitioned by gram (bounded per key by that gram's
+    * occurrence count — the same key profile as the confirm count). */
+  def substringDedupKeepFirst(docs: DataFrame, idCol: String,
+      textCol: String, minLen: Int): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    val covered = candWindows(d, minLen)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("gram").orderBy("id", "pos")))
+      .filter(col("rn") > 1)
+      .select("id", "pos")
+    docReport(d, mergeIslands(covered, minLen))
+  }
+
+  /** [[substringDedup]]'s span machinery, shared with [[topBoilerplate]]:
+    * maximal per-doc character intervals covered by duplicated
+    * `minLen`-grams, as (id, start, end) with end exclusive. Input must
+    * already be shaped (id, text). */
+  private[graft] def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
+    val cand = candWindows(d, minLen)
+    val confirmed = cand
+      .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
+        .filter(col("n") >= 2).select("gram"), "gram")
+      .select("id", "pos")
+    mergeIslands(confirmed, minLen)
+  }
+
+  /** Candidate L-windows via the fingerprint prefilter: (id, pos, gram)
+    * for every position whose gram's xxhash64 occurs ≥ 2 times.
+    * Persisted (candidate-scale) — every consumer re-references it. */
+  private def candWindows(d: DataFrame, minLen: Int): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val L = minLen
+    def windows = d.filter(length(col("text")) >= L)
+      .select(col("id"), col("text"),
+        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
+      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys.
+    // persisted: the winner set feeds the probe join AND would otherwise
+    // re-run its full explode+aggregate per consumer
+    val winners = windows.select(xxhash64(col("gram")).as("fp"))
+      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      .select("fp").persist()
+    // pass 2: re-derive candidate windows from a second scan; candidates
+    // are a few % of positions and referenced more than once — persist,
+    // or the whole upstream doubles
+    windows.withColumn("fp", xxhash64(col("gram")))
+      .join(winners, "fp").select("id", "pos", "gram").persist()
+  }
+
+  /** Gaps-and-islands merge of covered L-window start positions into
+    * maximal per-doc (id, start, end) spans, end exclusive. */
+  private def mergeIslands(positions: DataFrame, L: Int): DataFrame = {
+    val wDoc = Window.partitionBy("id").orderBy("pos")
+    positions
+      .withColumn("brk",
+        when(col("pos") > lag("pos", 1).over(wDoc) + L, 1L).otherwise(0L))
+      .withColumn("isl", sum("brk").over(wDoc))
+      .groupBy("id", "isl")
+      .agg(min("pos").as("start"), (max("pos") + L).as("end"))
+      .select("id", "start", "end")
+  }
+
+  /** Per-doc removal report over merged spans: (id, doc_len, n_dup_spans,
+    * dup_chars, kept_sha) with kept_sha digesting the text with the spans
+    * deleted — one row for EVERY input doc (clean docs digest verbatim). */
+  private def docReport(d: DataFrame, spans: DataFrame): DataFrame = {
     // kept text = the gap segments between spans, plus the tail
     val wSpan = Window.partitionBy("id").orderBy("start")
     val dupAgg = spans
@@ -829,43 +909,6 @@ object Dedup {
         coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
         coalesce(col("dup_chars"), lit(0L)).as("dup_chars"),
         sha2(col("kept").cast("binary"), 256).as("kept_sha"))
-  }
-
-  /** [[substringDedup]]'s span machinery, shared with [[topBoilerplate]]:
-    * maximal per-doc character intervals covered by duplicated
-    * `minLen`-grams, as (id, start, end) with end exclusive. Input must
-    * already be shaped (id, text). */
-  private[graft] def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
-    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
-    val L = minLen
-    def windows = d.filter(length(col("text")) >= L)
-      .select(col("id"), col("text"),
-        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
-      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
-    // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys.
-    // persisted: the winner set feeds the probe join AND would otherwise
-    // re-run its full explode+aggregate per consumer
-    val winners = windows.select(xxhash64(col("gram")).as("fp"))
-      .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("fp").persist()
-    // pass 2: re-derive candidate windows, confirm on the exact gram.
-    // cand is candidate-scale (a few % of positions) and referenced twice
-    // (probe + its own count) — persist, or the whole upstream doubles
-    val cand = windows.withColumn("fp", xxhash64(col("gram")))
-      .join(winners, "fp").select("id", "pos", "gram").persist()
-    val confirmed = cand
-      .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
-        .filter(col("n") >= 2).select("gram"), "gram")
-      .select("id", "pos")
-    // merge covered windows into maximal spans per doc
-    val wDoc = Window.partitionBy("id").orderBy("pos")
-    confirmed
-      .withColumn("brk",
-        when(col("pos") > lag("pos", 1).over(wDoc) + L, 1L).otherwise(0L))
-      .withColumn("isl", sum("brk").over(wDoc))
-      .groupBy("id", "isl")
-      .agg(min("pos").as("start"), (max("pos") + L).as("end"))
-      .select("id", "start", "end")
   }
 
   /** Top duplicated passages — the "what IS the boilerplate" report a

@@ -803,6 +803,56 @@ object Scale {
       |FROM d LEFT JOIN k ON k.id = d.id
       |ORDER BY d.id""".stripMargin
 
+  // --------------------------------- q208 keep-first substring dedup
+
+  /** North star/dedup — the keep-FIRST ExactSubstr policy
+    * ([[Dedup.substringDedupKeepFirst]]): a character is removed iff its
+    * 40-window's content already occurred at a strictly smaller
+    * (doc_id, offset) — each document deduped against all PRIOR corpus
+    * content, the first copy of every duplicated passage SURVIVING.
+    * q204's symmetric remove-all and this keep-first form are the two
+    * policies the ExactSubstr literature debates; a trainer that wants
+    * to keep one copy of its boilerplate runs this one. */
+  def q208SubstrKeepFirst(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedupKeepFirst(docs(s, dir), "doc_id", "text", minLen = 40)
+      .orderBy("id")
+
+  val q208Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, substr(text, i + 1, 40) AS gram
+      |      FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)),
+      |dup AS (SELECT id, pos FROM
+      |          (SELECT id, pos,
+      |             row_number() OVER (PARTITION BY gram ORDER BY id, pos) AS rn
+      |           FROM g)
+      |        WHERE rn > 1),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM dup)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |gaps AS (SELECT id, s, e,
+      |           COALESCE(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS prev_end
+      |         FROM sp),
+      |agg AS (SELECT gaps.id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_chars,
+      |          string_agg(substr(d.text, CAST(prev_end + 1 AS BIGINT),
+      |            CAST(s - prev_end AS BIGINT)), '' ORDER BY s) AS body,
+      |          max(e) AS last_end
+      |        FROM gaps JOIN d USING (id) GROUP BY 1),
+      |k AS (SELECT agg.id, n_dup_spans, dup_chars,
+      |        body || substr(d.text, CAST(last_end + 1 AS BIGINT)) AS kept
+      |      FROM agg JOIN d USING (id))
+      |SELECT d.id, CAST(len(d.text) AS BIGINT) AS doc_len,
+      |  COALESCE(k.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(k.dup_chars, 0) AS dup_chars,
+      |  sha256(COALESCE(k.kept, d.text)) AS kept_sha
+      |FROM d LEFT JOIN k ON k.id = d.id
+      |ORDER BY d.id""".stripMargin
+
   // ------------------------------------ q205 top boilerplate passages
 
   /** North star/dedup — the top-10 most-repeated maximal duplicated
@@ -2022,6 +2072,7 @@ object Scale {
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
+    "q208_substr_keepfirst" -> (q208SubstrKeepFirst _),
     "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
@@ -2075,6 +2126,7 @@ object Scale {
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,
+    "q208_substr_keepfirst" -> q208Sql,
     "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,

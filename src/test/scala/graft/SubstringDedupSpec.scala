@@ -100,6 +100,70 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
   }
 
+  /** Keep-first removal mask: char (d, i) removed iff SOME span ∋ i of
+    * length ≥ L occurs at a strictly smaller (doc, offset). */
+  private def bruteMaskKeepFirst(docs: Seq[(Long, String)], minLen: Int): Map[Long, Array[Boolean]] = {
+    val mask = docs.map { case (id, t) => id -> new Array[Boolean](t.length) }.toMap
+    val order = docs.sortBy(_._1)
+    for {
+      (id, t) <- docs
+      s <- 0 to t.length - minLen
+      e <- (s + minLen) to t.length
+      sub = t.substring(s, e)
+      if order.exists { case (oid, u) =>
+        occurrences(u, sub).exists(p =>
+          oid < id || (oid == id && p < s)) }
+      p <- s until e
+    } mask(id)(p) = true
+    mask
+  }
+
+  test("property: keep-first ≡ naive earlier-occurrence scan; first copies survive") {
+    import spark.implicits._
+    val genDoc = for {
+      len <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.choose(1, 6)
+      ds <- Gen.listOfN(n, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val prop = Prop.forAll(genCorpus, Gen.choose(3, 6)) { (docs, minLen) =>
+      val mask = bruteMaskKeepFirst(docs, minLen)
+      val allMask = bruteMask(docs, minLen)
+      val expect = docs.map { case (id, t) =>
+        val m = mask(id)
+        val kept = t.zipWithIndex.collect { case (c, i) if !m(i) => c }.mkString
+        id -> ((m.count(identity).toLong, sha256Hex(kept)))
+      }.toMap
+      val got = Dedup.substringDedupKeepFirst(
+          docs.toDF("doc_id", "text"), "doc_id", "text", minLen)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+      // keep-first removes a subset of what remove-all removes
+      val subset = docs.forall { case (id, t) =>
+        (0 until t.length).forall(i => !mask(id)(i) || allMask(id)(i)) }
+      got == expect && subset
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("substringDedupKeepFirst fixture: first copies survive, later copies removed") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aaaaaaaaaa"),   // self-overlap: only the first 'aaaa' window survives
+      (1L, "xxQWERTYzz"),   // first QWERTY in corpus order — fully kept
+      (2L, "ppppQWERTY"),   // later copy — QWERTY span removed
+      (3L, "bcdefghijk")).toDF("doc_id", "text")
+    val got = Dedup.substringDedupKeepFirst(docs, "doc_id", "text", minLen = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    assert(got(0L) == ((1L, 9L, sha256Hex("a"))))
+    assert(got(1L) == ((0L, 0L, sha256Hex("xxQWERTYzz"))))
+    assert(got(2L) == ((1L, 6L, sha256Hex("pppp"))))
+    assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
+  }
+
   test("topBoilerplate: most-frequent maximal span leads; counts split occurrences vs docs") {
     import spark.implicits._
     // one 12-char boilerplate block in four docs (one doc carries it
