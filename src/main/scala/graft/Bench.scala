@@ -55,7 +55,11 @@ object Bench {
         // row-preserving work (e.g. q204's unique-key left join — and with
         // it the whole dedup pipeline), silently under-measuring the query
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        catch { case e: Throwable =>
+          // a broken query must not silently bench as ~0 s: Verify is the
+          // loud gate, but the bench tail should show the failure too
+          System.err.println(s"BENCH-ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-operator persisted intermediates between runs
         spark.catalog.clearCache()

@@ -804,9 +804,46 @@ object Dedup {
     * not a collected list. Returns one row per input doc:
     * (id, doc_len, n_dup_spans, dup_chars, kept_sha) ordered by caller. */
   def substringDedup(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int): DataFrame = {
+      minLen: Int, cache: Boolean = true): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    docReport(d, dupSpans(d, minLen))
+    docReport(d, dupSpans(d, minLen, cache))
+  }
+
+  /** ANCHORED (content-defined sampled) variant of [[substringDedup]] —
+    * the "past ~PB" swap-in SCALE.md documents for q204: instead of
+    * shipping EVERY L-window offset into the fingerprint shuffle, only
+    * content-defined ANCHOR offsets ship — positions whose leading
+    * `anchorK`-gram's md5 starts with `hexZeros` zero hex digits (the
+    * same h < H/16^z keep rule as FracMinHash/q206; expected one anchor
+    * per 16^hexZeros positions). The rule depends only on the anchorK
+    * chars AT the position, so every occurrence of a given L-gram
+    * content anchors identically — occurrences of one gram are all
+    * anchored or none, and a duplicated anchored gram is duplicated in
+    * the full corpus sense (occurrence counts are NOT thinned, only the
+    * position set is).
+    *
+    * Exactness contract (property-pinned by SubstringDedupSpec): the
+    * removal set is a SUBSET of [[substringDedup]]'s exact set (an
+    * anchored duplicated L-gram IS a duplicated L-gram), and a
+    * duplicated span of length m is missed entirely only when none of
+    * its first m − minLen + 1 offsets is an anchor — P(miss) ≈
+    * (1 − 16^-hexZeros)^(m − minLen + 1), vanishing for the long
+    * boilerplate that dominates removal mass at scale; within a
+    * detected span, consecutive anchors sit ~16^hexZeros apart
+    * (< minLen for the default z=1), so the island merge recovers the
+    * interior wall-to-wall and loss concentrates at span edges.
+    *
+    * Scale: shuffle 1 shrinks from O(total_chars · 24 B) to
+    * O(total_chars/16^hexZeros · 24 B) and pass 2's candidate frame
+    * shrinks the same way; everything downstream (confirm, islands,
+    * report) is the [[substringDedup]] machinery unchanged. This is the
+    * knob to turn FIRST at ~PB scale — same plan skeleton, positions/16^z
+    * sampled instead of every offset. */
+  def substringDedupAnchored(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, anchorK: Int = 8, hexZeros: Int = 1,
+      cache: Boolean = true): DataFrame = {
+    val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
+    docReport(d, dupSpans(d, minLen, cache, Some((anchorK, hexZeros))))
   }
 
   /** Keep-FIRST variant of [[substringDedup]] (the other removal policy
@@ -821,54 +858,107 @@ object Dedup {
     * keeps — a gram that is unique, or a collision-only fp candidate,
     * has only rank 1 and never covers anything).
     *
-    * Scale: identical to [[substringDedup]] plus one candidate-scale
-    * rank window partitioned by gram (bounded per key by that gram's
-    * occurrence count — the same key profile as the confirm count). */
+    * "First occurrence" = the per-gram MINIMUM of struct(id, pos), which
+    * is a map-side-combinable aggregation — NOT a per-gram rank window:
+    * a window must co-locate and sort every occurrence of a hot gram in
+    * one task (a boilerplate 40-gram occurring 10⁸ times at 100 TB is a
+    * single multi-GB sort task), while min() reduces to one struct per
+    * gram with partial aggregation before the shuffle and the winner
+    * join is AQE-broadcastable. Rank 1 ≡ the minimum, so the removal
+    * set is identical; PlanSpec's q208 pin keeps the candidate path
+    * window-free (the only windows are the per-doc island/report ones).
+    *
+    * Scale: identical to [[substringDedup]] — the confirm aggregation
+    * (here min-struct, there a count) has the same key profile and the
+    * same one-row-per-gram reduced state. */
   def substringDedupKeepFirst(docs: DataFrame, idCol: String,
-      textCol: String, minLen: Int): DataFrame = {
+      textCol: String, minLen: Int, cache: Boolean = true): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
-    val covered = candWindows(d, minLen)
-      .withColumn("rn", row_number().over(
-        Window.partitionBy("gram").orderBy("id", "pos")))
-      .filter(col("rn") > 1)
+    val (cand, winners) = candWindows(d, minLen, cache)
+    val firsts = cand.groupBy("gram")
+      .agg(min(struct(col("id"), col("pos"))).as("first_occ"))
+    val covered = cand.join(firsts, "gram")
+      .filter(struct(col("id"), col("pos")) =!= col("first_occ"))
       .select("id", "pos")
-    docReport(d, mergeIslands(covered, minLen))
+    docReport(d, sealSpans(mergeIslands(covered, minLen), cand, winners, cache))
   }
 
   /** [[substringDedup]]'s span machinery, shared with [[topBoilerplate]]:
     * maximal per-doc character intervals covered by duplicated
     * `minLen`-grams, as (id, start, end) with end exclusive. Input must
     * already be shaped (id, text). */
-  private[graft] def dupSpans(d: DataFrame, minLen: Int): DataFrame = {
-    val cand = candWindows(d, minLen)
+  private[graft] def dupSpans(d: DataFrame, minLen: Int,
+      cache: Boolean = true, anchor: Option[(Int, Int)] = None): DataFrame = {
+    val (cand, winners) = candWindows(d, minLen, cache, anchor)
     val confirmed = cand
       .join(cand.groupBy("gram").agg(count(lit(1)).as("n"))
         .filter(col("n") >= 2).select("gram"), "gram")
       .select("id", "pos")
-    mergeIslands(confirmed, minLen)
+    sealSpans(mergeIslands(confirmed, minLen), cand, winners, cache)
   }
 
+  /** Cache-lifecycle seal: with `cache` on, materialize the (small) span
+    * frame via localCheckpoint — truncating lineage so downstream never
+    * re-derives the candidates, with blocks ContextCleaner-scoped rather
+    * than session-pinned — then release both candidate caches; the cache
+    * scope is one operator invocation, not the session. With `cache` off
+    * (plan pins, one-shot callers) everything stays lazy and the full
+    * candidate plan remains visible. */
+  private def sealSpans(spans: DataFrame, cand: DataFrame,
+      winners: DataFrame, cache: Boolean): DataFrame =
+    if (!cache) spans
+    else {
+      val sealed0 = spans.localCheckpoint()
+      cand.unpersist(); winners.unpersist()
+      sealed0
+    }
+
   /** Candidate L-windows via the fingerprint prefilter: (id, pos, gram)
-    * for every position whose gram's xxhash64 occurs ≥ 2 times.
-    * Persisted (candidate-scale) — every consumer re-references it. */
-  private def candWindows(d: DataFrame, minLen: Int): DataFrame = {
+    * for every position whose gram's xxhash64 occurs ≥ 2 times, plus the
+    * winner-fingerprint frame. BOTH are persisted (each is referenced
+    * more than once by every consumer) and handed back to the caller,
+    * which must materialize its span frame (localCheckpoint — truncates
+    * lineage so downstream never re-derives the candidates, and its
+    * blocks are ContextCleaner-scoped rather than session-pinned) and
+    * then unpersist both — the cache scope is one operator invocation,
+    * not the session. */
+  private def candWindows(d: DataFrame, minLen: Int,
+      cache: Boolean, anchor: Option[(Int, Int)] = None): (DataFrame, DataFrame) = {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    anchor.foreach { case (k, z) =>
+      require(k >= 1 && k <= minLen, s"anchorK must be in [1, minLen], got $k")
+      require(z >= 1 && z <= 8, s"hexZeros must be in [1, 8], got $z")
+    }
     val L = minLen
-    def windows = d.filter(length(col("text")) >= L)
-      .select(col("id"), col("text"),
-        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
-      .withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+    // with an anchor rule, only content-defined sampled offsets survive
+    // into the shuffle; the rule runs scan-side inside the same
+    // whole-stage-codegen stage as the explode, so non-anchor positions
+    // are generated and discarded locally, never exchanged
+    def windows = {
+      val w0 = d.filter(length(col("text")) >= L)
+        .select(col("id"), col("text"),
+          explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
+      val w1 = anchor match {
+        case None => w0
+        case Some((k, z)) => w0.filter(
+          substring(md5(expr(s"substring(text, pos + 1, $k)").cast("binary")),
+            1, z) === lit("0" * z))
+      }
+      w1.withColumn("gram", expr(s"substring(text, pos + 1, $L)"))
+    }
     // pass 1: candidate fingerprints (count ≥ 2), 8-byte shuffle keys.
     // persisted: the winner set feeds the probe join AND would otherwise
     // re-run its full explode+aggregate per consumer
-    val winners = windows.select(xxhash64(col("gram")).as("fp"))
+    val winners0 = windows.select(xxhash64(col("gram")).as("fp"))
       .groupBy("fp").agg(count(lit(1)).as("n")).filter(col("n") >= 2)
-      .select("fp").persist()
+      .select("fp")
+    val winners = if (cache) winners0.persist() else winners0
     // pass 2: re-derive candidate windows from a second scan; candidates
     // are a few % of positions and referenced more than once — persist,
     // or the whole upstream doubles
-    windows.withColumn("fp", xxhash64(col("gram")))
-      .join(winners, "fp").select("id", "pos", "gram").persist()
+    val cand0 = windows.withColumn("fp", xxhash64(col("gram")))
+      .join(winners, "fp").select("id", "pos", "gram")
+    (if (cache) cand0.persist() else cand0, winners)
   }
 
   /** Gaps-and-islands merge of covered L-window start positions into

@@ -181,14 +181,22 @@ object Sketches {
     * Jaccard estimate, in exact integer ppm over the kept hashes
     * (the estimator ratios are exact; only their relation to the true
     * full-set values is sampling-approximate — stated, like q20).
-    * Zero-overlap pairs are included (the "no leakage between A and B"
-    * readout is the point of the audit). The pair frame is |groups|²
-    * METADATA scale (sizes only); the data-bearing join is hash-keyed
-    * equi on the sampled signatures. */
+    * EVERY unordered pair of input groups is included — zero-overlap
+    * pairs (the "no leakage between A and B" readout is the point of the
+    * audit) AND groups whose sampled signature came out empty (plausible
+    * for a small source at a coarse keep rate): group keys derive from
+    * the input docs, not from the surviving hashes, so an empty-signature
+    * source surfaces with sig=0 and NULL ppm estimates (a 0-hash sample
+    * estimates nothing — NULL, not 0) rather than silently vanishing
+    * from the audit. The pair frame is |groups|² METADATA scale (sizes
+    * only); the data-bearing join is hash-keyed equi on the sampled
+    * signatures. */
   def fracMinHashContainment(docs: DataFrame, grpCol: String, idCol: String,
       textCol: String, n: Int, hexZeros: Int): DataFrame = {
     val sig = fracMinHashSignatures(docs, grpCol, idCol, textCol, n, hexZeros)
-    val sizes = sig.groupBy("grp").agg(count(lit(1)).as("size"))
+    val sizes = docs.select(col(grpCol).as("grp")).distinct()
+      .join(sig.groupBy("grp").agg(count(lit(1)).as("size")), Seq("grp"), "left")
+      .withColumn("size", coalesce(col("size"), lit(0L)))
     val pairs = sizes.select(col("grp").as("grp_a"), col("size").as("sig_a"))
       .join(broadcast(sizes.select(col("grp").as("grp_b"), col("size").as("sig_b"))),
         col("grp_a") < col("grp_b"))
@@ -199,10 +207,13 @@ object Sketches {
       .agg(count(lit(1)).as("n_shared"))
     pairs.join(shared, Seq("grp_a", "grp_b"), "left")
       .withColumn("n_shared", coalesce(col("n_shared"), lit(0L)))
-      .withColumn("containment_ab_ppm", expr("(n_shared * 1000000) div sig_a"))
-      .withColumn("containment_ba_ppm", expr("(n_shared * 1000000) div sig_b"))
+      .withColumn("containment_ab_ppm", when(col("sig_a") === 0L, lit(null))
+        .otherwise(expr("(n_shared * 1000000) div sig_a")))
+      .withColumn("containment_ba_ppm", when(col("sig_b") === 0L, lit(null))
+        .otherwise(expr("(n_shared * 1000000) div sig_b")))
       .withColumn("jaccard_ppm",
-        expr("(n_shared * 1000000) div (sig_a + sig_b - n_shared)"))
+        when(col("sig_a") + col("sig_b") === 0L, lit(null))
+          .otherwise(expr("(n_shared * 1000000) div (sig_a + sig_b - n_shared)")))
       .select("grp_a", "grp_b", "sig_a", "sig_b", "n_shared",
         "containment_ab_ppm", "containment_ba_ppm", "jaccard_ppm")
   }

@@ -167,7 +167,7 @@ object Curation {
       accepted.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-dedup-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-dedup-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -228,7 +228,7 @@ object Curation {
       accepted.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-chunk-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-chunk-ckpt"))
         .start().awaitTermination()
     }
     val kept = s.table(qn).groupBy(col("keep_id").as("id"))
@@ -769,7 +769,7 @@ object Curation {
       joined.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sjoin-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-sjoin-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -897,7 +897,7 @@ object Curation {
       .option("maxFilesPerTrigger", "1").parquet(srcDir)
     graft.streaming.StreamConf.withStatePartitions(s, 4) {
       graft.streaming.StreamingIngest.ingestAvailableNow(stream, store, "user_id",
-        java.nio.file.Files.createTempDirectory("graft-ingest-ckpt").toString,
+        graft.streaming.StreamConf.ckptDir("graft-ingest-ckpt"),
         batch => batch.groupBy("user_id")
           .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents")))
     }

@@ -157,7 +157,7 @@ object Extended {
       sessions.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sess-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-sess-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -238,7 +238,7 @@ object Extended {
       boards.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-topk-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-topk-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn).select(col("key"), col("rank"), col("id"), col("score"))
@@ -309,7 +309,7 @@ object Extended {
           }
           .trigger(Trigger.AvailableNow())
           .option("checkpointLocation",
-            java.nio.file.Files.createTempDirectory("graft-streammv-ckpt").toString)
+            graft.streaming.StreamConf.ckptDir("graft-streammv-ckpt"))
           .start().awaitTermination()
       }
       p
@@ -381,7 +381,7 @@ object Extended {
       alerts.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-rate-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-rate-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -459,7 +459,7 @@ object Extended {
       stream.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-late-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-late-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)

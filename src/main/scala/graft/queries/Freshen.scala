@@ -141,7 +141,7 @@ object Freshen {
     // stage the tall rows as the stream's source files (one file ⇒ one batch)
     val srcDir = stageOnce(s"q34:$dir", tall)
     val stream = s.readStream.schema(tall.schema).parquet(srcDir)
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = graft.streaming.StreamConf.ckptDir("graft-ckpt")
     // state partitions sized to the stream (see StreamConf)
     graft.streaming.StreamConf.withStatePartitions(s, 8) {
       f.start(stream, ckpt).awaitTermination()
@@ -263,7 +263,7 @@ object Freshen {
       stream.writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-winckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-winckpt"))
         .start().awaitTermination()
     }
     s.table(qn)

@@ -434,9 +434,10 @@ object Scale {
       flagged.writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sdecon-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-sdecon-ckpt"))
         .start().awaitTermination()
     }
+    evalGrams.unpersist() // memory sink holds the result; cache scope is one run
     s.table(qn).orderBy("id")
   }
 
@@ -491,9 +492,10 @@ object Scale {
         .queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-ssub-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-ssub-ckpt"))
         .start().awaitTermination()
     }
+    statIdx.unpersist() // memory sink holds the result; cache scope is one run
     s.table(qn).orderBy("id")
   }
 
@@ -562,9 +564,10 @@ object Scale {
       best.writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-sann-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-sann-ckpt"))
         .start().awaitTermination()
     }
+    index.unpersist() // memory sink holds the result; cache scope is one run
     s.table(qn).orderBy("id")
   }
 
@@ -685,7 +688,7 @@ object Scale {
       admitted.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-quota-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-quota-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn).orderBy("stratum", "adm_rank")
@@ -773,6 +776,59 @@ object Scale {
     """WITH d AS (SELECT doc_id AS id, text FROM documents),
       |g AS (SELECT id, CAST(i AS BIGINT) AS pos, substr(text, i + 1, 40) AS gram
       |      FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)),
+      |dup AS (SELECT id, pos FROM
+      |          (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g)
+      |        WHERE n >= 2),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM dup)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |gaps AS (SELECT id, s, e,
+      |           COALESCE(lag(e) OVER (PARTITION BY id ORDER BY s), 0) AS prev_end
+      |         FROM sp),
+      |agg AS (SELECT gaps.id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_chars,
+      |          string_agg(substr(d.text, CAST(prev_end + 1 AS BIGINT),
+      |            CAST(s - prev_end AS BIGINT)), '' ORDER BY s) AS body,
+      |          max(e) AS last_end
+      |        FROM gaps JOIN d USING (id) GROUP BY 1),
+      |k AS (SELECT agg.id, n_dup_spans, dup_chars,
+      |        body || substr(d.text, CAST(last_end + 1 AS BIGINT)) AS kept
+      |      FROM agg JOIN d USING (id))
+      |SELECT d.id, CAST(len(d.text) AS BIGINT) AS doc_len,
+      |  COALESCE(k.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(k.dup_chars, 0) AS dup_chars,
+      |  sha256(COALESCE(k.kept, d.text)) AS kept_sha
+      |FROM d LEFT JOIN k ON k.id = d.id
+      |ORDER BY d.id""".stripMargin
+
+  // --------------------------- q209 anchored (sampled) substring dedup
+
+  /** North star/dedup — the PB-scale ANCHORED swap-in for q204
+    * ([[Dedup.substringDedupAnchored]]): the same duplicated-L-gram-union
+    * ExactSubstr machinery, but only content-defined anchor offsets
+    * (md5 of the leading 8 chars starting with one zero hex digit — the
+    * q206 FracMinHash keep rule, one position in 16) ever enter the
+    * fingerprint shuffle, cutting the wide exchange 16×. Every
+    * occurrence of a gram anchors identically, so the removal set is a
+    * provable SUBSET of q204's exact set (spec-pinned, with a coverage
+    * floor on the fixtures); misses concentrate on short spans and span
+    * edges — the documented price of the sampled position stream. q119
+    * anchors q46's at-scale swap-in the same way. */
+  def q209SubstrAnchored(s: SparkSession, dir: String): DataFrame =
+    Dedup.substringDedupAnchored(docs(s, dir), "doc_id", "text",
+        minLen = 40, anchorK = 8, hexZeros = 1)
+      .orderBy("id")
+
+  val q209Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |g AS (SELECT id, CAST(i AS BIGINT) AS pos, substr(text, i + 1, 40) AS gram
+      |      FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)
+      |      WHERE substr(md5(substr(text, CAST(i + 1 AS BIGINT), 8)), 1, 1) = '0'),
       |dup AS (SELECT id, pos FROM
       |          (SELECT id, pos, count(*) OVER (PARTITION BY gram) AS n FROM g)
       |        WHERE n >= 2),
@@ -915,7 +971,10 @@ object Scale {
       |       FROM tok, UNNEST(range(0, greatest(len(t) - 4, 0))) u(i)),
       |sig AS (SELECT DISTINCT source AS grp, md5(s) AS h
       |        FROM gr WHERE substr(md5(s), 1, 1) = '0'),
-      |sz AS (SELECT grp, CAST(count(*) AS BIGINT) AS n FROM sig GROUP BY 1),
+      |grps AS (SELECT DISTINCT source AS grp FROM documents),
+      |sz AS (SELECT grps.grp, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+      |       FROM grps LEFT JOIN
+      |         (SELECT grp, count(*) AS n FROM sig GROUP BY 1) c USING (grp)),
       |pairs AS (SELECT a.grp AS grp_a, a.n AS sig_a, b.grp AS grp_b, b.n AS sig_b
       |          FROM sz a JOIN sz b ON a.grp < b.grp),
       |shared AS (SELECT a.grp AS grp_a, b.grp AS grp_b,
@@ -924,10 +983,13 @@ object Scale {
       |           GROUP BY 1, 2)
       |SELECT grp_a, grp_b, sig_a, sig_b,
       |  COALESCE(n_shared, 0) AS n_shared,
-      |  (COALESCE(n_shared, 0) * 1000000) // sig_a AS containment_ab_ppm,
-      |  (COALESCE(n_shared, 0) * 1000000) // sig_b AS containment_ba_ppm,
-      |  (COALESCE(n_shared, 0) * 1000000)
-      |    // (sig_a + sig_b - COALESCE(n_shared, 0)) AS jaccard_ppm
+      |  CASE WHEN sig_a = 0 THEN NULL
+      |    ELSE (COALESCE(n_shared, 0) * 1000000) // sig_a END AS containment_ab_ppm,
+      |  CASE WHEN sig_b = 0 THEN NULL
+      |    ELSE (COALESCE(n_shared, 0) * 1000000) // sig_b END AS containment_ba_ppm,
+      |  CASE WHEN sig_a + sig_b = 0 THEN NULL
+      |    ELSE (COALESCE(n_shared, 0) * 1000000)
+      |      // (sig_a + sig_b - COALESCE(n_shared, 0)) END AS jaccard_ppm
       |FROM pairs LEFT JOIN shared USING (grp_a, grp_b)
       |ORDER BY grp_a, grp_b""".stripMargin
 
@@ -1294,7 +1356,7 @@ object Scale {
       stream.writeStream.outputMode("complete").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-hllckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-hllckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -1496,7 +1558,7 @@ object Scale {
       results.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-funnel-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-funnel-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -1790,7 +1852,7 @@ object Scale {
       results.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",
-          java.nio.file.Files.createTempDirectory("graft-scd2-ckpt").toString)
+          graft.streaming.StreamConf.ckptDir("graft-scd2-ckpt"))
         .start().awaitTermination()
     }
     s.table(qn)
@@ -2069,6 +2131,7 @@ object Scale {
     "q120_self_repeats" -> (q120SelfRepeats _),
     "q129_chunk_dedup" -> (q129ChunkDedup _),
     "q204_substring_dedup" -> (q204SubstringDedup _),
+    "q209_substr_anchored" -> (q209SubstrAnchored _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
@@ -2123,6 +2186,7 @@ object Scale {
     "q120_self_repeats" -> q120Sql,
     "q129_chunk_dedup" -> q129Sql,
     "q204_substring_dedup" -> q204Sql,
+    "q209_substr_anchored" -> q209Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,

@@ -17,4 +17,29 @@ object StreamConf {
     spark.conf.set(key, n.toString)
     try body finally spark.conf.set(key, prev)
   }
+
+  /** One JVM-lifetime checkpoint ROOT, deleted recursively on exit: every
+    * per-query checkpoint dir nests under it, so repeated invocations (the
+    * bench runs each streaming query 5×; DeterminismSpec 2×) cannot strew
+    * orphaned `graft-*-ckpt` dirs across /tmp — the run's entire
+    * checkpoint footprint is one tree with one cleanup hook. */
+  private lazy val ckptRoot: java.nio.file.Path = {
+    val root = java.nio.file.Files.createTempDirectory("graft-ckpt-root")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      if (Files.exists(root)) {
+        val walk = Files.walk(root)
+        try walk.sorted(Comparator.reverseOrder[Path]())
+          .forEach(p => { Files.deleteIfExists(p); () })
+        catch { case _: java.io.IOException => () }
+        finally walk.close()
+      }
+    }))
+    root
+  }
+
+  /** Fresh checkpoint dir for one streaming-query run, under [[ckptRoot]]. */
+  def ckptDir(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(ckptRoot, prefix).toString
 }

@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 /** Streaming per-key rate-anomaly alerting (S26 depth): the volume monitor a
   * pipeline runs at ingest — "is this event type suddenly arriving at more
   * than twice its historical daily rate?" — via `flatMapGroupsWithState`
-  * with one OPEN time window plus two trailing integers as state.
+  * with one OPEN time window plus three trailing integers as state.
   *
   * Semantics: per key, tumbling windows close in window order; a window
   * closes when a LATER window's first row arrives (or a flush sentinel).
@@ -18,13 +18,15 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * (window-id) order, so arrival interleaving cannot change any emitted
   * row.
   *
-  * Scale: state per key is FOUR longs (open window id + count, closed
-  * window count + total) — O(|keys|) regardless of stream length; each
+  * Scale: state per key is FIVE longs (open window id + count, closed
+  * window count + total, last closed window id) — O(|keys|) regardless
+  * of stream length; each
   * batch's work is one local fold per touched key. Requires in-order
   * window DELIVERY across batches (the staged-replay contract; a real
   * deployment puts a watermark upstream to bound disorder) — a window id
-  * older than the open one, or a flush sentinel carrying a count, FAILS
-  * the query loudly rather than silently corrupting the emitted stats.
+  * at or below the last closed one, a flush aimed below the open window,
+  * or a flush sentinel carrying a count, FAILS the query loudly rather
+  * than silently corrupting the emitted stats.
   */
 object StreamingRate {
 
@@ -32,8 +34,13 @@ object StreamingRate {
     * `flush = true` rows only close the key's open window. */
   case class RateEvent(key: String, win: Long, n: Long, flush: Boolean)
 
-  /** (open window id or -1, open count, closed windows, closed total) */
-  case class RateState(win: Long, n: Long, priorW: Long, priorTotal: Long)
+  /** (open window id or -1, open count, closed windows, closed total,
+    * last CLOSED window id or -1). `lastClosed` survives the open-window
+    * reset, so the in-order contract holds ACROSS batches: after a close,
+    * st.win is -1 and an older window arriving in a later batch would
+    * otherwise pass the open-window check and silently reopen. */
+  case class RateState(win: Long, n: Long, priorW: Long, priorTotal: Long,
+      lastClosed: Long)
 
   /** One closed window with its verdict against the trailing mean. */
   case class RateAlert(key: String, win: Long, n_events: Long,
@@ -55,12 +62,12 @@ object StreamingRate {
                 s"flush sentinel for key=$key win=$w carries n=$flushN (must be 0)")
               (w, rs.filterNot(_.flush).map(_.n).sum, rs.exists(_.flush)) }
             .sortBy(_._1)
-          var st = state.getOption.getOrElse(RateState(-1L, 0L, 0L, 0L))
+          var st = state.getOption.getOrElse(RateState(-1L, 0L, 0L, 0L, -1L))
           val out = Seq.newBuilder[RateAlert]
           def close(): Unit = if (st.win >= 0) {
             out += RateAlert(key, st.win, st.n, st.priorW, st.priorTotal,
               st.priorW > 0 && st.n * st.priorW > 2L * st.priorTotal)
-            st = RateState(-1L, 0L, st.priorW + 1, st.priorTotal + st.n)
+            st = RateState(-1L, 0L, st.priorW + 1, st.priorTotal + st.n, st.win)
           }
           byWin.foreach { case (w, n, isFlush) =>
             // fold any real contribution first, then honor a flush
@@ -68,14 +75,25 @@ object StreamingRate {
               if (st.win == w) st = st.copy(n = st.n + n)
               else {
                 // in-order window delivery is the contract; re-opening an
-                // OLDER window would silently emit duplicate (key, win)
-                // rows with wrong trailing stats — fail loudly instead
+                // OLDER window — including one already CLOSED in a prior
+                // batch, when st.win has reset to -1 — would silently emit
+                // duplicate (key, win) rows with wrong trailing stats —
+                // fail loudly instead
                 require(st.win < 0 || w > st.win,
                   s"out-of-order window for key=$key: got win=$w after open win=${st.win}")
-                close(); st = RateState(w, n, st.priorW, st.priorTotal)
+                require(w > st.lastClosed,
+                  s"out-of-order window for key=$key: got win=$w after closed win=${st.lastClosed}")
+                close(); st = st.copy(win = w, n = n)
               }
             }
-            if (isFlush) close()
+            if (isFlush) {
+              // a flush closes the OPEN window; one aimed below it (an
+              // already-closed or never-opened older window) is a replay
+              // bug, not a close request — fail loudly
+              require(st.win < 0 || w >= st.win,
+                s"flush for key=$key targets win=$w below open win=${st.win}")
+              close()
+            }
           }
           state.update(st)
           out.result().iterator

@@ -396,8 +396,25 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "band collisions and the degree join-back must be key joins")
   }
 
+  /** q204/q208's production path localCheckpoints the span frame (cache
+    * lifecycle: one invocation, not the session), which truncates the
+    * executed plan — so the candidate-path pins assert on the cache=false
+    * variant, which is the SAME construction minus the persist/checkpoint
+    * wrappers. */
+  private def substrPlan(keepFirst: Boolean): String = {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val df =
+      if (keepFirst)
+        graft.llmops.Dedup.substringDedupKeepFirst(d, "doc_id", "text",
+          minLen = 40, cache = false)
+      else
+        graft.llmops.Dedup.substringDedup(d, "doc_id", "text",
+          minLen = 40, cache = false)
+    df.queryExecution.executedPlan.toString
+  }
+
   test("q204: the wide candidate shuffle keys on the 8-byte fingerprint, never the gram") {
-    val p = plan("q204_substring_dedup")
+    val p = substrPlan(keepFirst = false)
     // the SCALE.md claim: the full-cardinality exchange (every window
     // position) partitions by fp — the L-char gram string must only ever
     // shuffle for the (small) confirmed-candidate aggregation
@@ -419,6 +436,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
         "and the signature overlap an equi-join on h")
     assert(p.contains("hashpartitioning(h") || p.contains("[h#"),
       "shared-hash counting must key on the sampled hash")
+  }
+
+  test("q208: keep-first confirm is a min-struct aggregation — no gram-keyed window") {
+    val p = substrPlan(keepFirst = true)
+    // the 100 TB skew claim: "first occurrence" must reduce via
+    // min(struct(id, pos)) — map-side combinable, one row per gram —
+    // never a per-gram rank window, which sorts EVERY occurrence of a
+    // hot boilerplate gram in one task. The only Window operators are
+    // the per-doc island/report ones, keyed on id.
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    windows.foreach(w => assert(!w.contains("gram"),
+      s"keep-first must not rank-window by gram: $w"))
+    assert(p.contains("min(") && p.contains("first_occ"),
+      "the winner must come from a min(struct) aggregation")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("q207: the admission pipeline is windowless — the island merge is a scan-side fold") {

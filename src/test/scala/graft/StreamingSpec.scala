@@ -140,7 +140,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val mem = MemoryStream[(Long, Long, Double)]
     val events = mem.toDF.toDF("entity_id", "ts", "value")
     mem.addData((1L, 1000L, 5.0), (2L, 2000L, 7.0))
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = graft.streaming.StreamConf.ckptDir("graft-ckpt")
     val q = f.start(events, ckpt)
     q.awaitTermination(60000)
     assert(state(store) == Map(1L -> (2000L, 6.0), 2L -> (2000L, 7.0)))
@@ -170,7 +170,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     mem.addData(corpusRows.take(2).map(r => (r._1, r._2)): _*)
     val out = StreamDecontam.sharedGrams(stream, evalGrams, n = 8)
     val qn = "sdecon_spec"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sdecon-spec").toString
+    val ckpt = graft.streaming.StreamConf.ckptDir("graft-sdecon-spec")
     val q = out.writeStream.outputMode("complete").format("memory")
       .queryName(qn).option("checkpointLocation", ckpt).start()
     q.processAllAvailable()
@@ -199,7 +199,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val stream = mem.toDF.toDF("id", "vec")
     val out = StreamAnn.bestMatch(stream, index, planes = 6, dim = dim)
     val qn = "sann_spec"
-    val ckpt = java.nio.file.Files.createTempDirectory("graft-sann-spec").toString
+    val ckpt = graft.streaming.StreamConf.ckptDir("graft-sann-spec")
     mem.addData(queries.take(1): _*)
     val q = out.writeStream.outputMode("complete").format("memory")
       .queryName(qn).option("checkpointLocation", ckpt).start()
@@ -464,6 +464,20 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       Seq(Seq(RateEvent("a", 1L, 10L, flush = false),
         RateEvent("a", 2L, 7L, flush = true))),
       "flush sentinel")
+    // an older window arriving AFTER a close reset the open id to -1: the
+    // open-window check alone would let it silently reopen — lastClosed
+    // must catch it across batches
+    expectFailure("rate_reopen",
+      Seq(Seq(RateEvent("a", 5L, 10L, flush = false),
+        RateEvent("a", Long.MaxValue, 0L, flush = true)),
+        Seq(RateEvent("a", 3L, 10L, flush = false))),
+      "after closed win=5")
+    // a flush aimed BELOW the open window is a replay bug, not a request
+    // to close whatever happens to be open
+    expectFailure("rate_staleflush",
+      Seq(Seq(RateEvent("a", 5L, 10L, flush = false)),
+        Seq(RateEvent("a", 3L, 0L, flush = true))),
+      "targets win=3 below open win=5")
   }
 
   test("streaming substring admission: hand-computed coverage, verdicts, and batch-split invariance") {

@@ -164,6 +164,101 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
   }
 
+  private def md5Hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  /** Anchored removal mask per the definition: position p of doc t opens a
+    * removed window iff p is a content-defined anchor (md5 of its leading
+    * k chars starts with `z` zero hex digits) AND its L-gram occurs ≥ 2
+    * times in the corpus (all occurrences of one gram content anchor
+    * identically, so the full occurrence count IS the anchored count). */
+  private def bruteMaskAnchored(docs: Seq[(Long, String)], minLen: Int,
+      k: Int, z: Int): Map[Long, Array[Boolean]] = {
+    val mask = docs.map { case (id, t) => id -> new Array[Boolean](t.length) }.toMap
+    for {
+      (id, t) <- docs
+      s <- 0 to t.length - minLen
+      if md5Hex(t.substring(s, s + k)).startsWith("0" * z)
+      sub = t.substring(s, s + minLen)
+      if docs.iterator.map { case (_, u) => occurrences(u, sub).size }.sum >= 2
+      p <- s until (s + minLen)
+    } mask(id)(p) = true
+    mask
+  }
+
+  test("property: anchored ≡ anchored-position scan; removal set ⊆ remove-all's") {
+    import spark.implicits._
+    val genDoc = for {
+      len <- Gen.choose(0, 24)
+      cs <- Gen.listOfN(len, Gen.oneOf('a', 'b'))
+    } yield cs.mkString
+    val genCorpus = for {
+      n <- Gen.choose(1, 6)
+      ds <- Gen.listOfN(n, genDoc)
+    } yield ds.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    // anchorK=1 over {a,b}: md5("a")=0cc1… anchors, md5("b")=92eb… does
+    // not — a deterministic ~50% anchor density that exercises both kept
+    // and thinned positions in every corpus
+    val prop = Prop.forAll(genCorpus, Gen.choose(3, 6), Gen.choose(1, 2)) {
+      (docs, minLen, anchorK) =>
+        val mask = bruteMaskAnchored(docs, minLen, anchorK, 1)
+        val allMask = bruteMask(docs, minLen)
+        val expect = docs.map { case (id, t) =>
+          val m = mask(id)
+          val kept = t.zipWithIndex.collect { case (c, i) if !m(i) => c }.mkString
+          id -> ((m.count(identity).toLong, sha256Hex(kept)))
+        }.toMap
+        val got = Dedup.substringDedupAnchored(
+            docs.toDF("doc_id", "text"), "doc_id", "text", minLen,
+            anchorK = anchorK, hexZeros = 1)
+          .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getString(4)))).toMap
+        // sampling may only LOSE coverage, never invent it
+        val subset = docs.forall { case (id, t) =>
+          (0 until t.length).forall(i => !mask(id)(i) || allMask(id)(i)) }
+        got == expect && subset
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(40), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("anchored coverage floor: ≥ 70% of exact removal mass on the boilerplate fixture") {
+    import spark.implicits._
+    // the at-scale workload shape: long verbatim boilerplate (240 chars
+    // ≫ minLen=40) injected into several documents with unique
+    // neighborhoods — anchors land ~16 apart inside the block, so the
+    // island merge recovers its interior wall-to-wall and loss
+    // concentrates at the edges (≲ 16 + 39 chars of 240 per carrier)
+    val rnd = new scala.util.Random(42)
+    def blob(n: Int): String =
+      Seq.fill(n)(('a' + rnd.nextInt(26)).toChar).mkString
+    val bp = blob(240)
+    val docs = Seq(
+      (0L, s"${blob(30)}$bp${blob(30)}"),
+      (1L, s"${blob(25)}$bp${blob(35)}"),
+      (2L, s"${blob(40)}$bp${blob(20)}"),
+      (3L, blob(300))).toDF("doc_id", "text")
+    def mass(df: org.apache.spark.sql.DataFrame): (Long, Map[Long, Long]) = {
+      val rows = df.collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+      (rows.values.sum, rows)
+    }
+    val (exactMass, exactByDoc) =
+      mass(Dedup.substringDedup(docs, "doc_id", "text", minLen = 40))
+    val (anchMass, anchByDoc) =
+      mass(Dedup.substringDedupAnchored(docs, "doc_id", "text", minLen = 40,
+        anchorK = 8, hexZeros = 1))
+    // ≥ the injected block (random neighborhoods can add a coincidental
+    // duplicated gram or two); the blob-only doc stays clean
+    assert(exactByDoc(0L) >= 240L && exactByDoc(3L) == 0L)
+    // every boilerplate carrier detected; the clean doc untouched
+    (0L to 2L).foreach(id => assert(anchByDoc(id) > 0L,
+      s"carrier $id missed entirely by the anchored variant"))
+    assert(anchByDoc(3L) == 0L)
+    // the stated coverage floor (SCALE.md): ≥ 70% of exact removal mass
+    assert(anchMass * 10 >= exactMass * 7,
+      s"anchored covered $anchMass of $exactMass exact dup chars (< 70%)")
+  }
+
   test("topBoilerplate: most-frequent maximal span leads; counts split occurrences vs docs") {
     import spark.implicits._
     // one 12-char boilerplate block in four docs (one doc carries it

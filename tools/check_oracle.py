@@ -9,9 +9,14 @@ compares: column names (sorted), dtypes-ish, row count, and cell values after
 sorting rows. NOT part of the shipped library (driver-side python only).
 
 With a third argument, also dumps per-query DuckDB oracle wall times as
-{"<query>": seconds} JSON — the per-query denominator for the bench-vs-oracle
-comparison (commit e.g. ORACLE_TIMINGS_r9.json so the 2x bar is checkable
-from artifacts alone).
+{"<query>": median_seconds} JSON with a per-query {"min","max"} spread map —
+the per-query denominator for the bench-vs-oracle comparison (commit e.g.
+ORACLE_TIMINGS_r10.json so the 2x bar is checkable from artifacts alone).
+Timed runs use the bench's own median-of-3 discipline: the first (compare)
+execution warms DuckDB's buffers, then three timed re-executions; single-shot
+timings on a shared host swing with outside load (a round-8 sweep recorded a
+400 s host-load artifact), and the committed spread makes a contended run
+machine-detectable from the artifact itself.
 """
 import sys, os, json, glob, time
 import duckdb
@@ -57,9 +62,16 @@ def main():
         try:
             got = canon(con.execute(
                 f"SELECT * FROM read_parquet('{qdir}/*.parquet')").fetchdf())
-            t0 = time.time()
             want = con.execute(oracle[name]).fetchdf()
-            timings[name] = round(time.time() - t0, 3)
+            if timings_out:
+                runs = []
+                for _ in range(3):
+                    t0 = time.time()
+                    con.execute(oracle[name]).fetchall()
+                    runs.append(round(time.time() - t0, 3))
+                runs.sort()
+                timings[name] = {"median": runs[1], "min": runs[0],
+                                 "max": runs[2]}
             want = canon(want)
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
@@ -86,8 +98,9 @@ def main():
             n_pass += 1
     if timings_out:
         with open(timings_out, "w") as f:
-            json.dump({"oracle_secs": timings,
-                       "total": round(sum(timings.values()), 3),
+            json.dump({"oracle_secs": {k: v["median"] for k, v in timings.items()},
+                       "spread": timings,
+                       "total": round(sum(v["median"] for v in timings.values()), 3),
                        "sf": sf_dir}, f, indent=0, sort_keys=True)
     print(f"== {n_pass} pass, {n_fail} fail ==")
     sys.exit(1 if n_fail else 0)
