@@ -499,6 +499,101 @@ object Scale {
     s.table(qn).orderBy("id")
   }
 
+  /** Staged LATE-arrival stream for q210: the q207 arrival population
+    * (doc_id ≡ 0 mod 4) stamped with a synthetic ingest day
+    * day = (doc_id div 4) mod 30 (epoch 2024-01-01), delivered in three
+    * bands — days ≤ 19 MINUS a straggler subset (day ≤ 4 and
+    * (doc_id div 4) ≡ 0 mod 7), then days 20–24, then the stragglers
+    * plus days 25–29 — so the stragglers arrive two batches after their
+    * ingest windows, the q190 drop protocol. */
+  private def stageSubstrLateBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q210:$dir", {
+      val src = docs(s, dir).filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("doc_id").as("id"), col("text"),
+          pmod(expr("doc_id div 4"), lit(30)).cast("long").as("day"))
+        .withColumn("ts", expr(
+          "timestampadd(DAY, CAST(day AS INT), TIMESTAMP'2024-01-01 00:00:00')"))
+      val straggler = col("day") <= 4 &&
+        pmod(expr("id div 4"), lit(7)) === 0
+      def strip(df: DataFrame): DataFrame = df.select("id", "text", "ts")
+      graft.sources.Staging.stageParts(Seq(
+        "early" -> strip(src.filter(col("day") <= 19 && !straggler)),
+        "mid" -> strip(src.filter(col("day") >= 20 && col("day") <= 24)),
+        "late" -> strip(src.filter(straggler || col("day") >= 25))))
+    })
+
+  /** S26 depth — the PRODUCTION form of q207
+    * ([[graft.streaming.StreamSubstr.admissionWindowed]]): the same
+    * substring-admission verdicts, but APPEND mode under a 2-day
+    * watermark on the document's ingest day — verdict state expires with
+    * the watermark instead of growing with every doc ever seen, each
+    * verdict emits exactly once (when the watermark passes its ingest
+    * window), stragglers delivered two batches late are DROPPED wholesale
+    * (the q190 protocol), and windows newer than the final watermark
+    * never emit. The oracle replicates the protocol — the straggler drop
+    * and the `day + 1 ≤ max_day − 2` emission cut — so the append-mode
+    * semantics themselves are hash-gated. */
+  def q210StreamSubstrLate(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    import graft.streaming.StreamSubstr
+    val srcDir = stageSubstrLateBands(s, dir)
+    val statIdx = StreamSubstr.gramIndex(
+      docs(s, dir).filter(pmod(col("doc_id"), lit(4)) =!= 0), "text", L = 40)
+      .persist()
+    statIdx.count() // materialize once; streams re-evaluate static frames
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("id", "long").add("text", "string").add("ts", "timestamp")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days")
+    val verdicts = StreamSubstr.admissionWindowed(stream, statIdx, L = 40,
+      permilleMax = 200L)
+    val qn = s"q210_ssublate_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      verdicts.writeStream.outputMode("append").format("memory")
+        .queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-ssublate-ckpt"))
+        .start().awaitTermination()
+    }
+    statIdx.unpersist() // memory sink holds the result; cache scope is one run
+    s.table(qn).orderBy("id")
+  }
+
+  val q210Sql: String =
+    """WITH d AS (SELECT doc_id AS id, text FROM documents),
+      |arrAll AS (SELECT id, text, (id // 4) % 30 AS day FROM d WHERE id % 4 = 0),
+      |wm AS (SELECT max(day) - 2 AS wmday FROM arrAll),
+      |arr AS (SELECT id, text, day, len(text) AS dl FROM arrAll
+      |        WHERE len(text) >= 40
+      |          AND NOT (day <= 4 AND (id // 4) % 7 = 0)),
+      |stat AS (SELECT DISTINCT substr(text, CAST(i + 1 AS BIGINT), 40) AS gram
+      |         FROM d, UNNEST(range(0, greatest(len(text) - 39, 0))) u(i)
+      |         WHERE id % 4 <> 0),
+      |g AS (SELECT arr.id, CAST(i AS BIGINT) AS pos,
+      |        substr(arr.text, CAST(i + 1 AS BIGINT), 40) AS gram
+      |      FROM arr, UNNEST(range(0, arr.dl - 39)) u(i)),
+      |hit AS (SELECT g.id, g.pos FROM g JOIN stat USING (gram)),
+      |isl AS (SELECT id, pos,
+      |          sum(CASE WHEN pos > prev + 40 THEN 1 ELSE 0 END)
+      |            OVER (PARTITION BY id ORDER BY pos) AS grp
+      |        FROM (SELECT id, pos,
+      |                lag(pos) OVER (PARTITION BY id ORDER BY pos) AS prev
+      |              FROM hit)),
+      |sp AS (SELECT id, grp, min(pos) AS s, max(pos) + 40 AS e
+      |       FROM isl GROUP BY 1, 2),
+      |agg AS (SELECT id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+      |          CAST(sum(e - s) AS BIGINT) AS dup_chars
+      |        FROM sp GROUP BY 1)
+      |SELECT arr.id, CAST(arr.dl AS BIGINT) AS doc_len,
+      |  COALESCE(agg.n_dup_spans, 0) AS n_dup_spans,
+      |  COALESCE(agg.dup_chars, 0) AS dup_chars,
+      |  COALESCE(agg.dup_chars, 0) * 1000 < arr.dl * 200 AS admitted
+      |FROM arr LEFT JOIN agg USING (id) CROSS JOIN wm
+      |WHERE arr.day + 1 <= wm.wmday
+      |ORDER BY arr.id""".stripMargin
+
   val q207Sql: String =
     """WITH d AS (SELECT doc_id AS id, text FROM documents),
       |arr AS (SELECT id, text, len(text) AS dl FROM d
@@ -2136,6 +2231,7 @@ object Scale {
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
     "q208_substr_keepfirst" -> (q208SubstrKeepFirst _),
+    "q210_stream_substr_late" -> (q210StreamSubstrLate _),
     "q132_cluster_canonical" -> (q132ClusterCanonical _),
     "q121_bpe_merges" -> (q121BpeMerges _),
     "q122_bpe_vocab" -> (q122BpeVocab _),
@@ -2191,6 +2287,7 @@ object Scale {
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,
     "q208_substr_keepfirst" -> q208Sql,
+    "q210_stream_substr_late" -> q210Sql,
     "q132_cluster_canonical" -> q132Sql,
     "q121_bpe_merges" -> q121Sql,
     "q122_bpe_vocab" -> q122Sql,

@@ -17,9 +17,12 @@ import org.apache.spark.sql.functions._
   * use ordinary window functions, so the q204 island merge is re-expressed
   * as a higher-order `aggregate` over the doc's sorted hit positions — a
   * per-document array bounded by document length. The only stateful
-  * operator is the per-doc rollup (state = one verdict row per arriving
-  * document — position rows never enter the state store; a production
-  * deployment appends with a watermark to expire emitted docs).
+  * operator is the per-doc rollup; [[admissionWindowed]] keys it on the
+  * doc's event-time ingest window under a watermark (append mode, state
+  * expires — the production shape, q210), while [[admission]] keeps the
+  * windowless complete-mode demo (state = one verdict row per doc ever
+  * seen — bounded replays only, q207). Position rows never enter the
+  * state store in either form.
   *
   * Scale: the static index shuffles fixed-width digests (built once and
   * persisted — the stream re-evaluates static frames per batch otherwise);
@@ -39,42 +42,80 @@ object StreamSubstr {
         .as("h"))
       .distinct()
 
-  /** Admission verdicts for a stream of (id, text) documents against a
-    * static gram index ([[gramIndex]] output, persisted by the caller):
-    * one row per arriving doc of length ≥ L — (id, doc_len, n_dup_spans,
-    * dup_chars, admitted), admitted iff dup_chars·1000 < doc_len·
-    * `permilleMax`. */
-  def admission(stream: DataFrame, staticGrams: DataFrame, L: Int,
-      permilleMax: Long): DataFrame = {
-    val probes = stream
+  /** Per-position probe rows against the static index: `keep` columns are
+    * carried through (id, event time, …), plus doc_len, pos, and the
+    * left-join hit flag. */
+  private def probes(stream: DataFrame, staticGrams: DataFrame, L: Int,
+      keep: Seq[String]): DataFrame = {
+    val cols = keep.map(col) ++ Seq(
+      length(col("text")).cast("long").as("doc_len"),
+      explode(expr(s"sequence(0, length(text) - $L)")).as("pos"),
+      col("text"))
+    stream
       .filter(length(col("text")) >= L)
-      .select(col("id"), length(col("text")).cast("long").as("doc_len"),
-        explode(expr(s"sequence(0, length(text) - $L)")).as("pos"),
-        col("text"))
+      .select(cols: _*)
       .withColumn("h",
         sha2(expr(s"substring(text, pos + 1, $L)").cast("binary"), 256))
       .drop("text")
       .join(staticGrams.withColumn("hit", lit(true)), Seq("h"), "left")
-    // q204's gaps-and-islands, windowless: fold the sorted hit positions —
-    // cov += (p+L) − max(lst, p) when positive; span count ticks on gaps
-    val fold = expr(
-      s"""aggregate(
-         |  array_sort(hits),
-         |  named_struct('cov', CAST(0 AS BIGINT), 'sp', CAST(0 AS BIGINT),
-         |               'lst', CAST(-1 AS BIGINT)),
-         |  (acc, p) -> named_struct(
-         |    'cov', acc.cov + greatest(CAST(0 AS BIGINT),
-         |             p + $L - greatest(acc.lst, p)),
-         |    'sp', acc.sp + CASE WHEN p > acc.lst THEN 1 ELSE 0 END,
-         |    'lst', greatest(acc.lst, p + $L)),
-         |  acc -> named_struct('cov', acc.cov, 'sp', acc.sp))""".stripMargin)
-    probes
-      .groupBy("id", "doc_len")
-      .agg(collect_list(when(col("hit"), col("pos").cast("long"))).as("hits"))
-      .withColumn("f", fold)
+  }
+
+  /** q204's gaps-and-islands, windowless: fold the sorted hit positions —
+    * cov += (p+L) − max(lst, p) when positive; span count ticks on gaps. */
+  private def islandFold(L: Int) = expr(
+    s"""aggregate(
+       |  array_sort(hits),
+       |  named_struct('cov', CAST(0 AS BIGINT), 'sp', CAST(0 AS BIGINT),
+       |               'lst', CAST(-1 AS BIGINT)),
+       |  (acc, p) -> named_struct(
+       |    'cov', acc.cov + greatest(CAST(0 AS BIGINT),
+       |             p + $L - greatest(acc.lst, p)),
+       |    'sp', acc.sp + CASE WHEN p > acc.lst THEN 1 ELSE 0 END,
+       |    'lst', greatest(acc.lst, p + $L)),
+       |  acc -> named_struct('cov', acc.cov, 'sp', acc.sp))""".stripMargin)
+
+  /** Verdict projection over the per-doc rollup. */
+  private def verdict(rollup: DataFrame, L: Int, permilleMax: Long): DataFrame =
+    rollup
+      .withColumn("f", islandFold(L))
       .select(col("id"), col("doc_len"),
         col("f.sp").as("n_dup_spans"), col("f.cov").as("dup_chars"))
       .withColumn("admitted",
         col("dup_chars") * 1000L < col("doc_len") * permilleMax)
-  }
+
+  /** Admission verdicts for a stream of (id, text) documents against a
+    * static gram index ([[gramIndex]] output, persisted by the caller):
+    * one row per arriving doc of length ≥ L — (id, doc_len, n_dup_spans,
+    * dup_chars, admitted), admitted iff dup_chars·1000 < doc_len·
+    * `permilleMax`. DEMO form: the per-doc rollup has no event-time
+    * column, so it can only run in complete/update mode and its state
+    * holds one row per doc EVER seen — fine for a bounded replay, wrong
+    * for a production stream. [[admissionWindowed]] is the production
+    * shape. */
+  def admission(stream: DataFrame, staticGrams: DataFrame, L: Int,
+      permilleMax: Long): DataFrame =
+    verdict(
+      probes(stream, staticGrams, L, keep = Seq("id"))
+        .groupBy("id", "doc_len")
+        .agg(collect_list(when(col("hit"), col("pos").cast("long"))).as("hits")),
+      L, permilleMax)
+
+  /** PRODUCTION admission: the same verdicts, but keyed on the arriving
+    * document's event-time ingest window so the query runs in APPEND
+    * mode with a watermark and verdict state EXPIRES — state is one row
+    * per doc inside the watermark horizon, not per doc ever seen. The
+    * caller attaches `withWatermark` on `tsCol` BEFORE calling (the
+    * watermark node must sit upstream of the aggregation); a doc's
+    * verdict emits once, when the watermark passes its ingest window's
+    * end, and a doc arriving LATER than the watermark allows is dropped
+    * wholesale (all its position rows carry its ts) — the q190 late-data
+    * contract applied to admission, hash-gated by q210's oracle. */
+  def admissionWindowed(stream: DataFrame, staticGrams: DataFrame, L: Int,
+      permilleMax: Long, tsCol: String = "ts",
+      windowDuration: String = "1 day"): DataFrame =
+    verdict(
+      probes(stream, staticGrams, L, keep = Seq("id", tsCol))
+        .groupBy(window(col(tsCol), windowDuration), col("id"), col("doc_len"))
+        .agg(collect_list(when(col("hit"), col("pos").cast("long"))).as("hits")),
+      L, permilleMax)
 }

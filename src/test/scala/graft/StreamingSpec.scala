@@ -514,6 +514,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     statIdx.unpersist()
   }
 
+  test("windowed admission (q210): verdict emits once at watermark; late doc dropped; open windows never emit") {
+    import spark.implicits._
+    import graft.streaming.StreamSubstr
+    implicit val sq = spark.sqlContext
+    val x = "THEQUICKBROWNFOXJUMPSOVERTHELAZYDOGSAGAIN0123" // 45 chars
+    val static = Seq((100L, s"zz$x zz tail of the static corpus document")).toDF("id", "text")
+    val statIdx = StreamSubstr.gramIndex(static, "text", L = 40).persist()
+    statIdx.count()
+    def ts(day: Int) = java.sql.Timestamp.valueOf(f"2024-01-$day%02d 00:00:00")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val stream = mem.toDS().toDF("id", "text", "ts").withWatermark("ts", "2 days")
+    val q = StreamSubstr.admissionWindowed(stream, statIdx, L = 40, permilleMax = 200L)
+      .writeStream.outputMode("append").format("memory").queryName("ssub_wm").start()
+    // b1: doc1 (day 1, 45/49 dup) + doc2 (day 10, clean) — the day-10
+    // arrival advances the watermark to day 8, past doc1's window end
+    mem.addData((1L, s"aa${x}bb", ts(1)),
+      (2L, "totally novel content with no dup at all 1", ts(10)))
+    q.processAllAvailable()
+    // b2: doc3 arrives at day 1 — LATE (window end day 2 < wm day 8):
+    // dropped wholesale, never judged; doc4 (day 11) opens a new window
+    mem.addData((3L, s"ee$x", ts(1)),
+      (4L, "other novel content with no dup anywhere 2", ts(11)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ssub_wm").collect().map(r => r.getLong(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))).toMap
+    // exactly ONE verdict: doc1's, emitted when its window closed. doc3
+    // dropped by the watermark; doc2/doc4 windows still open at stop
+    assert(got == Map(1L -> ((49L, 1L, 45L, false))),
+      s"append-mode admission verdicts wrong: $got")
+    statIdx.unpersist()
+  }
+
   test("q190 append-mode watermark: stragglers dropped, unfinished windows never emit") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -259,6 +259,48 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
       s"anchored covered $anchMass of $exactMass exact dup chars (< 70%)")
   }
 
+  test("skew stress: a mega-gram reduces map-side — per-gram state is one counter/struct, never a sorted occurrence list") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the SCALE.md mega-gram claim, executable: ONE 40-char boilerplate
+    // block in 2000 documents (hot key: its gram occurs 2000×, everything
+    // else is unique). Both policies must (a) produce the exact per-doc
+    // answer and (b) show PARTIAL aggregation on the gram-keyed confirm in
+    // the plan — the structural guarantee that a gram occurring 10⁸ times
+    // at 100 TB reduces inside each map task instead of co-locating every
+    // occurrence into one task (the q208 row_number window this suite
+    // replaced had no partial form).
+    val bp = "BOILERPLATEBLOCKBOILERPLATEBLOCK40CHARS!"
+    assert(bp.length == 40)
+    val docs = (0L until 2000L)
+      .map(i => (i, f"u$i%06de$bp n$i%06dx")).toDF("doc_id", "text")
+    // remove-all: every carrier loses at least the block (id digits
+    // adjacent to it coincide between SOME pair of docs, so spans may
+    // extend a few chars past 40 — irrelevant to the skew claim)
+    val all = Dedup.substringDedup(docs, "doc_id", "text", minLen = 40)
+      .select(col("id"), col("dup_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(all.size == 2000 && all.values.forall(_ >= 40L),
+      "remove-all must cover at least the block in every carrier")
+    // keep-first: doc 0 holds the FIRST (min (id, pos)) occurrence of
+    // every gram it contains (nothing repeats within it), so it is
+    // exactly clean; every later doc loses at least the block
+    val kf = Dedup.substringDedupKeepFirst(docs, "doc_id", "text", minLen = 40)
+      .select(col("id"), col("dup_chars")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(kf(0L) == 0L && (1L until 2000L).forall(kf(_) >= 40L),
+      "keep-first must spare the first occurrence and strip the rest")
+    // plan pins (cache=false keeps the candidate path visible)
+    val pAll = Dedup.substringDedup(docs, "doc_id", "text", 40, cache = false)
+      .queryExecution.executedPlan.toString
+    assert(pAll.contains("partial_count"),
+      "remove-all's gram confirm must have a map-side partial count")
+    val pKf = Dedup.substringDedupKeepFirst(docs, "doc_id", "text", 40, cache = false)
+      .queryExecution.executedPlan.toString
+    assert(pKf.contains("partial_min"),
+      "keep-first's winner must come from a map-side partial min")
+  }
+
   test("topBoilerplate: most-frequent maximal span leads; counts split occurrences vs docs") {
     import spark.implicits._
     // one 12-char boilerplate block in four docs (one doc carries it
