@@ -1018,7 +1018,15 @@ object Analytics {
     * ⌊1e6·converted/at_risk⌋ — the time-to-convert curve a funnel (q88)
     * flattens away. Two aggregates (per-user firsts, per-k rollup)
     * against a 1-row broadcast horizon; the k frame is ≤ |days| rows. */
-  def q193ConversionHazard(s: SparkSession, dir: String): DataFrame = {
+  def q193ConversionHazard(s: SparkSession, dir: String): DataFrame =
+    hazardTable(s, dir)
+      .withColumn("hazard_ppm", expr("(converted * 1000000) div at_risk"))
+      .orderBy("k")
+
+  /** Shared day-offset risk table behind q193/q211: per k, users
+    * observable ≥ k days after their first event and users converting
+    * exactly k days in. The k frame is ≤ |calendar days| rows. */
+  private def hazardTable(s: SparkSession, dir: String): DataFrame = {
     val ev = t(s, dir, "events").select(col("user_id"),
       expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
     val users = ev.groupBy("user_id")
@@ -1035,8 +1043,6 @@ object Analytics {
       .agg(count(lit(1)).as("at_risk"),
         sum(when(col("first_purchase") - col("first_day") === col("k"), 1L)
           .otherwise(0L)).as("converted"))
-      .withColumn("hazard_ppm", expr("(converted * 1000000) div at_risk"))
-      .orderBy("k")
   }
 
   val q193Sql: String =
@@ -1425,6 +1431,268 @@ object Analytics {
       |           * 1000000) // (n_sources * total_tokens) AS BIGINT) END AS gini_ppm
       |FROM a""".stripMargin
 
+  // ------------------------------------------- q211 Kaplan–Meier survival
+
+  /** Lifecycle — the Kaplan–Meier survival curve over q193's risk table:
+    * S(k) = Π_{j≤k} (at_risk_j − converted_j)/at_risk_j, carried as the
+    * EXACT integer recurrence surv_k = (surv_{k−1}·(at_risk_k −
+    * converted_k)) div at_risk_k from surv = 1e6 — no float product, no
+    * ln, so the whole curve hash-gates. The fold runs as a single
+    * `aggregate()` higher-order function over the sorted risk rows: the
+    * risk table is calendar-bounded (≤ |days| rows — metadata scale at
+    * any corpus size; the 100 TB work is the two user-level aggregates
+    * underneath it, which stay distributed), so packing it into one
+    * array row costs nothing and keeps the inherently sequential product
+    * out of driver code AND out of any window. The oracle replays the
+    * identical recurrence as a recursive CTE keyed on row order. */
+  def q211KaplanMeier(s: SparkSession, dir: String): DataFrame =
+    hazardTable(s, dir)
+      .agg(sort_array(collect_list(struct(col("k"), col("at_risk"),
+        col("converted")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+          |  named_struct('surv', CAST(1000000 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<k: BIGINT, at_risk: BIGINT,
+          |                   converted: BIGINT, surv_ppm: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'surv', (acc.surv * (x.at_risk - x.converted)) div x.at_risk,
+          |    'out', array_append(acc.out, named_struct(
+          |      'k', x.k, 'at_risk', x.at_risk, 'converted', x.converted,
+          |      'surv_ppm',
+          |      (acc.surv * (x.at_risk - x.converted)) div x.at_risk))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.k").as("k"), col("r.at_risk").as("at_risk"),
+        col("r.converted").as("converted"), col("r.surv_ppm").as("surv_ppm"))
+      .orderBy("k")
+
+  val q211Sql: String =
+    """WITH RECURSIVE e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, event_type
+      |  FROM events),
+      |u AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+      |        min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+      |      FROM e GROUP BY 1),
+      |h AS (SELECT CAST(max(day) AS BIGINT) AS last_day FROM e),
+      |grid AS (SELECT u.*, CAST(k AS BIGINT) AS k
+      |         FROM u CROSS JOIN h, UNNEST(range(0, last_day - first_day + 1)) AS t(k)),
+      |r AS (SELECT k, CAST(count(*) AS BIGINT) AS at_risk,
+      |        CAST(sum(CASE WHEN first_purchase - first_day = k THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS converted
+      |      FROM grid
+      |      WHERE first_purchase IS NULL OR first_purchase - first_day >= k
+      |      GROUP BY 1),
+      |rr AS (SELECT k, at_risk, converted,
+      |         CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS rn FROM r),
+      |km AS (SELECT rn, k, at_risk, converted,
+      |         (1000000 * (at_risk - converted)) // at_risk AS surv_ppm
+      |       FROM rr WHERE rn = 1
+      |       UNION ALL
+      |       SELECT rr.rn, rr.k, rr.at_risk, rr.converted,
+      |         (km.surv_ppm * (rr.at_risk - rr.converted)) // rr.at_risk
+      |       FROM rr JOIN km ON rr.rn = km.rn + 1)
+      |SELECT k, at_risk, converted, surv_ppm FROM km ORDER BY k""".stripMargin
+
+  // ------------------------------------------- q212 revenue autocorrelation
+
+  /** Time series — lag-1…7 autocorrelation of daily order revenue:
+    * acf_ppm(k) = ⌊1e6·Σ_t dev_t·dev_{t+k} / Σ_t dev_t²⌋ with
+    * dev_t = n·x_t − Σx (the mean cleared by n-scaling, so every term is
+    * an integer — no float mean, no tolerance). Products ride
+    * DECIMAL(38,0) (dev² ≈ 1e22 at sf0.1 — past int64). The daily frame
+    * is calendar-bounded; its distributed rank comes from
+    * [[graft.operators.Ranks.globalRank]] (never a global window), lags
+    * are an equi-join on rank+k. The seasonality probe behind deciding
+    * q173's trend fit isn't just autocorrelated noise. */
+  def q212Autocorr(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val daily = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"))
+    val stats = broadcast(daily.agg(count(lit(1)).as("n"), sum("x").as("sx")))
+    // no extra persist: globalRank pins the one materialized partitioning
+    // inside itself; the dev projection re-derives from it deterministically
+    val dev = globalRank(daily, "rn", col("day"))
+      .crossJoin(stats)
+      .select(col("rn"), expr("n * x - sx").as("dev"))
+    val den = broadcast(dev.agg(
+      sum(expr("CAST(dev AS DECIMAL(38,0)) * CAST(dev AS DECIMAL(38,0))")).as("den")))
+    val a = dev.select(col("rn"), col("dev").as("dev_a"))
+    val b = dev.select(col("rn").as("rn_b"), col("dev").as("dev_b"))
+    val lags = broadcast(s.range(1, 8).select(col("id").as("lag")))
+    a.crossJoin(lags)
+      .withColumn("rn_b", col("rn") + col("lag"))
+      .join(b, "rn_b")
+      .groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(expr("CAST(dev_a AS DECIMAL(38,0)) * CAST(dev_b AS DECIMAL(38,0))")).as("num"))
+      .crossJoin(den)
+      .withColumn("acf_ppm", expr(
+        Ops.floorDivScaledSql("num", "den", 1000000L)))
+      .select("lag", "n_pairs", "acf_ppm")
+      .orderBy("lag")
+  }
+
+  val q212Sql: String = {
+    val fd = Ops.floorDivScaledSql("num", "den", 1000000L, op = "//")
+    s"""WITH daily AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x
+      |  FROM orders GROUP BY 1),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx FROM daily),
+      |dev AS (SELECT CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn,
+      |          n * x - sx AS dev
+      |        FROM daily CROSS JOIN st),
+      |dn AS (SELECT sum(CAST(dev AS HUGEINT) * CAST(dev AS HUGEINT)) AS den FROM dev),
+      |pr AS (SELECT l.lag, CAST(count(*) AS BIGINT) AS n_pairs,
+      |         sum(CAST(a.dev AS HUGEINT) * CAST(b.dev AS HUGEINT)) AS num
+      |       FROM dev a CROSS JOIN (SELECT CAST(x AS BIGINT) AS lag
+      |                              FROM UNNEST(range(1, 8)) u(x)) l
+      |       JOIN dev b ON b.rn = a.rn + l.lag
+      |       GROUP BY 1)
+      |SELECT lag, n_pairs, CAST($fd AS BIGINT) AS acf_ppm
+      |FROM pr CROSS JOIN dn ORDER BY lag""".stripMargin
+  }
+
+  // ------------------------------------------------ q216 CUPED adjustment
+
+  /** Experimentation — CUPED variance reduction (Deng et al., WSDM'13)
+    * over the q168 A/B split: pre-period revenue X (days before the
+    * calendar midpoint) regresses out of post-period revenue Y via
+    * θ = cov(X,Y)/var(X) pooled across arms, and each arm reports its
+    * raw and adjusted mean. All moments are n-scaled integer pieces
+    * (cov_num = n·Σxy − Σx·Σy on DECIMAL(38,0) — per-user products pass
+    * 1e14, their sums pass int64 at sf≳1); θ and the means quantize to
+    * ppm/micro with the shared floor-div identity, and the adjustment
+    * composes those quantized integers, so the oracle replays it
+    * digit-for-digit. Two user-level aggregates + metadata-scale
+    * finishing — the q168 lift readout with the pre-period noise
+    * removed. */
+  def q216Cuped(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val split = broadcast(ev.agg(
+      expr("(min(day) + max(day) + 1) div 2").as("mid")))
+    val perUser = ev.crossJoin(split).groupBy("user_id")
+      .agg(sum(when(col("day") < col("mid"), col("cents")).otherwise(0L)).as("x"),
+        sum(when(col("day") >= col("mid"), col("cents")).otherwise(0L)).as("y"))
+      .withColumn("grp", pmod(col("user_id"), lit(2)))
+    // two aggregates over the user frame = two distributed scans; no
+    // session-lifetime persist of a user-scale frame (cache-leak rule)
+    val pooled = broadcast(perUser.agg(
+      count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(x AS DECIMAL(38,0))")).as("sxx"),
+      sum(expr("CAST(x AS DECIMAL(38,0)) * CAST(y AS DECIMAL(38,0))")).as("sxy")))
+    perUser.groupBy("grp")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("sum_x_cents"),
+        sum("y").as("sum_y_cents"))
+      .crossJoin(pooled)
+      .withColumn("cov_num", expr("n * sxy - CAST(sx AS DECIMAL(38,0)) * sy"))
+      .withColumn("var_num", expr("n * sxx - CAST(sx AS DECIMAL(38,0)) * sx"))
+      .withColumn("theta_ppm", expr(
+        Ops.floorDivScaledSql("cov_num", "var_num", 1000000L)))
+      .withColumn("mean_y_micro", expr(
+        Ops.floorDivScaledSql("sum_y_cents", "n_users", 1000000L)))
+      .withColumn("mean_x_micro", expr(
+        Ops.floorDivScaledSql("sum_x_cents", "n_users", 1000000L)))
+      .withColumn("gmean_x_micro", expr(
+        Ops.floorDivScaledSql("sx", "n", 1000000L)))
+      .withColumn("adj_mean_y_micro", expr(
+        "mean_y_micro - " + Ops.floorDivScaledSql(
+          "CAST(theta_ppm AS DECIMAL(38,0)) * (mean_x_micro - gmean_x_micro)",
+          "1000000", 1L)))
+      .select("grp", "n_users", "sum_x_cents", "sum_y_cents", "theta_ppm",
+        "mean_y_micro", "adj_mean_y_micro")
+      .orderBy("grp")
+  }
+
+  val q216Sql: String = {
+    def fd(num: String, den: String, scale: Long) =
+      Ops.floorDivScaledSql(num, den, scale, op = "//")
+    s"""WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |sp AS (SELECT (min(day) + max(day) + 1) // 2 AS mid FROM e),
+      |pu AS (SELECT user_id,
+      |         CAST(sum(CASE WHEN day < mid THEN cents ELSE 0 END) AS BIGINT) AS x,
+      |         CAST(sum(CASE WHEN day >= mid THEN cents ELSE 0 END) AS BIGINT) AS y,
+      |         user_id % 2 AS grp
+      |       FROM e CROSS JOIN sp GROUP BY user_id),
+      |pool AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+      |           CAST(sum(y) AS BIGINT) AS sy,
+      |           sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+      |           sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+      |         FROM pu),
+      |g AS (SELECT grp, CAST(count(*) AS BIGINT) AS n_users,
+      |        CAST(sum(x) AS BIGINT) AS sum_x_cents,
+      |        CAST(sum(y) AS BIGINT) AS sum_y_cents
+      |      FROM pu GROUP BY 1),
+      |j AS (SELECT g.*, n * sxy - CAST(sx AS HUGEINT) * sy AS cov_num,
+      |        n * sxx - CAST(sx AS HUGEINT) * sx AS var_num, sx, n
+      |      FROM g CROSS JOIN pool),
+      |q AS (SELECT grp, n_users, sum_x_cents, sum_y_cents,
+      |        CAST(${fd("cov_num", "var_num", 1000000L)} AS BIGINT) AS theta_ppm,
+      |        CAST(${fd("sum_y_cents", "n_users", 1000000L)} AS BIGINT) AS mean_y_micro,
+      |        CAST(${fd("sum_x_cents", "n_users", 1000000L)} AS BIGINT) AS mean_x_micro,
+      |        CAST(${fd("sx", "n", 1000000L)} AS BIGINT) AS gmean_x_micro
+      |      FROM j)
+      |SELECT grp, n_users, sum_x_cents, sum_y_cents, theta_ppm, mean_y_micro,
+      |  mean_y_micro - CAST(${fd(
+        "CAST(theta_ppm AS HUGEINT) * (mean_x_micro - gmean_x_micro)",
+        "1000000", 1L)} AS BIGINT) AS adj_mean_y_micro
+      |FROM q ORDER BY grp""".stripMargin
+  }
+
+  // ------------------------------------------ q219 exponential smoothing
+
+  /** Time series — simple exponential smoothing of daily order revenue
+    * at α = 0.3, as the exact integer recurrence ses_t = (3·x_t +
+    * 7·ses_{t−1}) div 10 seeded with ses_0 = x_0 — the one-number
+    * forecast/denoise companion to q173 (trend) and q212 (seasonality).
+    * Same machinery as q211: the recurrence is inherently sequential but
+    * its input is the calendar-bounded daily frame, so it folds inside
+    * one `aggregate()` over the sorted rows (the heavy work — the daily
+    * rollup — stays distributed), and the oracle replays the identical
+    * recurrence as a recursive CTE. Negative-free: cents ≥ 0, so the −1
+    * seed sentinel is unambiguous. */
+  def q219Ses(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+          |  named_struct('prev', CAST(-1 AS BIGINT),
+          |    'out', CAST(array() AS
+          |      ARRAY<STRUCT<day: BIGINT, cents: BIGINT, ses_cents: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'prev', IF(acc.prev < 0, x.cents,
+          |               (3 * x.cents + 7 * acc.prev) div 10),
+          |    'out', array_append(acc.out, named_struct(
+          |      'day', x.day, 'cents', x.cents,
+          |      'ses_cents', IF(acc.prev < 0, x.cents,
+          |                      (3 * x.cents + 7 * acc.prev) div 10)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.ses_cents").as("ses_cents"))
+      .orderBy("day")
+
+  val q219Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rr AS (SELECT day, cents,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+      |ses AS (SELECT rn, day, cents, cents AS ses_cents FROM rr WHERE rn = 1
+      |        UNION ALL
+      |        SELECT rr.rn, rr.day, rr.cents,
+      |          (3 * rr.cents + 7 * ses.ses_cents) // 10
+      |        FROM rr JOIN ses ON rr.rn = ses.rn + 1)
+      |SELECT day, cents, ses_cents FROM ses ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1457,7 +1725,11 @@ object Analytics {
     "q203_corpus_gini" -> (q203CorpusGini _),
     "q177_zipf_fit" -> (q177ZipfFit _),
     "q178_char_entropy" -> (q178CharEntropy _),
-    "q179_ks_stat" -> (q179KsStat _))
+    "q179_ks_stat" -> (q179KsStat _),
+    "q211_kaplan_meier" -> (q211KaplanMeier _),
+    "q212_autocorr" -> (q212Autocorr _),
+    "q216_cuped" -> (q216Cuped _),
+    "q219_ses" -> (q219Ses _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -1489,5 +1761,9 @@ object Analytics {
     "q203_corpus_gini" -> q203Sql,
     "q177_zipf_fit" -> q177Sql,
     "q178_char_entropy" -> q178Sql,
-    "q179_ks_stat" -> q179Sql)
+    "q179_ks_stat" -> q179Sql,
+    "q211_kaplan_meier" -> q211Sql,
+    "q212_autocorr" -> q212Sql,
+    "q216_cuped" -> q216Sql,
+    "q219_ses" -> q219Sql)
 }
