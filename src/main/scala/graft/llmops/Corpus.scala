@@ -426,6 +426,42 @@ object Corpus {
       .select("w1", "w2", "cnt_big", "cnt_w1", "cnt_w2", "pmi_q", "is_phrase")
   }
 
+  /** Interpolated Kneser–Ney bigram probabilities (Kneser & Ney 1995;
+    * Chen & Goodman 1999) at the canonical discount D = 0.75, in EXACT
+    * integer arithmetic: with c12 the bigram count, c1 = Σ_w c(w1,w),
+    * T1 = |{w : c(w1,w) > 0}| (continuation types after w1),
+    * R2 = |{v : c(v,w2) > 0}| (left-context types before w2) and R the
+    * distinct-bigram total,
+    *   P_KN(w2|w1) = max(c12 − D, 0)/c1 + (D·T1/c1)·(R2/R),
+    * and multiplying through by 4 clears the one rational discount:
+    *   pkn_ppm = ⌊1e6·(max(4·c12 − 3, 0)·R + 3·T1·R2) / (4·c1·R)⌋ —
+    * no floats anywhere, so the smoothed LM hash-gates. The continuation
+    * probability R2/R (novel-context propensity, NOT raw frequency) is
+    * what distinguishes KN from the q110 interpolated-count model.
+    * Numerator and denominator ride DECIMAL(38,0) (HUGEINT in the
+    * oracle) — 4·c12·R passes int64 once the distinct-bigram space does.
+    * Scale: three hash aggregates over the bigram stream (all map-side
+    * combinable) + two key joins + a 1-row broadcast; nothing pairwise,
+    * no windows. Returns (w1, w2, c12, c1, t1, r2, pkn_ppm) for bigrams
+    * with c12 ≥ minCount. */
+  def knBigram(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"), tokens(col(textCol)).as("t"))
+    val bg = bigramPairs(toks).groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val left = bg.groupBy("w1")
+      .agg(sum("c12").as("c1"), count(lit(1)).as("t1"))
+    val right = bg.groupBy("w2").agg(count(lit(1)).as("r2"))
+    val scal = broadcast(bg.agg(count(lit(1)).as("r")))
+    bg.filter(col("c12") >= minCount)
+      .join(left, "w1").join(right, "w2")
+      .crossJoin(scal)
+      .withColumn("pkn_ppm", expr(graft.operators.Analytics.floorDivScaledSql(
+        "greatest(4 * c12 - 3, 0L) * CAST(r AS DECIMAL(38,0)) " +
+          "+ 3 * t1 * CAST(r2 AS DECIMAL(38,0))",
+        "4 * c1 * CAST(r AS DECIMAL(38,0))", 1000000L)))
+      .select("w1", "w2", "c12", "c1", "t1", "r2", "pkn_ppm")
+  }
+
   /** Deterministic mixture-curriculum scheduler: a single global training
     * order in which every source's documents are spread evenly — source s's
     * i-th document (under a per-source LCG-hash shuffle) is emitted at

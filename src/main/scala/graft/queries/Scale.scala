@@ -305,6 +305,106 @@ object Scale {
       |SELECT w1, w2, cnt_big, cnt_w1, cnt_w2, pmi_q, pmi_q >= 1000000 AS is_phrase
       |FROM j ORDER BY w1, w2""".stripMargin
 
+  // ------------------------------------- q213 Kneser–Ney smoothed bigrams
+
+  /** North star/text analysis — interpolated Kneser–Ney bigram LM
+    * ([[Corpus.knBigram]]): the q110 bigram model's production smoothing,
+    * with the continuation probability (how many DISTINCT left contexts
+    * a word follows — "francisco" scores low however frequent) carried
+    * in exact ×4-cleared integer arithmetic, ppm-quantized. The LM
+    * behind perplexity filtering (q107) when the corpus is too sparse
+    * for raw counts. */
+  def q213KneserNey(s: SparkSession, dir: String): DataFrame =
+    Corpus.knBigram(docs(s, dir), "doc_id", "text", minCount = 3L)
+      .orderBy("w1", "w2")
+
+  val q213Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql("num", "den",
+      1000000L, op = "//")
+    s"""WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |big AS (SELECT t[i] AS w1, t[i + 1] AS w2
+      |        FROM tok, UNNEST(range(1, len(t))) AS u(i) WHERE len(t) >= 2),
+      |bg AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM big GROUP BY 1, 2),
+      |lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+      |          CAST(count(*) AS BIGINT) AS t1 FROM bg GROUP BY 1),
+      |rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS r2 FROM bg GROUP BY 1),
+      |scal AS (SELECT CAST(count(*) AS BIGINT) AS r FROM bg),
+      |j AS (SELECT bg.w1, bg.w2, c12, c1, t1, r2,
+      |        greatest(4 * c12 - 3, 0) * CAST(r AS HUGEINT)
+      |          + 3 * t1 * CAST(r2 AS HUGEINT) AS num,
+      |        4 * c1 * CAST(r AS HUGEINT) AS den
+      |      FROM bg JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN scal
+      |      WHERE c12 >= 3)
+      |SELECT w1, w2, c12, c1, t1, r2, CAST($fd AS BIGINT) AS pkn_ppm
+      |FROM j ORDER BY w1, w2""".stripMargin
+  }
+
+  // ------------------------------------- q214 item co-occurrence lift
+
+  /** Recsys/training data — item-to-item co-occurrence lift from order
+    * baskets: for items i ≠ j sharing an order,
+    * lift_ppm = ⌊1e6·N·c_ij/(c_i·c_j)⌋ (observed co-purchase over the
+    * independence expectation), top-5 co-items per item at c_ij ≥ 2 —
+    * the matrix behind "customers also bought" candidate generation and
+    * co-occurrence features. Pair generation is the basket self-join
+    * (fan-out bounded by basket size², never catalog²); counts
+    * partial-aggregate before shuffling; the rank window partitions by
+    * item over its ≥2-support candidates only. A 100 TB catalog with
+    * hub items swaps in a per-item count-min prefilter before the
+    * window — the q54 heavy-hitter machinery — without changing the
+    * emitted schema. N·c_ij rides DECIMAL(38,0) (HUGEINT): it passes
+    * int64 once orders × max-support does. */
+  def q214ItemCooccur(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val oi = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val ni = oi.groupBy("item").agg(count(lit(1)).as("c_item"))
+    val n = broadcast(oi.agg(countDistinct("ok").as("n_orders")))
+    val pairs = oi.as("a")
+      .join(oi.withColumnRenamed("item", "item_b").as("b"), "ok")
+      .filter(col("item") =!= col("item_b"))
+      .groupBy("item", "item_b").agg(count(lit(1)).as("c_ij"))
+      .filter(col("c_ij") >= 2)
+    pairs
+      .join(ni, "item")
+      .join(ni.select(col("item").as("item_b"), col("c_item").as("c_item_b")),
+        "item_b")
+      .crossJoin(n)
+      .withColumn("lift_ppm", expr(graft.operators.Analytics.floorDivScaledSql(
+        "CAST(n_orders AS DECIMAL(38,0)) * c_ij",
+        "CAST(c_item AS DECIMAL(38,0)) * c_item_b", 1000000L)))
+      .withColumn("rk", row_number().over(Window.partitionBy("item")
+        .orderBy(col("lift_ppm").desc, col("item_b"))).cast("long"))
+      .filter(col("rk") <= 5)
+      .select("item", "item_b", "c_ij", "c_item", "c_item_b", "lift_ppm", "rk")
+      .orderBy("item", "rk")
+  }
+
+  val q214Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "CAST(n_orders AS HUGEINT) * c_ij",
+      "CAST(c_item AS HUGEINT) * c_item_b", 1000000L, op = "//")
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |ni AS (SELECT item, CAST(count(*) AS BIGINT) AS c_item FROM oi GROUP BY 1),
+      |n AS (SELECT CAST(count(DISTINCT ok) AS BIGINT) AS n_orders FROM oi),
+      |p AS (SELECT a.item, b.item AS item_b, CAST(count(*) AS BIGINT) AS c_ij
+      |      FROM oi a JOIN oi b ON a.ok = b.ok AND a.item <> b.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2),
+      |j0 AS (SELECT p.item, p.item_b, c_ij, na.c_item,
+      |         nb.c_item AS c_item_b, n_orders
+      |       FROM p JOIN ni na ON na.item = p.item
+      |              JOIN ni nb ON nb.item = p.item_b
+      |       CROSS JOIN n),
+      |j AS (SELECT item, item_b, c_ij, c_item, c_item_b,
+      |        CAST($fd AS BIGINT) AS lift_ppm
+      |      FROM j0),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY item
+      |        ORDER BY lift_ppm DESC, item_b) AS BIGINT) AS rk FROM j)
+      |SELECT item, item_b, c_ij, c_item, c_item_b, lift_ppm, rk
+      |FROM r WHERE rk <= 5 ORDER BY item, rk""".stripMargin
+  }
+
   // ------------------------------------------ q109 mixture schedule
 
   /** North star/curation — deterministic mixture-curriculum order
@@ -2227,6 +2327,8 @@ object Scale {
     "q129_chunk_dedup" -> (q129ChunkDedup _),
     "q204_substring_dedup" -> (q204SubstringDedup _),
     "q209_substr_anchored" -> (q209SubstrAnchored _),
+    "q213_kneser_ney" -> (q213KneserNey _),
+    "q214_item_cooccur" -> (q214ItemCooccur _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
@@ -2283,6 +2385,8 @@ object Scale {
     "q129_chunk_dedup" -> q129Sql,
     "q204_substring_dedup" -> q204Sql,
     "q209_substr_anchored" -> q209Sql,
+    "q213_kneser_ney" -> q213Sql,
+    "q214_item_cooccur" -> q214Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,

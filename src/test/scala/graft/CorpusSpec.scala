@@ -431,4 +431,36 @@ class CorpusSpec extends AnyFunSuite with SparkSpec {
       "lo" -> ((2L, 5L)), "n" -> ((1L, 4L)), "r" -> ((1L, 2L)),
       "st" -> ((2L, 5L)), "w" -> ((2L, 4L)), "we" -> ((2L, 6L))))
   }
+
+  test("knBigram: hand-computed KN probabilities; continuation beats raw frequency") {
+    // "san francisco" glues francisco to one left context; "the" precedes
+    // many words — KN's continuation term must separate them
+    val d = docsDF(
+      1L -> "san francisco the cat san francisco the dog",
+      2L -> "san francisco the fish the cat the dog")
+    val out = Corpus.knBigram(d, "doc_id", "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("c12"), r.getAs[Long]("c1"), r.getAs[Long]("t1"),
+          r.getAs[Long]("r2"), r.getAs[Long]("pkn_ppm"))).toMap
+    // hand recompute every emitted cell from the corpus bigram multiset
+    val toks = Seq("san francisco the cat san francisco the dog",
+      "san francisco the fish the cat the dog").map(_.split(" ").toSeq)
+    val bigrams = toks.flatMap(t => t.zip(t.drop(1)))
+    val c12 = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val c1 = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val t1 = c12.keys.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val r2 = c12.keys.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val rTot = c12.size.toLong
+    assert(out.keySet == c12.keySet)
+    out.foreach { case ((w1, w2), (gc12, gc1, gt1, gr2, gppm)) =>
+      assert((gc12, gc1, gt1, gr2) == (c12((w1, w2)), c1(w1), t1(w1), r2(w2)))
+      val num = BigInt(math.max(4 * gc12 - 3, 0)) * rTot + BigInt(3) * gt1 * gr2
+      val den = BigInt(4) * gc1 * rTot
+      assert(gppm == (num * 1000000 / den).toLong, s"($w1,$w2)")
+    }
+    // francisco: frequent (3×) but follows ONLY san → r2 = 1 keeps its
+    // continuation share minimal; cat follows the twice with r2 = 1 too,
+    // but san→francisco is near-deterministic: P(francisco|san) ≈ 1
+    assert(out(("san", "francisco"))._5 > 700000L)
+  }
 }

@@ -268,4 +268,31 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(spans.length == 16)
     assert(spans.forall(r => r.getLong(1) == 15L && r.getLong(2) == 15L))
   }
+
+  test("q214 co-occurrence lift: matches an in-memory basket recomputation at sf0.001") {
+    val sf = "/root/testdata/sf0.001"
+    val baskets = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byOrder = baskets.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val cItem = baskets.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val nOrders = byOrder.size.toLong
+    val cij = byOrder.values.toSeq
+      .flatMap(items => for (a <- items; b <- items if a != b) yield (a, b))
+      .groupBy(identity).view.mapValues(_.size.toLong).filter(_._2 >= 2L).toMap
+    val want = cij.groupBy(_._1._1).flatMap { case (i, m) =>
+      m.toSeq.map { case ((_, j), c) =>
+        val lift = (BigInt(nOrders) * c * 1000000 /
+          (BigInt(cItem(i)) * cItem(j))).toLong
+        (j, c, lift)
+      }.sortBy { case (j, _, lift) => (-lift, j) }.take(5).zipWithIndex
+        .map { case ((j, c, lift), rk) => (i, j) -> ((c, lift, rk + 1L)) }
+    }
+    val got = graft.queries.Scale.q214ItemCooccur(spark, sf).collect()
+      .map(r => (r.getAs[Long]("item"), r.getAs[Long]("item_b")) ->
+        ((r.getAs[Long]("c_ij"), r.getAs[Long]("lift_ppm"), r.getAs[Long]("rk"))))
+      .toMap
+    assert(got == want, s"got ${got.size} pairs, want ${want.size}")
+  }
 }
