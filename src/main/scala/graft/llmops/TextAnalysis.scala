@@ -258,4 +258,60 @@ object TextAnalysis {
           expr("(score_raw * 1000 - pmod(score_raw * 1000, n_grams)) div n_grams")))
       .withColumn("label", col("score_raw") >= 0)
   }
+
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal token runs between stopwords and punctuation; each word
+    * scores deg/freq where freq counts its phrase-member occurrences and
+    * deg sums the lengths of the phrases it appears in; a phrase scores
+    * the sum of its DISTINCT member words' scores. All integer (scores
+    * milli-quantized with the shared floor-div), so the keyword list
+    * hash-gates.
+    *
+    * Shape: the phrase segmentation is a pure scan-stage `aggregate()`
+    * fold over each punctuation-bounded segment's token array — no
+    * window, no shuffle until the word/phrase COUNT aggregates (both
+    * map-side combinable, keyed on word/phrase — even spread); the
+    * top-k is a k-row TakeOrdered under the (score, phrase) total
+    * order. The oracle derives identical phrases from the dual
+    * gaps-and-islands formulation — the hash gate proves the fold and
+    * the window segmentation agree. Returns (phrase, n_words, n_occ,
+    * score_milli), top `topK` by score. */
+  def rakeKeywords(docs: DataFrame, idCol: String, textCol: String,
+      minOcc: Long, topK: Int): DataFrame = {
+    val stopArr = StopEn.map(w => s"'$w'").mkString("array(", ",", ")")
+    val occ = docs
+      .select(col(idCol).as("id"),
+        explode(split(lower(col(textCol)), "[^a-z0-9 ]+")).as("seg"))
+      .select(col("id"), explode(expr(
+        s"""aggregate(
+          |  filter(split(seg, ' +'), w -> w != ''),
+          |  named_struct('cur', CAST(array() AS ARRAY<STRING>),
+          |               'out', CAST(array() AS ARRAY<ARRAY<STRING>>)),
+          |  (acc, w) -> IF(array_contains($stopArr, w),
+          |    named_struct('cur', CAST(array() AS ARRAY<STRING>),
+          |      'out', IF(size(acc.cur) > 0,
+          |                array_append(acc.out, acc.cur), acc.out)),
+          |    named_struct('cur', array_append(acc.cur, w), 'out', acc.out)),
+          |  acc -> IF(size(acc.cur) > 0,
+          |            array_append(acc.out, acc.cur), acc.out))""".stripMargin))
+        .as("pw"))
+      .select(array_join(col("pw"), " ").as("phrase"),
+        size(col("pw")).cast("long").as("plen"), col("pw"))
+    val wordStats = occ.select(explode(col("pw")).as("w"), col("plen"))
+      .groupBy("w")
+      .agg(count(lit(1)).as("freq"), sum("plen").as("deg"))
+      .withColumn("score_milli", expr("(deg * 1000) div freq"))
+    occ.groupBy("phrase")
+      .agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .withColumn("n_words", size(split(col("phrase"), " ")).cast("long"))
+      .withColumn("w", explode(array_distinct(split(col("phrase"), " "))))
+      .join(wordStats.select("w", "score_milli"), "w")
+      .groupBy("phrase", "n_words", "n_occ")
+      .agg(sum("score_milli").as("score_milli"))
+      .select("phrase", "n_words", "n_occ", "score_milli")
+      .orderBy(col("score_milli").desc, col("phrase"))
+      .limit(topK)
+  }
 }

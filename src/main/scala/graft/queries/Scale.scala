@@ -339,6 +339,53 @@ object Scale {
       |FROM j ORDER BY w1, w2""".stripMargin
   }
 
+  // ------------------------------------------- q215 RAKE keyword report
+
+  /** North star/text analysis — corpus keyword extraction
+    * ([[graft.llmops.TextAnalysis.rakeKeywords]]): RAKE's
+    * degree/frequency word scores summed over stopword-and-punctuation
+    * bounded candidate phrases, milli-quantized, global top-100. The
+    * "what is this corpus about" report a curation run reads next to
+    * q72's vocab and q108's collocations. Phrase segmentation is a
+    * scan-side fold; the oracle derives the same phrases via
+    * gaps-and-islands, so the hash gate proves the two segmentations
+    * agree. */
+  def q215RakeKeywords(s: SparkSession, dir: String): DataFrame =
+    graft.llmops.TextAnalysis.rakeKeywords(docs(s, dir), "doc_id", "text",
+      minOcc = 3L, topK = 100)
+
+  val q215Sql: String = {
+    val stops = graft.llmops.TextAnalysis.StopEn
+      .map(w => s"'$w'").mkString(", ")
+    s"""WITH segs AS (SELECT doc_id AS id,
+      |    regexp_split_to_array(lower(text), '[^a-z0-9 ]+') AS sg FROM documents),
+      |seg AS (SELECT id, CAST(i AS BIGINT) AS si, sg[i] AS seg
+      |        FROM segs, UNNEST(range(1, len(sg) + 1)) u(i)),
+      |w0 AS (SELECT id, si, regexp_split_to_array(seg, ' +') AS ws FROM seg),
+      |w1 AS (SELECT id, si, CAST(j AS BIGINT) AS wi, ws[j] AS w
+      |       FROM w0, UNNEST(range(1, len(ws) + 1)) u(j) WHERE ws[j] <> ''),
+      |ns AS (SELECT id, si, wi, w,
+      |         wi - row_number() OVER (PARTITION BY id, si ORDER BY wi) AS grp
+      |       FROM w1 WHERE w NOT IN ($stops)),
+      |ph0 AS (SELECT id, si, grp, string_agg(w, ' ' ORDER BY wi) AS phrase,
+      |          CAST(count(*) AS BIGINT) AS plen
+      |        FROM ns GROUP BY 1, 2, 3),
+      |wstat AS (SELECT ns.w, CAST(count(*) AS BIGINT) AS freq,
+      |            CAST(sum(plen) AS BIGINT) AS deg
+      |          FROM ns JOIN ph0 USING (id, si, grp) GROUP BY 1),
+      |sm AS (SELECT w, (deg * 1000) // freq AS score_milli FROM wstat),
+      |ph AS (SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ
+      |       FROM ph0 GROUP BY 1),
+      |mem AS (SELECT phrase, n_occ,
+      |          unnest(list_distinct(string_split(phrase, ' '))) AS w
+      |        FROM ph WHERE n_occ >= 3),
+      |sc AS (SELECT phrase, n_occ, CAST(sum(score_milli) AS BIGINT) AS score_milli
+      |       FROM mem JOIN sm USING (w) GROUP BY 1, 2)
+      |SELECT phrase, CAST(len(string_split(phrase, ' ')) AS BIGINT) AS n_words,
+      |  n_occ, score_milli
+      |FROM sc ORDER BY score_milli DESC, phrase LIMIT 100""".stripMargin
+  }
+
   // ------------------------------------- q214 item co-occurrence lift
 
   /** Recsys/training data — item-to-item co-occurrence lift from order
@@ -2329,6 +2376,7 @@ object Scale {
     "q209_substr_anchored" -> (q209SubstrAnchored _),
     "q213_kneser_ney" -> (q213KneserNey _),
     "q214_item_cooccur" -> (q214ItemCooccur _),
+    "q215_rake_keywords" -> (q215RakeKeywords _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
@@ -2387,6 +2435,7 @@ object Scale {
     "q209_substr_anchored" -> q209Sql,
     "q213_kneser_ney" -> q213Sql,
     "q214_item_cooccur" -> q214Sql,
+    "q215_rake_keywords" -> q215Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,

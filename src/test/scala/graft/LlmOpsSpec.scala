@@ -622,4 +622,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(2L) == ((1L, w("aa"), w("aa") * 1000, w("aa") >= 0)))
     assert(got(3L) == ((0L, 0L, 0L, true)))
   }
+
+  test("rakeKeywords: hand-computed scores; stopwords and punctuation both split phrases") {
+    // "deep neural networks" repeats as a glued phrase; stopword "the" and
+    // the commas/periods must both cut candidate runs
+    val d = docsDF(
+      1L -> "Deep neural networks, deep neural networks. The deep model",
+      2L -> "deep neural networks and train fast; the model is deep",
+      3L -> "deep neural networks")
+    val out = TextAnalysis.rakeKeywords(d, "doc_id", "text", minOcc = 1L, topK = 50)
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Long]("n_words"), r.getAs[Long]("n_occ"),
+          r.getAs[Long]("score_milli")))).toMap
+    // phrase occurrences: "deep neural networks" ×4, "deep model", "model",
+    // "train fast", "deep" (after "is")
+    assert(out("deep neural networks")._2 == 4L)
+    assert(out("deep model")._2 == 1L && out("train fast")._2 == 1L)
+    // word stats: deep freq=6 deg=4*3+2+1=15, neural freq=4 deg=12,
+    // networks freq=4 deg=12, model freq=2 deg=2+1=3, train/fast freq=1 deg=2
+    val deep = 15000L / 6; val neural = 12000L / 4
+    assert(out("deep neural networks")._3 == deep + neural + neural)
+    assert(out("deep model")._3 == deep + 3000L / 2)
+    assert(out("train fast")._3 == 2000L + 2000L)
+    // the stopword itself never surfaces as a phrase
+    assert(!out.contains("the"))
+    // top phrase is the long glued one
+    val top = out.maxBy { case (p, (_, _, s)) => (s, p) }
+    assert(top._1 == "deep neural networks")
+  }
 }
