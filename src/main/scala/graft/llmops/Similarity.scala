@@ -936,22 +936,35 @@ object Similarity {
     * units. */
   def kmeansIntAssign(vectors: DataFrame, k: Int, iters: Int): DataFrame = {
     require(k > 0 && iters >= 1, s"need k > 0, iters >= 1; got k=$k iters=$iters")
-    val q = vectors.select(col("id"), expr(
+    val q = quantizeExact(vectors)
+    lloydAssign(q, lloydCents(q, k, iters))
+  }
+
+  /** ×1e8 exact-integer quantization of an (id, vec) frame → (id, x). */
+  private def quantizeExact(vectors: DataFrame): DataFrame =
+    vectors.select(col("id"), expr(
       s"transform(vec, v -> CAST(sign(CAST(v AS DOUBLE)) * " +
         s"floor(abs(CAST(v AS DOUBLE)) * $ExactScale + 0.5) AS BIGINT))").as("x"))
+
+  /** Nearest-centroid assignment of an (id, x) integer frame against a
+    * broadcast (cid, c) centroid frame → (id, cluster, dist2). */
+  private def lloydAssign(q: DataFrame, cents: DataFrame): DataFrame = {
     val dist2 = expr("aggregate(zip_with(x, c, (a, b) -> (a - b) * (a - b)), " +
       "CAST(0 AS BIGINT), (acc, e) -> acc + e)")
-    def assign(cents: DataFrame): DataFrame = {
-      val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
-      q.join(broadcast(cents))
-        .withColumn("dist2", dist2)
-        .withColumn("r", row_number().over(w))
-        .filter(col("r") === 1)
-        .select(col("id"), col("cid").as("cluster"), col("dist2"))
-    }
+    val w = Window.partitionBy(col("id")).orderBy(col("dist2"), col("cid"))
+    q.join(broadcast(cents))
+      .withColumn("dist2", dist2)
+      .withColumn("r", row_number().over(w))
+      .filter(col("r") === 1)
+      .select(col("id"), col("cid").as("cluster"), col("dist2"))
+  }
+
+  /** `iters` Lloyd rounds over an already-quantized (id, x) frame:
+    * id-ordered init (id < k), floor-div centroid means → (cid, c). */
+  private def lloydCents(q: DataFrame, k: Int, iters: Int): DataFrame = {
     val init = q.filter(col("id") < k).select(col("id").as("cid"), col("x").as("c"))
-    val finalCents = (1 until iters).foldLeft(init) { (cents, _) =>
-      assign(cents)
+    (1 until iters).foldLeft(init) { (cents, _) =>
+      lloydAssign(q, cents)
         .join(q, "id")
         .select(col("cluster"), posexplode(col("x")).as(Seq("i", "xi")))
         .groupBy("cluster", "i")
@@ -963,7 +976,40 @@ object Similarity {
         .agg(sort_array(collect_list(struct(col("i"), col("ci")))).as("items"))
         .select(col("cid"), col("items").getField("ci").as("c"))
     }
-    assign(finalCents)
+  }
+
+  /** Two-level residual vector quantization (the RQ in Chen et al. 2010's
+    * residual family; the additive little sibling of [[cosineTopKIvfPq]]'s
+    * product codes): level 1 clusters the ×1e8-quantized vectors with
+    * [[kmeansIntAssign]]'s exact Lloyd machinery (k1 centroids), level 2
+    * clusters the integer RESIDUALS x − c1 (k2 centroids), and each
+    * vector emits its two code words plus the exact squared reconstruction
+    * errors after each level. Every number on the gate is an input of the
+    * same integer arithmetic the oracle replays — both centroid
+    * generations, both assignments, all distances.
+    *
+    * Scale: exactly two chained instances of the q140 shape — per-level
+    * broadcast of ≤ max(k1,k2) centroid rows, one (cluster, dim)-keyed
+    * partial-aggregated update per iteration, no driver-side math. The
+    * code book (k1 + k2 rows) is the compressed-index input an ADC
+    * scorer consumes; at 100 TB the trainer runs on a bounded sample and
+    * only `lloydAssign` sweeps the full corpus. Returns
+    * (id, c1, dist1, c2, err2). */
+  def residualVq(vectors: DataFrame, k1: Int, k2: Int, iters: Int): DataFrame = {
+    require(k1 > 0 && k2 > 0 && iters >= 1,
+      s"need k1, k2 > 0, iters >= 1; got k1=$k1 k2=$k2 iters=$iters")
+    val q = quantizeExact(vectors)
+    val cents1 = lloydCents(q, k1, iters)
+    val a1 = lloydAssign(q, cents1)
+    val res = q.join(a1, "id")
+      .join(broadcast(cents1.select(col("cid").as("cluster"), col("c"))),
+        "cluster")
+      .select(col("id"), expr("zip_with(x, c, (a, b) -> a - b)").as("x"))
+    val a2 = lloydAssign(res, lloydCents(res, k2, iters))
+    a1.select(col("id"), col("cluster").as("c1"), col("dist2").as("dist1"))
+      .join(a2.select(col("id"), col("cluster").as("c2"),
+        col("dist2").as("err2")), "id")
+      .select("id", "c1", "dist1", "c2", "err2")
   }
 
   /** Sampled silhouette of the [[kmeansIntAssign]] clustering — the

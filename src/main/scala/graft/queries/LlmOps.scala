@@ -1253,6 +1253,66 @@ object LlmOps {
       |  dup.id IS NULL AS keep
       |FROM asg LEFT JOIN dup USING (id) ORDER BY asg.id""".stripMargin
 
+  /** S23/S21/north star — two-level residual vector quantization
+    * ([[Similarity.residualVq]]): q140's exact integer Lloyd machinery
+    * chained — level 1 codes the vectors (k=8), level 2 codes the
+    * integer residuals (k=4), and both code words plus both exact
+    * squared reconstruction errors hash-gate. The additive-quantizer
+    * complement to q67's product codes: same ADC consumption downstream,
+    * different codebook geometry. The oracle replays both centroid
+    * generations, both assignments, and every distance in SQL. */
+  def q218ResidualVq(s: SparkSession, dir: String): DataFrame =
+    Similarity.residualVq(
+      emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec")),
+      k1 = 8, k2 = 4, iters = 2).orderBy("id")
+
+  val q218Sql: String =
+    """WITH q AS (SELECT vec_id AS id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS x
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |c0 AS (SELECT id AS cid, i, x AS c FROM q WHERE id < 8),
+      |d1 AS (SELECT q.id, c0.cid, CAST(SUM((q.x - c0.c) * (q.x - c0.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN c0 ON c0.i = q.i GROUP BY 1, 2),
+      |a1 AS (SELECT id, cid AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM d1) WHERE r = 1),
+      |s1 AS (SELECT a1.cluster, q.i, CAST(SUM(q.x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM a1 JOIN q ON q.id = a1.id GROUP BY 1, 2),
+      |cc1 AS (SELECT cluster AS cid, i,
+      |          CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS c FROM s1),
+      |d2 AS (SELECT q.id, cc1.cid, CAST(SUM((q.x - cc1.c) * (q.x - cc1.c)) AS BIGINT) AS dist2
+      |       FROM q JOIN cc1 ON cc1.i = q.i GROUP BY 1, 2),
+      |asg1 AS (SELECT id, CAST(cid AS BIGINT) AS c1, dist2 AS dist1 FROM (
+      |           SELECT id, cid, dist2,
+      |             row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r FROM d2)
+      |         WHERE r = 1),
+      |res AS (SELECT q.id, q.i, q.x - cc1.c AS x
+      |        FROM q JOIN asg1 ON asg1.id = q.id
+      |               JOIN cc1 ON cc1.cid = asg1.c1 AND cc1.i = q.i),
+      |r0 AS (SELECT id AS cid, i, x AS c FROM res WHERE id < 4),
+      |e1 AS (SELECT res.id, r0.cid,
+      |         CAST(SUM((res.x - r0.c) * (res.x - r0.c)) AS BIGINT) AS dist2
+      |       FROM res JOIN r0 ON r0.i = res.i GROUP BY 1, 2),
+      |b1 AS (SELECT id, cid AS cluster FROM (
+      |         SELECT id, cid, row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r
+      |         FROM e1) WHERE r = 1),
+      |t1 AS (SELECT b1.cluster, res.i, CAST(SUM(res.x) AS BIGINT) AS sx,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |       FROM b1 JOIN res ON res.id = b1.id GROUP BY 1, 2),
+      |rc1 AS (SELECT cluster AS cid, i,
+      |          CAST((sx - ((sx % cnt) + cnt) % cnt) // cnt AS BIGINT) AS c FROM t1),
+      |e2 AS (SELECT res.id, rc1.cid,
+      |         CAST(SUM((res.x - rc1.c) * (res.x - rc1.c)) AS BIGINT) AS dist2
+      |       FROM res JOIN rc1 ON rc1.i = res.i GROUP BY 1, 2),
+      |asg2 AS (SELECT id, CAST(cid AS BIGINT) AS c2, dist2 AS err2 FROM (
+      |           SELECT id, cid, dist2,
+      |             row_number() OVER (PARTITION BY id ORDER BY dist2, cid) AS r FROM e2)
+      |         WHERE r = 1)
+      |SELECT asg1.id, asg1.c1, asg1.dist1, asg2.c2, asg2.err2
+      |FROM asg1 JOIN asg2 USING (id) ORDER BY asg1.id""".stripMargin
+
   /** S23/north star — ANN recall@k evaluation ([[Similarity.annRecall]]):
     * the q43 pivot-IVF index measured against brute-force exact top-5 on a
     * 200-query sample — per query the hit count and recall, both ranked by
@@ -1941,6 +2001,7 @@ object LlmOps {
     "q137_novelty_curve" -> (q137NoveltyCurve _),
     "q140_kmeans_int" -> (q140KmeansInt _),
     "q141_semdedup" -> (q141SemDedup _),
+    "q218_residual_vq" -> (q218ResidualVq _),
     "q142_ann_recall" -> (q142AnnRecall _),
     "q156_silhouette" -> (q156Silhouette _),
     "q160_quality_percentile" -> (q160QualityPercentile _),
@@ -1991,6 +2052,7 @@ object LlmOps {
     "q137_novelty_curve" -> q137Sql,
     "q140_kmeans_int" -> q140Sql,
     "q141_semdedup" -> q141Sql,
+    "q218_residual_vq" -> q218Sql,
     "q142_ann_recall" -> q142Sql,
     "q156_silhouette" -> q156Sql,
     "q160_quality_percentile" -> q160Sql,

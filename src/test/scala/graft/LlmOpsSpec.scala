@@ -623,6 +623,32 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, 0L, true)))
   }
 
+  test("residualVq: level 1 is exactly kmeansIntAssign; level-2 errors shrink the fixture") {
+    import spark.implicits._
+    // 2-d vectors in two far groups with within-group structure the
+    // second level must capture
+    val vecs = Seq(
+      0L -> Seq(0.0f, 0.0f), 1L -> Seq(10.0f, 10.0f), 2L -> Seq(0.1f, 0.0f),
+      3L -> Seq(0.0f, 0.1f), 4L -> Seq(10.1f, 10.0f), 5L -> Seq(10.0f, 10.1f))
+      .toDF("id", "vec")
+    val rvq = Similarity.residualVq(vecs, k1 = 2, k2 = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("c1"), r.getAs[Long]("dist1"),
+          r.getAs[Long]("c2"), r.getAs[Long]("err2")))).toMap
+    val km = Similarity.kmeansIntAssign(vecs, k = 2, iters = 2)
+      .collect().map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("cluster"), r.getAs[Long]("dist2")))).toMap
+    assert(rvq.keySet == km.keySet)
+    rvq.foreach { case (id, (c1, dist1, c2, _)) =>
+      assert((c1, dist1) == km(id), s"level-1 drifted from kmeansIntAssign at id=$id")
+      assert(c2 >= 0L && c2 < 2L)
+    }
+    // the two far groups split at level 1
+    assert(rvq(0L)._1 != rvq(1L)._1)
+    assert(Set(0L, 2L, 3L).map(rvq(_)._1).size == 1)
+    assert(Set(1L, 4L, 5L).map(rvq(_)._1).size == 1)
+  }
+
   test("rakeKeywords: hand-computed scores; stopwords and punctuation both split phrases") {
     // "deep neural networks" repeats as a glued phrase; stopword "the" and
     // the commas/periods must both cut candidate runs
