@@ -741,6 +741,111 @@ object Scale {
       |WHERE arr.day + 1 <= wm.wmday
       |ORDER BY arr.id""".stripMargin
 
+  /** Staged LATE-arrival value stream for q217: parity-1 users' events
+    * in the q190 three-band protocol — a straggler subset of the early
+    * days arrives two batches after its windows closed. */
+  private def stagePsiBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q217:$dir", {
+      val ev = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(2)) === 1)
+        .select(col("ts"), col("value"), col("event_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+      val straggler = col("day") <= 19727 && pmod(col("event_id"), lit(7)) === 0
+      def strip(df: DataFrame): DataFrame = df.select("ts", "value")
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> strip(ev.filter(col("day") <= 19742 && !straggler)),
+        "second" -> strip(ev.filter(col("day") >= 19743 && col("day") <= 19747)),
+        "third" -> strip(ev.filter(straggler || col("day") >= 19748))))
+    })
+
+  private val psiBinSql: String =
+    "least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000, 0L), 9L)"
+
+  /** S26 depth (NINETEENTH streaming path) — streaming drift monitor:
+    * q184's PSI pieces computed per 5-day ingest window of the live
+    * (parity-1) value stream against the static parity-0 baseline
+    * histogram, under the q190 late-data protocol — APPEND mode with a
+    * 2-day watermark, stragglers delivered two batches late are DROPPED
+    * (their absence from n_w is hash-gated), and windows newer than the
+    * final watermark never emit. The per-event baseline attach is a
+    * stateless stream–static broadcast join BEFORE the windowed
+    * aggregation (so the only state is the open windows' counters);
+    * totals and the ×1e6-quantized log-ratio assemble batch-side from
+    * the emitted (window, bin) rows — windows×bins metadata scale. The
+    * "is serving drifting off training" alarm, as a live query. */
+  def q217StreamPsi(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stagePsiBands(s, dir)
+    val baseline = t(s, dir, "events")
+      .filter(pmod(col("user_id"), lit(2)) === 0)
+      .select(expr(psiBinSql).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n_base"))
+      .persist()
+    baseline.count() // materialize once; streams re-evaluate static frames
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", "timestamp").add("value", "double")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days")
+      .withColumn("bin", expr(psiBinSql))
+      .join(broadcast(baseline), "bin")
+      .groupBy(window(col("ts"), "5 days").as("w"), col("bin"))
+      .agg(count(lit(1)).as("n_w"), max("n_base").as("n_base"))
+    val qn = s"q217_psi_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-psi-ckpt"))
+        .start().awaitTermination()
+    }
+    baseline.unpersist() // memory sink holds the stream result
+    val sink = s.table(qn).select(
+      expr("unix_micros(w.start) div 86400000000").as("win_day"),
+      col("bin"), col("n_w"), col("n_base"))
+    val tw = sink.groupBy("win_day").agg(sum("n_w").as("t_w"))
+    // lazy: recomputes the 10-row baseline when the result materializes
+    // (cache scope stays one invocation)
+    val tbase = baseline.agg(sum("n_base").as("t_b"))
+    sink.join(tw, "win_day").crossJoin(broadcast(tbase))
+      .withColumn("diff_num",
+        expr("(n_w + 1) * (t_b + 10) - (n_base + 1) * (t_w + 10)"))
+      .withColumn("lr_q",
+        floor(log(((col("n_w") + 1) * (col("t_b") + 10)).cast("double") /
+          ((col("n_base") + 1) * (col("t_w") + 10)).cast("double"))
+          * 1000000.0 + 0.5).cast("long"))
+      .select("win_day", "bin", "n_w", "n_base", "t_w", "t_b",
+        "diff_num", "lr_q")
+      .orderBy("win_day", "bin")
+  }
+
+  val q217Sql: String =
+    """WITH e AS (SELECT event_id, user_id, value,
+      |    CAST(epoch_us(ts) AS BIGINT) AS us,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day
+      |  FROM events),
+      |s1 AS (SELECT * FROM e WHERE user_id % 2 = 1),
+      |kept AS (SELECT * FROM s1 WHERE NOT (day <= 19727 AND event_id % 7 = 0)),
+      |wm AS (SELECT CAST(max(us) AS BIGINT) - 172800000000 AS wmf FROM s1),
+      |base AS (SELECT least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000, 0), 9) AS bin,
+      |           CAST(count(*) AS BIGINT) AS n_base
+      |         FROM e WHERE user_id % 2 = 0 GROUP BY 1),
+      |agg AS (SELECT (day // 5) * 5 AS win_day,
+      |          least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 1000, 0), 9) AS bin,
+      |          CAST(count(*) AS BIGINT) AS n_w
+      |        FROM kept GROUP BY 1, 2),
+      |em AS (SELECT agg.win_day, agg.bin, agg.n_w, base.n_base
+      |       FROM agg JOIN base USING (bin) CROSS JOIN wm
+      |       WHERE (agg.win_day + 5) * 86400000000 <= wmf),
+      |tw AS (SELECT win_day, CAST(sum(n_w) AS BIGINT) AS t_w FROM em GROUP BY 1),
+      |tb AS (SELECT CAST(sum(n_base) AS BIGINT) AS t_b FROM base)
+      |SELECT em.win_day, em.bin, em.n_w, em.n_base, tw.t_w, tb.t_b,
+      |  (n_w + 1) * (t_b + 10) - (n_base + 1) * (t_w + 10) AS diff_num,
+      |  CAST(floor(ln(CAST((n_w + 1) * (t_b + 10) AS DOUBLE)
+      |    / CAST((n_base + 1) * (t_w + 10) AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lr_q
+      |FROM em JOIN tw USING (win_day) CROSS JOIN tb
+      |ORDER BY win_day, bin""".stripMargin
+
   val q207Sql: String =
     """WITH d AS (SELECT doc_id AS id, text FROM documents),
       |arr AS (SELECT id, text, len(text) AS dl FROM d
@@ -2377,6 +2482,7 @@ object Scale {
     "q213_kneser_ney" -> (q213KneserNey _),
     "q214_item_cooccur" -> (q214ItemCooccur _),
     "q215_rake_keywords" -> (q215RakeKeywords _),
+    "q217_stream_psi" -> (q217StreamPsi _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
@@ -2436,6 +2542,7 @@ object Scale {
     "q213_kneser_ney" -> q213Sql,
     "q214_item_cooccur" -> q214Sql,
     "q215_rake_keywords" -> q215Sql,
+    "q217_stream_psi" -> q217Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,

@@ -570,4 +570,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val emitted15 = out.collect { case ((d, _), n) if d <= "2024-01-05" => n }.sum
     assert(emitted15 < raw, "stragglers must be missing from the emitted counts")
   }
+
+  test("q217 streaming PSI: emitted windows equal the batch protocol; stragglers missing") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Scale.q217StreamPsi(spark, sf)
+      .collect().map(r => (r.getAs[Long]("win_day"), r.getAs[Long]("bin")) ->
+        ((r.getAs[Long]("n_w"), r.getAs[Long]("n_base"), r.getAs[Long]("t_w"),
+          r.getAs[Long]("t_b"), r.getAs[Long]("diff_num")))).toMap
+    val binE = "least(greatest(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) div 1000, 0L), 9L)"
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("unix_micros(ts)").as("us"), expr(binE).as("bin"))
+    val s1 = ev.filter(pmod(col("user_id"), lit(2)) === 1)
+    val wmf = s1.agg(max("us")).collect().head.getLong(0) - 172800000000L
+    val base = ev.filter(pmod(col("user_id"), lit(2)) === 0)
+      .groupBy("bin").agg(count(lit(1)).as("n_base"))
+      .collect().map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_base")).toMap
+    val tb = base.values.sum
+    val kept = s1
+      .filter(!(col("day") <= 19727 && pmod(col("event_id"), lit(7)) === 0))
+      .withColumn("win_day", expr("(day div 5) * 5"))
+      .filter((col("win_day") + 5) * 86400000000L <= wmf)
+      .filter(col("bin").isInCollection(base.keys.toSeq))
+      .groupBy("win_day", "bin").agg(count(lit(1)).as("n_w"))
+      .collect().map(r => (r.getAs[Long]("win_day"), r.getAs[Long]("bin")) ->
+        r.getAs[Long]("n_w")).toMap
+    val tw = kept.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val expect = kept.map { case ((w, b), n) =>
+      (w, b) -> ((n, base(b), tw(w), tb,
+        (n + 1) * (tb + 10) - (base(b) + 1) * (tw(w) + 10)))
+    }
+    assert(out == expect,
+      "emitted PSI rows must equal batch minus stragglers, cut at the final watermark")
+    // the straggler drop is real: the early windows' totals fall short of raw
+    // windows 19720/19725 cover days < 19730; their emitted total must fall
+    // short of the raw count over those days because the stragglers dropped
+    val rawEarly = s1.filter(col("day") <= 19729).count()
+    val emittedEarly = out.collect { case ((w, _), (n, _, _, _, _)) if w <= 19725L => n }.sum
+    assert(emittedEarly < rawEarly, "stragglers must be missing from n_w")
+  }
 }
