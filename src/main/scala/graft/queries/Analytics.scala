@@ -1693,6 +1693,151 @@ object Analytics {
       |        FROM rr JOIN ses ON rr.rn = ses.rn + 1)
       |SELECT day, cents, ses_cents FROM ses ORDER BY day""".stripMargin
 
+  // ---------------------------------------------- q220 SPRT sequential A/B
+
+  /** Experimentation — Wald's sequential probability ratio test over the
+    * q168 arms: H0 "the treatment converts at the control's pooled rate
+    * p0" vs H1 "at 1.25·p0", tracked day by day as the exact integer
+    * LLR_micro = cum_s·lr1 + (cum_n − cum_s)·lr0, where lr1/lr0 are the
+    * ×1e6-quantized log-ratios of the two hypotheses' success/failure
+    * odds (each ln argument ONE integer ratio — the q71 rule) and the
+    * cumulative trial/success counts fold over the calendar-bounded
+    * daily frame (q211's machinery). Verdict crosses at ±ln(19)·1e6
+    * (α = β = 0.05). The "stop the A/B early" decision as a query —
+    * q168 reports the end-state lift, this reports WHEN you could have
+    * stopped. */
+  def q220Sprt(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("user_id"),
+      expr("unix_micros(ts) div 86400000000").as("day"), col("event_type"))
+    val rates = broadcast(
+      ev.filter(pmod(col("user_id"), lit(2)) === 0)
+        .agg(count(lit(1)).as("n_a"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s_a"))
+        .select(expr("(s_a * 1000000) div n_a").as("p0_ppm"))
+        .withColumn("p1_ppm", expr("least((p0_ppm * 5) div 4, 999999L)"))
+        .withColumn("lr1_micro",
+          floor(log(col("p1_ppm").cast("double") / col("p0_ppm").cast("double"))
+            * 1000000.0 + 0.5).cast("long"))
+        .withColumn("lr0_micro",
+          floor(log((lit(1000000L) - col("p1_ppm")).cast("double") /
+            (lit(1000000L) - col("p0_ppm")).cast("double"))
+            * 1000000.0 + 0.5).cast("long")))
+    ev.filter(pmod(col("user_id"), lit(2)) === 1)
+      .groupBy("day")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("s"))
+      .agg(sort_array(collect_list(struct(col("day"), col("n"), col("s"))))
+        .as("rows"))
+      .crossJoin(rates)
+      .select(col("lr1_micro"), col("lr0_micro"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('cn', CAST(0 AS BIGINT), 'cs', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, n: BIGINT,
+          |      s: BIGINT, cum_n: BIGINT, cum_s: BIGINT>>)),
+          |  (acc, x) -> named_struct('cn', acc.cn + x.n, 'cs', acc.cs + x.s,
+          |    'out', array_append(acc.out, named_struct('day', x.day,
+          |      'n', x.n, 's', x.s, 'cum_n', acc.cn + x.n,
+          |      'cum_s', acc.cs + x.s))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.n").as("n"), col("r.s").as("s"),
+        col("r.cum_n").as("cum_n"), col("r.cum_s").as("cum_s"),
+        (col("r.cum_s") * col("lr1_micro") +
+          (col("r.cum_n") - col("r.cum_s")) * col("lr0_micro")).as("llr_micro"))
+      .withColumn("verdict",
+        when(col("llr_micro") >= 2944439L, "reject_h0")
+          .when(col("llr_micro") <= -2944439L, "accept_h0")
+          .otherwise("continue"))
+      .orderBy("day")
+  }
+
+  val q220Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, event_type
+      |  FROM events),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_a,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s_a
+      |      FROM e WHERE user_id % 2 = 0),
+      |r1 AS (SELECT p0_ppm, least((p0_ppm * 5) // 4, 999999) AS p1_ppm
+      |       FROM (SELECT (s_a * 1000000) // n_a AS p0_ppm FROM a)),
+      |r2 AS (SELECT CAST(floor(ln(CAST(p1_ppm AS DOUBLE) / CAST(p0_ppm AS DOUBLE))
+      |           * 1000000.0 + 0.5) AS BIGINT) AS lr1,
+      |         CAST(floor(ln(CAST(1000000 - p1_ppm AS DOUBLE)
+      |           / CAST(1000000 - p0_ppm AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS lr0
+      |       FROM r1),
+      |d AS (SELECT day, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS s
+      |      FROM e WHERE user_id % 2 = 1 GROUP BY 1),
+      |c AS (SELECT day, n, s,
+      |        CAST(sum(n) OVER (ORDER BY day) AS BIGINT) AS cum_n,
+      |        CAST(sum(s) OVER (ORDER BY day) AS BIGINT) AS cum_s
+      |      FROM d)
+      |SELECT day, n, s, cum_n, cum_s,
+      |  cum_s * lr1 + (cum_n - cum_s) * lr0 AS llr_micro,
+      |  CASE WHEN cum_s * lr1 + (cum_n - cum_s) * lr0 >= 2944439 THEN 'reject_h0'
+      |       WHEN cum_s * lr1 + (cum_n - cum_s) * lr0 <= -2944439 THEN 'accept_h0'
+      |       ELSE 'continue' END AS verdict
+      |FROM c CROSS JOIN r2 ORDER BY day""".stripMargin
+
+  // --------------------------------------------- q222 Holt linear trend
+
+  /** Time series — Holt's double exponential smoothing (level + trend) of
+    * daily order revenue at α = 0.3, β = 0.1, as coupled exact integer
+    * recurrences over the q219 fold: l_t = (3·x_t + 7·(l+b)) div 10,
+    * b_t = ((l_t − l) + 9·b) div 10 (seeded l_0 = x_0, b_0 = 0); the
+    * one-step forecast l+b rides along. The trend-aware upgrade of q219
+    * for drifting series; Spark `div` and DuckDB `//` truncate
+    * identically on the possibly-negative trend. The oracle replays the
+    * recurrence as a recursive CTE with lateral aliases. */
+  def q222Holt(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("rows"))
+      .select(explode(expr(
+        """aggregate(rows,
+          |  named_struct('l', CAST(-1 AS BIGINT), 'b', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, cents: BIGINT,
+          |      level: BIGINT, trend: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'l', IF(acc.l < 0, x.cents,
+          |            (3 * x.cents + 7 * (acc.l + acc.b)) div 10),
+          |    'b', IF(acc.l < 0, CAST(0 AS BIGINT),
+          |            ((IF(acc.l < 0, x.cents,
+          |                 (3 * x.cents + 7 * (acc.l + acc.b)) div 10) - acc.l)
+          |             + 9 * acc.b) div 10),
+          |    'out', array_append(acc.out, named_struct('day', x.day,
+          |      'cents', x.cents,
+          |      'level', IF(acc.l < 0, x.cents,
+          |                  (3 * x.cents + 7 * (acc.l + acc.b)) div 10),
+          |      'trend', IF(acc.l < 0, CAST(0 AS BIGINT),
+          |                  ((IF(acc.l < 0, x.cents,
+          |                       (3 * x.cents + 7 * (acc.l + acc.b)) div 10)
+          |                    - acc.l) + 9 * acc.b) div 10)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        (col("r.level") + col("r.trend")).as("forecast"))
+      .orderBy("day")
+
+  val q222Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rr AS (SELECT day, cents,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+      |h AS (SELECT rn, day, cents, cents AS level, CAST(0 AS BIGINT) AS trend
+      |      FROM rr WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.rn, rr.day, rr.cents,
+      |        (3 * rr.cents + 7 * (h.level + h.trend)) // 10 AS lvl,
+      |        (((3 * rr.cents + 7 * (h.level + h.trend)) // 10 - h.level)
+      |         + 9 * h.trend) // 10
+      |      FROM rr JOIN h ON rr.rn = h.rn + 1)
+      |SELECT day, cents, level, trend, level + trend AS forecast
+      |FROM h ORDER BY day""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1729,7 +1874,9 @@ object Analytics {
     "q211_kaplan_meier" -> (q211KaplanMeier _),
     "q212_autocorr" -> (q212Autocorr _),
     "q216_cuped" -> (q216Cuped _),
-    "q219_ses" -> (q219Ses _))
+    "q219_ses" -> (q219Ses _),
+    "q220_sprt" -> (q220Sprt _),
+    "q222_holt" -> (q222Holt _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -1765,5 +1912,7 @@ object Analytics {
     "q211_kaplan_meier" -> q211Sql,
     "q212_autocorr" -> q212Sql,
     "q216_cuped" -> q216Sql,
-    "q219_ses" -> q219Sql)
+    "q219_ses" -> q219Sql,
+    "q220_sprt" -> q220Sql,
+    "q222_holt" -> q222Sql)
 }

@@ -505,6 +505,46 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q220 SPRT: cumulative LLR is the hand-folded integer combination; verdict thresholds hold") {
+    val rows = graft.queries.Analytics.q220Sprt(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("n"),
+        r.getAs[Long]("s"), r.getAs[Long]("cum_n"), r.getAs[Long]("cum_s"),
+        r.getAs[Long]("llr_micro"), r.getAs[String]("verdict")))
+    assert(rows.nonEmpty)
+    // recompute the two quantized increments from the control arm
+    val ev = graft.sources.Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_type")).collect()
+    val a = ev.filter(_.getLong(0) % 2 == 0)
+    val (na, sa) = (a.length.toLong, a.count(_.getString(1) == "purchase").toLong)
+    val p0 = sa * 1000000L / na
+    val p1 = math.min(p0 * 5 / 4, 999999L)
+    val lr1 = math.floor(math.log(p1.toDouble / p0) * 1e6 + 0.5).toLong
+    val lr0 = math.floor(math.log((1000000L - p1).toDouble / (1000000L - p0)) * 1e6 + 0.5).toLong
+    var (cn, cs) = (0L, 0L)
+    rows.foreach { case (_, n, s, gcn, gcs, llr, verdict) =>
+      cn += n; cs += s
+      assert((gcn, gcs) == (cn, cs))
+      assert(llr == cs * lr1 + (cn - cs) * lr0)
+      val want = if (llr >= 2944439L) "reject_h0"
+        else if (llr <= -2944439L) "accept_h0" else "continue"
+      assert(verdict == want)
+    }
+  }
+
+  test("q222 Holt: level/trend equal the hand-folded coupled integer recurrences") {
+    val rows = graft.queries.Analytics.q222Holt(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("cents"), r.getAs[Long]("level"),
+        r.getAs[Long]("trend"), r.getAs[Long]("forecast")))
+    assert(rows.nonEmpty)
+    var l = -1L; var b = 0L
+    rows.foreach { case (x, gl, gb, gf) =>
+      val lNew = if (l < 0) x else (3 * x + 7 * (l + b)) / 10
+      val bNew = if (l < 0) 0L else ((lNew - l) + 9 * b) / 10
+      assert((gl, gb, gf) == ((lNew, bNew, lNew + bNew)))
+      l = lNew; b = bNew
+    }
+  }
+
   test("q219 SES: smoothed series equals the hand-folded alpha=0.3 integer recurrence") {
     val rows = graft.queries.Analytics.q219Ses(spark, sf001)
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),
