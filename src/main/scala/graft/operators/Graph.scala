@@ -123,4 +123,37 @@ object Graph {
       .join(counts, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
   }
+
+  /** Synchronous min-label propagation over an undirected (id_a, id_b)
+    * edge frame, `iters` rounds: label⁰(v) = v,
+    * label^{t+1}(v) = min(label^t(v), min over neighbors label^t(u)) —
+    * after t rounds every node carries the minimum id within t hops, so
+    * communities flood outward from their smallest member (the
+    * bounded-round core of connected components, exposed as its own
+    * operator because t-hop community detection is itself the product:
+    * co-purchase neighborhoods, near-dup families, domain clusters).
+    *
+    * Scale: one equi-join + one (node) min-aggregation per round — both
+    * map-side combinable, nothing wider than (id, label); deterministic
+    * because min is order-free. Lineage grows one join per round (iters
+    * is small by contract; the unbounded-convergence variant is
+    * [[graft.llmops.Dedup.connectedComponents]] with its checkpoint
+    * discipline). Returns (id, label) for every endpoint. */
+  def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+    val init = sym.select(col("src").as("id")).distinct()
+      .withColumn("label", col("id"))
+    (1 to iters).foldLeft(init) { (lab, _) =>
+      val nbrMin = sym
+        .join(lab.select(col("id").as("dst"), col("label")), "dst")
+        .groupBy(col("src").as("id")).agg(min("label").as("nl"))
+      lab.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+    }
+  }
 }

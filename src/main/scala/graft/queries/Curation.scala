@@ -96,6 +96,112 @@ object Curation {
     * corpus-curation use is domain ranking: weight documents by their
     * source's link-graph rank. Pure BIGINT updates — the oracle unrolls
     * the same three iterations in SQL, bit-for-bit. */
+  /** Graph/curation — 3-round min-label-propagation communities
+    * ([[Graph.labelPropagation]]) over the co-purchase graph (parts
+    * sharing an order at support ≥ 2, q214's edge rule): each item's
+    * community is the minimum item id within 3 hops, plus the community
+    * size. The bounded-round community detector behind "these products
+    * sell together" clustering — q35's full connected components with
+    * the radius capped, exposed as its own semantics. One equi-join +
+    * one min-aggregation per round; the oracle unrolls the same three
+    * rounds in SQL. */
+  def q221LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val oi = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = oi.as("a")
+      .join(oi.withColumnRenamed("item", "item_b").as("b"), "ok")
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("id_a"), col("item_b").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("id_a", "id_b")
+    val lab = Graph.labelPropagation(edges, iters = 3)
+    val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
+    lab.join(sizes, "label")
+      .select(col("id").as("item"), col("label").as("community"),
+        col("community_size"))
+      .orderBy("item")
+  }
+
+  val q221Sql: String = {
+    def iter(prev: Int, cur: Int): String =
+      s"""l$cur AS (SELECT l.id, least(l.label, coalesce(m.ml, l.label)) AS label
+         |       FROM l$prev l LEFT JOIN (
+         |         SELECT e.src AS id, min(p.label) AS ml
+         |         FROM e JOIN l$prev p ON p.id = e.dst GROUP BY 1) m
+         |       ON m.id = l.id)""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |pr AS (SELECT a.item AS id_a, b.item AS id_b
+      |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+      |${iter(0, 1)},
+      |${iter(1, 2)},
+      |${iter(2, 3)},
+      |c AS (SELECT label, CAST(count(*) AS BIGINT) AS community_size
+      |      FROM l3 GROUP BY 1)
+      |SELECT l3.id AS item, l3.label AS community, c.community_size
+      |FROM l3 JOIN c USING (label) ORDER BY item""".stripMargin
+  }
+
+  /** Graph/recsys — Adamic–Adar link prediction over the customer–part
+    * bipartite graph: candidate customer pairs sharing an item score
+    * Σ_shared ⌊1e9 / ln_micro(d_item)⌋ (the hub-discounting
+    * common-neighbor count; ln milli-quantized per the q71 rule so the
+    * weight is one portable integer per item). Degree band 2 ≤ d ≤ 40
+    * bounds the per-item pair fan-out (AA discounts hubs toward zero
+    * anyway — the cap is the scale knob, stated); predictions for the
+    * 5%-sample query set (cust ≡ 0 mod 20), top-3 candidates each — the
+    * q142-style bounded-query-set pattern, so the pair stream is
+    * |queries|·d per item, never |custs|². */
+  def q223AdamicAdar(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ci = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")), "ok")
+      .select("cust", "item").distinct()
+    val deg = ci.groupBy("item").agg(count(lit(1)).as("d"))
+      .filter(col("d") >= 2 && col("d") <= 40)
+      .withColumn("w", expr(
+        "1000000000L div CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+    val a = ci.filter(pmod(col("cust"), lit(20)) === 0)
+      .join(deg.select("item", "w"), "item")
+      .select(col("cust").as("u"), col("item"), col("w"))
+    val b = ci.join(deg.select("item"), "item")
+      .select(col("cust").as("v"), col("item"))
+    a.join(b, "item")
+      .filter(col("u") =!= col("v"))
+      .groupBy("u", "v")
+      .agg(count(lit(1)).as("n_shared"), sum("w").as("aa_milli"))
+      .withColumn("rk", row_number().over(Window.partitionBy("u")
+        .orderBy(col("aa_milli").desc, col("v"))).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("u", "v", "n_shared", "aa_milli", "rk")
+      .orderBy("u", "rk")
+  }
+
+  val q223Sql: String =
+    """WITH ci AS (SELECT DISTINCT o.o_custkey AS cust, l.l_partkey AS item
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |deg AS (SELECT item, CAST(count(*) AS BIGINT) AS d FROM ci GROUP BY 1),
+      |keep AS (SELECT item,
+      |           1000000000 // CAST(floor(ln(CAST(d AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS w
+      |         FROM deg WHERE d >= 2 AND d <= 40),
+      |a AS (SELECT ci.cust AS u, ci.item, keep.w
+      |      FROM ci JOIN keep USING (item) WHERE ci.cust % 20 = 0),
+      |b AS (SELECT ci.cust AS v, ci.item FROM ci JOIN keep USING (item)),
+      |sc AS (SELECT a.u, b.v, CAST(count(*) AS BIGINT) AS n_shared,
+      |         CAST(sum(a.w) AS BIGINT) AS aa_milli
+      |       FROM a JOIN b USING (item) WHERE a.u <> b.v
+      |       GROUP BY 1, 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY u
+      |        ORDER BY aa_milli DESC, v) AS BIGINT) AS rk FROM sc)
+      |SELECT u, v, n_shared, aa_milli, rk FROM r WHERE rk <= 3
+      |ORDER BY u, rk""".stripMargin
+
   def q62Pagerank(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -1142,6 +1248,8 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q61_curation_pipeline" -> (q61Curation _),
     "q62_pagerank" -> (q62Pagerank _),
+    "q221_label_prop" -> (q221LabelProp _),
+    "q223_adamic_adar" -> (q223AdamicAdar _),
     "q63_streaming_dedup" -> (q63StreamingDedup _),
     "q64_profile" -> (q64Profile _),
     "q65_repetition" -> (q65Repetition _),
@@ -1170,6 +1278,8 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q61_curation_pipeline" -> q61Sql,
     "q62_pagerank" -> q62Sql,
+    "q221_label_prop" -> q221Sql,
+    "q223_adamic_adar" -> q223Sql,
     "q63_streaming_dedup" -> q63Sql,
     "q64_profile" -> q64Sql,
     "q65_repetition" -> q65Sql,

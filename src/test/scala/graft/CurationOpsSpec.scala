@@ -348,4 +348,51 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
         Admitted("A", 2L, 1L, 3L), Admitted("B", 9L, 0L, 1L)))
     } finally q.stop()
   }
+
+  test("labelPropagation: t rounds flood the minimum exactly t hops, no further") {
+    import spark.implicits._
+    // path 10-11-12-13-14-15 plus an isolated-from-it pair 20-21
+    val edges = Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L),
+      (14L, 15L), (20L, 21L)).toDF("id_a", "id_b")
+    def labels(iters: Int): Map[Long, Long] =
+      graft.operators.Graph.labelPropagation(edges, iters)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 3 rounds: node 15 only sees min within 3 hops (12); node 13 reaches 10
+    assert(labels(3) == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 11L, 15L -> 12L, 20L -> 20L, 21L -> 20L))
+    // 5 rounds: the whole path floods to 10; the pair stays its own community
+    assert(labels(5) == Map(10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L,
+      14L -> 10L, 15L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("q223 Adamic-Adar: matches an in-memory recomputation at sf0.001") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val o = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("cust"))
+    val l = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+    val ci = o.join(l, "ok").select("cust", "item").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val deg = ci.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val w = deg.collect { case (item, d) if d >= 2 && d <= 40 =>
+      item -> 1000000000L / math.floor(math.log(d.toDouble) * 1e6 + 0.5).toLong
+    }.toMap
+    val byItem = ci.filter(p => w.contains(p._2)).groupBy(_._2)
+      .view.mapValues(_.map(_._1)).toMap
+    val scores = byItem.toSeq.flatMap { case (item, custs) =>
+      for (u <- custs if u % 20 == 0; v <- custs if u != v)
+        yield (u, v) -> w(item)
+    }.groupBy(_._1).view.mapValues(ws => (ws.size.toLong, ws.map(_._2).sum)).toMap
+    val want = scores.groupBy(_._1._1).flatMap { case (u, m) =>
+      m.toSeq.map { case ((_, v), (n, s)) => (v, n, s) }
+        .sortBy { case (v, _, s) => (-s, v) }.take(3).zipWithIndex
+        .map { case ((v, n, s), i) => (u, v) -> ((n, s, i + 1L)) }
+    }
+    val got = graft.queries.Curation.q223AdamicAdar(spark, sf).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        ((r.getAs[Long]("n_shared"), r.getAs[Long]("aa_milli"),
+          r.getAs[Long]("rk")))).toMap
+    assert(got == want, s"got ${got.size} rows, want ${want.size}")
+  }
 }
