@@ -467,4 +467,41 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p.contains("HashAggregate") || p.contains("ObjectHashAggregate"),
       "per-doc rollup must be the only aggregation shape")
   }
+
+  test("q211/q219/q220/q222: the sequential recurrences fold — no window, no cartesian") {
+    // the SCALE.md claim: calendar-bounded recurrences run as one
+    // aggregate() over sorted rows, never as a global window
+    Seq("q211_kaplan_meier", "q219_ses", "q220_sprt", "q222_holt").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("Window ["), s"$q must not window: recurrence is a fold")
+      assert(!p.contains("CartesianProduct"), s"$q scalar attaches must broadcast")
+    }
+  }
+
+  test("q212/q213/q216: scalar frames broadcast; no cartesian anywhere") {
+    Seq("q212_autocorr", "q213_kneser_ney", "q216_cuped").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"),
+        s"$q: 1-row/7-row attach frames must ride BroadcastNestedLoopJoin")
+    }
+  }
+
+  test("q214/q223: pair streams are equi-joins; the rank windows partition per key") {
+    Seq("q214_item_cooccur" -> "item", "q223_adamic_adar" -> "u").foreach {
+      case (q, key) =>
+        val p = plan(q)
+        assert(!p.contains("CartesianProduct"), s"$q pair stream must equi-join")
+        val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+        assert(windows.nonEmpty && windows.forall(_.contains(key)),
+          s"$q top-k must rank inside per-$key partitions: $windows")
+    }
+  }
+
+  test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
+    val p = plan("q218_residual_vq")
+    assert(!p.contains("CartesianProduct"),
+      "centroid sweeps must be BroadcastNestedLoopJoin over k-row codebooks")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      "the textbook assignment plan broadcasts the codebook")
+  }
 }
