@@ -696,7 +696,106 @@ object Relational {
       |FROM orders JOIN per ON o_orderkey = l_orderkey
       |GROUP BY 1 ORDER BY 1""".stripMargin
 
+  /** S5–S8 composed at TPC-H Q5's shape — regional local-supplier revenue:
+    * customer→orders→lineitem→supplier with the customer and supplier in
+    * the SAME nation, nation/region dims broadcast, one order-year cut,
+    * revenue = Σ extprice_cents·(100 − disc_pct) in exact cent·percent
+    * units (both factors 2-dp decimals ×100 — no float product). The
+    * canonical "is the optimizer doing its job" join tree: two fact-fact
+    * shuffle joins flanked by three broadcast dims with the filters
+    * pushed into the scans. */
+  def q224RegionalRevenue(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(expr("year(CAST(o_orderdate AS TIMESTAMP)) = 1996"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+      expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey") &&
+        col("c_nationkey") === col("s_nationkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("revenue_cp").desc, col("n_name"))
+  }
+
+  val q224Sql: String =
+    """SELECT r_name, n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |JOIN region ON r_regionkey = n_regionkey
+      |WHERE CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) = 1996
+      |GROUP BY r_name, n_name
+      |ORDER BY revenue_cp DESC, n_name""".stripMargin
+
+  /** S8/S15 at TPC-H Q8's shape — per-region market share of one
+    * nation's suppliers, by order year: the nation's revenue over the
+    * region's total as a conditional aggregate over ONE join tree (no
+    * second pass), share in ppm via the shared floor-div. The dims
+    * broadcast; the two fact joins shuffle on their keys once. */
+  def q225MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)").as("yr"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+      expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val n = broadcast(t(s, dir, "nation")
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey")))
+    val r = broadcast(t(s, dir, "region"))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .withColumn("rev_cp", col("ext_cents") * col("keep_pct"))
+      .groupBy("r_name", "yr")
+      .agg(sum("rev_cp").as("total_cp"),
+        sum(when(col("n_name") === "NATION_0", col("rev_cp"))
+          .otherwise(0L)).as("nation_cp"))
+      .withColumn("share_ppm", expr(
+        graft.operators.Analytics.floorDivScaledSql("nation_cp", "total_cp", 1000000L)))
+      .orderBy("r_name", "yr")
+  }
+
+  val q225Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "nation_cp", "total_cp", 1000000L, op = "//")
+    s"""WITH j AS (SELECT r_name,
+      |    CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr, n_name,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS rev_cp
+      |  FROM orders
+      |  JOIN lineitem ON l_orderkey = o_orderkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey),
+      |g AS (SELECT r_name, yr, CAST(sum(rev_cp) AS BIGINT) AS total_cp,
+      |        CAST(sum(CASE WHEN n_name = 'NATION_0' THEN rev_cp ELSE 0 END) AS BIGINT)
+      |          AS nation_cp
+      |      FROM j GROUP BY 1, 2)
+      |SELECT r_name, yr, total_cp, nation_cp, CAST($fd AS BIGINT) AS share_ppm
+      |FROM g ORDER BY r_name, yr""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q224_regional_revenue" -> (q224RegionalRevenue _),
+    "q225_market_share" -> (q225MarketShare _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_predicates" -> (q02FilterPredicates _),
     "q03_broadcast_join" -> (q03BroadcastJoin _),
@@ -726,6 +825,8 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q224_regional_revenue" -> q224Sql,
+    "q225_market_share" -> q225Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,

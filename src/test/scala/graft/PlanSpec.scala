@@ -497,6 +497,15 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q224/q225: dims broadcast in the Q5/Q8 join trees; facts never cartesian") {
+    Seq("q224_regional_revenue", "q225_market_share").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: nation/region/supplier dims must broadcast")
+      assert(!p.contains("CartesianProduct"), q)
+    }
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
