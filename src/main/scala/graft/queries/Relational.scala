@@ -793,9 +793,163 @@ object Relational {
       |FROM g ORDER BY r_name, yr""".stripMargin
   }
 
+  /** S8+S13-adjacent at TPC-H Q13's shape — order-count distribution over a
+    * LEFT OUTER join: every customer keeps a row (zero-order customers land
+    * in the c_count = 0 bucket), the priority cut rides the orders scan
+    * BEFORE the join (equivalent to Q13's join-condition filter, and the
+    * shape Catalyst can push), then two aggregations: per-customer order
+    * count, then the distribution over counts. The outer-join + double-agg
+    * tree is the canonical "does COUNT(nullable) do the right thing" audit. */
+  def q226Custdist(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "1-URGENT")
+      .select(col("o_orderkey"), col("o_custkey"))
+    t(s, dir, "customer").select(col("c_custkey"))
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q226Sql: String =
+    """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+      |FROM (SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+      |      FROM customer LEFT OUTER JOIN orders
+      |        ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |      GROUP BY c_custkey)
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** S7+S8 at TPC-H Q22's shape — "rich but dormant" customers: balance
+    * above the global positive-balance average AND no urgent order ever
+    * (anti join), rolled up by nation. The global average is one broadcast
+    * row and the comparison is the exact cross-multiply
+    * bal·n_pos > sum_pos — no division, no float threshold. */
+  def q227DormantRich(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(col("c_custkey"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal_cents"))
+    val gl = broadcast(c.filter(col("bal_cents") > 0L)
+      .agg(count(lit(1)).as("n_pos"), sum("bal_cents").as("sum_pos")))
+    val urgent = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT").select(col("o_custkey"))
+    c.crossJoin(gl)
+      .filter(col("bal_cents") * col("n_pos") > col("sum_pos"))
+      .join(urgent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n_cust"), sum("bal_cents").as("total_cents"))
+      .orderBy("c_nationkey")
+  }
+
+  val q227Sql: String =
+    """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents
+      |  FROM customer),
+      |g AS (SELECT CAST(count(*) AS BIGINT) AS n_pos,
+      |        CAST(sum(bal_cents) AS BIGINT) AS sum_pos
+      |      FROM c WHERE bal_cents > 0)
+      |SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_cust,
+      |  CAST(sum(bal_cents) AS BIGINT) AS total_cents
+      |FROM c CROSS JOIN g
+      |WHERE bal_cents * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderpriority = '1-URGENT')
+      |GROUP BY c_nationkey
+      |ORDER BY c_nationkey""".stripMargin
+
+  /** S8+S5 at TPC-H Q18's shape — large-quantity orders: the HAVING-style
+    * per-order quantity rollup (map-side-combinable sum, > 300 units in
+    * exact cent-quantities) feeds a join BACK to orders + customer. The
+    * aggregate side is tiny after the cut, so AQE broadcasts it into the
+    * fact join — filter-by-aggregation without a second fact pass. */
+  def q228LargeOrders(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("qty_c"))
+      .groupBy("l_orderkey")
+      .agg(sum("qty_c").as("total_qty_c"))
+      .filter(col("total_qty_c") > 30000L)
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_day"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_cents"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"))
+    o.join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("c_custkey"), col("o_orderkey"), col("o_day"),
+        col("price_cents"), col("total_qty_c"))
+      .orderBy(col("price_cents").desc, col("o_orderkey"))
+  }
+
+  val q228Sql: String =
+    """WITH big AS (SELECT l_orderkey,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+      |      AS total_qty_c
+      |  FROM lineitem GROUP BY 1
+      |  HAVING sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) > 30000)
+      |SELECT c_name, c_custkey, o_orderkey,
+      |  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS o_day,
+      |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |  total_qty_c
+      |FROM orders JOIN big ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY price_cents DESC, o_orderkey""".stripMargin
+
+  /** S7+S8 at TPC-H Q21's shape — the sole blocking supplier: orders with
+    * ≥ 2 distinct suppliers where EXACTLY ONE supplier shipped late
+    * (> 60 days after the order date), charged to that supplier. Q21's
+    * correlated EXISTS / NOT EXISTS pair re-expressed as ONE per-order
+    * aggregation — n_supp, n_late (count distinct over a CASE), and the
+    * unique late supplier via min-of-case (exact because n_late = 1 is
+    * enforced) — so the facts shuffle once on l_orderkey instead of
+    * joining lineitem to itself twice. */
+  def q229BlockingSupplier(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("ship_day"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_day"))
+    val su = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late_supp",
+        when(col("ship_day") - col("o_day") > 60L, col("l_suppkey")))
+      .groupBy("l_orderkey")
+      .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+        countDistinct(col("late_supp")).as("n_late"),
+        min(col("late_supp")).as("the_supp"))
+      .filter(col("n_supp") >= 2L && col("n_late") === 1L)
+      .groupBy("the_supp")
+      .agg(count(lit(1)).as("numwait"))
+      .join(su, col("the_supp") === col("s_suppkey"))
+      .select(col("s_name"), col("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
+  val q229Sql: String =
+    """WITH j AS (SELECT l_orderkey, l_suppkey,
+      |    CASE WHEN CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+      |            - CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 > 60
+      |         THEN l_suppkey END AS late_supp
+      |  FROM lineitem JOIN orders ON o_orderkey = l_orderkey),
+      |p AS (SELECT l_orderkey,
+      |        CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+      |        CAST(count(DISTINCT late_supp) AS BIGINT) AS n_late,
+      |        min(late_supp) AS the_supp
+      |      FROM j GROUP BY 1)
+      |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+      |FROM p JOIN supplier ON s_suppkey = the_supp
+      |WHERE n_supp >= 2 AND n_late = 1
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_regional_revenue" -> (q224RegionalRevenue _),
     "q225_market_share" -> (q225MarketShare _),
+    "q226_custdist" -> (q226Custdist _),
+    "q227_dormant_rich" -> (q227DormantRich _),
+    "q228_large_orders" -> (q228LargeOrders _),
+    "q229_blocking_supplier" -> (q229BlockingSupplier _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_predicates" -> (q02FilterPredicates _),
     "q03_broadcast_join" -> (q03BroadcastJoin _),
@@ -827,6 +981,10 @@ object Relational {
   val oracleSql: Map[String, String] = Map(
     "q224_regional_revenue" -> q224Sql,
     "q225_market_share" -> q225Sql,
+    "q226_custdist" -> q226Sql,
+    "q227_dormant_rich" -> q227Sql,
+    "q228_large_orders" -> q228Sql,
+    "q229_blocking_supplier" -> q229Sql,
     "q01_pricing_summary" -> q01Sql,
     "q02_filter_predicates" -> q02Sql,
     "q03_broadcast_join" -> q03Sql,

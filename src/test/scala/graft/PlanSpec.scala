@@ -506,6 +506,20 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q226-q229: TPC-H shapes — no cartesian; Q18's agg side broadcasts back; Q21 folds the correlated pair into one aggregation") {
+    Seq("q226_custdist", "q227_dormant_rich", "q228_large_orders",
+      "q229_blocking_supplier").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    // Q22 shape: the 1-row global-average frame must attach as a broadcast,
+    // and the urgent-orders anti join stays a real anti join
+    val p227 = plan("q227_dormant_rich")
+    assert(p227.contains("LeftAnti"), "q227 keeps the anti join")
+    // Q21 shape: one aggregation over the order key — no lineitem self-join
+    val p229 = plan("q229_blocking_supplier")
+    assert(!p229.contains("Window ["), "q229 is an aggregation, not a window")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Hand-recomputed pins for the TPC-H-shape relational rollups q226–q229:
+  * each query's result is re-derived in plain Scala collections (BigInt-free
+  * here — all sums fit comfortably in Long at sf0.001) from the raw tables,
+  * independent of both Spark's plan and the DuckDB oracle formulation. */
+class TpchShapesSpec extends AnyFunSuite with SparkSpec {
+
+  private val sf001 = "/root/testdata/sf0.001"
+
+  private def cents(d: Double): Long =
+    BigDecimal(d).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      .*(100).toLongExact
+
+  private def day(us: Long): Long = Math.floorDiv(us, 86400000000L)
+
+  private lazy val orders = graft.sources.Tables.load(spark, sf001, "orders")
+    .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+      col("o_totalprice"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("o_us"))
+    .collect()
+    .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_custkey"),
+      r.getAs[String]("o_orderpriority"), r.getAs[Double]("o_totalprice"),
+      r.getAs[Long]("o_us")))
+
+  private lazy val lineitem = graft.sources.Tables.load(spark, sf001, "lineitem")
+    .select(col("l_orderkey"), col("l_suppkey"), col("l_quantity"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))").as("l_us"))
+    .collect()
+    .map(r => (r.getAs[Long]("l_orderkey"), r.getAs[Long]("l_suppkey"),
+      r.getAs[Double]("l_quantity"), r.getAs[Long]("l_us")))
+
+  test("q226 custdist: distribution equals the hand walk of the outer join") {
+    val custs = graft.sources.Tables.load(spark, sf001, "customer")
+      .select("c_custkey").collect().map(_.getLong(0))
+    val perCust = orders.filter(_._3 != "1-URGENT")
+      .groupBy(_._2).map { case (k, v) => k -> v.length.toLong }
+    val counts = custs.map(c => perCust.getOrElse(c, 0L))
+    val want = counts.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val got = graft.queries.Relational.q226Custdist(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("c_count"), r.getAs[Long]("custdist")))
+    assert(got.toMap == want)
+    // ordering pin: custdist desc, then c_count desc
+    assert(got.sortBy { case (c, d) => (-d, -c) }.sameElements(got))
+  }
+
+  test("q227 dormant-rich: cross-multiply threshold + anti join, hand-walked") {
+    val c = graft.sources.Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_nationkey", "c_acctbal").collect()
+      .map(r => (r.getAs[Long]("c_custkey"), r.getAs[Int]("c_nationkey").toLong,
+        cents(r.getAs[Double]("c_acctbal"))))
+    val pos = c.filter(_._3 > 0L)
+    val (nPos, sumPos) = (pos.length.toLong, pos.map(_._3).sum)
+    val urgentCusts = orders.filter(_._3 == "1-URGENT").map(_._2).toSet
+    val keep = c.filter { case (ck, _, bal) =>
+      bal * nPos > sumPos && !urgentCusts.contains(ck) }
+    val want = keep.groupBy(_._2).map { case (nk, v) =>
+      nk -> ((v.length.toLong, v.map(_._3).sum)) }
+    val got = graft.queries.Relational.q227DormantRich(spark, sf001).collect()
+      .map(r => r.getAs[Long]("c_nationkey") ->
+        ((r.getAs[Long]("n_cust"), r.getAs[Long]("total_cents")))).toMap
+    assert(got == want)
+  }
+
+  test("q228 large orders: HAVING cut + join-back equals the hand rollup") {
+    val perOrder = lineitem.groupBy(_._1)
+      .map { case (k, v) => k -> v.map(l => cents(l._3)).sum }
+      .filter(_._2 > 30000L)
+    val got = graft.queries.Relational.q228LargeOrders(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("o_orderkey"), r.getAs[Long]("o_day"),
+        r.getAs[Long]("price_cents"), r.getAs[Long]("total_qty_c")))
+    assert(got.map(_._1).toSet == perOrder.keySet)
+    val byKey = orders.map(o => o._1 -> o).toMap
+    got.foreach { case (ok, d, pc, tq) =>
+      assert(tq == perOrder(ok))
+      assert(pc == cents(byKey(ok)._4))
+      assert(d == day(byKey(ok)._5))
+    }
+    assert(got.sortBy { case (ok, _, pc, _) => (-pc, ok) }.sameElements(got))
+  }
+
+  test("q229 blocking supplier: the sole-late-supplier charge, hand-walked") {
+    val oDay = orders.map(o => o._1 -> day(o._5)).toMap
+    val numwait = lineitem.groupBy(_._1).toSeq.flatMap { case (ok, lines) =>
+      val supps = lines.map(_._2).distinct
+      val late = lines.filter(l => day(l._4) - oDay(ok) > 60L).map(_._2).distinct
+      if (supps.length >= 2 && late.length == 1) Some(late.head) else None
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val names = graft.sources.Tables.load(spark, sf001, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getAs[Long]("s_suppkey") -> r.getAs[String]("s_name")).toMap
+    val want = numwait.map { case (sk, n) => names(sk) -> n }
+    val got = graft.queries.Relational.q229BlockingSupplier(spark, sf001)
+      .collect().map(r => (r.getAs[String]("s_name"), r.getAs[Long]("numwait")))
+    assert(got.toMap == want)
+    assert(got.sortBy { case (n, w) => (-w, n) }.sameElements(got))
+  }
+}
