@@ -156,4 +156,42 @@ object Graph {
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
     }
   }
+
+  /** Bounded-round k-core peeling over an undirected edge list: `rounds`
+    * iterations of "drop every node whose degree among survivors is < k",
+    * returning the surviving (id, deg) frame with degrees recomputed
+    * within the final survivor set. The density filter for similarity /
+    * co-occurrence graphs — nodes that keep ≥ k strong neighbors even
+    * after their weak neighbors are peeled away.
+    *
+    * Like [[labelPropagation]], the round count is DECLARED semantics,
+    * not a convergence loop: the result is "survives R peeling rounds",
+    * which equals the true k-core exactly when a round reaches a fixed
+    * point (callers wanting certainty compare rounds R and R+1). That
+    * keeps the oracle expressible as R unrolled SQL stages and the plan
+    * lineage bounded — unbounded convergence belongs to the CC operator's
+    * checkpoint discipline.
+    *
+    * Scale: a round is two (node) equi-joins + one map-side-combinable
+    * count — nothing wider than (src, dst) shuffles; `localCheckpoint`
+    * every 4 rounds truncates lineage (swap for reliable `checkpoint` on
+    * a cluster). */
+  def kcore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k, rounds >= 1; got $k, $rounds")
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // consumed once per round + the final degree pass
+    def degreesWithin(alive: DataFrame): DataFrame = sym
+      .join(alive.select(col("id").as("src")), "src")
+      .join(alive.select(col("id").as("dst")), "dst")
+      .groupBy(col("src").as("id")).agg(count(lit(1)).as("deg"))
+    val init = sym.select(col("src").as("id")).distinct()
+    val survivors = (1 to rounds).foldLeft(init) { (alive, r) =>
+      val next = degreesWithin(alive).filter(col("deg") >= k).select("id")
+      if (r % 4 == 0 && r != rounds) next.localCheckpoint() else next
+    }
+    degreesWithin(survivors)
+  }
 }

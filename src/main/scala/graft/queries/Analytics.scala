@@ -1838,6 +1838,137 @@ object Analytics {
       |SELECT day, cents, level, trend, level + trend AS forecast
       |FROM h ORDER BY day""".stripMargin
 
+  // --------------------------------------------- q230 CUSUM changepoint
+
+  /** Monitoring — two-sided CUSUM changepoint detection (Page 1954) over
+    * daily order revenue: s⁺ₜ = max(0, s⁺ₜ₋₁ + xₜ − μ − k) and
+    * s⁻ₜ = max(0, s⁻ₜ₋₁ + μ − xₜ − k) with slack k = μ div 10 and alarm
+    * threshold h = μ, each statistic resetting to 0 the day AFTER it
+    * alarms — the sequential shift detector that flags sustained drift
+    * q169's pointwise outlier test cannot see. μ/k/h are one broadcast
+    * row of floor-div integers; the recurrence folds over the
+    * calendar-bounded daily frame (q211's machinery — the daily rollup
+    * stays distributed) and the oracle replays it as a recursive CTE.
+    * Pure BIGINT throughout: both engines truncate `div`/`//`
+    * identically and max(0,·) keeps the statistics non-negative. */
+  def q230Cusum(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val target = broadcast(daily
+      .agg(expr("sum(cents) div count(*)").as("mu"))
+      .select(col("mu"), expr("mu div 10").as("k")))
+    daily
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("rows"))
+      .crossJoin(target)
+      .select(col("mu"), col("k"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, cents: BIGINT,
+          |      sp: BIGINT, sn: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(CAST(0 AS BIGINT),
+          |            IF(acc.sp > mu, CAST(0 AS BIGINT), acc.sp)
+          |              + x.cents - mu - k),
+          |    'sn', greatest(CAST(0 AS BIGINT),
+          |            IF(acc.sn > mu, CAST(0 AS BIGINT), acc.sn)
+          |              + mu - x.cents - k),
+          |    'out', array_append(acc.out, named_struct(
+          |      'day', x.day, 'cents', x.cents,
+          |      'sp', greatest(CAST(0 AS BIGINT),
+          |              IF(acc.sp > mu, CAST(0 AS BIGINT), acc.sp)
+          |                + x.cents - mu - k),
+          |      'sn', greatest(CAST(0 AS BIGINT),
+          |              IF(acc.sn > mu, CAST(0 AS BIGINT), acc.sn)
+          |                + mu - x.cents - k)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.sp").as("sp"), col("r.sn").as("sn"),
+        when(col("r.sp") > col("mu") && col("r.sn") > col("mu"), "both")
+          .when(col("r.sp") > col("mu"), "up")
+          .when(col("r.sn") > col("mu"), "down")
+          .otherwise("none").as("alarm"))
+      .orderBy("day")
+  }
+
+  val q230Sql: String =
+    """WITH RECURSIVE daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu,
+      |        CAST((sum(cents) // count(*)) // 10 AS BIGINT) AS k
+      |      FROM daily),
+      |rr AS (SELECT day, cents,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+      |c AS (SELECT rn, day, cents,
+      |        greatest(CAST(0 AS BIGINT), cents - mu - k) AS sp,
+      |        greatest(CAST(0 AS BIGINT), mu - cents - k) AS sn
+      |      FROM rr CROSS JOIN t WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.rn, rr.day, rr.cents,
+      |        greatest(CAST(0 AS BIGINT),
+      |          (CASE WHEN c.sp > t.mu THEN 0 ELSE c.sp END)
+      |            + rr.cents - t.mu - t.k),
+      |        greatest(CAST(0 AS BIGINT),
+      |          (CASE WHEN c.sn > t.mu THEN 0 ELSE c.sn END)
+      |            + t.mu - rr.cents - t.k)
+      |      FROM rr JOIN c ON rr.rn = c.rn + 1 CROSS JOIN t)
+      |SELECT day, cents, sp, sn,
+      |  CASE WHEN sp > mu AND sn > mu THEN 'both'
+      |       WHEN sp > mu THEN 'up'
+      |       WHEN sn > mu THEN 'down' ELSE 'none' END AS alarm
+      |FROM c CROSS JOIN t ORDER BY day""".stripMargin
+
+  // ---------------------------------------- q231 chi-square independence
+
+  /** Statistics — Pearson χ² test of independence between event type and
+    * day-of-week, reported per contingency cell in exact integers: with
+    * O the cell count, R/C the margins and N the total, each cell's
+    * contribution is (O·N − R·C)² / (R·C·N), quantized to ppm via the
+    * shared floor-div identity with the squares on DECIMAL(38,0)/HUGEINT
+    * (diff² · 1e6 passes int64 well before sf1 — the q202/q212 rule).
+    * Σ contrib_ppm is the χ² statistic ×1e6 with dof (types−1)(7−1).
+    * Shape: one cell aggregation, two metadata-scale margin rollups that
+    * broadcast back, one global-count row — no second pass over events. */
+  def q231ChiSquare(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events").select(col("event_type"),
+      expr("(unix_micros(ts) div 86400000000) % 7").as("dow"))
+    val cells = ev.groupBy("event_type", "dow").agg(count(lit(1)).as("o"))
+    val rowm = cells.groupBy("event_type").agg(sum("o").as("rt"))
+    val colm = cells.groupBy("dow").agg(sum("o").as("ct"))
+    val tot = broadcast(cells.agg(sum("o").as("nt")))
+    cells.join(broadcast(rowm), "event_type")
+      .join(broadcast(colm), "dow")
+      .crossJoin(tot)
+      .withColumn("diff", col("o") * col("nt") - col("rt") * col("ct"))
+      .withColumn("contrib_ppm", expr(Ops.floorDivScaledSql(
+        "CAST(diff AS DECIMAL(38,0)) * CAST(diff AS DECIMAL(38,0))",
+        "CAST(rt AS DECIMAL(38,0)) * CAST(ct AS DECIMAL(38,0)) * CAST(nt AS DECIMAL(38,0))",
+        1000000L)))
+      .select("event_type", "dow", "o", "rt", "ct", "nt", "contrib_ppm")
+      .orderBy("event_type", "dow")
+  }
+
+  val q231Sql: String = {
+    val fd = Ops.floorDivScaledSql(
+      "CAST(o * nt - rt * ct AS HUGEINT) * CAST(o * nt - rt * ct AS HUGEINT)",
+      "CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(nt AS HUGEINT)",
+      1000000L, op = "//")
+    s"""WITH e AS (SELECT event_type,
+      |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow
+      |  FROM events),
+      |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      |          FROM e GROUP BY 1, 2),
+      |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nm AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells)
+      |SELECT event_type, dow, o, rt, ct, nt, CAST($fd AS BIGINT) AS contrib_ppm
+      |FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN nm
+      |ORDER BY event_type, dow""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -1876,7 +2007,9 @@ object Analytics {
     "q216_cuped" -> (q216Cuped _),
     "q219_ses" -> (q219Ses _),
     "q220_sprt" -> (q220Sprt _),
-    "q222_holt" -> (q222Holt _))
+    "q222_holt" -> (q222Holt _),
+    "q230_cusum" -> (q230Cusum _),
+    "q231_chi_square" -> (q231ChiSquare _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -1914,5 +2047,7 @@ object Analytics {
     "q216_cuped" -> q216Sql,
     "q219_ses" -> q219Sql,
     "q220_sprt" -> q220Sql,
-    "q222_holt" -> q222Sql)
+    "q222_holt" -> q222Sql,
+    "q230_cusum" -> q230Sql,
+    "q231_chi_square" -> q231Sql)
 }

@@ -202,6 +202,54 @@ object Curation {
       |SELECT u, v, n_shared, aa_milli, rk FROM r WHERE rk <= 3
       |ORDER BY u, rk""".stripMargin
 
+  /** Graph/curation — bounded-round k-core peeling ([[Graph.kcore]]) over
+    * the q221 co-purchase graph (parts sharing an order at support ≥ 2):
+    * 6 rounds of "drop items with < 3 surviving co-purchase partners",
+    * emitting the survivors with their within-core degree. The density
+    * core of the product graph — items embedded in genuinely clustered
+    * demand rather than attached by a single hub — and the standard
+    * pre-filter before community detection (q221) or link prediction
+    * (q223) at scale. Round count is declared semantics (q221's
+    * bounded-radius posture); the oracle unrolls the same 6 peel stages. */
+  def q232KCore(s: SparkSession, dir: String): DataFrame = {
+    val oi = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
+      .distinct()
+    val edges = oi.as("a")
+      .join(oi.withColumnRenamed("item", "item_b").as("b"), "ok")
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("id_a"), col("item_b").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("id_a", "id_b")
+    Graph.kcore(edges, k = 3, rounds = 6)
+      .select(col("id").as("item"), col("deg"))
+      .orderBy("item")
+  }
+
+  val q232Sql: String = {
+    def peel(prev: Int, cur: Int): String =
+      s"""d$cur AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS deg
+         |       FROM e JOIN a$prev x ON x.id = e.src
+         |              JOIN a$prev y ON y.id = e.dst GROUP BY 1),
+         |a$cur AS (SELECT id FROM d$cur WHERE deg >= 3)""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |pr AS (SELECT a.item AS id_a, b.item AS id_b
+      |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |a0 AS (SELECT DISTINCT src AS id FROM e),
+      |${peel(0, 1)},
+      |${peel(1, 2)},
+      |${peel(2, 3)},
+      |${peel(3, 4)},
+      |${peel(4, 5)},
+      |${peel(5, 6)}
+      |SELECT e.src AS item, CAST(count(*) AS BIGINT) AS deg
+      |FROM e JOIN a6 x ON x.id = e.src JOIN a6 y ON y.id = e.dst
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   def q62Pagerank(s: SparkSession, dir: String): DataFrame = {
     val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
       .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
@@ -1250,6 +1298,7 @@ object Curation {
     "q62_pagerank" -> (q62Pagerank _),
     "q221_label_prop" -> (q221LabelProp _),
     "q223_adamic_adar" -> (q223AdamicAdar _),
+    "q232_kcore" -> (q232KCore _),
     "q63_streaming_dedup" -> (q63StreamingDedup _),
     "q64_profile" -> (q64Profile _),
     "q65_repetition" -> (q65Repetition _),
@@ -1280,6 +1329,7 @@ object Curation {
     "q62_pagerank" -> q62Sql,
     "q221_label_prop" -> q221Sql,
     "q223_adamic_adar" -> q223Sql,
+    "q232_kcore" -> q232Sql,
     "q63_streaming_dedup" -> q63Sql,
     "q64_profile" -> q64Sql,
     "q65_repetition" -> q65Sql,

@@ -545,6 +545,47 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q230 CUSUM: statistics equal the hand-folded reset recurrence; alarms at h=mu") {
+    val rows = graft.queries.Analytics.q230Cusum(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("cents"), r.getAs[Long]("sp"),
+        r.getAs[Long]("sn"), r.getAs[String]("alarm")))
+    assert(rows.nonEmpty)
+    val xs = rows.map(_._1)
+    val mu = xs.sum / xs.length
+    val k = mu / 10
+    var sp = 0L; var sn = 0L
+    rows.foreach { case (x, gsp, gsn, alarm) =>
+      sp = math.max(0L, (if (sp > mu) 0L else sp) + x - mu - k)
+      sn = math.max(0L, (if (sn > mu) 0L else sn) + mu - x - k)
+      assert((gsp, gsn) == ((sp, sn)))
+      val want = if (sp > mu && sn > mu) "both"
+        else if (sp > mu) "up" else if (sn > mu) "down" else "none"
+      assert(alarm == want)
+    }
+    assert(rows.exists(_._4 != "none"), "constants chosen so alarms fire")
+  }
+
+  test("q231 chi-square: contributions equal the BigInt hand-recompute; margins consistent") {
+    val rows = graft.queries.Analytics.q231ChiSquare(spark, sf001).collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("dow"),
+        r.getAs[Long]("o"), r.getAs[Long]("rt"), r.getAs[Long]("ct"),
+        r.getAs[Long]("nt"), r.getAs[Long]("contrib_ppm")))
+    assert(rows.nonEmpty)
+    val n = rows.map(_._3).sum
+    assert(rows.forall(_._6 == n), "nt is the global count")
+    rows.groupBy(_._1).foreach { case (_, g) =>
+      assert(g.forall(_._4 == g.map(_._3).sum), "row margin = sum of its cells")
+    }
+    rows.groupBy(_._2).foreach { case (_, g) =>
+      assert(g.forall(_._5 == g.map(_._3).sum), "col margin = sum of its cells")
+    }
+    rows.foreach { case (_, _, o, rt, ct, nt, got) =>
+      val diff = BigInt(o) * nt - BigInt(rt) * ct
+      val want = (diff * diff * 1000000) / (BigInt(rt) * ct * nt)
+      assert(BigInt(got) == want)
+    }
+  }
+
   test("q219 SES: smoothed series equals the hand-folded alpha=0.3 integer recurrence") {
     val rows = graft.queries.Analytics.q219Ses(spark, sf001)
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),

@@ -365,6 +365,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
       14L -> 10L, 15L -> 10L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("kcore: peeling removes tails round by round; cliques survive; degrees are within-core") {
+    import spark.implicits._
+    // 4-clique {1,2,3,4} with a pendant path 4-5-6, plus a triangle {7,8,9}
+    val clique = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val edges = (clique ++ Seq((4L, 5L), (5L, 6L),
+      (7L, 8L), (8L, 9L), (7L, 9L))).toDF("id_a", "id_b")
+    def core(k: Int, rounds: Int): Map[Long, Long] =
+      graft.operators.Graph.kcore(edges, k, rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // k=3: the pendant path and the triangle (deg 2 < 3) peel in round 1;
+    // the 4-clique survives and node 4's within-core degree is 3 — its
+    // pendant edge to the peeled 5 must NOT count in the reported degree
+    assert(core(3, 1) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    assert(core(3, 2) == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L))
+    // k=2: everything but the pendant path survives; round 1 drops only 6
+    assert(core(2, 1).keySet == Set(1L, 2L, 3L, 4L, 5L, 7L, 8L, 9L))
+    assert(core(2, 2).keySet == Set(1L, 2L, 3L, 4L, 7L, 8L, 9L))
+    assert(core(2, 2)(4L) == 3L, "4's degree excludes the peeled pendant")
+  }
+
   test("q223 Adamic-Adar: matches an in-memory recomputation at sf0.001") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

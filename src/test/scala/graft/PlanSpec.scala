@@ -471,7 +471,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q211/q219/q220/q222: the sequential recurrences fold — no window, no cartesian") {
     // the SCALE.md claim: calendar-bounded recurrences run as one
     // aggregate() over sorted rows, never as a global window
-    Seq("q211_kaplan_meier", "q219_ses", "q220_sprt", "q222_holt").foreach { q =>
+    Seq("q211_kaplan_meier", "q219_ses", "q220_sprt", "q222_holt",
+      "q230_cusum").foreach { q =>
       val p = plan(q)
       assert(!p.contains("Window ["), s"$q must not window: recurrence is a fold")
       assert(!p.contains("CartesianProduct"), s"$q scalar attaches must broadcast")
@@ -518,6 +519,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // Q21 shape: one aggregation over the order key — no lineitem self-join
     val p229 = plan("q229_blocking_supplier")
     assert(!p229.contains("Window ["), "q229 is an aggregation, not a window")
+  }
+
+  test("q231/q232: margins broadcast back to cells; peeling rounds stay equi-joins") {
+    Seq("q231_chi_square", "q232_kcore").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    assert(!plan("q232_kcore").contains("Window ["),
+      "k-core degrees are aggregations, not windows")
   }
 
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
