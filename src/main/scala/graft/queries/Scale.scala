@@ -846,6 +846,132 @@ object Scale {
       |FROM em JOIN tw USING (win_day) CROSS JOIN tb
       |ORDER BY win_day, bin""".stripMargin
 
+  /** Staged LATE-arrival order stream for q233 (q190 three-band protocol):
+    * a straggler subset of the early days (o_orderkey ≡ 0 mod 7,
+    * day ≤ 11500) arrives two batches after its windows closed. */
+  private def stageCusumBands(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q233:$dir", {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"))
+      val straggler = col("day") <= 11500 && pmod(col("o_orderkey"), lit(7)) === 0
+      def strip(df: DataFrame): DataFrame = df.select(
+        expr("CAST(o_orderdate AS TIMESTAMP)").as("ts"),
+        col("o_totalprice").as("price"))
+      graft.sources.Staging.stageParts(Seq(
+        "first" -> strip(o.filter(col("day") <= 11515 && !straggler)),
+        "second" -> strip(o.filter(col("day") >= 11516 && col("day") <= 11525)),
+        "third" -> strip(o.filter(straggler || col("day") >= 11526))))
+    })
+
+  /** S26 depth (TWENTIETH streaming path) — streaming CUSUM shift monitor:
+    * q230's two-sided reset recurrence computed over the LIVE 5-day
+    * revenue windows of the staged order stream, under the q190 late-data
+    * protocol — APPEND mode with a 2-day watermark, stragglers delivered
+    * two batches late are DROPPED (their absence from the window sums is
+    * hash-gated), and windows newer than the final watermark never emit.
+    * The stream does the distributed work (admission + windowed cent
+    * sums, state = open windows only); the inherently-sequential CUSUM
+    * fold assembles batch-side over the EMITTED windows — ≤ |days|/5
+    * rows, metadata scale — with μ/k re-derived from the same admitted
+    * windows the fold walks. The "did revenue shift while we watched"
+    * alarm, as a live query. */
+  def q233StreamCusum(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageCusumBands(s, dir)
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("ts", "timestamp").add("price", "double")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days")
+      .withColumn("cents", expr("CAST(CAST(price AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .groupBy(window(col("ts"), "5 days").as("w"))
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n_orders"))
+    val qn = s"q233_cusum_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-scusum-ckpt"))
+        .start().awaitTermination()
+    }
+    val sink = s.table(qn).select(
+      expr("unix_micros(w.start) div 86400000000").as("win_day"),
+      col("cents"), col("n_orders"))
+    val target = broadcast(sink
+      .agg(expr("sum(cents) div count(*)").as("mu"))
+      .select(col("mu"), expr("mu div 10").as("k")))
+    sink
+      .agg(sort_array(collect_list(struct(col("win_day"), col("cents"),
+        col("n_orders")))).as("rows"))
+      .crossJoin(target)
+      .select(col("mu"), col("k"), explode(expr(
+        """aggregate(rows,
+          |  named_struct('sp', CAST(0 AS BIGINT), 'sn', CAST(0 AS BIGINT),
+          |    'out', CAST(array() AS ARRAY<STRUCT<win_day: BIGINT,
+          |      cents: BIGINT, n_orders: BIGINT, sp: BIGINT, sn: BIGINT>>)),
+          |  (acc, x) -> named_struct(
+          |    'sp', greatest(CAST(0 AS BIGINT),
+          |            IF(acc.sp > mu, CAST(0 AS BIGINT), acc.sp)
+          |              + x.cents - mu - k),
+          |    'sn', greatest(CAST(0 AS BIGINT),
+          |            IF(acc.sn > mu, CAST(0 AS BIGINT), acc.sn)
+          |              + mu - x.cents - k),
+          |    'out', array_append(acc.out, named_struct(
+          |      'win_day', x.win_day, 'cents', x.cents, 'n_orders', x.n_orders,
+          |      'sp', greatest(CAST(0 AS BIGINT),
+          |              IF(acc.sp > mu, CAST(0 AS BIGINT), acc.sp)
+          |                + x.cents - mu - k),
+          |      'sn', greatest(CAST(0 AS BIGINT),
+          |              IF(acc.sn > mu, CAST(0 AS BIGINT), acc.sn)
+          |                + mu - x.cents - k)))),
+          |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.win_day").as("win_day"), col("r.cents").as("cents"),
+        col("r.n_orders").as("n_orders"),
+        col("r.sp").as("sp"), col("r.sn").as("sn"),
+        when(col("r.sp") > col("mu") && col("r.sn") > col("mu"), "both")
+          .when(col("r.sp") > col("mu"), "up")
+          .when(col("r.sn") > col("mu"), "down")
+          .otherwise("none").as("alarm"))
+      .orderBy("win_day")
+  }
+
+  val q233Sql: String =
+    """WITH RECURSIVE o AS (SELECT o_orderkey,
+      |    CAST(epoch_us(o_orderdate) AS BIGINT) AS us,
+      |    CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |kept AS (SELECT * FROM o WHERE NOT (day <= 11500 AND o_orderkey % 7 = 0)),
+      |wm AS (SELECT CAST(max(us) AS BIGINT) - 172800000000 AS wmf FROM o),
+      |w AS (SELECT (day // 5) * 5 AS win_day, CAST(sum(cents) AS BIGINT) AS cents,
+      |        CAST(count(*) AS BIGINT) AS n_orders
+      |      FROM kept GROUP BY 1),
+      |em AS (SELECT w.* FROM w CROSS JOIN wm
+      |       WHERE (win_day + 5) * 86400000000 <= wmf),
+      |t AS (SELECT CAST(sum(cents) // count(*) AS BIGINT) AS mu,
+      |        CAST((sum(cents) // count(*)) // 10 AS BIGINT) AS k FROM em),
+      |rr AS (SELECT win_day, cents, n_orders,
+      |         CAST(row_number() OVER (ORDER BY win_day) AS BIGINT) AS rn FROM em),
+      |c AS (SELECT rn, win_day, cents, n_orders,
+      |        greatest(CAST(0 AS BIGINT), cents - mu - k) AS sp,
+      |        greatest(CAST(0 AS BIGINT), mu - cents - k) AS sn
+      |      FROM rr CROSS JOIN t WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.rn, rr.win_day, rr.cents, rr.n_orders,
+      |        greatest(CAST(0 AS BIGINT),
+      |          (CASE WHEN c.sp > t.mu THEN 0 ELSE c.sp END)
+      |            + rr.cents - t.mu - t.k),
+      |        greatest(CAST(0 AS BIGINT),
+      |          (CASE WHEN c.sn > t.mu THEN 0 ELSE c.sn END)
+      |            + t.mu - rr.cents - t.k)
+      |      FROM rr JOIN c ON rr.rn = c.rn + 1 CROSS JOIN t)
+      |SELECT win_day, cents, n_orders, sp, sn,
+      |  CASE WHEN sp > mu AND sn > mu THEN 'both'
+      |       WHEN sp > mu THEN 'up'
+      |       WHEN sn > mu THEN 'down' ELSE 'none' END AS alarm
+      |FROM c CROSS JOIN t ORDER BY win_day""".stripMargin
+
   val q207Sql: String =
     """WITH d AS (SELECT doc_id AS id, text FROM documents),
       |arr AS (SELECT id, text, len(text) AS dl FROM d
@@ -2483,6 +2609,7 @@ object Scale {
     "q214_item_cooccur" -> (q214ItemCooccur _),
     "q215_rake_keywords" -> (q215RakeKeywords _),
     "q217_stream_psi" -> (q217StreamPsi _),
+    "q233_stream_cusum" -> (q233StreamCusum _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
     "q207_stream_substr" -> (q207StreamSubstr _),
@@ -2543,6 +2670,7 @@ object Scale {
     "q214_item_cooccur" -> q214Sql,
     "q215_rake_keywords" -> q215Sql,
     "q217_stream_psi" -> q217Sql,
+    "q233_stream_cusum" -> q233Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
     "q207_stream_substr" -> q207Sql,

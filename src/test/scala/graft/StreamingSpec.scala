@@ -611,4 +611,48 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     val emittedEarly = out.collect { case ((w, _), (n, _, _, _, _)) if w <= 19725L => n }.sum
     assert(emittedEarly < rawEarly, "stragglers must be missing from n_w")
   }
+
+  test("q233 streaming CUSUM: emitted windows equal the batch protocol; fold matches; stragglers missing") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Scale.q233StreamCusum(spark, sf)
+      .collect().map(r => (r.getAs[Long]("win_day"), r.getAs[Long]("cents"),
+        r.getAs[Long]("n_orders"), r.getAs[Long]("sp"), r.getAs[Long]("sn"),
+        r.getAs[String]("alarm")))
+    assert(out.nonEmpty)
+    val o = graft.sources.Tables.load(spark, sf, "orders")
+      .select(col("o_orderkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP))").as("us"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val wmf = o.agg(max("us")).collect().head.getLong(0) - 172800000000L
+    val want = o
+      .filter(!(col("day") <= 11500L && pmod(col("o_orderkey"), lit(7)) === 0))
+      .withColumn("win_day", expr("(day div 5) * 5"))
+      .filter((col("win_day") + 5) * 86400000000L <= wmf)
+      .groupBy("win_day")
+      .agg(sum("cents").as("cents"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getAs[Long]("win_day"),
+        r.getAs[Long]("cents"), r.getAs[Long]("n")))
+      .sortBy(_._1)
+    assert(out.map(t => (t._1, t._2, t._3)).toSeq == want.toSeq,
+      "emitted windows must equal batch minus stragglers, cut at the final watermark")
+    // the straggler drop is real
+    val rawEarly = o.filter(col("day") <= 11500L).count()
+    val emittedEarly = out.collect { case (w, _, n, _, _, _) if w <= 11495L => n }.sum
+    assert(emittedEarly < rawEarly, "stragglers must be missing from the window counts")
+    // the CUSUM fold over the emitted windows matches the hand recurrence
+    val xs = out.map(_._2)
+    val mu = xs.sum / xs.length
+    val k = mu / 10
+    var sp = 0L; var sn = 0L
+    out.foreach { case (_, x, _, gsp, gsn, alarm) =>
+      sp = math.max(0L, (if (sp > mu) 0L else sp) + x - mu - k)
+      sn = math.max(0L, (if (sn > mu) 0L else sn) + mu - x - k)
+      assert((gsp, gsn) == ((sp, sn)))
+      val wantAlarm = if (sp > mu && sn > mu) "both"
+        else if (sp > mu) "up" else if (sn > mu) "down" else "none"
+      assert(alarm == wantAlarm)
+    }
+  }
 }
