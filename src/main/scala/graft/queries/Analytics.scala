@@ -1969,6 +1969,143 @@ object Analytics {
       |ORDER BY event_type, dow""".stripMargin
   }
 
+  // ------------------------------------------- q234 Fano overdispersion
+
+  /** Statistics — Fano factor (index of dispersion) of per-user event
+    * counts, per event type: with m users, S = Σnᵢ, SS = Σnᵢ², the
+    * variance/mean ratio is (m·SS − S²)/(m·S), quantized to ppm via the
+    * shared floor-div with the products on DECIMAL(38,0)/HUGEINT (m·SS
+    * passes int64 before sf1 — the q202/q212 rule). fano_ppm ≫ 1e6 means
+    * burstier than Poisson (a few users generate most events of that
+    * type); ≪ 1e6 means evenly spread. The overdispersion companion to
+    * q231: that asks "is type independent of time", this asks "is type
+    * concentrated in users". One (type, user) count + one per-type
+    * moment rollup — both map-side combinable. */
+  def q234FanoFactor(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "events").groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("n"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("m"), sum("n").as("s"),
+        sum(expr("n * n")).as("ss"))
+      .withColumn("fano_ppm", expr(Ops.floorDivScaledSql(
+        "CAST(m AS DECIMAL(38,0)) * CAST(ss AS DECIMAL(38,0)) - CAST(s AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))",
+        "CAST(m AS DECIMAL(38,0)) * CAST(s AS DECIMAL(38,0))", 1000000L)))
+      .select("event_type", "m", "s", "ss", "fano_ppm")
+      .orderBy("event_type")
+  }
+
+  val q234Sql: String = {
+    val fd = Ops.floorDivScaledSql(
+      "CAST(m AS HUGEINT) * CAST(ss AS HUGEINT) - CAST(s AS HUGEINT) * CAST(s AS HUGEINT)",
+      "CAST(m AS HUGEINT) * CAST(s AS HUGEINT)", 1000000L, op = "//")
+    s"""WITH u AS (SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS n
+      |  FROM events GROUP BY 1, 2),
+      |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS m,
+      |        CAST(sum(n) AS BIGINT) AS s, CAST(sum(n * n) AS BIGINT) AS ss
+      |      FROM u GROUP BY 1)
+      |SELECT event_type, m, s, ss, CAST($fd AS BIGINT) AS fano_ppm
+      |FROM g ORDER BY event_type""".stripMargin
+  }
+
+  // ------------------------------------------------ q235 trimmed mean
+
+  /** Robust stats — 10%-trimmed mean of customer balances per nation:
+    * rank within each nation by (balance, custkey) — a per-GROUP window,
+    * never global — drop the bottom and top ⌊n/10⌋ rows, and report the
+    * mean of the kept cents in exact milli-cents via the shared
+    * floor-div, next to the untrimmed mean. The estimator between q64's
+    * outlier-fragile mean and q169's median — tails discarded
+    * symmetrically, everything else weighted equally. One (nation)
+    * shuffle; the trim is a rank filter, the means map-side combinable
+    * sums. */
+  def q235TrimmedMean(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = t(s, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"), col("c_custkey"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal"))
+    val w = Window.partitionBy("nation").orderBy(col("bal"), col("c_custkey"))
+    c.withColumn("rk", row_number().over(w).cast("long"))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+      .withColumn("keep",
+        col("rk") > expr("n div 10") && col("rk") <= col("n") - expr("n div 10"))
+      .groupBy("nation")
+      .agg(max("n").as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("bal")).otherwise(0L)).as("sum_kept"),
+        sum("bal").as("sum_all"))
+      .withColumn("trimmed_mean_milli",
+        expr(Ops.floorDivScaledSql("sum_kept", "n_kept", 1000L)))
+      .withColumn("mean_milli",
+        expr(Ops.floorDivScaledSql("sum_all", "n", 1000L)))
+      .select("nation", "n", "n_kept", "sum_kept", "trimmed_mean_milli",
+        "mean_milli")
+      .orderBy("nation")
+  }
+
+  val q235Sql: String = {
+    val fdT = Ops.floorDivScaledSql("sum_kept", "n_kept", 1000L, op = "//")
+    val fdA = Ops.floorDivScaledSql("sum_all", "n", 1000L, op = "//")
+    s"""WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_custkey,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      |  FROM customer),
+      |r AS (SELECT nation, bal,
+      |        CAST(row_number() OVER (PARTITION BY nation
+      |          ORDER BY bal, c_custkey) AS BIGINT) AS rk,
+      |        CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n
+      |      FROM c),
+      |g AS (SELECT nation, CAST(max(n) AS BIGINT) AS n,
+      |        CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+      |                      THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |        CAST(sum(CASE WHEN rk > n // 10 AND rk <= n - n // 10
+      |                      THEN bal ELSE 0 END) AS BIGINT) AS sum_kept,
+      |        CAST(sum(bal) AS BIGINT) AS sum_all
+      |      FROM r GROUP BY 1)
+      |SELECT nation, n, n_kept, sum_kept,
+      |  CAST($fdT AS BIGINT) AS trimmed_mean_milli,
+      |  CAST($fdA AS BIGINT) AS mean_milli
+      |FROM g ORDER BY nation""".stripMargin
+  }
+
+  // ------------------------------------------------ q236 Benford audit
+
+  /** Data quality — Benford first-digit audit of order totals: the
+    * distribution of the leading digit of o_totalprice (in cents — the
+    * leading digit is scale-invariant) against Benford's law
+    * P(d) = log₁₀(1 + 1/d), with the expectation quantized as
+    * ⌊log₁₀(1+1/d)·1e6 + 0.5⌋ (ONE log of one exact ratio — the q71
+    * rule) and the observed share as the floor-div ppm. |diff_ppm| far
+    * from 0 on a naturally-spread money column flags fabricated or
+    * truncated data — the classic forensic screen, as a query. One
+    * digit aggregation; the 9-row expectation is expression-only. */
+  def q236Benford(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "orders")
+      .select(expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0L)
+      .select(expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS BIGINT)").as("digit"))
+    val tot = broadcast(d.agg(count(lit(1)).as("total")))
+    d.groupBy("digit").agg(count(lit(1)).as("cnt"))
+      .crossJoin(tot)
+      .withColumn("obs_ppm", expr("(cnt * 1000000) div total"))
+      .withColumn("exp_ppm", expr(
+        "CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("diff_ppm", col("obs_ppm") - col("exp_ppm"))
+      .select("digit", "cnt", "total", "obs_ppm", "exp_ppm", "diff_ppm")
+      .orderBy("digit")
+  }
+
+  val q236Sql: String =
+    """WITH d AS (SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT) AS digit
+      |  FROM (SELECT CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |        FROM orders) WHERE cents > 0),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM d),
+      |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS cnt FROM d GROUP BY 1)
+      |SELECT digit, cnt, total,
+      |  (cnt * 1000000) // total AS obs_ppm,
+      |  CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS exp_ppm,
+      |  (cnt * 1000000) // total
+      |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS diff_ppm
+      |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2009,7 +2146,10 @@ object Analytics {
     "q220_sprt" -> (q220Sprt _),
     "q222_holt" -> (q222Holt _),
     "q230_cusum" -> (q230Cusum _),
-    "q231_chi_square" -> (q231ChiSquare _))
+    "q231_chi_square" -> (q231ChiSquare _),
+    "q234_fano_factor" -> (q234FanoFactor _),
+    "q235_trimmed_mean" -> (q235TrimmedMean _),
+    "q236_benford" -> (q236Benford _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -2049,5 +2189,8 @@ object Analytics {
     "q220_sprt" -> q220Sql,
     "q222_holt" -> q222Sql,
     "q230_cusum" -> q230Sql,
-    "q231_chi_square" -> q231Sql)
+    "q231_chi_square" -> q231Sql,
+    "q234_fano_factor" -> q234Sql,
+    "q235_trimmed_mean" -> q235Sql,
+    "q236_benford" -> q236Sql)
 }

@@ -586,6 +586,66 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q234 Fano: moments and the ppm ratio equal the BigInt hand-recompute") {
+    val ev = graft.sources.Tables.load(spark, sf001, "events")
+      .select("event_type", "user_id").collect()
+      .map(r => (r.getAs[String]("event_type"), r.getAs[Long]("user_id")))
+    val want = ev.groupBy(_._1).map { case (et, rows) =>
+      val ns = rows.groupBy(_._2).map(_._2.length.toLong).toSeq
+      val (m, s) = (ns.length.toLong, ns.sum)
+      val ss = ns.map(n => n * n).sum
+      val fano = (BigInt(m) * ss - BigInt(s) * s) * 1000000 / (BigInt(m) * s)
+      et -> ((m, s, ss, fano.toLong))
+    }
+    val got = graft.queries.Analytics.q234FanoFactor(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") -> ((r.getAs[Long]("m"),
+        r.getAs[Long]("s"), r.getAs[Long]("ss"), r.getAs[Long]("fano_ppm")))).toMap
+    assert(got == want)
+  }
+
+  test("q235 trimmed mean: trim bounds and both means equal the hand sort") {
+    val c = graft.sources.Tables.load(spark, sf001, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_custkey",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val got = graft.queries.Analytics.q235TrimmedMean(spark, sf001).collect()
+      .map(r => r.getAs[Long]("nation") -> ((r.getAs[Long]("n"),
+        r.getAs[Long]("n_kept"), r.getAs[Long]("sum_kept"),
+        r.getAs[Long]("trimmed_mean_milli"), r.getAs[Long]("mean_milli")))).toMap
+    // balances can be negative, and floorDivScaledSql floors (not truncates):
+    // recompute with explicit floor division
+    val want = c.groupBy(_._1).map { case (nat, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._2)).map(_._3)
+      val n = sorted.length.toLong
+      val cut = (n / 10).toInt
+      val kept = sorted.slice(cut, sorted.length - cut)
+      def fdiv(a: BigInt, b: BigInt): Long = {
+        val q = a * 1000 /% b
+        (if (q._2 < 0) q._1 - 1 else q._1).toLong
+      }
+      nat -> ((n, kept.length.toLong, kept.sum,
+        fdiv(kept.sum, kept.length), fdiv(sorted.sum, n)))
+    }
+    assert(got == want)
+  }
+
+  test("q236 Benford: digit shares sum to ~1e6; expectation is the quantized log10 law") {
+    val rows = graft.queries.Analytics.q236Benford(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("digit"), r.getAs[Long]("cnt"),
+        r.getAs[Long]("total"), r.getAs[Long]("obs_ppm"),
+        r.getAs[Long]("exp_ppm"), r.getAs[Long]("diff_ppm")))
+    assert(rows.map(_._1).toSeq == (1L to 9L), "all nine digits present")
+    val total = rows.head._3
+    assert(rows.map(_._2).sum == total, "digit counts partition the orders")
+    rows.foreach { case (d, cnt, tot, obs, exp, diff) =>
+      assert(obs == cnt * 1000000 / tot)
+      assert(exp == math.floor(math.log10(1.0 + 1.0 / d) * 1e6 + 0.5).toLong)
+      assert(diff == obs - exp)
+    }
+    // Benford's expectations themselves sum to 1e6 (up to rounding)
+    assert(math.abs(rows.map(_._5).sum - 1000000L) <= 5)
+  }
+
   test("q219 SES: smoothed series equals the hand-folded alpha=0.3 integer recurrence") {
     val rows = graft.queries.Analytics.q219Ses(spark, sf001)
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),

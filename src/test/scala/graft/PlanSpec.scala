@@ -529,6 +529,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "k-core degrees are aggregations, not windows")
   }
 
+  test("q234-q236: scalar attaches broadcast; q235's rank windows partition per nation") {
+    Seq("q234_fano_factor", "q235_trimmed_mean", "q236_benford").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    val w235 = plan("q235_trimmed_mean").linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(w235.nonEmpty && w235.forall(_.contains("nation")),
+      s"q235 windows must partition by nation: $w235")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
