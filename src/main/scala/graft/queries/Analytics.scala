@@ -2106,6 +2106,71 @@ object Analytics {
       |    - CAST(floor(log10(1.0 + 1.0 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS diff_ppm
       |FROM g CROSS JOIN t ORDER BY digit""".stripMargin
 
+  // ------------------------------------------------ q238 Kendall tau
+
+  /** Statistics — exact Kendall rank correlation between daily revenue
+    * and daily order count: over all day pairs, concordant/discordant/
+    * tied counts and τ_a = (C − D)/(n(n−1)/2) in ppm — rank agreement
+    * with NO square roots, so the whole statistic stays in the shared
+    * integer arithmetic (the reason Kendall, not Spearman's ρ, is the
+    * declared rank correlation; tie counts are emitted so τ_b is
+    * reconstructable downstream). The pair stream is the CALENDAR
+    * squared — the daily frame is ≤ 366·years rows, so one side
+    * broadcasts and the n² stays metadata-scale at any SF (the same
+    * bound that legitimizes the q211-family folds); the heavy work, the
+    * daily rollup, is one distributed aggregation. */
+  def q238KendallTau(s: SparkSession, dir: String): DataFrame = {
+    val daily = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("x"), count(lit(1)).as("y"))
+    val pairs = daily.select(col("day").as("da"), col("x").as("xa"), col("y").as("ya"))
+      .join(broadcast(daily.select(col("day").as("db"), col("x").as("xb"),
+        col("y").as("yb"))), col("da") < col("db"))
+    // concordance via boolean sign logic, not the difference product —
+    // (xa−xb)·(ya−yb) would overflow int64 once daily sums pass ~3e9 cents
+    pairs
+      .agg(
+        sum(when((col("xa") > col("xb") && col("ya") > col("yb")) ||
+            (col("xa") < col("xb") && col("ya") < col("yb")), 1L)
+          .otherwise(0L)).as("c"),
+        sum(when((col("xa") > col("xb") && col("ya") < col("yb")) ||
+            (col("xa") < col("xb") && col("ya") > col("yb")), 1L)
+          .otherwise(0L)).as("d"),
+        sum(when(col("xa") === col("xb") && col("ya") =!= col("yb"), 1L)
+          .otherwise(0L)).as("tx"),
+        sum(when(col("ya") === col("yb") && col("xa") =!= col("xb"), 1L)
+          .otherwise(0L)).as("ty"),
+        sum(when(col("xa") === col("xb") && col("ya") === col("yb"), 1L)
+          .otherwise(0L)).as("txy"),
+        count(lit(1)).as("n_pairs"))
+      .withColumn("tau_a_ppm", expr(
+        Ops.floorDivScaledSql("c - d", "n_pairs", 1000000L)))
+      .select("c", "d", "tx", "ty", "txy", "n_pairs", "tau_a_ppm")
+  }
+
+  val q238Sql: String = {
+    val fd = Ops.floorDivScaledSql("c - d", "n_pairs", 1000000L, op = "//")
+    s"""WITH daily AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT a.x AS xa, a.y AS ya, b.x AS xb, b.y AS yb
+      |      FROM daily a JOIN daily b ON a.day < b.day),
+      |g AS (SELECT
+      |  CAST(sum(CASE WHEN (xa > xb AND ya > yb) OR (xa < xb AND ya < yb)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS c,
+      |  CAST(sum(CASE WHEN (xa > xb AND ya < yb) OR (xa < xb AND ya > yb)
+      |           THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |  CAST(sum(CASE WHEN xa = xb AND ya <> yb THEN 1 ELSE 0 END) AS BIGINT) AS tx,
+      |  CAST(sum(CASE WHEN ya = yb AND xa <> xb THEN 1 ELSE 0 END) AS BIGINT) AS ty,
+      |  CAST(sum(CASE WHEN xa = xb AND ya = yb THEN 1 ELSE 0 END) AS BIGINT) AS txy,
+      |  CAST(count(*) AS BIGINT) AS n_pairs
+      |FROM p)
+      |SELECT c, d, tx, ty, txy, n_pairs, CAST($fd AS BIGINT) AS tau_a_ppm
+      |FROM g""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2149,7 +2214,8 @@ object Analytics {
     "q231_chi_square" -> (q231ChiSquare _),
     "q234_fano_factor" -> (q234FanoFactor _),
     "q235_trimmed_mean" -> (q235TrimmedMean _),
-    "q236_benford" -> (q236Benford _))
+    "q236_benford" -> (q236Benford _),
+    "q238_kendall_tau" -> (q238KendallTau _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -2192,5 +2258,6 @@ object Analytics {
     "q231_chi_square" -> q231Sql,
     "q234_fano_factor" -> q234Sql,
     "q235_trimmed_mean" -> q235Sql,
-    "q236_benford" -> q236Sql)
+    "q236_benford" -> q236Sql,
+    "q238_kendall_tau" -> q238Sql)
 }

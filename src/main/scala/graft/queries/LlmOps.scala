@@ -594,6 +594,83 @@ object LlmOps {
       |SELECT qid AS vec_id, "rank", cid AS neighbor_id, cosine
       |FROM rk WHERE "rank" <= 5 ORDER BY vec_id, "rank"""".stripMargin
 
+  /** S23 depth — Matryoshka truncation-agreement evaluation (Kusupati et
+    * al., NeurIPS'22): for each prefix dimensionality d ∈ {8, 16, 32, 64},
+    * the q27 query set's top-1 neighbor by exact ×1e8 integer cosine over
+    * ONLY the first d embedding dimensions, compared against the full-64d
+    * top-1 — the "how few leading dims can serve retrieval" curve that
+    * decides whether a tiered MRL index is safe. One pair frame carries
+    * all four truncations (the queries broadcast once per tier); norms and
+    * dots use the fused native expression on the sliced arrays; agreement
+    * is emitted per (d, query) so the curve AND its misses are auditable. */
+  def q237MatryoshkaAgree(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.GraftFunctions.arrayDotScaled
+    val dims = Seq(8, 16, 32, 64)
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val tiers = dims.map { d =>
+      e.select(lit(d.toLong).as("trunc_dim"), col("id"),
+        expr(s"slice(vec, 1, $d)").as("v"))
+    }.reduce(_ unionByName _)
+    val corpus = tiers.select(col("trunc_dim"), col("id").as("cid"),
+      col("v").as("cv"),
+      sqrt(arrayDotScaled(col("v"), col("v"), Similarity.ExactScale)
+        .cast("double")).as("cn"))
+    val queries = corpus.filter(col("cid") < 30)
+      .select(col("trunc_dim"), col("cid").as("qid"), col("cv").as("qv"),
+        col("cn").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("trunc_dim", "qid")
+      .orderBy(col("cosine").desc, col("cid"))
+    val top1 = corpus.join(broadcast(queries), Seq("trunc_dim"))
+      .filter(col("qid") =!= col("cid"))
+      .withColumn("cosine", round(
+        arrayDotScaled(col("qv"), col("cv"), Similarity.ExactScale)
+          .cast("double") / (col("qn") * col("cn")), 12))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("trunc_dim"), col("qid"), col("cid").as("neighbor_id"))
+    val full = top1.filter(col("trunc_dim") === 64L)
+      .select(col("qid"), col("neighbor_id").as("full_neighbor_id"))
+    top1.join(full, "qid")
+      .select(col("trunc_dim"), col("qid").as("vec_id"), col("neighbor_id"),
+        col("full_neighbor_id"),
+        (col("neighbor_id") === col("full_neighbor_id")).as("agree"))
+      .orderBy("trunc_dim", "vec_id")
+  }
+
+  val q237Sql: String =
+    """WITH q AS (SELECT vec_id, i,
+      |    CAST(sign(CAST(embedding[i] AS DOUBLE))
+      |         * floor(abs(CAST(embedding[i] AS DOUBLE)) * 100000000 + 0.5) AS BIGINT) AS s
+      |  FROM embeddings, UNNEST(range(1, 65)) AS u(i)),
+      |dims AS (SELECT CAST(x AS BIGINT) AS trunc_dim
+      |         FROM UNNEST([8, 16, 32, 64]) AS t(x)),
+      |norms AS (SELECT trunc_dim, vec_id,
+      |            sqrt(CAST(CAST(SUM(s * s) AS BIGINT) AS DOUBLE)) AS nrm
+      |          FROM q CROSS JOIN dims WHERE i <= trunc_dim GROUP BY 1, 2),
+      |dots AS (SELECT d.trunc_dim, a.vec_id AS qid, b.vec_id AS cid,
+      |           CAST(SUM(a.s * b.s) AS BIGINT) AS dot
+      |         FROM q a JOIN q b ON a.i = b.i AND a.vec_id <> b.vec_id
+      |              AND a.vec_id < 30
+      |         CROSS JOIN dims d WHERE a.i <= d.trunc_dim
+      |         GROUP BY 1, 2, 3),
+      |cos AS (SELECT dots.trunc_dim, qid, cid,
+      |          round(CAST(dot AS DOUBLE) / (na.nrm * nb.nrm), 12) AS cosine
+      |        FROM dots
+      |        JOIN norms na ON na.vec_id = qid AND na.trunc_dim = dots.trunc_dim
+      |        JOIN norms nb ON nb.vec_id = cid AND nb.trunc_dim = dots.trunc_dim),
+      |rk AS (SELECT trunc_dim, qid, cid,
+      |         row_number() OVER (PARTITION BY trunc_dim, qid
+      |                            ORDER BY cosine DESC, cid) AS r
+      |       FROM cos),
+      |t1 AS (SELECT trunc_dim, qid, cid AS neighbor_id FROM rk WHERE r = 1),
+      |f AS (SELECT qid, neighbor_id AS full_neighbor_id FROM t1
+      |      WHERE trunc_dim = 64)
+      |SELECT t1.trunc_dim, t1.qid AS vec_id, t1.neighbor_id,
+      |  f.full_neighbor_id, t1.neighbor_id = f.full_neighbor_id AS agree
+      |FROM t1 JOIN f USING (qid)
+      |ORDER BY trunc_dim, vec_id""".stripMargin
+
   /** S23/north star — k-NN label propagation ([[Similarity.knnClassify]]):
     * vectors vec_id % 10 = 0 play the unlabeled queries, the rest the
     * labeled seed corpus; each query takes the majority label of its 5
@@ -1981,6 +2058,7 @@ object LlmOps {
     "q25_token_counts" -> (q25TokenCounts _),
     "q26_fingerprint" -> (q26Fingerprint _),
     "q27_cosine_topk" -> (q27CosineTopK _),
+    "q237_matryoshka_agree" -> (q237MatryoshkaAgree _),
     "q28_media_frames" -> (q28MediaFrames _),
     "q29_cosine_lsh" -> (q29CosineLsh _),
     "q30_media_features" -> (q30MediaFeatures _),
@@ -2032,6 +2110,7 @@ object LlmOps {
     "q25_token_counts" -> q25Sql,
     "q26_fingerprint" -> q26Sql,
     "q27_cosine_topk" -> q27Sql,
+    "q237_matryoshka_agree" -> q237Sql,
     "q28_media_frames" -> q28Sql,
     "q29_cosine_lsh" -> q29Sql,
     "q30_media_features" -> q30Sql,

@@ -646,6 +646,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(math.abs(rows.map(_._5).sum - 1000000L) <= 5)
   }
 
+  test("q238 Kendall tau: pair census equals the O(n^2) hand walk; tau from C-D") {
+    val daily = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("day").agg(sum("cents").as("x"), count(lit(1)).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    var c = 0L; var d = 0L; var tx = 0L; var ty = 0L; var txy = 0L; var np = 0L
+    for (i <- daily.indices; j <- (i + 1) until daily.length) {
+      val ((xa, ya), (xb, yb)) = (daily(i), daily(j))
+      np += 1
+      val p = BigInt(xa - xb) * BigInt(ya - yb)
+      if (xa == xb && ya == yb) txy += 1
+      else if (xa == xb) tx += 1
+      else if (ya == yb) ty += 1
+      else if (p > 0) c += 1 else d += 1
+    }
+    val row = graft.queries.Analytics.q238KendallTau(spark, sf001).collect().head
+    assert((row.getAs[Long]("c"), row.getAs[Long]("d"), row.getAs[Long]("tx"),
+      row.getAs[Long]("ty"), row.getAs[Long]("txy"),
+      row.getAs[Long]("n_pairs")) == ((c, d, tx, ty, txy, np)))
+    val fd = {
+      val q = (BigInt(c) - d) * 1000000 /% np
+      (if (q._2 < 0) q._1 - 1 else q._1).toLong
+    }
+    assert(row.getAs[Long]("tau_a_ppm") == fd)
+    assert(c + d + tx + ty + txy == np, "census partitions the pairs")
+  }
+
   test("q219 SES: smoothed series equals the hand-folded alpha=0.3 integer recurrence") {
     val rows = graft.queries.Analytics.q219Ses(spark, sf001)
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),

@@ -676,4 +676,47 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     val top = out.maxBy { case (p, (_, _, s)) => (s, p) }
     assert(top._1 == "deep neural networks")
   }
+
+  test("q237 Matryoshka: per-tier top-1 equals the in-memory recompute; 64d tier self-agrees") {
+    val sf = "/root/testdata/sf0.001"
+    val vecs = spark.read.parquet(s"$sf/embeddings.parquet")
+      .selectExpr("vec_id", "embedding").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map { f =>
+          val d = f.toDouble
+          (math.signum(d) * math.floor(math.abs(d) * 1e8 + 0.5)).toLong
+        }.toArray).toMap
+    def top1(d: Int): Map[Long, Long] =
+      vecs.keys.filter(_ < 30).map { q =>
+        val qv = vecs(q).take(d)
+        val qn = math.sqrt(qv.map(s => BigInt(s) * s).sum.toDouble)
+        val best = vecs.toSeq.filter(_._1 != q).map { case (cid, cvFull) =>
+          val cv = cvFull.take(d)
+          val dot = qv.zip(cv).map { case (a, b) => BigInt(a) * b }.sum
+          val cn = math.sqrt(cv.map(s => BigInt(s) * s).sum.toDouble)
+          val cos = BigDecimal(dot.toDouble / (qn * cn))
+            .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+          (cos, cid)
+        }.minBy { case (cos, cid) => (-cos, cid) }
+        q -> best._2
+      }.toMap
+    val got = graft.queries.LlmOps.q237MatryoshkaAgree(spark, sf).collect()
+      .map(r => (r.getAs[Long]("trunc_dim"), r.getAs[Long]("vec_id")) ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Long]("full_neighbor_id"),
+          r.getAs[Boolean]("agree")))).toMap
+    val nQ = vecs.keys.count(_ < 30)
+    assert(got.size == 4 * nQ, "every (tier, query) pair present")
+    val full = top1(64)
+    Seq(8, 16, 32, 64).foreach { d =>
+      val want = top1(d)
+      want.foreach { case (q, nb) =>
+        val (gotNb, gotFull, agree) = got((d.toLong, q))
+        assert(gotNb == nb, s"d=$d q=$q")
+        assert(gotFull == full(q))
+        assert(agree == (nb == full(q)))
+      }
+    }
+    // the full tier agrees with itself by construction
+    assert(got.collect { case ((64L, _), (_, _, a)) => a }.forall(identity))
+  }
 }

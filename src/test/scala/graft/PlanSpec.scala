@@ -539,6 +539,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q235 windows must partition by nation: $w235")
   }
 
+  test("q237/q238: tier join broadcasts; the calendar pair frame is BNLJ, never cartesian") {
+    val p237 = plan("q237_matryoshka_agree")
+    assert(!p237.contains("CartesianProduct"), "q237")
+    val w237 = p237.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(w237.nonEmpty && w237.forall(_.contains("qid")),
+      s"q237 top-1 must rank inside per-query partitions: $w237")
+    val p238 = plan("q238_kendall_tau")
+    assert(!p238.contains("CartesianProduct"), "q238")
+    assert(p238.contains("BroadcastNestedLoopJoin"),
+      "q238's calendar-bounded pair frame must broadcast one side")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
