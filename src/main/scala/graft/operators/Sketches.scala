@@ -17,10 +17,50 @@ object Sketches {
     * into ≤ depth·width groups per task, so the SHUFFLE is fixed-size
     * (depth·width·|partitions| rows at worst) no matter how many rows or
     * distinct keys flow in — that is the whole point of sketching here. */
-  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int): DataFrame = {
-    val buckets = array((0 until depth).map(d => bucket(d, col(keyCol), width)): _*)
+  def countMin(df: DataFrame, keyCol: String, depth: Int, width: Int,
+      portable: Boolean = false): DataFrame = {
+    val buckets = array((0 until depth).map { d =>
+      if (portable) portableBucket(d, col(keyCol), width)
+      else bucket(d, col(keyCol), width)
+    }: _*)
     df.select(posexplode(buckets).as(Seq("d", "b")))
       .groupBy("d", "b").agg(count(lit(1)).as("c"))
+  }
+
+  /** Cross-engine bucket for oracle-gated sketches: 48 md5 bits parsed as
+    * an integer mod width (the q83/q197 md5-arithmetic convention — DuckDB
+    * spells it `('0x' || substr(md5(...), 1, 12))::BIGINT`). xxhash64 is
+    * the at-scale default ([[bucket]]); md5 costs one digest per row but
+    * hash-gates bit-for-bit against the SQL oracle. */
+  def portableBucket(d: Int, key: Column, width: Int): Column =
+    pmod(conv(substring(md5(concat(lit(d.toString), lit(":"),
+      key.cast("string"))), 1, 12), 16, 10).cast("long"), lit(width.toLong))
+
+  /** K-minimum-values distinct sketch: the `k` smallest DISTINCT 48-bit
+    * md5 hash values of `keyCol` (the q197 md5-arithmetic hash, so the
+    * oracle reproduces every value), as one row
+    * (n_seen, kth_hash, est_distinct) with the KMV estimator
+    * est = (k−1)·2^48 div h_k (Bar-Yossef et al. 2002) and the exact
+    * cardinality short-circuit when fewer than k distinct values exist.
+    *
+    * Scale: the distinct-by-hash aggregation is map-side combinable and
+    * the k-smallest cut is a TakeOrdered (per-partition partial top-k,
+    * k rows per partition to the driver-side merge) — the full distinct
+    * set never sits in one task, and the estimate reads ONE row. The
+    * "how many distinct keys are in this 100 TB column" answer at
+    * sketch cost; (k−1)·2^48 ≈ 7.2e16 stays in BIGINT. */
+  def kmvDistinct(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"need k >= 2; got $k")
+    val hashes = df.select(
+      (conv(substring(md5(col(keyCol).cast("string")), 1, 12), 16, 10)
+        .cast("long") + 1L).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("_dup")).select("h")
+    val kSmallest = hashes.orderBy("h").limit(k)
+    kSmallest.agg(count(lit(1)).as("n_seen"), max("h").as("kth_hash"))
+      .select(col("n_seen"), col("kth_hash"),
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"((${k.toLong} - 1) * 281474976710656L) div kth_hash"))
+          .as("est_distinct"))
   }
 
   private def bucket(d: Int, key: Column, width: Int): Column =

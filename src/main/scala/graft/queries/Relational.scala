@@ -943,10 +943,133 @@ object Relational {
       |GROUP BY s_name
       |ORDER BY numwait DESC, s_name""".stripMargin
 
+  /** S8 at TPC-H Q15's shape — top supplier per quarter: quarterly
+    * supplier revenue (exact cent·percent units), the per-quarter maximum
+    * via a metadata-scale aggregate that joins BACK by equality — Q15's
+    * "view + max over the view" pattern with ties kept, no window over
+    * the fact stream. */
+  def q239TopSupplierQuarter(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)").as("yr"),
+      expr("CAST(quarter(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT)").as("qtr"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+      expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    val rev = o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("yr", "qtr", "l_suppkey")
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"))
+    val best = rev.groupBy("yr", "qtr").agg(max("revenue_cp").as("revenue_cp"))
+    val su = broadcast(t(s, dir, "supplier").select(col("s_suppkey"), col("s_name")))
+    rev.join(best, Seq("yr", "qtr", "revenue_cp"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .select(col("yr"), col("qtr"), col("s_name"), col("revenue_cp"))
+      .orderBy("yr", "qtr", "s_name")
+  }
+
+  val q239Sql: String =
+    """WITH rev AS (SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |    CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr, l_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |      AS revenue_cp
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2, 3),
+      |best AS (SELECT yr, qtr, CAST(max(revenue_cp) AS BIGINT) AS revenue_cp
+      |         FROM rev GROUP BY 1, 2)
+      |SELECT yr, qtr, s_name, revenue_cp
+      |FROM rev JOIN best USING (yr, qtr, revenue_cp)
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |ORDER BY yr, qtr, s_name""".stripMargin
+
+  /** S5+S8 at TPC-H Q2's shape — cheapest qualifying offer per part: among
+    * lineitems whose supplier sits in ASIA, each part's minimum
+    * extended price and (at that price) the minimum supplier key — Q2's
+    * correlated min re-expressed as ONE min(struct) aggregate (price
+    * first, supplier as the deterministic tie-break) joined to the
+    * broadcast part/supplier/nation/region dims. No join-back second
+    * pass: the struct minimum carries the argmin out of the aggregation. */
+  def q240CheapestOffer(s: SparkSession, dir: String): DataFrame = {
+    val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_regionkey")))
+    val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"), col("s_name"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(r, col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"))
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("price_cents"))
+    val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand")))
+    li.join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("l_partkey")
+      .agg(min(struct(col("price_cents"), col("s_suppkey"))).as("m"))
+      .select(col("l_partkey"), col("m.price_cents").as("price_cents"),
+        col("m.s_suppkey").as("supp"))
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .join(broadcast(su), col("supp") === col("s_suppkey"))
+      .select(col("l_partkey").as("partkey"), col("p_brand"), col("s_name"),
+        col("price_cents"))
+      .orderBy("partkey")
+  }
+
+  val q240Sql: String =
+    """WITH su AS (SELECT s_suppkey, s_name
+      |  FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |  JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'ASIA'),
+      |off AS (SELECT l_partkey,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_cents,
+      |    s_suppkey
+      |  FROM lineitem JOIN su ON s_suppkey = l_suppkey),
+      |mp AS (SELECT l_partkey, CAST(min(price_cents) AS BIGINT) AS price_cents
+      |       FROM off GROUP BY 1),
+      |pick AS (SELECT off.l_partkey, off.price_cents,
+      |           CAST(min(off.s_suppkey) AS BIGINT) AS supp
+      |         FROM off JOIN mp ON mp.l_partkey = off.l_partkey
+      |                        AND mp.price_cents = off.price_cents
+      |         GROUP BY 1, 2)
+      |SELECT pick.l_partkey AS partkey, p_brand, s_name, pick.price_cents
+      |FROM pick JOIN part ON p_partkey = pick.l_partkey
+      |JOIN su ON su.s_suppkey = pick.supp
+      |ORDER BY partkey""".stripMargin
+
+  /** S8 depth — GROUPING SETS with grouping_id: customer balance rolled
+    * up by nation, by market segment, and globally in ONE pass (the
+    * Expand operator fans each row into its grouping sets; partial
+    * aggregation still combines map-side per set). The explicit-sets
+    * sibling of q36's ROLLUP and q48's CUBE; gid disambiguates the
+    * NULL-keyed rows exactly as both engines compute it (nation bit,
+    * segment bit). */
+  def q241GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer").select(
+      col("c_nationkey").cast("long").as("nation"), col("c_mktsegment"),
+      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal"))
+    c.createOrReplaceTempView("g_q241_customer")
+    s.sql(
+      """SELECT grouping_id(nation, c_mktsegment) AS gid,
+        |  nation, c_mktsegment,
+        |  count(*) AS n, sum(bal) AS sum_cents
+        |FROM g_q241_customer
+        |GROUP BY GROUPING SETS ((nation), (c_mktsegment), ())
+        |ORDER BY gid, nation, c_mktsegment""".stripMargin)
+  }
+
+  val q241Sql: String =
+    """WITH c AS (SELECT CAST(c_nationkey AS BIGINT) AS nation, c_mktsegment,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      |  FROM customer)
+      |SELECT CAST(GROUPING(nation) * 2 + GROUPING(c_mktsegment) AS BIGINT) AS gid,
+      |  nation, c_mktsegment,
+      |  CAST(count(*) AS BIGINT) AS n, CAST(sum(bal) AS BIGINT) AS sum_cents
+      |FROM c
+      |GROUP BY GROUPING SETS ((nation), (c_mktsegment), ())
+      |ORDER BY gid, nation, c_mktsegment""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q224_regional_revenue" -> (q224RegionalRevenue _),
     "q225_market_share" -> (q225MarketShare _),
     "q226_custdist" -> (q226Custdist _),
+    "q239_top_supplier_quarter" -> (q239TopSupplierQuarter _),
+    "q240_cheapest_offer" -> (q240CheapestOffer _),
+    "q241_grouping_sets" -> (q241GroupingSets _),
     "q227_dormant_rich" -> (q227DormantRich _),
     "q228_large_orders" -> (q228LargeOrders _),
     "q229_blocking_supplier" -> (q229BlockingSupplier _),
@@ -982,6 +1105,9 @@ object Relational {
     "q224_regional_revenue" -> q224Sql,
     "q225_market_share" -> q225Sql,
     "q226_custdist" -> q226Sql,
+    "q239_top_supplier_quarter" -> q239Sql,
+    "q240_cheapest_offer" -> q240Sql,
+    "q241_grouping_sets" -> q241Sql,
     "q227_dormant_rich" -> q227Sql,
     "q228_large_orders" -> q228Sql,
     "q229_blocking_supplier" -> q229Sql,

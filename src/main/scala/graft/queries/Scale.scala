@@ -1437,6 +1437,92 @@ object Scale {
         n = 5, hexZeros = 1)
       .orderBy("grp_a", "grp_b")
 
+  /** Sketch — KMV distinct-count estimate ([[Sketches.kmvDistinct]],
+    * k = 256) of the parts referenced by lineitem, next to the exact
+    * distinct count and the signed error in ppm. The sketch answer
+    * ("how many distinct keys, from k retained hash values") and its
+    * ground truth in one auditable row; below k distinct values the
+    * estimator short-circuits to exact (the sf0.001 fixtures pin that
+    * branch; the larger SFs pin the estimating branch). */
+  def q242KmvDistinct(s: SparkSession, dir: String): DataFrame = {
+    val est = Sketches.kmvDistinct(
+      t(s, dir, "lineitem").select(col("l_partkey")), "l_partkey", k = 256)
+    val exact = t(s, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    est.crossJoin(broadcast(exact))
+      .withColumn("err_ppm", expr(graft.operators.Analytics.floorDivScaledSql(
+        "est_distinct - exact_distinct", "exact_distinct", 1000000L)))
+      .select("n_seen", "kth_hash", "est_distinct", "exact_distinct", "err_ppm")
+  }
+
+  val q242Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "est_distinct - exact_distinct", "exact_distinct", 1000000L, op = "//")
+    s"""WITH h AS (SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(CAST(l_partkey AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS h
+      |  FROM lineitem),
+      |ks AS (SELECT h FROM h ORDER BY h LIMIT 256),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+      |          CAST(max(h) AS BIGINT) AS kth_hash FROM ks),
+      |ex AS (SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_distinct
+      |       FROM lineitem),
+      |est AS (SELECT n_seen, kth_hash,
+      |          CASE WHEN n_seen < 256 THEN n_seen
+      |               ELSE (255 * 281474976710656) // kth_hash END AS est_distinct,
+      |          exact_distinct
+      |        FROM agg CROSS JOIN ex)
+      |SELECT n_seen, kth_hash, est_distinct, exact_distinct,
+      |  CAST($fd AS BIGINT) AS err_ppm
+      |FROM est""".stripMargin
+  }
+
+  /** Sketch — count-min point estimates ([[Sketches.countMin]], portable
+    * md5 buckets, depth 4 × width 64) for the sampled users
+    * (user_id ≡ 0 mod 7) against their exact event counts. The CM
+    * guarantee est ≥ exact is emitted per key (`over` = est − exact) and
+    * spec-pinned; the sketch's shuffle is FIXED-SIZE (≤ d·w groups per
+    * task) no matter how many events flow — the whole point, stated as a
+    * query. Estimates are the min over the 4 rows of each key's bucket
+    * counters, via one (d, b) equi-join of the 4-row-per-key probe frame
+    * against the 256-cell sketch. */
+  def q243CountMin(s: SparkSession, dir: String): DataFrame = {
+    val depth = 4
+    val width = 64
+    val ev = t(s, dir, "events").select(col("user_id"))
+    val sketch = Sketches.countMin(ev, "user_id", depth, width, portable = true)
+    val keys = t(s, dir, "events")
+      .filter(pmod(col("user_id"), lit(7)) === 0)
+      .groupBy("user_id").agg(count(lit(1)).as("exact"))
+    val probes = keys.select(col("user_id"), col("exact"), posexplode(
+      array((0 until depth).map(d =>
+        Sketches.portableBucket(d, col("user_id"), width)): _*)).as(Seq("d", "b")))
+    probes.join(sketch, Seq("d", "b"))
+      .groupBy("user_id", "exact").agg(min("c").as("est"))
+      .withColumn("over", col("est") - col("exact"))
+      .select("user_id", "exact", "est", "over")
+      .orderBy("user_id")
+  }
+
+  val q243Sql: String =
+    """WITH b AS (SELECT user_id, d,
+      |    CAST(('0x' || substring(md5(d || ':' || CAST(user_id AS VARCHAR)), 1, 12)) AS BIGINT)
+      |      % 64 AS b
+      |  FROM events CROSS JOIN (SELECT CAST(x AS VARCHAR) AS d
+      |                          FROM UNNEST([0, 1, 2, 3]) AS t(x))),
+      |sk AS (SELECT d, b, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY 1, 2),
+      |keys AS (SELECT user_id, CAST(count(*) AS BIGINT) AS exact
+      |         FROM events WHERE user_id % 7 = 0 GROUP BY 1),
+      |probe AS (SELECT k.user_id, k.exact, s.c
+      |          FROM keys k
+      |          CROSS JOIN (SELECT CAST(x AS VARCHAR) AS d
+      |                      FROM UNNEST([0, 1, 2, 3]) AS t(x)) dd
+      |          JOIN sk s ON s.d = dd.d
+      |            AND s.b = CAST(('0x' || substring(md5(dd.d || ':' || CAST(k.user_id AS VARCHAR)), 1, 12)) AS BIGINT) % 64)
+      |SELECT user_id, exact, CAST(min(c) AS BIGINT) AS est,
+      |  CAST(min(c) - exact AS BIGINT) AS over
+      |FROM probe GROUP BY 1, 2
+      |ORDER BY user_id""".stripMargin
+
   val q206Sql: String =
     """WITH tok AS (SELECT doc_id AS id, source,
       |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
@@ -2612,6 +2698,8 @@ object Scale {
     "q233_stream_cusum" -> (q233StreamCusum _),
     "q205_top_boilerplate" -> (q205TopBoilerplate _),
     "q206_fracminhash" -> (q206FracMinHash _),
+    "q242_kmv_distinct" -> (q242KmvDistinct _),
+    "q243_countmin" -> (q243CountMin _),
     "q207_stream_substr" -> (q207StreamSubstr _),
     "q208_substr_keepfirst" -> (q208SubstrKeepFirst _),
     "q210_stream_substr_late" -> (q210StreamSubstrLate _),
@@ -2673,6 +2761,8 @@ object Scale {
     "q233_stream_cusum" -> q233Sql,
     "q205_top_boilerplate" -> q205Sql,
     "q206_fracminhash" -> q206Sql,
+    "q242_kmv_distinct" -> q242Sql,
+    "q243_countmin" -> q243Sql,
     "q207_stream_substr" -> q207Sql,
     "q208_substr_keepfirst" -> q208Sql,
     "q210_stream_substr_late" -> q210Sql,

@@ -551,6 +551,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q238's calendar-bounded pair frame must broadcast one side")
   }
 
+  test("q239-q243: no cartesians; Q2's argmin is an aggregate; grouping sets expand; KMV cuts via TakeOrdered") {
+    Seq("q239_top_supplier_quarter", "q240_cheapest_offer",
+      "q241_grouping_sets", "q242_kmv_distinct", "q243_countmin").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    assert(!plan("q240_cheapest_offer").contains("Window ["),
+      "q240's per-part argmin must be min(struct), not a rank window")
+    assert(plan("q241_grouping_sets").contains("Expand"),
+      "grouping sets run through ONE Expand pass, not three scans")
+    assert(plan("q242_kmv_distinct").contains("TakeOrderedAndProject"),
+      "the k-smallest cut must be a distributed top-k, not a global sort")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),

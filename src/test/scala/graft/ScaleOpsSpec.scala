@@ -295,4 +295,65 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
       .toMap
     assert(got == want, s"got ${got.size} pairs, want ${want.size}")
   }
+
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("q242 KMV: hashes, kth value, and both estimator branches equal the hand recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val parts = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_partkey").collect().map(_.getLong(0))
+    val hashes = parts.distinct
+      .map(p => java.lang.Long.parseLong(md5Hex(p.toString).take(12), 16) + 1L)
+      .distinct.sorted
+    val row = graft.queries.Scale.q242KmvDistinct(spark, sf).collect().head
+    val k = 256
+    val nSeen = math.min(k, hashes.length).toLong
+    assert(row.getAs[Long]("n_seen") == nSeen)
+    assert(row.getAs[Long]("kth_hash") == hashes.take(k).max)
+    val est =
+      if (nSeen < k) nSeen
+      else (k - 1L) * 281474976710656L / hashes(k - 1)
+    assert(row.getAs[Long]("est_distinct") == est)
+    assert(row.getAs[Long]("exact_distinct") == parts.distinct.length.toLong)
+    // sf0.001 has < 256 distinct parts: this pins the short-circuit branch
+    assert(nSeen < k && est == parts.distinct.length.toLong)
+    // the estimating branch, pinned on a synthetic frame with > k values
+    import spark.implicits._
+    val big = (1L to 2000L).toDF("v")
+    val bigHashes = (1L to 2000L)
+      .map(p => java.lang.Long.parseLong(md5Hex(p.toString).take(12), 16) + 1L)
+      .distinct.sorted
+    val bigRow = Sketches.kmvDistinct(big, "v", k).collect().head
+    val bigEst = (k - 1L) * 281474976710656L / bigHashes(k - 1)
+    assert(bigRow.getAs[Long]("est_distinct") == bigEst)
+    // the estimate lands within 25% of the truth for this k
+    assert(math.abs(bigEst - 2000L) < 500L, s"estimate $bigEst off for 2000")
+  }
+
+  test("q243 count-min: estimates equal the hand sketch; over >= 0 always (CM guarantee)") {
+    val sf = "/root/testdata/sf0.001"
+    val users = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").collect().map(_.getLong(0))
+    val width = 64
+    def bucket(d: Int, u: Long): Long =
+      java.lang.Long.parseLong(md5Hex(s"$d:$u").take(12), 16) % width
+    val sketch = scala.collection.mutable.Map.empty[(Int, Long), Long]
+    users.foreach { u =>
+      (0 until 4).foreach { d =>
+        sketch((d, bucket(d, u))) = sketch.getOrElse((d, bucket(d, u)), 0L) + 1
+      }
+    }
+    val exact = users.groupBy(identity).map { case (u, v) => u -> v.length.toLong }
+    val want = exact.keys.filter(_ % 7 == 0).map { u =>
+      u -> ((exact(u), (0 until 4).map(d => sketch((d, bucket(d, u)))).min))
+    }.toMap
+    val got = graft.queries.Scale.q243CountMin(spark, sf).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        ((r.getAs[Long]("exact"), r.getAs[Long]("est")))).toMap
+    assert(got == want)
+    assert(got.values.forall { case (ex, est) => est >= ex },
+      "count-min never underestimates")
+  }
 }

@@ -82,6 +82,83 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     assert(got.sortBy { case (ok, _, pc, _) => (-pc, ok) }.sameElements(got))
   }
 
+  test("q239 top supplier per quarter: per-quarter maxima with ties, hand-walked") {
+    val li = graft.sources.Tables.load(spark, sf001, "lineitem")
+      .selectExpr("l_orderkey", "l_suppkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ec",
+        "100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) AS kp")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val oq = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("o_orderkey",
+        "CAST(year(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS yr",
+        "CAST(quarter(CAST(o_orderdate AS TIMESTAMP)) AS BIGINT) AS qtr")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val rev = li.groupBy(l => (oq(l._1), l._2))
+      .map { case (k, v) => k -> v.map(l => l._3 * l._4).sum }
+    val best = rev.groupBy(_._1._1).flatMap { case (q, m) =>
+      val mx = m.values.max
+      m.collect { case (((y, qt), sk), r) if r == mx => (y, qt, sk, r) }
+    }.toSet
+    val names = graft.sources.Tables.load(spark, sf001, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val got = graft.queries.Relational.q239TopSupplierQuarter(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("yr"), r.getAs[Long]("qtr"),
+        r.getAs[String]("s_name"), r.getAs[Long]("revenue_cp"))).toSet
+    assert(got == best.map { case (y, q, sk, r) => (y, q, names(sk), r) })
+  }
+
+  test("q240 cheapest offer: min(price, supplier) per part among ASIA suppliers") {
+    val asia = {
+      val n = graft.sources.Tables.load(spark, sf001, "nation")
+        .select("n_nationkey", "n_regionkey").collect()
+        .map(r => r.getInt(0).toLong -> r.getInt(1).toLong).toMap
+      val rAsia = graft.sources.Tables.load(spark, sf001, "region")
+        .collect().collectFirst {
+          case r if r.getAs[String]("r_name") == "ASIA" => r.getInt(0).toLong }.get
+      graft.sources.Tables.load(spark, sf001, "supplier")
+        .select("s_suppkey", "s_nationkey").collect()
+        .collect { case r if n(r.getInt(1).toLong) == rAsia => r.getLong(0) }.toSet
+    }
+    val li = graft.sources.Tables.load(spark, sf001, "lineitem")
+      .selectExpr("l_partkey", "l_suppkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS pc")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .filter(l => asia.contains(l._2))
+    val want = li.groupBy(_._1).map { case (p, offers) =>
+      p -> offers.map(o => (o._3, o._2)).min
+    }
+    val got = graft.queries.Relational.q240CheapestOffer(spark, sf001).collect()
+      .map(r => r.getAs[Long]("partkey") ->
+        ((r.getAs[Long]("price_cents"), r.getAs[String]("s_name")))).toMap
+    val names = graft.sources.Tables.load(spark, sf001, "supplier")
+      .select("s_suppkey", "s_name").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == want.map { case (p, (pc, sk)) => p -> ((pc, names(sk))) })
+  }
+
+  test("q241 grouping sets: the three sets partition the rows; gid disambiguates") {
+    val c = graft.sources.Tables.load(spark, sf001, "customer")
+      .selectExpr("CAST(c_nationkey AS BIGINT)", "c_mktsegment",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val got = graft.queries.Relational.q241GroupingSets(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("gid"), Option(r.getAs[Any]("nation")),
+        Option(r.getAs[String]("c_mktsegment"))) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_cents")))).toMap
+    type Key = (Long, Option[Any], Option[String])
+    val byNation: Map[Key, (Long, Long)] = c.groupBy(_._1).map { case (n, v) =>
+      ((1L, Some(n: Any): Option[Any], None: Option[String]): Key) ->
+        ((v.length.toLong, v.map(_._3).sum)) }
+    val bySeg: Map[Key, (Long, Long)] = c.groupBy(_._2).map { case (s, v) =>
+      ((2L, None: Option[Any], Some(s): Option[String]): Key) ->
+        ((v.length.toLong, v.map(_._3).sum)) }
+    val global: Map[Key, (Long, Long)] = Map(
+      ((3L, None: Option[Any], None: Option[String]): Key) ->
+        ((c.length.toLong, c.map(_._3).sum)))
+    assert(got == byNation ++ bySeg ++ global)
+  }
+
   test("q229 blocking supplier: the sole-late-supplier charge, hand-walked") {
     val oDay = orders.map(o => o._1 -> day(o._5)).toMap
     val numwait = lineitem.groupBy(_._1).toSeq.flatMap { case (ok, lines) =>
