@@ -2171,6 +2171,52 @@ object Analytics {
       |FROM g""".stripMargin
   }
 
+  // --------------------------------------------- q244 ABC classification
+
+  /** Inventory analytics — ABC (Pareto) classification of parts by
+    * revenue: parts ranked by descending revenue, classified A while the
+    * cumulative share stays ≤ 80%, B through 95%, C after — with BOTH
+    * the rank and the cumulative sum from ONE distributed prefix-sum
+    * pass (q109's machinery: range partition + per-partition window +
+    * broadcast offsets — never a global single-partition window), and
+    * the share thresholds as exact DECIMAL(38,0)/HUGEINT cross-multiplies
+    * (cum·100 ≤ total·80 — no float shares). The "which 20% of items
+    * carry 80% of value" query, Gini's (q202) actionable sibling. */
+  def q244AbcClasses(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.prefixSums
+    val rev = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ec"))
+      .groupBy("l_partkey").agg(sum("ec").as("rev"))
+      .withColumn("one", lit(1L))
+    val tot = broadcast(rev.agg(sum("rev").as("total")))
+    prefixSums(rev, Seq("rev" -> "cum", "one" -> "rnk"),
+        col("rev").desc, col("l_partkey"))
+      .crossJoin(tot)
+      .withColumn("abc_class",
+        when(expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 80"), "A")
+          .when(expr("CAST(cum AS DECIMAL(38,0)) * 100 <= CAST(total AS DECIMAL(38,0)) * 95"), "B")
+          .otherwise("C"))
+      .select(col("rnk"), col("l_partkey").as("partkey"), col("rev"),
+        col("cum"), col("abc_class"))
+      .orderBy("rnk")
+  }
+
+  val q244Sql: String =
+    """WITH rev AS (SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(sum(rev) AS BIGINT) AS total FROM rev),
+      |r AS (SELECT l_partkey, rev,
+      |        CAST(row_number() OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS rnk,
+      |        CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS BIGINT) AS cum
+      |      FROM rev)
+      |SELECT rnk, l_partkey AS partkey, rev, cum,
+      |  CASE WHEN CAST(cum AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 80 THEN 'A'
+      |       WHEN CAST(cum AS HUGEINT) * 100 <= CAST(total AS HUGEINT) * 95 THEN 'B'
+      |       ELSE 'C' END AS abc_class
+      |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -2215,7 +2261,8 @@ object Analytics {
     "q234_fano_factor" -> (q234FanoFactor _),
     "q235_trimmed_mean" -> (q235TrimmedMean _),
     "q236_benford" -> (q236Benford _),
-    "q238_kendall_tau" -> (q238KendallTau _))
+    "q238_kendall_tau" -> (q238KendallTau _),
+    "q244_abc_classes" -> (q244AbcClasses _))
 
   val oracleSql: Map[String, String] = Map(
     "q153_skyline" -> q153Sql,
@@ -2259,5 +2306,6 @@ object Analytics {
     "q234_fano_factor" -> q234Sql,
     "q235_trimmed_mean" -> q235Sql,
     "q236_benford" -> q236Sql,
-    "q238_kendall_tau" -> q238Sql)
+    "q238_kendall_tau" -> q238Sql,
+    "q244_abc_classes" -> q244Sql)
 }

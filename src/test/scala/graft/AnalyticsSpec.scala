@@ -674,6 +674,33 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(c + d + tx + ty + txy == np, "census partitions the pairs")
   }
 
+  test("q244 ABC: ranks, cumulative sums, and class cuts equal the hand sort") {
+    val rev = graft.sources.Tables.load(spark, sf001, "lineitem")
+      .selectExpr("l_partkey",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ec")
+      .groupBy("l_partkey").agg(sum("ec").as("rev"))
+      .collect().map(r => (r.getAs[Long]("l_partkey"), r.getAs[Long]("rev")))
+    val sorted = rev.sortBy { case (p, r) => (-r, p) }
+    val total = BigInt(rev.map(_._2).sum)
+    var cum = BigInt(0)
+    val want = sorted.zipWithIndex.map { case ((p, r), i) =>
+      cum += r
+      val cls = if (cum * 100 <= total * 80) "A"
+        else if (cum * 100 <= total * 95) "B" else "C"
+      (i + 1L, p, r, cum.toLong, cls)
+    }
+    val got = graft.queries.Analytics.q244AbcClasses(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("rnk"), r.getAs[Long]("partkey"),
+        r.getAs[Long]("rev"), r.getAs[Long]("cum"), r.getAs[String]("abc_class")))
+    assert(got.toSeq == want.toSeq)
+    // all three classes materialize and partition the parts in rank order
+    // (the synthetic revenue is near-uniform, so A ≈ 80% of parts — the
+    // classifier is exact regardless of how skewed the distribution is)
+    val classes = got.map(_._5)
+    assert(Set("A", "B", "C").subsetOf(classes.toSet))
+    assert(classes.sameElements(classes.sorted), "classes are monotone in rank")
+  }
+
   test("q219 SES: smoothed series equals the hand-folded alpha=0.3 integer recurrence") {
     val rows = graft.queries.Analytics.q219Ses(spark, sf001)
       .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),

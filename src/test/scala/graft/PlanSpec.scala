@@ -564,6 +564,14 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "the k-smallest cut must be a distributed top-k, not a global sort")
   }
 
+  test("q244: rank and cumsum ride the distributed prefix-sum — no global single-partition window") {
+    val p = plan("q244_abc_classes")
+    assert(!p.contains("CartesianProduct"), "q244")
+    val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.nonEmpty && windows.forall(_.contains("__pid")),
+      s"q244 windows must partition by the range-partition id: $windows")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
