@@ -1063,7 +1063,260 @@ object Relational {
       |GROUP BY GROUPING SETS ((nation), (c_mktsegment), ())
       |ORDER BY gid, nation, c_mktsegment""".stripMargin
 
+  /** S5/S8/S12 at TPC-H Q3's shape — shipping-priority top-10: unshipped
+    * revenue per order for one market segment at a cutoff date. The two
+    * date filters push into both fact scans; the customer semi-side
+    * reduces orders before the lineitem join; revenue is exact integer
+    * cents·pct; top-10 is a TakeOrdered (no global sort materialized). */
+  def q245ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") < lit("1998-07-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_day"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") > lit("1998-07-01").cast("timestamp"))
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
+      .groupBy("l_orderkey", "o_day", "o_orderpriority")
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"))
+      .orderBy(col("revenue_cp").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  val q245Sql: String =
+    """SELECT l_orderkey,
+      |  CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS o_day,
+      |  o_orderpriority,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp
+      |FROM customer JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-07-01'
+      |  AND l_shipdate > TIMESTAMP '1998-07-01'
+      |GROUP BY l_orderkey, o_day, o_orderpriority
+      |ORDER BY revenue_cp DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** S6/S8 at TPC-H Q7's shape — cross-nation shipping volume between two
+    * named nations, by ship year and direction. Both direction predicates
+    * ride ONE join tree (the OR over the broadcast nation pair, not two
+    * passes); the fact-side joins shuffle once on their keys. */
+  def q246VolumeShipping(s: SparkSession, dir: String): DataFrame = {
+    val n = t(s, dir, "nation").select(col("n_nationkey"), col("n_name"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey"), col("s_nationkey"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_nationkey"))
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("year(CAST(l_shipdate AS TIMESTAMP))").cast("long").as("l_year"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n.select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("sn_key"))
+      .join(broadcast(n.select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))),
+        col("c_nationkey") === col("cn_key"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"),
+        count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q246Sql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |  CAST(EXTRACT(year FROM l_shipdate) AS BIGINT) AS l_year,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      |JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** S6/S8/S12 at TPC-H Q10's shape — top-20 customers by returned-item
+    * revenue for one order quarter. The quarter filter prunes orders
+    * before either fact join; returnflag pushes into the lineitem scan;
+    * the nation dim broadcasts; top-20 is a TakeOrdered. */
+  def q247ReturnedItems(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1999-04-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_custkey"))
+    val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    val c = t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+      col("c_nationkey"))
+    val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+    o.join(li, col("o_orderkey") === col("l_orderkey"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .join(n, col("c_nationkey") === col("n_nationkey"))
+      .groupBy("c_custkey", "c_name", "n_name")
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"),
+        count(lit(1)).as("n_returns"))
+      .orderBy(col("revenue_cp").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  val q247Sql: String =
+    """SELECT c_custkey, c_name, n_name,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp,
+      |  CAST(count(*) AS BIGINT) AS n_returns
+      |FROM orders
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |JOIN nation ON n_nationkey = c_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1999-01-01'
+      |  AND o_orderdate < TIMESTAMP '1999-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, n_name
+      |ORDER BY revenue_cp DESC, c_custkey
+      |LIMIT 20""".stripMargin
+
+  /** S8 at TPC-H Q17's shape — small-quantity-order revenue for one
+    * brand: lineitems whose quantity is below 20% of their part's mean
+    * quantity. The correlated AVG subquery becomes one map-side-combinable
+    * per-part (sum, count) aggregate joined back; the predicate
+    * `qty < sum/(5·cnt)` is evaluated as the exact integer cross-product
+    * `5·qty·cnt < sum` — no division, no floats, no rank window. */
+  def q248SmallQtyRevenue(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") === "Brand#12")
+      .select(col("p_partkey"))
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"))
+    val brandItems = li.join(p, col("l_partkey") === col("p_partkey"))
+    val perPart = brandItems.groupBy("p_partkey")
+      .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+    brandItems.join(perPart, "p_partkey")
+      .filter(lit(5L) * col("qty") * col("cnt") < col("sum_qty"))
+      .agg(sum("ext_cents").as("small_qty_cents"), count(lit(1)).as("n_small"))
+      .select(lit("Brand#12").as("p_brand"), col("small_qty_cents"), col("n_small"))
+  }
+
+  val q248Sql: String =
+    """WITH b AS (SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS ext_cents
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_brand = 'Brand#12'),
+      |pp AS (SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS sum_qty,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM b GROUP BY 1)
+      |SELECT 'Brand#12' AS p_brand,
+      |  CAST(sum(ext_cents) AS BIGINT) AS small_qty_cents,
+      |  CAST(count(*) AS BIGINT) AS n_small
+      |FROM b JOIN pp USING (l_partkey)
+      |WHERE 5 * qty * cnt < sum_qty""".stripMargin
+
+  /** S8/S15 at TPC-H Q14's shape — promo revenue share for one ship
+    * month as a conditional aggregate over ONE scan+join (no second
+    * pass); share in ppm via the shared floor-div so the gate stays
+    * integer-exact. */
+  def q249PromoShare(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("l_partkey"),
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_type")))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", col("ext_cents") * col("keep_pct"))
+          .otherwise(0L)).as("promo_cp"),
+        sum(col("ext_cents") * col("keep_pct")).as("total_cp"))
+      .withColumn("promo_ppm", expr(
+        graft.operators.Analytics.floorDivScaledSql("promo_cp", "total_cp", 1000000L)))
+  }
+
+  val q249Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "promo_cp", "total_cp", 1000000L, op = "//")
+    s"""WITH g AS (SELECT
+      |    CAST(sum(CASE WHEN p_type = 'PROMO'
+      |      THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |        * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+      |      ELSE 0 END) AS BIGINT) AS promo_cp,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |      AS total_cp
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |    AND l_shipdate < TIMESTAMP '1997-10-01')
+      |SELECT promo_cp, total_cp, CAST($fd AS BIGINT) AS promo_ppm FROM g""".stripMargin
+  }
+
+  /** S4/S8 at TPC-H Q19's shape — discounted revenue under an OR of three
+    * brand/size/quantity AND-branches. The whole disjunction stays ONE
+    * scan+broadcast-join with the predicate evaluated post-join (Catalyst
+    * still pushes the per-branch quantity envelope `qty BETWEEN 1 AND 30`
+    * into the lineitem scan via the derived common bound). */
+  def q250OrBranchRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_partkey"),
+      col("l_quantity").cast("long").as("qty"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+      expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+      .filter(col("qty") >= 1L && col("qty") <= 30L)
+    val p = broadcast(t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+      col("p_size")))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(
+        (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+          col("qty").between(1L, 11L)) ||
+        (col("p_brand") === "Brand#15" && col("p_size").between(1, 10) &&
+          col("qty").between(10L, 20L)) ||
+        (col("p_brand") === "Brand#3" && col("p_size").between(1, 15) &&
+          col("qty").between(20L, 30L)))
+      .agg(sum(col("ext_cents") * col("keep_pct")).as("revenue_cp"),
+        count(lit(1)).as("n_items"))
+  }
+
+  val q250Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))) AS BIGINT)
+      |    AS revenue_cp,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+      |    AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11)
+      |  OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 10
+      |    AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
+      |    AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q245_shipping_priority" -> (q245ShippingPriority _),
+    "q246_volume_shipping" -> (q246VolumeShipping _),
+    "q247_returned_items" -> (q247ReturnedItems _),
+    "q248_small_qty_revenue" -> (q248SmallQtyRevenue _),
+    "q249_promo_share" -> (q249PromoShare _),
+    "q250_or_branch_revenue" -> (q250OrBranchRevenue _),
     "q224_regional_revenue" -> (q224RegionalRevenue _),
     "q225_market_share" -> (q225MarketShare _),
     "q226_custdist" -> (q226Custdist _),
@@ -1102,6 +1355,12 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q245_shipping_priority" -> q245Sql,
+    "q246_volume_shipping" -> q246Sql,
+    "q247_returned_items" -> q247Sql,
+    "q248_small_qty_revenue" -> q248Sql,
+    "q249_promo_share" -> q249Sql,
+    "q250_or_branch_revenue" -> q250Sql,
     "q224_regional_revenue" -> q224Sql,
     "q225_market_share" -> q225Sql,
     "q226_custdist" -> q226Sql,

@@ -572,6 +572,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q244 windows must partition by the range-partition id: $windows")
   }
 
+  test("q245-q250: TPC-H Q3/Q7/Q10/Q17/Q14/Q19 shapes — no cartesians; top-k stays TakeOrdered; Q17's avg is an aggregate") {
+    Seq("q245_shipping_priority", "q246_volume_shipping", "q247_returned_items",
+      "q248_small_qty_revenue", "q249_promo_share", "q250_or_branch_revenue")
+      .foreach { q =>
+        assert(!plan(q).contains("CartesianProduct"), q)
+      }
+    Seq("q245_shipping_priority", "q247_returned_items").foreach { q =>
+      assert(plan(q).contains("TakeOrderedAndProject"),
+        s"$q's top-N must be a distributed top-k, not a global sort")
+    }
+    assert(!plan("q248_small_qty_revenue").contains("Window ["),
+      "q248's correlated avg must be a map-side-combinable aggregate + join, not a window")
+    Seq("q249_promo_share", "q250_or_branch_revenue").foreach { q =>
+      assert(plan(q).contains("BroadcastHashJoin"),
+        s"$q: the part dim must broadcast")
+    }
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),

@@ -175,4 +175,52 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     assert(got.toMap == want)
     assert(got.sortBy { case (n, w) => (-w, n) }.sameElements(got))
   }
+
+  private lazy val liFull = graft.sources.Tables.load(spark, sf001, "lineitem")
+    .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    .collect()
+    .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Double]("l_quantity").toLong,
+      cents(r.getAs[Double]("l_extendedprice")),
+      100L - cents(r.getAs[Double]("l_discount"))))
+
+  test("q248 small-qty revenue: the 5·qty·cnt < sum predicate, hand-walked") {
+    val brandParts = graft.sources.Tables.load(spark, sf001, "part")
+      .filter(col("p_brand") === "Brand#12").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val items = liFull.filter(i => brandParts.contains(i._1))
+    val perPart = items.groupBy(_._1).map { case (k, v) =>
+      k -> ((v.map(_._2).sum, v.length.toLong)) }
+    val kept = items.filter { case (pk, qty, _, _) =>
+      val (sumQty, cnt) = perPart(pk); 5L * qty * cnt < sumQty }
+    val row = graft.queries.Relational.q248SmallQtyRevenue(spark, sf001)
+      .collect().head
+    if (kept.isEmpty) {
+      assert(row.isNullAt(row.fieldIndex("small_qty_cents")))
+      assert(row.getAs[Long]("n_small") == 0L)
+    } else {
+      assert(row.getAs[Long]("small_qty_cents") == kept.map(_._3).sum)
+      assert(row.getAs[Long]("n_small") == kept.length.toLong)
+    }
+  }
+
+  test("q249 promo share: conditional aggregate + floor-div ppm, hand-walked") {
+    val promoParts = graft.sources.Tables.load(spark, sf001, "part")
+      .filter(col("p_type") === "PROMO").select("p_partkey")
+      .collect().map(_.getLong(0)).toSet
+    val inMonth = graft.sources.Tables.load(spark, sf001, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-10-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        cents(r.getAs[Double]("l_extendedprice")) *
+          (100L - cents(r.getAs[Double]("l_discount")))))
+    val promo = inMonth.filter(i => promoParts.contains(i._1)).map(_._2).sum
+    val total = inMonth.map(_._2).sum
+    val row = graft.queries.Relational.q249PromoShare(spark, sf001).collect().head
+    assert(row.getAs[Long]("promo_cp") == promo)
+    assert(row.getAs[Long]("total_cp") == total)
+    assert(row.getAs[Long]("promo_ppm") ==
+      (BigInt(promo) * 1000000 / BigInt(total)).toLong)
+  }
 }
