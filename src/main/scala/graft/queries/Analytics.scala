@@ -2217,9 +2217,262 @@ object Analytics {
       |       ELSE 'C' END AS abc_class
       |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------------- q251 spearman rho
+
+  /** Doubled average rank (2·avg-rank, integer even with ties) of `vcol`,
+    * computed scalably: a value-frequency table (one map-side-combinable
+    * aggregate), a distributed prefix sum of the counts under the value
+    * order ([[graft.operators.Ranks.prefixSum]] — no single-partition
+    * window), then u = 2·cnt_less + cnt_eq + 1 joined back by value.
+    * Equals `2·RANK() + COUNT(*) OVER (PARTITION BY v) − 1` without ever
+    * ranking row-by-row — the shuffle is on DISTINCT values. */
+  private def doubledAvgRank(df: DataFrame, vcol: String, out: String): DataFrame = {
+    import graft.operators.Ranks.prefixSum
+    val vf = df.groupBy(vcol).agg(count(lit(1)).as("__c"))
+    prefixSum(vf, "__c", "__cum", col(vcol))
+      .withColumn(out,
+        lit(2L) * (col("__cum") - col("__c")) + col("__c") + lit(1L))
+      .select(col(vcol), col(out))
+  }
+
+  /** Statistics — exact Spearman rank correlation (tie-aware, as Pearson
+    * over average ranks) between per-customer total spend and order
+    * count. Ranks are doubled so ties stay integer; the five moment sums
+    * ride ONE aggregate in DECIMAL(38,0); ρ² (sign-carrying, ppm) divides
+    * num² by the two variance pieces in two floor steps so no product
+    * exceeds 38 digits through sf0.1 (at larger n, center the ranks
+    * first — the pieces themselves stay exact far longer). */
+  def q251Spearman(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("o_custkey")
+      .agg(sum("cents").as("x"), count(lit(1)).as("y"))
+    val withU = per
+      .join(doubledAvgRank(per, "x", "ux"), "x")
+      .join(doubledAvgRank(per.select("y"), "y", "uy"), "y")
+    val g = withU.agg(
+      count(lit(1)).as("n"), sum("ux").as("sux"), sum("uy").as("suy"),
+      sum(expr("CAST(ux AS DECIMAL(38,0)) * ux")).as("suxx"),
+      sum(expr("CAST(uy AS DECIMAL(38,0)) * uy")).as("suyy"),
+      sum(expr("CAST(ux AS DECIMAL(38,0)) * uy")).as("suxy"))
+    g.withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * suxy - CAST(sux AS DECIMAL(38,0)) * suy"))
+      .withColumn("dx", expr("CAST(n AS DECIMAL(38,0)) * suxx - CAST(sux AS DECIMAL(38,0)) * sux"))
+      .withColumn("dy", expr("CAST(n AS DECIMAL(38,0)) * suyy - CAST(suy AS DECIMAL(38,0)) * suy"))
+      .withColumn("rho2_signed_ppm", expr(
+        """CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT)
+          |  WHEN num < 0 THEN -CAST((((num * num) div dx) * 1000000L) div dy AS BIGINT)
+          |  ELSE CAST((((num * num) div dx) * 1000000L) div dy AS BIGINT) END""".stripMargin))
+      .select(col("n"), col("sux"), col("suy"),
+        col("num").cast("long").as("num"), col("dx").cast("long").as("dx"),
+        col("dy").cast("long").as("dy"), col("rho2_signed_ppm"))
+  }
+
+  val q251Sql: String =
+    """WITH per AS (SELECT o_custkey,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS x,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM orders GROUP BY 1),
+      |r AS (SELECT
+      |    2 * RANK() OVER (ORDER BY x) + COUNT(*) OVER (PARTITION BY x) - 1 AS ux,
+      |    2 * RANK() OVER (ORDER BY y) + COUNT(*) OVER (PARTITION BY y) - 1 AS uy
+      |  FROM per),
+      |g AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+      |    CAST(sum(ux) AS HUGEINT) AS sux, CAST(sum(uy) AS HUGEINT) AS suy,
+      |    CAST(sum(CAST(ux AS HUGEINT) * ux) AS HUGEINT) AS suxx,
+      |    CAST(sum(CAST(uy AS HUGEINT) * uy) AS HUGEINT) AS suyy,
+      |    CAST(sum(CAST(ux AS HUGEINT) * uy) AS HUGEINT) AS suxy
+      |  FROM r),
+      |d AS (SELECT n, sux, suy,
+      |    n * suxy - sux * suy AS num,
+      |    n * suxx - sux * sux AS dx,
+      |    n * suyy - suy * suy AS dy
+      |  FROM g)
+      |SELECT CAST(n AS BIGINT) AS n, CAST(sux AS BIGINT) AS sux,
+      |  CAST(suy AS BIGINT) AS suy, CAST(num AS BIGINT) AS num,
+      |  CAST(dx AS BIGINT) AS dx, CAST(dy AS BIGINT) AS dy,
+      |  CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT)
+      |    WHEN num < 0 THEN -CAST((((num * num) // dx) * 1000000) // dy AS BIGINT)
+      |    ELSE CAST((((num * num) // dx) * 1000000) // dy AS BIGINT) END
+      |    AS rho2_signed_ppm
+      |FROM d""".stripMargin
+
+  // ------------------------------------------------- q252 mann-whitney U
+
+  /** Statistics — exact tie-aware Mann–Whitney U comparing customer
+    * account balances of two market segments. The combined ranking is the
+    * same doubled-average-rank construction as q251 (value-frequency +
+    * distributed prefix sum — no row-level rank window); 2·U₁ =
+    * 2·R₁ − n₁(n₁+1) stays integer through every tie. */
+  def q252MannWhitney(s: SparkSession, dir: String): DataFrame = {
+    val c = t(s, dir, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .select(col("c_mktsegment").as("seg"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    val withU = c.join(doubledAvgRank(c, "v", "u"), "v")
+    withU.agg(
+        sum(when(col("seg") === "BUILDING", 1L).otherwise(0L)).as("n1"),
+        sum(when(col("seg") === "MACHINERY", 1L).otherwise(0L)).as("n2"),
+        sum(when(col("seg") === "BUILDING", col("u")).otherwise(0L)).as("r1_x2"))
+      .withColumn("u1_x2", col("r1_x2") - col("n1") * (col("n1") + lit(1L)))
+      .withColumn("u2_x2", lit(2L) * col("n1") * col("n2") - col("u1_x2"))
+      .select("n1", "n2", "r1_x2", "u1_x2", "u2_x2")
+  }
+
+  val q252Sql: String =
+    """WITH c AS (SELECT c_mktsegment AS seg,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+      |r AS (SELECT seg,
+      |    2 * RANK() OVER (ORDER BY v) + COUNT(*) OVER (PARTITION BY v) - 1 AS u
+      |  FROM c),
+      |g AS (SELECT
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+      |    CAST(sum(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+      |    CAST(sum(CASE WHEN seg = 'BUILDING' THEN u ELSE 0 END) AS BIGINT) AS r1_x2
+      |  FROM r)
+      |SELECT n1, n2, r1_x2,
+      |  r1_x2 - n1 * (n1 + 1) AS u1_x2,
+      |  2 * n1 * n2 - (r1_x2 - n1 * (n1 + 1)) AS u2_x2
+      |FROM g""".stripMargin
+
+  // ------------------------------------------------- q253 cramers v
+
+  /** Statistics — Cramér's V² effect size over the q231 contingency
+    * (event_type × day-of-week): χ²-in-ppm is the sum of the per-cell
+    * floor-div contributions (identical floor order in both engines),
+    * V²_ppm = χ²_ppm / (n · min(r−1, c−1)). One extra metadata-scale
+    * rollup on the broadcast-margin cell frame — nothing new shuffles. */
+  def q253CramersV(s: SparkSession, dir: String): DataFrame = {
+    val cells = q231ChiSquare(s, dir)
+    cells.agg(
+        countDistinct("event_type").as("nr"),
+        countDistinct("dow").as("nc"),
+        max("nt").as("n_total"),
+        sum("contrib_ppm").as("chi2_ppm"))
+      .withColumn("k", least(col("nr") - 1L, col("nc") - 1L))
+      .withColumn("v2_ppm", expr(Ops.floorDivScaledSql(
+        "chi2_ppm", "n_total * k", 1L)))
+      .select("nr", "nc", "k", "n_total", "chi2_ppm", "v2_ppm")
+  }
+
+  val q253Sql: String = {
+    val fd = Ops.floorDivScaledSql(
+      "CAST(o * nt - rt * ct AS HUGEINT) * CAST(o * nt - rt * ct AS HUGEINT)",
+      "CAST(rt AS HUGEINT) * CAST(ct AS HUGEINT) * CAST(nt AS HUGEINT)",
+      1000000L, op = "//")
+    val fd2 = Ops.floorDivScaledSql("chi2_ppm", "n_total * k", 1L, op = "//")
+    s"""WITH e AS (SELECT event_type,
+      |    (CAST(epoch_us(ts) AS BIGINT) // 86400000000) % 7 AS dow
+      |  FROM events),
+      |cells AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS o
+      |          FROM e GROUP BY 1, 2),
+      |rm AS (SELECT event_type, CAST(sum(o) AS BIGINT) AS rt FROM cells GROUP BY 1),
+      |cm AS (SELECT dow, CAST(sum(o) AS BIGINT) AS ct FROM cells GROUP BY 1),
+      |nm AS (SELECT CAST(sum(o) AS BIGINT) AS nt FROM cells),
+      |contrib AS (SELECT event_type, dow, nt, CAST($fd AS BIGINT) AS contrib_ppm
+      |  FROM cells JOIN rm USING (event_type) JOIN cm USING (dow) CROSS JOIN nm),
+      |g AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+      |    CAST(count(DISTINCT dow) AS BIGINT) AS nc,
+      |    CAST(max(nt) AS BIGINT) AS n_total,
+      |    CAST(sum(contrib_ppm) AS BIGINT) AS chi2_ppm
+      |  FROM contrib),
+      |k2 AS (SELECT nr, nc, LEAST(nr - 1, nc - 1) AS k, n_total, chi2_ppm FROM g)
+      |SELECT nr, nc, k, n_total, chi2_ppm, CAST($fd2 AS BIGINT) AS v2_ppm
+      |FROM k2""".stripMargin
+  }
+
+  // ------------------------------------------------- q254 hhi
+
+  /** Market concentration — Herfindahl–Hirschman index of supplier
+    * revenue within each supplier nation: per-(nation, supplier) revenue
+    * is one map-side-combinable aggregate, shares floor to ppm against
+    * the broadcast per-nation total, HHI = Σ share² / 10⁶. The nation
+    * dim broadcasts; the only fact shuffle is the revenue groupBy. */
+  def q254Hhi(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ec"))
+    val su = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey").cast("long").as("nation")))
+    val rev = li.join(su, col("l_suppkey") === col("s_suppkey"))
+      .groupBy("nation", "s_suppkey").agg(sum("ec").as("rev"))
+    val tot = rev.groupBy("nation").agg(sum("rev").as("total"))
+    rev.join(broadcast(tot), "nation")
+      .withColumn("share_ppm", expr(Ops.floorDivScaledSql("rev", "total", 1000000L)))
+      .groupBy("nation")
+      .agg(count(lit(1)).as("n_suppliers"), max("total").as("total_cents"),
+        sum(col("share_ppm") * col("share_ppm")).as("sum_sq"))
+      .withColumn("hhi_ppm", expr("sum_sq div 1000000L"))
+      .select("nation", "n_suppliers", "total_cents", "hhi_ppm")
+      .orderBy("nation")
+  }
+
+  val q254Sql: String = {
+    val fd = Ops.floorDivScaledSql("rev", "total", 1000000L, op = "//")
+    s"""WITH rev AS (SELECT CAST(s_nationkey AS BIGINT) AS nation, s_suppkey,
+      |    CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT nation, CAST(sum(rev) AS BIGINT) AS total FROM rev GROUP BY 1),
+      |sh AS (SELECT nation, total, CAST($fd AS BIGINT) AS share_ppm
+      |  FROM rev JOIN tot USING (nation))
+      |SELECT nation, CAST(count(*) AS BIGINT) AS n_suppliers,
+      |  CAST(max(total) AS BIGINT) AS total_cents,
+      |  CAST(sum(share_ppm * share_ppm) AS BIGINT) // 1000000 AS hhi_ppm
+      |FROM sh GROUP BY nation ORDER BY nation""".stripMargin
+  }
+
+  // ------------------------------------------------- q255 theil-sen
+
+  /** Robust regression — exact Theil–Sen slope of daily order revenue:
+    * the median over all pairwise day slopes. The pair frame is
+    * calendar-bounded (one row per day before pairing — q238's BNLJ
+    * shape); each slope floors to ppm-cents/day; the median is the exact
+    * rank-⌈n/2⌉ order statistic found by [[graft.operators.Ranks
+    * .globalRank]] — a distributed sort, never a single-partition
+    * window. */
+  def q255TheilSen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    val daily = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("c"))
+    val pairs = daily.select(col("day").as("da"), col("c").as("ca"))
+      .join(broadcast(daily.select(col("day").as("db"), col("c").as("cb"))),
+        col("da") < col("db"))
+      .withColumn("slope_ppm", expr(Ops.floorDivScaledSql(
+        "cb - ca", "db - da", 1000000L)))
+    val n = broadcast(pairs.agg(count(lit(1)).as("n_pairs")))
+    globalRank(pairs, "rn", col("slope_ppm"), col("da"), col("db"))
+      .crossJoin(n)
+      .filter(expr("rn = (n_pairs + 1L) div 2L"))
+      .select(col("n_pairs"), col("slope_ppm").as("median_slope_ppm"))
+  }
+
+  val q255Sql: String = {
+    val fd = Ops.floorDivScaledSql("cb - ca", "db - da", 1000000L, op = "//")
+    s"""WITH daily AS (SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS c
+      |  FROM orders GROUP BY 1),
+      |p AS (SELECT a.day AS da, b.day AS db, a.c AS ca, b.c AS cb,
+      |    CAST($fd AS BIGINT) AS slope_ppm
+      |  FROM daily a JOIN daily b ON a.day < b.day),
+      |r AS (SELECT slope_ppm,
+      |    CAST(row_number() OVER (ORDER BY slope_ppm, da, db) AS BIGINT) AS rn,
+      |    CAST(count(*) OVER () AS BIGINT) AS n_pairs
+      |  FROM p)
+      |SELECT n_pairs, slope_ppm AS median_slope_ppm
+      |FROM r WHERE rn = (n_pairs + 1) // 2""".stripMargin
+  }
+
   // ------------------------------------------------------------------
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q251_spearman" -> (q251Spearman _),
+    "q252_mann_whitney" -> (q252MannWhitney _),
+    "q253_cramers_v" -> (q253CramersV _),
+    "q254_hhi" -> (q254Hhi _),
+    "q255_theil_sen" -> (q255TheilSen _),
     "q153_skyline" -> (q153Skyline _),
     "q154_hist_quantiles" -> (q154HistQuantiles _),
     "q155_corr_pieces" -> (q155CorrPieces _),
@@ -2265,6 +2518,11 @@ object Analytics {
     "q244_abc_classes" -> (q244AbcClasses _))
 
   val oracleSql: Map[String, String] = Map(
+    "q251_spearman" -> q251Sql,
+    "q252_mann_whitney" -> q252Sql,
+    "q253_cramers_v" -> q253Sql,
+    "q254_hhi" -> q254Sql,
+    "q255_theil_sen" -> q255Sql,
     "q153_skyline" -> q153Sql,
     "q154_hist_quantiles" -> q154Sql,
     "q155_corr_pieces" -> q155Sql,

@@ -713,4 +713,93 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       prev = want
     }
   }
+
+  /** Doubled average rank (2·avg-rank) hand walk: for each value, 2·#less
+    * + #equal + 1. */
+  private def doubledRanks(vs: Seq[Long]): Map[Long, Long] = {
+    val sorted = vs.sorted
+    vs.distinct.map { v =>
+      val less = sorted.count(_ < v).toLong
+      val eq = sorted.count(_ == v).toLong
+      v -> (2L * less + eq + 1L)
+    }.toMap
+  }
+
+  test("q251 Spearman: moment sums over doubled average ranks equal the BigInt hand walk") {
+    val per = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("o_custkey",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("o_custkey").agg(sum("cents").as("x"), count(lit(1)).as("y"))
+      .collect().map(r => (r.getAs[Long]("x"), r.getAs[Long]("y")))
+    val ux = doubledRanks(per.map(_._1))
+    val uy = doubledRanks(per.map(_._2))
+    val n = BigInt(per.length)
+    val us = per.map { case (x, y) => (BigInt(ux(x)), BigInt(uy(y))) }
+    val (sux, suy) = (us.map(_._1).sum, us.map(_._2).sum)
+    val suxx = us.map(u => u._1 * u._1).sum
+    val suyy = us.map(u => u._2 * u._2).sum
+    val suxy = us.map(u => u._1 * u._2).sum
+    val num = n * suxy - sux * suy
+    val dx = n * suxx - sux * sux
+    val dy = n * suyy - suy * suy
+    val rho2 = {
+      val inner = (num * num) / dx
+      val mag = (inner * 1000000) / dy
+      (if (num < 0) -mag else mag).toLong
+    }
+    val row = graft.queries.Analytics.q251Spearman(spark, sf001).collect().head
+    assert(row.getAs[Long]("n") == n.toLong)
+    assert(row.getAs[Long]("sux") == sux.toLong)
+    assert(row.getAs[Long]("suy") == suy.toLong)
+    assert(row.getAs[Long]("num") == num.toLong)
+    assert(row.getAs[Long]("dx") == dx.toLong)
+    assert(row.getAs[Long]("dy") == dy.toLong)
+    assert(row.getAs[Long]("rho2_signed_ppm") == rho2)
+    // doubled ranks of n values must sum to n(n+1) (a permutation identity
+    // that holds through every tie pattern)
+    assert(sux == n * (n + 1) && suy == n * (n + 1))
+  }
+
+  test("q252 Mann-Whitney: tie-aware doubled U equals the direct pair census") {
+    val c = graft.sources.Tables.load(spark, sf001, "customer")
+      .filter(col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+      .selectExpr("c_mktsegment AS seg",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS v")
+      .collect().map(r => (r.getAs[String]("seg"), r.getAs[Long]("v")))
+    val a = c.filter(_._1 == "BUILDING").map(_._2)
+    val b = c.filter(_._1 == "MACHINERY").map(_._2)
+    // direct census: 2·U1 = 2·#(a>b pairs) + #(a=b pairs)
+    var u1x2 = 0L
+    for (x <- a; y <- b) {
+      if (x > y) u1x2 += 2L else if (x == y) u1x2 += 1L
+    }
+    val row = graft.queries.Analytics.q252MannWhitney(spark, sf001).collect().head
+    assert(row.getAs[Long]("n1") == a.length.toLong)
+    assert(row.getAs[Long]("n2") == b.length.toLong)
+    assert(row.getAs[Long]("u1_x2") == u1x2)
+    assert(row.getAs[Long]("u2_x2") == 2L * a.length * b.length - u1x2)
+    // rank-sum identity: R1·2 = U1·2 + n1(n1+1)
+    assert(row.getAs[Long]("r1_x2") ==
+      u1x2 + a.length.toLong * (a.length + 1L))
+  }
+
+  test("q255 Theil-Sen: the median slope is the exact lower-median order statistic") {
+    val daily = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("day").agg(sum("cents").as("c"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("c")))
+    val slopes = for {
+      i <- daily.indices; j <- daily.indices
+      if daily(i)._1 < daily(j)._1
+    } yield {
+      val q = (BigInt(daily(j)._2 - daily(i)._2) * 1000000) /% BigInt(daily(j)._1 - daily(i)._1)
+      (if (q._2 < 0) q._1 - 1 else q._1).toLong
+    }
+    val sorted = slopes.sorted
+    val want = sorted((sorted.length + 1) / 2 - 1)
+    val row = graft.queries.Analytics.q255TheilSen(spark, sf001).collect().head
+    assert(row.getAs[Long]("n_pairs") == slopes.length.toLong)
+    assert(row.getAs[Long]("median_slope_ppm") == want)
+  }
 }

@@ -590,6 +590,22 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q251-q255: rank stats ride the distributed prefix-sum — no global single-partition windows; q255's calendar pair frame broadcasts") {
+    Seq("q251_spearman", "q252_mann_whitney", "q253_cramers_v",
+      "q254_hhi", "q255_theil_sen").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    // the doubled-average-rank construction must never rank row-by-row:
+    // every window partitions by the range-partition id
+    Seq("q251_spearman", "q252_mann_whitney", "q255_theil_sen").foreach { q =>
+      val windows = plan(q).linesIterator.filter(_.contains("Window [")).toSeq
+      assert(windows.nonEmpty && windows.forall(_.contains("__pid")),
+        s"$q windows must partition by __pid: $windows")
+    }
+    assert(plan("q255_theil_sen").contains("BroadcastNestedLoopJoin"),
+      "q255's calendar-bounded pair frame must broadcast one side")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
