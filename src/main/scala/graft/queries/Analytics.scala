@@ -2217,6 +2217,157 @@ object Analytics {
       |       ELSE 'C' END AS abc_class
       |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------- q256 holt-winters seasonal
+
+  /** The current seasonal index (0-based day position mod 7) read from a
+    * 7-field accumulator — SQL aggregate lambdas have no let-binding, so
+    * every consumer inlines this CASE. */
+  private def hwSeason(prefix: String, idxExpr: String): String =
+    s"CASE $idxExpr " +
+      (0 to 6).map(j => s"WHEN $j THEN $prefix.s$j").mkString(" ") + " END"
+
+  /** Statistics — Holt–Winters additive seasonal smoothing (α=0.3, β=0.1,
+    * γ=0.2, weekly m=7) of daily order revenue, as one integer recurrence:
+    * lₜ = (3(xₜ−s₍ₜ₋₇₎) + 7(lₜ₋₁+bₜ₋₁)) div 10, bₜ = (lₜ−lₜ₋₁+9bₜ₋₁)
+    * div 10, sₜ = (2(xₜ−lₜ) + 8s₍ₜ₋₇₎) div 10, seasonal state
+    * zero-initialized (indices warm up over the first cycles — both
+    * engines replay the identical convention). The daily rollup stays
+    * distributed; only the calendar-bounded series folds in one row
+    * (q211/q219/q222's machinery), with the 7 seasonal slots as struct
+    * fields so the fold state stays fixed-width. Forecast is the one-step
+    * lₜ+bₜ+s₍ₜ₋₆₎ (the NEXT day's seasonal slot, untouched this step). */
+  def q256HoltWinters(s: SparkSession, dir: String): DataFrame = {
+    val sOld = hwSeason("acc", "(acc.i % 7)")
+    val sNext = hwSeason("acc", "((acc.i + 1) % 7)")
+    val lN = s"IF(acc.i = 0, x.cents, (3 * (x.cents - $sOld) + 7 * (acc.l + acc.b)) div 10)"
+    val bN = s"IF(acc.i = 0, CAST(0 AS BIGINT), (($lN) - acc.l + 9 * acc.b) div 10)"
+    val seasonN = s"(2 * (x.cents - ($lN)) + 8 * ($sOld)) div 10"
+    val sFields = (0 to 6).map { j =>
+      s"'s$j', IF(acc.i % 7 = $j, $seasonN, acc.s$j)"
+    }.mkString(", ")
+    val zeroState = (0 to 6).map(j => s"'s$j', CAST(0 AS BIGINT)").mkString(", ")
+    t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("rows"))
+      .select(explode(expr(
+        s"""aggregate(rows,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    $zeroState, 'i', CAST(0 AS BIGINT),
+           |    'out', CAST(array() AS ARRAY<STRUCT<day: BIGINT, cents: BIGINT,
+           |      level: BIGINT, trend: BIGINT, season: BIGINT, forecast: BIGINT>>)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lN,
+           |    'b', $bN,
+           |    $sFields,
+           |    'i', acc.i + 1,
+           |    'out', array_append(acc.out, named_struct(
+           |      'day', x.day, 'cents', x.cents,
+           |      'level', $lN, 'trend', $bN, 'season', $seasonN,
+           |      'forecast', ($lN) + ($bN) + ($sNext)))),
+           |  acc -> acc.out)""".stripMargin)).as("r"))
+      .select(col("r.day").as("day"), col("r.cents").as("cents"),
+        col("r.level").as("level"), col("r.trend").as("trend"),
+        col("r.season").as("season"), col("r.forecast").as("forecast"))
+      .orderBy("day")
+  }
+
+  val q256Sql: String = {
+    val sOld = hwSeason("h", "(rr.rn - 1) % 7")
+    val sNext = hwSeason("h", "rr.rn % 7")
+    val lN = s"(3 * (rr.cents - $sOld) + 7 * (h.l + h.b)) // 10"
+    val bN = s"(($lN) - h.l + 9 * h.b) // 10"
+    val seasonN = s"(2 * (rr.cents - ($lN)) + 8 * ($sOld)) // 10"
+    val sCols = (0 to 6).map { j =>
+      s"CASE WHEN (rr.rn - 1) % 7 = $j THEN $seasonN ELSE h.s$j END AS s$j"
+    }.mkString(",\n      |        ")
+    val sZeros = (0 to 6).map(j => s"CAST(0 AS BIGINT) AS s$j").mkString(", ")
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rr AS (SELECT day, cents,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+      |h AS (SELECT rn, day, cents, cents AS l, CAST(0 AS BIGINT) AS b,
+      |        $sZeros,
+      |        CAST(0 AS BIGINT) AS season,
+      |        cents AS forecast
+      |      FROM rr WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.rn, rr.day, rr.cents,
+      |        $lN AS l,
+      |        $bN AS b,
+      |        $sCols,
+      |        $seasonN AS season,
+      |        ($lN) + ($bN) + ($sNext) AS forecast
+      |      FROM rr JOIN h ON rr.rn = h.rn + 1)
+      |SELECT day, cents, l AS level, b AS trend, season, forecast
+      |FROM h ORDER BY day""".stripMargin
+  }
+
+  // ------------------------------------------------- q257 mase eval
+
+  /** Forecast evaluation — MASE of the q222 Holt one-step forecast over
+    * daily order revenue: numerator Σ|xₜ − (lₜ₋₁+bₜ₋₁)|, denominator the
+    * naive-walk Σ|xₜ − xₜ₋₁| (t ≥ 2), ratio in ppm via the shared
+    * floor-div. Both error streams accumulate INSIDE the same fold that
+    * replays the Holt recurrence — no lag window anywhere, and the fold
+    * state is five integers regardless of series length. */
+  def q257MaseEval(s: SparkSession, dir: String): DataFrame = {
+    val lN = "IF(acc.i = 0, x.cents, (3 * x.cents + 7 * (acc.l + acc.b)) div 10)"
+    val bN = s"IF(acc.i = 0, CAST(0 AS BIGINT), (($lN) - acc.l + 9 * acc.b) div 10)"
+    t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .agg(sort_array(collect_list(struct(col("day"), col("cents")))).as("rows"))
+      .select(expr(
+        s"""aggregate(rows,
+           |  named_struct('l', CAST(0 AS BIGINT), 'b', CAST(0 AS BIGINT),
+           |    'prev', CAST(0 AS BIGINT), 'i', CAST(0 AS BIGINT),
+           |    'se', CAST(0 AS BIGINT), 'sd', CAST(0 AS BIGINT)),
+           |  (acc, x) -> named_struct(
+           |    'l', $lN,
+           |    'b', $bN,
+           |    'prev', x.cents,
+           |    'i', acc.i + 1,
+           |    'se', acc.se + IF(acc.i = 0, CAST(0 AS BIGINT),
+           |            abs(x.cents - (acc.l + acc.b))),
+           |    'sd', acc.sd + IF(acc.i = 0, CAST(0 AS BIGINT),
+           |            abs(x.cents - acc.prev))),
+           |  acc -> named_struct('n', acc.i, 'sum_abs_err', acc.se,
+           |    'sum_abs_naive', acc.sd)) AS m""".stripMargin))
+      .select(col("m.n").as("n"), col("m.sum_abs_err").as("sum_abs_err"),
+        col("m.sum_abs_naive").as("sum_abs_naive"))
+      .withColumn("mase_ppm", expr(Ops.floorDivScaledSql(
+        "sum_abs_err", "sum_abs_naive", 1000000L)))
+  }
+
+  val q257Sql: String = {
+    val fd = Ops.floorDivScaledSql("sum_abs_err", "sum_abs_naive", 1000000L, op = "//")
+    s"""WITH RECURSIVE daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |rr AS (SELECT day, cents,
+      |         CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS rn FROM daily),
+      |h AS (SELECT rn, cents, cents AS l, CAST(0 AS BIGINT) AS b,
+      |        CAST(0 AS BIGINT) AS se, CAST(0 AS BIGINT) AS sd
+      |      FROM rr WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.rn, rr.cents,
+      |        (3 * rr.cents + 7 * (h.l + h.b)) // 10 AS l,
+      |        (((3 * rr.cents + 7 * (h.l + h.b)) // 10) - h.l + 9 * h.b) // 10 AS b,
+      |        h.se + abs(rr.cents - (h.l + h.b)) AS se,
+      |        h.sd + abs(rr.cents - h.cents) AS sd
+      |      FROM rr JOIN h ON rr.rn = h.rn + 1),
+      |last AS (SELECT rn AS n, se AS sum_abs_err, sd AS sum_abs_naive
+      |         FROM h ORDER BY rn DESC LIMIT 1)
+      |SELECT n, sum_abs_err, sum_abs_naive, CAST($fd AS BIGINT) AS mase_ppm
+      |FROM last""".stripMargin
+  }
+
   // ------------------------------------------------- q251 spearman rho
 
   /** Doubled average rank (2·avg-rank, integer even with ties) of `vcol`,
@@ -2469,6 +2620,8 @@ object Analytics {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q251_spearman" -> (q251Spearman _),
+    "q256_holt_winters" -> (q256HoltWinters _),
+    "q257_mase_eval" -> (q257MaseEval _),
     "q252_mann_whitney" -> (q252MannWhitney _),
     "q253_cramers_v" -> (q253CramersV _),
     "q254_hhi" -> (q254Hhi _),
@@ -2519,6 +2672,8 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q251_spearman" -> q251Sql,
+    "q256_holt_winters" -> q256Sql,
+    "q257_mase_eval" -> q257Sql,
     "q252_mann_whitney" -> q252Sql,
     "q253_cramers_v" -> q253Sql,
     "q254_hhi" -> q254Sql,

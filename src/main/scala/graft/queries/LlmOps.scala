@@ -2045,9 +2045,60 @@ object LlmOps {
       |FROM samp LEFT JOIN a ON a.sid = samp.id LEFT JOIN b ON b.sid = samp.id
       |ORDER BY samp.id""".stripMargin
 
+  // ------------------------------------------------- q258 readability
+
+  /** Text analysis — Flesch reading-ease profile per language, integer
+    * throughout: per doc, words = whitespace tokens, sentences =
+    * max(1, count of [.!?]), syllables = vowel-group runs ([aeiouy]+ on
+    * the lowercased text — the standard heuristic when no dictionary is
+    * shipped); FRE×100 = 20684 − ⌊1015·w / (10·s)⌋ − ⌊8460·sy / w⌋.
+    * Everything is scan-local regexp counting + one map-side-combinable
+    * rollup — no shuffle beyond the per-language aggregate. Documents
+    * with no tokens are excluded (their ratio terms are undefined). */
+  def q258Readability(s: SparkSession, dir: String): DataFrame = {
+    val per = docs(s, dir).select(col("lang"),
+        expr("CAST(regexp_count(trim(text), '\\\\S+') AS BIGINT)").as("w"),
+        expr("CAST(greatest(1, regexp_count(text, '[.!?]')) AS BIGINT)").as("sents"),
+        expr("CAST(regexp_count(lower(text), '[aeiouy]+') AS BIGINT)").as("sy"))
+      .filter(col("w") > 0L)
+      .withColumn("fre_centi",
+        lit(20684L) - expr("(1015L * w) div (10L * sents)") -
+          expr("(8460L * sy) div w"))
+    per.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("w").as("total_words"),
+        sum("sy").as("total_syllables"), sum("fre_centi").as("sum_fre_centi"))
+      .withColumn("mean_fre_centi", expr(
+        graft.operators.Analytics.floorDivScaledSql("sum_fre_centi", "n_docs", 1L)))
+      .select("lang", "n_docs", "total_words", "total_syllables",
+        "mean_fre_centi")
+      .orderBy("lang")
+  }
+
+  val q258Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "sum_fre_centi", "n_docs", 1L, op = "//")
+    s"""WITH per AS (SELECT lang,
+      |    CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT) AS w,
+      |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]'))) AS BIGINT) AS sents,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+      |  FROM documents),
+      |f AS (SELECT lang, w, sy,
+      |    20684 - (1015 * w) // (10 * sents) - (8460 * sy) // w AS fre_centi
+      |  FROM per WHERE w > 0),
+      |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(w) AS BIGINT) AS total_words,
+      |    CAST(sum(sy) AS BIGINT) AS total_syllables,
+      |    CAST(sum(fre_centi) AS BIGINT) AS sum_fre_centi
+      |  FROM f GROUP BY lang)
+      |SELECT lang, n_docs, total_words, total_syllables,
+      |  CAST($fd AS BIGINT) AS mean_fre_centi
+      |FROM g ORDER BY lang""".stripMargin
+  }
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q258_readability" -> (q258Readability _),
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
     "q20_minhash" -> (q20Minhash _),
@@ -2100,6 +2151,7 @@ object LlmOps {
     "q151_multiprobe_lsh" -> (q151MultiProbeLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "q258_readability" -> q258Sql,
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,
     "q20_minhash" -> q20Sql,

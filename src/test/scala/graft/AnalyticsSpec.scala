@@ -783,6 +783,79 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       u1x2 + a.length.toLong * (a.length + 1L))
   }
 
+  test("q256 Holt-Winters: the seasonal recurrence equals the hand walk (m=7, zero-init)") {
+    val daily = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents")))
+      .sortBy(_._1)
+    var l = 0L; var b = 0L
+    val sArr = Array.fill(7)(0L)
+    val want = daily.zipWithIndex.map { case ((day, x), i) =>
+      val idx = i % 7
+      val sOld = sArr(idx)
+      val lN = if (i == 0) x else (3 * (x - sOld) + 7 * (l + b)) / 10
+      val bN = if (i == 0) 0L else ((lN - l) + 9 * b) / 10
+      val sN = (2 * (x - lN) + 8 * sOld) / 10
+      val fc = lN + bN + sArr((i + 1) % 7)
+      sArr(idx) = sN; l = lN; b = bN
+      (day, x, lN, bN, sN, fc)
+    }
+    val got = graft.queries.Analytics.q256HoltWinters(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents"),
+        r.getAs[Long]("level"), r.getAs[Long]("trend"),
+        r.getAs[Long]("season"), r.getAs[Long]("forecast")))
+    assert(got.sameElements(want))
+  }
+
+  test("q257 MASE: error accumulators equal the replayed Holt recurrence") {
+    val daily = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents")
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getAs[Long]("day"), r.getAs[Long]("cents")))
+      .sortBy(_._1).map(_._2)
+    var l = 0L; var b = 0L; var prev = 0L; var se = 0L; var sd = 0L
+    daily.zipWithIndex.foreach { case (x, i) =>
+      if (i > 0) { se += math.abs(x - (l + b)); sd += math.abs(x - prev) }
+      val lN = if (i == 0) x else (3 * x + 7 * (l + b)) / 10
+      val bN = if (i == 0) 0L else ((lN - l) + 9 * b) / 10
+      l = lN; b = bN; prev = x
+    }
+    val row = graft.queries.Analytics.q257MaseEval(spark, sf001).collect().head
+    assert(row.getAs[Long]("n") == daily.length.toLong)
+    assert(row.getAs[Long]("sum_abs_err") == se)
+    assert(row.getAs[Long]("sum_abs_naive") == sd)
+    assert(row.getAs[Long]("mase_ppm") == (BigInt(se) * 1000000 / BigInt(sd)).toLong)
+  }
+
+  test("q258 readability: per-doc Flesch terms equal the Scala regex hand walk") {
+    val rows = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("lang", "text").collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("text")))
+    val per = rows.map { case (lang, text) =>
+      val w = "\\S+".r.findAllIn(text.trim).length.toLong
+      val sents = math.max(1L, "[.!?]".r.findAllIn(text).length.toLong)
+      val sy = "[aeiouy]+".r.findAllIn(text.toLowerCase).length.toLong
+      (lang, w, sents, sy)
+    }.filter(_._2 > 0)
+    val want = per.groupBy(_._1).map { case (lang, docs) =>
+      val fres = docs.map { case (_, w, sents, sy) =>
+        20684L - (1015L * w) / (10L * sents) - (8460L * sy) / w }
+      val m = BigInt(fres.sum) /% BigInt(fres.length)
+      val meanFloor = (if (m._2 < 0) m._1 - 1 else m._1).toLong
+      lang -> ((docs.length.toLong, docs.map(_._2).sum, docs.map(_._4).sum,
+        meanFloor))
+    }
+    val got = graft.queries.LlmOps.q258Readability(spark, sf001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        ((r.getAs[Long]("n_docs"), r.getAs[Long]("total_words"),
+          r.getAs[Long]("total_syllables"), r.getAs[Long]("mean_fre_centi"))))
+      .toMap
+    assert(got == want)
+  }
+
   test("q255 Theil-Sen: the median slope is the exact lower-median order statistic") {
     val daily = graft.sources.Tables.load(spark, sf001, "orders")
       .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",
