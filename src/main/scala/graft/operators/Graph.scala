@@ -89,6 +89,33 @@ object Graph {
     * Returns (id, n_tri) for every node in `nodes` (0 when
     * triangle-free). */
   def triangles(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val (_, counts) = triangleCore(edges)
+    nodes.select("id")
+      .join(counts, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+  }
+
+  /** Local clustering coefficient per node, in ppm: cc(v) =
+    * 2·tri(v) / (deg(v)·(deg(v)−1)), NULL when deg < 2 (undefined).
+    * Shares [[triangles]]' degree-ordered orientation — the degree frame
+    * the orientation already builds is reused, so the addition over a
+    * plain triangle count is one broadcast-scale join, no new shuffle
+    * profile. */
+  def clusteringCoeff(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val (deg, counts) = triangleCore(edges)
+    nodes.select("id")
+      .join(counts, Seq("id"), "left")
+      .join(deg, Seq("id"), "left")
+      .select(col("id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("cc_ppm", expr(Analytics.floorDivScaledSql(
+        "2 * n_tri", "deg * (deg - 1)", 1000000L)))
+  }
+
+  /** Shared core of [[triangles]] / [[clusteringCoeff]]: canonicalize,
+    * orient by (deg, id), count closed wedges. Returns (per-node degree,
+    * per-node triangle count — nodes absent when zero). */
+  private def triangleCore(edges: DataFrame): (DataFrame, DataFrame) = {
     val canon = edges
       .select(least(col("id_a"), col("id_b")).as("a"),
         greatest(col("id_a"), col("id_b")).as("b"))
@@ -119,9 +146,7 @@ object Graph {
     val counts = tri
       .select(explode(array(col("w"), col("x"), col("y"))).as("id"))
       .groupBy("id").agg(count(lit(1)).as("n_tri"))
-    nodes.select("id")
-      .join(counts, Seq("id"), "left")
-      .select(col("id"), coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+    (deg, counts)
   }
 
   /** Synchronous min-label propagation over an undirected (id_a, id_b)

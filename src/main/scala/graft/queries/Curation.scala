@@ -1293,7 +1293,170 @@ object Curation {
 
   // -------------------------------------------------------------- registry
 
+  // ------------------------------------------------- q259 heaps' law
+
+  /** Corpus profiling — Heaps'-law vocabulary-growth fit per source:
+    * V(n) ≈ K·n^β estimated as the log–log regression of cumulative
+    * distinct types against cumulative tokens at each doc boundary.
+    * First occurrences come from ONE `min(doc_id)` aggregate per (source,
+    * type) — never a running distinct; the two cumulative series share a
+    * per-source window (at crawl scale swap in the range-partitioned
+    * prefix machinery of [[graft.operators.Ranks.prefixSums]]); logs are
+    * rounded to integer millis before the moment sums (q177's float
+    * discipline). β ≈ slope_milli / 1000, sublinear < 1 by Heaps' law. */
+  def q259HeapsFit(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tok = docs(s, dir).select(col("source"), col("doc_id"),
+      expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+    val perDoc = tok.select(col("source"), col("doc_id"),
+      expr("CAST(size(t) AS BIGINT)").as("n_tok"))
+    val newTypes = tok
+      .select(col("source"), col("doc_id"), explode(col("t")).as("w"))
+      .groupBy("source", "w").agg(min("doc_id").as("doc_id"))
+      .groupBy("source", "doc_id").agg(count(lit(1)).as("new_types"))
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perDoc.join(newTypes, Seq("source", "doc_id"), "left")
+      .select(col("source"), col("doc_id"), col("n_tok"),
+        coalesce(col("new_types"), lit(0L)).as("new_types"))
+      .withColumn("cum_tok", sum("n_tok").over(w))
+      .withColumn("cum_typ", sum("new_types").over(w))
+      .filter(col("cum_tok") > 0L && col("cum_typ") > 0L)
+      .select(col("source"),
+        floor(log(col("cum_tok").cast("double")) * 1000.0 + 0.5).cast("long").as("lx"),
+        floor(log(col("cum_typ").cast("double")) * 1000.0 + 0.5).cast("long").as("ly"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_points"),
+        sum("lx").as("s_x"), sum("ly").as("s_y"),
+        sum(col("lx") * col("lx")).as("s_xx"),
+        sum(col("lx") * col("ly")).as("s_xy"))
+      .withColumn("num", expr("n_points * s_xy - s_x * s_y"))
+      .withColumn("den", expr("n_points * s_xx - s_x * s_x"))
+      .withColumn("beta_milli", expr(graft.operators.Analytics
+        .floorDivScaledSql("num", "den", 1000L)))
+      .orderBy("source")
+  }
+
+  val q259Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql("num", "den", 1000L, op = "//")
+    s"""WITH tok AS (SELECT source, doc_id,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |pd AS (SELECT source, doc_id, CAST(len(t) AS BIGINT) AS n_tok FROM tok),
+      |fw AS (SELECT source, w, min(doc_id) AS doc_id
+      |  FROM (SELECT source, doc_id, unnest(t) AS w FROM tok) GROUP BY 1, 2),
+      |nt AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS new_types
+      |  FROM fw GROUP BY 1, 2),
+      |c AS (SELECT pd.source,
+      |    CAST(sum(n_tok) OVER (PARTITION BY pd.source ORDER BY pd.doc_id) AS BIGINT) AS cum_tok,
+      |    CAST(sum(COALESCE(new_types, 0)) OVER (PARTITION BY pd.source ORDER BY pd.doc_id) AS BIGINT) AS cum_typ
+      |  FROM pd LEFT JOIN nt ON nt.source = pd.source AND nt.doc_id = pd.doc_id),
+      |h AS (SELECT source,
+      |    CAST(floor(ln(CAST(cum_tok AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS lx,
+      |    CAST(floor(ln(CAST(cum_typ AS DOUBLE)) * 1000.0 + 0.5) AS BIGINT) AS ly
+      |  FROM c WHERE cum_tok > 0 AND cum_typ > 0),
+      |o AS (SELECT source, CAST(count(*) AS BIGINT) AS n_points,
+      |    CAST(sum(lx) AS BIGINT) AS s_x, CAST(sum(ly) AS BIGINT) AS s_y,
+      |    CAST(sum(lx * lx) AS BIGINT) AS s_xx,
+      |    CAST(sum(lx * ly) AS BIGINT) AS s_xy
+      |  FROM h GROUP BY 1),
+      |w2 AS (SELECT *, n_points * s_xy - s_x * s_y AS num,
+      |    n_points * s_xx - s_x * s_x AS den FROM o)
+      |SELECT source, n_points, s_x, s_y, s_xx, s_xy, num, den,
+      |  CAST($fd AS BIGINT) AS beta_milli
+      |FROM w2 ORDER BY source""".stripMargin
+  }
+
+  // ------------------------------------------- q260 clustering coefficient
+
+  /** Graph analytics — local clustering coefficient over the cosine ≥ 0.30
+    * similarity graph ([[Graph.clusteringCoeff]]): cc(v) = 2·tri(v) /
+    * (deg(v)(deg(v)−1)) in ppm, NULL when deg < 2. Same degree-ordered
+    * wedge machinery as q79 — the coefficient adds only the broadcast-
+    * scale degree join, so the 100 TB posture is q79's. */
+  def q260ClusteringCoeff(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    Graph.clusteringCoeff(e.select("id"),
+        Similarity.cosinePairs(e, minCosine = 0.30).select("id_a", "id_b"))
+      .orderBy("id")
+  }
+
+  val q260Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "2 * n_tri", "deg * (deg - 1)", 1000000L, op = "//")
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+      |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+      |      FROM embeddings),
+      |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+      |e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+      |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+      |dg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM (
+      |        SELECT id_a AS id FROM e UNION ALL SELECT id_b FROM e) GROUP BY 1),
+      |tri AS (SELECT ab.id_a AS a, ab.id_b AS b, bc.id_b AS c
+      |        FROM e ab JOIN e bc ON ab.id_b = bc.id_a
+      |        JOIN e ac ON ac.id_a = ab.id_a AND ac.id_b = bc.id_b),
+      |cnt AS (SELECT u.id, CAST(count(*) AS BIGINT) AS n_tri
+      |        FROM tri, UNNEST([a, b, c]) AS u(id) GROUP BY 1),
+      |f AS (SELECT vec_id AS id, COALESCE(dg.deg, 0) AS deg,
+      |        COALESCE(cnt.n_tri, 0) AS n_tri
+      |      FROM embeddings LEFT JOIN cnt ON cnt.id = vec_id
+      |        LEFT JOIN dg ON dg.id = vec_id)
+      |SELECT id, deg, n_tri, CAST($fd AS BIGINT) AS cc_ppm
+      |FROM f ORDER BY id""".stripMargin
+  }
+
+  // ------------------------------------------------- q261 textrank
+
+  /** Text analysis — TextRank keyword extraction: PageRank
+    * ([[Graph.pagerank]], 3 rounds, d=0.85, integer rank_q) over the
+    * undirected adjacent-token co-occurrence graph, top-20 words. The
+    * unweighted-edge simplification is documented (co-occurrence
+    * multiplicity does not reweight); the pair stream is one array-zip
+    * per document — no self-join on positions. */
+  def q261Textrank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = docs(s, dir)
+      .select(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)").as("t"))
+      .filter(expr("size(t) >= 2"))
+      .select(explode(expr(
+        """filter(transform(sequence(1, size(t) - 1),
+          |  i -> named_struct('wa', element_at(t, i), 'wb', element_at(t, i + 1))),
+          |  p -> p.wa != p.wb)""".stripMargin)).as("p"))
+      .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+    val edges = pairs.select(col("wa").as("src"), col("wb").as("dst"))
+      .unionByName(pairs.select(col("wb").as("src"), col("wa").as("dst")))
+    Graph.pagerank(edges, iters = 3, d100 = 85)
+      .orderBy(col("rank_q").desc, col("id"))
+      .limit(20)
+      .select(col("id").as("word"), col("rank_q"))
+  }
+
+  val q261Sql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""s$cur AS (SELECT e.dst AS id, CAST(SUM(r.rank_q // d.out_deg) AS BIGINT) AS in_q
+         |       FROM e JOIN r$prev r ON r.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+         |r$cur AS (SELECT n.id, CAST(150000000 + COALESCE(s$cur.in_q, 0) * 85 // 100 AS BIGINT) AS rank_q
+         |       FROM nodes n LEFT JOIN s$cur ON s$cur.id = n.id)""".stripMargin
+    s"""WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+       |            FROM documents WHERE len(regexp_extract_all(lower(text), '[a-z0-9]+')) >= 2),
+       |big AS (SELECT unnest(list_zip(t[1:len(t)-1], t[2:len(t)])) AS z FROM tok),
+       |p AS (SELECT z[1] AS wa, z[2] AS wb FROM big WHERE z[1] != z[2]),
+       |e AS (SELECT DISTINCT src, dst FROM (
+       |        SELECT wa AS src, wb AS dst FROM p
+       |        UNION ALL SELECT wb, wa FROM p)),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank_q FROM nodes),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT id AS word, rank_q FROM r3
+       |ORDER BY rank_q DESC, word LIMIT 20""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q259_heaps_fit" -> (q259HeapsFit _),
+    "q260_clustering_coeff" -> (q260ClusteringCoeff _),
+    "q261_textrank" -> (q261Textrank _),
     "q61_curation_pipeline" -> (q61Curation _),
     "q62_pagerank" -> (q62Pagerank _),
     "q221_label_prop" -> (q221LabelProp _),
@@ -1325,6 +1488,9 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q259_heaps_fit" -> q259Sql,
+    "q260_clustering_coeff" -> q260Sql,
+    "q261_textrank" -> q261Sql,
     "q61_curation_pipeline" -> q61Sql,
     "q62_pagerank" -> q62Sql,
     "q221_label_prop" -> q221Sql,

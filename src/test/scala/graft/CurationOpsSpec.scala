@@ -415,4 +415,83 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
           r.getAs[Long]("rk")))).toMap
     assert(got == want, s"got ${got.size} rows, want ${want.size}")
   }
+
+  test("q259 Heaps fit: cumulative type/token series and moment sums equal the hand walk") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.load(spark, sf, "documents")
+      .select("source", "doc_id", "text").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[String]("text")))
+    val want = rows.groupBy(_._1).map { case (src, ds) =>
+      val sorted = ds.sortBy(_._2)
+      val seen = scala.collection.mutable.Set[String]()
+      var cumTok = 0L
+      val pts = sorted.flatMap { case (_, _, txt) =>
+        val t = "[a-z0-9]+".r.findAllIn(txt.toLowerCase).toSeq
+        cumTok += t.length
+        t.foreach(seen += _)
+        if (cumTok > 0 && seen.nonEmpty)
+          Some((math.floor(math.log(cumTok.toDouble) * 1000.0 + 0.5).toLong,
+            math.floor(math.log(seen.size.toDouble) * 1000.0 + 0.5).toLong))
+        else None
+      }
+      val n = pts.length.toLong
+      val sx = pts.map(_._1).sum; val sy = pts.map(_._2).sum
+      val sxx = pts.map(p => p._1 * p._1).sum
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      val m = (BigInt(num) * 1000) /% BigInt(den)
+      val slope = (if (m._2 < 0) m._1 - 1 else m._1).toLong
+      src -> ((n, num, den, slope))
+    }
+    val got = graft.queries.Curation.q259HeapsFit(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_points"), r.getAs[Long]("num"),
+          r.getAs[Long]("den"), r.getAs[Long]("beta_milli")))).toMap
+    assert(got == want)
+    // Heaps: vocabulary growth is sublinear on every source
+    got.values.foreach { case (_, _, _, beta) => assert(beta < 1000L) }
+  }
+
+  test("clusteringCoeff: hand-computed cc incl. the deg<2 NULL and the K4 clique") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: cc = 1 everywhere (3 triangles, deg 3 → 2·3/(3·2));
+    // pendant 5 (deg 1 → NULL); triangle {7,8,9} with tail 9-10:
+    // cc(7)=cc(8)=1, cc(9)=2·1/(3·2)=333333 ppm; isolated 6 (deg 0 → NULL)
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (4L, 5L), (7L, 8L), (8L, 9L), (7L, 9L), (9L, 10L)).toDF("id_a", "id_b")
+    val nodes = (1L to 10L).toDF("id")
+    val out = Graph.clusteringCoeff(nodes, edges).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("deg"), r.getAs[Long]("n_tri"),
+          if (r.isNullAt(r.fieldIndex("cc_ppm"))) -1L else r.getAs[Long]("cc_ppm"))))
+      .toMap
+    assert(out(1L) == ((3L, 3L, 1000000L)))
+    assert(out(4L) == ((4L, 3L, 2L * 3L * 1000000L / (4L * 3L)))) // pendant adds deg
+    assert(out(5L) == ((1L, 0L, -1L)))
+    assert(out(6L) == ((0L, 0L, -1L)))
+    assert(out(7L) == ((2L, 1L, 1000000L)))
+    assert(out(9L) == ((3L, 1L, 2L * 1000000L / (3L * 2L))))
+    assert(out(10L) == ((1L, 0L, -1L)))
+  }
+
+  test("q261 TextRank: the bigram edge frame feeds pagerank exactly (fixture replication at sf0.001)") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val docsTexts = graft.sources.Tables.load(spark, sf, "documents")
+      .select("text").collect().map(_.getString(0))
+    val pairs = docsTexts.flatMap { txt =>
+      val t = "[a-z0-9]+".r.findAllIn(txt.toLowerCase).toArray
+      t.sliding(2).collect { case Array(a, b) if a != b => (a, b) }
+    }
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .toSeq.toDF("src", "dst")
+    val want = graft.operators.Graph.pagerank(edges, iters = 3, d100 = 85)
+      .collect().map(r => r.getAs[String]("id") -> r.getAs[Long]("rank_q"))
+      .sortBy { case (w, q) => (-q, w) }.take(20)
+    val got = graft.queries.Curation.q261Textrank(spark, sf).collect()
+      .map(r => (r.getAs[String]("word"), r.getAs[Long]("rank_q")))
+    assert(got.sameElements(want))
+  }
 }

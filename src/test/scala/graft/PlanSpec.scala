@@ -606,6 +606,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q255's calendar-bounded pair frame must broadcast one side")
   }
 
+  test("q259-q261: Heaps windows partition per source; graph rounds stay equi-joins") {
+    Seq("q259_heaps_fit", "q260_clustering_coeff", "q261_textrank").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    val w259 = plan("q259_heaps_fit").linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(w259.nonEmpty && w259.forall(_.contains("source")),
+      s"q259 cumulative series must partition by source: $w259")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
