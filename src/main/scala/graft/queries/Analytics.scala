@@ -2217,6 +2217,118 @@ object Analytics {
       |       ELSE 'C' END AS abc_class
       |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------- q262 isotonic calibration
+
+  /** Calibration — exact weighted isotonic regression (PAV solution) over
+    * the q183 score-decile reliability table, via the closed minimax form
+    * ŷᵢ = max_{j≤i} min_{k≥i} pooledRate(j..k) — no sequential
+    * pool-adjacent-violators loop, so the whole fit is three joins + two
+    * aggregations over the DECILE grid (metadata-scale; the only
+    * data-scale work is q183's own ranking pass). Pooled rates floor to
+    * ppm before the minimax, making both engines bit-identical; the fit
+    * is provably monotone, which the spec asserts. */
+  def q262IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    val cells = q183Calibration(s, dir).select("decile", "n", "n_pos")
+    val bj = cells.select(col("decile").as("j"))
+    val bk = cells.select(col("decile").as("k"))
+    // every frame here is decile-grid-sized (≤ 10 rows): broadcast the
+    // inequality-join sides so the static plan is BNLJ, never cartesian
+    val ranges = bj.join(broadcast(bk), col("j") <= col("k"))
+    val pooled = ranges
+      .join(broadcast(cells), col("decile") >= col("j") && col("decile") <= col("k"))
+      .groupBy("j", "k")
+      .agg(sum("n").as("rn"), sum("n_pos").as("rpos"))
+      .withColumn("rate_ppm", expr(Ops.floorDivScaledSql("rpos", "rn", 1000000L)))
+      .select("j", "k", "rate_ppm")
+    val grid = cells.select(col("decile").as("i"))
+    val fit = grid
+      .join(broadcast(pooled), col("j") <= col("i") && col("k") >= col("i"))
+      .groupBy("i", "j").agg(min("rate_ppm").as("mn"))
+      .groupBy("i").agg(max("mn").as("fit_ppm"))
+    cells.join(broadcast(fit), col("decile") === col("i"))
+      .withColumn("obs_ppm", expr("(n_pos * 1000000) div n"))
+      .select("decile", "n", "n_pos", "obs_ppm", "fit_ppm")
+      .orderBy("decile")
+  }
+
+  val q262Sql: String = {
+    val fdRate = Ops.floorDivScaledSql("rpos", "rn", 1000000L, op = "//")
+    DuckClassifierScore +
+      s""",
+        |r AS (SELECT id, score_milli,
+        |        CAST(row_number() OVER (ORDER BY score_milli, id) AS BIGINT) AS rnk
+        |      FROM sc),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM sc),
+        |cells AS (SELECT ((r.rnk - 1) * 10) // nn.n_docs AS decile,
+        |        CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |      FROM r JOIN documents d ON d.doc_id = r.id CROSS JOIN nn
+        |      GROUP BY 1),
+        |ranges AS (SELECT a.decile AS j, b.decile AS k
+        |      FROM cells a JOIN cells b ON a.decile <= b.decile),
+        |pooled AS (SELECT j, k, CAST($fdRate AS BIGINT) AS rate_ppm
+        |      FROM (SELECT j, k, CAST(sum(c.n) AS BIGINT) AS rn,
+        |              CAST(sum(c.n_pos) AS BIGINT) AS rpos
+        |            FROM ranges JOIN cells c ON c.decile BETWEEN j AND k
+        |            GROUP BY j, k)),
+        |inner_min AS (SELECT g.decile AS i, p.j, min(p.rate_ppm) AS mn
+        |      FROM cells g JOIN pooled p ON p.j <= g.decile AND p.k >= g.decile
+        |      GROUP BY 1, 2),
+        |fit AS (SELECT i, CAST(max(mn) AS BIGINT) AS fit_ppm FROM inner_min GROUP BY 1)
+        |SELECT c.decile, c.n, c.n_pos,
+        |  (c.n_pos * 1000000) // c.n AS obs_ppm, f.fit_ppm
+        |FROM cells c JOIN fit f ON f.i = c.decile
+        |ORDER BY c.decile""".stripMargin
+  }
+
+  // ------------------------------------------- q263 average precision
+
+  /** Ranking eval — exact average precision (area under the
+    * precision–recall curve at the ranked cut points): documents ranked
+    * by classifier score descending, AP = (1/R)·Σ_{k: rel} P@k with
+    * P@k = cumPos(k)/k in floor-ppm. The ranking and the cumulative
+    * positive count ride [[graft.operators.Ranks.prefixSums]] in ONE
+    * shared range-partitioned pass — no global window, same machinery as
+    * the q189/q196 threshold sweeps. */
+  def q263AveragePrecision(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.prefixSums
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+      .join(docs(s, dir).select(col("doc_id").as("id"),
+        (col("lang") === "en").cast("long").as("pos")), "id")
+      .withColumn("one", lit(1L))
+    val swept = prefixSums(scored, Seq("pos" -> "cum_pos", "one" -> "rnk"),
+      col("score_milli").desc, col("id"))
+    val totals = broadcast(scored.agg(count(lit(1)).as("n_docs"),
+      sum("pos").as("n_pos")))
+    swept.filter(col("pos") === 1L)
+      .withColumn("p_at_k_ppm", expr("(cum_pos * 1000000) div rnk"))
+      .agg(sum("p_at_k_ppm").as("sum_p_ppm"))
+      .crossJoin(totals)
+      .withColumn("ap_ppm", expr(Ops.floorDivScaledSql("sum_p_ppm", "n_pos", 1L)))
+      .select("n_docs", "n_pos", "sum_p_ppm", "ap_ppm")
+  }
+
+  val q263Sql: String = {
+    val fd = Ops.floorDivScaledSql("sum_p_ppm", "n_pos", 1L, op = "//")
+    DuckClassifierScore +
+      s""",
+        |lab AS (SELECT sc.id, sc.score_milli,
+        |        CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+        |      FROM sc JOIN documents d ON d.doc_id = sc.id),
+        |r AS (SELECT pos,
+        |        CAST(row_number() OVER (ORDER BY score_milli DESC, id) AS BIGINT) AS rnk,
+        |        CAST(sum(pos) OVER (ORDER BY score_milli DESC, id) AS BIGINT) AS cum_pos
+        |      FROM lab),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |        CAST(sum(pos) AS BIGINT) AS n_pos FROM lab),
+        |apg AS (SELECT CAST(sum((cum_pos * 1000000) // rnk) AS BIGINT) AS sum_p_ppm
+        |      FROM r WHERE pos = 1)
+        |SELECT t.n_docs, t.n_pos, apg.sum_p_ppm, CAST($fd AS BIGINT) AS ap_ppm
+        |FROM apg CROSS JOIN t""".stripMargin
+  }
+
   // ------------------------------------------- q256 holt-winters seasonal
 
   /** The current seasonal index (0-based day position mod 7) read from a
@@ -2621,6 +2733,8 @@ object Analytics {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q251_spearman" -> (q251Spearman _),
     "q256_holt_winters" -> (q256HoltWinters _),
+    "q262_isotonic_calibration" -> (q262IsotonicCalibration _),
+    "q263_average_precision" -> (q263AveragePrecision _),
     "q257_mase_eval" -> (q257MaseEval _),
     "q252_mann_whitney" -> (q252MannWhitney _),
     "q253_cramers_v" -> (q253CramersV _),
@@ -2673,6 +2787,8 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q251_spearman" -> q251Sql,
     "q256_holt_winters" -> q256Sql,
+    "q262_isotonic_calibration" -> q262Sql,
+    "q263_average_precision" -> q263Sql,
     "q257_mase_eval" -> q257Sql,
     "q252_mann_whitney" -> q252Sql,
     "q253_cramers_v" -> q253Sql,

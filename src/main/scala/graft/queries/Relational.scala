@@ -1310,7 +1310,73 @@ object Relational {
       |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15
       |    AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30)""".stripMargin
 
+  /** S7/S9 at TPC-H Q16's shape — distinct shipping suppliers per part
+    * (brand, type, size) profile, excluding one brand and suppliers in
+    * arrears (anti join). The supplier exclusion list is broadcast-anti;
+    * the distinct count shuffles once on the profile key. */
+  def q264PartSupplierDist(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").filter(col("p_brand") =!= "Brand#5")
+      .select(col("p_partkey"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long").as("p_size"))
+    val bad = t(s, dir, "supplier").filter(col("s_acctbal") < 0.0)
+      .select(col("s_suppkey"))
+    val li = t(s, dir, "lineitem").select(col("l_partkey"), col("l_suppkey"))
+      .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+      .limit(30)
+  }
+
+  val q264Sql: String =
+    """SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size,
+      |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#5'
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+      |LIMIT 30""".stripMargin
+
+  /** S7/S8 at TPC-H Q4's shape — order-priority census of one quarter's
+    * orders having at least one lineitem shipped more than 90 days after
+    * the order date. The EXISTS is a left-semi join whose date predicate
+    * rides the join condition (day arithmetic on both sides — no
+    * interval types cross the engines); the quarter filter prunes the
+    * orders scan. */
+  def q265PriorityExists(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1997-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1997-10-01").cast("timestamp"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_day"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"),
+      expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("l_day"))
+    o.join(li, col("o_orderkey") === col("l_orderkey") &&
+        col("l_day") > col("o_day") + lit(90L), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q265Sql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_cnt
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-07-01'
+      |  AND o_orderdate < TIMESTAMP '1997-10-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_orderkey = o_orderkey
+      |      AND CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+      |        > CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 + 90)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q264_part_supplier_dist" -> (q264PartSupplierDist _),
+    "q265_priority_exists" -> (q265PriorityExists _),
     "q245_shipping_priority" -> (q245ShippingPriority _),
     "q246_volume_shipping" -> (q246VolumeShipping _),
     "q247_returned_items" -> (q247ReturnedItems _),
@@ -1355,6 +1421,8 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q264_part_supplier_dist" -> q264Sql,
+    "q265_priority_exists" -> q265Sql,
     "q245_shipping_priority" -> q245Sql,
     "q246_volume_shipping" -> q246Sql,
     "q247_returned_items" -> q247Sql,

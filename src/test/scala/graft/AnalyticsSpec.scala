@@ -856,6 +856,73 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("q262 isotonic: minimax fit equals sequential PAV and is monotone") {
+    val cells = graft.queries.Analytics.q183Calibration(spark, sf001)
+      .select("decile", "n", "n_pos").collect()
+      .map(r => (r.getAs[Long]("decile"), r.getAs[Long]("n"), r.getAs[Long]("n_pos")))
+      .sortBy(_._1)
+    // sequential pool-adjacent-violators over floor-ppm pooled rates
+    case class Block(n: Long, pos: Long)
+    def rate(b: Block): Long = b.pos * 1000000L / b.n
+    // merge on EXACT rational comparison (cross-multiplied); floor to ppm
+    // only at output — floor commutes with the minimax's min/max, so the
+    // floored minimax equals the floored exact PAV fit
+    val stack = scala.collection.mutable.Stack[Block]()
+    cells.foreach { case (_, n, pos) =>
+      var cur = Block(n, pos)
+      while (stack.nonEmpty &&
+          BigInt(stack.top.pos) * cur.n > BigInt(cur.pos) * stack.top.n) {
+        val t = stack.pop(); cur = Block(t.n + cur.n, t.pos + cur.pos)
+      }
+      stack.push(cur)
+    }
+    val pav = stack.toList.reverse.flatMap(b => List.fill(b.n.toInt)(rate(b)))
+    // expand per-decile: each block covers its member deciles
+    val perDecile = {
+      val blocks = stack.toList.reverse
+      val out = scala.collection.mutable.ArrayBuffer[Long]()
+      var i = 0
+      blocks.foreach { b =>
+        var covered = 0L
+        while (covered < b.n) { covered += cells(i)._2; out += rate(b); i += 1 }
+        assert(covered == b.n, "blocks align to decile boundaries")
+      }
+      out.toSeq
+    }
+    val got = graft.queries.Analytics.q262IsotonicCalibration(spark, sf001)
+      .collect().map(r => (r.getAs[Long]("decile"), r.getAs[Long]("fit_ppm")))
+      .sortBy(_._1)
+    assert(got.map(_._2).toSeq == perDecile)
+    assert(got.map(_._2).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)),
+      "isotonic fit must be monotone non-decreasing")
+    assert(pav.length == cells.map(_._2).sum.toInt)
+  }
+
+  test("q263 average precision: AP equals the O(n log n) hand walk") {
+    val scored = graft.llmops.TextAnalysis
+      .hashedNgramScore(graft.sources.Tables.load(spark, sf001, "documents"),
+        "doc_id", "text")
+      .select("id", "score_milli").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Long]("score_milli")))
+    val en = graft.sources.Tables.load(spark, sf001, "documents")
+      .filter(col("lang") === "en").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val ranked = scored.sortBy { case (id, sc) => (-sc, id) }
+    var cum = 0L; var sumP = 0L
+    ranked.zipWithIndex.foreach { case ((id, _), k0) =>
+      if (en.contains(id)) {
+        cum += 1
+        sumP += cum * 1000000L / (k0 + 1L)
+      }
+    }
+    val row = graft.queries.Analytics.q263AveragePrecision(spark, sf001)
+      .collect().head
+    assert(row.getAs[Long]("n_docs") == ranked.length.toLong)
+    assert(row.getAs[Long]("n_pos") == cum)
+    assert(row.getAs[Long]("sum_p_ppm") == sumP)
+    assert(row.getAs[Long]("ap_ppm") == sumP / cum)
+  }
+
   test("q255 Theil-Sen: the median slope is the exact lower-median order statistic") {
     val daily = graft.sources.Tables.load(spark, sf001, "orders")
       .selectExpr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000 AS day",

@@ -616,6 +616,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q259 cumulative series must partition by source: $w259")
   }
 
+  test("q262-q265: decile grids broadcast; the Q16 exclusion is anti; the Q4 EXISTS is semi") {
+    Seq("q262_isotonic_calibration", "q263_average_precision",
+      "q264_part_supplier_dist", "q265_priority_exists").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    assert(plan("q264_part_supplier_dist").contains("LeftAnti"),
+      "q264's supplier exclusion must stay an anti join")
+    assert(plan("q265_priority_exists").contains("LeftSemi"),
+      "q265's EXISTS must stay a semi join")
+    val w263 = plan("q263_average_precision").linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(w263.forall(_.contains("__pid")),
+      s"q263's sweep must ride the range-partitioned prefix sum: $w263")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),

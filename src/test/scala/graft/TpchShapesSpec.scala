@@ -203,6 +203,23 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q265 priority-exists: the late-shipment EXISTS census, hand-walked") {
+    val inQ = orders.filter { o =>
+      o._5 >= 867715200000000L && o._5 < 875664000000000L // [1997-07-01, 1997-10-01)
+    }
+    val lateOrders = lineitem.groupBy(_._1).collect {
+      case (ok, lines) if inQ.exists(_._1 == ok) => ok -> lines
+    }.toMap
+    val want = inQ.filter { o =>
+      lateOrders.getOrElse(o._1, Array.empty[(Long, Long, Double, Long)])
+        .exists(l => day(l._4) > day(o._5) + 90L)
+    }.groupBy(_._3).map { case (p, v) => p -> v.length.toLong }
+    val got = graft.queries.Relational.q265PriorityExists(spark, sf001)
+      .collect().map(r => r.getAs[String]("o_orderpriority") ->
+        r.getAs[Long]("order_cnt")).toMap
+    assert(got == want)
+  }
+
   test("q249 promo share: conditional aggregate + floor-div ppm, hand-walked") {
     val promoParts = graft.sources.Tables.load(spark, sf001, "part")
       .filter(col("p_type") === "PROMO").select("p_partkey")
