@@ -164,6 +164,35 @@ object Graph {
     * is small by contract; the unbounded-convergence variant is
     * [[graft.llmops.Dedup.connectedComponents]] with its checkpoint
     * discipline). Returns (id, label) for every endpoint. */
+  /** Bounded-round multi-source BFS over an undirected (id_a, id_b) edge
+    * frame: dist⁰ = 0 on the seed set, dist^{t+1}(v) = min(dist^t(v),
+    * 1 + min over neighbors dist^t(u)) — after R rounds every node holds
+    * its exact hop distance to the nearest seed IF that distance ≤ R
+    * (NULL otherwise: "not within R hops" is the declared semantics, the
+    * same bounded-round contract as [[labelPropagation]]). Each round is
+    * one equi-join + one min-aggregation keyed on node id; the reached
+    * frontier frame carries (id, dist) only. Unreached nodes never
+    * materialize state — at 100 TB the frame grows with the reachable
+    * set, not the graph. */
+  def bfsDistance(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint() // consumed once per round
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val init = nodes.join(seeds.select("id"), Seq("id"), "left_semi")
+      .withColumn("dist", lit(0L))
+    val reached = (1 to rounds).foldLeft(init) { (dist, _) =>
+      val nbr = sym
+        .join(dist.select(col("id").as("src"), col("dist")), "src")
+        .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
+      dist.unionByName(nbr).groupBy("id").agg(min("dist").as("dist"))
+    }
+    nodes.join(reached, Seq("id"), "left")
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     val sym = edges

@@ -2217,6 +2217,47 @@ object Analytics {
       |       ELSE 'C' END AS abc_class
       |FROM r CROSS JOIN t ORDER BY rnk""".stripMargin
 
+  // ------------------------------------------- q267 nelson-aalen hazard
+
+  /** Survival — Nelson–Aalen cumulative hazard over the q211 risk table:
+    * H(k) = Σ_{j≤k} dⱼ/nⱼ with each step floored to ppm. Unlike the
+    * Kaplan–Meier product (a sequential fold), the hazard SUM rides the
+    * distributed prefix machinery ([[graft.operators.Ranks.prefixSum]])
+    * — the scalable member of the survival pair, and the reason both are
+    * declared. */
+  def q267NelsonAalen(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.prefixSum
+    val h = hazardTable(s, dir)
+      .withColumn("h_step_ppm", expr(Ops.floorDivScaledSql(
+        "converted", "at_risk", 1000000L)))
+    prefixSum(h, "h_step_ppm", "cumhaz_ppm", col("k"))
+      .select("k", "at_risk", "converted", "h_step_ppm", "cumhaz_ppm")
+      .orderBy("k")
+  }
+
+  val q267Sql: String = {
+    val fd = Ops.floorDivScaledSql("converted", "at_risk", 1000000L, op = "//")
+    s"""WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day, event_type
+      |  FROM events),
+      |u AS (SELECT user_id, CAST(min(day) AS BIGINT) AS first_day,
+      |        min(CASE WHEN event_type = 'purchase' THEN day END) AS first_purchase
+      |      FROM e GROUP BY 1),
+      |hz AS (SELECT CAST(max(day) AS BIGINT) AS last_day FROM e),
+      |grid AS (SELECT u.*, CAST(k AS BIGINT) AS k
+      |         FROM u CROSS JOIN hz, UNNEST(range(0, last_day - first_day + 1)) AS t(k)),
+      |r AS (SELECT k, CAST(count(*) AS BIGINT) AS at_risk,
+      |        CAST(sum(CASE WHEN first_purchase - first_day = k THEN 1 ELSE 0 END) AS BIGINT)
+      |          AS converted
+      |      FROM grid
+      |      WHERE first_purchase IS NULL OR first_purchase - first_day >= k
+      |      GROUP BY 1),
+      |na AS (SELECT k, at_risk, converted, CAST($fd AS BIGINT) AS h_step_ppm FROM r)
+      |SELECT k, at_risk, converted, h_step_ppm,
+      |  CAST(sum(h_step_ppm) OVER (ORDER BY k) AS BIGINT) AS cumhaz_ppm
+      |FROM na ORDER BY k""".stripMargin
+  }
+
   // ------------------------------------------- q262 isotonic calibration
 
   /** Calibration — exact weighted isotonic regression (PAV solution) over
@@ -2734,6 +2775,7 @@ object Analytics {
     "q251_spearman" -> (q251Spearman _),
     "q256_holt_winters" -> (q256HoltWinters _),
     "q262_isotonic_calibration" -> (q262IsotonicCalibration _),
+    "q267_nelson_aalen" -> (q267NelsonAalen _),
     "q263_average_precision" -> (q263AveragePrecision _),
     "q257_mase_eval" -> (q257MaseEval _),
     "q252_mann_whitney" -> (q252MannWhitney _),
@@ -2788,6 +2830,7 @@ object Analytics {
     "q251_spearman" -> q251Sql,
     "q256_holt_winters" -> q256Sql,
     "q262_isotonic_calibration" -> q262Sql,
+    "q267_nelson_aalen" -> q267Sql,
     "q263_average_precision" -> q263Sql,
     "q257_mase_eval" -> q257Sql,
     "q252_mann_whitney" -> q252Sql,

@@ -1453,7 +1453,52 @@ object Curation {
        |ORDER BY rank_q DESC, word LIMIT 20""".stripMargin
   }
 
+  // ------------------------------------------------- q268 bfs distance
+
+  /** Graph analytics — exact ≤4-hop distance to the nearest NATION_0
+    * supplier over the undirected co-purchase graph (q62's bipartite
+    * customer↔supplier node encoding), via [[Graph.bfsDistance]]: R
+    * min-plus rounds, NULL = "not within R hops" (declared semantics,
+    * same bounded-round contract as q221/q232). Each round is one
+    * equi-join + min-aggregation on node id; only the reached frontier
+    * carries state. */
+  def q268BfsDistance(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("id_a"),
+        (col("l_suppkey") * 2 + 1).as("id_b"))
+      .distinct()
+    val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    Graph.bfsDistance(pairs, seeds, rounds = 4).orderBy("id")
+  }
+
+  val q268Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""n$cur AS (SELECT e.dst AS id, CAST(min(d.dist) + 1 AS BIGINT) AS nd
+         |       FROM e JOIN d$prev d ON d.id = e.src AND d.dist IS NOT NULL
+         |       GROUP BY 1),
+         |d$cur AS (SELECT d.id,
+         |        COALESCE(LEAST(d.dist, n$cur.nd), d.dist, n$cur.nd) AS dist
+         |      FROM d$prev d LEFT JOIN n$cur ON n$cur.id = d.id)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |seeds AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier WHERE s_nationkey = 0),
+       |d0 AS (SELECT n.id,
+       |        CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
+       |      FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")},
+       |${round("3", "4")}
+       |SELECT id, dist FROM d4 ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q268_bfs_distance" -> (q268BfsDistance _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -1488,6 +1533,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q268_bfs_distance" -> q268Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

@@ -856,6 +856,25 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got == want)
   }
 
+  test("q267 Nelson-Aalen: floored hazard steps and their prefix sum, hand-walked vs q211's table") {
+    val km = graft.queries.Analytics.q211KaplanMeier(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("at_risk"),
+        r.getAs[Long]("converted"))).sortBy(_._1)
+    var cum = 0L
+    val want = km.map { case (k, n, d) =>
+      val step = d * 1000000L / n
+      cum += step
+      (k, n, d, step, cum)
+    }
+    val got = graft.queries.Analytics.q267NelsonAalen(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Long]("at_risk"),
+        r.getAs[Long]("converted"), r.getAs[Long]("h_step_ppm"),
+        r.getAs[Long]("cumhaz_ppm")))
+    assert(got.sameElements(want))
+    // hazard accumulates while KM survival decays: both monotone
+    assert(got.map(_._5).sliding(2).forall(p => p.length < 2 || p(0) <= p(1)))
+  }
+
   test("q262 isotonic: minimax fit equals sequential PAV and is monotone") {
     val cells = graft.queries.Analytics.q183Calibration(spark, sf001)
       .select("decile", "n", "n_pos").collect()

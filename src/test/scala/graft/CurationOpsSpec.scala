@@ -454,6 +454,27 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     got.values.foreach { case (_, _, _, beta) => assert(beta < 1000L) }
   }
 
+  test("bfsDistance: hand-computed hop distances, bounded-round NULL, nearest-seed min") {
+    import spark.implicits._
+    // path 1-2-3-4-5, pair 6-7, isolated-from-seeds component 8-9
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (6L, 7L),
+      (8L, 9L)).toDF("id_a", "id_b")
+    val seeds = Seq(1L, 6L).toDF("id")
+    val out = Graph.bfsDistance(edges, seeds, rounds = 3).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("dist"))) -1L else r.getAs[Long]("dist")))
+      .toMap
+    assert(out == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L,
+      5L -> -1L, // 4 hops > 3 rounds: declared NULL
+      6L -> 0L, 7L -> 1L, 8L -> -1L, 9L -> -1L))
+    // a 4th round reaches node 5
+    val out4 = Graph.bfsDistance(edges, seeds, rounds = 4).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (if (r.isNullAt(r.fieldIndex("dist"))) -1L else r.getAs[Long]("dist")))
+      .toMap
+    assert(out4(5L) == 4L && out4(8L) == -1L)
+  }
+
   test("clusteringCoeff: hand-computed cc incl. the deg<2 NULL and the K4 clique") {
     import spark.implicits._
     // K4 on {1,2,3,4}: cc = 1 everywhere (3 triangles, deg 3 → 2·3/(3·2));
