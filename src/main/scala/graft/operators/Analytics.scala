@@ -62,6 +62,16 @@ object Analytics {
       .select(col(groupCol).as("g"), col(valueCol).as("v"))
       .withColumn("bin", expr(s"v div ${binWidth}L"))
       .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    histogramQuantilesFromBins(bc, binWidth, targetsPct)
+  }
+
+  /** The quantile-extraction half of [[histogramQuantiles]], starting from
+    * an already-materialized (g, bin, c) count frame — the entry point for
+    * MERGEABLE histogram state (e.g. a streaming aggregation whose state
+    * is the bins): the walk costs one per-group window over |bins| rows,
+    * never touching raw values. */
+  def histogramQuantilesFromBins(bc: DataFrame, binWidth: Long,
+      targetsPct: Seq[Int]): DataFrame = {
     val wcum = Window.partitionBy("g").orderBy("bin")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wall = Window.partitionBy("g")

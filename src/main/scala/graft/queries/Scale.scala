@@ -1924,6 +1924,56 @@ object Scale {
       .orderBy("day", "reg")
   }
 
+  /** Streaming sketch — per-event-type MERGEABLE histogram quantiles
+    * (twenty-first streaming path): the streaming aggregation's state is
+    * the (event_type, bin) count frame — O(types × bins) rows forever,
+    * regardless of event volume — and the p50/p95/p99 walk
+    * ([[graft.operators.Analytics.histogramQuantilesFromBins]], the same
+    * extraction q154 uses in batch) runs on that materialized state after
+    * ingestion. The streaming half is pure map-side-combinable counting;
+    * bins merge across micro-batches by addition, the defining property
+    * of a mergeable sketch. */
+  def q266StreamHistQuantiles(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = t(s, dir, "events").select(col("ts"), col("event_type"),
+      expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+    val srcDir = stageOnce(s"q266:$dir", src)
+    val stream = s.readStream.schema(src.schema).parquet(srcDir)
+      .select(col("event_type").as("g"), expr("v div 1000L").as("bin"))
+      .groupBy("g", "bin").agg(count(lit(1)).as("c"))
+    val qn = s"q266_histq_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("complete").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-histqckpt"))
+        .start().awaitTermination()
+    }
+    graft.operators.Analytics
+      .histogramQuantilesFromBins(s.table(qn), binWidth = 1000L,
+        targetsPct = Seq(50, 95, 99))
+      .orderBy("g", "pct")
+  }
+
+  val q266Sql: String =
+    """WITH v AS (SELECT event_type AS g,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |  FROM events),
+      |b AS (SELECT g, v // 1000 AS bin, CAST(count(*) AS BIGINT) AS c
+      |      FROM v GROUP BY 1, 2),
+      |c AS (SELECT g, bin, c,
+      |        CAST(coalesce(sum(c) OVER (PARTITION BY g ORDER BY bin
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cumb,
+      |        CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+      |      FROM b),
+      |tr AS (SELECT c.*, CAST(pct AS BIGINT) AS pct,
+      |         (n * pct + 99) // 100 AS r
+      |       FROM c CROSS JOIN (SELECT unnest([50, 95, 99]) AS pct) p)
+      |SELECT g, pct, n, r, bin,
+      |  bin * 1000 + ((r - cumb) * 1000) // c AS est_q
+      |FROM tr WHERE cumb < r AND r <= cumb + c
+      |ORDER BY g, pct""".stripMargin
+
   val q91Sql: String =
     """WITH h AS (SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
       |             md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
@@ -2717,6 +2767,7 @@ object Scale {
     "q89_retention" -> (q89Retention _),
     "q90_zonemap_read" -> (q90ZonemapRead _),
     "q91_stream_hll" -> (q91StreamHll _),
+    "q266_stream_histq" -> (q266StreamHistQuantiles _),
     "q92_incremental_agg" -> (q92IncrementalAgg _),
     "q93_index_lookup" -> (q93IndexLookup _),
     "q94_tx_delete" -> (q94TxDelete _),
@@ -2780,6 +2831,7 @@ object Scale {
     "q89_retention" -> q89Sql,
     "q90_zonemap_read" -> q90Sql,
     "q91_stream_hll" -> q91Sql,
+    "q266_stream_histq" -> q266Sql,
     "q92_incremental_agg" -> q92Sql,
     "q93_index_lookup" -> q93Sql,
     "q94_tx_delete" -> q94Sql,

@@ -655,4 +655,24 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(alarm == wantAlarm)
     }
   }
+
+  test("q266 streaming histogram quantiles: micro-batch-merged bins equal the batch sketch exactly") {
+    val sf = "/root/testdata/sf0.001"
+    val batch = graft.operators.Analytics.histogramQuantiles(
+        graft.sources.Tables.load(spark, sf, "events")
+          .selectExpr("event_type",
+            "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v"),
+        "event_type", "v", binWidth = 1000L, targetsPct = Seq(50, 95, 99))
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("pct")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("bin"), r.getAs[Long]("est_q"))))
+      .toMap
+    val streamed = graft.queries.Scale.q266StreamHistQuantiles(spark, sf)
+      .collect().map(r => (r.getAs[String]("g"), r.getAs[Long]("pct")) ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("bin"), r.getAs[Long]("est_q"))))
+      .toMap
+    // mergeability: bins added across micro-batches ≡ bins over all rows,
+    // so the post-stream walk must reproduce the batch sketch bit-for-bit
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
 }
