@@ -1497,7 +1497,88 @@ object Curation {
        |SELECT id, dist FROM d4 ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------------------- q269 dbscan
+
+  /** Clustering — DBSCAN over the cosine ≥ 0.30 ε-graph (minPts = 4,
+    * neighbor count excludes self): core points are nodes with ≥ 4
+    * ε-neighbors, clusters are [[Graph.labelPropagation]] min-label
+    * components of the core–core subgraph (6 bounded rounds — the
+    * declared-semantics contract of q221/q232/q268), border points take
+    * the MIN cluster label among their core neighbors (a deterministic
+    * refinement of DBSCAN's order-dependent assignment), the rest are
+    * noise (−1). Every stage is an equi-join + aggregation on node id;
+    * the ε-graph build is q79's bucketed cosine join. */
+  def q269Dbscan(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairs(e, minCosine = 0.30)
+      .select("id_a", "id_b")
+    val sym = pairs.unionByName(
+      pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+    val core = sym.groupBy(col("id_a").as("id"))
+      .agg(count(lit(1)).as("deg")).filter(col("deg") >= 4L).select("id")
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), "id_a", "left_semi")
+      .join(core.select(col("id").as("id_b")), "id_b", "left_semi")
+    val cc = Graph.labelPropagation(coreEdges, iters = 6)
+    val coreLabels = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("core_cluster"))
+    val nbrCoreMin = sym
+      .join(coreLabels.select(col("id").as("id_b"), col("core_cluster")), "id_b")
+      .groupBy(col("id_a").as("id")).agg(min("core_cluster").as("nbr_cluster"))
+    e.select("id")
+      .join(coreLabels, Seq("id"), "left")
+      .join(nbrCoreMin, Seq("id"), "left")
+      .select(col("id"),
+        when(col("core_cluster").isNotNull, "core")
+          .when(col("nbr_cluster").isNotNull, "border")
+          .otherwise("noise").as("role"),
+        coalesce(col("core_cluster"), col("nbr_cluster"), lit(-1L)).as("cluster"))
+      .orderBy("id")
+  }
+
+  val q269Sql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""n$cur AS (SELECT s.src AS id, CAST(min(l.label) AS BIGINT) AS m
+         |       FROM cesym s JOIN l$prev l ON l.id = s.dst GROUP BY 1),
+         |l$cur AS (SELECT l.id,
+         |        CASE WHEN n$cur.m IS NULL OR l.label <= n$cur.m
+         |             THEN l.label ELSE n$cur.m END AS label
+         |      FROM l$prev l LEFT JOIN n$cur ON n$cur.id = l.id)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+       |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+       |e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+       |sym AS (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
+       |core AS (SELECT id_a AS id FROM sym GROUP BY 1 HAVING count(*) >= 4),
+       |ce AS (SELECT id_a, id_b FROM e
+       |       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
+       |cesym AS (SELECT id_a AS src, id_b AS dst FROM ce
+       |          UNION ALL SELECT id_b, id_a FROM ce),
+       |l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM core),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")},
+       |${iter("3", "4")},
+       |${iter("4", "5")},
+       |${iter("5", "6")},
+       |nbr AS (SELECT s.id_a AS id, CAST(min(l.label) AS BIGINT) AS nbr_cluster
+       |        FROM sym s JOIN l6 l ON l.id = s.id_b GROUP BY 1)
+       |SELECT v.vec_id AS id,
+       |  CASE WHEN l6.label IS NOT NULL THEN 'core'
+       |       WHEN nbr.nbr_cluster IS NOT NULL THEN 'border'
+       |       ELSE 'noise' END AS role,
+       |  COALESCE(l6.label, nbr.nbr_cluster, -1) AS cluster
+       |FROM embeddings v
+       |LEFT JOIN l6 ON l6.id = v.vec_id
+       |LEFT JOIN nbr ON nbr.id = v.vec_id
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q269_dbscan" -> (q269Dbscan _),
     "q268_bfs_distance" -> (q268BfsDistance _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
@@ -1533,6 +1614,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q269_dbscan" -> q269Sql,
     "q268_bfs_distance" -> q268Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,

@@ -454,6 +454,45 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     got.values.foreach { case (_, _, _, beta) => assert(beta < 1000L) }
   }
 
+  test("q269 DBSCAN: roles and min-label clusters equal the Scala hand walk of the eps-graph") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = graft.llmops.Similarity.cosinePairs(e, minCosine = 0.30)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    val allIds = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val core = nbrs.collect { case (id, ns) if ns.size >= 4 => id }.toSet
+    // 6 synchronous min-label rounds over the core-core subgraph
+    var labels: Map[Long, Long] = core.map(c => c -> c).toMap
+    (1 to 6).foreach { _ =>
+      labels = labels.map { case (id, l) =>
+        val nl = nbrs(id).filter(core).flatMap(labels.get)
+        id -> (nl + l).min
+      }
+    }
+    val want = allIds.map { id =>
+      if (core(id)) id -> (("core", labels(id)))
+      else {
+        val coreNbrLabels = nbrs.getOrElse(id, Set.empty)
+          .filter(core).map(labels)
+        if (coreNbrLabels.nonEmpty) id -> (("border", coreNbrLabels.min))
+        else id -> (("noise", -1L))
+      }
+    }.toMap
+    val got = graft.queries.Curation.q269Dbscan(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("role"), r.getAs[Long]("cluster")))).toMap
+    assert(got == want)
+    // (no "label ∈ its cluster" invariant here: with BOUNDED rounds a
+    // node's label keeps decreasing while its old label persists farther
+    // out — only the exact 6-round replication above is the contract)
+    assert(got.values.exists(_._1 == "core") && got.values.exists(_._1 == "noise"))
+  }
+
   test("bfsDistance: hand-computed hop distances, bounded-round NULL, nearest-seed min") {
     import spark.implicits._
     // path 1-2-3-4-5, pair 6-7, isolated-from-seeds component 8-9
