@@ -164,6 +164,43 @@ object Graph {
     * is small by contract; the unbounded-convergence variant is
     * [[graft.llmops.Dedup.connectedComponents]] with its checkpoint
     * discipline). Returns (id, label) for every endpoint. */
+  /** Personalized (topic-sensitive) PageRank: identical integer recurrence
+    * to [[pagerank]], but the restart mass (1−d)·Scale lands ONLY on the
+    * seed set and rank⁰ is Scale on seeds, 0 elsewhere — so rank measures
+    * proximity to the seeds rather than global centrality (Haveliwala
+    * 2002). Non-seed ranks are pure damped in-flow; the per-iteration
+    * shape (one equi-join + one aggregation on node id) is unchanged, and
+    * the seed flag joins broadcast-scale. */
+  def pagerankPersonalized(edges: DataFrame, seeds: DataFrame, iters: Int,
+      d100: Int = 85, checkpointEvery: Int = 4): DataFrame = {
+    require(iters >= 0 && d100 >= 0 && d100 <= 100 && checkpointEvery >= 1)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+    val seedFlag = nodes.join(seeds.select("id").distinct(), Seq("id"), "left_semi")
+      .withColumn("is_seed", lit(1L))
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val base = Scale * (100L - d100) / 100L
+    var ranks = nodes.join(seedFlag, Seq("id"), "left")
+      .select(col("id"),
+        (coalesce(col("is_seed"), lit(0L)) * Scale).as("rank_q"))
+    for (i <- 0 until iters) {
+      val contribs = e.join(ranks.join(outDeg, "id"), e("src") === col("id"))
+        .select(col("dst").as("id"),
+          expr("rank_q div out_deg").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("in_q"))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .join(seedFlag, Seq("id"), "left")
+        .select(col("id"),
+          (coalesce(col("is_seed"), lit(0L)) * base +
+            expr(s"coalesce(in_q, CAST(0 AS BIGINT)) * $d100 div 100")).as("rank_q"))
+      if ((i + 1) % checkpointEvery == 0 && i != iters - 1)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
   /** Bounded-round multi-source BFS over an undirected (id_a, id_b) edge
     * frame: dist⁰ = 0 on the seed set, dist^{t+1}(v) = min(dist^t(v),
     * 1 + min over neighbors dist^t(u)) — after R rounds every node holds

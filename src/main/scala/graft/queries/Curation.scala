@@ -1577,7 +1577,56 @@ object Curation {
        |ORDER BY id""".stripMargin
   }
 
+  // --------------------------------------- q270 personalized pagerank
+
+  /** Graph analytics — personalized PageRank
+    * ([[Graph.pagerankPersonalized]], 3 rounds, d=0.85) over the
+    * co-purchase graph, restart mass pinned to the NATION_0 supplier
+    * nodes: rank = integer-exact proximity to that nation's supply base
+    * (the "which customers/suppliers sit closest to this segment"
+    * weighting a curation pipeline uses for source-affinity sampling —
+    * q268's BFS gives hops, this gives flow). */
+  def q270PersonalizedPagerank(s: SparkSession, dir: String): DataFrame = {
+    val pairs = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    val edges = pairs.unionByName(
+      pairs.select(col("dst").as("src"), col("src").as("dst")))
+    val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    Graph.pagerankPersonalized(edges, seeds, iters = 3, d100 = 85)
+      .orderBy("id")
+  }
+
+  val q270Sql: String = {
+    def iter(prev: String, cur: String): String =
+      s"""s$cur AS (SELECT e.dst AS id, CAST(SUM(r.rank_q // d.out_deg) AS BIGINT) AS in_q
+         |       FROM e JOIN r$prev r ON r.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+         |r$cur AS (SELECT n.id,
+         |        CAST(COALESCE(sd.is_seed, 0) * 150000000
+         |          + COALESCE(s$cur.in_q, 0) * 85 // 100 AS BIGINT) AS rank_q
+         |       FROM nodes n LEFT JOIN s$cur ON s$cur.id = n.id
+         |       LEFT JOIN sd ON sd.id = n.id)""".stripMargin
+    s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |deg AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |sd AS (SELECT s_suppkey * 2 + 1 AS id, CAST(1 AS BIGINT) AS is_seed
+       |       FROM supplier WHERE s_nationkey = 0),
+       |r0 AS (SELECT n.id,
+       |        CAST(COALESCE(sd.is_seed, 0) * 1000000000 AS BIGINT) AS rank_q
+       |       FROM nodes n LEFT JOIN sd ON sd.id = n.id),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT id, rank_q FROM r3 ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q270_personalized_pagerank" -> (q270PersonalizedPagerank _),
     "q269_dbscan" -> (q269Dbscan _),
     "q268_bfs_distance" -> (q268BfsDistance _),
     "q259_heaps_fit" -> (q259HeapsFit _),
@@ -1614,6 +1663,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q270_personalized_pagerank" -> q270Sql,
     "q269_dbscan" -> q269Sql,
     "q268_bfs_distance" -> q268Sql,
     "q259_heaps_fit" -> q259Sql,

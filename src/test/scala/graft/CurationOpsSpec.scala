@@ -454,6 +454,26 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     got.values.foreach { case (_, _, _, beta) => assert(beta < 1000L) }
   }
 
+  test("pagerankPersonalized: hand-walked restart-on-seeds recurrence; zero rank off the seeds' reach") {
+    import spark.implicits._
+    // star 1<->{2,3}, pair 4<->5 disconnected from the seed
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L),
+      (4L, 5L), (5L, 4L)).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("id")
+    val got = Graph.pagerankPersonalized(edges, seeds, iters = 2, d100 = 85)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_q")).toMap
+    // hand walk: S=1e9, base=(15/100)·S on seed only
+    val S = 1000000000L; val base = S * 15L / 100L
+    // r0: 1->S, others 0. out_deg: 1->2, 2->1, 3->1, 4->1, 5->1
+    // iter1: in(2)=in(3)=S/2; in(1)=0; r1(1)=base; r1(2)=r1(3)=(S/2)*85/100
+    val r12 = S / 2 * 85L / 100L
+    // iter2: in(1)=r12/1+r12/1; r2(1)=base+(2*r12)*85/100;
+    //        in(2)=in(3)=base/2 → r2(2)=(base/2)*85/100
+    assert(got(1L) == base + (2L * r12) * 85L / 100L)
+    assert(got(2L) == base / 2L * 85L / 100L && got(2L) == got(3L))
+    assert(got(4L) == 0L && got(5L) == 0L, "no restart mass off the seed set")
+  }
+
   test("q269 DBSCAN: roles and min-label clusters equal the Scala hand walk of the eps-graph") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, sf, "embeddings")
