@@ -1374,7 +1374,122 @@ object Relational {
       |GROUP BY o_orderpriority
       |ORDER BY o_orderpriority""".stripMargin
 
+  /** S4/S8 at TPC-H Q6's shape — forecast-revenue-change: one fully
+    * pushed-down predicate scan (year + discount band + quantity cap),
+    * one integer sum. The whole query should compile to a single
+    * WholeStageCodegen span over the parquet scan. */
+  def q271ForecastRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(
+        expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+        expr("CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("disc_pct"),
+        col("l_quantity").cast("long").as("qty"))
+      .filter(col("disc_pct") >= 5L && col("disc_pct") <= 7L && col("qty") < 24L)
+      .agg(sum(col("ext_cents") * col("disc_pct")).as("revenue_delta_cp"),
+        count(lit(1)).as("n_items"))
+
+  val q271Sql: String =
+    """SELECT
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |    * CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)) AS BIGINT)
+      |    AS revenue_delta_cp,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT) BETWEEN 5 AND 7
+      |  AND CAST(l_quantity AS BIGINT) < 24""".stripMargin
+
+  /** S6/S8 at TPC-H Q9's shape — product-line profit by supplier nation
+    * and order year for one part family (name-infix filter): profit =
+    * discounted revenue − retail cost of the shipped quantity (the
+    * testdata has no partsupp cost side, so p_retailprice stands in —
+    * same join tree, same units: cents·pct). Dims broadcast; facts
+    * shuffle once. */
+  def q272ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val p = broadcast(t(s, dir, "part")
+      .filter(col("p_name").contains("widget"))
+      .select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("retail_cents")))
+    val su = broadcast(t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_nationkey")))
+    val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+    val o = t(s, dir, "orders").select(col("o_orderkey"),
+      expr("year(CAST(o_orderdate AS TIMESTAMP))").cast("long").as("o_year"))
+    val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_partkey"),
+      col("l_suppkey"), col("l_quantity").cast("long").as("qty"),
+      expr("CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("ext_cents"),
+      expr("100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT)").as("keep_pct"))
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .join(su, col("l_suppkey") === col("s_suppkey"))
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"), col("o_year"))
+      .agg(sum(col("ext_cents") * col("keep_pct") -
+        col("retail_cents") * col("qty") * lit(100L)).as("profit_cp"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q272Sql: String =
+    """SELECT n_name AS nation,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS o_year,
+      |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * (100 - CAST(CAST(l_discount AS DECIMAL(4,2)) * 100 AS BIGINT))
+      |    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_cp,
+      |  CAST(count(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |WHERE p_name LIKE '%widget%'
+      |GROUP BY n_name, o_year
+      |ORDER BY nation, o_year DESC""".stripMargin
+
+  /** S7 at TPC-H Q20's shape — suppliers of one nation who shipped more
+    * than 50 units of some PROMO-type part: the inner "available parts"
+    * subquery is a broadcast semi chain (part-type semi → per-(supplier,
+    * part) quantity aggregate → threshold), the outer a second semi onto
+    * supplier. Two nested semi-joins, zero row multiplication. */
+  def q273SurplusSuppliers(s: SparkSession, dir: String): DataFrame = {
+    val promo = t(s, dir, "part").filter(col("p_type") === "PROMO")
+      .select(col("p_partkey"))
+    val shipped = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(promo), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum("qty").as("sum_qty"))
+      .filter(col("sum_qty") > 50L)
+      .select(col("l_suppkey")).distinct()
+    val n = broadcast(t(s, dir, "nation").select(col("n_nationkey"), col("n_name")))
+    t(s, dir, "supplier")
+      .join(shipped, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(n, col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_3")
+      .select(col("s_suppkey"), col("s_name"))
+      .orderBy("s_suppkey")
+  }
+
+  val q273Sql: String =
+    """SELECT s_suppkey, s_name
+      |FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |WHERE n_name = 'NATION_3'
+      |  AND s_suppkey IN (
+      |    SELECT l_suppkey FROM lineitem
+      |    WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+      |    GROUP BY l_suppkey, l_partkey
+      |    HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 50)
+      |ORDER BY s_suppkey""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q271_forecast_revenue" -> (q271ForecastRevenue _),
+    "q272_product_profit" -> (q272ProductProfit _),
+    "q273_surplus_suppliers" -> (q273SurplusSuppliers _),
     "q264_part_supplier_dist" -> (q264PartSupplierDist _),
     "q265_priority_exists" -> (q265PriorityExists _),
     "q245_shipping_priority" -> (q245ShippingPriority _),
@@ -1421,6 +1536,9 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q271_forecast_revenue" -> q271Sql,
+    "q272_product_profit" -> q272Sql,
+    "q273_surplus_suppliers" -> q273Sql,
     "q264_part_supplier_dist" -> q264Sql,
     "q265_priority_exists" -> q265Sql,
     "q245_shipping_priority" -> q245Sql,

@@ -631,6 +631,23 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q263's sweep must ride the range-partitioned prefix sum: $w263")
   }
 
+  test("q271-q273: Q6 is a join-free partial-agg scan; Q9 dims broadcast; Q20's nesting stays semi-joins") {
+    Seq("q271_forecast_revenue", "q272_product_profit",
+      "q273_surplus_suppliers").foreach { q =>
+      assert(!plan(q).contains("CartesianProduct"), q)
+    }
+    val p271 = plan("q271_forecast_revenue")
+    assert(!p271.contains("SortMergeJoin") && !p271.contains("BroadcastHashJoin"),
+      "Q6 shape is a pure scan+filter+agg — no join may appear")
+    assert(p271.contains("partial_sum"),
+      "Q6's aggregate must combine map-side before the single-partition exchange")
+    assert(plan("q272_product_profit").contains("BroadcastHashJoin"),
+      "q272's part/supplier/nation dims must broadcast")
+    val p273 = plan("q273_surplus_suppliers")
+    assert(p273.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      "q273 keeps BOTH nesting levels as semi joins")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
