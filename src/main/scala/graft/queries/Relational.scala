@@ -1486,7 +1486,109 @@ object Relational {
       |    HAVING CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) > 50)
       |ORDER BY s_suppkey""".stripMargin
 
+  /** S11 depth — the remaining rank-family window functions in one
+    * per-nation pass: ntile(4) balance quartiles, percent_rank /
+    * cume_dist as exact integer (numerator, denominator) pieces (the
+    * ratios themselves are floats — the pieces gate), and the nation's
+    * 2nd-highest balance via nth_value over the full frame. ONE
+    * hashpartitioning(nation) exchange feeds every window. */
+  def q274WindowSuite(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("nation").orderBy(col("bal").desc, col("c_custkey"))
+    val wFull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal"))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("rnk", rank().over(w).cast("long"))
+      .withColumn("n_in_nation", count(lit(1)).over(wFull))
+      .withColumn("pct_rank_num", col("rnk") - 1L)
+      .withColumn("cume_num", count(lit(1)).over(
+        w.rangeBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("second_bal", expr("nth_value(bal, 2)").over(wFull))
+      .filter(col("c_custkey") % 10L === 0L)
+      .select("c_custkey", "nation", "bal", "quartile", "rnk", "n_in_nation",
+        "pct_rank_num", "cume_num", "second_bal")
+      .orderBy("c_custkey")
+  }
+
+  val q274Sql: String =
+    """WITH c AS (SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal
+      |  FROM customer),
+      |w AS (SELECT c_custkey, nation, bal,
+      |    CAST(ntile(4) OVER win AS BIGINT) AS quartile,
+      |    CAST(rank() OVER win AS BIGINT) AS rnk,
+      |    CAST(count(*) OVER (PARTITION BY nation) AS BIGINT) AS n_in_nation,
+      |    CAST(rank() OVER win AS BIGINT) - 1 AS pct_rank_num,
+      |    CAST(count(*) OVER (PARTITION BY nation ORDER BY bal DESC, c_custkey
+      |      RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cume_num,
+      |    nth_value(bal, 2) OVER (PARTITION BY nation ORDER BY bal DESC, c_custkey
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_bal
+      |  FROM c
+      |  WINDOW win AS (PARTITION BY nation ORDER BY bal DESC, c_custkey))
+      |SELECT c_custkey, nation, bal, quartile, rnk, n_in_nation,
+      |  pct_rank_num, cume_num, second_bal
+      |FROM w WHERE c_custkey % 10 = 0
+      |ORDER BY c_custkey""".stripMargin
+
+  /** S8/S15 — week-over-week contribution decomposition: which nation
+    * drove the revenue change between two adjacent ISO weeks. Both weeks
+    * aggregate in ONE conditional pass (no self-join); each nation's
+    * share of the total delta floors to ppm against the broadcast
+    * 1-row total. The root-cause rollup every revenue dashboard runs. */
+  def q275WowContribution(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "orders")
+      .select(col("o_custkey"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000").as("wk"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val weeks = broadcast(wk.agg(max("wk").as("w1")).select(col("w1"),
+      (col("w1") - 1L).as("w0")))
+    val c = broadcast(t(s, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey").cast("long").as("nation")))
+    // localCheckpoint pins the ONE fact pass: the nation frame (≤ |nations|
+    // rows, metadata-scale) feeds both the total and the final join — without
+    // it each consumer would re-aggregate the orders scan
+    val per = wk.crossJoin(weeks)
+      .filter(col("wk") === col("w0") || col("wk") === col("w1"))
+      .join(c, col("o_custkey") === col("c_custkey"))
+      .groupBy("nation")
+      .agg(sum(when(col("wk") === col("w0"), col("cents")).otherwise(0L)).as("rev_w0"),
+        sum(when(col("wk") === col("w1"), col("cents")).otherwise(0L)).as("rev_w1"))
+      .withColumn("delta", col("rev_w1") - col("rev_w0"))
+      .localCheckpoint()
+    val tot = broadcast(per.agg(sum("delta").as("total_delta")))
+    per.crossJoin(tot)
+      .withColumn("contrib_ppm", expr(graft.operators.Analytics
+        .floorDivScaledSql("delta", "total_delta", 1000000L)))
+      .select("nation", "rev_w0", "rev_w1", "delta", "total_delta", "contrib_ppm")
+      .orderBy("nation")
+  }
+
+  val q275Sql: String = {
+    val fd = graft.operators.Analytics.floorDivScaledSql(
+      "delta", "total_delta", 1000000L, op = "//")
+    s"""WITH wk AS (SELECT o_custkey,
+      |    CAST(epoch_us(o_orderdate) AS BIGINT) // 604800000000 AS wk,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |ws AS (SELECT max(wk) AS w1, max(wk) - 1 AS w0 FROM wk),
+      |per AS (SELECT CAST(c_nationkey AS BIGINT) AS nation,
+      |    CAST(sum(CASE WHEN wk = w0 THEN cents ELSE 0 END) AS BIGINT) AS rev_w0,
+      |    CAST(sum(CASE WHEN wk = w1 THEN cents ELSE 0 END) AS BIGINT) AS rev_w1
+      |  FROM wk CROSS JOIN ws
+      |  JOIN customer ON c_custkey = o_custkey
+      |  WHERE wk = w0 OR wk = w1
+      |  GROUP BY 1),
+      |d AS (SELECT nation, rev_w0, rev_w1, rev_w1 - rev_w0 AS delta FROM per),
+      |t AS (SELECT CAST(sum(delta) AS BIGINT) AS total_delta FROM d)
+      |SELECT nation, rev_w0, rev_w1, delta, total_delta,
+      |  CAST($fd AS BIGINT) AS contrib_ppm
+      |FROM d CROSS JOIN t ORDER BY nation""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q274_window_suite" -> (q274WindowSuite _),
+    "q275_wow_contribution" -> (q275WowContribution _),
     "q271_forecast_revenue" -> (q271ForecastRevenue _),
     "q272_product_profit" -> (q272ProductProfit _),
     "q273_surplus_suppliers" -> (q273SurplusSuppliers _),
@@ -1536,6 +1638,8 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q274_window_suite" -> q274Sql,
+    "q275_wow_contribution" -> q275Sql,
     "q271_forecast_revenue" -> q271Sql,
     "q272_product_profit" -> q272Sql,
     "q273_surplus_suppliers" -> q273Sql,

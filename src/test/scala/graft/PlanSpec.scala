@@ -648,6 +648,24 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q273 keeps BOTH nesting levels as semi joins")
   }
 
+  test("q274/q275: all rank-family windows share ONE nation exchange; the WoW rollup never self-joins") {
+    val p274 = plan("q274_window_suite")
+    val nationExchanges = p274.linesIterator
+      .count(l => l.contains("Exchange hashpartitioning(nation"))
+    assert(nationExchanges == 1,
+      s"expected 1 nation exchange for every window, found $nationExchanges")
+    val p275 = plan("q275_wow_contribution")
+    assert(!p275.contains("CartesianProduct"), "q275")
+    // both weeks come from ONE conditional aggregate, materialized once via
+    // localCheckpoint: the declared plan reads the checkpointed nation frame
+    // (ExistingRDD) and re-aggregates NOTHING — zero nation exchanges left
+    assert(p275.contains("ExistingRDD"),
+      "q275's nation frame must be the checkpointed single-pass aggregate")
+    assert(p275.linesIterator
+        .count(_.contains("Exchange hashpartitioning(nation")) == 0,
+      "q275 must not re-aggregate the fact scan per consumer")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),

@@ -203,6 +203,78 @@ class TpchShapesSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q274 window suite: ntile/rank/cume/nth_value equal the hand walk per nation") {
+    val cust = graft.sources.Tables.load(spark, sf001, "customer")
+      .selectExpr("c_custkey", "CAST(c_nationkey AS BIGINT) AS nation",
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal")
+      .collect().map(r => (r.getAs[Long]("c_custkey"), r.getAs[Long]("nation"),
+        r.getAs[Long]("bal")))
+    val want = cust.groupBy(_._2).toSeq.flatMap { case (nation, cs) =>
+      val sorted = cs.sortBy { case (ck, _, bal) => (-bal, ck) }
+      val n = sorted.length
+      sorted.zipWithIndex.map { case ((ck, _, bal), i) =>
+        // ntile(4): first (n mod 4) tiles get ceil(n/4) rows
+        val big = n % 4; val small = n / 4
+        val quartile =
+          if (i < big * (small + 1)) i / (small + 1) + 1
+          else big + (i - big * (small + 1)) / small + 1
+        // (bal, ck) is a total order, so rank == row_number == i+1 and the
+        // RANGE cume count has no peers beyond the row itself
+        val cume = sorted.count { case (ck2, _, b2) =>
+          b2 > bal || (b2 == bal && ck2 <= ck) }
+        val second = if (n >= 2) Some(sorted(1)._3) else None
+        (ck, (nation, bal, quartile.toLong, (i + 1).toLong, n.toLong,
+          i.toLong, cume.toLong, second))
+      }
+    }.toMap
+    val got = graft.queries.Relational.q274WindowSuite(spark, sf001).collect()
+      .map { r =>
+        r.getAs[Long]("c_custkey") -> ((r.getAs[Long]("nation"),
+          r.getAs[Long]("bal"), r.getAs[Long]("quartile"), r.getAs[Long]("rnk"),
+          r.getAs[Long]("n_in_nation"), r.getAs[Long]("pct_rank_num"),
+          r.getAs[Long]("cume_num"),
+          if (r.isNullAt(r.fieldIndex("second_bal"))) None
+          else Some(r.getAs[Long]("second_bal"))))
+      }.toMap
+    assert(got == want.filter(_._1 % 10 == 0))
+    assert(got.nonEmpty)
+  }
+
+  test("q275 WoW contribution: conditional two-week aggregate + ppm shares, hand-walked") {
+    val wkRows = orders.map { o =>
+      (o._2, Math.floorDiv(o._5, 604800000000L), cents(o._4))
+    }
+    val w1 = wkRows.map(_._2).max
+    val w0 = w1 - 1
+    val nat = graft.sources.Tables.load(spark, sf001, "customer")
+      .select("c_custkey", "c_nationkey").collect()
+      .map(r => r.getAs[Long]("c_custkey") -> r.getAs[Int]("c_nationkey").toLong)
+      .toMap
+    val per = wkRows.filter(r => r._2 == w0 || r._2 == w1)
+      .groupBy(r => nat(r._1)).map { case (nation, rs) =>
+        nation -> ((rs.filter(_._2 == w0).map(_._3).sum,
+          rs.filter(_._2 == w1).map(_._3).sum))
+      }
+    val totalDelta = per.values.map { case (a, b) => b - a }.sum
+    val got = graft.queries.Relational.q275WowContribution(spark, sf001)
+      .collect().map(r => r.getAs[Long]("nation") ->
+        ((r.getAs[Long]("rev_w0"), r.getAs[Long]("rev_w1"),
+          r.getAs[Long]("delta"), r.getAs[Long]("total_delta"),
+          r.getAs[Long]("contrib_ppm")))).toMap
+    assert(got.keySet == per.keySet)
+    got.foreach { case (nation, (r0, r1, d, td, ppm)) =>
+      val (w0r, w1r) = per(nation)
+      assert((r0, r1, d, td) == ((w0r, w1r, w1r - w0r, totalDelta)))
+      // the shared floor-div helper assumes a positive denominator; only
+      // pin the ppm when the fixture's total delta is in that regime
+      if (totalDelta > 0) {
+        val m = (BigInt(d) * 1000000) /% BigInt(totalDelta)
+        val wantPpm = (if (m._2 < 0) m._1 - 1 else m._1).toLong
+        assert(ppm == wantPpm)
+      }
+    }
+  }
+
   test("q265 priority-exists: the late-shipment EXISTS census, hand-walked") {
     val inQ = orders.filter { o =>
       o._5 >= 867715200000000L && o._5 < 875664000000000L // [1997-07-01, 1997-10-01)
