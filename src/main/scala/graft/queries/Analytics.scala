@@ -2563,10 +2563,13 @@ object Analytics {
     g.withColumn("num", expr("CAST(n AS DECIMAL(38,0)) * suxy - CAST(sux AS DECIMAL(38,0)) * suy"))
       .withColumn("dx", expr("CAST(n AS DECIMAL(38,0)) * suxx - CAST(sux AS DECIMAL(38,0)) * sux"))
       .withColumn("dy", expr("CAST(n AS DECIMAL(38,0)) * suyy - CAST(suy AS DECIMAL(38,0)) * suy"))
+      // Spark's `div` yields LONG even on DECIMAL operands — route the
+      // inner quotient back through DECIMAL(38,0) before the ppm rescale
+      // or num²/dx · 10⁶ overflows int64 past sf≈0.05
       .withColumn("rho2_signed_ppm", expr(
         """CASE WHEN dx = 0 OR dy = 0 THEN CAST(NULL AS BIGINT)
-          |  WHEN num < 0 THEN -CAST((((num * num) div dx) * 1000000L) div dy AS BIGINT)
-          |  ELSE CAST((((num * num) div dx) * 1000000L) div dy AS BIGINT) END""".stripMargin))
+          |  WHEN num < 0 THEN -CAST((CAST((num * num) div dx AS DECIMAL(38,0)) * 1000000) div dy AS BIGINT)
+          |  ELSE CAST((CAST((num * num) div dx AS DECIMAL(38,0)) * 1000000) div dy AS BIGINT) END""".stripMargin))
       .select(col("n"), col("sux"), col("suy"),
         col("num").cast("long").as("num"), col("dx").cast("long").as("dx"),
         col("dy").cast("long").as("dy"), col("rho2_signed_ppm"))
