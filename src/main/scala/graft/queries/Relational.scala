@@ -1586,7 +1586,107 @@ object Relational {
       |FROM d CROSS JOIN t ORDER BY nation""".stripMargin
   }
 
+  /** S8 at TPC-H Q11's shape — important-stock identification, the last
+    * of the 22 TPC-H shapes alongside q277. The testdata has no partsupp,
+    * so a part's "stock value" is the retail value of units shipped by
+    * one nation's suppliers (same join tree: supplier-nation semi →
+    * per-part value aggregate → global-fraction HAVING). The fraction
+    * threshold is the classic scalar subquery, made SCALE-FREE: classic
+    * Q11 hard-codes fraction 0.0001/SF; here a part is "important" when
+    * its value exceeds 2× the mean part value (value × n_parts > 2 ×
+    * total), which discriminates identically at every SF. The 1-row
+    * {total, count} aggregate is broadcast and the HAVING rides a
+    * crossJoin against it — no second scan of the fact side
+    * (localCheckpoint pins the per-part frame the way q275 pins its
+    * nation frame). Integer-exact: cents × qty. */
+  def q276ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val natSup = t(s, dir, "supplier")
+      .join(broadcast(t(s, dir, "nation")
+        .filter(col("n_name") === "NATION_8")
+        .select(col("n_nationkey"))),
+        col("s_nationkey") === col("n_nationkey"), "left_semi")
+      .select(col("s_suppkey"))
+    val p = broadcast(t(s, dir, "part").select(col("p_partkey"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("retail_cents")))
+    val per = t(s, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("l_quantity").cast("long").as("qty"))
+      .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .join(p, col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey")
+      .agg(sum(col("retail_cents") * col("qty")).as("value_cents"))
+      .localCheckpoint()
+    val tot = broadcast(per.agg(sum("value_cents").as("total_cents"),
+      count(lit(1)).as("n_parts")))
+    per.crossJoin(tot)
+      .filter(col("value_cents") * col("n_parts") > col("total_cents") * lit(2L))
+      .select(col("l_partkey").as("p_partkey"), col("value_cents"))
+      .orderBy(col("value_cents").desc, col("p_partkey"))
+  }
+
+  val q276Sql: String =
+    """WITH per AS (
+      |  SELECT l_partkey,
+      |    CAST(sum(CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      |      * CAST(l_quantity AS BIGINT)) AS BIGINT) AS value_cents
+      |  FROM lineitem
+      |  JOIN part ON p_partkey = l_partkey
+      |  WHERE l_suppkey IN (
+      |    SELECT s_suppkey FROM supplier JOIN nation ON n_nationkey = s_nationkey
+      |    WHERE n_name = 'NATION_8')
+      |  GROUP BY l_partkey),
+      |t AS (SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents,
+      |    count(*) AS n_parts FROM per)
+      |SELECT l_partkey AS p_partkey, value_cents
+      |FROM per CROSS JOIN t
+      |WHERE value_cents * n_parts > total_cents * 2
+      |ORDER BY value_cents DESC, p_partkey""".stripMargin
+
+  /** S6/S8 at TPC-H Q12's shape — shipping-mode / order-priority census.
+    * The testdata lineitem has no shipmode or receiptdate, so the census
+    * buckets by l_returnflag (the categorical stand-in) over late-half
+    * shipments (shipped > 60 days after order date — the Q12 lateness
+    * predicate on the columns that exist), splitting counts into
+    * critical (1-URGENT/2-HIGH) vs normal priority. One fact shuffle on
+    * orderkey; the CASE split is a conditional aggregate, not two scans. */
+  def q277ShipmodePriority(s: SparkSession, dir: String): DataFrame = {
+    val o = t(s, dir, "orders").select(col("o_orderkey"), col("o_orderpriority"),
+      expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("o_day"))
+    val li = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .select(col("l_orderkey"), col("l_returnflag"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000").as("l_day"))
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_day") > col("o_day") + lit(60L))
+      .groupBy(col("l_returnflag").as("ship_mode"))
+      .agg(
+        sum(when(col("o_orderpriority") === "1-URGENT" ||
+          col("o_orderpriority") === "2-HIGH", 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+          col("o_orderpriority") =!= "2-HIGH", 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("ship_mode")
+  }
+
+  val q277Sql: String =
+    """SELECT l_returnflag AS ship_mode,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+      |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND CAST(epoch_us(l_shipdate) AS BIGINT) // 86400000000
+      |    > CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 + 60
+      |GROUP BY 1
+      |ORDER BY ship_mode""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q276_important_stock" -> (q276ImportantStock _),
+    "q277_shipmode_priority" -> (q277ShipmodePriority _),
     "q274_window_suite" -> (q274WindowSuite _),
     "q275_wow_contribution" -> (q275WowContribution _),
     "q271_forecast_revenue" -> (q271ForecastRevenue _),
@@ -1638,6 +1738,8 @@ object Relational {
     "q49_sql_exists" -> (q49SqlExists _))
 
   val oracleSql: Map[String, String] = Map(
+    "q276_important_stock" -> q276Sql,
+    "q277_shipmode_priority" -> q277Sql,
     "q274_window_suite" -> q274Sql,
     "q275_wow_contribution" -> q275Sql,
     "q271_forecast_revenue" -> q271Sql,

@@ -666,6 +666,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "q275 must not re-aggregate the fact scan per consumer")
   }
 
+  test("q276/q277: Q11's nesting stays semi+broadcast with a checkpointed per-part frame; Q12's lateness filter joins once") {
+    val p276 = plan("q276_important_stock")
+    assert(!p276.contains("CartesianProduct"), "q276")
+    assert(p276.contains("ExistingRDD"),
+      "q276's per-part frame must be the checkpointed single fact pass (total + HAVING reuse it)")
+    assert(p276.contains("BroadcastNestedLoopJoin"),
+      "q276's HAVING threshold must ride the broadcast 1-row {total, count} frame")
+    // the semi/broadcast nesting lives BEFORE the checkpoint truncates
+    // lineage — pin it on the same pipeline built without the checkpoint
+    val pre276 = {
+      import org.apache.spark.sql.functions._
+      val s = spark; val dir = sf
+      def t(n: String) = graft.sources.Tables.load(s, dir, n)
+      val natSup = t("supplier")
+        .join(broadcast(t("nation").filter(col("n_name") === "NATION_8")
+          .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"))
+      val p = broadcast(t("part").select(col("p_partkey"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("retail_cents")))
+      t("lineitem")
+        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
+        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
+        .join(p, col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey")
+        .agg(sum(col("retail_cents") * col("qty")).as("value_cents"))
+        .queryExecution.executedPlan.toString
+    }
+    assert(pre276.linesIterator.count(_.contains("LeftSemi")) >= 2,
+      "q276 keeps both the nation→supplier and supplier→lineitem levels as semi joins")
+    assert(pre276.contains("BroadcastHashJoin"),
+      "q276's part dim and supplier keys must broadcast")
+    val p277 = plan("q277_shipmode_priority")
+    assert(!p277.contains("CartesianProduct"), "q277")
+    assert(p277.contains("GreaterThanOrEqual(l_shipdate") &&
+      p277.contains("LessThan(l_shipdate"),
+      "q277's ship-year window must reach the lineitem scan")
+    assert(p277.contains("partial_sum"),
+      "q277's priority split must combine map-side before the mode exchange")
+  }
+
   test("q218: both VQ levels assign via broadcast centroids — no cartesian, no shuffle-side pairs") {
     val p = plan("q218_residual_vq")
     assert(!p.contains("CartesianProduct"),
