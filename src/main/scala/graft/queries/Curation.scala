@@ -124,19 +124,23 @@ object Curation {
   }
 
   val q221Sql: String = {
+    // MATERIALIZED everywhere a round references the previous round twice:
+    // DuckDB inlines plain CTEs, so without it each unrolled round DOUBLES
+    // the expansion of the whole pair-build subtree (2^rounds blowup — the
+    // q232 sf0.1 oracle hit a >80 GB spill before the fix)
     def iter(prev: Int, cur: Int): String =
-      s"""l$cur AS (SELECT l.id, least(l.label, coalesce(m.ml, l.label)) AS label
+      s"""l$cur AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.ml, l.label)) AS label
          |       FROM l$prev l LEFT JOIN (
          |         SELECT e.src AS id, min(p.label) AS ml
          |         FROM e JOIN l$prev p ON p.id = e.dst GROUP BY 1) m
          |       ON m.id = l.id)""".stripMargin
     s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
-      |pr AS (SELECT a.item AS id_a, b.item AS id_b
+      |pr AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
       |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
       |       GROUP BY 1, 2 HAVING count(*) >= 2),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
       |      UNION SELECT id_b, id_a FROM pr),
-      |l0 AS (SELECT DISTINCT src AS id, src AS label FROM e),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
       |${iter(0, 1)},
       |${iter(1, 2)},
       |${iter(2, 3)},
@@ -227,18 +231,21 @@ object Curation {
   }
 
   val q232Sql: String = {
+    // every peel references a$prev TWICE — MATERIALIZED stops DuckDB's
+    // CTE inlining from expanding the pair-build subtree 2^6× (the sf0.1
+    // oracle spilled >80 GB and died before this fix)
     def peel(prev: Int, cur: Int): String =
       s"""d$cur AS (SELECT e.src AS id, CAST(count(*) AS BIGINT) AS deg
          |       FROM e JOIN a$prev x ON x.id = e.src
          |              JOIN a$prev y ON y.id = e.dst GROUP BY 1),
-         |a$cur AS (SELECT id FROM d$cur WHERE deg >= 3)""".stripMargin
+         |a$cur AS MATERIALIZED (SELECT id FROM d$cur WHERE deg >= 3)""".stripMargin
     s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
-      |pr AS (SELECT a.item AS id_a, b.item AS id_b
+      |pr AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
       |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
       |       GROUP BY 1, 2 HAVING count(*) >= 2),
-      |e AS (SELECT id_a AS src, id_b AS dst FROM pr
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
       |      UNION SELECT id_b, id_a FROM pr),
-      |a0 AS (SELECT DISTINCT src AS id FROM e),
+      |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
       |${peel(0, 1)},
       |${peel(1, 2)},
       |${peel(2, 3)},
@@ -261,16 +268,17 @@ object Curation {
   }
 
   val q62Sql: String = {
+    // e/deg/nodes feed every unrolled round — MATERIALIZED (q232's rule)
     def iter(prev: String, cur: String): String =
       s"""s$cur AS (SELECT e.dst AS id, CAST(SUM(r.rank_q // d.out_deg) AS BIGINT) AS in_q
          |       FROM e JOIN r$prev r ON r.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
-         |r$cur AS (SELECT n.id, CAST(150000000 + COALESCE(s$cur.in_q, 0) * 85 // 100 AS BIGINT) AS rank_q
+         |r$cur AS MATERIALIZED (SELECT n.id, CAST(150000000 + COALESCE(s$cur.in_q, 0) * 85 // 100 AS BIGINT) AS rank_q
          |       FROM nodes n LEFT JOIN s$cur ON s$cur.id = n.id)""".stripMargin
     s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |nodes AS (SELECT DISTINCT src AS id FROM e),
-       |deg AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
        |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank_q FROM nodes),
        |${iter("0", "1")},
        |${iter("1", "2")},
@@ -1475,19 +1483,21 @@ object Curation {
   }
 
   val q268Sql: String = {
+    // each round references d$prev twice — MATERIALIZED per round (the
+    // q232 inlining-blowup rule)
     def round(prev: String, cur: String): String =
       s"""n$cur AS (SELECT e.dst AS id, CAST(min(d.dist) + 1 AS BIGINT) AS nd
          |       FROM e JOIN d$prev d ON d.id = e.src AND d.dist IS NOT NULL
          |       GROUP BY 1),
-         |d$cur AS (SELECT d.id,
+         |d$cur AS MATERIALIZED (SELECT d.id,
          |        COALESCE(LEAST(d.dist, n$cur.nd), d.dist, n$cur.nd) AS dist
          |      FROM d$prev d LEFT JOIN n$cur ON n$cur.id = d.id)""".stripMargin
     s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
        |nodes AS (SELECT DISTINCT src AS id FROM e),
        |seeds AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier WHERE s_nationkey = 0),
-       |d0 AS (SELECT n.id,
+       |d0 AS MATERIALIZED (SELECT n.id,
        |        CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS dist
        |      FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
        |${round("0", "1")},
@@ -1537,10 +1547,12 @@ object Curation {
   }
 
   val q269Sql: String = {
+    // each round references l$prev twice — MATERIALIZED per round, and on
+    // the ε-join base so the O(n²·dim) pair scan runs once (q232's rule)
     def iter(prev: String, cur: String): String =
       s"""n$cur AS (SELECT s.src AS id, CAST(min(l.label) AS BIGINT) AS m
          |       FROM cesym s JOIN l$prev l ON l.id = s.dst GROUP BY 1),
-         |l$cur AS (SELECT l.id,
+         |l$cur AS MATERIALIZED (SELECT l.id,
          |        CASE WHEN n$cur.m IS NULL OR l.label <= n$cur.m
          |             THEN l.label ELSE n$cur.m END AS label
          |      FROM l$prev l LEFT JOIN n$cur ON n$cur.id = l.id)""".stripMargin
@@ -1548,16 +1560,16 @@ object Curation {
        |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
        |      FROM embeddings),
        |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
-       |e AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |e AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
        |      FROM n a JOIN n b ON a.vec_id < b.vec_id
        |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
-       |sym AS (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
-       |core AS (SELECT id_a AS id FROM sym GROUP BY 1 HAVING count(*) >= 4),
+       |sym AS MATERIALIZED (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
+       |core AS MATERIALIZED (SELECT id_a AS id FROM sym GROUP BY 1 HAVING count(*) >= 4),
        |ce AS (SELECT id_a, id_b FROM e
        |       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
-       |cesym AS (SELECT id_a AS src, id_b AS dst FROM ce
+       |cesym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ce
        |          UNION ALL SELECT id_b, id_a FROM ce),
-       |l0 AS (SELECT id, CAST(id AS BIGINT) AS label FROM core),
+       |l0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS label FROM core),
        |${iter("0", "1")},
        |${iter("1", "2")},
        |${iter("2", "3")},
@@ -1601,19 +1613,21 @@ object Curation {
   }
 
   val q270Sql: String = {
+    // e/deg/nodes feed every unrolled round — MATERIALIZED so DuckDB's
+    // inlining doesn't re-derive the edge build per round (q232's rule)
     def iter(prev: String, cur: String): String =
       s"""s$cur AS (SELECT e.dst AS id, CAST(SUM(r.rank_q // d.out_deg) AS BIGINT) AS in_q
          |       FROM e JOIN r$prev r ON r.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
-         |r$cur AS (SELECT n.id,
+         |r$cur AS MATERIALIZED (SELECT n.id,
          |        CAST(COALESCE(sd.is_seed, 0) * 150000000
          |          + COALESCE(s$cur.in_q, 0) * 85 // 100 AS BIGINT) AS rank_q
          |       FROM nodes n LEFT JOIN s$cur ON s$cur.id = n.id
          |       LEFT JOIN sd ON sd.id = n.id)""".stripMargin
     s"""WITH e0 AS (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
        |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
-       |e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
-       |nodes AS (SELECT DISTINCT src AS id FROM e),
-       |deg AS (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |e AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+       |nodes AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
        |sd AS (SELECT s_suppkey * 2 + 1 AS id, CAST(1 AS BIGINT) AS is_seed
        |       FROM supplier WHERE s_nationkey = 0),
        |r0 AS (SELECT n.id,
