@@ -221,21 +221,33 @@ object Graph {
     val nodes = sym.select(col("src").as("id")).distinct()
     val init = nodes.join(seeds.select("id"), Seq("id"), "left_semi")
       .withColumn("dist", lit(0L))
+    // dist feeds TWO branches per round (frontier expansion + the union
+    // carry) — truncate every round or the plan doubles per round (the
+    // labelPropagation rule)
     val reached = (1 to rounds).foldLeft(init) { (dist, _) =>
       val nbr = sym
         .join(dist.select(col("id").as("src"), col("dist")), "src")
         .select(col("dst").as("id"), (col("dist") + 1L).as("dist"))
       dist.unionByName(nbr).groupBy("id").agg(min("dist").as("dist"))
+        .localCheckpoint()
     }
     nodes.join(reached, Seq("id"), "left")
   }
 
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
+    // Checkpoint discipline (same genus as the CC loop): every round
+    // references the label frame TWICE (the neighbor-min join AND the
+    // carry-forward), so an unchecked chain embeds the upstream edge
+    // build 2^iters times in the final plan — for q269 that upstream is
+    // the O(n²) cosine ε-join, and the un-truncated form executed it
+    // dozens of times (bench forensics, round 10). `sym` is consumed
+    // once per round; the label frame is truncated EVERY round.
     val sym = edges
       .select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(edges.select(col("id_b").as("src"), col("id_a").as("dst")))
       .filter(col("src") =!= col("dst")).distinct()
+      .localCheckpoint()
     val init = sym.select(col("src").as("id")).distinct()
       .withColumn("label", col("id"))
     (1 to iters).foldLeft(init) { (lab, _) =>
@@ -245,6 +257,7 @@ object Graph {
       lab.join(nbrMin, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("nl"), col("label"))).as("label"))
+        .localCheckpoint()
     }
   }
 
