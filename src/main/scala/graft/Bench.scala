@@ -26,9 +26,7 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, warmDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      SessionHygiene.releaseQueryState(spark)
     }
     val warmupSec = (System.nanoTime() - w0) / 1e9
     // Pre-stage pass at the TARGET SF: staged-store queries (TxStore
@@ -42,9 +40,7 @@ object Bench {
     queries.foreach { case (_, fn) =>
       try fn(spark, sfDir).queryExecution.toRdd.count()
       catch { case _: Throwable => () }
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      SessionHygiene.releaseQueryState(spark)
     }
     val prestageSec = (System.nanoTime() - p0) / 1e9
     // Median of 3 timed passes per query: single-shot timings on a shared
@@ -65,17 +61,11 @@ object Bench {
           System.err.println(s"BENCH-ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
         }
         val dt = (System.nanoTime() - t0) / 1e9
-        // release per-operator persisted intermediates between runs.
-        // clearCache() drops CacheManager (DataFrame.persist) entries but
-        // NOT localCheckpoint RDD blocks — over 277 queries × 5 passes
-        // those accumulated until storage pressure starved execution and
-        // the suite tail measured 2-10× slow (round-10 forensics: q126
-        // 3.2 s isolated vs 51.9 s in-suite). All cross-query state in
-        // this repo is parquet paths / memory-sink rows, never a live
-        // RDD, so dropping every persistent RDD between queries is safe.
-        spark.catalog.clearCache()
-        spark.sparkContext.getPersistentRDDs.values
-          .foreach(_.unpersist(blocking = false))
+        // release per-operator persisted intermediates between runs —
+        // including localCheckpoint blocks clearCache() misses (see
+        // SessionHygiene for the round-10 forensics + the no-cross-query-
+        // RDD invariant this depends on)
+        SessionHygiene.releaseQueryState(spark)
         dt
       }
       name -> times.sorted

@@ -35,13 +35,9 @@ object Verify {
         errors(name) = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
       }
       // operators persist self-joined intermediates for their own stages;
-      // release them between queries so the run's footprint stays bounded.
-      // clearCache() misses localCheckpoint RDD blocks — drop those too
-      // (all cross-query state is parquet paths / memory-sink rows, never
-      // a live RDD — see Bench.scala)
-      spark.catalog.clearCache()
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      // release them (cache entries AND localCheckpoint blocks) between
+      // queries so the run's footprint stays bounded — see SessionHygiene
+      SessionHygiene.releaseQueryState(spark)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

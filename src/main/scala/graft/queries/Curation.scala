@@ -1522,6 +1522,22 @@ object Curation {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
     val pairs = Similarity.cosinePairs(e, minCosine = 0.30)
       .select("id_a", "id_b")
+    dbscanAssign(e.select("id"), pairs)
+  }
+
+  /** Shared DBSCAN assignment over a pre-built ε-graph edge frame
+    * (id_a < id_b): core = degree ≥ 4 in the symmetrized graph, clusters =
+    * min-label components of the core–core subgraph (6 bounded rounds),
+    * border = min core-neighbor label, else noise. Factored so q269 (exact
+    * all-pairs ε-graph) and q278 (banded-LSH ε-graph, the 100 TB form)
+    * share one implementation — only the candidate source differs. */
+  private[queries] def dbscanAssign(allIds: DataFrame,
+      rawPairs: DataFrame): DataFrame = {
+    // the ε-graph feeds FOUR consumers (two sym orientations, the core
+    // filter, the core-edge build) — truncate here so the candidate join
+    // (exact broadcast scan in q269, banded-LSH index in q278) executes
+    // exactly once, not once per plan branch (the q269 193 s lesson)
+    val pairs = rawPairs.localCheckpoint()
     val sym = pairs.unionByName(
       pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
     val core = sym.groupBy(col("id_a").as("id"))
@@ -1535,7 +1551,7 @@ object Curation {
     val nbrCoreMin = sym
       .join(coreLabels.select(col("id").as("id_b"), col("core_cluster")), "id_b")
       .groupBy(col("id_a").as("id")).agg(min("core_cluster").as("nbr_cluster"))
-    e.select("id")
+    allIds
       .join(coreLabels, Seq("id"), "left")
       .join(nbrCoreMin, Seq("id"), "left")
       .select(col("id"),
@@ -1546,9 +1562,12 @@ object Curation {
       .orderBy("id")
   }
 
-  val q269Sql: String = {
-    // each round references l$prev twice — MATERIALIZED per round, and on
-    // the ε-join base so the O(n²·dim) pair scan runs once (q232's rule)
+  /** Shared DBSCAN oracle tail: consumes an `e(id_a, id_b)` ε-graph CTE
+    * (already MATERIALIZED by the header) and replicates [[dbscanAssign]]
+    * — symmetrize, degree-≥4 core, 6 unrolled min-label rounds over the
+    * core subgraph, border/noise assignment. Each round references l$prev
+    * twice — MATERIALIZED per round (q232's rule). */
+  private def dbscanTailSql: String = {
     def iter(prev: String, cur: String): String =
       s"""n$cur AS (SELECT s.src AS id, CAST(min(l.label) AS BIGINT) AS m
          |       FROM cesym s JOIN l$prev l ON l.id = s.dst GROUP BY 1),
@@ -1556,14 +1575,7 @@ object Curation {
          |        CASE WHEN n$cur.m IS NULL OR l.label <= n$cur.m
          |             THEN l.label ELSE n$cur.m END AS label
          |      FROM l$prev l LEFT JOIN n$cur ON n$cur.id = l.id)""".stripMargin
-    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
-       |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
-       |      FROM embeddings),
-       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
-       |e AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
-       |      FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
-       |sym AS MATERIALIZED (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
+    s"""sym AS MATERIALIZED (SELECT id_a, id_b FROM e UNION ALL SELECT id_b, id_a FROM e),
        |core AS MATERIALIZED (SELECT id_a AS id FROM sym GROUP BY 1 HAVING count(*) >= 4),
        |ce AS (SELECT id_a, id_b FROM e
        |       WHERE id_a IN (SELECT id FROM core) AND id_b IN (SELECT id FROM core)),
@@ -1588,6 +1600,44 @@ object Curation {
        |LEFT JOIN nbr ON nbr.id = v.vec_id
        |ORDER BY id""".stripMargin
   }
+
+  val q269Sql: String =
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+       |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+       |e AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+       |$dbscanTailSql""".stripMargin
+
+  // --------------------------------------------- q278 dbscan via LSH
+
+  /** Clustering at scale — the SAME DBSCAN contract as q269 (ε = cosine ≥
+    * 0.30, minPts = 4, 6-round min-label components, border = min core
+    * neighbor), but the ε-graph candidates come from the banded
+    * hyperplane-LSH index ([[Similarity.cosinePairsLsh]], q119's 16-plane
+    * 4-band OR-construction) instead of the exact all-pairs broadcast —
+    * the 100 TB form: candidate cost is Σ bucket², an equi-join on the
+    * band key, never O(n²). Approximate by design (a pair missing every
+    * band is missed), but the signature arithmetic is exact integer, so
+    * the candidate set — and therefore every cluster assignment, misses
+    * and all — replicates bit-for-bit in the oracle; the hash gate checks
+    * the bucketed result EXACTLY. DbscanLshSpec pins containment: the LSH
+    * ε-graph is a subset of q269's exact ε-graph, so clusters can only
+    * split, never invent edges. */
+  def q278DbscanLsh(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairsLsh(e, minCosine = 0.30, planes = 16,
+        bands = 4, dim = 64)
+      .select("id_a", "id_b")
+    dbscanAssign(e.select("id"), pairs)
+  }
+
+  val q278Sql: String = LlmOps.duckCosinePairsAt("0.30") +
+    s""",
+       |e AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+       |$dbscanTailSql""".stripMargin
 
   // --------------------------------------- q270 personalized pagerank
 
@@ -1641,6 +1691,7 @@ object Curation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q270_personalized_pagerank" -> (q270PersonalizedPagerank _),
+    "q278_dbscan_lsh" -> (q278DbscanLsh _),
     "q269_dbscan" -> (q269Dbscan _),
     "q268_bfs_distance" -> (q268BfsDistance _),
     "q259_heaps_fit" -> (q259HeapsFit _),
@@ -1678,6 +1729,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q270_personalized_pagerank" -> q270Sql,
+    "q278_dbscan_lsh" -> q278Sql,
     "q269_dbscan" -> q269Sql,
     "q268_bfs_distance" -> q268Sql,
     "q259_heaps_fit" -> q259Sql,

@@ -822,11 +822,13 @@ object LlmOps {
     * misses and all. */
   /** Shared DuckDB CTE replicating the q119 banded hyperplane-LSH cosine
     * pair stream end to end (signatures over the LCG plane table, 4-bit
-    * band collisions, exact ×1e4 rescore at cosine ≥ 0.4); ends with
+    * band collisions, exact ×1e4 rescore at cosine ≥ `thr`); ends with
     * `pairs(id_a, id_b)` plus the per-vector norm frame `n`. One
-    * definition keeps q119 and its degree rollup (q199) byte-identical. */
-  private val DuckCosinePairs: String =
-    """WITH v AS (SELECT vec_id, list_transform(embedding, x ->
+    * definition keeps q119, its degree rollup (q199), and the LSH-sourced
+    * DBSCAN ε-graph (q278 in [[Curation]]) byte-identical in the index
+    * construction; only the rescore threshold varies. */
+  private[queries] def duckCosinePairsAt(thr: String): String =
+    s"""WITH v AS (SELECT vec_id, list_transform(embedding, x ->
       |    CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 1000000 + 0.5) AS BIGINT)) AS q6
       |  FROM embeddings),
       |pl AS (SELECT i, j,
@@ -848,7 +850,9 @@ object LlmOps {
       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
       |pairs AS (SELECT c.id_a, c.id_b
       |          FROM cand c JOIN n a ON a.vec_id = c.id_a JOIN n b ON b.vec_id = c.id_b
-      |          WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.4)""".stripMargin
+      |          WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= $thr)""".stripMargin
+
+  private val DuckCosinePairs: String = duckCosinePairsAt("0.4")
 
   def q119CosinePairsLsh(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))

@@ -1599,7 +1599,11 @@ object Relational {
     * crossJoin against it — no second scan of the fact side
     * (localCheckpoint pins the per-part frame the way q275 pins its
     * nation frame). Integer-exact: cents × qty. */
-  def q276ImportantStock(s: SparkSession, dir: String): DataFrame = {
+  /** q276's pre-checkpoint per-part value frame — package-private so
+    * PlanSpec pins the REAL pipeline's semi/broadcast nesting (which the
+    * checkpoint truncates out of the declared query's plan) instead of a
+    * drift-prone private copy. */
+  private[graft] def q276PerPartValue(s: SparkSession, dir: String): DataFrame = {
     val natSup = t(s, dir, "supplier")
       .join(broadcast(t(s, dir, "nation")
         .filter(col("n_name") === "NATION_8")
@@ -1608,14 +1612,17 @@ object Relational {
       .select(col("s_suppkey"))
     val p = broadcast(t(s, dir, "part").select(col("p_partkey"),
       expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("retail_cents")))
-    val per = t(s, dir, "lineitem")
+    t(s, dir, "lineitem")
       .select(col("l_partkey"), col("l_suppkey"),
         col("l_quantity").cast("long").as("qty"))
       .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
       .join(p, col("l_partkey") === col("p_partkey"))
       .groupBy("l_partkey")
       .agg(sum(col("retail_cents") * col("qty")).as("value_cents"))
-      .localCheckpoint()
+  }
+
+  def q276ImportantStock(s: SparkSession, dir: String): DataFrame = {
+    val per = q276PerPartValue(s, dir).localCheckpoint()
     val tot = broadcast(per.agg(sum("value_cents").as("total_cents"),
       count(lit(1)).as("n_parts")))
     per.crossJoin(tot)

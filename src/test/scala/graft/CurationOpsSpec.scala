@@ -474,6 +474,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == 0L && got(5L) == 0L, "no restart mass off the seed set")
   }
 
+  /** Driver-side replica of the q269/q278 DBSCAN contract over a given
+    * ε-graph edge list: degree ≥ 4 core, 6 synchronous min-label rounds
+    * over the core-core subgraph, border = min core-neighbor label. */
+  private def dbscanWalk(pairs: Array[(Long, Long)],
+      allIds: Array[Long]): Map[Long, (String, Long)] = {
+    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    val core = nbrs.collect { case (id, ns) if ns.size >= 4 => id }.toSet
+    var labels: Map[Long, Long] = core.map(c => c -> c).toMap
+    (1 to 6).foreach { _ =>
+      labels = labels.map { case (id, l) =>
+        val nl = nbrs(id).filter(core).flatMap(labels.get)
+        id -> (nl + l).min
+      }
+    }
+    allIds.map { id =>
+      if (core(id)) id -> (("core", labels(id)))
+      else {
+        val coreNbrLabels = nbrs.getOrElse(id, Set.empty)
+          .filter(core).map(labels)
+        if (coreNbrLabels.nonEmpty) id -> (("border", coreNbrLabels.min))
+        else id -> (("noise", -1L))
+      }
+    }.toMap
+  }
+
   test("q269 DBSCAN: roles and min-label clusters equal the Scala hand walk of the eps-graph") {
     val sf = "/root/testdata/sf0.001"
     val e = graft.sources.Tables.load(spark, sf, "embeddings")
@@ -483,26 +509,7 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
     val allIds = graft.sources.Tables.load(spark, sf, "embeddings")
       .select("vec_id").collect().map(_.getLong(0))
-    val nbrs = (pairs ++ pairs.map(p => (p._2, p._1)))
-      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
-    val core = nbrs.collect { case (id, ns) if ns.size >= 4 => id }.toSet
-    // 6 synchronous min-label rounds over the core-core subgraph
-    var labels: Map[Long, Long] = core.map(c => c -> c).toMap
-    (1 to 6).foreach { _ =>
-      labels = labels.map { case (id, l) =>
-        val nl = nbrs(id).filter(core).flatMap(labels.get)
-        id -> (nl + l).min
-      }
-    }
-    val want = allIds.map { id =>
-      if (core(id)) id -> (("core", labels(id)))
-      else {
-        val coreNbrLabels = nbrs.getOrElse(id, Set.empty)
-          .filter(core).map(labels)
-        if (coreNbrLabels.nonEmpty) id -> (("border", coreNbrLabels.min))
-        else id -> (("noise", -1L))
-      }
-    }.toMap
+    val want = dbscanWalk(pairs, allIds)
     val got = graft.queries.Curation.q269Dbscan(spark, sf).collect()
       .map(r => r.getAs[Long]("id") ->
         ((r.getAs[String]("role"), r.getAs[Long]("cluster")))).toMap
@@ -511,6 +518,32 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     // node's label keeps decreasing while its old label persists farther
     // out — only the exact 6-round replication above is the contract)
     assert(got.values.exists(_._1 == "core") && got.values.exists(_._1 == "noise"))
+  }
+
+  test("q278 DBSCAN-LSH: eps-graph ⊆ exact eps-graph; assignment equals the hand walk over it") {
+    val sf = "/root/testdata/sf0.001"
+    val e = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val exact = graft.llmops.Similarity.cosinePairs(e, minCosine = 0.30)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    val lsh = graft.llmops.Similarity
+      .cosinePairsLsh(e, minCosine = 0.30, planes = 16, bands = 4, dim = 64)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")))
+    // containment: the banded index can only MISS edges, never invent
+    // them — so q278's clusters can only split q269's, never merge/extend
+    assert(lsh.nonEmpty, "LSH index recalled zero eps-edges")
+    lsh.foreach(p => assert(exact.contains(p),
+      s"LSH surfaced pair $p absent from the exact eps-graph"))
+    val allIds = graft.sources.Tables.load(spark, sf, "embeddings")
+      .select("vec_id").collect().map(_.getLong(0))
+    val want = dbscanWalk(lsh, allIds)
+    val got = graft.queries.Curation.q278DbscanLsh(spark, sf).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[String]("role"), r.getAs[Long]("cluster")))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._1 == "core"), "LSH recall too low to form any core")
   }
 
   test("bfsDistance: hand-computed hop distances, bounded-round NULL, nearest-seed min") {

@@ -674,26 +674,10 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     assert(p276.contains("BroadcastNestedLoopJoin"),
       "q276's HAVING threshold must ride the broadcast 1-row {total, count} frame")
     // the semi/broadcast nesting lives BEFORE the checkpoint truncates
-    // lineage — pin it on the same pipeline built without the checkpoint
-    val pre276 = {
-      import org.apache.spark.sql.functions._
-      val s = spark; val dir = sf
-      def t(n: String) = graft.sources.Tables.load(s, dir, n)
-      val natSup = t("supplier")
-        .join(broadcast(t("nation").filter(col("n_name") === "NATION_8")
-          .select(col("n_nationkey"))),
-          col("s_nationkey") === col("n_nationkey"), "left_semi")
-        .select(col("s_suppkey"))
-      val p = broadcast(t("part").select(col("p_partkey"),
-        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("retail_cents")))
-      t("lineitem")
-        .select(col("l_partkey"), col("l_suppkey"), col("l_quantity").cast("long").as("qty"))
-        .join(broadcast(natSup), col("l_suppkey") === col("s_suppkey"), "left_semi")
-        .join(p, col("l_partkey") === col("p_partkey"))
-        .groupBy("l_partkey")
-        .agg(sum(col("retail_cents") * col("qty")).as("value_cents"))
-        .queryExecution.executedPlan.toString
-    }
+    // lineage — pin it on the REAL pre-checkpoint pipeline (shared with
+    // the query via Relational.q276PerPartValue, so it can't drift)
+    val pre276 = graft.queries.Relational.q276PerPartValue(spark, sf)
+      .queryExecution.executedPlan.toString
     assert(pre276.linesIterator.count(_.contains("LeftSemi")) >= 2,
       "q276 keeps both the nation→supplier and supplier→lineitem levels as semi joins")
     assert(pre276.contains("BroadcastHashJoin"),
@@ -713,5 +697,47 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "centroid sweeps must be BroadcastNestedLoopJoin over k-row codebooks")
     assert(p.contains("BroadcastNestedLoopJoin"),
       "the textbook assignment plan broadcasts the codebook")
+  }
+
+  // --- graph-tier lineage truncation (the 193 s → 5 s round-10 fix) ---
+  // The per-round localCheckpoint in Graph.labelPropagation/bfsDistance/
+  // pagerank* and Curation.dbscanAssign truncates the 2-branch-per-round
+  // chain that otherwise embeds the upstream edge build 2^rounds times in
+  // the final plan. These pins fail if any of those checkpoints is
+  // dropped: the final EXECUTED plan must read only checkpointed RDDs —
+  // zero base-table parquet scans (q269/q278 keep exactly ONE embeddings
+  // scan: the allIds spine) and zero re-executions of the ε-join
+  // (array_dot / hyperplane signatures must not appear post-truncation).
+
+  private def scanParquetCount(p: String): Int =
+    p.linesIterator.count(_.contains("Scan parquet"))
+
+  test("q268/q270/q221: per-round truncation — final plan reads checkpoints, not 2^rounds edge builds") {
+    Seq("q268_bfs_distance", "q270_personalized_pagerank",
+      "q221_label_prop").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must consume localCheckpointed rounds")
+      // the fact-table edge build must be checkpointed out entirely; the
+      // broadcast-scale seed flag (supplier) may legitimately re-join per
+      // round, so only lineitem/orders scans are forbidden
+      val factScans = p.linesIterator.count(l =>
+        l.contains("Scan parquet") &&
+          (l.contains("lineitem") || l.contains("orders")))
+      assert(factScans == 0,
+        s"$q final plan re-reads the edge-build fact tables $factScans times — a per-round checkpoint was dropped")
+    }
+  }
+
+  test("q269/q278: eps-join runs once — checkpointed out of the assignment plan") {
+    Seq("q269_dbscan", "q278_dbscan_lsh").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("Scan ExistingRDD"),
+        s"$q must consume the checkpointed eps-graph")
+      assert(!p.contains("array_dot") && !p.contains("hyperplane_sig"),
+        s"$q re-scores pairs in the assignment plan — dbscanAssign's checkpoint was dropped")
+      assert(scanParquetCount(p) == 1,
+        s"$q must scan embeddings exactly once (the allIds spine); got ${scanParquetCount(p)}")
+    }
   }
 }
