@@ -71,6 +71,49 @@ object Graph {
     ranks
   }
 
+  /** Textbook PageRank with DANGLING-MASS REDISTRIBUTION, integer-
+    * quantized: r'(v) = base + (inflow(v) + D div N) · d100 div 100, where
+    * D = Σ rank(u) over dangling u (no out-edges) and N = |nodes| — the
+    * mass that [[pagerank]] deliberately drops (its scaladoc declares the
+    * unnormalized variant) is here spread uniformly, matching the classic
+    * random-surfer model on DIRECTED graphs where sinks exist (e.g. the
+    * customer→supplier purchase graph: suppliers emit nothing).
+    *
+    * Scale: the per-round additions over [[pagerank]] are one anti-join
+    * (ranks ∖ out-degree keys) + one 1-row sum, attached back via a
+    * broadcast crossJoin — no new shuffle profile; N is computed once.
+    * Each round references the rank frame in TWO branches (inflow and the
+    * dangling sum), so the frame is localCheckpointed EVERY round (the
+    * labelPropagation rule), keeping the executed plan linear in rounds. */
+  def pagerankDangling(edges: DataFrame, iters: Int, d100: Int = 85): DataFrame = {
+    require(iters >= 0 && d100 >= 0 && d100 <= 100)
+    val e = edges.select(col("src"), col("dst")).distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .unionByName(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint() // spine of every round + the N scalar
+    val outDeg = e.groupBy(col("src").as("id")).agg(count(lit(1)).as("out_deg"))
+    val n = broadcast(nodes.agg(count(lit(1)).as("n_nodes")))
+    val base = lit(Scale * (100L - d100) / 100L)
+    var ranks = nodes.withColumn("rank_q", lit(Scale))
+    for (_ <- 0 until iters) {
+      val contribs = e.join(ranks.join(outDeg, "id"), e("src") === col("id"))
+        .select(col("dst").as("id"),
+          expr("rank_q div out_deg").as("contrib"))
+        .groupBy("id").agg(sum("contrib").as("in_q"))
+      val dangling = broadcast(
+        ranks.join(outDeg.select("id"), Seq("id"), "left_anti")
+          .agg(coalesce(sum("rank_q"), lit(0L)).as("dangling_q")))
+      ranks = nodes
+        .join(contribs, Seq("id"), "left")
+        .crossJoin(dangling).crossJoin(n)
+        .select(col("id"),
+          (base + expr(s"(coalesce(in_q, CAST(0 AS BIGINT)) " +
+            s"+ dangling_q div n_nodes) * $d100 div 100")).as("rank_q"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   /** Per-node triangle counts over an undirected edge list — the
     * transitivity diagnostic for similarity graphs (how cliquey are the
     * near-dup clusters an LSH/cosine threshold induces) and the base of

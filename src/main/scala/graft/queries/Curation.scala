@@ -1689,7 +1689,53 @@ object Curation {
        |SELECT id, rank_q FROM r3 ORDER BY id""".stripMargin
   }
 
+  // --------------------------------------- q279 dangling-mass pagerank
+
+  /** Graph analytics — textbook PageRank over the DIRECTED customer →
+    * supplier purchase graph ([[Graph.pagerankDangling]], 3 rounds,
+    * d = 0.85): suppliers emit no edges, so every supplier's rank is
+    * dangling mass each round, redistributed uniformly (D div N) instead
+    * of dropped — the random-surfer-correct complement to q62's declared
+    * unnormalized variant on the symmetrized graph. Integer-exact: the
+    * dangling sum and N attach as broadcast 1-row frames; round order is
+    * base + (in + D div N)·85 div 100, replicated operation-for-operation
+    * in the oracle. */
+  def q279PagerankDangling(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"), (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.pagerankDangling(edges, iters = 3, d100 = 85).orderBy("id")
+  }
+
+  val q279Sql: String = {
+    // r$prev feeds TWO consumers per round (in-flow + dangling sum) —
+    // MATERIALIZED per round, and on the shared e/nodes/deg (q232's rule)
+    def iter(prev: String, cur: String): String =
+      s"""s$cur AS (SELECT e.dst AS id, CAST(SUM(r.rank_q // d.out_deg) AS BIGINT) AS in_q
+         |       FROM e JOIN r$prev r ON r.id = e.src JOIN deg d ON d.id = e.src GROUP BY 1),
+         |dg$cur AS (SELECT CAST(COALESCE(SUM(r.rank_q), 0) AS BIGINT) AS dangling_q
+         |       FROM r$prev r LEFT JOIN deg d ON d.id = r.id WHERE d.id IS NULL),
+         |r$cur AS MATERIALIZED (SELECT n.id,
+         |        CAST(150000000 + (COALESCE(s$cur.in_q, 0) + dg$cur.dangling_q // cnt.n_nodes)
+         |          * 85 // 100 AS BIGINT) AS rank_q
+         |       FROM nodes n LEFT JOIN s$cur ON s$cur.id = n.id
+         |       CROSS JOIN dg$cur CROSS JOIN cnt)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |            FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |deg AS MATERIALIZED (SELECT src AS id, count(*) AS out_deg FROM e GROUP BY 1),
+       |cnt AS (SELECT count(*) AS n_nodes FROM nodes),
+       |r0 AS (SELECT id, CAST(1000000000 AS BIGINT) AS rank_q FROM nodes),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")}
+       |SELECT id, rank_q FROM r3 ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q279_pagerank_dangling" -> (q279PagerankDangling _),
     "q270_personalized_pagerank" -> (q270PersonalizedPagerank _),
     "q278_dbscan_lsh" -> (q278DbscanLsh _),
     "q269_dbscan" -> (q269Dbscan _),
@@ -1728,6 +1774,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q279_pagerank_dangling" -> q279Sql,
     "q270_personalized_pagerank" -> q270Sql,
     "q278_dbscan_lsh" -> q278Sql,
     "q269_dbscan" -> q269Sql,

@@ -474,6 +474,31 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got(4L) == 0L && got(5L) == 0L, "no restart mass off the seed set")
   }
 
+  test("pagerankDangling: sink mass redistributes uniformly; recurrence matches the driver-side fold") {
+    import spark.implicits._
+    // 1→2, 1→3, 2→3: node 3 is a SINK — all its rank is dangling mass
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Graph.pagerankDangling(edges, iters = 3, d100 = 85)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("rank_q")).toMap
+    // driver-side fold of the exact integer recurrence:
+    // r'(v) = base + (in(v) + D div N) * 85 div 100
+    val S = 1000000000L; val base = S * 15L / 100L; val n = 3L
+    val out = Map(1L -> 2L, 2L -> 1L)
+    var r = Map(1L -> S, 2L -> S, 3L -> S)
+    (1 to 3).foreach { _ =>
+      val in = Map(
+        2L -> r(1L) / out(1L),
+        3L -> (r(1L) / out(1L) + r(2L) / out(2L)))
+      val d = r(3L) // only the sink is dangling
+      r = Seq(1L, 2L, 3L).map(v =>
+        v -> (base + (in.getOrElse(v, 0L) + d / n) * 85L / 100L)).toMap
+    }
+    assert(got == r)
+    // the sink's inflow dominates, and node 1 (no in-edges) still holds
+    // base + redistributed share — strictly more than base alone
+    assert(got(3L) > got(2L) && got(2L) > got(1L) && got(1L) > base)
+  }
+
   /** Driver-side replica of the q269/q278 DBSCAN contract over a given
     * ε-graph edge list: degree ≥ 4 core, 6 synchronous min-label rounds
     * over the core-core subgraph, border = min core-neighbor label. */
