@@ -70,19 +70,74 @@ object Bench {
       }
       name -> times.sorted
     }
+    // Isolation pass (SPARK_GRAFT_ISOLATE=1, dev-only — the driver never
+    // sets it): in-suite medians can carry 10-30× one-query swings from
+    // host contention or suite-level storage pressure (round-10: q67
+    // measured 7.98 s in-suite, 5.56 s isolated, code untouched). For
+    // every query whose max/min spread exceeds 3×, re-measure median-of-3
+    // in a FRESH SparkSession (same warmed JVM/JIT, new context — so
+    // executor storage and scheduler state start clean) and substitute
+    // the isolated numbers; the artifact lists which queries were
+    // re-measured so the substitution is machine-visible.
+    val isolate = sys.env.get("SPARK_GRAFT_ISOLATE").contains("1")
+    // spread threshold tunable for testing the isolation path itself
+    // (SPARK_GRAFT_ISOLATE_SPREAD=0 flags everything)
+    val spreadBar = sys.env.get("SPARK_GRAFT_ISOLATE_SPREAD")
+      .map(_.toDouble).getOrElse(3.0)
+    val flagged: Seq[String] =
+      if (!isolate) Seq.empty
+      else results.collect {
+        case (name, t) if t(0) > 0 && t(2) / t(0) > spreadBar => name
+      }.toSeq
+    val isolated: Map[String, Seq[Double]] =
+      if (flagged.isEmpty) Map.empty
+      else {
+        spark.stop()
+        flagged.map { name =>
+          val s2 = SparkSession.builder()
+            .master(s"local[$cpus]")
+            .config("spark.sql.shuffle.partitions", cpus)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.skewJoin.enabled", "true")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+          s2.sparkContext.setLogLevel("WARN")
+          val fn = queries(name)
+          try fn(s2, sfDir).queryExecution.toRdd.count() // fresh-context warm
+          catch { case _: Throwable => () }
+          SessionHygiene.releaseQueryState(s2)
+          val times = (1 to 3).map { _ =>
+            val t0 = System.nanoTime()
+            try fn(s2, sfDir).queryExecution.toRdd.count()
+            catch { case e: Throwable =>
+              System.err.println(s"BENCH-ERROR $name (isolated): ${e.getClass.getName}: ${e.getMessage}")
+            }
+            val dt = (System.nanoTime() - t0) / 1e9
+            SessionHygiene.releaseQueryState(s2)
+            dt
+          }
+          s2.stop()
+          name -> times.sorted.toSeq
+        }.toMap
+      }
+    val finalResults = results.map { case (k, t) =>
+      k -> isolated.getOrElse(k, t)
+    }
     // `queries` stays the scalar median map (the graded shape); `spread`
     // carries {min, max} per query and `warmup_sec` the warm-up wall time,
     // so a contended run (outside load on this shared host) is
     // machine-detectable from the artifact itself — a quiet run shows
     // max/min within ~2x, a contended one 10x+ (round-6 forensics).
-    val qs = results.map { case (k, t) => s"\"" + k + "\":" + t(1) }
+    val qs = finalResults.map { case (k, t) => s"\"" + k + "\":" + t(1) }
       .mkString("{", ",", "}")
-    val spread = results
+    val spread = finalResults
       .map { case (k, t) => s"""\"$k\":{"min":${t(0)},"max":${t(2)}}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.map(_(1)).sum else 0.0
+    val total = if (finalResults.nonEmpty) finalResults.values.map(_(1)).sum else 0.0
+    val isolatedJson = flagged.map(n => s"\"$n\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""spread":$spread,"warmup_sec":$warmupSec,""" +
+      s""""spread":$spread,"isolated":$isolatedJson,"warmup_sec":$warmupSec,""" +
       s""""prestage_sec":$prestageSec,"sf":"$sfDir"}"""
     println(json)
     // Driver artifacts keep only a truncated tail of long stdout lines, so
