@@ -950,6 +950,65 @@ object Curation {
       | AND epoch_ms(c.ts) BETWEEN epoch_ms(e.ts) - 14400000 AND epoch_ms(e.ts)
       |ORDER BY err_id, click_id""".stripMargin
 
+  /** S26 depth (twenty-second streaming path) — stream-stream LEFT OUTER
+    * interval join ([[graft.streaming.StreamJoin.intervalJoinLeftOuter]]):
+    * q78's error ⟵ preceding-clicks pairing, but errors with NO click in
+    * the 4 h window also emit, NULL-extended, once the watermark proves no
+    * match can still arrive. The NULL verdict's TIMING is the semantics
+    * under test: an error row is evicted (and emits) only when the join's
+    * global watermark — min(max err ts, max click ts) − 1 h — passes its
+    * window bound, so errors newer than the final watermark never emit a
+    * NULL row. The oracle replicates that cutoff arithmetic exactly
+    * (q190/q210's gate-the-drop-semantics pattern). */
+  def q281StreamOuterJoin(s: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.StreamJoin
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageJoinSource(s, dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "event_id BIGINT, user_id BIGINT, ms BIGINT, event_type STRING")
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+    val errors = stream.filter(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("err_ts"))
+    val clicks = stream.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        timestamp_millis(col("ms")).as("click_ts"))
+    val joined = StreamJoin.intervalJoinLeftOuter(errors, clicks, "user_id",
+      "err_ts", "click_ts", lookbackMs = 14400000L, delayMs = 3600000L)
+    val qn = s"q281_sojoin_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      joined.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-sojoin-ckpt"))
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("err_id"), col("click_id"), col("user_id"),
+        expr("unix_micros(err_ts) div 1000").as("err_ms"),
+        expr("unix_micros(click_ts) div 1000").as("click_ms"))
+      .orderBy("err_id", "click_id")
+  }
+
+  val q281Sql: String =
+    """WITH ev AS (SELECT event_id, user_id, epoch_ms(ts) AS ms, event_type
+      |      FROM events WHERE event_type IN ('error', 'click')),
+      |e AS (SELECT event_id AS err_id, user_id, ms AS err_ms FROM ev WHERE event_type = 'error'),
+      |c AS (SELECT event_id AS click_id, user_id, ms AS click_ms FROM ev WHERE event_type = 'click'),
+      |wm AS (SELECT LEAST((SELECT max(err_ms) FROM e), (SELECT max(click_ms) FROM c))
+      |         - 3600000 AS cutoff),
+      |m AS (SELECT e.err_id, c.click_id, e.user_id, e.err_ms, c.click_ms
+      |      FROM e JOIN c ON c.user_id = e.user_id
+      |       AND c.click_ms BETWEEN e.err_ms - 14400000 AND e.err_ms)
+      |SELECT err_id, click_id, user_id, err_ms, click_ms FROM m
+      |UNION ALL
+      |SELECT e.err_id, CAST(NULL AS BIGINT), e.user_id, e.err_ms, CAST(NULL AS BIGINT)
+      |FROM e CROSS JOIN wm
+      |WHERE e.err_ms < wm.cutoff
+      |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.err_id = e.err_id)
+      |ORDER BY err_id, click_id""".stripMargin
+
   // ----------------------------------------------- q79 triangle counting
 
   /** Graph depth — per-node triangle counts ([[Graph.triangles]]) over
@@ -1735,6 +1794,7 @@ object Curation {
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q281_stream_outer_join" -> (q281StreamOuterJoin _),
     "q279_pagerank_dangling" -> (q279PagerankDangling _),
     "q270_personalized_pagerank" -> (q270PersonalizedPagerank _),
     "q278_dbscan_lsh" -> (q278DbscanLsh _),
@@ -1774,6 +1834,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q281_stream_outer_join" -> q281Sql,
     "q279_pagerank_dangling" -> q279Sql,
     "q270_personalized_pagerank" -> q270Sql,
     "q278_dbscan_lsh" -> q278Sql,

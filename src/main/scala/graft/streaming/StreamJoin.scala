@@ -34,14 +34,42 @@ object StreamJoin {
     * deliver in-order and lose nothing). */
   def intervalJoin(probe: DataFrame, ref: DataFrame, key: String,
       probeTs: String, refTs: String, lookbackMs: Long,
-      delayMs: Long): DataFrame = {
+      delayMs: Long): DataFrame =
+    intervalJoinTyped(probe, ref, key, probeTs, refTs, lookbackMs, delayMs,
+      "inner")
+
+  /** LEFT-OUTER stream-stream interval join: every probe row emits — with
+    * its matches while they exist, and NULL-extended once the engine can
+    * PROVE no match can still arrive. That proof is the watermark: the
+    * join's global watermark is the MIN of both sides' (max event time −
+    * delay), and a probe row whose window upper bound (probeTs, since the
+    * condition is refTs ≤ probeTs) falls behind it is evicted from state,
+    * emitting the NULL row in that micro-batch. So "unmatched" is not a
+    * batch-side anti join — it is a STREAMING VERDICT whose timing is part
+    * of the semantics: probe rows newer than the final watermark stay
+    * unproven and never emit (the declared contract, same genus as q190/
+    * q210's late-drop gates; the oracle replicates the cutoff
+    * arithmetic). State bounds are [[intervalJoin]]'s — the NULL emission
+    * is exactly the eviction the inner join already performs, surfaced
+    * instead of discarded, so the outer form costs nothing extra at
+    * 100 TB. */
+  def intervalJoinLeftOuter(probe: DataFrame, ref: DataFrame, key: String,
+      probeTs: String, refTs: String, lookbackMs: Long,
+      delayMs: Long): DataFrame =
+    intervalJoinTyped(probe, ref, key, probeTs, refTs, lookbackMs, delayMs,
+      "leftOuter")
+
+  private def intervalJoinTyped(probe: DataFrame, ref: DataFrame, key: String,
+      probeTs: String, refTs: String, lookbackMs: Long, delayMs: Long,
+      joinType: String): DataFrame = {
     require(probeTs != refTs, "probe and ref event-time columns must differ")
     val p = probe.withWatermark(probeTs, s"$delayMs milliseconds")
     val r = ref.withWatermark(refTs, s"$delayMs milliseconds")
     p.join(r.withColumnRenamed(key, s"__r_$key"),
       col(key) === col(s"__r_$key") &&
         col(refTs) >= col(probeTs) - expr(s"INTERVAL $lookbackMs MILLISECONDS") &&
-        col(refTs) <= col(probeTs))
+        col(refTs) <= col(probeTs),
+      joinType)
       .drop(s"__r_$key")
   }
 }

@@ -547,6 +547,39 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     statIdx.unpersist()
   }
 
+  test("q281 left-outer interval join: match emits immediately; NULL only after watermark proof; unproven rows never emit") {
+    import spark.implicits._
+    import graft.streaming.StreamJoin
+    implicit val sq = spark.sqlContext
+    def day(n: Int): java.sql.Timestamp = new java.sql.Timestamp(n * 86400000L)
+    val errMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val clkMem = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val errors = errMem.toDS().toDF("err_id", "user_id", "err_ts")
+    val clicks = clkMem.toDS().toDF("click_id", "user_id", "click_ts")
+    val joined = StreamJoin.intervalJoinLeftOuter(errors, clicks, "user_id",
+      "err_ts", "click_ts", lookbackMs = 2L * 86400000L, delayMs = 86400000L)
+    val q = joined.writeStream.outputMode("append").format("memory")
+      .queryName("soj_wm").start()
+    // b1: user 1 error+click (in-window match), user 2 error (no click
+    // ever), user 3 error at day 20 (too new to prove), day-21 rows on
+    // BOTH sides drive the global watermark to day 20 at b2
+    errMem.addData((10L, 1L, day(5)), (20L, 2L, day(5)), (30L, 3L, day(20)),
+      (99L, 99L, day(21)))
+    clkMem.addData((11L, 1L, day(4)), (98L, 98L, day(21)))
+    q.processAllAvailable()
+    // b2: any row triggers the batch that applies b1's watermark — user
+    // 2's error (day 5 < wm day 20) is EVICTED and emits NULL-extended;
+    // user 3's (day 20, not < wm) and the day-21 rows stay unproven
+    clkMem.addData((97L, 97L, day(21)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("soj_wm")
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]), r.getLong(1)))).toMap
+    assert(got == Map(10L -> ((Some(11L), 1L)), 20L -> ((None, 2L))),
+      s"outer-join emissions wrong: $got")
+  }
+
   test("q190 append-mode watermark: stragglers dropped, unfinished windows never emit") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
