@@ -29,4 +29,45 @@ object TextOps {
   /** Scale-path token id: 64-bit xxhash folded into [0, P). No dictionary,
     * no extra shuffle — the id is computed streaming in the scan stage. */
   def hashTokenId(tok: Column): Column = norm(xxhash64(tok))
+
+  /** Canonical URL for crawl-style dedup (the key CCNet/RefinedWeb-class
+    * pipelines group on BEFORE any content hashing): lowercased scheme and
+    * host, leading `www.` stripped, default port dropped (`:80` for http,
+    * `:443` for https — non-default ports kept), fragment dropped,
+    * trailing path slashes trimmed, query params with tracking prefixes
+    * (`utm_*`, `fbclid=`, `gclid=`, `ref=`) removed and the survivors
+    * sorted bytewise. Path case is PRESERVED (paths are case-sensitive;
+    * hosts are not).
+    *
+    * Pure `Column` composition — regexp extracts + one array
+    * filter/sort/join, all whole-stage codegen in the scan, no shuffle;
+    * every step has a same-named DuckDB twin (`regexp_extract` /
+    * `list_filter` / `list_sort` / `array_to_string`), so the canonical
+    * string replicates byte-for-byte in the oracle. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val rest = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(.*)$", 1)
+    val hostport = lower(regexp_extract(rest, "^([^/?#]*)", 1))
+    val host = regexp_replace(
+      regexp_extract(hostport, "^([^:]*)", 1), "^www\\.", "")
+    val port = regexp_extract(hostport, ":([0-9]+)$", 1)
+    val keepPort = port =!= "" &&
+      !((scheme === "http" && port === "80") ||
+        (scheme === "https" && port === "443"))
+    val pathq = regexp_extract(rest, "^[^/?#]*([^#]*)", 1)
+    val path = regexp_replace(
+      regexp_extract(pathq, "^([^?]*)", 1), "/+$", "")
+    val query = regexp_extract(pathq, "\\?(.*)$", 1)
+    val params = filter(split(query, "&"), p =>
+      p =!= "" &&
+        substring(p, 1, 4) =!= "utm_" &&
+        substring(p, 1, 7) =!= "fbclid=" &&
+        substring(p, 1, 6) =!= "gclid=" &&
+        substring(p, 1, 4) =!= "ref=")
+    val canonQ = array_join(sort_array(params), "&")
+    concat(scheme, lit("://"), host,
+      when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+      path,
+      when(canonQ =!= "", concat(lit("?"), canonQ)).otherwise(lit("")))
+  }
 }

@@ -2099,9 +2099,91 @@ object LlmOps {
       |FROM g ORDER BY lang""".stripMargin
   }
 
+  // ------------------------------------------------ q282 url canonical dedup
+
+  /** Deterministic synthetic URL per document (the testdata carries no URL
+    * column): doc_id residues drive mixed-case scheme/host, `www.`
+    * prefixes, default and non-default ports, shared paths (the collision
+    * driver), trailing slashes, tracking + reorderable query params, and
+    * fragments — one expression, replicated verbatim in the oracle. */
+  private val SynthUrlSql: String =
+    """concat(
+      |  CASE CAST(pmod(doc_id, 3) AS INT) WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END,
+      |  '://',
+      |  CASE WHEN pmod(doc_id, 2) = 0 THEN 'WWW.' ELSE '' END,
+      |  'Example-', source, '.COM',
+      |  CASE CAST(pmod(doc_id, 5) AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END,
+      |  '/Docs/Item', CAST(pmod(doc_id, 50) AS STRING),
+      |  CASE WHEN pmod(doc_id, 4) = 0 THEN '/' ELSE '' END,
+      |  CASE CAST(pmod(doc_id, 3) AS INT) WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?a=1&b=2' ELSE '' END,
+      |  CASE WHEN pmod(doc_id, 7) = 0 THEN concat('#sec', CAST(doc_id AS STRING)) ELSE '' END)"""
+      .stripMargin
+
+  /** S24/S22 — URL-canonical dedup ([[TextOps.canonicalizeUrl]]): the
+    * crawl-pipeline FIRST dedup pass (CCNet/RefinedWeb-class pipelines
+    * group on canonical URL before touching content). Canonicalization is
+    * pure scan-stage expression work; the dedup is one exact-dedup-shaped
+    * shuffle keyed on the canonical string (at 100 TB key it by
+    * xxhash64(canon) — the q18 digest discipline). Every rule — host
+    * case-folding, www/default-port/fragment/trailing-slash stripping,
+    * tracking-param removal, param reordering — participates in the hash
+    * gate because the synthetic URLs exercise each one. */
+  def q282UrlCanonical(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+      .select(col("doc_id").as("id"), expr(SynthUrlSql).as("url"))
+      .withColumn("canon_url", graft.llmops.TextOps.canonicalizeUrl(col("url")))
+    val keep = d.groupBy("canon_url").agg(min("id").as("keep_id"))
+    d.join(keep, "canon_url")
+      .select(col("id"), col("canon_url"), col("keep_id"),
+        (col("id") =!= col("keep_id")).as("is_dup"))
+      .orderBy("id")
+  }
+
+  val q282Sql: String =
+    """WITH u AS (SELECT doc_id AS id,
+      |    CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'http' END || '://'
+      |    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+      |    || 'Example-' || source || '.COM'
+      |    || CASE doc_id % 5 WHEN 0 THEN ':80' WHEN 1 THEN ':443' WHEN 2 THEN ':8080' ELSE '' END
+      |    || '/Docs/Item' || CAST(doc_id % 50 AS VARCHAR)
+      |    || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+      |    || CASE doc_id % 3 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?a=1&b=2' ELSE '' END
+      |    || CASE WHEN doc_id % 7 = 0 THEN '#sec' || CAST(doc_id AS VARCHAR) ELSE '' END AS url
+      |  FROM documents),
+      |parts AS (SELECT id, url,
+      |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+      |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(.*)$', 1) AS rest
+      |  FROM u),
+      |hp AS (SELECT id, url, scheme, rest,
+      |    lower(regexp_extract(rest, '^([^/?#]*)', 1)) AS hostport,
+      |    regexp_extract(rest, '^[^/?#]*([^#]*)', 1) AS pathq
+      |  FROM parts),
+      |bits AS (SELECT id, url, scheme,
+      |    regexp_replace(regexp_extract(hostport, '^([^:]*)', 1), '^www\.', '') AS host,
+      |    regexp_extract(hostport, ':([0-9]+)$', 1) AS port,
+      |    regexp_replace(regexp_extract(pathq, '^([^?]*)', 1), '/+$', '') AS pth,
+      |    array_to_string(list_sort(list_filter(
+      |      string_split(regexp_extract(pathq, '\?(.*)$', 1), '&'),
+      |      p -> p <> '' AND substr(p, 1, 4) <> 'utm_' AND substr(p, 1, 7) <> 'fbclid='
+      |       AND substr(p, 1, 6) <> 'gclid=' AND substr(p, 1, 4) <> 'ref=')), '&') AS canonq
+      |  FROM hp),
+      |c AS (SELECT id,
+      |    scheme || '://' || host
+      |    || CASE WHEN port <> '' AND NOT ((scheme = 'http' AND port = '80')
+      |              OR (scheme = 'https' AND port = '443'))
+      |         THEN ':' || port ELSE '' END
+      |    || pth
+      |    || CASE WHEN canonq <> '' THEN '?' || canonq ELSE '' END AS canon_url
+      |  FROM bits),
+      |k AS (SELECT canon_url, CAST(min(id) AS BIGINT) AS keep_id FROM c GROUP BY 1)
+      |SELECT c.id, c.canon_url, k.keep_id, c.id <> k.keep_id AS is_dup
+      |FROM c JOIN k USING (canon_url)
+      |ORDER BY id""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q282_url_canonical" -> (q282UrlCanonical _),
     "q258_readability" -> (q258Readability _),
     "q18_exact_dedup" -> (q18ExactDedup _),
     "q19_ngram_jaccard" -> (q19NgramJaccard _),
@@ -2155,6 +2237,7 @@ object LlmOps {
     "q151_multiprobe_lsh" -> (q151MultiProbeLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "q282_url_canonical" -> q282Sql,
     "q258_readability" -> q258Sql,
     "q18_exact_dedup" -> q18Sql,
     "q19_ngram_jaccard" -> q19Sql,

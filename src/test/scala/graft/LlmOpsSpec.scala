@@ -13,6 +13,33 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     rows.toDF("doc_id", "text")
   }
 
+  test("canonicalizeUrl: every rule pinned on hand-picked URLs") {
+    import spark.implicits._
+    val cases = Seq(
+      // host+scheme case-fold, www strip, path case kept
+      "HTTP://WWW.Example.COM/Docs/Item7" -> "http://example.com/Docs/Item7",
+      // default ports drop per scheme; non-default kept
+      "http://example.com:80/a" -> "http://example.com/a",
+      "https://example.com:443/a" -> "https://example.com/a",
+      "https://example.com:80/a" -> "https://example.com:80/a",
+      "http://example.com:8080/a" -> "http://example.com:8080/a",
+      // fragment drop, trailing slash trim (root path collapses to empty)
+      "http://example.com/a/#frag" -> "http://example.com/a",
+      "http://example.com/" -> "http://example.com",
+      // tracking params out, survivors sorted; all-tracking query vanishes
+      "http://example.com/p?utm_source=x&b=2&a=1" -> "http://example.com/p?a=1&b=2",
+      "http://example.com/p?b=2&a=1" -> "http://example.com/p?a=1&b=2",
+      "http://example.com/p?utm_campaign=c&gclid=g&fbclid=f&ref=r" -> "http://example.com/p",
+      // ref= is stripped but a 'refx=' param is NOT (prefix is exact)
+      "http://example.com/p?refx=1" -> "http://example.com/p?refx=1")
+    val got = cases.map(_._1).toDF("url")
+      .select(col("url"), graft.llmops.TextOps.canonicalizeUrl(col("url")).as("c"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (in, want) =>
+      assert(got(in) == want, s"canonicalizeUrl($in)")
+    }
+  }
+
   test("exactDedup groups identical content and keeps the min id") {
     val d = docsDF(1L -> "aa bb cc", 2L -> "dd ee", 3L -> "aa bb cc", 4L -> "aa bb cc")
     val out = Dedup.exactDedup(d, "doc_id", "text")
