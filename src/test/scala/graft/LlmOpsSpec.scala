@@ -360,6 +360,26 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("cosinePairsLsh: degenerate mega-bucket (identical vectors) stays correct — all true pairs, exact cosines") {
+    import spark.implicits._
+    // 40 byte-identical vectors collapse every band into ONE bucket (the
+    // worst-case Σ bucket² skew q278's ε-graph can see) plus 5 orthogonal
+    // singletons; correctness must not depend on bucket balance
+    val dup = (0L until 40L).map(i => (i, Array.fill(8)(0.5f)))
+    val solo = (100L until 105L).map(i =>
+      (i, Array.tabulate(8)(j => if (j == (i % 8).toInt) 1.0f else 0.0f)))
+    val e = (dup ++ solo).toDF("id", "vec")
+    val got = graft.llmops.Similarity
+      .cosinePairsLsh(e, minCosine = 0.9, planes = 16, bands = 4, dim = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // every identical pair surfaces (same signature ⇒ every band collides)
+    // at cosine exactly 1.0; no cross pair sneaks in above the threshold
+    val wantKeys = (for (a <- 0L until 40L; b <- a + 1 until 40L) yield (a, b)).toSet
+    assert(got.keySet == wantKeys,
+      s"mega-bucket pair set wrong: ${got.size} pairs vs ${wantKeys.size}")
+    assert(got.values.forall(_ == 1.0), "identical vectors must score exactly 1.0")
+  }
+
   test("knnClassify: majority label of the nearest seeds wins") {
     import spark.implicits._
     val corpus = Seq(
