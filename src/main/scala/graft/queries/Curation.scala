@@ -1793,7 +1793,92 @@ object Curation {
        |SELECT id, rank_q FROM r3 ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------ q283 influential communities
+
+  /** Graph analytics — top influential communities (the VLDB'18
+    * influential-community shape, cf. PAPERS.md): a community is a
+    * component of the k-core (k = 3, 4 bounded peel rounds — q232's
+    * declared semantics; 6 min-label rounds — q221's) of the cosine ≥
+    * 0.30 similarity graph, its influence the MINIMUM member weight
+    * (document size in chars) — the "every member is at least this big"
+    * guarantee that makes min, not sum, the paper's ranking. The
+    * co-purchase graph is a single giant component at every threshold
+    * (probed), so the naturally-fragmented ε-graph is the base that makes
+    * the ranking non-degenerate. Composes three certified primitives
+    * ([[Similarity.cosinePairs]] → [[Graph.kcore]] →
+    * [[Graph.labelPropagation]]) plus one weight rollup; (influence desc,
+    * label) is a total order since labels are unique. */
+  def q283InfluentialCommunities(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairs(e, minCosine = 0.30)
+      .select("id_a", "id_b").localCheckpoint() // feeds peel + core-edge build
+    val core = Graph.kcore(pairs, k = 3, rounds = 4).select("id")
+    val coreEdges = pairs
+      .join(core.select(col("id").as("id_a")), "id_a", "left_semi")
+      .join(core.select(col("id").as("id_b")), "id_b", "left_semi")
+    val cc = Graph.labelPropagation(coreEdges, iters = 6)
+    val labels = core.join(cc, Seq("id"), "left")
+      .select(col("id"), coalesce(col("label"), col("id")).as("community"))
+    val w = docs(s, dir).select(col("doc_id").as("id"), col("n_chars").as("w"))
+    val withW = labels.join(w, "id")
+    val stats = withW.groupBy("community")
+      .agg(count(lit(1)).as("n_members"), min("w").as("influence_chars"))
+    // per-MEMBER readout (community stats broadcast back): every node's
+    // membership participates in the hash gate, not just the rollup
+    withW.select("id", "community")
+      .join(broadcast(stats), "community")
+      .select(col("id"), col("community"), col("n_members"), col("influence_chars"))
+      .orderBy("id")
+  }
+
+  val q283Sql: String = {
+    def peel(prev: Int, cur: Int): String =
+      s"""dg$cur AS (SELECT s.src AS id, CAST(count(*) AS BIGINT) AS deg
+         |       FROM esym s JOIN a$prev x ON x.id = s.src
+         |              JOIN a$prev y ON y.id = s.dst GROUP BY 1),
+         |a$cur AS MATERIALIZED (SELECT id FROM dg$cur WHERE deg >= 3)""".stripMargin
+    def iter(prev: String, cur: String): String =
+      s"""n$cur AS (SELECT s.src AS id, CAST(min(l.label) AS BIGINT) AS m
+         |       FROM cesym s JOIN l$prev l ON l.id = s.dst GROUP BY 1),
+         |l$cur AS MATERIALIZED (SELECT l.id,
+         |        CASE WHEN n$cur.m IS NULL OR l.label <= n$cur.m
+         |             THEN l.label ELSE n$cur.m END AS label
+         |      FROM l$prev l LEFT JOIN n$cur ON n$cur.id = l.id)""".stripMargin
+    s"""WITH q AS (SELECT vec_id, list_transform(embedding, x ->
+       |        CAST(sign(CAST(x AS DOUBLE)) * floor(abs(CAST(x AS DOUBLE)) * 10000 + 0.5) AS BIGINT)) AS s
+       |      FROM embeddings),
+       |n AS (SELECT vec_id, s, sqrt(CAST(list_inner_product(s, s) AS DOUBLE)) AS nrm FROM q),
+       |e AS MATERIALIZED (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+       |      FROM n a JOIN n b ON a.vec_id < b.vec_id
+       |      WHERE CAST(list_inner_product(a.s, b.s) AS DOUBLE) / (a.nrm * b.nrm) >= 0.30),
+       |esym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e
+       |      UNION ALL SELECT id_b, id_a FROM e),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM esym),
+       |${peel(0, 1)},
+       |${peel(1, 2)},
+       |${peel(2, 3)},
+       |${peel(3, 4)},
+       |ce AS (SELECT id_a, id_b FROM e
+       |       WHERE id_a IN (SELECT id FROM a4) AND id_b IN (SELECT id FROM a4)),
+       |cesym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM ce
+       |          UNION ALL SELECT id_b, id_a FROM ce),
+       |l0 AS MATERIALIZED (SELECT id, CAST(id AS BIGINT) AS label FROM a4),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")},
+       |${iter("3", "4")},
+       |${iter("4", "5")},
+       |${iter("5", "6")},
+       |st AS (SELECT l6.label AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |         CAST(min(d.n_chars) AS BIGINT) AS influence_chars
+       |       FROM l6 JOIN documents d ON d.doc_id = l6.id GROUP BY 1)
+       |SELECT l6.id, l6.label AS community, st.n_members, st.influence_chars
+       |FROM l6 JOIN st ON st.community = l6.label
+       |ORDER BY id""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q283_influential_communities" -> (q283InfluentialCommunities _),
     "q281_stream_outer_join" -> (q281StreamOuterJoin _),
     "q279_pagerank_dangling" -> (q279PagerankDangling _),
     "q270_personalized_pagerank" -> (q270PersonalizedPagerank _),
@@ -1834,6 +1919,7 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q283_influential_communities" -> q283Sql,
     "q281_stream_outer_join" -> q281Sql,
     "q279_pagerank_dangling" -> q279Sql,
     "q270_personalized_pagerank" -> q270Sql,
