@@ -1820,7 +1820,9 @@ object Curation {
     val labels = core.join(cc, Seq("id"), "left")
       .select(col("id"), coalesce(col("label"), col("id")).as("community"))
     val w = docs(s, dir).select(col("doc_id").as("id"), col("n_chars").as("w"))
-    val withW = labels.join(w, "id")
+    // feeds the rollup AND the member readout — truncate so the weight
+    // join (the one base-table scan left in this plan) runs once
+    val withW = labels.join(w, "id").localCheckpoint()
     val stats = withW.groupBy("community")
       .agg(count(lit(1)).as("n_members"), min("w").as("influence_chars"))
     // per-MEMBER readout (community stats broadcast back): every node's

@@ -729,15 +729,18 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q269/q278: eps-join runs once — checkpointed out of the assignment plan") {
-    Seq("q269_dbscan", "q278_dbscan_lsh").foreach { q =>
+  test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
+    // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
+    // once for the allIds spine; q283's weight join is checkpointed too
+    Seq("q269_dbscan" -> 1, "q278_dbscan_lsh" -> 1,
+      "q283_influential_communities" -> 0).foreach { case (q, scans) =>
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q must consume the checkpointed eps-graph")
       assert(!p.contains("array_dot") && !p.contains("hyperplane_sig"),
-        s"$q re-scores pairs in the assignment plan — dbscanAssign's checkpoint was dropped")
-      assert(scanParquetCount(p) == 1,
-        s"$q must scan embeddings exactly once (the allIds spine); got ${scanParquetCount(p)}")
+        s"$q re-scores pairs in the assignment plan — the eps-graph checkpoint was dropped")
+      assert(scanParquetCount(p) == scans,
+        s"$q must scan exactly $scans base tables post-checkpoint; got ${scanParquetCount(p)}")
     }
   }
 }
