@@ -277,6 +277,39 @@ object Graph {
     nodes.join(reached, Seq("id"), "left")
   }
 
+  /** Bounded-round multi-seed WEIGHTED shortest path (Bellman–Ford
+    * min-plus rounds) over an undirected (id_a, id_b, w) edge frame with
+    * non-negative integer weights: cost⁰ = 0 on the seed set,
+    * cost^{t+1}(v) = min(cost^t(v), min over neighbors u of
+    * cost^t(u) + w(u,v)). After R rounds every node holds the exact
+    * cheapest cost among paths of ≤ R edges — NULL = "not reachable
+    * within R edges" (the [[bfsDistance]] declared-semantics contract;
+    * R ≥ |V|−1 makes it exact SSSP). Parallel edges collapse to their
+    * minimum weight before the rounds. Each round is one equi-join +
+    * one min-aggregation keyed on node id; only the reached frontier
+    * carries (id, cost), and the frame is lineage-truncated every round
+    * (it feeds two branches — the [[labelPropagation]] rule). */
+  def ssspWeighted(edges: DataFrame, seeds: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val sym = edges
+      .select(col("id_a").as("src"), col("id_b").as("dst"), col("w"))
+      .union(edges.select(col("id_b").as("src"), col("id_a").as("dst"), col("w")))
+      .filter(col("src") =!= col("dst"))
+      .groupBy("src", "dst").agg(min("w").as("w"))
+      .localCheckpoint() // consumed once per round
+    val nodes = sym.select(col("src").as("id")).distinct()
+    val init = nodes.join(seeds.select("id"), Seq("id"), "left_semi")
+      .withColumn("cost", lit(0L))
+    val reached = (1 to rounds).foldLeft(init) { (cost, _) =>
+      val nbr = sym
+        .join(cost.select(col("id").as("src"), col("cost")), "src")
+        .select(col("dst").as("id"), (col("cost") + col("w")).as("cost"))
+      cost.unionByName(nbr).groupBy("id").agg(min("cost").as("cost"))
+        .localCheckpoint()
+    }
+    nodes.join(reached, Seq("id"), "left")
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     // Checkpoint discipline (same genus as the CC loop): every round

@@ -1566,6 +1566,61 @@ object Curation {
        |SELECT id, dist FROM d4 ORDER BY id""".stripMargin
   }
 
+  // ------------------------------------------------- q280 weighted sssp
+
+  /** Graph analytics — cheapest procurement cost (integer cents) from any
+    * NATION_0 supplier within ≤ 4 edges over the WEIGHTED customer↔supplier
+    * co-purchase graph (q268's bipartite node encoding; edge weight = the
+    * cheapest l_extendedprice ever traded between the pair, in cents), via
+    * [[Graph.ssspWeighted]] — Bellman–Ford min-plus rounds, so a cheap
+    * 3-hop route beats an expensive direct edge. NULL = not reachable
+    * within 4 edges (the q268 bounded-round contract). Each round is one
+    * equi-join + min-aggregation on node id; the weight is exact integer
+    * cents on both engines. */
+  def q280SsspWeighted(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem")
+        .select("l_orderkey", "l_suppkey", "l_extendedprice"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy((col("o_custkey") * 2).as("id_a"),
+        (col("l_suppkey") * 2 + 1).as("id_b"))
+      .agg(min(expr(
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+        .as("w"))
+    val seeds = t(s, dir, "supplier").filter(col("s_nationkey") === 0)
+      .select((col("s_suppkey") * 2 + 1).as("id"))
+    Graph.ssspWeighted(edges, seeds, rounds = 4).orderBy("id")
+  }
+
+  val q280Sql: String = {
+    // each round references d$prev twice — MATERIALIZED per round (the
+    // q232 inlining-blowup rule)
+    def round(prev: String, cur: String): String =
+      s"""n$cur AS (SELECT e.dst AS id, CAST(min(d.cost + e.w) AS BIGINT) AS nc
+         |       FROM e JOIN d$prev d ON d.id = e.src AND d.cost IS NOT NULL
+         |       GROUP BY 1),
+         |d$cur AS MATERIALIZED (SELECT d.id,
+         |        COALESCE(LEAST(d.cost, n$cur.nc), d.cost, n$cur.nc) AS cost
+         |      FROM d$prev d LEFT JOIN n$cur ON n$cur.id = d.id)""".stripMargin
+    s"""WITH ew AS (SELECT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst,
+       |        min(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS w
+       |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey GROUP BY 1, 2),
+       |e AS MATERIALIZED (SELECT src, dst, min(w) AS w FROM (
+       |        SELECT src, dst, w FROM ew
+       |        UNION ALL SELECT dst, src, w FROM ew)
+       |      WHERE src != dst GROUP BY 1, 2),
+       |nodes AS (SELECT DISTINCT src AS id FROM e),
+       |seeds AS (SELECT s_suppkey * 2 + 1 AS id FROM supplier WHERE s_nationkey = 0),
+       |d0 AS MATERIALIZED (SELECT n.id,
+       |        CASE WHEN s.id IS NOT NULL THEN CAST(0 AS BIGINT) END AS cost
+       |      FROM nodes n LEFT JOIN seeds s ON s.id = n.id),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")},
+       |${round("3", "4")}
+       |SELECT id, cost FROM d4 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------------- q269 dbscan
 
   /** Clustering — DBSCAN over the cosine ≥ 0.30 ε-graph (minPts = 4,
@@ -1887,6 +1942,7 @@ object Curation {
     "q278_dbscan_lsh" -> (q278DbscanLsh _),
     "q269_dbscan" -> (q269Dbscan _),
     "q268_bfs_distance" -> (q268BfsDistance _),
+    "q280_sssp_weighted" -> (q280SsspWeighted _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -1928,6 +1984,7 @@ object Curation {
     "q278_dbscan_lsh" -> q278Sql,
     "q269_dbscan" -> q269Sql,
     "q268_bfs_distance" -> q268Sql,
+    "q280_sssp_weighted" -> q280Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

@@ -592,6 +592,25 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(out4(5L) == 4L && out4(8L) == -1L)
   }
 
+  test("ssspWeighted: cheap long route beats expensive direct edge; bounded rounds; parallel-edge min") {
+    import spark.implicits._
+    // 1-2 (10), 2-3 (1), 1-3 (100): cheapest 1→3 is 11 via 2 edges;
+    // a duplicate 1-2 edge at weight 50 must collapse to the min (10);
+    // component {8,9} unreachable from the seed
+    val edges = Seq((1L, 2L, 10L), (1L, 2L, 50L), (2L, 3L, 1L),
+      (1L, 3L, 100L), (8L, 9L, 7L)).toDF("id_a", "id_b", "w")
+    val seeds = Seq(1L).toDF("id")
+    def run(rounds: Int): Map[Long, Long] =
+      Graph.ssspWeighted(edges, seeds, rounds).collect()
+        .map(r => r.getAs[Long]("id") ->
+          (if (r.isNullAt(r.fieldIndex("cost"))) -1L else r.getAs[Long]("cost")))
+        .toMap
+    // 1 round: only direct edges relaxed — 3 still costs 100
+    assert(run(1) == Map(1L -> 0L, 2L -> 10L, 3L -> 100L, 8L -> -1L, 9L -> -1L))
+    // 2 rounds: the 2-edge route through node 2 wins
+    assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 8L -> -1L, 9L -> -1L))
+  }
+
   test("clusteringCoeff: hand-computed cc incl. the deg<2 NULL and the K4 clique") {
     import spark.implicits._
     // K4 on {1,2,3,4}: cc = 1 everywhere (3 triangles, deg 3 → 2·3/(3·2));

@@ -714,7 +714,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
 
   test("q268/q270/q221: per-round truncation — final plan reads checkpoints, not 2^rounds edge builds") {
     Seq("q268_bfs_distance", "q270_personalized_pagerank",
-      "q221_label_prop", "q279_pagerank_dangling").foreach { q =>
+      "q221_label_prop", "q279_pagerank_dangling",
+      "q280_sssp_weighted").foreach { q =>
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q must consume localCheckpointed rounds")
