@@ -1955,6 +1955,62 @@ object Scale {
       .orderBy("g", "pct")
   }
 
+  /** Streaming sessions via the BUILT-IN `session_window` aggregation
+    * (twenty-THIRD streaming path): per-user sessions with a 2-hour
+    * inactivity gap as a watermarked APPEND-mode streaming aggregation —
+    * the engine-managed complement of q53's flatMapGroupsWithState
+    * sessionizer. State is one row per OPEN session per user, merged as
+    * overlapping windows arrive and EVICTED once the watermark passes the
+    * session end, so state is bounded by concurrently-active users, not
+    * event volume. Append mode only emits sessions the watermark has
+    * sealed (end ≤ final watermark = max ts − 1 day) — the emission cut
+    * itself is part of the gate (q190's protocol). Session end is
+    * last-event + gap (Spark's gap-extended end); events exactly `gap`
+    * apart MERGE — the extension is end-inclusive on merge, only a
+    * strictly larger gap splits (probed + pinned in StreamingSpec). The
+    * oracle replicates islands (diff > gap breaks) plus the emission
+    * cut. */
+  def q284StreamSessionWindow(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = t(s, dir, "events").select(col("ts"), col("user_id"))
+    val srcDir = stageOnce(s"q284:$dir", src)
+    val stream = s.readStream.schema(src.schema).parquet(srcDir)
+      .withWatermark("ts", "1 day")
+      .groupBy(session_window(col("ts"), "2 hours").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+    val qn = s"q284_sesswin_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-sesswinckpt"))
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("user_id"), expr("unix_micros(w.start)").as("start_us"),
+        expr("unix_micros(w.end)").as("end_us"), col("n_events"))
+      .orderBy("user_id", "start_us")
+  }
+
+  val q284Sql: String =
+    """WITH e AS (SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS us FROM events),
+      |wm AS (SELECT CAST(max(us) AS BIGINT) - 86400000000 AS wmf FROM e),
+      |o AS (SELECT user_id, us,
+      |        CASE WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL
+      |               OR us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+      |                    > 7200000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e),
+      |g AS (SELECT user_id, us, CAST(sum(brk) OVER (PARTITION BY user_id
+      |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM o),
+      |sess AS (SELECT user_id, CAST(min(us) AS BIGINT) AS start_us,
+      |           CAST(max(us) + 7200000000 AS BIGINT) AS end_us,
+      |           CAST(count(*) AS BIGINT) AS n_events
+      |         FROM g GROUP BY user_id, sid)
+      |SELECT user_id, start_us, end_us, n_events
+      |FROM sess CROSS JOIN wm WHERE end_us <= wmf
+      |ORDER BY user_id, start_us""".stripMargin
+
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -2768,6 +2824,7 @@ object Scale {
     "q90_zonemap_read" -> (q90ZonemapRead _),
     "q91_stream_hll" -> (q91StreamHll _),
     "q266_stream_histq" -> (q266StreamHistQuantiles _),
+    "q284_stream_session_window" -> (q284StreamSessionWindow _),
     "q92_incremental_agg" -> (q92IncrementalAgg _),
     "q93_index_lookup" -> (q93IndexLookup _),
     "q94_tx_delete" -> (q94TxDelete _),
@@ -2832,6 +2889,7 @@ object Scale {
     "q90_zonemap_read" -> q90Sql,
     "q91_stream_hll" -> q91Sql,
     "q266_stream_histq" -> q266Sql,
+    "q284_stream_session_window" -> q284Sql,
     "q92_incremental_agg" -> q92Sql,
     "q93_index_lookup" -> q93Sql,
     "q94_tx_delete" -> q94Sql,

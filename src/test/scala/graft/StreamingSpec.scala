@@ -604,6 +604,53 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(emitted15 < raw, "stragglers must be missing from the emitted counts")
   }
 
+  test("q284 session_window: gap boundary is end-exclusive; emitted sessions equal batch islands cut at the watermark") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // boundary pin: events exactly `gap` apart DO merge (Spark's session
+    // extension is end-inclusive on merge — probed here), one µs over
+    // splits — batch-mode session_window shares the streaming merge
+    // semantics
+    val gapUs = 7200000000L
+    val b = Seq((1L, 0L), (1L, gapUs + 1), (2L, 0L), (2L, gapUs))
+      .toDF("user_id", "us").select(col("user_id"),
+        expr("timestamp_micros(us)").as("ts"))
+      .groupBy(session_window(col("ts"), "2 hours"), col("user_id"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(b == Map(1L -> Seq(1L, 1L), 2L -> Seq(2L)),
+      "diff == gap+1µs must split; diff == gap must merge")
+    // end-to-end: emitted sessions == batch islands (diff > gap breaks)
+    // with end = last+gap, cut at final watermark = max ts - 1 day
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Scale.q284StreamSessionWindow(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("start_us"),
+        r.getAs[Long]("end_us"), r.getAs[Long]("n_events"))).toSet
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+    val wmf = ev.agg(max("us")).collect().head.getLong(0) - 86400000000L
+    val expect = ev
+      .withColumn("prev", lag("us", 1).over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us")))
+      .withColumn("brk", when(col("prev").isNull ||
+        col("us") - col("prev") > gapUs, 1L).otherwise(0L))
+      .withColumn("sid", sum("brk").over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id").orderBy("us")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+      .groupBy("user_id", "sid")
+      .agg(min("us").as("start_us"), (max("us") + gapUs).as("end_us"),
+        count(lit(1)).as("n_events"))
+      .filter(col("end_us") <= wmf)
+      .select("user_id", "start_us", "end_us", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(out == expect,
+      "streaming session_window must equal batch islands cut at the final watermark")
+    assert(out.nonEmpty, "the watermark cut must still emit sealed sessions")
+  }
+
   test("q217 streaming PSI: emitted windows equal the batch protocol; stragglers missing") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
