@@ -345,6 +345,94 @@ object Curation {
       |GROUP BY d.text, m.first_batch
       |ORDER BY id""".stripMargin
 
+  // ----------------------- q285 TTL dedup (dropDuplicatesWithinWatermark)
+
+  /** Deterministic staging for q285: events day-truncated and replayed one
+    * PRESENT DAY per micro-batch, oldest first — so every row of a key
+    * within a batch is identical (same truncated ts) and the accepted
+    * representative is order-independent. The distinct-day collect is
+    * metadata-scale (≤ 31 rows). */
+  private def stageTtlSource(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"q285:$dir", {
+      val ev = t(s, dir, "events").select(col("user_id"), col("event_type"),
+        expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
+          .as("ts"))
+      val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct().orderBy("d").collect().map(_.getLong(0))
+      graft.sources.Staging.stageParts(days.toSeq.map(d =>
+        f"day$d%06d" ->
+          ev.filter(expr(s"unix_micros(ts) div 86400000000 = ${d}L"))))
+    })
+
+  /** S26 depth (twenty-FOURTH streaming path) — engine-managed TTL dedup
+    * via the BUILT-IN `dropDuplicatesWithinWatermark`: at most one
+    * (user, event_type) admission per TTL horizon, with keys RE-ADMITTED
+    * once the watermark evicts their state — the "notify at most once per
+    * N days per user-action" production shape, and the built-in
+    * counterpart of q63's hand-rolled first-seen state. Semantics probed
+    * empirically and pinned in StreamingSpec: state stores
+    * expiry = accepted-row event time + delay; an arriving key is dropped
+    * iff its state row is LIVE (no timestamp comparison on match);
+    * eviction runs at batch completion using the START-of-batch watermark,
+    * which itself lags one batch — so with the one-present-day-per-batch
+    * replay a key accepted on day `a` re-admits on day D_k iff
+    * a + delay ≤ D_{k−2} − delay (with the 2-day delay: a ≤ D_{k−2} − 4).
+    * The oracle unrolls that greedy re-admission chain (≤ 6 hops in a
+    * 30-day window). State is one row per live key — bounded by key
+    * cardinality × TTL churn, never event volume. */
+  def q285TtlDedup(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val srcDir = stageTtlSource(s, dir)
+    val schema = s.read.parquet(srcDir).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days")
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+    val qn = s"q285_ttldedup_${System.identityHashCode(s)}"
+    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      stream.writeStream.outputMode("append").format("memory").queryName(qn)
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-ttldedupckpt"))
+        .start().awaitTermination()
+    }
+    s.table(qn)
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("day_us"))
+      .orderBy("user_id", "event_type", "day_us")
+  }
+
+  val q285Sql: String = {
+    // greedy re-admission chain, unrolled: s1 = first active day per key;
+    // s_{i+1} = first active day whose eviction threshold has passed s_i.
+    // thr(day at batch k) = D_{k-2} - 4 (no eviction before batch 3)
+    def hop(prev: String, cur: String): String =
+      s"""s$cur AS (SELECT kt.user_id, kt.event_type, min(kt.d) AS d
+         |      FROM kt JOIN s$prev p ON p.user_id = kt.user_id
+         |        AND p.event_type = kt.event_type AND p.d <= kt.thr
+         |      GROUP BY 1, 2)""".stripMargin
+    s"""WITH e AS (SELECT user_id, event_type,
+       |        CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d FROM events),
+       |kd AS (SELECT DISTINCT user_id, event_type, d FROM e),
+       |rd AS (SELECT d, row_number() OVER (ORDER BY d) AS k
+       |       FROM (SELECT DISTINCT d FROM e)),
+       |thr AS (SELECT a.d, COALESCE(b.d - 4, -100000) AS thr
+       |        FROM rd a LEFT JOIN rd b ON b.k = a.k - 2),
+       |kt AS (SELECT kd.user_id, kd.event_type, kd.d, thr.thr
+       |       FROM kd JOIN thr ON thr.d = kd.d),
+       |s1 AS (SELECT user_id, event_type, min(d) AS d FROM kt GROUP BY 1, 2),
+       |${hop("1", "2")},
+       |${hop("2", "3")},
+       |${hop("3", "4")},
+       |${hop("4", "5")},
+       |${hop("5", "6")}
+       |SELECT user_id, event_type, CAST(d * 86400000000 AS BIGINT) AS day_us
+       |FROM (SELECT * FROM s1 UNION ALL SELECT * FROM s2
+       |      UNION ALL SELECT * FROM s3 UNION ALL SELECT * FROM s4
+       |      UNION ALL SELECT * FROM s5 UNION ALL SELECT * FROM s6)
+       |ORDER BY user_id, event_type, day_us""".stripMargin
+  }
+
   // -------------------------------------- q134 streaming chunk dedup
 
   /** The shared chunk frame for q134: every document's non-overlapping
@@ -1943,6 +2031,7 @@ object Curation {
     "q269_dbscan" -> (q269Dbscan _),
     "q268_bfs_distance" -> (q268BfsDistance _),
     "q280_sssp_weighted" -> (q280SsspWeighted _),
+    "q285_ttl_dedup" -> (q285TtlDedup _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -1985,6 +2074,7 @@ object Curation {
     "q269_dbscan" -> q269Sql,
     "q268_bfs_distance" -> q268Sql,
     "q280_sssp_weighted" -> q280Sql,
+    "q285_ttl_dedup" -> q285Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

@@ -651,6 +651,71 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(out.nonEmpty, "the watermark cut must still emit sealed sessions")
   }
 
+  test("q285 dropDuplicatesWithinWatermark: probed TTL model — drop while state live, re-admit after lagged eviction") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    // hand replay, one day per micro-batch, delay 2 days: state expiry =
+    // accepted ts + delay; eviction at batch COMPLETION with the
+    // START-of-batch watermark (one batch behind), so with every day
+    // present the re-admit rule is last-accepted <= d - 6:
+    //   A active days 1..10          -> emits {1, 7}
+    //   B active days {1, 5, 9, 13}  -> emits {1, 9}
+    val day = 86400000000L
+    val parts = (1 to 13).map { d =>
+      val rows = (if (d <= 10) Seq(("A", d * day)) else Nil) ++
+        (if (Seq(1, 5, 9, 13).contains(d)) Seq(("B", d * day)) else Nil)
+      f"day$d%02d" -> rows.toDF("k", "us")
+        .select(col("k"), expr("timestamp_micros(us)").as("ts"))
+    }
+    val srcDir = graft.sources.Staging.stageParts(parts)
+    val schema = spark.read.parquet(srcDir).schema
+    val st = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir)
+      .withWatermark("ts", "2 days").dropDuplicatesWithinWatermark("k")
+    graft.streaming.StreamConf.withStatePartitions(spark, 8) {
+      st.writeStream.outputMode("append").format("memory")
+        .queryName("q285_model").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          graft.streaming.StreamConf.ckptDir("graft-ttlmodelckpt"))
+        .start().awaitTermination()
+    }
+    val got = spark.table("q285_model")
+      .select(col("k"), expr("unix_micros(ts) div 86400000000").as("d"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toSet
+    assert(got == Set("A" -> 1L, "A" -> 7L, "B" -> 1L, "B" -> 9L),
+      s"TTL re-admission model drifted: $got")
+    // end-to-end at sf0.001: streaming result equals the unrolled greedy
+    // chain the DuckDB oracle encodes
+    val sf = "/root/testdata/sf0.001"
+    val out = graft.queries.Curation.q285TtlDedup(spark, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("event_type"), r.getAs[Long]("day_us"))).toSet
+    val ev = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("d")).distinct()
+    val rd = ev.select("d").distinct()
+      .withColumn("k", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy("d")))
+    val thr = rd.as("a").join(rd.as("b"),
+        col("b.k") === col("a.k") - 2, "left")
+      .select(col("a.d").as("d"), coalesce(col("b.d") - 4, lit(-100000L)).as("thr"))
+    val kt = ev.join(thr, "d")
+    var acc = kt.groupBy("user_id", "event_type").agg(min("d").as("ad"))
+    var all = acc
+    (2 to 6).foreach { _ =>
+      acc = kt.join(acc, Seq("user_id", "event_type"))
+        .filter(col("ad") <= col("thr"))
+        .groupBy("user_id", "event_type").agg(min("d").as("ad"))
+      all = all.unionByName(acc)
+    }
+    val expect = all.collect().map(r => (r.getAs[Long]("user_id"),
+      r.getAs[String]("event_type"), r.getAs[Long]("ad") * 86400000000L)).toSet
+    assert(out == expect, "q285 must equal the unrolled greedy TTL chain")
+    assert(out.size > ev.select("user_id", "event_type").distinct().count(),
+      "the gate must include at least one RE-admission, not just first-seen")
+  }
+
   test("q217 streaming PSI: emitted windows equal the batch protocol; stragglers missing") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
