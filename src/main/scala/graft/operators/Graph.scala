@@ -310,6 +310,37 @@ object Graph {
     nodes.join(reached, Seq("id"), "left")
   }
 
+  /** Integer-exact Newman-modularity pieces of a partition: given an
+    * undirected (id_a, id_b) edge frame (each edge once, m edges) and a
+    * (id, label) assignment, returns per community its node count,
+    * internal edge count L_c, total degree D_c, and the scaled
+    * contribution numerator 4·m·L_c − D_c² — Newman's
+    * Q = Σ_c (L_c/m − (D_c/2m)²) times the constant 4m², so partition
+    * quality compares exactly (BIGINT) across engines and rounds.
+    * One equi-join / aggregation per stage; the 1-row m frame attaches
+    * as a broadcast. Callers with expensive inputs should checkpoint
+    * `edges` (three consumers here) and `labels` (two). */
+  def modularityParts(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val m = edges.agg(count(lit(1)).as("m"))
+    val deg = edges.select(col("id_a").as("id"))
+      .unionByName(edges.select(col("id_b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("d"))
+    val lin = edges
+      .join(labels.select(col("id").as("id_a"), col("label").as("la")), "id_a")
+      .join(labels.select(col("id").as("id_b"), col("label").as("lb")), "id_b")
+      .filter(col("la") === col("lb"))
+      .groupBy(col("la").as("label")).agg(count(lit(1)).as("l_in"))
+    val dc = labels.join(deg, "id")
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("d").as("d_tot"))
+    dc.join(lin, Seq("label"), "left")
+      .crossJoin(org.apache.spark.sql.functions.broadcast(m))
+      .select(col("label").as("community"), col("n_nodes"),
+        coalesce(col("l_in"), lit(0L)).as("l_in"), col("d_tot"),
+        (lit(4L) * col("m") * coalesce(col("l_in"), lit(0L)) -
+          col("d_tot") * col("d_tot")).as("contrib_num"))
+  }
+
   def labelPropagation(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"need iters >= 1; got $iters")
     // Checkpoint discipline (same genus as the CC loop): every round

@@ -105,16 +105,23 @@ object Curation {
     * the radius capped, exposed as its own semantics. One equi-join +
     * one min-aggregation per round; the oracle unrolls the same three
     * rounds in SQL. */
-  def q221LabelProp(s: SparkSession, dir: String): DataFrame = {
+  /** The q221/q286 co-purchase graph: parts sharing an order at support
+    * ≥ 2 (q214's edge rule), id_a < id_b. Package-private so q286's
+    * modularity readout scores EXACTLY the graph q221 clusters. */
+  private[queries] def coPurchaseEdges(s: SparkSession, dir: String): DataFrame = {
     val oi = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("item"))
       .distinct()
-    val edges = oi.as("a")
+    oi.as("a")
       .join(oi.withColumnRenamed("item", "item_b").as("b"), "ok")
       .filter(col("item") < col("item_b"))
       .groupBy(col("item").as("id_a"), col("item_b").as("id_b"))
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 2).select("id_a", "id_b")
+  }
+
+  def q221LabelProp(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir)
     val lab = Graph.labelPropagation(edges, iters = 3)
     val sizes = lab.groupBy("label").agg(count(lit(1)).as("community_size"))
     lab.join(sizes, "label")
@@ -148,6 +155,58 @@ object Curation {
       |      FROM l3 GROUP BY 1)
       |SELECT l3.id AS item, l3.label AS community, c.community_size
       |FROM l3 JOIN c USING (label) ORDER BY item""".stripMargin
+  }
+
+  /** Graph — Newman MODULARITY of the q221 label-propagation communities,
+    * integer-exact: over the undirected co-purchase graph
+    * ([[coPurchaseEdges]], m edges), each community c gets its internal
+    * edge count L_c, total degree D_c, node count, and the scaled
+    * contribution numerator 4·m·L_c − D_c² — Newman's
+    * Q = Σ_c (L_c/m − (D_c/2m)²) times the constant 4m², so the quality
+    * of a partition is comparable across rounds without a single float.
+    * The community detector is the SAME 3-round min-label propagation
+    * q221 gates; the edge frame is checkpointed once and feeds the label
+    * rounds, the internal-edge join and the degree rollup (three
+    * consumers — the dbscanAssign fan-out rule). Everything here is one
+    * equi-join or one aggregation on node id / community label; the 1-row
+    * edge-count frame attaches as a broadcast. */
+  def q286Modularity(s: SparkSession, dir: String): DataFrame = {
+    val edges = coPurchaseEdges(s, dir).localCheckpoint()
+    val lab = Graph.labelPropagation(edges, iters = 3).localCheckpoint()
+    Graph.modularityParts(edges, lab).orderBy("community")
+  }
+
+  val q286Sql: String = {
+    def iter(prev: Int, cur: Int): String =
+      s"""l$cur AS MATERIALIZED (SELECT l.id, least(l.label, coalesce(m.ml, l.label)) AS label
+         |       FROM l$prev l LEFT JOIN (
+         |         SELECT e.src AS id, min(p.label) AS ml
+         |         FROM e JOIN l$prev p ON p.id = e.dst GROUP BY 1) m
+         |       ON m.id = l.id)""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |pr AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+      |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pr
+      |      UNION SELECT id_b, id_a FROM pr),
+      |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, src AS label FROM e),
+      |${iter(0, 1)},
+      |${iter(1, 2)},
+      |${iter(2, 3)},
+      |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM pr),
+      |deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM e GROUP BY 1),
+      |lin AS (SELECT la.label, CAST(count(*) AS BIGINT) AS l_in
+      |        FROM pr JOIN l3 la ON la.id = pr.id_a
+      |        JOIN l3 lb ON lb.id = pr.id_b AND lb.label = la.label
+      |        GROUP BY 1),
+      |dc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_nodes,
+      |         CAST(sum(deg.d) AS BIGINT) AS d_tot
+      |       FROM l3 JOIN deg USING (id) GROUP BY 1)
+      |SELECT dc.label AS community, dc.n_nodes,
+      |  CAST(COALESCE(lin.l_in, 0) AS BIGINT) AS l_in, dc.d_tot,
+      |  CAST(4 * mm.m * COALESCE(lin.l_in, 0) - dc.d_tot * dc.d_tot AS BIGINT) AS contrib_num
+      |FROM dc LEFT JOIN lin USING (label) CROSS JOIN mm
+      |ORDER BY community""".stripMargin
   }
 
   /** Graph/recsys — Adamic–Adar link prediction over the customer–part
@@ -2032,6 +2091,7 @@ object Curation {
     "q268_bfs_distance" -> (q268BfsDistance _),
     "q280_sssp_weighted" -> (q280SsspWeighted _),
     "q285_ttl_dedup" -> (q285TtlDedup _),
+    "q286_modularity" -> (q286Modularity _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2075,6 +2135,7 @@ object Curation {
     "q268_bfs_distance" -> q268Sql,
     "q280_sssp_weighted" -> q280Sql,
     "q285_ttl_dedup" -> q285Sql,
+    "q286_modularity" -> q286Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

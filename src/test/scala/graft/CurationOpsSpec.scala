@@ -611,6 +611,33 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 8L -> -1L, 9L -> -1L))
   }
 
+  test("modularityParts: textbook two-triangles-and-a-bridge; singleton community gets l_in 0") {
+    import spark.implicits._
+    // triangles {1,2,3} and {4,5,6} bridged by 3-4; isolated pair 8-9 with
+    // 9 labeled alone (a singleton community: l_in = 0, contrib < 0)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+      (5L, 6L), (3L, 4L), (8L, 9L)).toDF("id_a", "id_b")
+    val labels = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 20L, 5L -> 20L,
+      6L -> 20L, 8L -> 30L, 9L -> 40L).toDF("id", "label")
+    val got = Graph.modularityParts(edges, labels).collect()
+      .map(r => r.getAs[Long]("community") ->
+        ((r.getAs[Long]("n_nodes"), r.getAs[Long]("l_in"),
+          r.getAs[Long]("d_tot"), r.getAs[Long]("contrib_num")))).toMap
+    // m = 8: triangle communities: L=3, D=2+2+3=7 -> 4*8*3-49 = 47
+    // {8}: L=0, D=1 -> -1; {9}: L=0, D=1 -> -1
+    assert(got == Map(
+      10L -> ((3L, 3L, 7L, 47L)), 20L -> ((3L, 3L, 7L, 47L)),
+      30L -> ((1L, 0L, 1L, -1L)), 40L -> ((1L, 0L, 1L, -1L))))
+    // Q * 4m^2 = sum of contribs; perfect-partition sanity: merging the
+    // bridge into one community (all six nodes) scores LOWER than the
+    // two-triangle split on this graph
+    val merged = Seq(1L -> 10L, 2L -> 10L, 3L -> 10L, 4L -> 10L, 5L -> 10L,
+      6L -> 10L, 8L -> 30L, 9L -> 40L).toDF("id", "label")
+    def q(l: DataFrame): Long = Graph.modularityParts(edges, l)
+      .agg(sum("contrib_num")).collect().head.getLong(0)
+    assert(q(labels) > q(merged), "two triangles must out-score the merge")
+  }
+
   test("clusteringCoeff: hand-computed cc incl. the deg<2 NULL and the K4 clique") {
     import spark.implicits._
     // K4 on {1,2,3,4}: cc = 1 everywhere (3 triangles, deg 3 → 2·3/(3·2));
