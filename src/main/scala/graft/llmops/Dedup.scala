@@ -467,6 +467,39 @@ object Dedup {
       .distinct()
   }
 
+  /** WEIGHTED (multiset) Jaccard rescore of a candidate pair frame:
+    * J_w = Σ_t min(c_a(t), c_b(t)) / Σ_t max(c_a(t), c_b(t)) over token
+    * COUNTS — the bag-of-words similarity that stays honest on
+    * template-heavy corpora where set-Jaccard saturates (a doc repeating
+    * one boilerplate paragraph five times shares its full token SET with
+    * a single-copy doc, but only ~1/5 of its token mass). Σmax folds to
+    * tot_a + tot_b − Σmin, so the per-pair work is ONE map_zip_with over
+    * the two count maps (each bounded by doc vocabulary); the pair stream
+    * carries two maps + two totals, never text. Returns exact integer
+    * pieces (wj_num, wj_den, wj_ppm = num·1e6 div den). */
+  def weightedJaccardRescore(docs: DataFrame, idCol: String, textCol: String,
+      cand: DataFrame): DataFrame = {
+    val cnt = docs
+      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
+      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
+      .groupBy("id")
+      .agg(map_from_entries(array_sort(
+        collect_list(struct(col("tok"), col("c"))))).as("m"),
+        sum("c").as("t"))
+    cand
+      .join(cnt.select(col("id").as("id_a"), col("m").as("ma"),
+        col("t").as("ta")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("m").as("mb"),
+        col("t").as("tb")), "id_b")
+      .withColumn("wj_num", expr(
+        """aggregate(map_values(map_zip_with(ma, mb,
+          |  (k, x, y) -> least(coalesce(x, 0L), coalesce(y, 0L)))),
+          |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("wj_den", col("ta") + col("tb") - col("wj_num"))
+      .select(col("id_a"), col("id_b"), col("wj_num"), col("wj_den"),
+        expr("wj_num * 1000000L div wj_den").as("wj_ppm"))
+  }
+
   /** Incremental dedup — the PRODUCTION ingestion shape at 100 TB: an
     * already-deduplicated corpus keeps its LSH band index materialized, and
     * each arriving delta batch probes that index instead of re-deduping the

@@ -183,6 +183,54 @@ object LlmOps {
       |  (est_matches * 1000000) // 32 - (n_inter * 1000000) // (n_a + n_b - n_inter) AS err_ppm
       |FROM o ORDER BY id_a, id_b""".stripMargin
 
+  /** S23 depth — WEIGHTED (multiset) Jaccard rescore
+    * ([[Dedup.weightedJaccardRescore]]) of the q167 sampled LSH candidate
+    * pairs: J_w = Σ min counts / Σ max counts over token OCCURRENCES, the
+    * bag-of-words similarity that stays honest where set-Jaccard saturates
+    * (template-heavy docs share their token set but not their token mass).
+    * Exact integer pieces (num, den, ppm) plus the ≥ 0.6 dup verdict; the
+    * pair stream carries two count maps + two totals, never text, and the
+    * pair set is the q167 deterministic 1/16 sample of the banding's own
+    * candidates. */
+  def q287WeightedJaccard(s: SparkSession, dir: String): DataFrame = {
+    // persisted for the same reason as q167: tid feeds minhash, whose
+    // banding both self-join sides consume
+    val tid = Dedup.tokenIdsByDictionary(docs(s, dir), "doc_id", "text").persist()
+    val mh = Dedup.minhash(tid, k = 32).persist()
+    val cand = Dedup.lshCandidatesSampled(mh, rowsPerBand = 16, sampleMod = 16L)
+    Dedup.weightedJaccardRescore(docs(s, dir), "doc_id", "text", cand)
+      .withColumn("is_dup", col("wj_ppm") >= 600000L)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q287Sql: String = DuckTokenIds +
+    """,
+      |mh AS (SELECT id, i, min(((2 * i + 1) * (tid % 2147483647) + 7919 * (i + 1)) % 2147483647) AS mh
+      |       FROM tid, UNNEST(range(0, 32)) AS u(i) GROUP BY 1, 2),
+      |banded AS (SELECT id, i // 16 AS band, string_agg(CAST(mh AS VARCHAR), ',' ORDER BY i) AS bkey
+      |           FROM mh GROUP BY 1, 2),
+      |cand AS (SELECT id_a, id_b FROM (
+      |           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      |           FROM banded a JOIN banded b ON a.band = b.band AND a.bkey = b.bkey AND a.id < b.id)
+      |         WHERE (id_a * 1000003 + id_b) % 16 = 0),
+      |cnt AS (SELECT doc_id AS id, tok, CAST(count(*) AS BIGINT) AS c
+      |        FROM (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS tok
+      |              FROM documents)
+      |        GROUP BY 1, 2),
+      |tot AS (SELECT id, CAST(sum(c) AS BIGINT) AS t FROM cnt GROUP BY 1),
+      |wn AS (SELECT p.id_a, p.id_b, CAST(sum(least(a.c, b.c)) AS BIGINT) AS wj_num
+      |       FROM cand p JOIN cnt a ON a.id = p.id_a
+      |                   JOIN cnt b ON b.id = p.id_b AND b.tok = a.tok
+      |       GROUP BY 1, 2)
+      |SELECT p.id_a, p.id_b,
+      |  CAST(COALESCE(wn.wj_num, 0) AS BIGINT) AS wj_num,
+      |  CAST(ta.t + tb.t - COALESCE(wn.wj_num, 0) AS BIGINT) AS wj_den,
+      |  CAST((COALESCE(wn.wj_num, 0) * 1000000) // (ta.t + tb.t - COALESCE(wn.wj_num, 0)) AS BIGINT) AS wj_ppm,
+      |  (COALESCE(wn.wj_num, 0) * 1000000) // (ta.t + tb.t - COALESCE(wn.wj_num, 0)) >= 600000 AS is_dup
+      |FROM cand p LEFT JOIN wn ON wn.id_a = p.id_a AND wn.id_b = p.id_b
+      |JOIN tot ta ON ta.id = p.id_a JOIN tot tb ON tb.id = p.id_b
+      |ORDER BY p.id_a, p.id_b""".stripMargin
+
   /** S23 eval — blocking-quality audit of the shingle-MinHash banding
     * (q118's index parameters: md5-48-bit shingle ids, k=32, 4 rows/band →
     * 8 bands): PAIR COMPLETENESS against the exact J ≥ 0.7 truth (the
@@ -2224,6 +2272,7 @@ object LlmOps {
     "q164_ann_mrr" -> (q164AnnMrr _),
     "q165_media_phash" -> (q165MediaPhash _),
     "q167_minhash_eval" -> (q167MinhashEval _),
+    "q287_weighted_jaccard" -> (q287WeightedJaccard _),
     "q175_blocking_eval" -> (q175BlockingEval _),
     "q180_media_energy" -> (q180MediaEnergy _),
     "q182_langid_eval" -> (q182LangidEval _),
@@ -2278,6 +2327,7 @@ object LlmOps {
     "q164_ann_mrr" -> q164Sql,
     "q165_media_phash" -> q165Sql,
     "q167_minhash_eval" -> q167Sql,
+    "q287_weighted_jaccard" -> q287Sql,
     "q175_blocking_eval" -> q175Sql,
     "q180_media_energy" -> q180Sql,
     "q182_langid_eval" -> q182Sql,

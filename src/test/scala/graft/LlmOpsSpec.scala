@@ -61,6 +61,24 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     assert(capped.count() == 0)
   }
 
+  test("weightedJaccardRescore: hand-computed multiset min/max; set-saturated template pair scores honestly") {
+    import spark.implicits._
+    // doc 1: a×3 b×1; doc 2: a×1 b×2 -> min 1+1=2, max 3+2=5 -> 400000 ppm
+    // doc 3 repeats doc 4's text 3 times: SAME token set (set-J = 1.0) but
+    // J_w = 4/12 = 333333 ppm — the saturation case the multiset form fixes
+    val d = docsDF(
+      1L -> "a a a b", 2L -> "a b b",
+      3L -> "x y z w x y z w x y z w", 4L -> "x y z w")
+    val cand = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.weightedJaccardRescore(d, "doc_id", "text", cand)
+      .collect().map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        ((r.getAs[Long]("wj_num"), r.getAs[Long]("wj_den"),
+          r.getAs[Long]("wj_ppm")))).toMap
+    assert(got == Map(
+      (1L, 2L) -> ((2L, 5L, 400000L)),
+      (3L, 4L) -> ((4L, 12L, 333333L))))
+  }
+
   test("minhash: identical docs get identical signatures; disjoint docs differ") {
     val d = docsDF(1L -> "alpha beta gamma delta", 2L -> "alpha beta gamma delta",
       3L -> "zeta eta theta iota")
