@@ -310,6 +310,43 @@ object Graph {
     nodes.join(reached, Seq("id"), "left")
   }
 
+  /** Bounded-round K-TRUSS peeling over an undirected (id_a, id_b) edge
+    * frame (each edge once, id_a < id_b): each round enumerates triangles
+    * (the a-pivot wedge join probed against the edge set — every triangle
+    * found exactly once), rolls them to per-edge support, and drops edges
+    * with support < k−2; after R rounds the surviving set is a SUPERSET
+    * of the true k-truss that equals it once a round removes nothing
+    * (the q221/q232 declared bounded-round contract). The truss is the
+    * clique-core refinement of k-core — on a near-dup ε-graph it keeps
+    * edges embedded in mutually-confirming clusters and peels spurious
+    * pairwise links. Per round: one self-equi-join on the pivot + one
+    * (b, c) edge probe + one combinable count; the edge frame feeds four
+    * consumers per round, so it is lineage-truncated every round. Returns
+    * the surviving edges with their last-round support. */
+  def ktruss(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    require(k >= 3, s"need k >= 3; got $k")
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    val init = edges.select("id_a", "id_b").distinct()
+      .withColumn("support", lit(0L))
+      .localCheckpoint()
+    (1 to rounds).foldLeft(init) { (e, _) =>
+      val ab = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      val tri = ab
+        .join(e.select(col("id_a").as("a"), col("id_b").as("c")), "a")
+        .filter(col("b") < col("c"))
+        .join(e.select(col("id_a").as("b"), col("id_b").as("c")),
+          Seq("b", "c"), "left_semi")
+      val sup = tri.select(col("a"), col("b"))
+        .unionByName(tri.select(col("a"), col("c").as("b")))
+        .unionByName(tri.select(col("b").as("a"), col("c").as("b")))
+        .groupBy(col("a").as("id_a"), col("b").as("id_b"))
+        .agg(count(lit(1)).as("support"))
+      e.select("id_a", "id_b").join(sup, Seq("id_a", "id_b"))
+        .filter(col("support") >= (k - 2).toLong)
+        .localCheckpoint()
+    }
+  }
+
   /** Integer-exact Newman-modularity pieces of a partition: given an
     * undirected (id_a, id_b) edge frame (each edge once, m edges) and a
     * (id, label) assignment, returns per community its node count,

@@ -209,6 +209,72 @@ object Curation {
       |ORDER BY community""".stripMargin
   }
 
+  /** Recsys/market-basket — APRIORI frequent TRIPLES (level-wise itemset
+    * mining, the L3 step): item triples bought together by ≥ 2 distinct
+    * customers, generated the Apriori way — candidates only from frequent
+    * PAIRS (L2 = customer-basket pairs at minsup 3; all three 2-subsets
+    * must be frequent) and support counted only over per-basket pair
+    * occurrences ALREADY semi-joined to L2. The downward-closure pruning
+    * is the whole scale story: the unpruned per-basket triple explode is
+    * |basket|³-shaped, the pruned stream is bounded by frequent-pair
+    * volume — on 100 TB of baskets the candidate count is the L2 join's
+    * output, not the basket cube. Every stage is an equi-join on
+    * (basket) or (item, item); the final support filter is a combinable
+    * count. The oracle replicates the same pruned plan (the naive triple
+    * join is exactly what it must NOT do — it crawls even at sf0.1). */
+  def q289FrequentTriples(s: SparkSession, dir: String): DataFrame = {
+    // customer-lifetime baskets (q223's ci frame): order-level baskets are
+    // too sparse for triple co-occurrence past sf≈0.02
+    val ci = t(s, dir, "orders")
+      .select(col("o_orderkey").as("ok"), col("o_custkey").as("ck"))
+      .join(t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")), "ok")
+      .select("ck", "item").distinct()
+    val l2 = ci.as("x")
+      .join(ci.withColumnRenamed("item", "item_b").as("y"), "ck")
+      .filter(col("item") < col("item_b"))
+      .groupBy(col("item").as("id_a"), col("item_b").as("id_b"))
+      .agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 3).select("id_a", "id_b")
+      .localCheckpoint() // 2 pruning consumers below
+    // frequent pairs per basket: the L2-pruned pair stream
+    val p = ci.as("x")
+      .join(ci.withColumnRenamed("item", "item_b").as("y"), "ck")
+      .filter(col("item") < col("item_b"))
+      .join(l2, col("item") === col("id_a") && col("item_b") === col("id_b"),
+        "left_semi")
+      .select(col("ck"), col("item").as("a"), col("item_b").as("b"))
+    val tri = p.as("ab")
+      .join(p.select(col("ck"), col("a"), col("b").as("c")).as("ac"),
+        Seq("ck", "a"))
+      .filter(col("b") < col("c"))
+      .join(l2, col("b") === col("id_a") && col("c") === col("id_b"),
+        "left_semi")
+      .groupBy("a", "b", "c").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    tri.select(col("a").as("item_a"), col("b").as("item_b"),
+        col("c").as("item_c"), col("support"))
+      .orderBy("item_a", "item_b", "item_c")
+  }
+
+  val q289Sql: String =
+    """WITH ci AS (SELECT DISTINCT o.o_custkey AS ck, l.l_partkey AS item
+      |  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      |l2 AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+      |       FROM ci a JOIN ci b ON a.ck = b.ck AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 3),
+      |p AS MATERIALIZED (SELECT x.ck, x.item AS a, y.item AS b
+      |      FROM ci x JOIN ci y ON x.ck = y.ck AND x.item < y.item
+      |      WHERE EXISTS (SELECT 1 FROM l2
+      |                    WHERE l2.id_a = x.item AND l2.id_b = y.item))
+      |SELECT ab.a AS item_a, ab.b AS item_b, ac.b AS item_c,
+      |  CAST(count(*) AS BIGINT) AS support
+      |FROM p ab JOIN p ac ON ac.ck = ab.ck AND ac.a = ab.a AND ab.b < ac.b
+      |WHERE EXISTS (SELECT 1 FROM l2
+      |              WHERE l2.id_a = ab.b AND l2.id_b = ac.b)
+      |GROUP BY 1, 2, 3 HAVING count(*) >= 2
+      |ORDER BY item_a, item_b, item_c""".stripMargin
+
   /** Graph/recsys — Adamic–Adar link prediction over the customer–part
     * bipartite graph: candidate customer pairs sharing an item score
     * Σ_shared ⌊1e9 / ln_micro(d_item)⌋ (the hub-discounting
@@ -1900,6 +1966,49 @@ object Curation {
        |e AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
        |$dbscanTailSql""".stripMargin
 
+  // ------------------------------------------------- q290 k-truss
+
+  /** Graph/curation — bounded-round 3-TRUSS of the cosine ≥ 0.30 ε-graph
+    * ([[Graph.ktruss]], 3 peel rounds): only edges supported by ≥ 1
+    * triangle among SURVIVING edges remain (peeling cascades — an edge
+    * whose only triangle loses a side is peeled in the next round) — the
+    * clique-core refinement of k-core that keeps mutually-confirming
+    * near-dup cluster edges and drops spurious pairwise links (an
+    * accidental high-cosine pair has no triangle support; a real clone
+    * cluster is a clique where every edge sits in |cluster|−2
+    * triangles). Candidates come from the q278 banded hyperplane-LSH
+    * index — the 100 TB ε-graph path — and the oracle replicates index,
+    * rescore, and all three peel rounds. */
+  def q290Ktruss(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select(col("vec_id").as("id"), col("embedding").as("vec"))
+    val pairs = Similarity.cosinePairsLsh(e, minCosine = 0.30, planes = 16,
+        bands = 4, dim = 64)
+      .select("id_a", "id_b")
+    Graph.ktruss(pairs, k = 3, rounds = 3).orderBy("id_a", "id_b")
+  }
+
+  val q290Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""tri$cur AS (SELECT ab.id_a AS a, ab.id_b AS b, ac.id_b AS c
+         |       FROM e$prev ab JOIN e$prev ac
+         |         ON ac.id_a = ab.id_a AND ab.id_b < ac.id_b
+         |       JOIN e$prev bc ON bc.id_a = ab.id_b AND bc.id_b = ac.id_b),
+         |sup$cur AS (SELECT x AS id_a, y AS id_b, CAST(count(*) AS BIGINT) AS support
+         |       FROM (SELECT a AS x, b AS y FROM tri$cur
+         |             UNION ALL SELECT a, c FROM tri$cur
+         |             UNION ALL SELECT b, c FROM tri$cur) GROUP BY 1, 2),
+         |e$cur AS MATERIALIZED (SELECT e.id_a, e.id_b, s.support
+         |       FROM e$prev e JOIN sup$cur s USING (id_a, id_b)
+         |       WHERE s.support >= 1)""".stripMargin
+    LlmOps.duckCosinePairsAt("0.30") +
+      s""",
+         |e0 AS MATERIALIZED (SELECT id_a, id_b FROM pairs),
+         |${round("0", "1")},
+         |${round("1", "2")},
+         |${round("2", "3")}
+         |SELECT id_a, id_b, support FROM e3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2092,6 +2201,8 @@ object Curation {
     "q280_sssp_weighted" -> (q280SsspWeighted _),
     "q285_ttl_dedup" -> (q285TtlDedup _),
     "q286_modularity" -> (q286Modularity _),
+    "q289_frequent_triples" -> (q289FrequentTriples _),
+    "q290_ktruss" -> (q290Ktruss _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2136,6 +2247,8 @@ object Curation {
     "q280_sssp_weighted" -> q280Sql,
     "q285_ttl_dedup" -> q285Sql,
     "q286_modularity" -> q286Sql,
+    "q289_frequent_triples" -> q289Sql,
+    "q290_ktruss" -> q290Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

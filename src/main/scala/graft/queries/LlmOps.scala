@@ -231,6 +231,76 @@ object LlmOps {
       |JOIN tot ta ON ta.id = p.id_a JOIN tot tb ON tb.id = p.id_b
       |ORDER BY p.id_a, p.id_b""".stripMargin
 
+  /** S23 depth — SORTED-NEIGHBORHOOD (SNM) dedup, the third blocking
+    * family next to banded LSH (q21) and PPJoin prefix filtering (q19):
+    * docs sort by a normalization key (first 24 alnum chars of the
+    * lowercased text, id tiebreak), and only pairs within rank distance
+    * ≤ 8 of the global sort order are compared — the classic
+    * Hernández–Stolfo merge/purge window, which catches prefix-sharing
+    * template near-dups at n·w pair cost with zero hashing. The global
+    * rank is the DISTRIBUTED zip-with-index ([[graft.operators.Ranks]]:
+    * range partition + per-partition rank + broadcast offsets — no
+    * single-partition window), and the window join is TWO equi-joins on
+    * ⌊rank/8⌋ buckets (own + successor bucket), never an inequality scan.
+    * Candidates rescore by exact token-set Jaccard with array payloads
+    * (q167's zero-fanout pattern). */
+  def q288SnmDedup(s: SparkSession, dir: String): DataFrame = {
+    val w = 8L
+    val keyed = docs(s, dir).select(col("doc_id").as("id"),
+      substring(regexp_replace(lower(col("text")), "[^a-z0-9]+", ""), 1, 24)
+        .as("skey"),
+      array_sort(array_distinct(graft.llmops.TextOps.tokens(col("text"))))
+        .as("ts"))
+    val rk = graft.operators.Ranks
+      .globalRank(keyed, "rk", col("skey"), col("id"))
+      .select(col("id"), col("rk"), expr(s"rk div $w").as("bk"),
+        col("ts"), size(col("ts")).cast("long").as("n"))
+      .localCheckpoint() // both window-join sides + two payload reads
+    def side(p: String): DataFrame = rk.select(col("id").as(s"id_$p"),
+      col("rk").as(s"rk_$p"), col("bk").as(s"bk_$p"),
+      col("ts").as(s"ts_$p"), col("n").as(s"n_$p"))
+    val a = side("a"); val b = side("b")
+    val cand = a.join(b, col("bk_b") === col("bk_a"))
+      .unionByName(a.join(b, col("bk_b") === col("bk_a") + 1L))
+      .filter(col("rk_b") > col("rk_a") &&
+        col("rk_b") - col("rk_a") <= w)
+    cand
+      .withColumn("dist", col("rk_b") - col("rk_a"))
+      .withColumn("n_inter",
+        size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
+      .withColumn("jac_ppm",
+        expr("n_inter * 1000000L div (n_a + n_b - n_inter)"))
+      .withColumn("is_dup", col("jac_ppm") >= 800000L)
+      .select("id_a", "id_b", "dist", "n_inter", "n_a", "n_b",
+        "jac_ppm", "is_dup")
+      .orderBy("id_a", "id_b")
+  }
+
+  val q288Sql: String =
+    """WITH nrm AS (SELECT doc_id AS id,
+      |    substr(regexp_replace(lower(text), '[^a-z0-9]+', '', 'g'), 1, 24) AS skey
+      |  FROM documents),
+      |rk AS (SELECT id, CAST(row_number() OVER (ORDER BY skey, id) AS BIGINT) AS rk
+      |       FROM nrm),
+      |cand AS (SELECT a.id AS id_a, b.id AS id_b, b.rk - a.rk AS dist
+      |         FROM rk a JOIN rk b ON b.rk > a.rk AND b.rk - a.rk <= 8),
+      |tall AS (SELECT doc_id AS id,
+      |           unnest(list_distinct(regexp_extract_all(lower(text), '[a-z0-9]+'))) AS tok
+      |         FROM documents),
+      |sz AS (SELECT id, CAST(count(*) AS BIGINT) AS n FROM tall GROUP BY 1),
+      |inter AS (SELECT c.id_a, c.id_b, CAST(count(*) AS BIGINT) AS n_inter
+      |          FROM cand c JOIN tall a ON a.id = c.id_a
+      |                      JOIN tall b ON b.id = c.id_b AND b.tok = a.tok
+      |          GROUP BY 1, 2)
+      |SELECT c.id_a, c.id_b, CAST(c.dist AS BIGINT) AS dist,
+      |  CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+      |  sa.n AS n_a, sb.n AS n_b,
+      |  CAST(COALESCE(i.n_inter, 0) * 1000000 // (sa.n + sb.n - COALESCE(i.n_inter, 0)) AS BIGINT) AS jac_ppm,
+      |  COALESCE(i.n_inter, 0) * 1000000 // (sa.n + sb.n - COALESCE(i.n_inter, 0)) >= 800000 AS is_dup
+      |FROM cand c LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+      |JOIN sz sa ON sa.id = c.id_a JOIN sz sb ON sb.id = c.id_b
+      |ORDER BY c.id_a, c.id_b""".stripMargin
+
   /** S23 eval — blocking-quality audit of the shingle-MinHash banding
     * (q118's index parameters: md5-48-bit shingle ids, k=32, 4 rows/band →
     * 8 bands): PAIR COMPLETENESS against the exact J ≥ 0.7 truth (the
@@ -2273,6 +2343,7 @@ object LlmOps {
     "q165_media_phash" -> (q165MediaPhash _),
     "q167_minhash_eval" -> (q167MinhashEval _),
     "q287_weighted_jaccard" -> (q287WeightedJaccard _),
+    "q288_snm_dedup" -> (q288SnmDedup _),
     "q175_blocking_eval" -> (q175BlockingEval _),
     "q180_media_energy" -> (q180MediaEnergy _),
     "q182_langid_eval" -> (q182LangidEval _),
@@ -2328,6 +2399,7 @@ object LlmOps {
     "q165_media_phash" -> q165Sql,
     "q167_minhash_eval" -> q167Sql,
     "q287_weighted_jaccard" -> q287Sql,
+    "q288_snm_dedup" -> q288Sql,
     "q175_blocking_eval" -> q175Sql,
     "q180_media_energy" -> q180Sql,
     "q182_langid_eval" -> q182Sql,

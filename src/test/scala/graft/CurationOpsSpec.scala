@@ -611,6 +611,29 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 8L -> -1L, 9L -> -1L))
   }
 
+  test("ktruss: K4 survives 4-truss; lone triangle and cascade edges peel") {
+    import spark.implicits._
+    // K4 on {1,2,3,4}: every edge in 2 triangles -> survives k=4.
+    // {5,6,7} triangle: support 1 -> peeled. (1,5)/(2,5): triangle {1,2,5}
+    // gives them support 1 -> peeled round 1; round 2 must recompute
+    // (1,2)'s support WITHOUT that triangle (the cascade) and still keep
+    // K4 (support 2 from {1,2,3} and {1,2,4}).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (1L, 5L), (2L, 5L))
+      .toDF("id_a", "id_b")
+    val got = Graph.ktruss(edges, k = 4, rounds = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("support")).toMap
+    assert(got == Map((1L, 2L) -> 2L, (1L, 3L) -> 2L, (1L, 4L) -> 2L,
+      (2L, 3L) -> 2L, (2L, 4L) -> 2L, (3L, 4L) -> 2L))
+    // k=3 keeps every triangle-supported edge incl. {5,6,7}, drops none of
+    // K4, and still peels nothing it shouldn't after the cascade
+    val g3 = Graph.ktruss(edges, k = 3, rounds = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(g3 == Set((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (5L, 6L), (5L, 7L), (6L, 7L), (1L, 5L), (2L, 5L)))
+  }
+
   test("modularityParts: textbook two-triangles-and-a-bridge; singleton community gets l_in 0") {
     import spark.implicits._
     // triangles {1,2,3} and {4,5,6} bridged by 3-4; isolated pair 8-9 with
