@@ -310,6 +310,48 @@ object Graph {
     nodes.join(reached, Seq("id"), "left")
   }
 
+  /** HITS hubs & authorities over a DIRECTED (src, dst) edge frame:
+    * integer-quantized power iteration — each round computes raw
+    * authority a(v) = Σ h(u) over in-edges, renormalizes to
+    * a_q = a·10⁶ div max(a) (1-row broadcast — the integer stand-in for
+    * the L2 normalization, keeping every value in [0, 10⁶] so rounds
+    * never overflow and both engines agree bit-for-bit), then the same
+    * for hubs from the fresh authorities. Per round: two equi-joins +
+    * two combinable sums + two 1-row max aggregates; the raw frames feed
+    * two consumers each (their max and the join-back), so each is
+    * lineage-truncated. Round count is declared semantics (the
+    * [[labelPropagation]] contract). Returns (id, hub_q, auth_q). */
+  def hits(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"need iters >= 1; got $iters")
+    val e = edges.select("src", "dst").distinct().localCheckpoint()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct().localCheckpoint()
+    val init = nodes.withColumn("h", lit(1000000L))
+    val (hubF, authF) = (1 to iters).foldLeft(
+      (init, nodes.withColumn("a", lit(0L)))) { case ((hub, _), _) =>
+      val araw = e.join(hub.select(col("id").as("src"), col("h")), "src")
+        .groupBy(col("dst").as("id")).agg(sum("h").as("ar"))
+        .localCheckpoint() // feeds its max AND the join-back
+      val auth = nodes.join(araw, Seq("id"), "left")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          araw.agg(max("ar").as("am"))))
+        .select(col("id"),
+          expr("coalesce(ar, 0L) * 1000000L div am").as("a"))
+      val hraw = e.join(auth.select(col("id").as("dst"), col("a")), "dst")
+        .groupBy(col("src").as("id")).agg(sum("a").as("hr"))
+        .localCheckpoint()
+      val hub2 = nodes.join(hraw, Seq("id"), "left")
+        .crossJoin(org.apache.spark.sql.functions.broadcast(
+          hraw.agg(max("hr").as("hm"))))
+        .select(col("id"),
+          expr("coalesce(hr, 0L) * 1000000L div hm").as("h"))
+        .localCheckpoint() // feeds next round's araw AND the readout
+      (hub2, auth.localCheckpoint())
+    }
+    nodes.join(hubF, "id").join(authF, "id")
+      .select(col("id"), col("h").as("hub_q"), col("a").as("auth_q"))
+  }
+
   /** Bounded-round K-TRUSS peeling over an undirected (id_a, id_b) edge
     * frame (each edge once, id_a < id_b): each round enumerates triangles
     * (the a-pivot wedge join probed against the edge set — every triangle

@@ -2009,6 +2009,52 @@ object Curation {
          |SELECT id_a, id_b, support FROM e3 ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------------------------- q291 HITS
+
+  /** Graph analytics — HITS hubs & authorities ([[Graph.hits]], 3
+    * integer-renormalized rounds) over the DIRECTED customer→supplier
+    * purchase graph (q268's bipartite node encoding): customers score as
+    * HUBS (they point at suppliers), suppliers as AUTHORITIES — the
+    * mutually-reinforcing ranking PageRank's single score can't express
+    * on a bipartite trade graph. Renormalization is a·10⁶ div max(a)
+    * per round (1-row broadcast), so every value stays in [0, 10⁶] and
+    * the oracle unrolls the same three rounds bit-for-bit. */
+  def q291Hits(s: SparkSession, dir: String): DataFrame = {
+    val edges = t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      .join(t(s, dir, "lineitem").select("l_orderkey", "l_suppkey"),
+        col("o_orderkey") === col("l_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+    Graph.hits(edges, iters = 3).orderBy("id")
+  }
+
+  val q291Sql: String = {
+    def round(prev: String, cur: String): String =
+      s"""ar$cur AS MATERIALIZED (SELECT e.dst AS id, CAST(sum(h.h) AS BIGINT) AS ar
+         |       FROM e JOIN h$prev h ON h.id = e.src GROUP BY 1),
+         |am$cur AS (SELECT CAST(max(ar) AS BIGINT) AS am FROM ar$cur),
+         |a$cur AS MATERIALIZED (SELECT n.id,
+         |        CAST(COALESCE(ar.ar, 0) * 1000000 // am.am AS BIGINT) AS a
+         |      FROM nodes n LEFT JOIN ar$cur ar ON ar.id = n.id CROSS JOIN am$cur am),
+         |hr$cur AS MATERIALIZED (SELECT e.src AS id, CAST(sum(a.a) AS BIGINT) AS hr
+         |       FROM e JOIN a$cur a ON a.id = e.dst GROUP BY 1),
+         |hm$cur AS (SELECT CAST(max(hr) AS BIGINT) AS hm FROM hr$cur),
+         |h$cur AS MATERIALIZED (SELECT n.id,
+         |        CAST(COALESCE(hr.hr, 0) * 1000000 // hm.hm AS BIGINT) AS h
+         |      FROM nodes n LEFT JOIN hr$cur hr ON hr.id = n.id CROSS JOIN hm$cur hm)""".stripMargin
+    s"""WITH e AS MATERIALIZED (SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+       |      FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+       |nodes AS MATERIALIZED (SELECT src AS id FROM e UNION SELECT dst FROM e),
+       |h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS h FROM nodes),
+       |${round("0", "1")},
+       |${round("1", "2")},
+       |${round("2", "3")}
+       |SELECT n.id, h3.h AS hub_q, a3.a AS auth_q
+       |FROM nodes n JOIN h3 ON h3.id = n.id JOIN a3 ON a3.id = n.id
+       |ORDER BY n.id""".stripMargin
+  }
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2203,6 +2249,7 @@ object Curation {
     "q286_modularity" -> (q286Modularity _),
     "q289_frequent_triples" -> (q289FrequentTriples _),
     "q290_ktruss" -> (q290Ktruss _),
+    "q291_hits" -> (q291Hits _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2249,6 +2296,7 @@ object Curation {
     "q286_modularity" -> q286Sql,
     "q289_frequent_triples" -> q289Sql,
     "q290_ktruss" -> q290Sql,
+    "q291_hits" -> q291Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

@@ -611,6 +611,23 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 8L -> -1L, 9L -> -1L))
   }
 
+  test("hits: hand-computed two-round hubs/authorities with integer renormalization") {
+    import spark.implicits._
+    // 1->3, 2->3, 2->4: node 2 hubs both authorities, 3 out-ranks 4.
+    // round 1: ar(3)=2e6, ar(4)=1e6, am=2e6 -> a=(1e6, 5e5);
+    //   hr(1)=1e6, hr(2)=1.5e6 -> h=(666666, 1e6)
+    // round 2: ar(3)=1666666, ar(4)=1e6, am=1666666 -> a(3)=1e6,
+    //   a(4)=1e12//1666666=600000; hr(1)=1e6, hr(2)=1600000 ->
+    //   h(1)=1e12//1600000=625000, h(2)=1e6
+    val edges = Seq((1L, 3L), (2L, 3L), (2L, 4L)).toDF("src", "dst")
+    val got = Graph.hits(edges, iters = 2).collect()
+      .map(r => r.getAs[Long]("id") ->
+        ((r.getAs[Long]("hub_q"), r.getAs[Long]("auth_q")))).toMap
+    assert(got == Map(
+      1L -> ((625000L, 0L)), 2L -> ((1000000L, 0L)),
+      3L -> ((0L, 1000000L)), 4L -> ((0L, 600000L))))
+  }
+
   test("ktruss: K4 survives 4-truss; lone triangle and cascade edges peel") {
     import spark.implicits._
     // K4 on {1,2,3,4}: every edge in 2 triangles -> survives k=4.

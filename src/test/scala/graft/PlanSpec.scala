@@ -715,7 +715,7 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   test("q268/q270/q221: per-round truncation — final plan reads checkpoints, not 2^rounds edge builds") {
     Seq("q268_bfs_distance", "q270_personalized_pagerank",
       "q221_label_prop", "q279_pagerank_dangling",
-      "q280_sssp_weighted").foreach { q =>
+      "q280_sssp_weighted", "q291_hits").foreach { q =>
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q must consume localCheckpointed rounds")
@@ -734,7 +734,8 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
     Seq("q269_dbscan" -> 1, "q278_dbscan_lsh" -> 1,
-      "q283_influential_communities" -> 0).foreach { case (q, scans) =>
+      "q283_influential_communities" -> 0,
+      "q290_ktruss" -> 0).foreach { case (q, scans) =>
       val p = plan(q)
       assert(p.contains("Scan ExistingRDD"),
         s"$q must consume the checkpointed eps-graph")
