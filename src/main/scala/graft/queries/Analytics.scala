@@ -2774,6 +2774,60 @@ object Analytics {
 
   // ------------------------------------------------------------------
 
+  // -------------------------------------- q292 group-wise OLS trend
+
+  /** Trend analytics — per-nation WEEKLY-revenue OLS line, closed form,
+    * as EXACT integer pieces: over the (nation, week, Σcents) rollup,
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²) and
+    * intercept = (ΣyΣx² − ΣxΣxy) / same-denominator — emitted as
+    * (num, den) BIGINT pairs, never divided, because Spark's `div`
+    * truncates toward zero while DuckDB's `//` floors (they disagree
+    * exactly when a trend is NEGATIVE — the interesting case). Two
+    * aggregations total: one (nation, week) rollup, one per-nation sum
+    * of products — both map-side combinable. x is REBASED to
+    * week − 1300 (a constant: the data starts 1995 ≈ week 1304), which
+    * leaves the slope identical and the intercept anchored at week 1300
+    * — without it Σy·Σx² crosses int64 at sf0.1 (Σy ≈ 9e10 cents/nation
+    * × Σx² ≈ 9.4e8 un-rebased). The deterministic-by-pieces counterpart
+    * of q255's Theil–Sen. */
+  def q292OlsTrend(s: SparkSession, dir: String): DataFrame = {
+    val wk = t(s, dir, "orders")
+      .select(col("o_custkey").as("ck"),
+        expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 604800000000 - 1300L")
+          .as("x"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+          .as("cents"))
+      .join(t(s, dir, "customer")
+        .select(col("c_custkey").as("ck"), col("c_nationkey").as("nation")), "ck")
+      .groupBy("nation", "x").agg(sum("cents").as("y"))
+    wk.groupBy("nation").agg(
+        count(lit(1)).as("n_weeks"),
+        sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("nation"), col("n_weeks"),
+        (col("n_weeks") * col("sxy") - col("sx") * col("sy")).as("slope_num"),
+        (col("n_weeks") * col("sxx") - col("sx") * col("sx")).as("den"),
+        (col("sy") * col("sxx") - col("sx") * col("sxy")).as("icept_num"))
+      .orderBy("nation")
+  }
+
+  val q292Sql: String =
+    """WITH wk AS (SELECT c.c_nationkey AS nation,
+      |    CAST(epoch_us(o.o_orderdate) AS BIGINT) // 604800000000 - 1300 AS x,
+      |    CAST(sum(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+      |  FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      |  GROUP BY 1, 2),
+      |ag AS (SELECT nation, CAST(count(*) AS BIGINT) AS n_weeks,
+      |         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+      |       FROM wk GROUP BY 1)
+      |SELECT nation, n_weeks,
+      |  CAST(n_weeks * sxy - sx * sy AS BIGINT) AS slope_num,
+      |  CAST(n_weeks * sxx - sx * sx AS BIGINT) AS den,
+      |  CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
+      |FROM ag ORDER BY nation""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q251_spearman" -> (q251Spearman _),
     "q256_holt_winters" -> (q256HoltWinters _),
@@ -2827,7 +2881,8 @@ object Analytics {
     "q235_trimmed_mean" -> (q235TrimmedMean _),
     "q236_benford" -> (q236Benford _),
     "q238_kendall_tau" -> (q238KendallTau _),
-    "q244_abc_classes" -> (q244AbcClasses _))
+    "q244_abc_classes" -> (q244AbcClasses _),
+    "q292_ols_trend" -> (q292OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
     "q251_spearman" -> q251Sql,
@@ -2882,5 +2937,7 @@ object Analytics {
     "q235_trimmed_mean" -> q235Sql,
     "q236_benford" -> q236Sql,
     "q238_kendall_tau" -> q238Sql,
-    "q244_abc_classes" -> q244Sql)
+    "q244_abc_classes" -> q244Sql,
+    "q292_ols_trend" -> q292Sql)
+
 }

@@ -2055,6 +2055,64 @@ object Curation {
        |ORDER BY n.id""".stripMargin
   }
 
+  // --------------------------------------- q293 negative edge sampling
+
+  /** Training data for link prediction — DETERMINISTIC negative-edge
+    * sampling over the co-purchase graph: every node draws 6 candidate
+    * partners by pure hash arithmetic over the node-rank space
+    * (cand_rank = 1 + (rank·1000003 + i·7919) mod N — no RNG, so the
+    * sample replays identically on any cluster and in the oracle), then
+    * self-pairs and REAL edges are anti-joined away. The standard
+    * negative set for training a link-prediction model against q223's
+    * positive Adamic–Adar pairs. The rank space is the distributed
+    * zip-with-index ([[graft.operators.Ranks]]); candidate lookup is one
+    * equi-join on rank; the reject filter is one anti-join on the
+    * (least, greatest) edge key. Expected negatives ≈ 6N·(1 − 2m/N²) —
+    * on any sparse graph nearly all draws survive, so sample cost is
+    * linear in nodes, never edges². */
+  def q293NegativeSampling(s: SparkSession, dir: String): DataFrame = {
+    val l2 = coPurchaseEdges(s, dir).localCheckpoint() // universe + anti side
+    val nodes = l2.select(col("id_a").as("item"))
+      .unionByName(l2.select(col("id_b").as("item"))).distinct()
+    val rk = graft.operators.Ranks.globalRank(nodes, "rk", col("item"))
+      .select("item", "rk").localCheckpoint() // draw side + lookup side
+    val n = rk.agg(count(lit(1)).as("n"))
+    val cand = rk.crossJoin(broadcast(n))
+      .select(col("item"), col("rk"), col("n"),
+        explode(expr("sequence(1, 6)")).as("i"))
+      .withColumn("crk", expr("1L + pmod(rk * 1000003L + i * 7919L, n)"))
+    cand
+      .join(rk.select(col("rk").as("crk"), col("item").as("neg_item")), "crk")
+      .filter(col("neg_item") =!= col("item"))
+      .join(l2,
+        least(col("item"), col("neg_item")) === col("id_a") &&
+          greatest(col("item"), col("neg_item")) === col("id_b"), "left_anti")
+      .select(col("item"), col("neg_item"), col("i").cast("long").as("i"))
+      .orderBy("item", "i")
+  }
+
+  val q293Sql: String =
+    """WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+      |l2 AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+      |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+      |       GROUP BY 1, 2 HAVING count(*) >= 2),
+      |nodes AS (SELECT DISTINCT item FROM (
+      |        SELECT id_a AS item FROM l2 UNION ALL SELECT id_b FROM l2)),
+      |rk AS MATERIALIZED (SELECT item,
+      |        CAST(row_number() OVER (ORDER BY item) AS BIGINT) AS rk FROM nodes),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM rk),
+      |cand AS (SELECT r.item, r.rk, ix.i,
+      |           1 + (r.rk * 1000003 + ix.i * 7919) % nn.n AS crk
+      |         FROM rk r CROSS JOIN nn, range(1, 7) ix(i)),
+      |wc AS (SELECT c.item, c.i, r2.item AS neg_item
+      |       FROM cand c JOIN rk r2 ON r2.rk = c.crk
+      |       WHERE r2.item != c.item)
+      |SELECT item, neg_item, CAST(i AS BIGINT) AS i
+      |FROM wc WHERE NOT EXISTS (SELECT 1 FROM l2
+      |        WHERE l2.id_a = least(wc.item, wc.neg_item)
+      |          AND l2.id_b = greatest(wc.item, wc.neg_item))
+      |ORDER BY item, i""".stripMargin
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2250,6 +2308,7 @@ object Curation {
     "q289_frequent_triples" -> (q289FrequentTriples _),
     "q290_ktruss" -> (q290Ktruss _),
     "q291_hits" -> (q291Hits _),
+    "q293_negative_sampling" -> (q293NegativeSampling _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2297,6 +2356,7 @@ object Curation {
     "q289_frequent_triples" -> q289Sql,
     "q290_ktruss" -> q290Sql,
     "q291_hits" -> q291Sql,
+    "q293_negative_sampling" -> q293Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,
