@@ -2113,6 +2113,74 @@ object Curation {
       |          AND l2.id_b = greatest(wc.item, wc.neg_item))
       |ORDER BY item, i""".stripMargin
 
+  // --------------------------------------- q294 random-walk corpus
+
+  /** Training data for graph embeddings (DeepWalk-style) — a DERANDOMIZED
+    * random-walk corpus over the co-purchase graph: one 4-step walk per
+    * start node, where step k leaves `cur` through neighbor index
+    * (start·1000003 + k·7919 + cur·104729) mod deg(cur) — pure hash
+    * arithmetic, so the corpus replays identically on any cluster, across
+    * partitionings, and in the oracle (the q293/q197 no-RNG rule).
+    * Neighbor indexing is a per-node row_number window (bounded by
+    * degree); each step is ONE equi-join on (node, index) — walk state is
+    * (start, cur), never a path array. The adjacency frame is checkpointed
+    * once and probed per step. Every node in the symmetrized graph has
+    * deg ≥ 1, so walks never dead-end. */
+  def q294WalkCorpus(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l2 = coPurchaseEdges(s, dir)
+    val sym = l2.select(col("id_a").as("node"), col("id_b").as("nbr"))
+      .unionByName(l2.select(col("id_b").as("node"), col("id_a").as("nbr")))
+      .distinct()
+    val adj = sym.withColumn("j",
+        (row_number().over(Window.partitionBy("node").orderBy("nbr")) - 1)
+          .cast("long"))
+      .localCheckpoint() // probed once per step + the degree rollup
+    val deg = adj.groupBy("node").agg(count(lit(1)).as("deg"))
+    val w0 = adj.select(col("node").as("start")).distinct()
+      .select(col("start"), lit(0L).as("step"), col("start").as("node"))
+    val (_, corpus) = (1 to 4).foldLeft((w0, w0)) { case ((walk, acc), k) =>
+      val stepped = walk
+        .join(deg, "node")
+        .withColumn("j",
+          expr(s"pmod(start * 1000003L + ${k}L * 7919L + node * 104729L, deg)"))
+        .select(col("start"), col("node").as("cur"), col("j"))
+        .join(adj.select(col("node").as("cur"), col("j"), col("nbr")),
+          Seq("cur", "j"))
+        .select(col("start"), lit(k.toLong).as("step"), col("nbr").as("node"))
+      (stepped, acc.unionByName(stepped))
+    }
+    corpus.orderBy("start", "step")
+  }
+
+  val q294Sql: String = {
+    def step(prev: String, k: Int): String =
+      s"""w$k AS MATERIALIZED (SELECT w.start, CAST($k AS BIGINT) AS step, a.nbr AS node
+         |      FROM w$prev w JOIN deg d ON d.node = w.node
+         |      JOIN adj a ON a.node = w.node
+         |        AND a.j = (w.start * 1000003 + $k * 7919 + w.node * 104729) % d.deg)""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |pr AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+       |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |sym AS (SELECT id_a AS node, id_b AS nbr FROM pr
+       |        UNION SELECT id_b, id_a FROM pr),
+       |adj AS MATERIALIZED (SELECT node, nbr,
+       |        CAST(row_number() OVER (PARTITION BY node ORDER BY nbr) - 1 AS BIGINT) AS j
+       |      FROM sym),
+       |deg AS MATERIALIZED (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM adj GROUP BY 1),
+       |w0 AS (SELECT node AS start, CAST(0 AS BIGINT) AS step, node
+       |       FROM (SELECT DISTINCT node FROM adj)),
+       |${step("0", 1)},
+       |${step("1", 2)},
+       |${step("2", 3)},
+       |${step("3", 4)}
+       |SELECT start, step, node FROM (
+       |  SELECT * FROM w0 UNION ALL SELECT * FROM w1 UNION ALL SELECT * FROM w2
+       |  UNION ALL SELECT * FROM w3 UNION ALL SELECT * FROM w4)
+       |ORDER BY start, step""".stripMargin
+  }
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2309,6 +2377,7 @@ object Curation {
     "q290_ktruss" -> (q290Ktruss _),
     "q291_hits" -> (q291Hits _),
     "q293_negative_sampling" -> (q293NegativeSampling _),
+    "q294_walk_corpus" -> (q294WalkCorpus _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2357,6 +2426,7 @@ object Curation {
     "q290_ktruss" -> q290Sql,
     "q291_hits" -> q291Sql,
     "q293_negative_sampling" -> q293Sql,
+    "q294_walk_corpus" -> q294Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,
