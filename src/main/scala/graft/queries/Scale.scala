@@ -2011,6 +2011,71 @@ object Scale {
       |FROM sess CROSS JOIN wm WHERE end_us <= wmf
       |ORDER BY user_id, start_us""".stripMargin
 
+  /** S26 depth (twenty-FIFTH streaming path) — the `transformWithState`
+    * StatefulProcessor API ([[graft.streaming.RunningBalance]]): per-user
+    * RUNNING BALANCE (cumulative event count + cumulative cents) carried
+    * in an engine-managed typed ValueState, replayed one event-time day
+    * per micro-batch (the q285 staging discipline, so each batch's
+    * per-user fold is order-free). transformWithState requires the
+    * RocksDB state store — the provider is scoped to this query and
+    * restored after, the same hygiene as state-partition sizing. One
+    * fixed-size state row per user forever; one emitted row per
+    * (user, active day), hash-matched against the running-sum oracle. */
+  def q295RunningBalance(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.RunningBalance
+    val srcDir = staged.getOrElseUpdate(s"q295:$dir", {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
+          .as("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct().orderBy("d").collect().map(_.getLong(0)) // ≤ 31 rows
+      graft.sources.Staging.stageParts(days.toSeq.map(d =>
+        f"day$d%06d" ->
+          ev.filter(expr(s"unix_micros(ts) div 86400000000 = ${d}L"))))
+    })
+    val schema = s.read.parquet(srcDir).schema
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.get(pKey)
+    s.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      import s.implicits._
+      val ds = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[RunningBalance.In]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RunningBalance.Proc, TimeMode.None(),
+          OutputMode.Append(), Encoders.product[RunningBalance.Out])
+      val qn = s"q295_balance_${System.identityHashCode(s)}"
+      graft.streaming.StreamConf.withStatePartitions(s, 8) {
+        out.toDF().writeStream.outputMode("append").format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.streaming.StreamConf.ckptDir("graft-balanceckpt"))
+          .start().awaitTermination()
+      }
+      s.table(qn).orderBy("user_id", "day_us")
+    } finally s.conf.set(pKey, prevProvider)
+  }
+
+  val q295Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |g AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(cents) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2)
+      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
+      |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
+      |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
+      |FROM g ORDER BY user_id, day_us""".stripMargin
+
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
@@ -2825,6 +2890,7 @@ object Scale {
     "q91_stream_hll" -> (q91StreamHll _),
     "q266_stream_histq" -> (q266StreamHistQuantiles _),
     "q284_stream_session_window" -> (q284StreamSessionWindow _),
+    "q295_running_balance" -> (q295RunningBalance _),
     "q92_incremental_agg" -> (q92IncrementalAgg _),
     "q93_index_lookup" -> (q93IndexLookup _),
     "q94_tx_delete" -> (q94TxDelete _),
@@ -2890,6 +2956,7 @@ object Scale {
     "q91_stream_hll" -> q91Sql,
     "q266_stream_histq" -> q266Sql,
     "q284_stream_session_window" -> q284Sql,
+    "q295_running_balance" -> q295Sql,
     "q92_incremental_agg" -> q92Sql,
     "q93_index_lookup" -> q93Sql,
     "q94_tx_delete" -> q94Sql,
