@@ -514,7 +514,9 @@ object Curation {
       .withWatermark("ts", "2 days")
       .dropDuplicatesWithinWatermark("user_id", "event_type")
     val qn = s"q285_ttldedup_${System.identityHashCode(s)}"
-    graft.streaming.StreamConf.withStatePartitions(s, 8) {
+    // 2 state partitions (q295's sizing rule): 31 micro-batches touch
+    // every store each trigger; keys are only (user × event_type)
+    graft.streaming.StreamConf.withStatePartitions(s, 2) {
       stream.writeStream.outputMode("append").format("memory").queryName(qn)
         .trigger(Trigger.AvailableNow())
         .option("checkpointLocation",

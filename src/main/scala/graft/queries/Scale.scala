@@ -2038,9 +2038,16 @@ object Scale {
     })
     val schema = s.read.parquet(srcDir).schema
     val pKey = "spark.sql.streaming.stateStore.providerClass"
+    // changelog checkpointing: per-batch commits upload the DELTA instead
+    // of a full RocksDB snapshot per store — the 31-batch replay would
+    // otherwise pay 31 × stores full-snapshot uploads for O(users) rows
+    val cKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevProvider = s.conf.get(pKey)
+    val prevChangelog = s.conf.getOption(cKey)
     s.conf.set(pKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    s.conf.set(cKey, "true")
     try {
       import s.implicits._
       val ds = s.readStream.schema(schema)
@@ -2050,7 +2057,11 @@ object Scale {
         .transformWithState(new RunningBalance.Proc, TimeMode.None(),
           OutputMode.Append(), Encoders.product[RunningBalance.Out])
       val qn = s"q295_balance_${System.identityHashCode(s)}"
-      graft.streaming.StreamConf.withStatePartitions(s, 8) {
+      // 2 state partitions, not 8: the 31-day replay opens every store
+      // (a RocksDB instance each) on every micro-batch, so per-batch
+      // overhead is stores × batches while the key space is only
+      // O(users) — sizing to cardinality halved the wall time
+      graft.streaming.StreamConf.withStatePartitions(s, 2) {
         out.toDF().writeStream.outputMode("append").format("memory")
           .queryName(qn).trigger(Trigger.AvailableNow())
           .option("checkpointLocation",
@@ -2058,7 +2069,13 @@ object Scale {
           .start().awaitTermination()
       }
       s.table(qn).orderBy("user_id", "day_us")
-    } finally s.conf.set(pKey, prevProvider)
+    } finally {
+      s.conf.set(pKey, prevProvider)
+      prevChangelog match {
+        case Some(v) => s.conf.set(cKey, v)
+        case None => s.conf.unset(cKey)
+      }
+    }
   }
 
   val q295Sql: String =
