@@ -730,6 +730,27 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q287-q289/q293/q294: new-op plans — equi-joins only, no cartesians, no inequality window joins") {
+    Seq("q287_weighted_jaccard", "q288_snm_dedup", "q289_frequent_triples",
+      "q293_negative_sampling", "q294_walk_corpus").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), q)
+      // tolerated nested-loop joins: Ranks.globalRank's partition-offset
+      // attach (≤ shuffle-partitions rows, joined on __pid) and the 1-row
+      // scalar-broadcast cross attach (q293's N); a conditional BNLJ over
+      // data frames means SNM's window join degraded to an inequality scan
+      val bnlj = p.linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(l => l.contains("__pid") || l.trim.endsWith("Cross")),
+        s"$q has a data-scale conditional nested-loop join: $bnlj")
+    }
+    // SNM's only windows are the distributed-rank per-partition ranks
+    val w288 = plan("q288_snm_dedup").linesIterator
+      .filter(_.contains("Window [")).toSeq
+    assert(w288.forall(_.contains("__pid")),
+      s"q288 may only window per range-partition (the zip-with-index), got: $w288")
+  }
+
   test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
