@@ -310,6 +310,52 @@ object Graph {
     nodes.join(reached, Seq("id"), "left")
   }
 
+  /** Bounded-round GREEDY MAXIMAL MATCHING over an undirected
+    * (id_a, id_b) edge frame (id_a < id_b): each round every node
+    * proposes its lexicographically-smallest incident edge, an edge is
+    * MATCHED iff both endpoints proposed it (the symmetric handshake —
+    * deterministic, no RNG, no tie-breaking ambiguity), and matched
+    * nodes' remaining edges are removed before the next round. After R
+    * rounds the matched set is a subset of the greedy maximal matching
+    * that equals it once a round matches nothing (the bounded-round
+    * declared-semantics contract). The graph-coarsening primitive
+    * (multilevel partitioners pair nodes exactly this way). Per round:
+    * one min-aggregation on node id, two equi-joins for the handshake,
+    * two anti-joins for removal; the live edge frame feeds all of them
+    * and is lineage-truncated every round. Returns (id_a, id_b, round). */
+  def maximalMatching(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    var live = edges.select("id_a", "id_b").distinct()
+      .filter(col("id_a") =!= col("id_b")).localCheckpoint()
+    var matched = live.limit(0).withColumn("round", lit(0L))
+    for (r <- 1 to rounds) {
+      val prop = live.select(col("id_a").as("node"), col("id_a"), col("id_b"))
+        .unionByName(live.select(col("id_b").as("node"), col("id_a"), col("id_b")))
+        .groupBy("node")
+        .agg(min(struct(col("id_a"), col("id_b"))).as("e"))
+        .select(col("node"), col("e.id_a").as("pa"), col("e.id_b").as("pb"))
+      val m = live
+        .join(prop.select(col("node").as("id_a"), col("pa"), col("pb")),
+          Seq("id_a"))
+        .filter(col("pa") === col("id_a") && col("pb") === col("id_b"))
+        .select("id_a", "id_b")
+        .join(prop.select(col("node").as("id_b"),
+          col("pa").as("qa"), col("pb").as("qb")), Seq("id_b"))
+        .filter(col("qa") === col("id_a") && col("qb") === col("id_b"))
+        .select(col("id_a"), col("id_b"))
+        .localCheckpoint() // matched set feeds removal (2 anti-joins) + output
+      matched = matched.unionByName(m.withColumn("round", lit(r.toLong)))
+      val mn = m.select(col("id_a").as("node"))
+        .unionByName(m.select(col("id_b").as("node"))).distinct()
+      live = live
+        .join(mn.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_anti")
+        .join(mn.withColumnRenamed("node", "id_b"), Seq("id_b"), "left_anti")
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    }
+    matched
+  }
+
   /** HITS hubs & authorities over a DIRECTED (src, dst) edge frame:
     * integer-quantized power iteration — each round computes raw
     * authority a(v) = Σ h(u) over in-edges, renormalizes to

@@ -2183,6 +2183,51 @@ object Curation {
        |ORDER BY start, step""".stripMargin
   }
 
+  // --------------------------------------- q296 maximal matching
+
+  /** Graph — bounded-round greedy MAXIMAL MATCHING
+    * ([[Graph.maximalMatching]], 3 handshake rounds) over the co-purchase
+    * graph: each round every item proposes its lexicographically-smallest
+    * incident edge and an edge matches iff BOTH endpoints proposed it;
+    * matched items leave the graph. The deterministic distributed pairing
+    * primitive behind multilevel graph coarsening (pair products, contract,
+    * recurse); 3 rounds is declared semantics (q221's contract). The
+    * oracle encodes the lexicographic edge key as id_a·2³² + id_b and
+    * unrolls the same three rounds. */
+  def q296MaximalMatching(s: SparkSession, dir: String): DataFrame = {
+    Graph.maximalMatching(coPurchaseEdges(s, dir), rounds = 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  val q296Sql: String = {
+    def round(prev: String, r: Int): String =
+      s"""prop$r AS (SELECT node, CAST(min(k) AS BIGINT) AS mk FROM (
+         |        SELECT id_a AS node, id_a * 4294967296 + id_b AS k FROM e$prev
+         |        UNION ALL SELECT id_b, id_a * 4294967296 + id_b FROM e$prev)
+         |      GROUP BY 1),
+         |m$r AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e$prev e
+         |      JOIN prop$r pa ON pa.node = e.id_a
+         |        AND pa.mk = e.id_a * 4294967296 + e.id_b
+         |      JOIN prop$r pb ON pb.node = e.id_b
+         |        AND pb.mk = e.id_a * 4294967296 + e.id_b),
+         |mn$r AS (SELECT id_a AS node FROM m$r UNION SELECT id_b FROM m$r),
+         |e$r AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e$prev e
+         |      WHERE NOT EXISTS (SELECT 1 FROM mn$r n WHERE n.node = e.id_a)
+         |        AND NOT EXISTS (SELECT 1 FROM mn$r n WHERE n.node = e.id_b))""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+       |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |${round("0", 1)},
+       |${round("1", 2)},
+       |${round("2", 3)}
+       |SELECT id_a, id_b, round FROM (
+       |  SELECT id_a, id_b, CAST(1 AS BIGINT) AS round FROM m1
+       |  UNION ALL SELECT id_a, id_b, 2 FROM m2
+       |  UNION ALL SELECT id_a, id_b, 3 FROM m3)
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2380,6 +2425,7 @@ object Curation {
     "q291_hits" -> (q291Hits _),
     "q293_negative_sampling" -> (q293NegativeSampling _),
     "q294_walk_corpus" -> (q294WalkCorpus _),
+    "q296_maximal_matching" -> (q296MaximalMatching _),
     "q259_heaps_fit" -> (q259HeapsFit _),
     "q260_clustering_coeff" -> (q260ClusteringCoeff _),
     "q261_textrank" -> (q261Textrank _),
@@ -2429,6 +2475,7 @@ object Curation {
     "q291_hits" -> q291Sql,
     "q293_negative_sampling" -> q293Sql,
     "q294_walk_corpus" -> q294Sql,
+    "q296_maximal_matching" -> q296Sql,
     "q259_heaps_fit" -> q259Sql,
     "q260_clustering_coeff" -> q260Sql,
     "q261_textrank" -> q261Sql,

@@ -611,6 +611,22 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
     assert(run(2) == Map(1L -> 0L, 2L -> 10L, 3L -> 11L, 8L -> -1L, 9L -> -1L))
   }
 
+  test("maximalMatching: handshake pairs the path ends first, then the middle; triangle leaves one node unmatched") {
+    import spark.implicits._
+    // path 1-2-3-4: round 1 matches (1,2) (both propose it; 3 proposes
+    // (2,3), 4 proposes (3,4) -> no handshake), round 2 matches (3,4).
+    // triangle {5,6,7}: round 1 matches (5,6); 7 stays unmatched forever.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L), (5L, 7L),
+      (6L, 7L)).toDF("id_a", "id_b")
+    val got = Graph.maximalMatching(edges, rounds = 3).collect()
+      .map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b")) ->
+        r.getAs[Long]("round")).toMap
+    assert(got == Map((1L, 2L) -> 1L, (3L, 4L) -> 2L, (5L, 6L) -> 1L))
+    // matching invariant: no node appears twice
+    val nodes = got.keys.flatMap { case (a, b) => Seq(a, b) }.toSeq
+    assert(nodes.distinct.size == nodes.size, "matched set must be a matching")
+  }
+
   test("hits: hand-computed two-round hubs/authorities with integer renormalization") {
     import spark.implicits._
     // 1->3, 2->3, 2->4: node 2 hubs both authorities, 3 out-ranks 4.
