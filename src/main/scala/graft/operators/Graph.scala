@@ -356,6 +356,63 @@ object Graph {
     matched
   }
 
+  /** Bounded-round MAXIMAL INDEPENDENT SET over an undirected
+    * (id_a, id_b) edge frame — Luby's algorithm DERANDOMIZED: the random
+    * priority is the portable 48-bit md5-prefix hash of the node id
+    * (DuckDB-replicable, cf. [[Sketches.kmvDistinct]]), a node joins the
+    * set when its priority is STRICTLY below every live neighbor's (hash
+    * ties — astronomically rare — simply defer both nodes, identically in
+    * both engines), and joined nodes plus their neighborhoods leave the
+    * graph. After R rounds, nodes that lost all their edges without being
+    * dominated are independent by construction and join in the ISOLATED
+    * sweep (round R+1); nodes still carrying live edges stay undecided
+    * (the bounded-round declared-semantics contract, q221's posture).
+    * Per round: one min-aggregation on node id + anti-join removals; the
+    * live frame is lineage-truncated every round. The distributed
+    * symmetry-breaking primitive behind coloring/scheduling.
+    * Returns (id, round). */
+  def maximalIndependentSet(edges: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1; got $rounds")
+    def prio(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long")
+    var live = edges.select("id_a", "id_b").distinct()
+      .filter(col("id_a") =!= col("id_b")).localCheckpoint()
+    val nodes0 = live.select(col("id_a").as("id"))
+      .unionByName(live.select(col("id_b").as("id"))).distinct()
+      .localCheckpoint()
+    var mis = nodes0.limit(0).withColumn("round", lit(0L))
+    var killed = nodes0.limit(0).select(col("id").as("node"))
+    for (r <- 1 to rounds) {
+      val dir2 = live.select(col("id_a").as("node"), col("id_b").as("nbr"))
+        .unionByName(live.select(col("id_b").as("node"), col("id_a").as("nbr")))
+      val winners = dir2
+        .groupBy("node").agg(min(prio(col("nbr"))).as("min_nbr"))
+        .filter(prio(col("node")) < col("min_nbr"))
+        .select(col("node"))
+        .localCheckpoint() // feeds output, neighborhood kill, and removal
+      mis = mis.unionByName(winners.select(col("node").as("id"))
+        .withColumn("round", lit(r.toLong)))
+      val dominated = dir2
+        .join(winners, Seq("node")).select(col("nbr").as("node")).distinct()
+      val killedNow = winners.unionByName(dominated).distinct()
+        .localCheckpoint()
+      killed = killed.unionByName(killedNow)
+      live = live
+        .join(killedNow.withColumnRenamed("node", "id_a"), Seq("id_a"), "left_anti")
+        .join(killedNow.withColumnRenamed("node", "id_b"), Seq("id_b"), "left_anti")
+        .select("id_a", "id_b")
+        .localCheckpoint()
+    }
+    // isolated sweep: never killed, no live edges left => independent
+    val undecided = live.select(col("id_a").as("id"))
+      .unionByName(live.select(col("id_b").as("id"))).distinct()
+    val isolated = nodes0
+      .join(killed.withColumnRenamed("node", "id"), Seq("id"), "left_anti")
+      .join(undecided, Seq("id"), "left_anti")
+      .withColumn("round", lit(rounds.toLong + 1L))
+    mis.unionByName(isolated)
+  }
+
   /** HITS hubs & authorities over a DIRECTED (src, dst) edge frame:
     * integer-quantized power iteration — each round computes raw
     * authority a(v) = Σ h(u) over in-edges, renormalizes to

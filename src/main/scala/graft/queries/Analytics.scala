@@ -2828,7 +2828,299 @@ object Analytics {
       |  CAST(sy * sxx - sx * sxy AS BIGINT) AS icept_num
       |FROM ag ORDER BY nation""".stripMargin
 
+  // --------------------------------- q297 Markov removal-effect attribution
+
+  /** Attribution — MARKOV-CHAIN removal effect (Anderl et al. 2016), the
+    * data-driven model beyond q185's last-touch and q191's linear split.
+    * Journeys are per-user event runs terminated by a purchase (`conv`)
+    * or stream end (`null`); transitions (`start`→touch, touch→touch,
+    * last-touch→`conv`/`null`) are counted once, then the absorbing-chain
+    * conversion probability from `start` is computed by 15 rounds of
+    * integer power iteration (p scaled 1e12, floor-div — both engines run
+    * the IDENTICAL recurrence, so the gate is exact, not "converged").
+    * A channel's removal effect re-runs the solve on the chain with that
+    * channel's node deleted (in-edges redirected to `null`, per-state
+    * denominators preserved); credit = conversion cents × removal share.
+    * 100 TB shape: the scan + one (from,to) count aggregate is the only
+    * data-scale work; the 6-variant solve iterates a ≤36-row frame
+    * (localCheckpointed per round, q62's pagerank discipline). */
+  def q297MarkovAttribution(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val SCALE = 1000000000000L
+    val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .withColumn("j", coalesce(
+        sum(when(col("event_type") === "purchase", 1L))
+          .over(wo.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("prev_type", lag("event_type", 1).over(wo))
+      .withColumn("prev_j", lag("j", 1).over(wo))
+      .withColumn("is_last", lead("event_id", 1).over(wo).isNull)
+    // a purchase increments j for every LATER row, so prev_j = j implies
+    // prev_type is a touch of the same journey; anything else => 'start'
+    val into = ev.select(
+      when(col("prev_j") === col("j"), col("prev_type"))
+        .otherwise(lit("start")).as("f"),
+      when(col("event_type") === "purchase", lit("conv"))
+        .otherwise(col("event_type")).as("t"))
+    val terminal = ev.filter(col("is_last") && col("event_type") =!= "purchase")
+      .select(col("event_type").as("f"), lit("null").as("t"))
+    val tcnt = into.unionByName(terminal).groupBy("f", "t")
+      .agg(count(lit(1)).as("cnt"))
+    import s.implicits._
+    val variants = Seq("base", "click", "error", "signup", "view").toDF("variant")
+    // node removal: drop the channel's outgoing rows, redirect its
+    // in-edges to 'null' — denominators per (variant, from) are preserved
+    val trans = tcnt.crossJoin(variants)
+      .filter(col("variant") === "base" || col("f") =!= col("variant"))
+      .select(col("variant"), col("f"),
+        when(col("variant") =!= "base" && col("t") === col("variant"),
+          lit("null")).otherwise(col("t")).as("t"),
+        col("cnt"))
+      .groupBy("variant", "f", "t").agg(sum("cnt").as("cnt"))
+      .localCheckpoint() // feeds 15 solve rounds + the denominators
+    val tot = trans.groupBy("variant", "f").agg(sum("cnt").as("tot"))
+      .localCheckpoint()
+    var p = tot.select(col("variant"), col("f").as("state"), lit(0L).as("p"))
+    for (_ <- 1 to 15) {
+      val num = trans
+        .join(p.select(col("variant"), col("state").as("t"),
+          col("p").as("pb")), Seq("variant", "t"), "left")
+        .withColumn("c",
+          when(col("t") === "conv", lit(SCALE))
+            .when(col("t") === "null", lit(0L))
+            .otherwise(coalesce(col("pb"), lit(0L))))
+        .groupBy("variant", "f").agg(sum(col("cnt") * col("c")).as("num"))
+      p = num.join(tot, Seq("variant", "f"))
+        .select(col("variant"), col("f").as("state"),
+          expr("num div tot").as("p"))
+        .localCheckpoint() // constant plan per round (q62's discipline)
+    }
+    val base = broadcast(p
+      .filter(col("variant") === "base" && col("state") === "start")
+      .select(col("p").as("p_base")))
+    val convCents = broadcast(ev.filter(col("event_type") === "purchase")
+      .agg(sum("cents").as("conv_cents")))
+    val rem = variants.filter(col("variant") =!= "base")
+      .select(col("variant").as("channel"))
+      .join(p.filter(col("state") === "start")
+        .select(col("variant").as("channel"), col("p").as("p_rem")),
+        Seq("channel"), "left")
+      .crossJoin(base)
+      .select(col("channel"), coalesce(col("p_rem"), lit(0L)).as("p_rem"),
+        col("p_base"))
+      .withColumn("removal_ppm",
+        lit(1000000L) - expr("p_rem * 1000000 div p_base"))
+    rem.crossJoin(broadcast(rem.agg(sum("removal_ppm").as("sum_re"))))
+      .crossJoin(convCents)
+      .select(col("channel"),
+        expr("p_base div 1000000").as("p_base_ppm"),
+        expr("p_rem div 1000000").as("p_removed_ppm"),
+        col("removal_ppm"),
+        expr("conv_cents * removal_ppm div sum_re").as("credited_cents"))
+      .orderBy("channel")
+  }
+
+  val q297Sql: String = {
+    // trans/tot feed every unrolled round — MATERIALIZED (q62's rule)
+    def iter(prev: Int, cur: Int): String =
+      s"""p$cur AS MATERIALIZED (SELECT tr.variant, tr.f AS state,
+         |    CAST(sum(tr.cnt * CASE WHEN tr.t = 'conv' THEN 1000000000000
+         |                           WHEN tr.t = 'null' THEN 0
+         |                           ELSE COALESCE(pp.p, 0) END)
+         |         // min(tt.tot) AS BIGINT) AS p
+         |  FROM trans tr JOIN tot tt ON tt.variant = tr.variant AND tt.f = tr.f
+         |  LEFT JOIN p$prev pp ON pp.variant = tr.variant AND pp.state = tr.t
+         |  GROUP BY 1, 2)""".stripMargin
+    val rounds = (1 to 15).map(i => iter(i - 1, i)).mkString(",\n")
+    s"""WITH e AS (SELECT user_id, event_id, event_type,
+       |    CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM events),
+       |o1 AS (SELECT *,
+       |    COALESCE(sum(CASE WHEN event_type = 'purchase' THEN 1 END)
+       |      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+       |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS j
+       |  FROM e),
+       |o AS MATERIALIZED (SELECT *,
+       |    lag(event_type) OVER w AS prev_type,
+       |    lag(j) OVER w AS prev_j,
+       |    lead(event_id) OVER w IS NULL AS is_last
+       |  FROM o1 WINDOW w AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+       |tr0 AS (SELECT CASE WHEN prev_j = j THEN prev_type ELSE 'start' END AS f,
+       |          CASE WHEN event_type = 'purchase' THEN 'conv' ELSE event_type END AS t
+       |        FROM o
+       |        UNION ALL
+       |        SELECT event_type, 'null' FROM o
+       |        WHERE is_last AND event_type <> 'purchase'),
+       |tcnt AS (SELECT f, t, CAST(count(*) AS BIGINT) AS cnt FROM tr0 GROUP BY 1, 2),
+       |vars AS (SELECT * FROM (VALUES ('base'), ('click'), ('error'), ('signup'), ('view')) AS v(variant)),
+       |trans AS MATERIALIZED (SELECT variant, f,
+       |    CASE WHEN variant <> 'base' AND t = variant THEN 'null' ELSE t END AS t,
+       |    CAST(sum(cnt) AS BIGINT) AS cnt
+       |  FROM tcnt CROSS JOIN vars WHERE variant = 'base' OR f <> variant
+       |  GROUP BY 1, 2, 3),
+       |tot AS MATERIALIZED (SELECT variant, f, CAST(sum(cnt) AS BIGINT) AS tot
+       |  FROM trans GROUP BY 1, 2),
+       |p0 AS (SELECT variant, f AS state, CAST(0 AS BIGINT) AS p FROM tot),
+       |$rounds,
+       |base AS (SELECT p AS p_base FROM p15 WHERE variant = 'base' AND state = 'start'),
+       |cc AS (SELECT CAST(sum(cents) AS BIGINT) AS conv_cents FROM e WHERE event_type = 'purchase'),
+       |rem AS (SELECT v.variant AS channel, COALESCE(pr.p, 0) AS p_rem, b.p_base,
+       |    1000000 - (COALESCE(pr.p, 0) * 1000000 // b.p_base) AS removal_ppm
+       |  FROM vars v
+       |  LEFT JOIN (SELECT variant, p FROM p15 WHERE state = 'start') pr
+       |    ON pr.variant = v.variant
+       |  CROSS JOIN base b
+       |  WHERE v.variant <> 'base'),
+       |ssum AS (SELECT CAST(sum(removal_ppm) AS BIGINT) AS sum_re FROM rem)
+       |SELECT channel,
+       |  CAST(p_base // 1000000 AS BIGINT) AS p_base_ppm,
+       |  CAST(p_rem // 1000000 AS BIGINT) AS p_removed_ppm,
+       |  CAST(removal_ppm AS BIGINT) AS removal_ppm,
+       |  CAST(conv_cents * removal_ppm // sum_re AS BIGINT) AS credited_cents
+       |FROM rem CROSS JOIN ssum CROSS JOIN cc ORDER BY channel""".stripMargin
+  }
+
+  // ------------------------------------------- q298 Shapley attribution
+
+  /** Attribution — EXACT Shapley values over the 4-channel cooperative
+    * game (the third classical model next to q185/q191/q296): each
+    * purchase contributes its trailing-7-day channel SET (a 4-bit mask
+    * from four bool-or range windows, q191's frame), the characteristic
+    * function v(S) = conversions/cents whose mask ⊆ S, and
+    * φ_channel × 24 = Σ_{S∌i} |S|!·(3−|S|)!·[v(S∪i) − v(S)] — exact
+    * integers (4! = 24 clears every denominator), no sampling. 100 TB
+    * shape: one events scan + windows + a ≤15-row mask rollup; the
+    * 16-subset game is constant-size joins. φ24 sums to 24·v(full) —
+    * efficiency axiom as a checkable invariant. */
+  def q298Shapley(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts_us")
+      .rangeBetween(-604800000000L, -1L)
+    val types = Seq("click" -> 1L, "error" -> 2L, "signup" -> 4L, "view" -> 8L)
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val masked = types.foldLeft(ev) { case (df, (tpe, bit)) =>
+      df.withColumn(s"b_$tpe",
+        when(max(when(col("event_type") === tpe, 1)).over(w) === 1, lit(bit))
+          .otherwise(lit(0L)))
+    }
+    val conv = masked.filter(col("event_type") === "purchase")
+      .withColumn("mask", types.map(tb => col(s"b_${tb._1}")).reduce(_ + _))
+      .filter(col("mask") > 0)
+      .groupBy("mask").agg(count(lit(1)).as("n"), sum("cents").as("cents"))
+    val subsets = s.range(16).select(col("id").as("set"))
+    val v = subsets
+      .join(conv, col("mask").bitwiseAND(col("set")) === col("mask"), "left")
+      .groupBy("set").agg(coalesce(sum("n"), lit(0L)).as("vn"),
+        coalesce(sum("cents"), lit(0L)).as("vc"))
+    import s.implicits._
+    val chans = types.toDF("channel", "bit")
+    val v2 = v.select(col("set").as("set2"), col("vn").as("vn2"),
+      col("vc").as("vc2"))
+    chans.join(v, col("set").bitwiseAND(col("bit")) === 0)
+      .withColumn("pc", expr(
+        "CAST((set % 2) + ((set div 2) % 2) + ((set div 4) % 2) + ((set div 8) % 2) AS BIGINT)"))
+      .withColumn("w", when(col("pc") === 0 || col("pc") === 3, lit(6L))
+        .otherwise(lit(2L)))
+      .withColumn("set2", col("set") + col("bit"))
+      .join(v2, "set2")
+      .groupBy("channel")
+      .agg(sum(col("w") * (col("vn2") - col("vn"))).as("phi24_n"),
+        sum(col("w") * (col("vc2") - col("vc"))).as("phi24_cents"))
+      .orderBy("channel")
+  }
+
+  val q298Sql: String =
+    """WITH e AS (SELECT user_id, event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |m AS (SELECT *,
+      |    (CASE WHEN max(CASE WHEN event_type = 'click' THEN 1 END) OVER tw = 1 THEN 1 ELSE 0 END)
+      |    + (CASE WHEN max(CASE WHEN event_type = 'error' THEN 1 END) OVER tw = 1 THEN 2 ELSE 0 END)
+      |    + (CASE WHEN max(CASE WHEN event_type = 'signup' THEN 1 END) OVER tw = 1 THEN 4 ELSE 0 END)
+      |    + (CASE WHEN max(CASE WHEN event_type = 'view' THEN 1 END) OVER tw = 1 THEN 8 ELSE 0 END) AS mask
+      |  FROM e WINDOW tw AS (PARTITION BY user_id ORDER BY ts_us
+      |    RANGE BETWEEN 604800000000 PRECEDING AND 1 PRECEDING)),
+      |conv AS (SELECT mask, CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS cents
+      |  FROM m WHERE event_type = 'purchase' AND mask > 0 GROUP BY 1),
+      |subsets AS (SELECT CAST(range AS BIGINT) AS s FROM range(0, 16)),
+      |v AS (SELECT s,
+      |    CAST(COALESCE(sum(n), 0) AS BIGINT) AS vn,
+      |    CAST(COALESCE(sum(cents), 0) AS BIGINT) AS vc
+      |  FROM subsets LEFT JOIN conv ON (mask & s) = mask GROUP BY 1),
+      |ch AS (SELECT * FROM (VALUES ('click', CAST(1 AS BIGINT)), ('error', 2),
+      |    ('signup', 4), ('view', 8)) AS t(channel, bit)),
+      |pairs AS (SELECT ch.channel, v.vn, v.vc, v2.vn AS vn2, v2.vc AS vc2,
+      |    CASE WHEN ((v.s % 2) + ((v.s // 2) % 2) + ((v.s // 4) % 2) + ((v.s // 8) % 2)) IN (0, 3)
+      |         THEN 6 ELSE 2 END AS w
+      |  FROM ch JOIN v ON (v.s & ch.bit) = 0
+      |  JOIN v v2 ON v2.s = v.s + ch.bit)
+      |SELECT channel, CAST(sum(w * (vn2 - vn)) AS BIGINT) AS phi24_n,
+      |  CAST(sum(w * (vc2 - vc)) AS BIGINT) AS phi24_cents
+      |FROM pairs GROUP BY 1 ORDER BY channel""".stripMargin
+
+  // ------------------------------------------ q300 AMOC change-point
+
+  /** Monitoring — retrospective single change-point (At-Most-One-Change)
+    * over daily order revenue via the exact CUSUM-contrast estimator:
+    * k* = argmax_{k<n} |n·S_k − k·S_n| with S_k the prefix cent sum in
+    * day order. The offline twin of q230's sequential alarm — q230 asks
+    * "alarm now?", this asks "where did the level shift?". Shape: the
+    * daily rollup is the only data-scale shuffle; the statistic is one
+    * prefix-sum window over the ≤2.5k-day series plus a max(struct)
+    * argmax (ties → earliest k via the negated-k struct field). All
+    * BIGINT exact: n·S_k ≤ 2.5e3 · 3e12 ≈ 8e15 at sf0.1. */
+  def q300ChangePoint(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val daily = t(s, dir, "orders")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+    val tot = broadcast(daily.agg(count(lit(1)).as("n"), sum("cents").as("sn")))
+    daily
+      .withColumn("k", row_number().over(Window.orderBy("day")).cast("long"))
+      .withColumn("sk", sum("cents").over(Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .crossJoin(tot)
+      .filter(col("k") < col("n"))
+      .withColumn("d", abs(col("n") * col("sk") - col("k") * col("sn")))
+      .agg(max(struct(col("d"), (-col("k")).as("negk"), col("day"),
+        col("sk"), col("n"), col("sn"))).as("b"))
+      .select(col("b.n").as("n_days"), col("b.day").as("split_day"),
+        (-col("b.negk")).as("k_star"), col("b.d").as("d_star"),
+        expr("b.sk div (-b.negk)").as("mean_before"),
+        expr("(b.sn - b.sk) div (b.n + b.negk)").as("mean_after"))
+      .withColumn("shift_cents", col("mean_after") - col("mean_before"))
+  }
+
+  val q300Sql: String =
+    """WITH daily AS (
+      |  SELECT CAST(epoch_us(o_orderdate) AS BIGINT) // 86400000000 AS day,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |tot AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS sn FROM daily),
+      |pre AS (SELECT day, CAST(row_number() OVER (ORDER BY day) AS BIGINT) AS k,
+      |    CAST(sum(cents) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sk
+      |  FROM daily),
+      |sc AS (SELECT day, k, sk, n, sn, abs(n * sk - k * sn) AS d
+      |  FROM pre CROSS JOIN tot WHERE k < n),
+      |best AS (SELECT * FROM sc ORDER BY d DESC, k ASC LIMIT 1)
+      |SELECT n AS n_days, day AS split_day, k AS k_star, d AS d_star,
+      |  CAST(sk // k AS BIGINT) AS mean_before,
+      |  CAST((sn - sk) // (n - k) AS BIGINT) AS mean_after,
+      |  CAST((sn - sk) // (n - k) - sk // k AS BIGINT) AS shift_cents
+      |FROM best""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q297_markov_attribution" -> (q297MarkovAttribution _),
+    "q298_shapley" -> (q298Shapley _),
+    "q300_change_point" -> (q300ChangePoint _),
     "q251_spearman" -> (q251Spearman _),
     "q256_holt_winters" -> (q256HoltWinters _),
     "q262_isotonic_calibration" -> (q262IsotonicCalibration _),
@@ -2885,6 +3177,9 @@ object Analytics {
     "q292_ols_trend" -> (q292OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
+    "q297_markov_attribution" -> q297Sql,
+    "q298_shapley" -> q298Sql,
+    "q300_change_point" -> q300Sql,
     "q251_spearman" -> q251Sql,
     "q256_holt_winters" -> q256Sql,
     "q262_isotonic_calibration" -> q262Sql,

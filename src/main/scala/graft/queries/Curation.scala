@@ -2228,6 +2228,134 @@ object Curation {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  // ------------------------------- q301 maximal independent set (Luby)
+
+  /** Graph — bounded-round MAXIMAL INDEPENDENT SET
+    * ([[Graph.maximalIndependentSet]], Luby derandomized via the portable
+    * 48-bit md5-prefix node priority, 3 rounds + the isolated sweep) over
+    * the co-purchase graph: the distributed symmetry-breaking primitive
+    * behind coloring and conflict-free scheduling, and the dual of q296's
+    * matching (q296 pairs nodes, this picks a pairwise-NON-adjacent set).
+    * The oracle replays the same hash, the same strict-minimum rule, and
+    * the same three rounds; hash ties defer identically in both engines,
+    * so the gate is exact. */
+  def q301MaximalIndependentSet(s: SparkSession, dir: String): DataFrame =
+    Graph.maximalIndependentSet(coPurchaseEdges(s, dir), rounds = 3)
+      .orderBy("id")
+
+  val q301Sql: String = {
+    def h(x: String): String =
+      s"CAST(('0x' || substring(md5(CAST($x AS VARCHAR)), 1, 12)) AS BIGINT)"
+    def round(prev: String, r: Int): String =
+      s"""w$r AS MATERIALIZED (SELECT node FROM (
+         |        SELECT id_a AS node, ${h("id_b")} AS nh FROM e$prev
+         |        UNION ALL SELECT id_b, ${h("id_a")} FROM e$prev)
+         |      GROUP BY node HAVING ${h("node")} < min(nh)),
+         |k$r AS MATERIALIZED (SELECT node FROM w$r
+         |      UNION
+         |      SELECT d.nbr FROM (
+         |        SELECT id_a AS node, id_b AS nbr FROM e$prev
+         |        UNION ALL SELECT id_b, id_a FROM e$prev) d
+         |      JOIN w$r w ON w.node = d.node),
+         |e$r AS MATERIALIZED (SELECT e.id_a, e.id_b FROM e$prev e
+         |      WHERE NOT EXISTS (SELECT 1 FROM k$r x WHERE x.node = e.id_a)
+         |        AND NOT EXISTS (SELECT 1 FROM k$r x WHERE x.node = e.id_b))""".stripMargin
+    s"""WITH oi AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS item FROM lineitem),
+       |e0 AS MATERIALIZED (SELECT a.item AS id_a, b.item AS id_b
+       |       FROM oi a JOIN oi b ON a.ok = b.ok AND a.item < b.item
+       |       GROUP BY 1, 2 HAVING count(*) >= 2),
+       |n0 AS MATERIALIZED (SELECT id_a AS id FROM e0 UNION SELECT id_b FROM e0),
+       |${round("0", 1)},
+       |${round("1", 2)},
+       |${round("2", 3)},
+       |killed AS (SELECT node FROM k1 UNION SELECT node FROM k2 UNION SELECT node FROM k3),
+       |undecided AS (SELECT id_a AS id FROM e3 UNION SELECT id_b FROM e3),
+       |isolated AS (SELECT id FROM n0
+       |  WHERE NOT EXISTS (SELECT 1 FROM killed k WHERE k.node = n0.id)
+       |    AND NOT EXISTS (SELECT 1 FROM undecided u WHERE u.id = n0.id))
+       |SELECT id, round FROM (
+       |  SELECT node AS id, CAST(1 AS BIGINT) AS round FROM w1
+       |  UNION ALL SELECT node, 2 FROM w2
+       |  UNION ALL SELECT node, 3 FROM w3
+       |  UNION ALL SELECT id, 4 FROM isolated)
+       |ORDER BY id""".stripMargin
+  }
+
+  // ------------------------------- q303 greedy max-coverage selection
+
+  /** Curation — GREEDY MAX-COVERAGE document selection (the submodular
+    * facility-location shape behind coverage-driven data selection): five
+    * declared rounds, each picking the document adding the most
+    * not-yet-covered token BIGRAMS (ties → smallest doc_id), its bigrams
+    * joining the covered set; rounds stop early once every bigram is
+    * covered (the synthetic corpus's 31-word unigram lexicon saturates in
+    * ONE pick — bigrams give a 916-element universe with real greedy
+    * structure). The lazy-greedy 1−1/e guarantee is the textbook story;
+    * the engine story is the SHAPE — per round one anti-join + one count
+    * aggregate at corpus scale and a 1-row argmax, the covered set only
+    * grows, and round count is declared semantics (q221's posture).
+    * Complements q145's MMR (redundancy-penalized relevance) with pure
+    * coverage. Oracle unrolls the same five rounds. */
+  def q303GreedyCoverage(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs(s, dir)
+      .select(col("doc_id").as("id"),
+        graft.llmops.TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1, 0) would step BACKWARD
+      .select(col("id"), explode(array_distinct(expr(
+        "transform(sequence(1, size(ws) - 1), i -> concat(ws[i-1], ' ', ws[i]))")))
+        .as("w"))
+      .localCheckpoint() // feeds five gain rounds + five coverage unions
+    var covered = d.select(col("w")).limit(0)
+    var out = s.range(0).select(col("id").as("round"), col("id"),
+      col("id").as("gain"))
+    for (r <- 1 to 5) {
+      val gains = d.join(covered, Seq("w"), "left_anti")
+        .groupBy("id").agg(count(lit(1)).as("gain"))
+      val win = gains
+        .agg(max(struct(col("gain"), (-col("id")).as("negid"))).as("b"))
+        .select(lit(r.toLong).as("round"), (-col("b.negid")).as("id"),
+          col("b.gain").as("gain"))
+        .filter(col("id").isNotNull) // universe exhausted => no pick
+        .localCheckpoint() // <=1 row: feeds output + the coverage union
+      out = out.unionByName(win)
+      covered = covered
+        .unionByName(d.join(win.select("id"), Seq("id")).select("w"))
+        .distinct().localCheckpoint()
+    }
+    out.withColumn("covered_total", sum("gain").over(Window.orderBy("round")
+        .rowsBetween(Window.unboundedPreceding, 0)))
+      .orderBy("round")
+  }
+
+  val q303Sql: String = {
+    def round(prev: Int, r: Int): String =
+      s"""g$r AS (SELECT id, CAST(count(*) AS BIGINT) AS gain FROM dt
+         |  WHERE NOT EXISTS (SELECT 1 FROM c$prev c WHERE c.w = dt.w)
+         |  GROUP BY 1),
+         |w$r AS MATERIALIZED (SELECT id, gain FROM g$r ORDER BY gain DESC, id LIMIT 1),
+         |c$r AS MATERIALIZED (SELECT w FROM c$prev
+         |  UNION SELECT dt.w FROM dt JOIN w$r ON dt.id = w$r.id)""".stripMargin
+    val rounds = (1 to 5).map(i => round(i - 1, i)).mkString(",\n")
+    s"""WITH dt AS MATERIALIZED (SELECT DISTINCT id,
+       |      list_extract(ws, CAST(u.i AS INT)) || ' ' ||
+       |        list_extract(ws, CAST(u.i AS INT) + 1) AS w
+       |    FROM (SELECT doc_id AS id,
+       |            regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+       |          FROM documents) t,
+       |    LATERAL unnest(range(1, len(ws))) u(i)),
+       |c0 AS (SELECT w FROM dt WHERE false),
+       |$rounds
+       |SELECT round, id, gain,
+       |  CAST(sum(gain) OVER (ORDER BY round) AS BIGINT) AS covered_total
+       |FROM (SELECT CAST(1 AS BIGINT) AS round, id, gain FROM w1
+       |      UNION ALL SELECT 2, id, gain FROM w2
+       |      UNION ALL SELECT 3, id, gain FROM w3
+       |      UNION ALL SELECT 4, id, gain FROM w4
+       |      UNION ALL SELECT 5, id, gain FROM w5)
+       |ORDER BY round""".stripMargin
+  }
+
   // --------------------------------------- q270 personalized pagerank
 
   /** Graph analytics — personalized PageRank
@@ -2409,7 +2537,83 @@ object Curation {
        |ORDER BY id""".stripMargin
   }
 
+  // ---------------------------------- q299 Fellegi–Sunter record linkage
+
+  /** Entity resolution — FELLEGI–SUNTER probabilistic linkage scoring
+    * (JASA 1969), the SCORING tier on top of the blocking families the
+    * surface already has (LSH q20, PPJoin q19, sorted-neighborhood q288):
+    * candidate part pairs from a (brand, name-noun) block equi-join, four
+    * field comparisons (adjective token, type, size ±2, price ±5.00),
+    * each contributing its declared agreement/disagreement log-odds
+    * weight in EXACT milli-units (in production the m/u probabilities
+    * come from EM; declared constants keep the gate exact), summed and
+    * thresholded into match / possible / non-match. 100 TB shape: the
+    * pair generator is a pure blocked self-equi-join — comparisons never
+    * leave the block — and the readout is one class rollup. */
+  def q299FellegiSunter(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey").as("key"),
+      split(col("p_name"), " ").getItem(0).as("adj"),
+      split(col("p_name"), " ").getItem(1).as("noun"),
+      col("p_brand").as("brand"), col("p_type").as("typ"),
+      col("p_size").cast("long").as("size"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val a = p.as("a"); val b = p.as("b")
+    val pairs = a.join(b,
+      col("a.brand") === col("b.brand") && col("a.noun") === col("b.noun") &&
+        col("a.key") < col("b.key"))
+    val score =
+      when(col("a.adj") === col("b.adj"), 2565L).otherwise(-511L) +
+        when(col("a.typ") === col("b.typ"), 1609L).otherwise(-916L) +
+        when(abs(col("a.size") - col("b.size")) <= 2, 1386L).otherwise(-693L) +
+        when(abs(col("a.cents") - col("b.cents")) <= 500L, 1099L).otherwise(-1204L)
+    pairs
+      .select(score.as("score_milli"),
+        when(col("a.adj") === col("b.adj"), 1L).otherwise(0L).as("adj_a"),
+        when(col("a.typ") === col("b.typ"), 1L).otherwise(0L).as("typ_a"),
+        when(abs(col("a.size") - col("b.size")) <= 2, 1L).otherwise(0L).as("size_a"),
+        when(abs(col("a.cents") - col("b.cents")) <= 500L, 1L).otherwise(0L).as("price_a"))
+      .withColumn("class",
+        when(col("score_milli") >= 3500L, "match")
+          .when(col("score_milli") >= 0L, "possible")
+          .otherwise("nonmatch"))
+      .groupBy("class")
+      .agg(count(lit(1)).as("n_pairs"), sum("score_milli").as("sum_score_milli"),
+        sum("adj_a").as("n_adj_agree"), sum("typ_a").as("n_type_agree"),
+        sum("size_a").as("n_size_agree"), sum("price_a").as("n_price_agree"))
+      .orderBy("class")
+  }
+
+  val q299Sql: String =
+    """WITH p AS (SELECT p_partkey AS key,
+      |    split_part(p_name, ' ', 1) AS adj, split_part(p_name, ' ', 2) AS noun,
+      |    p_brand AS brand, p_type AS typ, CAST(p_size AS BIGINT) AS size,
+      |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |pr AS (SELECT
+      |    (CASE WHEN a.adj = b.adj THEN 2565 ELSE -511 END)
+      |    + (CASE WHEN a.typ = b.typ THEN 1609 ELSE -916 END)
+      |    + (CASE WHEN abs(a.size - b.size) <= 2 THEN 1386 ELSE -693 END)
+      |    + (CASE WHEN abs(a.cents - b.cents) <= 500 THEN 1099 ELSE -1204 END) AS score_milli,
+      |    CASE WHEN a.adj = b.adj THEN 1 ELSE 0 END AS adj_a,
+      |    CASE WHEN a.typ = b.typ THEN 1 ELSE 0 END AS typ_a,
+      |    CASE WHEN abs(a.size - b.size) <= 2 THEN 1 ELSE 0 END AS size_a,
+      |    CASE WHEN abs(a.cents - b.cents) <= 500 THEN 1 ELSE 0 END AS price_a
+      |  FROM p a JOIN p b ON a.brand = b.brand AND a.noun = b.noun AND a.key < b.key)
+      |SELECT CASE WHEN score_milli >= 3500 THEN 'match'
+      |            WHEN score_milli >= 0 THEN 'possible'
+      |            ELSE 'nonmatch' END AS class,
+      |  CAST(count(*) AS BIGINT) AS n_pairs,
+      |  CAST(sum(score_milli) AS BIGINT) AS sum_score_milli,
+      |  CAST(sum(adj_a) AS BIGINT) AS n_adj_agree,
+      |  CAST(sum(typ_a) AS BIGINT) AS n_type_agree,
+      |  CAST(sum(size_a) AS BIGINT) AS n_size_agree,
+      |  CAST(sum(price_a) AS BIGINT) AS n_price_agree
+      |FROM pr GROUP BY 1 ORDER BY class""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q299_fellegi_sunter" -> (q299FellegiSunter _),
+    "q301_mis" -> (q301MaximalIndependentSet _),
+    "q303_greedy_coverage" -> (q303GreedyCoverage _),
     "q283_influential_communities" -> (q283InfluentialCommunities _),
     "q281_stream_outer_join" -> (q281StreamOuterJoin _),
     "q279_pagerank_dangling" -> (q279PagerankDangling _),
@@ -2460,6 +2664,9 @@ object Curation {
     "q82_tx_changes" -> (q82TxChanges _))
 
   val oracleSql: Map[String, String] = Map(
+    "q299_fellegi_sunter" -> q299Sql,
+    "q301_mis" -> q301Sql,
+    "q303_greedy_coverage" -> q303Sql,
     "q283_influential_communities" -> q283Sql,
     "q281_stream_outer_join" -> q281Sql,
     "q279_pagerank_dangling" -> q279Sql,

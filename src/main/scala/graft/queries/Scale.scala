@@ -2862,7 +2862,88 @@ object Scale {
 
   // -------------------------------------------------------------- registry
 
+  // ----------------------------------------- q302 KMV set-op estimates
+
+  /** Sketch — KMV SET-OPERATION estimates between two customer
+    * populations (custkeys ordering in 1995 vs 1996): the k-minimum-values
+    * union sample (k = 256, q242's portable md5-prefix hash) estimates
+    * |A∪B| from its kth hash, and the fraction of the union sample present
+    * in BOTH sets estimates Jaccard and |A∩B| (Beyer et al. 2007 — the
+    * mergeable-sketch answer to "how much do two cohorts overlap" that
+    * never shuffles the cohorts themselves). Exact counterparts ride one
+    * conditional rollup; both estimate and truth are gated, so the
+    * estimator's bias is itself pinned. At 100 TB each side's sketch is a
+    * fixed k-row frame — set algebra on sketches, not on data. */
+  def q302KmvSetOps(s: SparkSession, dir: String): DataFrame = {
+    def h(c: org.apache.spark.sql.Column) =
+      conv(substring(md5(c.cast("string")), 1, 12), 16, 10).cast("long") + 1L
+    val k = 256
+    val orders = t(s, dir, "orders")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+    val a = orders.filter(col("y") === 1995)
+      .select(h(col("o_custkey")).as("h")).distinct()
+    val b = orders.filter(col("y") === 1996)
+      .select(h(col("o_custkey")).as("h")).distinct()
+    val sample = a.unionByName(b).distinct().orderBy("h").limit(k)
+    val agg = sample
+      .join(a.withColumn("in_a", lit(1L)), Seq("h"), "left")
+      .join(b.withColumn("in_b", lit(1L)), Seq("h"), "left")
+      .agg(count(lit(1)).as("n_seen"), max("h").as("kth_hash"),
+        sum(when(col("in_a") === 1L && col("in_b") === 1L, 1L).otherwise(0L))
+          .as("n_both"))
+    val exact = orders.groupBy("o_custkey")
+      .agg(max(when(col("y") === 1995, 1L).otherwise(0L)).as("y95"),
+        max(when(col("y") === 1996, 1L).otherwise(0L)).as("y96"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(when(col("y95") === 1L && col("y96") === 1L, 1L).otherwise(0L))
+          .as("exact_intersection"))
+    agg.crossJoin(broadcast(exact))
+      .withColumn("est_union",
+        when(col("n_seen") < k, col("n_seen"))
+          .otherwise(expr(s"((${k.toLong} - 1) * 281474976710656L) div kth_hash")))
+      .select(col("n_seen"), col("n_both"),
+        col("est_union"),
+        expr("est_union * n_both div n_seen").as("est_intersection"),
+        expr("n_both * 1000000 div n_seen").as("est_jaccard_ppm"),
+        col("exact_union"), col("exact_intersection"),
+        expr("exact_intersection * 1000000 div exact_union")
+          .as("exact_jaccard_ppm"))
+  }
+
+  val q302Sql: String =
+    """WITH ca AS (SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS h
+      |  FROM orders WHERE year(o_orderdate) = 1995),
+      |cb AS (SELECT DISTINCT
+      |    CAST(('0x' || substring(md5(CAST(o_custkey AS VARCHAR)), 1, 12)) AS BIGINT) + 1 AS h
+      |  FROM orders WHERE year(o_orderdate) = 1996),
+      |u AS (SELECT h FROM ca UNION SELECT h FROM cb),
+      |ks AS (SELECT h FROM u ORDER BY h LIMIT 256),
+      |agg AS (SELECT CAST(count(*) AS BIGINT) AS n_seen,
+      |    CAST(max(ks.h) AS BIGINT) AS kth_hash,
+      |    CAST(sum(CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+      |  FROM ks LEFT JOIN ca a ON a.h = ks.h LEFT JOIN cb b ON b.h = ks.h),
+      |ex AS (SELECT CAST(count(*) AS BIGINT) AS exact_union,
+      |    CAST(sum(CASE WHEN y95 = 1 AND y96 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS exact_intersection
+      |  FROM (SELECT o_custkey,
+      |          max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS y95,
+      |          max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS y96
+      |        FROM orders WHERE year(o_orderdate) IN (1995, 1996) GROUP BY 1)),
+      |est AS (SELECT n_seen, n_both,
+      |    CASE WHEN n_seen < 256 THEN n_seen
+      |         ELSE (255 * 281474976710656) // kth_hash END AS est_union,
+      |    exact_union, exact_intersection
+      |  FROM agg CROSS JOIN ex)
+      |SELECT n_seen, n_both, est_union,
+      |  CAST(est_union * n_both // n_seen AS BIGINT) AS est_intersection,
+      |  CAST(n_both * 1000000 // n_seen AS BIGINT) AS est_jaccard_ppm,
+      |  exact_union, exact_intersection,
+      |  CAST(exact_intersection * 1000000 // exact_union AS BIGINT) AS exact_jaccard_ppm
+      |FROM est""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q302_kmv_setops" -> (q302KmvSetOps _),
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
@@ -2929,6 +3010,7 @@ object Scale {
     "q101_class_centroids" -> (q101ClassCentroids _))
 
   val oracleSql: Map[String, String] = Map(
+    "q302_kmv_setops" -> q302Sql,
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,

@@ -961,4 +961,155 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(row.getAs[Long]("n_pairs") == slopes.length.toLong)
     assert(row.getAs[Long]("median_slope_ppm") == want)
   }
+
+  /** Collected (user, id, type, ts_us, cents) event rows in stream order. */
+  private def eventRows(): Array[(Long, Long, String, Long, Long)] =
+    graft.sources.Tables.load(spark, sf001, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+      .sortBy(t => (t._1, t._4, t._2))
+
+  test("q300 change-point: the argmax, means, and tie-break equal the BigInt hand-walk") {
+    val daily = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000").as("day"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .groupBy("day").agg(sum("cents").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val n = daily.length.toLong
+    val sn = daily.map(_._2).sum
+    var sk = 0L
+    var best: (BigInt, Long, Long, Long) = (BigInt(-1), 0L, 0L, 0L) // (d, -k, day, sk)
+    daily.zipWithIndex.foreach { case ((day, cents), i) =>
+      sk += cents
+      val k = i + 1L
+      if (k < n) {
+        val d = (BigInt(n) * sk - BigInt(k) * sn).abs
+        if (d > best._1 || (d == best._1 && -k > best._2)) best = (d, -k, day, sk)
+      }
+    }
+    val row = graft.queries.Analytics.q300ChangePoint(spark, sf001).collect().head
+    assert(row.getAs[Long]("n_days") == n)
+    assert(row.getAs[Long]("k_star") == -best._2)
+    assert(row.getAs[Long]("split_day") == best._3)
+    assert(BigInt(row.getAs[Long]("d_star")) == best._1)
+    val k = -best._2; val skB = best._4
+    assert(row.getAs[Long]("mean_before") == skB / k)
+    assert(row.getAs[Long]("mean_after") == (sn - skB) / (n - k))
+    assert(row.getAs[Long]("shift_cents") ==
+      (sn - skB) / (n - k) - skB / k)
+  }
+
+  private val shapleyChannels = Seq("click" -> 1L, "error" -> 2L, "signup" -> 4L,
+    "view" -> 8L)
+
+  /** Per-purchase trailing-7d channel mask, replayed independently. */
+  private def purchaseMasks(): Seq[(Long, Long)] = { // (mask, cents)
+    val evs = eventRows()
+    val byUser = evs.groupBy(_._1)
+    evs.filter(_._3 == "purchase").toSeq.map { case (u, _, _, ts, cents) =>
+      val window = byUser(u).filter(e => e._4 >= ts - 604800000000L && e._4 < ts)
+      val mask = shapleyChannels.collect {
+        case (tpe, bit) if window.exists(_._3 == tpe) => bit
+      }.sum
+      (mask, cents)
+    }
+  }
+
+  test("q298 Shapley: equals the 24-permutation brute force; efficiency axiom holds") {
+    val conv = purchaseMasks().filter(_._1 > 0)
+      .groupBy(_._1).map { case (m, g) =>
+        m -> (g.size.toLong, g.map(_._2).sum)
+      }
+    def v(set: Long): (Long, Long) = conv
+      .filter { case (m, _) => (m & set) == m }.values
+      .foldLeft((0L, 0L)) { case ((a, b), (c, d)) => (a + c, b + d) }
+    val perms = shapleyChannels.map(_._2).permutations.toSeq // 24 orderings
+    val phi = shapleyChannels.map { case (name, bit) =>
+      var pn = 0L; var pc = 0L
+      perms.foreach { perm =>
+        val before = perm.takeWhile(_ != bit).sum
+        val (n1, c1) = v(before + bit); val (n0, c0) = v(before)
+        pn += n1 - n0; pc += c1 - c0
+      }
+      name -> ((pn, pc))
+    }.toMap
+    val got = graft.queries.Analytics.q298Shapley(spark, sf001).collect()
+      .map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("phi24_n"), r.getAs[Long]("phi24_cents")))).toMap
+    assert(got == phi)
+    val (vn, vc) = v(15L)
+    assert(got.values.map(_._1).sum == 24L * vn, "efficiency axiom (counts)")
+    assert(got.values.map(_._2).sum == 24L * vc, "efficiency axiom (cents)")
+  }
+
+  test("q297 Markov attribution: equals the hand-replayed chain solve; removal never helps") {
+    val evs = eventRows()
+    // transitions, replayed independently of the query's window machinery
+    val trans0 = scala.collection.mutable.Map.empty[(String, String), Long]
+    def bump(f: String, t: String): Unit =
+      trans0((f, t)) = trans0.getOrElse((f, t), 0L) + 1L
+    evs.groupBy(_._1).values.foreach { g =>
+      val sorted = g.sortBy(e => (e._4, e._2))
+      var j = 0L
+      var prev: Option[(String, Long)] = None
+      sorted.zipWithIndex.foreach { case ((_, _, tpe, _, _), i) =>
+        val from = prev match {
+          case Some((pt, pj)) if pj == j => pt
+          case _ => "start"
+        }
+        if (tpe == "purchase") bump(from, "conv") else bump(from, tpe)
+        if (i == sorted.length - 1 && tpe != "purchase") bump(tpe, "null")
+        prev = Some((tpe, j))
+        if (tpe == "purchase") j += 1
+      }
+    }
+    val SCALE = BigInt(1000000000000L)
+    def solve(removed: Option[String]): Map[String, BigInt] = {
+      val tr = trans0.toSeq
+        .filter { case ((f, _), _) => !removed.contains(f) }
+        .map { case ((f, t), c) =>
+          (f, if (removed.contains(t)) "null" else t, c) }
+        .groupBy(x => (x._1, x._2))
+        .map { case ((f, t), g) => (f, t, g.map(_._3).sum) }.toSeq
+      val tot = tr.groupBy(_._1).map { case (f, g) => f -> g.map(_._3).sum }
+      var p = tot.keys.map(_ -> BigInt(0)).toMap
+      for (_ <- 1 to 15) {
+        p = tot.map { case (f, den) =>
+          val num = tr.filter(_._1 == f).map { case (_, t, c) =>
+            BigInt(c) * (t match {
+              case "conv" => SCALE
+              case "null" => BigInt(0)
+              case s => p.getOrElse(s, BigInt(0))
+            })
+          }.sum
+          f -> num / BigInt(den)
+        }
+      }
+      p
+    }
+    val pBase = solve(None)("start")
+    val convCents = evs.filter(_._3 == "purchase").map(_._5).sum
+    val chans = Seq("click", "error", "signup", "view")
+    val rem = chans.map { c =>
+      val pRem = solve(Some(c)).getOrElse("start", BigInt(0))
+      assert(pRem <= pBase, s"removing $c must not raise conversion")
+      c -> (pRem, BigInt(1000000) - pRem * 1000000 / pBase)
+    }
+    val sumRe = rem.map(_._2._2).sum
+    val got = graft.queries.Analytics.q297MarkovAttribution(spark, sf001)
+      .collect().map(r => r.getAs[String]("channel") ->
+        ((r.getAs[Long]("p_base_ppm"), r.getAs[Long]("p_removed_ppm"),
+          r.getAs[Long]("removal_ppm"), r.getAs[Long]("credited_cents")))).toMap
+    rem.foreach { case (c, (pRem, re)) =>
+      val (gBase, gRem, gRe, gCred) = got(c)
+      assert(BigInt(gBase) == pBase / 1000000)
+      assert(BigInt(gRem) == pRem / 1000000)
+      assert(BigInt(gRe) == re)
+      assert(BigInt(gCred) == BigInt(convCents) * re / sumRe)
+    }
+  }
 }

@@ -734,4 +734,121 @@ class CurationOpsSpec extends AnyFunSuite with SparkSpec {
       .map(r => (r.getAs[String]("word"), r.getAs[Long]("rank_q")))
     assert(got.sameElements(want))
   }
+
+  test("q299 Fellegi–Sunter: class rollup equals the brute-forced blocked pairs") {
+    val sf = "/root/testdata/sf0.001"
+    val parts = spark.read.parquet(s"$sf/part.parquet")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"),
+        col("p_size").cast("long"),
+        expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getString(1).split(" ")(0),
+        r.getString(1).split(" ")(1), r.getString(2), r.getString(3),
+        r.getLong(4), r.getLong(5)))
+    val want = scala.collection.mutable.Map
+      .empty[String, (Long, Long, Long, Long, Long, Long)]
+    parts.groupBy(p => (p._4, p._3)).values.foreach { block =>
+      for {
+        a <- block; b <- block; if a._1 < b._1
+      } {
+        val adjA = if (a._2 == b._2) 1L else 0L
+        val typA = if (a._5 == b._5) 1L else 0L
+        val sizA = if (math.abs(a._6 - b._6) <= 2) 1L else 0L
+        val priA = if (math.abs(a._7 - b._7) <= 500) 1L else 0L
+        val score = (if (adjA == 1) 2565L else -511L) +
+          (if (typA == 1) 1609L else -916L) +
+          (if (sizA == 1) 1386L else -693L) +
+          (if (priA == 1) 1099L else -1204L)
+        val cls = if (score >= 3500) "match"
+          else if (score >= 0) "possible" else "nonmatch"
+        val (n, s, f1, f2, f3, f4) =
+          want.getOrElse(cls, (0L, 0L, 0L, 0L, 0L, 0L))
+        want(cls) = (n + 1, s + score, f1 + adjA, f2 + typA, f3 + sizA, f4 + priA)
+      }
+    }
+    val got = graft.queries.Curation.q299FellegiSunter(spark, sf).collect()
+      .map(r => r.getAs[String]("class") ->
+        ((r.getAs[Long]("n_pairs"), r.getAs[Long]("sum_score_milli"),
+          r.getAs[Long]("n_adj_agree"), r.getAs[Long]("n_type_agree"),
+          r.getAs[Long]("n_size_agree"), r.getAs[Long]("n_price_agree")))).toMap
+    assert(got == want.toMap)
+    assert(got.nonEmpty && got.values.map(_._1).sum > 0, "blocks produce pairs")
+  }
+
+  test("q301 MIS: equals the hand-replayed Luby rounds; set is independent in the full graph") {
+    val sf = "/root/testdata/sf0.001"
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    def h(x: Long): Long = java.lang.Long.parseLong(md5Hex(x.toString).take(12), 16)
+    val oi = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // NB: keep the pair tokens a strict List before grouping — grouping the
+    // lazy Map.values view undercounts duplicates (188 vs 2324 pairs here)
+    val pairTokens = oi.groupBy(_._1).values.toList.flatMap { g =>
+      val items = g.map(_._2).sorted
+      for (i <- items.indices; j <- i + 1 until items.length)
+        yield (items(i), items(j))
+    }
+    // keySet, NOT .collect{...=> e}: collecting key tuples from a Map
+    // rebuilds a Map keyed on id_a and silently collapses the pairs
+    val edges0 = pairTokens.groupBy(identity)
+      .filter(_._2.size >= 2).keySet
+    val nodes0 = edges0.flatMap(e => Seq(e._1, e._2))
+    var live = edges0
+    var mis = Map.empty[Long, Long]
+    var killed = Set.empty[Long]
+    for (r <- 1L to 3L) {
+      val nbrs = live.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .groupBy(_._1).view.mapValues(_.map(t => h(t._2)).min).toMap
+      val winners = nbrs.collect { case (v, mn) if h(v) < mn => v }.toSet
+      mis ++= winners.map(_ -> r)
+      val dominated = live.toSeq.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+        .collect { case (v, u) if winners(v) => u }.toSet
+      val killedNow = winners ++ dominated
+      killed ++= killedNow
+      live = live.filterNot(e => killedNow(e._1) || killedNow(e._2))
+    }
+    val undecided = live.flatMap(e => Seq(e._1, e._2))
+    val isolated = nodes0 -- killed -- undecided
+    mis ++= isolated.map(_ -> 4L)
+    val got = graft.queries.Curation.q301MaximalIndependentSet(spark, sf)
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("round")).toMap
+    assert(got == mis)
+    assert(got.nonEmpty)
+    // independence in the ORIGINAL graph: no edge joins two chosen nodes
+    assert(!edges0.exists(e => got.contains(e._1) && got.contains(e._2)),
+      "MIS must be pairwise non-adjacent")
+  }
+
+  test("q303 greedy coverage: picks, gains, and running total equal the hand-replayed greedy") {
+    val sf = "/root/testdata/sf0.001"
+    val tokRe = "[a-z0-9]+".r
+    val docTokens = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = tokRe.findAllIn(r.getString(1).toLowerCase).toList
+        r.getLong(0) -> ws.sliding(2).filter(_.size == 2)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty).toMap
+    var covered = Set.empty[String]
+    val want = (1 to 5).iterator.map { r =>
+      val (id, gain) = docTokens.view
+        .map { case (id, ws) => id -> (ws -- covered).size }
+        .minBy { case (id, g) => (-g, id) }
+      covered ++= docTokens(id)
+      (r.toLong, id, gain.toLong)
+    }.takeWhile(_._3 > 0).toVector
+    val got = graft.queries.Curation.q303GreedyCoverage(spark, sf).collect()
+      .map(r => (r.getAs[Long]("round"), r.getAs[Long]("id"),
+        r.getAs[Long]("gain"), r.getAs[Long]("covered_total")))
+    assert(got.map(t => (t._1, t._2, t._3)).toSeq == want)
+    // running total is the prefix sum of gains = |covered| after each pick
+    val prefix = want.scanLeft(0L)(_ + _._3).tail
+    assert(got.map(_._4).toSeq == prefix)
+    assert(prefix.last == covered.size.toLong,
+      "covered_total equals the true covered vocabulary size")
+    // gains are non-increasing: greedy on a submodular objective
+    assert(want.sliding(2).forall(p => p.head._3 >= p.last._3))
+  }
 }

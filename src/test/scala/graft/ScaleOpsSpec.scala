@@ -356,4 +356,38 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.forall { case (ex, est) => est >= ex },
       "count-min never underestimates")
   }
+
+  test("q302 KMV set ops: sample, overlap, and both estimators equal the hand recompute") {
+    val sf = "/root/testdata/sf0.001"
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+      .select(col("o_custkey"), year(col("o_orderdate")).as("y"))
+      .filter(col("y").isin(1995, 1996))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    def h(x: Long): Long =
+      java.lang.Long.parseLong(md5Hex(x.toString).take(12), 16) + 1L
+    val aSet = orders.filter(_._2 == 1995).map(t => h(t._1)).toSet
+    val bSet = orders.filter(_._2 == 1996).map(t => h(t._1)).toSet
+    val k = 256
+    val union = (aSet ++ bSet).toSeq.sorted
+    val sample = union.take(k)
+    val nSeen = sample.length.toLong
+    val nBoth = sample.count(x => aSet(x) && bSet(x)).toLong
+    val custs = orders.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val exactUnion = custs.size.toLong
+    val exactInter = custs.values.count(s => s(1995) && s(1996)).toLong
+    val estUnion =
+      if (nSeen < k) nSeen else (k - 1L) * 281474976710656L / sample.last
+    val row = graft.queries.Scale.q302KmvSetOps(spark, sf).collect().head
+    assert(row.getAs[Long]("n_seen") == nSeen)
+    assert(row.getAs[Long]("n_both") == nBoth)
+    assert(row.getAs[Long]("est_union") == estUnion)
+    assert(row.getAs[Long]("est_intersection") == estUnion * nBoth / nSeen)
+    assert(row.getAs[Long]("est_jaccard_ppm") == nBoth * 1000000L / nSeen)
+    assert(row.getAs[Long]("exact_union") == exactUnion)
+    assert(row.getAs[Long]("exact_intersection") == exactInter)
+    assert(row.getAs[Long]("exact_jaccard_ppm") ==
+      exactInter * 1000000L / exactUnion)
+    // sf0.001 keeps n_seen < k: the short-circuit branch is the exact union
+    assert(nSeen < k && estUnion == exactUnion)
+  }
 }
