@@ -751,6 +751,56 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q288 may only window per range-partition (the zip-with-index), got: $w288")
   }
 
+  test("q296/q301/q303: bounded-round ops — final plan reads checkpoints, zero fact re-scans") {
+    // maximal matching / MIS checkpoint the live edge frame per handshake
+    // round; greedy coverage checkpoints the (doc, bigram) frame once and
+    // the covered set per round. Dropping any checkpoint re-embeds the
+    // upstream build 2^rounds× (the q268 lesson) — pin zero parquet scans
+    // in the final executed plan.
+    Seq("q296_maximal_matching", "q301_mis", "q303_greedy_coverage")
+      .foreach { q =>
+        val p = plan(q)
+        assert(p.contains("Scan ExistingRDD"),
+          s"$q must consume localCheckpointed rounds")
+        assert(scanParquetCount(p) == 0,
+          s"$q final plan re-reads base tables ${scanParquetCount(p)} times — a per-round checkpoint was dropped")
+      }
+  }
+
+  test("q297/q299/q300/q302: new-op plans — blocked equi-joins, tolerated 1-row crosses only") {
+    // q297's chain solve consumes checkpointed transition frames; the one
+    // legitimate events scan is the conversion-cents 1-row broadcast
+    val p297 = plan("q297_markov_attribution")
+    assert(p297.contains("Scan ExistingRDD"),
+      "q297 must consume the checkpointed transition/solve frames")
+    assert(scanParquetCount(p297) == 1,
+      s"q297 must scan events exactly once (conv cents); got ${scanParquetCount(p297)}")
+    // q299's pair generator is a pure blocked equi-join — no cartesian, no
+    // data-scale nested loop anywhere
+    val p299 = plan("q299_fellegi_sunter")
+    assert(!p299.contains("CartesianProduct") &&
+      !p299.contains("BroadcastNestedLoopJoin"),
+      "q299's blocked self-join degraded to a cross/inequality join")
+    // q300: ordered-prefix statistic + a single argmax aggregate
+    val p300 = plan("q300_change_point")
+    assert(p300.contains("Window"), "q300 needs the prefix-sum window")
+    assert(!p300.contains("CartesianProduct"), "q300")
+    // q302: KMV sample is a top-k (TakeOrderedAndProject), never a full sort
+    val p302 = plan("q302_kmv_setops")
+    assert(p302.contains("TakeOrderedAndProject"),
+      "q302's k-minimum sample must be a top-k, not a global sort")
+    // the only nested-loop joins any of these may carry are 1-row
+    // scalar-broadcast cross attaches (q300's carries the pushed k < n
+    // filter against the 1-row {n, sn} build side — still a scalar cross)
+    Seq("q297_markov_attribution", "q300_change_point",
+      "q302_kmv_setops").foreach { q =>
+      val bnlj = plan(q).linesIterator
+        .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+      assert(bnlj.forall(_.contains("Cross")),
+        s"$q has a non-cross data-scale nested-loop join: $bnlj")
+    }
+  }
+
   test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
