@@ -1888,6 +1888,23 @@ object Scale {
   // ------------------------------------------- q91 streaming HLL sketch
 
   private val staged = scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Day-truncated (user_id, ts, cents) events staged ONE FILE PER
+    * EVENT-TIME DAY (oldest first), so `maxFilesPerTrigger=1` replays the
+    * stream one day per micro-batch — the q285/q295 determinism
+    * discipline, shared by every transformWithState path. */
+  private def stageDailyEvents(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"dailyevents:$dir", {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
+          .as("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
+        .distinct().orderBy("d").collect().map(_.getLong(0)) // ≤ 31 rows
+      graft.sources.Staging.stageParts(days.toSeq.map(d =>
+        f"day$d%06d" ->
+          ev.filter(expr(s"unix_micros(ts) div 86400000000 = ${d}L"))))
+    })
   private def stageOnce(key: String, df: => DataFrame): String =
     staged.getOrElseUpdate(key, {
       val d = java.nio.file.Files.createTempDirectory("graft-scale-src").toString
@@ -2025,30 +2042,9 @@ object Scale {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
     import graft.streaming.RunningBalance
-    val srcDir = staged.getOrElseUpdate(s"q295:$dir", {
-      val ev = t(s, dir, "events").select(col("user_id"),
-        expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
-          .as("ts"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
-      val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
-        .distinct().orderBy("d").collect().map(_.getLong(0)) // ≤ 31 rows
-      graft.sources.Staging.stageParts(days.toSeq.map(d =>
-        f"day$d%06d" ->
-          ev.filter(expr(s"unix_micros(ts) div 86400000000 = ${d}L"))))
-    })
+    val srcDir = stageDailyEvents(s, dir)
     val schema = s.read.parquet(srcDir).schema
-    val pKey = "spark.sql.streaming.stateStore.providerClass"
-    // changelog checkpointing: per-batch commits upload the DELTA instead
-    // of a full RocksDB snapshot per store — the 31-batch replay would
-    // otherwise pay 31 × stores full-snapshot uploads for O(users) rows
-    val cKey =
-      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
-    val prevProvider = s.conf.get(pKey)
-    val prevChangelog = s.conf.getOption(cKey)
-    s.conf.set(pKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    s.conf.set(cKey, "true")
-    try {
+    graft.streaming.StreamConf.withRocksDb(s) {
       import s.implicits._
       val ds = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(srcDir)
@@ -2069,12 +2065,6 @@ object Scale {
           .start().awaitTermination()
       }
       s.table(qn).orderBy("user_id", "day_us")
-    } finally {
-      s.conf.set(pKey, prevProvider)
-      prevChangelog match {
-        case Some(v) => s.conf.set(cKey, v)
-        case None => s.conf.unset(cKey)
-      }
     }
   }
 
@@ -2092,6 +2082,78 @@ object Scale {
       |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
       |FROM g ORDER BY user_id, day_us""".stripMargin
+
+  /** S26 depth (twenty-SIXTH streaming path) — EVENT-TIME TIMERS on
+    * `transformWithState` ([[graft.streaming.TimerSessions]]): per-user
+    * idle-gap sessions where the ENGINE's timer service closes sessions
+    * the user abandons. Arriving rows beyond the 1-day gap close the open
+    * session immediately (`closed_by = 'arrival'`); idle sessions close
+    * when the watermark passes their re-registered last_us + gap timer
+    * (`closed_by = 'timer'`). Probed and oracle-encoded semantics under
+    * the one-day-per-batch replay (q285's discipline): rows are processed
+    * BEFORE expired timers within a batch and eviction uses the
+    * START-of-batch watermark (one batch behind), so a gap of exactly
+    * 2 days closes on arrival while gaps ≥ 3 days close by timer; each
+    * user's FINAL session emits only if its deadline is within the final
+    * watermark. One session row + one live timer per user in RocksDB. */
+  def q304TimerSessions(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.TimerSessions
+    val srcDir = stageDailyEvents(s, dir)
+    val schema = s.read.parquet(srcDir).schema
+    graft.streaming.StreamConf.withRocksDb(s) {
+      import s.implicits._
+      val ds = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .withWatermark("ts", "0 seconds")
+        .as[TimerSessions.In]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new TimerSessions.Proc, TimeMode.EventTime(),
+          OutputMode.Append(), Encoders.product[TimerSessions.Out])
+      val qn = s"q304_timersess_${System.identityHashCode(s)}"
+      graft.streaming.StreamConf.withStatePartitions(s, 2) {
+        out.toDF().writeStream.outputMode("append").format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.streaming.StreamConf.ckptDir("graft-timersessckpt"))
+          .start().awaitTermination()
+      }
+      s.table(qn).orderBy("user_id", "start_us")
+    }
+  }
+
+  val q304Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS day,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |d AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(cents) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2),
+      |o AS (SELECT *, CASE WHEN lag(day) OVER w IS NULL
+      |          OR day - lag(day) OVER w >= 2 THEN 1 ELSE 0 END AS brk
+      |      FROM d WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      |g AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY day
+      |        ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM o),
+      |sess AS (SELECT user_id, sid, CAST(min(day) AS BIGINT) AS sd,
+      |           CAST(max(day) AS BIGINT) AS ed,
+      |           CAST(sum(n) AS BIGINT) AS n, CAST(sum(c) AS BIGINT) AS c
+      |         FROM g GROUP BY 1, 2),
+      |nxt AS (SELECT s.*, lead(sd) OVER (PARTITION BY user_id ORDER BY sd)
+      |          AS next_start FROM sess s),
+      |wm AS (SELECT CAST(max(day) AS BIGINT) AS wmday FROM d)
+      |SELECT user_id,
+      |  CAST(sd * 86400000000 AS BIGINT) AS start_us,
+      |  CAST(ed * 86400000000 AS BIGINT) AS last_us,
+      |  n AS n_events, c AS cents,
+      |  CASE WHEN next_start IS NULL THEN 'timer'
+      |       WHEN next_start - ed = 2 THEN 'arrival'
+      |       ELSE 'timer' END AS closed_by
+      |FROM nxt CROSS JOIN wm
+      |WHERE next_start IS NOT NULL OR ed + 1 <= wmday
+      |ORDER BY user_id, start_us""".stripMargin
 
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,
@@ -2944,6 +3006,7 @@ object Scale {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_kmv_setops" -> (q302KmvSetOps _),
+    "q304_timer_sessions" -> (q304TimerSessions _),
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
@@ -3011,6 +3074,7 @@ object Scale {
 
   val oracleSql: Map[String, String] = Map(
     "q302_kmv_setops" -> q302Sql,
+    "q304_timer_sessions" -> q304Sql,
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,

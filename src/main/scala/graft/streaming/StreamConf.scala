@@ -18,6 +18,28 @@ object StreamConf {
     try body finally spark.conf.set(key, prev)
   }
 
+  /** `transformWithState` requires the RocksDB state-store provider; this
+    * scopes it — plus changelog checkpointing, so per-batch commits upload
+    * the DELTA instead of a full RocksDB snapshot per store — to one
+    * stream's startup and restores the session defaults after. */
+  def withRocksDb[T](spark: SparkSession)(body: => T): T = {
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val cKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevP = spark.conf.get(pKey)
+    val prevC = spark.conf.getOption(cKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    spark.conf.set(cKey, "true")
+    try body finally {
+      spark.conf.set(pKey, prevP)
+      prevC match {
+        case Some(v) => spark.conf.set(cKey, v)
+        case None => spark.conf.unset(cKey)
+      }
+    }
+  }
+
   /** One JVM-lifetime checkpoint ROOT, deleted recursively on exit: every
     * per-query checkpoint dir nests under it, so repeated invocations (the
     * bench runs each streaming query 5×; DeterminismSpec 2×) cannot strew

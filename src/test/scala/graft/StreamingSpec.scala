@@ -820,4 +820,45 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(streamed == batch)
     assert(streamed.nonEmpty)
   }
+  test("q304 timer sessions: equals the replayed gap-run protocol; both close paths exercised") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val wmDay = rows.map(_._2).max
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val byDay = evs.groupBy(_._2).toSeq
+        .map { case (d, g) => (d, g.size.toLong, g.map(_._3).sum) }
+        .sortBy(_._1)
+      val sessions = byDay
+        .foldLeft(Vector.empty[Vector[(Long, Long, Long)]]) {
+          case (acc, e) if acc.nonEmpty && e._1 - acc.last.last._1 <= 1 =>
+            acc.init :+ (acc.last :+ e)
+          case (acc, e) => acc :+ Vector(e)
+        }
+      sessions.zipWithIndex.flatMap { case (ss, i) =>
+        val sd = ss.head._1; val ed = ss.last._1
+        val isFinal = i == sessions.length - 1
+        // probed protocol: rows are processed before expired timers, so a
+        // 2-day gap closes on ARRIVAL; >= 3 days the timer fires first in
+        // an earlier batch; the final session needs its deadline within
+        // the final watermark (= the global max event day, delay 0)
+        val closedBy =
+          if (isFinal) "timer"
+          else if (sessions(i + 1).head._1 - ed == 2) "arrival"
+          else "timer"
+        if (!isFinal || ed + 1 <= wmDay)
+          Some((u, sd * 86400000000L, ed * 86400000000L,
+            ss.map(_._2).sum, ss.map(_._3).sum, closedBy))
+        else None
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Scale.q304TimerSessions(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getString(5))).toSeq
+    assert(got == want)
+    assert(got.exists(_._6 == "timer") && got.exists(_._6 == "arrival"),
+      "both close paths must be exercised at this SF")
+  }
 }
