@@ -3117,7 +3117,72 @@ object Analytics {
       |  CAST((sn - sk) // (n - k) - sk // k AS BIGINT) AS shift_cents
       |FROM best""".stripMargin
 
+  // ------------------------------------ q305 sweep-line peak concurrency
+
+  /** Behavioral — PEAK CONCURRENT SESSIONS via the interval sweep-line:
+    * q192's gap-based 12 h sessions become (+1 at start, −1 at end)
+    * boundary events, concurrency is the inclusive prefix sum of the
+    * deltas under the (ts, starts-before-ends, user, session) total
+    * order, and the answer is one argmax row — peak concurrency and the
+    * EARLIEST instant it is reached. The capacity-planning readout
+    * ("how many users are ever on at once") no per-interval join can
+    * answer without quadratic overlap pairs. Scale shape: the sweep runs
+    * on [[graft.operators.Ranks.prefixSum]]'s two-pass distributed scan
+    * (range partition → local window → broadcast offsets), so no
+    * single-partition window ever materializes; touching sessions
+    * (end == another's start) count as concurrent (starts order first —
+    * declared). */
+  def q305PeakConcurrency(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wo = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    val wcum = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("ts_us"))
+      .withColumn("brk",
+        when(col("ts_us") - lag("ts_us", 1).over(wo) <= 43200000000L, 0L)
+          .otherwise(1L))
+      .withColumn("sid", sum("brk").over(wcum))
+      .groupBy("user_id", "sid")
+      .agg(min("ts_us").as("s"), max("ts_us").as("e"))
+      .localCheckpoint() // feeds boundaries AND the n_sessions scalar
+    val bounds = sess.select(col("s").as("ts"), lit(0L).as("kind"),
+        lit(1L).as("delta"), col("user_id"), col("s").as("ss"))
+      .unionByName(sess.select(col("e").as("ts"), lit(1L).as("kind"),
+        lit(-1L).as("delta"), col("user_id"), col("s").as("ss")))
+    val swept = graft.operators.Ranks.prefixSum(bounds, "delta", "conc",
+      col("ts"), col("kind"), col("user_id"), col("ss"))
+    swept.agg(max(struct(col("conc"), (-col("ts")).as("negts"))).as("b"))
+      .crossJoin(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+      .select(col("n_sessions"), col("b.conc").as("peak_concurrency"),
+        (-col("b.negts")).as("peak_at_us"))
+  }
+
+  val q305Sql: String =
+    """WITH e AS (SELECT user_id, event_id, CAST(epoch_us(ts) AS BIGINT) AS us
+      |  FROM events),
+      |o AS (SELECT user_id, us,
+      |        CASE WHEN lag(us) OVER w IS NULL
+      |               OR us - lag(us) OVER w > 43200000000 THEN 1 ELSE 0 END AS brk
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+      |g AS (SELECT user_id, us, CAST(sum(brk) OVER (PARTITION BY user_id
+      |        ORDER BY us ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |      FROM o),
+      |sess AS (SELECT user_id, sid, CAST(min(us) AS BIGINT) AS s,
+      |           CAST(max(us) AS BIGINT) AS e
+      |         FROM g GROUP BY 1, 2),
+      |b AS (SELECT s AS ts, 0 AS kind, 1 AS delta, user_id, s AS ss FROM sess
+      |      UNION ALL SELECT e, 1, -1, user_id, s FROM sess),
+      |c AS (SELECT ts, CAST(sum(delta) OVER (ORDER BY ts, kind, user_id, ss)
+      |        AS BIGINT) AS conc
+      |      FROM b),
+      |best AS (SELECT conc, ts FROM c ORDER BY conc DESC, ts ASC LIMIT 1),
+      |n AS (SELECT CAST(count(*) AS BIGINT) AS n_sessions FROM sess)
+      |SELECT n_sessions, conc AS peak_concurrency, CAST(ts AS BIGINT) AS peak_at_us
+      |FROM best CROSS JOIN n""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q305_peak_concurrency" -> (q305PeakConcurrency _),
     "q297_markov_attribution" -> (q297MarkovAttribution _),
     "q298_shapley" -> (q298Shapley _),
     "q300_change_point" -> (q300ChangePoint _),
@@ -3177,6 +3242,7 @@ object Analytics {
     "q292_ols_trend" -> (q292OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
+    "q305_peak_concurrency" -> q305Sql,
     "q297_markov_attribution" -> q297Sql,
     "q298_shapley" -> q298Sql,
     "q300_change_point" -> q300Sql,

@@ -1046,6 +1046,34 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.values.map(_._2).sum == 24L * vc, "efficiency axiom (cents)")
   }
 
+  test("q305 peak concurrency: equals the brute-force sweep; earliest peak instant wins") {
+    val evs = eventRows()
+    val sessions = evs.groupBy(_._1).toList.flatMap { case (u, g) =>
+      val ts = g.sortBy(e => (e._4, e._2)).map(_._4)
+      ts.foldLeft(Vector.empty[Vector[Long]]) {
+        case (acc, t) if acc.nonEmpty && t - acc.last.last <= 43200000000L =>
+          acc.init :+ (acc.last :+ t)
+        case (acc, t) => acc :+ Vector(t)
+      }.map(v => (u, v.head, v.last))
+    }
+    val bounds = sessions
+      .flatMap { case (u, s, e) =>
+        Seq((s, 0, 1L, u, s), (e, 1, -1L, u, s)) }
+      .sortBy(b => (b._1, b._2, b._4, b._5))
+    var c = 0L; var peak = -1L; var peakTs = 0L
+    bounds.foreach { b =>
+      c += b._3
+      if (c > peak) { peak = c; peakTs = b._1 }
+    }
+    val row = graft.queries.Analytics.q305PeakConcurrency(spark, sf001)
+      .collect().head
+    assert(row.getAs[Long]("n_sessions") == sessions.size.toLong)
+    assert(row.getAs[Long]("peak_concurrency") == peak)
+    assert(row.getAs[Long]("peak_at_us") == peakTs)
+    assert(peak >= 1L && peak <= evs.map(_._1).distinct.length.toLong,
+      "peak concurrency bounded by the user count")
+  }
+
   test("q297 Markov attribution: equals the hand-replayed chain solve; removal never helps") {
     val evs = eventRows()
     // transitions, replayed independently of the query's window machinery
