@@ -1898,7 +1898,8 @@ object Scale {
       val ev = t(s, dir, "events").select(col("user_id"),
         expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
           .as("ts"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        col("event_type")) // q306; extra columns are invisible to as[In]
       val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
         .distinct().orderBy("d").collect().map(_.getLong(0)) // ≤ 31 rows
       graft.sources.Staging.stageParts(days.toSeq.map(d =>
@@ -2154,6 +2155,61 @@ object Scale {
       |FROM nxt CROSS JOIN wm
       |WHERE next_start IS NOT NULL OR ed + 1 <= wmday
       |ORDER BY user_id, start_us""".stripMargin
+
+  /** S26 depth (twenty-SEVENTH streaming path) — MAP STATE on
+    * `transformWithState` ([[graft.streaming.TypeCounts]]): per-user
+    * running event-type counters in an engine-managed
+    * `MapState[String, Long]` (q295 covers ValueState, q304 timers; this
+    * the keyed-sub-state member of the API). Per batch each active user
+    * bumps only the touched entries and emits its CURRENT profile —
+    * distinct types ever seen and the cumulative top type (ties → the
+    * lexicographically smallest, so both engines agree). State is one
+    * map entry per (user, type-ever-seen), bounded by the type
+    * vocabulary, never event volume. */
+  def q306TypeCounts(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.TypeCounts
+    val srcDir = stageDailyEvents(s, dir)
+    val schema = s.read.parquet(srcDir).schema
+    graft.streaming.StreamConf.withRocksDb(s) {
+      import s.implicits._
+      val ds = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[TypeCounts.In]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new TypeCounts.Proc, TimeMode.None(),
+          OutputMode.Append(), Encoders.product[TypeCounts.Out])
+      val qn = s"q306_typecounts_${System.identityHashCode(s)}"
+      graft.streaming.StreamConf.withStatePartitions(s, 2) {
+        out.toDF().writeStream.outputMode("append").format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.streaming.StreamConf.ckptDir("graft-typecntckpt"))
+          .start().awaitTermination()
+      }
+      s.table(qn).orderBy("user_id", "day_us")
+    }
+  }
+
+  val q306Sql: String =
+    """WITH e AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
+      |    event_type AS t
+      |  FROM events),
+      |dc AS (SELECT user_id, d, t, CAST(count(*) AS BIGINT) AS n
+      |       FROM e GROUP BY 1, 2, 3),
+      |ad AS (SELECT DISTINCT user_id, d FROM e),
+      |pairs AS (SELECT ad.user_id, ad.d, dc.t, CAST(sum(dc.n) AS BIGINT) AS cnt
+      |  FROM ad JOIN dc ON dc.user_id = ad.user_id AND dc.d <= ad.d
+      |  GROUP BY 1, 2, 3),
+      |r AS (SELECT *,
+      |        row_number() OVER (PARTITION BY user_id, d ORDER BY cnt DESC, t) AS rn,
+      |        count(*) OVER (PARTITION BY user_id, d) AS n_types
+      |      FROM pairs)
+      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
+      |  CAST(n_types AS BIGINT) AS n_types, t AS top_type, cnt AS top_cnt
+      |FROM r WHERE rn = 1 ORDER BY user_id, day_us""".stripMargin
 
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,
@@ -3007,6 +3063,7 @@ object Scale {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q302_kmv_setops" -> (q302KmvSetOps _),
     "q304_timer_sessions" -> (q304TimerSessions _),
+    "q306_type_counts" -> (q306TypeCounts _),
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
@@ -3075,6 +3132,7 @@ object Scale {
   val oracleSql: Map[String, String] = Map(
     "q302_kmv_setops" -> q302Sql,
     "q304_timer_sessions" -> q304Sql,
+    "q306_type_counts" -> q306Sql,
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,

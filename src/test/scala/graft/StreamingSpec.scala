@@ -861,4 +861,31 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_._6 == "timer") && got.exists(_._6 == "arrival"),
       "both close paths must be exercised at this SF")
   }
+  test("q306 map-state type counts: per-day profiles equal the replayed cumulative counters") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.sources.Tables.load(spark, sf, "events")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_type"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val want = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
+      val days = evs.map(_._2).distinct.sorted
+      val cum = scala.collection.mutable.Map.empty[String, Long]
+      days.map { d =>
+        evs.filter(_._2 == d).foreach { e =>
+          cum(e._3) = cum.getOrElse(e._3, 0L) + 1L }
+        val (topT, topC) = cum.toSeq.minBy { case (t, c) => (-c, t) }
+        (u, d * 86400000000L, cum.size.toLong, topT, topC)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Scale.q306TypeCounts(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    // monotone: a user's n_types and top_cnt never decrease across days
+    got.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2)
+      assert(s.sliding(2).forall(p => p.head._3 <= p.last._3))
+      assert(s.sliding(2).forall(p => p.head._5 <= p.last._5))
+    }
+  }
 }
