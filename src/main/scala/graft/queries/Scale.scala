@@ -1899,7 +1899,8 @@ object Scale {
         expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
           .as("ts"),
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
-        col("event_type")) // q306; extra columns are invisible to as[In]
+        // q306/q307 need these; extra columns are invisible to as[In]
+        col("event_type"), col("event_id"))
       val days = ev.select(expr("unix_micros(ts) div 86400000000").as("d"))
         .distinct().orderBy("d").collect().map(_.getLong(0)) // ≤ 31 rows
       graft.sources.Staging.stageParts(days.toSeq.map(d =>
@@ -2210,6 +2211,60 @@ object Scale {
       |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
       |  CAST(n_types AS BIGINT) AS n_types, t AS top_type, cnt AS top_cnt
       |FROM r WHERE rn = 1 ORDER BY user_id, day_us""".stripMargin
+
+  /** S26 depth (twenty-EIGHTH streaming path) — LIST STATE on
+    * `transformWithState` ([[graft.streaming.RecentPurchases]]): the
+    * per-user LAST-3 purchase window in an engine-managed `ListState`,
+    * completing the state-API family (q295 ValueState, q306 MapState,
+    * q304 timers). Appends arrive in (day, event_id) order and the list
+    * trims to the newest 3 on every update — bounded recency state no
+    * matter the event volume, the "last transactions" feature shape.
+    * Emits one row per (user, purchase day): window size, window cent
+    * sum, newest purchase cents. */
+  def q307RecentPurchases(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
+    import org.apache.spark.sql.Encoders
+    import graft.streaming.RecentPurchases
+    val srcDir = stageDailyEvents(s, dir)
+    val schema = s.read.parquet(srcDir).schema
+    graft.streaming.StreamConf.withRocksDb(s) {
+      import s.implicits._
+      val ds = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir)
+        .as[RecentPurchases.In]
+      val out = ds.groupByKey(_.user_id)
+        .transformWithState(new RecentPurchases.Proc, TimeMode.None(),
+          OutputMode.Append(), Encoders.product[RecentPurchases.Out])
+      val qn = s"q307_recent_${System.identityHashCode(s)}"
+      graft.streaming.StreamConf.withStatePartitions(s, 2) {
+        out.toDF().writeStream.outputMode("append").format("memory")
+          .queryName(qn).trigger(Trigger.AvailableNow())
+          .option("checkpointLocation",
+            graft.streaming.StreamConf.ckptDir("graft-recentckpt"))
+          .start().awaitTermination()
+      }
+      s.table(qn).orderBy("user_id", "day_us")
+    }
+  }
+
+  val q307Sql: String =
+    """WITH p AS (SELECT user_id,
+      |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, event_id,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
+      |        ORDER BY d, event_id) AS BIGINT) AS rn
+      |      FROM p),
+      |ad AS (SELECT user_id, d, CAST(max(rn) AS BIGINT) AS mx
+      |       FROM r GROUP BY 1, 2),
+      |wnd AS (SELECT ad.user_id, ad.d, r.cents, r.rn, ad.mx
+      |  FROM ad JOIN r ON r.user_id = ad.user_id
+      |    AND r.rn > ad.mx - 3 AND r.rn <= ad.mx)
+      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
+      |  CAST(count(*) AS BIGINT) AS n_in_window,
+      |  CAST(sum(cents) AS BIGINT) AS window_cents,
+      |  CAST(max(CASE WHEN rn = mx THEN cents END) AS BIGINT) AS newest_cents
+      |FROM wnd GROUP BY user_id, d ORDER BY user_id, day_us""".stripMargin
 
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,
@@ -3064,6 +3119,7 @@ object Scale {
     "q302_kmv_setops" -> (q302KmvSetOps _),
     "q304_timer_sessions" -> (q304TimerSessions _),
     "q306_type_counts" -> (q306TypeCounts _),
+    "q307_recent_purchases" -> (q307RecentPurchases _),
     "q83_hash_split" -> (q83HashSplit _),
     "q104_leakage_safe_split" -> (q104LeakageSafeSplit _),
     "q106_dsir_weights" -> (q106DsirWeights _),
@@ -3133,6 +3189,7 @@ object Scale {
     "q302_kmv_setops" -> q302Sql,
     "q304_timer_sessions" -> q304Sql,
     "q306_type_counts" -> q306Sql,
+    "q307_recent_purchases" -> q307Sql,
     "q83_hash_split" -> q83Sql,
     "q104_leakage_safe_split" -> q104Sql,
     "q106_dsir_weights" -> q106Sql,

@@ -888,4 +888,28 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(s.sliding(2).forall(p => p.head._5 <= p.last._5))
     }
   }
+  test("q307 list-state recent purchases: last-3 windows equal the replayed (day, event_id) order") {
+    val sf = "/root/testdata/sf0.001"
+    val buys = graft.sources.Tables.load(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
+        col("event_id"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val want = buys.groupBy(_._1).toSeq.flatMap { case (u, g) =>
+      val ordered = g.toSeq.sortBy(e => (e._2, e._3))
+      ordered.map(_._2).distinct.sorted.map { d =>
+        val upto = ordered.takeWhile(_._2 <= d)
+        val wnd = upto.takeRight(3)
+        (u, d * 86400000000L, wnd.length.toLong, wnd.map(_._4).sum,
+          wnd.last._4)
+      }
+    }.sortBy(t => (t._1, t._2))
+    val got = graft.queries.Scale.q307RecentPurchases(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(got == want)
+    assert(got.forall(_._3 <= 3L), "window never exceeds K = 3")
+    assert(got.exists(_._3 == 3L), "window fills at this SF")
+  }
 }
