@@ -3181,7 +3181,76 @@ object Analytics {
       |SELECT n_sessions, conc AS peak_concurrency, CAST(ts AS BIGINT) AS peak_at_us
       |FROM best CROSS JOIN n""".stripMargin
 
+  // -------------------------------------- q308 Croston intermittent demand
+
+  /** Forecasting — CROSTON'S METHOD (1972) for INTERMITTENT demand, the
+    * forecast the SES/Holt/Holt–Winters family (q219/q222/q256) gets
+    * wrong on sparse series: for each sampled part (partkey ≡ 0 mod 97),
+    * two exponential smoothers run over the DEMAND EVENTS only — one on
+    * the non-zero weekly quantities (z), one on the inter-demand
+    * intervals (p, centi-weeks) — and the demand RATE is z/p. α = 0.2 in
+    * exact integer arithmetic ((2·x + 8·s) div 10), per-part fold over
+    * the calendar-bounded weekly frame (q230's machinery — the weekly
+    * rollup stays distributed, the fold is per-part and
+    * weeks-bounded); the oracle replays it as a per-part recursive CTE.
+    * Init: z₁ = first demand, p₁ = first demand's week index. */
+  def q308Croston(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "lineitem")
+      .filter(pmod(col("l_partkey"), lit(97)) === 0)
+      .select(col("l_partkey").as("part"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000").as("w"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("q"))
+      .groupBy("part", "w").agg(sum("q").as("q"))
+    val w0 = broadcast(d.agg(min("w").as("w0")))
+    d.crossJoin(w0)
+      .select(col("part"), (col("w") - col("w0") + 1L).as("widx"), col("q"))
+      .groupBy("part")
+      .agg(sort_array(collect_list(struct(col("widx"), col("q")))).as("rows"))
+      .select(col("part"), expr(
+        """aggregate(rows,
+          |  named_struct('n', CAST(0 AS BIGINT), 'z', CAST(0 AS BIGINT),
+          |    'p', CAST(0 AS BIGINT), 'prev', CAST(0 AS BIGINT)),
+          |  (acc, x) -> IF(acc.n = 0,
+          |    named_struct('n', CAST(1 AS BIGINT), 'z', x.q,
+          |      'p', x.widx * 100, 'prev', x.widx),
+          |    named_struct('n', acc.n + 1,
+          |      'z', (2 * x.q + 8 * acc.z) div 10,
+          |      'p', (2 * (x.widx - acc.prev) * 100 + 8 * acc.p) div 10,
+          |      'prev', x.widx)))""".stripMargin).as("st"))
+      .select(col("part"), col("st.n").as("n_demand_weeks"),
+        col("st.z").as("z_hat_centi"), col("st.p").as("p_hat_centiweeks"),
+        expr("st.z * 1000000 div st.p").as("rate_ppm"))
+      .orderBy("part")
+  }
+
+  val q308Sql: String =
+    """WITH RECURSIVE d AS (
+      |  SELECT l_partkey AS part,
+      |    CAST(epoch_us(l_shipdate) AS BIGINT) // 604800000000 AS w,
+      |    CAST(sum(CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS q
+      |  FROM lineitem WHERE l_partkey % 97 = 0 GROUP BY 1, 2),
+      |w0 AS (SELECT CAST(min(w) AS BIGINT) AS w0 FROM d),
+      |rr AS (SELECT part, CAST(w - w0 + 1 AS BIGINT) AS widx, q,
+      |         CAST(row_number() OVER (PARTITION BY part ORDER BY w) AS BIGINT) AS rn
+      |       FROM d CROSS JOIN w0),
+      |c AS (SELECT part, rn, widx, q, CAST(1 AS BIGINT) AS n, q AS z,
+      |        widx * 100 AS p, widx AS prev
+      |      FROM rr WHERE rn = 1
+      |      UNION ALL
+      |      SELECT rr.part, rr.rn, rr.widx, rr.q, c.n + 1,
+      |        (2 * rr.q + 8 * c.z) // 10,
+      |        (2 * (rr.widx - c.prev) * 100 + 8 * c.p) // 10,
+      |        rr.widx
+      |      FROM rr JOIN c ON rr.part = c.part AND rr.rn = c.rn + 1),
+      |fin AS (SELECT c.* FROM c
+      |  JOIN (SELECT part, max(rn) AS mx FROM c GROUP BY 1) m
+      |    ON c.part = m.part AND c.rn = m.mx)
+      |SELECT part, n AS n_demand_weeks, z AS z_hat_centi,
+      |  p AS p_hat_centiweeks, CAST(z * 1000000 // p AS BIGINT) AS rate_ppm
+      |FROM fin ORDER BY part""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q308_croston" -> (q308Croston _),
     "q305_peak_concurrency" -> (q305PeakConcurrency _),
     "q297_markov_attribution" -> (q297MarkovAttribution _),
     "q298_shapley" -> (q298Shapley _),
@@ -3243,6 +3312,7 @@ object Analytics {
 
   val oracleSql: Map[String, String] = Map(
     "q305_peak_concurrency" -> q305Sql,
+    "q308_croston" -> q308Sql,
     "q297_markov_attribution" -> q297Sql,
     "q298_shapley" -> q298Sql,
     "q300_change_point" -> q300Sql,

@@ -1074,6 +1074,40 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       "peak concurrency bounded by the user count")
   }
 
+  test("q308 Croston: per-part smoothers equal the hand fold; rate bounded by history") {
+    val rows = spark.read.parquet(s"$sf001/lineitem.parquet")
+      .filter(pmod(col("l_partkey"), lit(97)) === 0)
+      .select(col("l_partkey"),
+        expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 604800000000").as("w"),
+        expr("CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT)").as("q"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val weekly = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(_.map(_._3).sum).toMap
+    val w0 = weekly.keys.map(_._2).min
+    val want = weekly.keys.map(_._1).toSeq.distinct.sorted.map { part =>
+      val series = weekly.collect { case ((p, w), q) if p == part =>
+        (w - w0 + 1L, q) }.toSeq.sortBy(_._1)
+      var n = 0L; var z = 0L; var p = 0L; var prev = 0L
+      series.foreach { case (widx, q) =>
+        if (n == 0L) { n = 1L; z = q; p = widx * 100L; prev = widx }
+        else {
+          n += 1L
+          z = (2L * q + 8L * z) / 10L
+          p = (2L * (widx - prev) * 100L + 8L * p) / 10L
+          prev = widx
+        }
+      }
+      (part, n, z, p, z * 1000000L / p)
+    }
+    val got = graft.queries.Analytics.q308Croston(spark, sf001).collect()
+      .map(r => (r.getAs[Long]("part"), r.getAs[Long]("n_demand_weeks"),
+        r.getAs[Long]("z_hat_centi"), r.getAs[Long]("p_hat_centiweeks"),
+        r.getAs[Long]("rate_ppm"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty && got.forall(_._4 >= 100L),
+      "smoothed interval never drops below one week")
+  }
+
   test("q297 Markov attribution: equals the hand-replayed chain solve; removal never helps") {
     val evs = eventRows()
     // transitions, replayed independently of the query's window machinery
