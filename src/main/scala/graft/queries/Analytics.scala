@@ -3249,7 +3249,78 @@ object Analytics {
       |  p AS p_hat_centiweeks, CAST(z * 1000000 // p AS BIGINT) AS rate_ppm
       |FROM fin ORDER BY part""".stripMargin
 
+  // --------------------------------------- q309 Poisson bootstrap CI
+
+  /** Statistics at scale — the POISSON BOOTSTRAP (the distributed
+    * bootstrap: each row enters each replicate with Poisson(1)
+    * multiplicity, so resampling needs NO global n and parallelizes
+    * embarrassingly), DERANDOMIZED: multiplicity comes from the portable
+    * 48-bit md5 hash of (order id, replicate) against the hard-coded
+    * integer Poisson(1) CDF thresholds (×2⁴⁸, capped at 6). 64
+    * replicates of the mean order value in exact cents; the CI is read
+    * off the sorted replicate means at declared order-statistic
+    * positions (4/32/61 of 64 ≈ p05/p50/p95). 100 TB shape: the grid is
+    * one broadcast 64-row cross and a (replicate) count aggregate — no
+    * reshuffle of the fact table, no RNG, bit-replayable. */
+  def q309BootstrapCi(s: SparkSession, dir: String): DataFrame = {
+    val ts = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L)
+    val o = t(s, dir, "orders").select(col("o_orderkey").as("id"),
+      expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
+    val reps = broadcast(s.range(64).select(col("id").as("b")))
+    val h = conv(substring(md5(concat_ws("_", col("id"), col("b"))), 1, 12),
+      16, 10).cast("long")
+    val m = ts.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
+      case ((thr, k), rest) => when(col("h") < thr, k.toLong).otherwise(rest)
+    }
+    val rep = o.crossJoin(reps)
+      .withColumn("h", h)
+      .withColumn("m", m)
+      .groupBy("b")
+      .agg(sum(col("m") * col("cents")).as("num"), sum("m").as("den"))
+      .select(expr("num div den").as("mean_b"))
+    val point = broadcast(o.agg(count(lit(1)).as("n_orders"),
+      expr("sum(cents) div count(*)").as("mean_cents")))
+    rep.agg(sort_array(collect_list(col("mean_b"))).as("ms"))
+      .crossJoin(point)
+      .select(col("n_orders"), col("mean_cents"),
+        lit(64L).as("n_replicates"),
+        expr("element_at(ms, 4)").as("boot_p05"),
+        expr("element_at(ms, 32)").as("boot_p50"),
+        expr("element_at(ms, 61)").as("boot_p95"))
+  }
+
+  val q309Sql: String =
+    """WITH o AS (SELECT o_orderkey AS id,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM orders),
+      |reps AS (SELECT CAST(range AS BIGINT) AS b FROM range(0, 64)),
+      |g AS (SELECT o.cents, reps.b,
+      |    CAST(('0x' || substring(md5(CAST(o.id AS VARCHAR) || '_' ||
+      |      CAST(reps.b AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+      |  FROM o CROSS JOIN reps),
+      |m AS (SELECT b, cents,
+      |    CASE WHEN h < 103548857136060 THEN 0
+      |         WHEN h < 207097714272121 THEN 1
+      |         WHEN h < 258872142840152 THEN 2
+      |         WHEN h < 276130285696162 THEN 3
+      |         WHEN h < 280444821410164 THEN 4
+      |         WHEN h < 281307728552965 THEN 5
+      |         ELSE 6 END AS m
+      |  FROM g),
+      |rep AS (SELECT b, CAST(sum(m * cents) // sum(m) AS BIGINT) AS mean_b
+      |        FROM m GROUP BY 1),
+      |ord AS (SELECT mean_b, row_number() OVER (ORDER BY mean_b) AS rn FROM rep),
+      |pt AS (SELECT CAST(count(*) AS BIGINT) AS n_orders,
+      |         CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents FROM o)
+      |SELECT n_orders, mean_cents, CAST(64 AS BIGINT) AS n_replicates,
+      |  (SELECT mean_b FROM ord WHERE rn = 4) AS boot_p05,
+      |  (SELECT mean_b FROM ord WHERE rn = 32) AS boot_p50,
+      |  (SELECT mean_b FROM ord WHERE rn = 61) AS boot_p95
+      |FROM pt""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q309_bootstrap_ci" -> (q309BootstrapCi _),
     "q308_croston" -> (q308Croston _),
     "q305_peak_concurrency" -> (q305PeakConcurrency _),
     "q297_markov_attribution" -> (q297MarkovAttribution _),
@@ -3313,6 +3384,7 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q305_peak_concurrency" -> q305Sql,
     "q308_croston" -> q308Sql,
+    "q309_bootstrap_ci" -> q309Sql,
     "q297_markov_attribution" -> q297Sql,
     "q298_shapley" -> q298Sql,
     "q300_change_point" -> q300Sql,

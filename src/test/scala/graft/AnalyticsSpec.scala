@@ -1108,6 +1108,38 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       "smoothed interval never drops below one week")
   }
 
+  test("q309 Poisson bootstrap: replicate means equal the hand grid; CI brackets the point mean") {
+    def md5Hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val ts = Seq(103548857136060L, 207097714272121L, 258872142840152L,
+      276130285696162L, 280444821410164L, 281307728552965L)
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+      .select(col("o_orderkey"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val means = (0L until 64L).map { b =>
+      var num = 0L; var den = 0L
+      orders.foreach { case (id, cents) =>
+        val h = java.lang.Long.parseLong(md5Hex(s"${id}_$b").take(12), 16)
+        val m = ts.count(_ <= h).toLong
+        num += m * cents; den += m
+      }
+      num / den
+    }.sorted
+    val row = graft.queries.Analytics.q309BootstrapCi(spark, sf001)
+      .collect().head
+    assert(row.getAs[Long]("n_orders") == orders.length.toLong)
+    assert(row.getAs[Long]("mean_cents") ==
+      orders.map(_._2).sum / orders.length)
+    assert(row.getAs[Long]("boot_p05") == means(3))
+    assert(row.getAs[Long]("boot_p50") == means(31))
+    assert(row.getAs[Long]("boot_p95") == means(60))
+    assert(row.getAs[Long]("boot_p05") <= row.getAs[Long]("mean_cents") &&
+      row.getAs[Long]("mean_cents") <= row.getAs[Long]("boot_p95"),
+      "the bootstrap interval brackets the point estimate at this SF")
+  }
+
   test("q297 Markov attribution: equals the hand-replayed chain solve; removal never helps") {
     val evs = eventRows()
     // transitions, replayed independently of the query's window machinery
