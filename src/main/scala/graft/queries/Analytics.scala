@@ -3319,7 +3319,207 @@ object Analytics {
       |  (SELECT mean_b FROM ord WHERE rn = 61) AS boot_p95
       |FROM pt""".stripMargin
 
+  // ------------------------------------------------ q310 Welch's t-test
+
+  /** Stats — per-priority Welch two-sample t-test of order value against
+    * the REST of the book (unequal variances — the honest default when
+    * comparing a segment to its complement). ONE aggregation pass builds
+    * exact integer (n, Σx, Σx²) per priority in whole dollars (cents div
+    * 100 — truncation is floor for the non-negative prices, identical on
+    * both engines, and keeps Σx² ≤ ~7e14, inside BIGINT), the 1-row
+    * global broadcasts back, and t / Welch–Satterthwaite df evaluate in
+    * IEEE doubles FROM those exact integers with formula text identical
+    * on both engines: +,−,×,÷,sqrt are correctly rounded, so the doubles
+    * are bit-identical (a STRONGER guarantee than the q55 ln-quantization
+    * discipline) and the ppm quantization gates safely. 100 TB shape:
+    * pure two-level aggregation, no window, no join wider than 1 row. */
+  def q310WelchTtest(s: SparkSession, dir: String): DataFrame = {
+    val per = t(s, dir, "orders")
+      .select(col("o_orderpriority").as("prio"),
+        expr("CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100")
+          .as("v"))
+      .groupBy("prio")
+      .agg(count(lit(1)).as("n"), sum("v").as("s"),
+        sum(expr("v * v")).as("ss"))
+    val tot = broadcast(per.agg(sum("n").as("tn"), sum("s").as("ts"),
+      sum("ss").as("tss")))
+    per.crossJoin(tot)
+      .withColumn("n2", col("tn") - col("n"))
+      .withColumn("s2", col("ts") - col("s"))
+      .withColumn("ss2", col("tss") - col("ss"))
+      .withColumn("m1", expr("CAST(s AS DOUBLE) / CAST(n AS DOUBLE)"))
+      .withColumn("m2", expr("CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE)"))
+      .withColumn("se1", expr(
+        "((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE)"))
+      .withColumn("se2", expr(
+        "((CAST(ss2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE)"))
+      .withColumn("t_ppm", expr(
+        "CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1000000.0 + 0.5) AS BIGINT)"))
+      .withColumn("df_ppm", expr(
+        "CAST(floor((se1 + se2) * (se1 + se2) / (se1 * se1 / (CAST(n AS DOUBLE) - 1.0) + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .select(col("prio"), col("n"), col("s").as("sum_dollars"),
+        col("t_ppm"), col("df_ppm"))
+      .orderBy("prio")
+  }
+
+  val q310Sql: String =
+    """WITH o AS (SELECT o_orderpriority AS prio,
+      |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
+      |  FROM orders),
+      |per AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+      |  FROM o GROUP BY 1),
+      |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
+      |    CAST(sum(ss) AS BIGINT) AS tss FROM per),
+      |x AS (SELECT prio, n, s, ss, tn - n AS n2, ts - s AS s2, tss - ss AS ss2
+      |  FROM per CROSS JOIN tot),
+      |d AS (SELECT prio, n, s, n2,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS m1,
+      |    CAST(s2 AS DOUBLE) / CAST(n2 AS DOUBLE) AS m2,
+      |    ((CAST(ss AS DOUBLE) - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE)) / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0)) / CAST(n AS DOUBLE) AS se1,
+      |    ((CAST(ss2 AS DOUBLE) - (CAST(s2 AS DOUBLE) * CAST(s2 AS DOUBLE)) / CAST(n2 AS DOUBLE)) / (CAST(n2 AS DOUBLE) - 1.0)) / CAST(n2 AS DOUBLE) AS se2
+      |  FROM x)
+      |SELECT prio, n, s AS sum_dollars,
+      |  CAST(floor((m1 - m2) / sqrt(se1 + se2) * 1000000.0 + 0.5) AS BIGINT) AS t_ppm,
+      |  CAST(floor((se1 + se2) * (se1 + se2) / (se1 * se1 / (CAST(n AS DOUBLE) - 1.0) + se2 * se2 / (CAST(n2 AS DOUBLE) - 1.0)) * 1000000.0 + 0.5) AS BIGINT) AS df_ppm
+      |FROM d ORDER BY prio""".stripMargin
+
+  // ----------------------------------------- q311 Good–Turing frequencies
+
+  /** Text analysis — Good–Turing frequency-of-frequencies over the corpus
+    * TRIGRAM types (q19's shingle construction: posexplode + lead window,
+    * the codegen-friendly form — unigrams are useless here, the synthetic
+    * vocabulary is 31 words with min frequency 26, while trigrams have a
+    * real tail: 9.4k hapax at sf0.01): N_r for r = 1..10, the smoothed
+    * count r* = (r+1)·N_{r+1}/N_r (integer ppm), and the unseen-mass
+    * estimate P₀ = N₁/N — the quantities an n-gram LM smoother consumes.
+    * Two aggregations (gram counts → count-of-counts); the r ↦ r+1 lookup
+    * and the 1-row total both broadcast (frequency-of-frequency tables
+    * are metadata-scale regardless of corpus size). Integer-exact. */
+  def q311GoodTuring(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val tall = docs(s, dir).select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as(Seq("pos", "tok")))
+    val grams = tall
+      .withColumn("t1", lead("tok", 1).over(wd))
+      .withColumn("t2", lead("tok", 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+    // metadata-scale (≲ a few hundred rows) and consumed THREE times
+    // (lookup build+probe, totals) — checkpoint so the corpus tokenizes once
+    val fof = grams
+      .groupBy("g").agg(count(lit(1)).as("r"))
+      .groupBy("r").agg(count(lit(1)).as("n_r"))
+      .localCheckpoint()
+    val tot = broadcast(fof.agg(
+      sum(expr("r * n_r")).as("total_tokens"),
+      sum(when(col("r") === 1L, col("n_r")).otherwise(0L)).as("n1")))
+    fof.as("a").filter(col("r") <= 10L)
+      .join(broadcast(fof.as("b")),
+        col("b.r") === col("a.r") + lit(1L), "left")
+      .select(col("a.r").as("r"), col("a.n_r").as("n_r"),
+        coalesce(col("b.n_r"), lit(0L)).as("n_r_next"))
+      .crossJoin(tot)
+      .withColumn("r_star_ppm",
+        expr(Ops.floorDivScaledSql("(r + 1) * n_r_next", "n_r", 1000000L)))
+      .withColumn("p0_ppm",
+        expr(Ops.floorDivScaledSql("n1", "total_tokens", 1000000L)))
+      .select("r", "n_r", "n_r_next", "r_star_ppm", "total_tokens", "n1",
+        "p0_ppm")
+      .orderBy("r")
+  }
+
+  val q311Sql: String =
+    s"""WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |grams AS (SELECT unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS r FROM grams GROUP BY 1),
+      |fof AS (SELECT r, CAST(count(*) AS BIGINT) AS n_r FROM cnt GROUP BY 1),
+      |tot AS (SELECT CAST(sum(r * n_r) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1 FROM fof)
+      |SELECT a.r, a.n_r, COALESCE(b.n_r, 0) AS n_r_next,
+      |  ${Ops.floorDivScaledSql("(a.r + 1) * COALESCE(b.n_r, 0)", "a.n_r", 1000000L, "//")} AS r_star_ppm,
+      |  total_tokens, n1,
+      |  ${Ops.floorDivScaledSql("n1", "total_tokens", 1000000L, "//")} AS p0_ppm
+      |FROM fof a LEFT JOIN fof b ON b.r = a.r + 1 CROSS JOIN tot
+      |WHERE a.r <= 10 ORDER BY a.r""".stripMargin
+
+  // -------------------------------------- q312 trimmed / winsorized means
+
+  /** Robust stats — 10% two-sided trimmed AND winsorized means of event
+    * value per event type: rank rows inside each type by (value, id) —
+    * the group-partitioned window shape q169/q177 pin — broadcast the
+    * per-type (n, k = ⌊n/10⌋) and the two clamp values (the order
+    * statistics at ranks k+1 and n−k), then one aggregation computes both
+    * means in centi-cents. The trimmed sum and the clamp values are
+    * functions of the value MULTISET (tie order affects only which ID
+    * carries a rank, never the summed values), so the gate is exact. */
+  def q312TrimmedMeans(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("et").orderBy("v", "eid")
+    val e = t(s, dir, "events")
+      .select(col("event_type").as("et"), col("event_id").as("eid"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+    val nk = e.groupBy("et")
+      .agg(count(lit(1)).as("n"))
+      .withColumn("k", expr("n div 10"))
+    val lo = e.join(broadcast(nk), "et")
+      .filter(col("rn") === col("k") + lit(1L))
+      .select(col("et"), col("v").as("lo_v"))
+    val hi = e.join(broadcast(nk), "et")
+      .filter(col("rn") === col("n") - col("k"))
+      .select(col("et"), col("v").as("hi_v"))
+    e.join(broadcast(nk), "et")
+      .join(broadcast(lo), "et").join(broadcast(hi), "et")
+      .withColumn("trim_v",
+        when(col("rn") > col("k") && col("rn") <= col("n") - col("k"), col("v")))
+      .withColumn("wins_v",
+        when(col("rn") <= col("k"), col("lo_v"))
+          .when(col("rn") > col("n") - col("k"), col("hi_v"))
+          .otherwise(col("v")))
+      .groupBy("et")
+      .agg(max("n").as("n"), max("k").as("k"),
+        sum("trim_v").as("trim_sum"), count(col("trim_v")).as("trim_n"),
+        sum("wins_v").as("wins_sum"), max("lo_v").as("lo_cents"),
+        max("hi_v").as("hi_cents"))
+      .withColumn("trimmed_mean_cc",
+        expr(Ops.floorDivScaledSql("trim_sum", "trim_n", 100L)))
+      .withColumn("winsor_mean_cc",
+        expr(Ops.floorDivScaledSql("wins_sum", "n", 100L)))
+      .select("et", "n", "k", "lo_cents", "hi_cents", "trimmed_mean_cc",
+        "winsor_mean_cc")
+      .orderBy("et")
+  }
+
+  val q312Sql: String =
+    s"""WITH e AS (SELECT event_type AS et, event_id AS eid,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v FROM events),
+      |r AS (SELECT et, v, row_number() OVER (PARTITION BY et ORDER BY v, eid) AS rn FROM e),
+      |nk AS (SELECT et, CAST(count(*) AS BIGINT) AS n, CAST(count(*) AS BIGINT) // 10 AS k
+      |  FROM e GROUP BY 1),
+      |lo AS (SELECT r.et, v AS lo_v FROM r JOIN nk ON r.et = nk.et WHERE rn = k + 1),
+      |hi AS (SELECT r.et, v AS hi_v FROM r JOIN nk ON r.et = nk.et WHERE rn = n - k),
+      |x AS (SELECT r.et, v, rn, n, k, lo_v, hi_v
+      |  FROM r JOIN nk ON r.et = nk.et JOIN lo ON r.et = lo.et JOIN hi ON r.et = hi.et),
+      |g AS (SELECT et, max(n) AS n, max(k) AS k,
+      |    CAST(sum(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT) AS trim_sum,
+      |    CAST(count(CASE WHEN rn > k AND rn <= n - k THEN v END) AS BIGINT) AS trim_n,
+      |    CAST(sum(CASE WHEN rn <= k THEN lo_v WHEN rn > n - k THEN hi_v ELSE v END) AS BIGINT) AS wins_sum,
+      |    max(lo_v) AS lo_cents, max(hi_v) AS hi_cents
+      |  FROM x GROUP BY 1)
+      |SELECT et, n, k, lo_cents, hi_cents,
+      |  ${Ops.floorDivScaledSql("trim_sum", "trim_n", 100L, "//")} AS trimmed_mean_cc,
+      |  ${Ops.floorDivScaledSql("wins_sum", "n", 100L, "//")} AS winsor_mean_cc
+      |FROM g ORDER BY et""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q310_welch_ttest" -> (q310WelchTtest _),
+    "q311_good_turing" -> (q311GoodTuring _),
+    "q312_trimmed_means" -> (q312TrimmedMeans _),
     "q309_bootstrap_ci" -> (q309BootstrapCi _),
     "q308_croston" -> (q308Croston _),
     "q305_peak_concurrency" -> (q305PeakConcurrency _),
@@ -3384,6 +3584,9 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q305_peak_concurrency" -> q305Sql,
     "q308_croston" -> q308Sql,
+    "q310_welch_ttest" -> q310Sql,
+    "q311_good_turing" -> q311Sql,
+    "q312_trimmed_means" -> q312Sql,
     "q309_bootstrap_ci" -> q309Sql,
     "q297_markov_attribution" -> q297Sql,
     "q298_shapley" -> q298Sql,

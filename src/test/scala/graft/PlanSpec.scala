@@ -801,6 +801,48 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
+  test("q305: sweep-line — prefix sum stays range-partitioned, sessions checkpointed once") {
+    // the concurrency sweep is Ranks.prefixSum (range repartition → per-
+    // partition window → broadcast offsets); if it ever regresses to a
+    // global ORDER BY window the whole event volume funnels through one
+    // partition. Every window must be keyed (user_id sessionize or __pid
+    // scan), and the prefixSum machinery must actually be present.
+    val p = plan("q305_peak_concurrency")
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.nonEmpty, "q305 needs the sessionize + prefix-sum windows")
+    wins.foreach(w => assert(w.contains("user_id") || w.contains("__pid"),
+      s"q305 window lost its partitioning (single-partition scan): $w"))
+    assert(wins.exists(_.contains("__pid")),
+      "q305's sweep must ride Ranks.prefixSum (__pid window), not a global window")
+    // session boundaries are localCheckpointed once and feed BOTH the
+    // sweep and the n_sessions scalar — no events re-scan in the final plan
+    assert(p.contains("Scan ExistingRDD"), "q305 must consume the checkpointed sessions")
+    assert(scanParquetCount(p) == 0,
+      s"q305 final plan re-reads events ${scanParquetCount(p)} times — the session checkpoint was dropped")
+    // tolerated nested loops: the 1-row n_sessions cross and prefixSum's
+    // triangular __pid offset join (metadata scale)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("__pid") || l.contains("Cross"),
+        s"q305 has a data-scale nested-loop join: $l"))
+  }
+
+  test("q308: croston — per-part fold is an aggregate, never a window scan") {
+    // the SES smoothers run as ONE higher-order aggregate() fold over each
+    // part's sorted week array inside a hash aggregate; a regression to a
+    // running-recurrence window (the naive form) would show up as a Window
+    // operator — q308 must have none.
+    val p = plan("q308_croston")
+    assert(!p.contains("Window"),
+      "q308's fold regressed to a window recurrence — must stay a per-group aggregate() fold")
+    // the aggregate() HOF itself lives in the ObjectHashAggregate's result
+    // expressions (not printed), but its collect_list input is visible
+    assert(p.contains("collect_list"),
+      "q308 must fold over a per-part collect_list, not a row-at-a-time scan")
+    // the only nested loop is the 1-row w0 anchor cross-attach
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("Cross"), s"q308 has a data-scale nested-loop join: $l"))
+  }
+
   test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
