@@ -74,6 +74,10 @@ object Bench {
       override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
     })
     val undeclaredStreaming = scala.collection.mutable.LinkedHashSet.empty[String]
+    // `loud` marks TIMED runs: errors print, and the undeclared-streaming
+    // check applies. Warmup/pre-stage runs are exempt — a staged-store
+    // build may legitimately run a one-time stream on first touch of a
+    // dir (q157's MV store) without the QUERY being a streaming query.
     def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
                 s: SparkSession, dir: String, loud: Boolean): Unit = {
       val before = streamStarts.get()
@@ -88,7 +92,7 @@ object Bench {
         if (loud)
           System.err.println(s"BENCH-ERROR $name: ${e.getClass.getName}: ${e.getMessage}")
       }
-      if (streamStarts.get() > before && !SparkEntry.streamingQueries(name))
+      if (loud && streamStarts.get() > before && !SparkEntry.streamingQueries(name))
         undeclaredStreaming += name
       // release per-operator persisted intermediates between runs —
       // including localCheckpoint blocks clearCache() misses (see

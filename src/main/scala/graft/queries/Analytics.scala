@@ -3273,7 +3273,11 @@ object Analytics {
     val m = ts.zipWithIndex.foldRight(lit(6L): org.apache.spark.sql.Column) {
       case ((thr, k), rest) => when(col("h") < thr, k.toLong).otherwise(rest)
     }
-    val rep = o.crossJoin(reps)
+    // the 20 MB orders file scans as ONE input split, and the ×64 explode
+    // inherits it — round-robin the 150k base rows first (q38's pattern)
+    // so the 9.6M md5 evaluations spread across every core (11.4 s → ~1 s)
+    val rep = o.repartition(s.sessionState.conf.numShufflePartitions)
+      .crossJoin(reps)
       .withColumn("h", h)
       .withColumn("m", m)
       .groupBy("b")
