@@ -3520,7 +3520,112 @@ object Analytics {
       |  ${Ops.floorDivScaledSql("wins_sum", "n", 100L, "//")} AS winsor_mean_cc
       |FROM g ORDER BY et""".stripMargin
 
+  // ------------------------------------------- q313 PMI collocations
+
+  /** Text analysis — collocation extraction by pointwise mutual
+    * information: the top-20 bigrams (min count 5) by
+    * PMI = ln(p(xy) / (p(x)p(y))), the classic corpus-linguistics
+    * signal for multi-word expressions a tokenizer/vocab builder should
+    * keep whole. Bigram counts come from the q19 posexplode+lead shingle
+    * build; the unigram table joins back by word (equi-join — broadcast
+    * at this vocab, hash at web scale) and the two corpus totals ride a
+    * 1-row broadcast. The transcendental is quantized ×1e6 to a BIGINT
+    * before the rank/limit (the q55 ln discipline), with the formula
+    * text identical on both engines and the tie-break on the full
+    * (pmi_q, x, y) key, so the top-20 set is deterministic. */
+  def q313PmiCollocations(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val tall = docs(s, dir).select(col("doc_id"),
+      posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+        .as(Seq("pos", "tok")))
+    val uni = tall.groupBy(col("tok").as("w")).agg(count(lit(1)).as("c_w"))
+      .localCheckpoint() // consumed twice (x and y side) + the token total
+    // bounded by vocab² (bigram TYPES, not instances) and consumed twice
+    // (the n_big total + the scored rows) — checkpoint so the corpus
+    // tokenizes once per side, not once per consumer
+    val big = tall
+      .withColumn("y", lead("tok", 1).over(wd))
+      .filter(col("y").isNotNull)
+      .groupBy(col("tok").as("x"), col("y"))
+      .agg(count(lit(1)).as("c_xy"))
+      .localCheckpoint()
+    val totals = broadcast(
+      big.agg(sum("c_xy").as("n_big")).crossJoin(
+        uni.agg(sum("c_w").as("n_tok"))))
+    big.filter(col("c_xy") >= 5L)
+      .join(broadcast(uni.select(col("w").as("x"), col("c_w").as("c_x"))), "x")
+      .join(broadcast(uni.select(col("w").as("y"), col("c_w").as("c_y"))), "y")
+      .crossJoin(totals)
+      .withColumn("pmi_q", expr(
+        "CAST(floor(ln(CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE) / CAST(n_big AS DOUBLE) * CAST(n_tok AS DOUBLE) / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT)"))
+      .select("x", "y", "c_xy", "c_x", "c_y", "pmi_q")
+      .orderBy(col("pmi_q").desc, col("x"), col("y"))
+      .limit(20)
+  }
+
+  val q313Sql: String =
+    """WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |uni AS (SELECT unnest(t) AS w FROM tok),
+      |cu AS (SELECT w, CAST(count(*) AS BIGINT) AS c_w FROM uni GROUP BY 1),
+      |grams AS (SELECT unnest(CASE WHEN len(t) >= 2
+      |    THEN list_transform(range(1, len(t)), i -> array_to_string(t[i:i+1], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |cb AS (SELECT string_split(g, ' ')[1] AS x, string_split(g, ' ')[2] AS y,
+      |    CAST(count(*) AS BIGINT) AS c_xy FROM grams GROUP BY 1, 2),
+      |tots AS (SELECT (SELECT CAST(sum(c_xy) AS BIGINT) FROM cb) AS n_big,
+      |    (SELECT CAST(sum(c_w) AS BIGINT) FROM cu) AS n_tok)
+      |SELECT x, y, c_xy, cx.c_w AS c_x, cy.c_w AS c_y,
+      |  CAST(floor(ln(CAST(c_xy AS DOUBLE) * CAST(n_tok AS DOUBLE) / CAST(n_big AS DOUBLE) * CAST(n_tok AS DOUBLE) / (CAST(cx.c_w AS DOUBLE) * CAST(cy.c_w AS DOUBLE))) * 1000000.0 + 0.5) AS BIGINT) AS pmi_q
+      |FROM cb JOIN cu cx ON cx.w = cb.x JOIN cu cy ON cy.w = cb.y CROSS JOIN tots
+      |WHERE c_xy >= 5
+      |ORDER BY pmi_q DESC, x, y LIMIT 20""".stripMargin
+
+  // ------------------------------------------------ q314 McNemar test
+
+  /** Label QA — McNemar's test on the q174 rater pair (the q143
+    * classifier vs the 500-char length rule): are the DISAGREEMENTS
+    * asymmetric, i.e. is one labeler systematically stricter? The
+    * continuity-corrected statistic (|b−c|−1)²/(b+c) is a pure integer
+    * rational over the same one-pass confusion matrix q174 builds —
+    * kappa says "how much they agree", McNemar says "whose errors
+    * dominate", and together they close the inter-rater QA pair. */
+  def q314Mcnemar(s: SparkSession, dir: String): DataFrame = {
+    val a = graft.llmops.TextAnalysis
+      .hashedNgramScore(docs(s, dir), "doc_id", "text")
+      .select(col("id"), (col("score_raw") >= 0).as("la"))
+    val b = docs(s, dir)
+      .select(col("doc_id").as("id"), (col("n_chars") >= 500).as("lb"))
+    a.join(b, "id")
+      .agg(
+        sum(when(col("la") && !col("lb"), 1L).otherwise(0L)).as("n10"),
+        sum(when(!col("la") && col("lb"), 1L).otherwise(0L)).as("n01"),
+        sum(when(col("la") === col("lb"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("n_disc", expr("n10 + n01"))
+      .withColumn("cc_num", expr("greatest(abs(n10 - n01) - 1, 0L)"))
+      .withColumn("chi2_ppm",
+        expr(Ops.floorDivScaledSql("cc_num * cc_num", "n_disc", 1000000L)))
+      .select("n10", "n01", "n_agree", "n_disc", "chi2_ppm")
+  }
+
+  val q314Sql: String = DuckClassifierScore +
+    s""",
+      |lab AS (SELECT sc.id, sc.score_raw >= 0 AS la, d.n_chars >= 500 AS lb
+      |        FROM sc JOIN documents d ON d.doc_id = sc.id),
+      |c AS (SELECT
+      |    CAST(sum(CASE WHEN la AND NOT lb THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |    CAST(sum(CASE WHEN NOT la AND lb THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |    CAST(sum(CASE WHEN la = lb THEN 1 ELSE 0 END) AS BIGINT) AS n_agree
+      |  FROM lab),
+      |k AS (SELECT *, n10 + n01 AS n_disc,
+      |        greatest(abs(n10 - n01) - 1, 0) AS cc_num FROM c)
+      |SELECT n10, n01, n_agree, n_disc,
+      |  ${Ops.floorDivScaledSql("cc_num * cc_num", "n_disc", 1000000L, "//")} AS chi2_ppm
+      |FROM k""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q313_pmi_collocations" -> (q313PmiCollocations _),
+    "q314_mcnemar" -> (q314Mcnemar _),
     "q310_welch_ttest" -> (q310WelchTtest _),
     "q311_good_turing" -> (q311GoodTuring _),
     "q312_trimmed_means" -> (q312TrimmedMeans _),
@@ -3588,6 +3693,8 @@ object Analytics {
   val oracleSql: Map[String, String] = Map(
     "q305_peak_concurrency" -> q305Sql,
     "q308_croston" -> q308Sql,
+    "q313_pmi_collocations" -> q313Sql,
+    "q314_mcnemar" -> q314Sql,
     "q310_welch_ttest" -> q310Sql,
     "q311_good_turing" -> q311Sql,
     "q312_trimmed_means" -> q312Sql,
