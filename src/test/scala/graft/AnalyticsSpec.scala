@@ -1206,4 +1206,127 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
       assert(BigInt(gCred) == BigInt(convCents) * re / sumRe)
     }
   }
+
+  // --------------------------------------- round-12 stats tier hand walks
+
+  test("q310 Welch: t and df equal the IEEE hand walk from exact integer moments") {
+    val per = graft.sources.Tables.load(spark, sf001, "orders")
+      .selectExpr("o_orderpriority AS prio",
+        "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) div 100 AS v")
+      .collect().map(r => (r.getAs[String]("prio"), r.getAs[Long]("v")))
+    val groups = per.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val tn = per.length.toLong
+    val ts = per.map(_._2).sum
+    val tss = per.map(v => v._2 * v._2).sum
+    val got = graft.queries.Analytics.q310WelchTtest(spark, sf001).collect()
+      .map(r => r.getAs[String]("prio") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("sum_dollars"),
+          r.getAs[Long]("t_ppm"), r.getAs[Long]("df_ppm")))).toMap
+    assert(got.keySet == groups.keySet)
+    groups.foreach { case (prio, vs) =>
+      val n = vs.length.toLong; val s = vs.sum; val ss = vs.map(v => v * v).sum
+      val (n2, s2, ss2) = (tn - n, ts - s, tss - ss)
+      // the exact double sequence both engines evaluate
+      val m1 = s.toDouble / n.toDouble
+      val m2 = s2.toDouble / n2.toDouble
+      val se1 = ((ss.toDouble - (s.toDouble * s.toDouble) / n.toDouble) / (n.toDouble - 1.0)) / n.toDouble
+      val se2 = ((ss2.toDouble - (s2.toDouble * s2.toDouble) / n2.toDouble) / (n2.toDouble - 1.0)) / n2.toDouble
+      val tppm = math.floor((m1 - m2) / math.sqrt(se1 + se2) * 1000000.0 + 0.5).toLong
+      val dfppm = math.floor((se1 + se2) * (se1 + se2) /
+        (se1 * se1 / (n.toDouble - 1.0) + se2 * se2 / (n2.toDouble - 1.0)) * 1000000.0 + 0.5).toLong
+      val (gn, gs, gt, gdf) = got(prio)
+      assert(gn == n && gs == s, s"$prio moments")
+      assert(gt == tppm, s"$prio t: got $gt want $tppm")
+      assert(gdf == dfppm, s"$prio df: got $gdf want $dfppm")
+      // Welch df is bounded by min(n1,n2)-1 ≤ df ≤ n1+n2-2
+      assert(gdf >= (math.min(n, n2) - 1) * 1000000L - 1 && gdf <= (n + n2 - 2) * 1000000L)
+    }
+  }
+
+  private def tokensOf(text: String): Array[String] =
+    "[a-z0-9]+".r.findAllIn(text.toLowerCase).toArray
+
+  test("q311 Good-Turing: N_r, r*, and P0 equal the trigram hand census") {
+    val texts = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val grams = texts.flatMap { t =>
+      val w = tokensOf(t)
+      (0 until math.max(0, w.length - 2)).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val fof = grams.groupBy(identity).view.mapValues(_.length.toLong).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap // r -> N_r
+    val totalTokens = fof.map { case (r, nr) => r * nr }.sum
+    val n1 = fof.getOrElse(1L, 0L)
+    val got = graft.queries.Analytics.q311GoodTuring(spark, sf001).collect()
+    assert(got.map(_.getAs[Long]("r")).toSet == fof.keySet.filter(_ <= 10))
+    got.foreach { row =>
+      val r = row.getAs[Long]("r")
+      assert(row.getAs[Long]("n_r") == fof(r), s"N_$r")
+      val nNext = fof.getOrElse(r + 1, 0L)
+      assert(row.getAs[Long]("n_r_next") == nNext)
+      assert(row.getAs[Long]("r_star_ppm") == (r + 1) * nNext * 1000000L / fof(r))
+      assert(row.getAs[Long]("total_tokens") == totalTokens)
+      assert(row.getAs[Long]("n1") == n1)
+      assert(row.getAs[Long]("p0_ppm") == n1 * 1000000L / totalTokens)
+    }
+  }
+
+  test("q312 trimmed/winsorized means equal the sorted-vector hand walk") {
+    val ev = graft.sources.Tables.load(spark, sf001, "events")
+      .selectExpr("event_type AS et",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v")
+      .collect().map(r => (r.getAs[String]("et"), r.getAs[Long]("v")))
+    val got = graft.queries.Analytics.q312TrimmedMeans(spark, sf001).collect()
+      .map(r => r.getAs[String]("et") ->
+        ((r.getAs[Long]("n"), r.getAs[Long]("k"), r.getAs[Long]("lo_cents"),
+          r.getAs[Long]("hi_cents"), r.getAs[Long]("trimmed_mean_cc"),
+          r.getAs[Long]("winsor_mean_cc")))).toMap
+    ev.groupBy(_._1).foreach { case (et, rows) =>
+      val vs = rows.map(_._2).sorted
+      val n = vs.length.toLong; val k = (n / 10).toInt
+      val lo = vs(k); val hi = vs(vs.length - 1 - k)
+      val trimmed = vs.slice(k, vs.length - k)
+      val wins = vs.indices.map(i =>
+        if (i < k) lo else if (i >= vs.length - k) hi else vs(i))
+      def fdiv(num: BigInt, den: BigInt): Long =
+        ((num * 100 - (((num * 100) % den) + den) % den) / den).toLong
+      val (gn, gk, glo, ghi, gtm, gwm) = got(et)
+      assert(gn == n && gk == k.toLong && glo == lo && ghi == hi, s"$et bounds")
+      assert(gtm == fdiv(BigInt(trimmed.map(BigInt(_)).sum.toLong), BigInt(trimmed.length)), s"$et trimmed")
+      assert(gwm == fdiv(BigInt(wins.map(BigInt(_)).sum.toLong), BigInt(n)), s"$et winsor")
+    }
+  }
+
+  test("q313 PMI: top-20 equals the bigram hand census under the same double sequence") {
+    val texts = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val toks = texts.map(tokensOf)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val big = toks.flatMap(w => (0 until math.max(0, w.length - 1))
+        .map(i => (w(i), w(i + 1))))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val nTok = uni.values.sum; val nBig = big.values.sum
+    val want = big.toSeq.filter(_._2 >= 5).map { case ((x, y), cxy) =>
+      val pmi = math.floor(math.log(cxy.toDouble * nTok.toDouble / nBig.toDouble *
+        nTok.toDouble / (uni(x).toDouble * uni(y).toDouble)) * 1000000.0 + 0.5).toLong
+      (x, y, cxy, uni(x), uni(y), pmi)
+    }.sortBy(t => (-t._6, t._1, t._2)).take(20)
+    val got = graft.queries.Analytics.q313PmiCollocations(spark, sf001).collect()
+      .map(r => (r.getAs[String]("x"), r.getAs[String]("y"), r.getAs[Long]("c_xy"),
+        r.getAs[Long]("c_x"), r.getAs[Long]("c_y"), r.getAs[Long]("pmi_q")))
+    assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
+  }
+
+  test("q314 McNemar: census matches q174's confusion matrix; statistic is the integer rational") {
+    val k = graft.queries.Analytics.q174Kappa(spark, sf001).collect().head
+    val m = graft.queries.Analytics.q314Mcnemar(spark, sf001).collect().head
+    val (n10, n01) = (m.getAs[Long]("n10"), m.getAs[Long]("n01"))
+    // the two queries build the SAME rater pair — their disagreement cells
+    // must agree exactly, and agreements must complete the corpus
+    assert(n10 == k.getAs[Long]("n10") && n01 == k.getAs[Long]("n01"))
+    assert(m.getAs[Long]("n_agree") == k.getAs[Long]("n11") + k.getAs[Long]("n00"))
+    assert(m.getAs[Long]("n_disc") == n10 + n01)
+    val cc = math.max(math.abs(n10 - n01) - 1L, 0L)
+    assert(m.getAs[Long]("chi2_ppm") == cc * cc * 1000000L / (n10 + n01))
+  }
 }
