@@ -3623,7 +3623,130 @@ object Analytics {
       |  ${Ops.floorDivScaledSql("cc_num * cc_num", "n_disc", 1000000L, "//")} AS chi2_ppm
       |FROM k""".stripMargin
 
+  // -------------------------------------- q315 vocabulary growth (Heaps)
+
+  /** Text analysis — the vocabulary growth curve (Heaps' law raw
+    * material) over TRIGRAM types (the unigram vocabulary is 31 words and
+    * saturates inside the first decile — q311's lesson): cumulative
+    * trigram-instance count vs cumulative DISTINCT-type count at ten
+    * corpus prefixes, where a document's prefix bucket is the integer
+    * decile of its id against the broadcast max (deterministic for any id
+    * density). A type's first appearance is one min-aggregate; both
+    * cumulatives ride the 10-row triangular self-join (the Ranks offset
+    * idiom) — metadata-scale, so no single-partition window ever
+    * materializes. The curve is what a tokenizer/vocab-budget planner
+    * reads to size vocabulary against corpus growth. Integer-exact. */
+  def q315VocabGrowth(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val mx = broadcast(docs(s, dir).agg(max("doc_id").as("mx")))
+    val tall = docs(s, dir)
+      .select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(wd))
+      .withColumn("t2", lead("tok", 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(col("doc_id"),
+        concat_ws(" ", col("tok"), col("t1"), col("t2")).as("w"))
+      .crossJoin(mx)
+      .withColumn("d", expr("CAST(doc_id * 10 div (mx + 1) AS BIGINT)"))
+    val perDoc = docs(s, dir).crossJoin(mx)
+      .select(expr("CAST(doc_id * 10 div (mx + 1) AS BIGINT)").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("docs_d"))
+    val tokPerD = tall.groupBy("d").agg(count(lit(1)).as("toks_d"))
+    val firstSeen = tall.groupBy("w").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("new_types_d"))
+    val base = perDoc
+      .join(tokPerD, Seq("d"), "left")
+      .join(firstSeen, Seq("d"), "left")
+      .select(col("d"), col("docs_d"),
+        coalesce(col("toks_d"), lit(0L)).as("toks_d"),
+        coalesce(col("new_types_d"), lit(0L)).as("new_types_d"))
+      .localCheckpoint() // ≤ 10 rows, consumed by both triangular sides
+    base.as("a")
+      .join(base.as("b"), col("b.d") <= col("a.d"))
+      .groupBy(col("a.d").as("decile"))
+      .agg(max(col("a.docs_d")).as("n_docs_decile"),
+        sum(col("b.docs_d")).as("cum_docs"),
+        sum(col("b.toks_d")).as("cum_tokens"),
+        sum(col("b.new_types_d")).as("cum_vocab"))
+      .orderBy("decile")
+  }
+
+  val q315Sql: String =
+    """WITH mx AS (SELECT max(doc_id) AS mx FROM documents),
+      |tok AS (SELECT doc_id * 10 // (mx + 1) AS d,
+      |    regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      |  FROM documents CROSS JOIN mx),
+      |tall AS (SELECT d, unnest(CASE WHEN len(t) >= 3
+      |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+      |    ELSE CAST([] AS VARCHAR[]) END) AS w FROM tok),
+      |perdoc AS (SELECT doc_id * 10 // (mx + 1) AS d, CAST(count(*) AS BIGINT) AS docs_d
+      |  FROM documents CROSS JOIN mx GROUP BY 1),
+      |tokd AS (SELECT d, CAST(count(*) AS BIGINT) AS toks_d FROM tall GROUP BY 1),
+      |fs AS (SELECT w, min(d) AS d FROM tall GROUP BY 1),
+      |newd AS (SELECT d, CAST(count(*) AS BIGINT) AS new_types_d FROM fs GROUP BY 1),
+      |base AS (SELECT perdoc.d, docs_d, COALESCE(toks_d, 0) AS toks_d,
+      |    COALESCE(new_types_d, 0) AS new_types_d
+      |  FROM perdoc LEFT JOIN tokd ON tokd.d = perdoc.d
+      |  LEFT JOIN newd ON newd.d = perdoc.d)
+      |SELECT a.d AS decile, max(a.docs_d) AS n_docs_decile,
+      |  CAST(sum(b.docs_d) AS BIGINT) AS cum_docs,
+      |  CAST(sum(b.toks_d) AS BIGINT) AS cum_tokens,
+      |  CAST(sum(b.new_types_d) AS BIGINT) AS cum_vocab
+      |FROM base a JOIN base b ON b.d <= a.d
+      |GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // ------------------------------------------------ q316 burstiness
+
+  /** Behavioral — Goh–Barabási burstiness of per-user inter-event gaps,
+    * rolled up per event type: B = (σ−μ)/(σ+μ) ∈ (−1, 1), the standard
+    * "is this traffic Poisson (B≈0), periodic (B→−1) or bursty (B→+1)"
+    * coefficient. Gaps come from one lag window partitioned by
+    * (user, type) — data-scale keys, never a global order — in whole
+    * milliseconds; moments accumulate exactly (Σg BIGINT, Σg² as
+    * DECIMAL so the square sum cannot wrap), and σ/B evaluate in IEEE
+    * doubles from those exact sums with identical formula text on both
+    * engines, ppm-quantized before gating. */
+  def q316Burstiness(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts_us", "event_id")
+    val g = t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"))
+      .withColumn("prev_us", lag("ts_us", 1).over(w))
+      // integer div, NOT Column./ (double division rounds near integer
+      // boundaries and can disagree with the oracle's floor //)
+      .withColumn("gap_ms", expr("(ts_us - prev_us) div 1000"))
+      .filter(col("gap_ms").isNotNull)
+    g.groupBy("event_type")
+      .agg(count(lit(1)).as("n_gaps"),
+        sum("gap_ms").as("sg"),
+        sum(expr("CAST(gap_ms AS DECIMAL(18,0)) * CAST(gap_ms AS DECIMAL(18,0))"))
+          .cast("decimal(38,0)").as("sgg"))
+      .withColumn("mean_ms", expr("sg div n_gaps"))
+      .withColumn("b_ppm", expr(
+        "CAST(floor((sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .select("event_type", "n_gaps", "sg", "mean_ms", "b_ppm")
+      .orderBy("event_type")
+  }
+
+  val q316Sql: String =
+    """WITH e AS (SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us FROM events),
+      |g AS (SELECT event_type,
+      |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
+      |       ORDER BY ts_us, event_id)) // 1000 AS gap_ms FROM e),
+      |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+      |    CAST(sum(gap_ms) AS BIGINT) AS sg, sum(gap_ms * gap_ms) AS sgg
+      |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1)
+      |SELECT event_type, n_gaps, sg, sg // n_gaps AS mean_ms,
+      |  CAST(floor((sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS b_ppm
+      |FROM m ORDER BY 1""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q315_vocab_growth" -> (q315VocabGrowth _),
+    "q316_burstiness" -> (q316Burstiness _),
     "q313_pmi_collocations" -> (q313PmiCollocations _),
     "q314_mcnemar" -> (q314Mcnemar _),
     "q310_welch_ttest" -> (q310WelchTtest _),
@@ -3695,6 +3818,8 @@ object Analytics {
     "q308_croston" -> q308Sql,
     "q313_pmi_collocations" -> q313Sql,
     "q314_mcnemar" -> q314Sql,
+    "q315_vocab_growth" -> q315Sql,
+    "q316_burstiness" -> q316Sql,
     "q310_welch_ttest" -> q310Sql,
     "q311_good_turing" -> q311Sql,
     "q312_trimmed_means" -> q312Sql,

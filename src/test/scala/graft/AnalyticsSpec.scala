@@ -1317,6 +1317,68 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
     assert(got.toSeq == want, s"got ${got.take(3).toSeq} want ${want.take(3)}")
   }
 
+  test("q315 vocab growth: deciles, cumulatives, and first-seen types equal the hand census") {
+    val dr = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("text")))
+    val mx = dr.map(_._1).max
+    def decile(id: Long): Long = id * 10 / (mx + 1)
+    val grams = dr.flatMap { case (id, t) =>
+      val w = tokensOf(t)
+      (0 until math.max(0, w.length - 2))
+        .map(i => (decile(id), s"${w(i)} ${w(i + 1)} ${w(i + 2)}"))
+    }
+    val docsPerD = dr.groupBy(x => decile(x._1)).view.mapValues(_.length.toLong).toMap
+    val toksPerD = grams.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val firstSeen = grams.groupBy(_._2).view.mapValues(_.map(_._1).min).values
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = graft.queries.Analytics.q315VocabGrowth(spark, sf001).collect()
+    assert(got.map(_.getAs[Long]("decile")).toSeq == docsPerD.keys.toSeq.sorted)
+    got.foreach { r =>
+      val d = r.getAs[Long]("decile")
+      val upTo = (0L to d).filter(docsPerD.contains)
+      assert(r.getAs[Long]("n_docs_decile") == docsPerD(d))
+      assert(r.getAs[Long]("cum_docs") == upTo.map(docsPerD).sum)
+      assert(r.getAs[Long]("cum_tokens") == upTo.map(toksPerD.getOrElse(_, 0L)).sum)
+      assert(r.getAs[Long]("cum_vocab") == upTo.map(firstSeen.getOrElse(_, 0L)).sum)
+    }
+    // growth must be monotone and saturating: each decile adds fewer new
+    // types per new gram than the corpus-wide average of the prefix before
+    val vocab = got.map(_.getAs[Long]("cum_vocab"))
+    assert(vocab.sameElements(vocab.sorted), "cum_vocab must be monotone")
+  }
+
+  test("q316 burstiness: gaps, moments, and B equal the IEEE hand walk") {
+    val ev = graft.sources.Tables.load(spark, sf001, "events")
+      .selectExpr("user_id", "event_type", "event_id", "unix_micros(ts) AS ts_us")
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type"),
+        r.getAs[Long]("event_id"), r.getAs[Long]("ts_us")))
+    val gaps = ev.groupBy(e => (e._1, e._2)).toSeq.flatMap { case (_, rows) =>
+      val sorted = rows.sortBy(e => (e._4, e._3))
+      sorted.sliding(2).collect { case Array(a, b) =>
+        (a._2, Math.floorDiv(b._4 - a._4, 1000L))
+      }
+    }
+    val got = graft.queries.Analytics.q316Burstiness(spark, sf001).collect()
+      .map(r => r.getAs[String]("event_type") ->
+        ((r.getAs[Long]("n_gaps"), r.getAs[Long]("sg"),
+          r.getAs[Long]("mean_ms"), r.getAs[Long]("b_ppm")))).toMap
+    gaps.groupBy(_._1).foreach { case (et, gs) =>
+      val v = gs.map(_._2)
+      val n = v.length.toLong
+      val sg = v.sum
+      val sgg = v.map(x => BigInt(x) * BigInt(x)).sum
+      val m = sg.toDouble / n.toDouble
+      val s = math.sqrt((sgg.toDouble - (sg.toDouble * sg.toDouble) / n.toDouble) / n.toDouble)
+      val bppm = math.floor((s - m) / (s + m) * 1000000.0 + 0.5).toLong
+      val (gn, gsg, gm, gb) = got(et)
+      assert(gn == n && gsg == sg, s"$et moments")
+      assert(gm == Math.floorDiv(sg, n), s"$et mean")
+      assert(gb == bppm, s"$et B: got $gb want $bppm")
+      assert(gb > -1000000L && gb < 1000000L, s"$et B must be in (-1, 1)")
+    }
+  }
+
   test("q314 McNemar: census matches q174's confusion matrix; statistic is the integer rational") {
     val k = graft.queries.Analytics.q174Kappa(spark, sf001).collect().head
     val m = graft.queries.Analytics.q314Mcnemar(spark, sf001).collect().head
