@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, CdcChunks, HyperplaneSig, InterleaveBits, PlaneDots, TokenGramHashes}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, CdcChunks, HyperplaneSig, InterleaveBits, JaroWinklerPpm, PlaneDots, TokenGramHashes}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -40,6 +40,11 @@ object GraftFunctions {
     * (see [[org.apache.spark.sql.graft.CdcChunks]]). */
   def cdcChunks(payload: Column, window: Int, div: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(payload), window, div))
+
+  /** Jaro–Winkler similarity ×1e6 as one native comparator
+    * (see [[org.apache.spark.sql.graft.JaroWinklerPpm]]). */
+  def jaroWinklerPpm(a: Column, b: Column): Column =
+    Bridge.column(JaroWinklerPpm(Bridge.expression(a), Bridge.expression(b)))
 }
 
 /** SQL-surface registration (`spark.sql.extensions=graft.functions.GraftExtensions`):

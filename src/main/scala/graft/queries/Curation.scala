@@ -2610,7 +2610,44 @@ object Curation {
       |  CAST(sum(price_a) AS BIGINT) AS n_price_agree
       |FROM pr GROUP BY 1 ORDER BY class""".stripMargin
 
+  // ---------------------------------- q317 Jaro–Winkler fuzzy linkage
+
+  /** Record linkage — fuzzy name matching with the NATIVE Jaro–Winkler
+    * comparator ([[org.apache.spark.sql.graft.JaroWinklerPpm]], one
+    * codegen'd static call per pair, never a Scala UDF): part names
+    * within a (brand, size) block, pairs scoring ≥ 0.90. Complements
+    * q299's field-agreement Fellegi–Sunter with the string-distance
+    * comparator real linkage stacks feed into it; blocking stays a pure
+    * equi-join (the q299/q175 discipline), so the comparator only ever
+    * runs on candidate pairs, never d². The gate compares the ×1e6
+    * quantization against DuckDB's jaro_winkler_similarity — the
+    * textbook parameterization both implement (fuzz- and
+    * boundary-margin-verified, see JaroWinklerSpec). */
+  def q317JaroLinkage(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey").as("key"),
+      col("p_brand").as("brand"), col("p_size").as("size"),
+      col("p_name").as("name"))
+    p.as("a").join(p.as("b"),
+        col("a.brand") === col("b.brand") && col("a.size") === col("b.size") &&
+          col("a.key") < col("b.key"))
+      .select(col("a.key").as("key_a"), col("b.key").as("key_b"),
+        graft.functions.GraftFunctions
+          .jaroWinklerPpm(col("a.name"), col("b.name")).as("jw_ppm"))
+      .filter(col("jw_ppm") >= 900000L)
+      .orderBy("key_a", "key_b")
+  }
+
+  val q317Sql: String =
+    """WITH p AS (SELECT p_partkey AS key, p_brand AS brand, p_size AS size,
+      |    p_name AS name FROM part),
+      |j AS (SELECT a.key AS key_a, b.key AS key_b,
+      |    CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000.0 + 0.5) AS BIGINT) AS jw_ppm
+      |  FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size AND a.key < b.key)
+      |SELECT key_a, key_b, jw_ppm FROM j WHERE jw_ppm >= 900000
+      |ORDER BY key_a, key_b""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q317_jaro_linkage" -> (q317JaroLinkage _),
     "q299_fellegi_sunter" -> (q299FellegiSunter _),
     "q301_mis" -> (q301MaximalIndependentSet _),
     "q303_greedy_coverage" -> (q303GreedyCoverage _),
@@ -2665,6 +2702,7 @@ object Curation {
 
   val oracleSql: Map[String, String] = Map(
     "q299_fellegi_sunter" -> q299Sql,
+    "q317_jaro_linkage" -> q317Sql,
     "q301_mis" -> q301Sql,
     "q303_greedy_coverage" -> q303Sql,
     "q283_influential_communities" -> q283Sql,

@@ -843,6 +843,16 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(l.contains("Cross"), s"q308 has a data-scale nested-loop join: $l"))
   }
 
+  test("q317: jaro blocking is a pure equi-join; the comparator stays in codegen") {
+    val p = plan("q317_jaro_linkage")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q317's blocked self-join degraded to a cross/inequality join")
+    assert(p.contains("jaro_winkler_ppm"),
+      "q317 must score via the native comparator expression")
+    // (codegen ≡ interpreted is pinned in JaroWinklerSpec; the AQE
+    // pre-execution plan string carries no WholeStageCodegen spans)
+  }
+
   test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
