@@ -2010,22 +2010,25 @@ object Analytics {
   // ------------------------------------------------ q235 trimmed mean
 
   /** Robust stats — 10%-trimmed mean of customer balances per nation:
-    * rank within each nation by (balance, custkey) — a per-GROUP window,
-    * never global — drop the bottom and top ⌊n/10⌋ rows, and report the
-    * mean of the kept cents in exact milli-cents via the shared
-    * floor-div, next to the untrimmed mean. The estimator between q64's
-    * outlier-fragile mean and q169's median — tails discarded
-    * symmetrically, everything else weighted equally. One (nation)
-    * shuffle; the trim is a rank filter, the means map-side combinable
-    * sums. */
+    * rank within each nation by (balance, custkey) — via
+    * [[graft.operators.Ranks.groupRank]], NOT a nation-keyed window:
+    * nation has 25 distinct values (TPC-H shape), so
+    * `Window.partitionBy(nation)` caps parallelism at 25 tasks each
+    * sorting N/25 rows at scale — the same low-cardinality straggler
+    * shape as q312, fixed the same way. Drop the bottom and top ⌊n/10⌋
+    * rows, and report the mean of the kept cents in exact milli-cents
+    * via the shared floor-div, next to the untrimmed mean. The estimator
+    * between q64's outlier-fragile mean and q169's median — tails
+    * discarded symmetrically, everything else weighted equally. The trim
+    * is a rank filter, the means map-side combinable sums. */
   def q235TrimmedMean(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val c = t(s, dir, "customer").select(
-      col("c_nationkey").cast("long").as("nation"), col("c_custkey"),
-      expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal"))
-    val w = Window.partitionBy("nation").orderBy(col("bal"), col("c_custkey"))
-    c.withColumn("rk", row_number().over(w).cast("long"))
-      .withColumn("n", count(lit(1)).over(Window.partitionBy("nation")))
+    val c = graft.operators.Ranks.groupRank(
+      t(s, dir, "customer").select(
+        col("c_nationkey").cast("long").as("nation"), col("c_custkey"),
+        expr("CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)").as("bal")),
+      "nation", "rk", col("bal"), col("c_custkey"))
+    val nk = c.groupBy("nation").agg(count(lit(1)).as("n"))
+    c.join(broadcast(nk), "nation")
       .withColumn("keep",
         col("rk") > expr("n div 10") && col("rk") <= col("n") - expr("n div 10"))
       .groupBy("nation")
@@ -3330,7 +3333,8 @@ object Analytics {
     * comparing a segment to its complement). ONE aggregation pass builds
     * exact integer (n, Σx, Σx²) per priority in whole dollars (cents div
     * 100 — truncation is floor for the non-negative prices, identical on
-    * both engines, and keeps Σx² ≤ ~7e14, inside BIGINT), the 1-row
+    * both engines; Σx² accumulates as DECIMAL(38,0) / HUGEINT so the
+    * square sum cannot wrap at any realistic row count), the 1-row
     * global broadcasts back, and t / Welch–Satterthwaite df evaluate in
     * IEEE doubles FROM those exact integers with formula text identical
     * on both engines: +,−,×,÷,sqrt are correctly rounded, so the doubles
@@ -3344,7 +3348,11 @@ object Analytics {
           .as("v"))
       .groupBy("prio")
       .agg(count(lit(1)).as("n"), sum("v").as("s"),
-        sum(expr("v * v")).as("ss"))
+        // Σx² as DECIMAL (q316's discipline): a BIGINT sum wraps silently
+        // (non-ANSI) once Σv² > ~9.2e18, which the 100 TB row count
+        // reaches; the decimal accumulator carries 38 digits
+        sum(expr("CAST(v AS DECIMAL(18,0)) * CAST(v AS DECIMAL(18,0))"))
+          .cast("decimal(38,0)").as("ss"))
     val tot = broadcast(per.agg(sum("n").as("tn"), sum("s").as("ts"),
       sum("ss").as("tss")))
     per.crossJoin(tot)
@@ -3371,10 +3379,11 @@ object Analytics {
       |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS v
       |  FROM orders),
       |per AS (SELECT prio, CAST(count(*) AS BIGINT) AS n,
-      |    CAST(sum(v) AS BIGINT) AS s, CAST(sum(v * v) AS BIGINT) AS ss
+      |    CAST(sum(v) AS BIGINT) AS s,
+      |    sum(CAST(v AS HUGEINT) * CAST(v AS HUGEINT)) AS ss
       |  FROM o GROUP BY 1),
       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts,
-      |    CAST(sum(ss) AS BIGINT) AS tss FROM per),
+      |    sum(ss) AS tss FROM per),
       |x AS (SELECT prio, n, s, ss, tn - n AS n2, ts - s AS s2, tss - ss AS ss2
       |  FROM per CROSS JOIN tot),
       |d AS (SELECT prio, n, s, n2,
@@ -3455,19 +3464,23 @@ object Analytics {
 
   /** Robust stats — 10% two-sided trimmed AND winsorized means of event
     * value per event type: rank rows inside each type by (value, id) —
-    * the group-partitioned window shape q169/q177 pin — broadcast the
-    * per-type (n, k = ⌊n/10⌋) and the two clamp values (the order
-    * statistics at ranks k+1 and n−k), then one aggregation computes both
-    * means in centi-cents. The trimmed sum and the clamp values are
-    * functions of the value MULTISET (tie order affects only which ID
-    * carries a rank, never the summed values), so the gate is exact. */
+    * via [[graft.operators.Ranks.groupRank]], NOT a type-keyed window:
+    * `event_type` has 5 distinct values, so `Window.partitionBy(et)`
+    * would sort N/5 rows per task at scale (the straggler shape the q97
+    * RFM rebuild eliminated; round-12 audit flagged the same here) —
+    * the distributed range-sort rank keeps parallelism at the shuffle-
+    * partition count. Broadcast the per-type (n, k = ⌊n/10⌋) and the two
+    * clamp values (the order statistics at ranks k+1 and n−k), then one
+    * aggregation computes both means in centi-cents. The trimmed sum and
+    * the clamp values are functions of the value MULTISET (tie order
+    * affects only which ID carries a rank, never the summed values), so
+    * the gate is exact. */
   def q312TrimmedMeans(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy("et").orderBy("v", "eid")
-    val e = t(s, dir, "events")
-      .select(col("event_type").as("et"), col("event_id").as("eid"),
-        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v"))
-      .withColumn("rn", row_number().over(w).cast("long"))
+    val e = graft.operators.Ranks.groupRank(
+      t(s, dir, "events")
+        .select(col("event_type").as("et"), col("event_id").as("eid"),
+          expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("v")),
+      "et", "rn", col("v"), col("eid"))
     val nk = e.groupBy("et")
       .agg(count(lit(1)).as("n"))
       .withColumn("k", expr("n div 10"))
@@ -3738,7 +3751,8 @@ object Analytics {
       |    (ts_us - lag(ts_us) OVER (PARTITION BY user_id, event_type
       |       ORDER BY ts_us, event_id)) // 1000 AS gap_ms FROM e),
       |m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
-      |    CAST(sum(gap_ms) AS BIGINT) AS sg, sum(gap_ms * gap_ms) AS sgg
+      |    CAST(sum(gap_ms) AS BIGINT) AS sg,
+      |    sum(CAST(gap_ms AS HUGEINT) * CAST(gap_ms AS HUGEINT)) AS sgg
       |  FROM g WHERE gap_ms IS NOT NULL GROUP BY 1)
       |SELECT event_type, n_gaps, sg, sg // n_gaps AS mean_ms,
       |  CAST(floor((sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS b_ppm

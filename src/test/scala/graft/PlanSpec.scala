@@ -853,6 +853,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // pre-execution plan string carries no WholeStageCodegen spans)
   }
 
+  test("q312/q235: group ranks ride Ranks.groupRank — no low-cardinality-keyed window") {
+    // event_type has 5 distinct values, nation 25: a Window.partitionBy on
+    // either caps parallelism at the key count with N/k-row sorts per task
+    // (the straggler shape the q97 RFM rebuild eliminated). Both queries
+    // must rank via the distributed range-sort (__pid windows only), and
+    // the only nested loops allowed are the metadata-scale triangular
+    // offset joins (__pid / group-key) — never a data-scale inequality.
+    Seq("q312_trimmed_means", "q235_trimmed_mean").foreach { q =>
+      val p = plan(q)
+      val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+      assert(wins.nonEmpty, s"$q lost its rank machinery entirely")
+      wins.foreach(w => assert(w.contains("__pid"),
+        s"$q window regressed to a low-cardinality group key: $w"))
+      p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+        assert(l.contains("__pid") || l.contains("et#") ||
+          l.contains("nation#") || l.contains("Cross"),
+          s"$q has a data-scale nested-loop join: $l"))
+    }
+  }
+
   test("q269/q278/q283: eps-join runs once — checkpointed out of the assignment plan") {
     // expected post-checkpoint base scans: the DBSCAN pair scans embeddings
     // once for the allIds spine; q283's weight join is checkpointed too
