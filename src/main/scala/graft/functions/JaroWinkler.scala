@@ -18,8 +18,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * and only the ×1e6-quantized value is ever gated (the q55 ln
   * discipline). Codegen emits one static call, so the comparator stays
   * inside whole-stage codegen instead of falling back to an interpreted
-  * UDF. Comparison is per UTF-16 char — identical to byte comparison on
-  * the ASCII linkage columns it is declared for. */
+  * UDF. Comparison is per UTF-8 BYTE, directly on the UTF8String storage —
+  * the same unit DuckDB's comparator uses, so parity holds for non-ASCII
+  * input too (not just the ASCII linkage columns), and the hot path
+  * allocates no per-row java.lang.String. */
 case class JaroWinklerPpm(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -34,12 +36,11 @@ case class JaroWinklerPpm(left: Expression, right: Expression)
   override def prettyName: String = "jaro_winkler_ppm"
 
   override def nullSafeEval(a: Any, b: Any): Any =
-    JaroWinklerImpl.jwPpm(a.asInstanceOf[UTF8String].toString,
-      b.asInstanceOf[UTF8String].toString)
+    JaroWinklerImpl.jwPpm(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, (a, b) =>
-      s"org.apache.spark.sql.graft.JaroWinklerImpl.jwPpm($a.toString(), $b.toString())")
+      s"org.apache.spark.sql.graft.JaroWinklerImpl.jwPpm($a, $b)")
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): JaroWinklerPpm =
@@ -49,12 +50,20 @@ case class JaroWinklerPpm(left: Expression, right: Expression)
 /** Shared scalar core: interpreted eval and generated code call the SAME
   * method, so there is exactly one arithmetic sequence to certify. */
 object JaroWinklerImpl {
-  def jwPpm(s1: String, s2: String): Long = {
+  /** Hot path — compares the UTF8String's UTF-8 bytes in place. */
+  def jwPpm(a: UTF8String, b: UTF8String): Long = jwBytes(a.getBytes, b.getBytes)
+
+  /** Spec/JVM-string entry: same byte comparison after UTF-8 encoding. */
+  def jwPpm(s1: String, s2: String): Long =
+    jwBytes(s1.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      s2.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  private def jwBytes(s1: Array[Byte], s2: Array[Byte]): Long = {
     val l1 = s1.length
     val l2 = s2.length
     // DuckDB convention: any empty side scores 0, even "" vs ""
     if (l1 == 0 || l2 == 0) return 0L
-    if (s1 == s2) return 1000000L
+    if (java.util.Arrays.equals(s1, s2)) return 1000000L
     val md = math.max(l1, l2) / 2 - 1
     val m1 = new Array[Boolean](l1)
     val m2 = new Array[Boolean](l2)
@@ -66,7 +75,7 @@ object JaroWinklerImpl {
       var j = lo
       var done = false
       while (j < hi && !done) {
-        if (!m2(j) && s1.charAt(i) == s2.charAt(j)) {
+        if (!m2(j) && s1(i) == s2(j)) {
           m1(i) = true; m2(j) = true; matches += 1; done = true
         }
         j += 1
@@ -80,7 +89,7 @@ object JaroWinklerImpl {
     while (i < l1) {
       if (m1(i)) {
         while (!m2(k)) k += 1
-        if (s1.charAt(i) != s2.charAt(k)) t += 1
+        if (s1(i) != s2(k)) t += 1
         k += 1
       }
       i += 1
@@ -95,7 +104,7 @@ object JaroWinklerImpl {
       var p = 0
       var stop = false
       while (p < cap && !stop) {
-        if (s1.charAt(p) == s2.charAt(p)) pl += 1 else stop = true
+        if (s1(p) == s2(p)) pl += 1 else stop = true
         p += 1
       }
       j0 = j0 + pl * 0.1 * (1.0 - j0)
