@@ -1907,6 +1907,33 @@ object Scale {
         f"day$d%06d" ->
           ev.filter(expr(s"unix_micros(ts) div 86400000000 = ${d}L"))))
     })
+  /** Day-truncated events staged ONE FILE PER EVENT-TIME WEEK
+    * (⌊day/7⌋, oldest first) — the q295/q306/q307 replay diet: their
+    * per-batch folds are order-free (sums; map-entry bumps; appends
+    * sorted by event_id, so arrival order is (week, event_id)), which
+    * makes every cross-batch state-carry gate exact at ANY batch
+    * granularity — coarsening day → week cuts the RocksDB micro-batch
+    * floor from 31 to ~5 batches per replay (round-12 verdict task 5:
+    * the daily floors were ~45 s of single-sample wall across the
+    * transformWithState paths). q304 deliberately stays on
+    * [[stageDailyEvents]]: its timer-vs-arrival `closed_by` attribution
+    * is DEFINED by the daily cadence (an idle timer fires only when an
+    * intermediate batch advances the watermark past it before the next
+    * arrival — coarser batches would silently reattribute sessions). */
+  private def stageWeeklyEvents(s: SparkSession, dir: String): String =
+    staged.getOrElseUpdate(s"weeklyevents:$dir", {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("timestamp_micros((unix_micros(ts) div 86400000000) * 86400000000)")
+          .as("ts"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"),
+        col("event_type"), col("event_id"))
+      val weeks = ev.select(expr("unix_micros(ts) div 604800000000").as("w"))
+        .distinct().orderBy("w").collect().map(_.getLong(0)) // ≤ 6 rows
+      graft.sources.Staging.stageParts(weeks.toSeq.map(w =>
+        f"week$w%06d" ->
+          ev.filter(expr(s"unix_micros(ts) div 604800000000 = ${w}L"))))
+    })
+
   private def stageOnce(key: String, df: => DataFrame): String =
     staged.getOrElseUpdate(key, {
       val d = java.nio.file.Files.createTempDirectory("graft-scale-src").toString
@@ -2033,9 +2060,12 @@ object Scale {
   /** S26 depth (twenty-FIFTH streaming path) — the `transformWithState`
     * StatefulProcessor API ([[graft.streaming.RunningBalance]]): per-user
     * RUNNING BALANCE (cumulative event count + cumulative cents) carried
-    * in an engine-managed typed ValueState, replayed one event-time day
-    * per micro-batch (the q285 staging discipline, so each batch's
-    * per-user fold is order-free). transformWithState requires the
+    * in an engine-managed typed ValueState, replayed one event-time WEEK
+    * per micro-batch ([[stageWeeklyEvents]] — the fold is order-free
+    * sums, so the state-carry gate is exact at any batch granularity and
+    * the weekly replay pays 5 RocksDB batches instead of 31; one output
+    * row per (user, active week), stamped with the user's newest active
+    * day). transformWithState requires the
     * RocksDB state store — the provider is scoped to this query and
     * restored after, the same hygiene as state-partition sizing. One
     * fixed-size state row per user forever; one emitted row per
@@ -2044,7 +2074,7 @@ object Scale {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
     import graft.streaming.RunningBalance
-    val srcDir = stageDailyEvents(s, dir)
+    val srcDir = stageWeeklyEvents(s, dir)
     val schema = s.read.parquet(srcDir).schema
     graft.streaming.StreamConf.withRocksDb(s) {
       import s.implicits._
@@ -2075,13 +2105,14 @@ object Scale {
       |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM events),
-      |g AS (SELECT user_id, d, CAST(count(*) AS BIGINT) AS n,
+      |g AS (SELECT user_id, d // 7 AS w, CAST(max(d) AS BIGINT) AS md,
+      |        CAST(count(*) AS BIGINT) AS n,
       |        CAST(sum(cents) AS BIGINT) AS c
       |      FROM e GROUP BY 1, 2)
-      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
-      |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY d
+      |SELECT user_id, CAST(md * 86400000000 AS BIGINT) AS day_us,
+      |  CAST(sum(n) OVER (PARTITION BY user_id ORDER BY w
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n,
-      |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY d
+      |  CAST(sum(c) OVER (PARTITION BY user_id ORDER BY w
       |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents
       |FROM g ORDER BY user_id, day_us""".stripMargin
 
@@ -2097,7 +2128,12 @@ object Scale {
     * START-of-batch watermark (one batch behind), so a gap of exactly
     * 2 days closes on arrival while gaps ≥ 3 days close by timer; each
     * user's FINAL session emits only if its deadline is within the final
-    * watermark. One session row + one live timer per user in RocksDB. */
+    * watermark. One session row + one live timer per user in RocksDB.
+    * q304 deliberately KEEPS the daily replay while q295/q306/q307 moved
+    * to [[stageWeeklyEvents]]: the closed_by attribution above exists
+    * only because intermediate batches advance the watermark past idle
+    * timers — a coarser replay would silently collapse the timer path
+    * into arrival-closes and un-probe the timer service. */
   def q304TimerSessions(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
@@ -2161,17 +2197,21 @@ object Scale {
     * `transformWithState` ([[graft.streaming.TypeCounts]]): per-user
     * running event-type counters in an engine-managed
     * `MapState[String, Long]` (q295 covers ValueState, q304 timers; this
-    * the keyed-sub-state member of the API). Per batch each active user
-    * bumps only the touched entries and emits its CURRENT profile —
-    * distinct types ever seen and the cumulative top type (ties → the
-    * lexicographically smallest, so both engines agree). State is one
-    * map entry per (user, type-ever-seen), bounded by the type
-    * vocabulary, never event volume. */
+    * the keyed-sub-state member of the API). Replayed one event-time
+    * WEEK per micro-batch ([[stageWeeklyEvents]] — map-entry bumps are
+    * order-free, so the cross-batch counter carry is exact at any
+    * granularity). Per batch each active user bumps only the touched
+    * entries and emits its CURRENT profile — distinct types ever seen
+    * and the cumulative top type (ties → the lexicographically
+    * smallest, so both engines agree) — stamped with the user's newest
+    * active day that week. State is one map entry per
+    * (user, type-ever-seen), bounded by the type vocabulary, never
+    * event volume. */
   def q306TypeCounts(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
     import graft.streaming.TypeCounts
-    val srcDir = stageDailyEvents(s, dir)
+    val srcDir = stageWeeklyEvents(s, dir)
     val schema = s.read.parquet(srcDir).schema
     graft.streaming.StreamConf.withRocksDb(s) {
       import s.implicits._
@@ -2198,17 +2238,19 @@ object Scale {
       |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d,
       |    event_type AS t
       |  FROM events),
-      |dc AS (SELECT user_id, d, t, CAST(count(*) AS BIGINT) AS n
+      |dc AS (SELECT user_id, d // 7 AS w, t, CAST(count(*) AS BIGINT) AS n
       |       FROM e GROUP BY 1, 2, 3),
-      |ad AS (SELECT DISTINCT user_id, d FROM e),
-      |pairs AS (SELECT ad.user_id, ad.d, dc.t, CAST(sum(dc.n) AS BIGINT) AS cnt
-      |  FROM ad JOIN dc ON dc.user_id = ad.user_id AND dc.d <= ad.d
-      |  GROUP BY 1, 2, 3),
+      |ad AS (SELECT user_id, d // 7 AS w, CAST(max(d) AS BIGINT) AS md
+      |       FROM e GROUP BY 1, 2),
+      |pairs AS (SELECT ad.user_id, ad.w, ad.md, dc.t,
+      |    CAST(sum(dc.n) AS BIGINT) AS cnt
+      |  FROM ad JOIN dc ON dc.user_id = ad.user_id AND dc.w <= ad.w
+      |  GROUP BY 1, 2, 3, 4),
       |r AS (SELECT *,
-      |        row_number() OVER (PARTITION BY user_id, d ORDER BY cnt DESC, t) AS rn,
-      |        count(*) OVER (PARTITION BY user_id, d) AS n_types
+      |        row_number() OVER (PARTITION BY user_id, w ORDER BY cnt DESC, t) AS rn,
+      |        count(*) OVER (PARTITION BY user_id, w) AS n_types
       |      FROM pairs)
-      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
+      |SELECT user_id, CAST(md * 86400000000 AS BIGINT) AS day_us,
       |  CAST(n_types AS BIGINT) AS n_types, t AS top_type, cnt AS top_cnt
       |FROM r WHERE rn = 1 ORDER BY user_id, day_us""".stripMargin
 
@@ -2216,16 +2258,19 @@ object Scale {
     * `transformWithState` ([[graft.streaming.RecentPurchases]]): the
     * per-user LAST-3 purchase window in an engine-managed `ListState`,
     * completing the state-API family (q295 ValueState, q306 MapState,
-    * q304 timers). Appends arrive in (day, event_id) order and the list
-    * trims to the newest 3 on every update — bounded recency state no
-    * matter the event volume, the "last transactions" feature shape.
-    * Emits one row per (user, purchase day): window size, window cent
-    * sum, newest purchase cents. */
+    * q304 timers). Replayed one event-time WEEK per micro-batch
+    * ([[stageWeeklyEvents]]): each batch's purchases append sorted by
+    * event_id, so the total arrival order both engines replay is
+    * (week, event_id), and the list trims to the newest 3 on every
+    * update — bounded recency state no matter the event volume, the
+    * "last transactions" feature shape. Emits one row per
+    * (user, active purchase week), stamped with the newest purchase
+    * day: window size, window cent sum, newest purchase cents. */
   def q307RecentPurchases(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
     import graft.streaming.RecentPurchases
-    val srcDir = stageDailyEvents(s, dir)
+    val srcDir = stageWeeklyEvents(s, dir)
     val schema = s.read.parquet(srcDir).schema
     graft.streaming.StreamConf.withRocksDb(s) {
       import s.implicits._
@@ -2252,19 +2297,21 @@ object Scale {
       |    CAST(epoch_us(ts) AS BIGINT) // 86400000000 AS d, event_id,
       |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
       |  FROM events WHERE event_type = 'purchase'),
-      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY user_id
-      |        ORDER BY d, event_id) AS BIGINT) AS rn
+      |r AS (SELECT user_id, d // 7 AS w, d, event_id, cents,
+      |        CAST(row_number() OVER (PARTITION BY user_id
+      |          ORDER BY d // 7, event_id) AS BIGINT) AS rn
       |      FROM p),
-      |ad AS (SELECT user_id, d, CAST(max(rn) AS BIGINT) AS mx
+      |ad AS (SELECT user_id, w, CAST(max(d) AS BIGINT) AS md,
+      |        CAST(max(rn) AS BIGINT) AS mx
       |       FROM r GROUP BY 1, 2),
-      |wnd AS (SELECT ad.user_id, ad.d, r.cents, r.rn, ad.mx
+      |wnd AS (SELECT ad.user_id, ad.md, r.cents, r.rn, ad.mx
       |  FROM ad JOIN r ON r.user_id = ad.user_id
       |    AND r.rn > ad.mx - 3 AND r.rn <= ad.mx)
-      |SELECT user_id, CAST(d * 86400000000 AS BIGINT) AS day_us,
+      |SELECT user_id, CAST(md * 86400000000 AS BIGINT) AS day_us,
       |  CAST(count(*) AS BIGINT) AS n_in_window,
       |  CAST(sum(cents) AS BIGINT) AS window_cents,
       |  CAST(max(CASE WHEN rn = mx THEN cents END) AS BIGINT) AS newest_cents
-      |FROM wnd GROUP BY user_id, d ORDER BY user_id, day_us""".stripMargin
+      |FROM wnd GROUP BY user_id, md ORDER BY user_id, day_us""".stripMargin
 
   val q266Sql: String =
     """WITH v AS (SELECT event_type AS g,

@@ -861,34 +861,41 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
     assert(got.exists(_._6 == "timer") && got.exists(_._6 == "arrival"),
       "both close paths must be exercised at this SF")
   }
-  test("q306 map-state type counts: per-day profiles equal the replayed cumulative counters") {
+  test("q306 map-state type counts: per-week profiles equal the replayed cumulative counters") {
+    // one event-time WEEK per micro-batch (stageWeeklyEvents): each active
+    // (user, week) emits the cumulative profile through that week, stamped
+    // with the user's newest active day in it
     val sf = "/root/testdata/sf0.001"
     val rows = graft.sources.Tables.load(spark, sf, "events")
       .select(col("user_id"), expr("unix_micros(ts) div 86400000000").as("day"),
         col("event_type"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
     val want = rows.groupBy(_._1).toSeq.flatMap { case (u, evs) =>
-      val days = evs.map(_._2).distinct.sorted
+      val weeks = evs.map(_._2 / 7).distinct.sorted
       val cum = scala.collection.mutable.Map.empty[String, Long]
-      days.map { d =>
-        evs.filter(_._2 == d).foreach { e =>
+      weeks.map { w =>
+        val inWeek = evs.filter(_._2 / 7 == w)
+        inWeek.foreach { e =>
           cum(e._3) = cum.getOrElse(e._3, 0L) + 1L }
         val (topT, topC) = cum.toSeq.minBy { case (t, c) => (-c, t) }
-        (u, d * 86400000000L, cum.size.toLong, topT, topC)
+        (u, inWeek.map(_._2).max * 86400000000L, cum.size.toLong, topT, topC)
       }
     }.sortBy(t => (t._1, t._2))
     val got = graft.queries.Scale.q306TypeCounts(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
         r.getLong(4))).toSeq
     assert(got == want)
-    // monotone: a user's n_types and top_cnt never decrease across days
+    // monotone: a user's n_types and top_cnt never decrease across weeks
     got.groupBy(_._1).values.foreach { g =>
       val s = g.sortBy(_._2)
       assert(s.sliding(2).forall(p => p.head._3 <= p.last._3))
       assert(s.sliding(2).forall(p => p.head._5 <= p.last._5))
     }
   }
-  test("q307 list-state recent purchases: last-3 windows equal the replayed (day, event_id) order") {
+  test("q307 list-state recent purchases: last-3 windows equal the replayed (week, event_id) order") {
+    // weekly replay: arrival order is (week, event_id) — purchases within
+    // one batch append sorted by event_id; one row per active purchase
+    // week, stamped with the newest purchase day in it
     val sf = "/root/testdata/sf0.001"
     val buys = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("event_type") === "purchase")
@@ -897,12 +904,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val want = buys.groupBy(_._1).toSeq.flatMap { case (u, g) =>
-      val ordered = g.toSeq.sortBy(e => (e._2, e._3))
-      ordered.map(_._2).distinct.sorted.map { d =>
-        val upto = ordered.takeWhile(_._2 <= d)
+      val ordered = g.toSeq.sortBy(e => (e._2 / 7, e._3))
+      ordered.map(_._2 / 7).distinct.sorted.map { w =>
+        val upto = ordered.takeWhile(_._2 / 7 <= w)
         val wnd = upto.takeRight(3)
-        (u, d * 86400000000L, wnd.length.toLong, wnd.map(_._4).sum,
-          wnd.last._4)
+        (u, upto.filter(_._2 / 7 == w).map(_._2).max * 86400000000L,
+          wnd.length.toLong, wnd.map(_._4).sum, wnd.last._4)
       }
     }.sortBy(t => (t._1, t._2))
     val got = graft.queries.Scale.q307RecentPurchases(spark, sf).collect()
