@@ -2646,8 +2646,86 @@ object Curation {
       |SELECT key_a, key_b, jw_ppm FROM j WHERE jw_ppm >= 900000
       |ORDER BY key_a, key_b""".stripMargin
 
+  // ------------------------------------ q318 entity resolution (closure)
+
+  /** Entity resolution — the full linkage stack: q317's blocked native
+    * Jaro–Winkler comparator produces the match pairs, and their
+    * TRANSITIVE CLOSURE ([[Graph.labelPropagation]] min-label components,
+    * 6 bounded rounds — the q269/q221 declared-semantics contract) merges
+    * chained matches into entities (A≈B and B≈C ⇒ one entity even when
+    * A–C scores below threshold — the step every dedup/MDM pipeline runs
+    * after pairwise scoring). Per entity: member count, canonical key
+    * range and the cent price spread across merged listings. Blocking
+    * keeps the comparator on candidate pairs only; the closure's label
+    * frame is localCheckpointed every round, so the final rollup plan
+    * consumes the materialized labels and never re-runs the comparator
+    * (plan-pinned). Entities never span a (brand, size) block, so cluster
+    * diameter is bounded by block size and 6 rounds converge here (the
+    * oracle replicates the exact 6-round protocol either way). */
+  def q318EntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val p = t(s, dir, "part").select(col("p_partkey").as("id"),
+      col("p_brand").as("brand"), col("p_size").as("size"),
+      col("p_name").as("name"),
+      expr("CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)")
+        .as("cents"))
+    val pairs = p.as("a").join(p.as("b"),
+        col("a.brand") === col("b.brand") && col("a.size") === col("b.size") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        graft.functions.GraftFunctions
+          .jaroWinklerPpm(col("a.name"), col("b.name")).as("jw_ppm"))
+      .filter(col("jw_ppm") >= 900000L)
+      .select("id_a", "id_b")
+    graft.operators.Graph.labelPropagation(pairs, iters = 6)
+      .join(p.select(col("id"), col("cents")), "id")
+      .groupBy(col("label").as("entity_id"))
+      .agg(count(lit(1)).as("n_members"),
+        min("id").as("min_key"), max("id").as("max_key"),
+        min("cents").as("min_cents"), max("cents").as("max_cents"))
+      .withColumn("spread_cents", col("max_cents") - col("min_cents"))
+      .orderBy("entity_id")
+  }
+
+  val q318Sql: String = {
+    // six unrolled min-label rounds (the q269 oracle discipline: each
+    // round references the previous label frame twice → MATERIALIZED)
+    def iter(prev: String, cur: String): String =
+      s"""n$cur AS (SELECT s.src AS id, CAST(min(l.label) AS BIGINT) AS m
+         |       FROM sym s JOIN l$prev l ON l.id = s.dst GROUP BY 1),
+         |l$cur AS MATERIALIZED (SELECT l.id,
+         |        CASE WHEN n$cur.m IS NULL OR l.label <= n$cur.m
+         |             THEN l.label ELSE n$cur.m END AS label
+         |      FROM l$prev l LEFT JOIN n$cur ON n$cur.id = l.id)""".stripMargin
+    s"""WITH p AS (SELECT p_partkey AS id, p_brand AS brand, p_size AS size,
+       |    p_name AS name,
+       |    CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+       |  FROM part),
+       |e AS MATERIALIZED (SELECT a.id AS id_a, b.id AS id_b
+       |  FROM p a JOIN p b ON a.brand = b.brand AND a.size = b.size
+       |    AND a.id < b.id
+       |  WHERE CAST(floor(jaro_winkler_similarity(a.name, b.name) * 1000000.0 + 0.5) AS BIGINT) >= 900000),
+       |sym AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM e
+       |         UNION ALL SELECT id_b, id_a FROM e),
+       |l0 AS MATERIALIZED (SELECT DISTINCT src AS id, CAST(src AS BIGINT) AS label
+       |      FROM sym),
+       |${iter("0", "1")},
+       |${iter("1", "2")},
+       |${iter("2", "3")},
+       |${iter("3", "4")},
+       |${iter("4", "5")},
+       |${iter("5", "6")}
+       |SELECT l.label AS entity_id, CAST(count(*) AS BIGINT) AS n_members,
+       |  CAST(min(l.id) AS BIGINT) AS min_key, CAST(max(l.id) AS BIGINT) AS max_key,
+       |  CAST(min(p.cents) AS BIGINT) AS min_cents,
+       |  CAST(max(p.cents) AS BIGINT) AS max_cents,
+       |  CAST(max(p.cents) - min(p.cents) AS BIGINT) AS spread_cents
+       |FROM l6 l JOIN p ON p.id = l.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q317_jaro_linkage" -> (q317JaroLinkage _),
+    "q318_entity_resolution" -> (q318EntityResolution _),
     "q299_fellegi_sunter" -> (q299FellegiSunter _),
     "q301_mis" -> (q301MaximalIndependentSet _),
     "q303_greedy_coverage" -> (q303GreedyCoverage _),
@@ -2703,6 +2781,7 @@ object Curation {
   val oracleSql: Map[String, String] = Map(
     "q299_fellegi_sunter" -> q299Sql,
     "q317_jaro_linkage" -> q317Sql,
+    "q318_entity_resolution" -> q318Sql,
     "q301_mis" -> q301Sql,
     "q303_greedy_coverage" -> q303Sql,
     "q283_influential_communities" -> q283Sql,

@@ -853,6 +853,21 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     // pre-execution plan string carries no WholeStageCodegen spans)
   }
 
+  test("q318: closure rollup consumes checkpointed labels — comparator never re-runs") {
+    // labelPropagation localCheckpoints the label frame every round; the
+    // final entity rollup must consume that materialization (one part
+    // re-scan for the cents join) — if the checkpoint is dropped, the
+    // blocked jaro join re-embeds 2^6 times in the assignment plan
+    val p = plan("q318_entity_resolution")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "q318's blocking degraded to a cross/inequality join")
+    assert(!p.contains("jaro_winkler_ppm"),
+      "q318 re-runs the comparator in the rollup plan — label checkpoint dropped")
+    assert(p.contains("Scan ExistingRDD"), "q318 must consume the checkpointed labels")
+    assert(scanParquetCount(p) == 1,
+      s"q318 should re-scan only part for the cents join; got ${scanParquetCount(p)}")
+  }
+
   test("q312/q235: group ranks ride Ranks.groupRank — no low-cardinality-keyed window") {
     // event_type has 5 distinct values, nation 25: a Window.partitionBy on
     // either caps parallelism at the key count with N/k-row sorts per task
