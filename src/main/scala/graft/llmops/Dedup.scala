@@ -475,8 +475,14 @@ object Dedup {
     * a single-copy doc, but only ~1/5 of its token mass). Σmax folds to
     * tot_a + tot_b − Σmin, so the per-pair work is ONE map_zip_with over
     * the two count maps (each bounded by doc vocabulary); the pair stream
-    * carries two maps + two totals, never text. Returns exact integer
-    * pieces (wj_num, wj_den, wj_ppm = num·1e6 div den). */
+    * carries two maps + two totals, never text. The count maps are built
+    * over the whole doc frame — at 100 TB a caller whose candidate pairs
+    * touch a sliver of the corpus should pre-filter `docs` to the docs
+    * its pairs reference (a checkpointed-candidate semi-join) before
+    * calling; on the declared q287 data the sampled LSH candidates cover
+    * essentially every doc, so the filter would add a pass and remove
+    * nothing (measured round 13). Returns exact integer pieces
+    * (wj_num, wj_den, wj_ppm = num·1e6 div den). */
   def weightedJaccardRescore(docs: DataFrame, idCol: String, textCol: String,
       cand: DataFrame): DataFrame = {
     val cnt = docs
