@@ -76,7 +76,12 @@ object Ranks {
     * HIGH-cardinality key (many small groups) should keep the plain keyed
     * window instead: it balances naturally and skips the extra pass.
     * Order columns must total-order rows WITHIN each key (unique
-    * tie-breaker), same contract as [[globalRank]]. */
+    * tie-breaker), same contract as [[globalRank]]. `keyCol` must be
+    * NON-NULL: the offset equi-join and the `b.key < a.key` triangular
+    * join both drop NULL keys, so NULL-key rows would silently vanish
+    * from the output (where `Window.partitionBy` would rank them as
+    * their own group) — coalesce a sentinel key first if NULLs are
+    * possible. */
   def groupRank(df: DataFrame, keyCol: String, rankCol: String,
       order: Column*): DataFrame = {
     val nParts = df.sparkSession.sessionState.conf.numShufflePartitions

@@ -3341,7 +3341,13 @@ object Analytics {
     * IEEE doubles FROM those exact integers with formula text identical
     * on both engines: +,−,×,÷,sqrt are correctly rounded, so the doubles
     * are bit-identical (a STRONGER guarantee than the q55 ln-quantization
-    * discipline) and the ppm quantization gates safely. 100 TB shape:
+    * discipline) and the ppm quantization gates safely. Caveat on the
+    * bit-identical claim: it additionally needs the integer→double CASTs
+    * to be one correct rounding each, which holds for Σx² < 2⁶⁴ (every
+    * gated SF by orders of magnitude) — past 2⁶⁴ DuckDB's HUGEINT→DOUBLE
+    * composes two roundings (hi·2⁶⁴ + lo) and can sit 1 ulp off Spark's
+    * correctly-rounded BigDecimal cast, so at that scale the gate would
+    * need the ppm value quantized from a wider intermediate instead. 100 TB shape:
     * pure two-level aggregation, no window, no join wider than 1 row. */
   def q310WelchTtest(s: SparkSession, dir: String): DataFrame = {
     val per = t(s, dir, "orders")

@@ -2085,10 +2085,12 @@ object Scale {
         .transformWithState(new RunningBalance.Proc, TimeMode.None(),
           OutputMode.Append(), Encoders.product[RunningBalance.Out])
       val qn = s"q295_balance_${System.identityHashCode(s)}"
-      // 2 state partitions, not 8: the 31-day replay opens every store
-      // (a RocksDB instance each) on every micro-batch, so per-batch
-      // overhead is stores × batches while the key space is only
-      // O(users) — sizing to cardinality halved the wall time
+      // 2 state partitions, not 8: every micro-batch opens every store
+      // (a RocksDB instance each), so per-replay overhead is
+      // stores × batches while the key space is only O(users) — sizing
+      // to cardinality halved the wall time when measured under the
+      // 31-day replay; the weekly replay shrank the batches factor 6x,
+      // which only weakens the case for more stores further
       graft.streaming.StreamConf.withStatePartitions(s, 2) {
         out.toDF().writeStream.outputMode("append").format("memory")
           .queryName(qn).trigger(Trigger.AvailableNow())
@@ -2260,12 +2262,14 @@ object Scale {
     * completing the state-API family (q295 ValueState, q306 MapState,
     * q304 timers). Replayed one event-time WEEK per micro-batch
     * ([[stageWeeklyEvents]]): each batch's purchases append sorted by
-    * event_id, so the total arrival order both engines replay is
-    * (week, event_id), and the list trims to the newest 3 on every
-    * update — bounded recency state no matter the event volume, the
-    * "last transactions" feature shape. Emits one row per
-    * (user, active purchase week), stamped with the newest purchase
-    * day: window size, window cent sum, newest purchase cents. */
+    * (day, event_id) inside the fold, so the total arrival order both
+    * engines replay is (day, event_id) — identical under daily or weekly
+    * staging, and "newest" is always the latest purchase day — and the
+    * list trims to the newest 3 on every update: bounded recency state
+    * no matter the event volume, the "last transactions" feature shape.
+    * Emits one row per (user, active purchase week), stamped with the
+    * newest purchase day: window size, window cent sum, newest purchase
+    * cents. */
   def q307RecentPurchases(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.streaming.{OutputMode, TimeMode, Trigger}
     import org.apache.spark.sql.Encoders
@@ -2299,7 +2303,7 @@ object Scale {
       |  FROM events WHERE event_type = 'purchase'),
       |r AS (SELECT user_id, d // 7 AS w, d, event_id, cents,
       |        CAST(row_number() OVER (PARTITION BY user_id
-      |          ORDER BY d // 7, event_id) AS BIGINT) AS rn
+      |          ORDER BY d, event_id) AS BIGINT) AS rn
       |      FROM p),
       |ad AS (SELECT user_id, w, CAST(max(d) AS BIGINT) AS md,
       |        CAST(max(rn) AS BIGINT) AS mx

@@ -7,14 +7,17 @@ import org.apache.spark.sql.streaming._
   * purchase events carried in an engine-managed `ListState[Item]` — the
   * ordered-collection member of the state API ([[RunningBalance]] covers
   * ValueState, [[TypeCounts]] MapState, [[TimerSessions]] timers). Each
-  * micro-batch appends the user's purchases in (event_id) order and trims
-  * to the newest K, so the state is a bounded recency window no matter
-  * how many events flow — the "last 3 transactions" feature every fraud /
-  * personalization pipeline materializes.
+  * micro-batch appends the user's purchases in (day, event_id) order and
+  * trims to the newest K, so the state is a bounded recency window no
+  * matter how many events flow — the "last 3 transactions" feature every
+  * fraud / personalization pipeline materializes.
   *
-  * Determinism under the one-event-time-day-per-batch replay: batches
-  * arrive in day order and rows are sorted by event_id inside the fold,
-  * so (day, event_id) is the total arrival order both engines replay. */
+  * Determinism under the event-time-ordered replay: batches arrive in
+  * time order and rows are sorted by (ts, event_id) INSIDE the fold, so
+  * (day, event_id) is the total arrival order both engines replay at ANY
+  * batch granularity — daily and weekly staging give the same order, and
+  * "newest" always means the latest day (tie-broken by event_id), never
+  * a batch-local event_id inversion across days. */
 object RecentPurchases {
   case class In(user_id: Long, ts: java.sql.Timestamp, cents: Long,
     event_type: String, event_id: Long)
@@ -35,7 +38,7 @@ object RecentPurchases {
     override def handleInputRows(key: Long, rows: Iterator[In],
         timerValues: TimerValues): Iterator[Out] = {
       val buys = rows.filter(_.event_type == "purchase").toArray
-        .sortBy(_.event_id)
+        .sortBy(b => (b.ts.getTime, b.event_id))
       if (buys.isEmpty) Iterator.empty
       else {
         val day = buys.map(_.ts.getTime * 1000L).max

@@ -78,10 +78,19 @@ class BenchSetsSpec extends AnyFunSuite {
     val txt = new String(Files.readAllBytes(Paths.get(priorPath)), "UTF-8")
     val prestage = """"prestage_sec":([0-9.eE+\-]+)""".r
       .findFirstMatchIn(txt).map(_.group(1).toDouble).getOrElse(200.0)
-    val est = prior.map { case (name, m) =>
-      if (SparkEntry.streamingQueries(name)) m
-      else if (m < Bench.secondPassBarSec) m + 0.4
-      else 2 * m + 0.5
+    // iterate the LIVE registry, not the prior's keys: a query added since
+    // the prior bench is exactly the widening this tripwire exists to
+    // catch, so it must cost something — a conservative default (its true
+    // cost is unknown until the next committed run), heavier for streaming
+    // replays than batch plans
+    val est = SparkEntry.queries.keysIterator.map { name =>
+      prior.get(name) match {
+        case Some(m) =>
+          if (SparkEntry.streamingQueries(name)) m
+          else if (m < Bench.secondPassBarSec) m + 0.4
+          else 2 * m + 0.5
+        case None => if (SparkEntry.streamingQueries(name)) 20.0 else 6.0
+      }
     }.sum + prestage + 30.0 // + session startup
     assert(est <= 1800.0,
       f"estimated quiet bench wall $est%.0f s exceeds the 1800 s budget — " +

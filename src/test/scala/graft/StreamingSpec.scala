@@ -892,10 +892,12 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
       assert(s.sliding(2).forall(p => p.head._5 <= p.last._5))
     }
   }
-  test("q307 list-state recent purchases: last-3 windows equal the replayed (week, event_id) order") {
-    // weekly replay: arrival order is (week, event_id) — purchases within
-    // one batch append sorted by event_id; one row per active purchase
-    // week, stamped with the newest purchase day in it
+  test("q307 list-state recent purchases: last-3 windows equal the replayed (day, event_id) order") {
+    // weekly replay, but the fold sorts each batch by (ts, event_id), so
+    // the total arrival order is (day, event_id) — the same order a daily
+    // replay gives ("newest" = latest day, never a batch-local event_id
+    // inversion across days); one row per active purchase week, stamped
+    // with the newest purchase day in it
     val sf = "/root/testdata/sf0.001"
     val buys = graft.sources.Tables.load(spark, sf, "events")
       .filter(col("event_type") === "purchase")
@@ -904,7 +906,7 @@ class StreamingSpec extends AnyFunSuite with SparkSpec {
         expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("cents"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val want = buys.groupBy(_._1).toSeq.flatMap { case (u, g) =>
-      val ordered = g.toSeq.sortBy(e => (e._2 / 7, e._3))
+      val ordered = g.toSeq.sortBy(e => (e._2, e._3))
       ordered.map(_._2 / 7).distinct.sorted.map { w =>
         val upto = ordered.takeWhile(_._2 / 7 <= w)
         val wnd = upto.takeRight(3)
