@@ -3771,7 +3771,98 @@ object Analytics {
       |  CAST(floor((sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) - CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) / (sqrt((CAST(sgg AS DOUBLE) - (CAST(sg AS DOUBLE) * CAST(sg AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) / CAST(n_gaps AS DOUBLE)) + CAST(sg AS DOUBLE) / CAST(n_gaps AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS b_ppm
       |FROM m ORDER BY 1""".stripMargin
 
+  // ----------------------------------- q321 SNIPS offline policy eval
+
+  /** Counterfactual evaluation — SELF-NORMALIZED inverse-propensity
+    * scoring (SNIPS; Swaminathan & Joachims 2015) of candidate action
+    * policies against logged bandit feedback, the off-policy estimate
+    * every recsys/RLHF-data pipeline runs before an online test: events
+    * are (context = user-id mod-4 segment, action = event_type,
+    * reward = value in cents); the behavior policy's propensity is the
+    * empirical cell frequency n(x,a)/n(x), and for each target policy π
+    * the estimate is V̂ = Σ wᵢrᵢ / Σ wᵢ with wᵢ = π(aᵢ|xᵢ)/p̂(aᵢ|xᵢ).
+    * The weight is CONSTANT within a (segment, action) cell, so both
+    * sums collapse algebraically onto the cell aggregate: per cell
+    * num = π·n(x)·Σr / n(x,a) (floor-div milli-quantized, the shared
+    * gate discipline) and den = π·n(x) exactly; support violations
+    * (π > 0 on a cell the logs never saw) are COUNTED, not silently
+    * skipped. Two declared policies: uniform (π = 1/5 each) and the
+    * deterministic always-purchase.
+    *
+    * Shape: ONE map-side-combinable scan aggregate to the (segment,
+    * action) cell table; everything after is metadata-scale (≤ |X|·|A|
+    * cells joined to a broadcast policy table). The π·n(x)·Σr product
+    * rides DECIMAL(38,0)/HUGEINT so the intermediate cannot wrap; the
+    * per-cell quotient and its ≤ |X|·|A|-term sum fit BIGINT through
+    * ~10¹¹ events per segment (q155's envelope discipline — beyond that
+    * the same plan swaps decimal-typed quotients in). */
+  def q321SnipsEval(s: SparkSession, dir: String): DataFrame = {
+    val cells = t(s, dir, "events")
+      .select(pmod(col("user_id"), lit(4L)).as("seg"),
+        col("event_type").as("act"),
+        expr("CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)").as("r_cents"))
+      .groupBy("seg", "act")
+      .agg(count(lit(1)).as("n_cell"), sum("r_cents").as("sum_r"))
+    val segs = cells.groupBy("seg").agg(sum("n_cell").as("n_seg"))
+    import s.implicits._
+    val acts = Seq("click", "error", "purchase", "signup", "view")
+    val policies = broadcast(
+      (acts.map(a => ("uniform", a, 200L)) ++ Seq(("always_purchase", "purchase", 1000L)))
+        .toDF("policy", "act", "pi_milli"))
+    val seen = cells.join(broadcast(segs), "seg").join(policies, "act")
+    val est = seen
+      .withColumn("num_milli", expr(
+        "CAST(pi_milli AS DECIMAL(38,0)) * n_seg * sum_r div n_cell"))
+      .withColumn("den_milli", expr("CAST(pi_milli AS DECIMAL(38,0)) * n_seg"))
+      .groupBy("policy")
+      .agg(count(lit(1)).as("n_cells"),
+        sum("num_milli").cast("decimal(38,0)").as("num"),
+        sum("den_milli").cast("decimal(38,0)").as("den"))
+      .withColumn("snips_ccents", expr("CAST((num * 100) div den AS BIGINT)"))
+      .select("policy", "n_cells", "snips_ccents")
+    // support audit: π > 0 on a (segment, action) the logs never saw
+    val grid = broadcast(segs.select("seg")).crossJoin(policies)
+    val unsupported = grid
+      .join(cells.select(col("seg"), col("act"), lit(1L).as("hit")),
+        Seq("seg", "act"), "left")
+      .filter(col("hit").isNull)
+      .groupBy("policy").agg(count(lit(1)).as("n_unsupported"))
+    est.join(unsupported, Seq("policy"), "left")
+      .withColumn("n_unsupported", coalesce(col("n_unsupported"), lit(0L)))
+      .orderBy("policy")
+  }
+
+  val q321Sql: String =
+    """WITH e AS (SELECT ((user_id % 4) + 4) % 4 AS seg, event_type AS act,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r_cents
+      |  FROM events),
+      |cells AS (SELECT seg, act, CAST(count(*) AS BIGINT) AS n_cell,
+      |    CAST(sum(r_cents) AS BIGINT) AS sum_r
+      |  FROM e GROUP BY 1, 2),
+      |segs AS (SELECT seg, CAST(sum(n_cell) AS BIGINT) AS n_seg FROM cells GROUP BY 1),
+      |pol AS (SELECT * FROM (VALUES
+      |    ('uniform', 'click', 200), ('uniform', 'error', 200),
+      |    ('uniform', 'purchase', 200), ('uniform', 'signup', 200),
+      |    ('uniform', 'view', 200),
+      |    ('always_purchase', 'purchase', 1000)) p(policy, act, pi_milli)),
+      |seen AS (SELECT pol.policy,
+      |    CAST(pol.pi_milli AS HUGEINT) * segs.n_seg * cells.sum_r // cells.n_cell AS num_milli,
+      |    CAST(pol.pi_milli AS HUGEINT) * segs.n_seg AS den_milli
+      |  FROM cells JOIN segs USING (seg) JOIN pol USING (act)),
+      |est AS (SELECT policy, CAST(count(*) AS BIGINT) AS n_cells,
+      |    CAST((sum(num_milli) * 100) // sum(den_milli) AS BIGINT) AS snips_ccents
+      |  FROM seen GROUP BY 1),
+      |unsupported AS (SELECT pol.policy, CAST(count(*) AS BIGINT) AS n
+      |  FROM segs CROSS JOIN pol
+      |  LEFT JOIN cells ON cells.seg = segs.seg AND cells.act = pol.act
+      |  WHERE cells.n_cell IS NULL GROUP BY 1)
+      |SELECT est.policy, est.n_cells, est.snips_ccents,
+      |  CAST(coalesce(u.n, 0) AS BIGINT) AS n_unsupported
+      |FROM est LEFT JOIN unsupported u USING (policy)
+      |ORDER BY policy""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q321_snips_eval" -> (q321SnipsEval _),
     "q315_vocab_growth" -> (q315VocabGrowth _),
     "q316_burstiness" -> (q316Burstiness _),
     "q313_pmi_collocations" -> (q313PmiCollocations _),
@@ -3841,6 +3932,7 @@ object Analytics {
     "q292_ols_trend" -> (q292OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
+    "q321_snips_eval" -> q321Sql,
     "q305_peak_concurrency" -> q305Sql,
     "q308_croston" -> q308Sql,
     "q313_pmi_collocations" -> q313Sql,

@@ -2298,9 +2298,207 @@ object LlmOps {
       |FROM c JOIN k USING (canon_url)
       |ORDER BY id""".stripMargin
 
+  // ----------------------------------- q319 split-conformal coverage audit
+
+  /** Shared scored frame for the calibration/drift tier: every document's
+    * q143 classifier score joined back to its source. Consumers make the
+    * scan run once their own way: q320 aggregates it immediately to the
+    * (source, score) count table; q319 localCheckpoints the derived thin
+    * bucketed frame. */
+  private def scoredBySource(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    TextAnalysis.hashedNgramScore(d, "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+      .join(d.select(col("doc_id").as("id"), col("source")), "id")
+  }
+
+  /** The q143-equivalent scored-documents CTE, shared by the q319/q320
+    * oracles (DuckDB mirror of [[TextAnalysis.hashedNgramScore]] +
+    * source join). Yields `sc(id, source, score_milli)`. */
+  private val scoredBySourceCte: String =
+    """tok AS (SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+      |g AS (SELECT doc_id, unnest(t) AS g FROM tok
+      |      UNION ALL
+      |      SELECT doc_id, unnest(CASE WHEN len(t) >= 2
+      |        THEN list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i + 1])
+      |        ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+      |w AS (SELECT doc_id,
+      |        ((CAST(('0x' || substr(md5(g), 1, 12)) AS BIGINT) % 4096)
+      |          * 2654435761 + 97) % 4294967296 % 2001 - 1000 AS w
+      |      FROM g),
+      |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+      |          CAST(sum(w) AS BIGINT) AS score_raw
+      |        FROM w GROUP BY 1),
+      |sc AS (SELECT d.doc_id AS id, d.source,
+      |  CASE WHEN coalesce(agg.n_grams, 0) = 0 THEN CAST(0 AS BIGINT)
+      |       ELSE CAST((agg.score_raw * 1000
+      |              - ((agg.score_raw * 1000 % agg.n_grams) + agg.n_grams) % agg.n_grams)
+      |            // agg.n_grams AS BIGINT) END AS score_milli
+      |  FROM documents d LEFT JOIN agg USING (doc_id))""".stripMargin
+
+  /** North star/curation — SPLIT-CONFORMAL calibration of the q143 quality
+    * score (Vovk et al.; Angelopoulos & Bates 2021 survey): a
+    * distribution-free "keep" threshold with a finite-sample coverage
+    * guarantee, then the per-source CONDITIONAL-coverage audit every
+    * model-scored curation pipeline owes its users (marginal coverage is
+    * guaranteed by exchangeability; per-source coverage drifts, and this
+    * query measures exactly that drift). Protocol: the q83 md5-nibble
+    * bucket assigns ~20% of documents (bucket < 51) to calibration; with
+    * nonconformity −score and miscoverage α = 1/5, the conformal threshold
+    * is the k-th smallest calibration score at k = (n+1) − ⌈(1−α)(n+1)⌉ —
+    * pure integer arithmetic, k = (n+1) − (4(n+1)+4) div 5 — and the
+    * keep-rule `score ≥ threshold` covers ≥ 80% of exchangeable documents.
+    * Output: per-source eval coverage in ppm against that one threshold.
+    *
+    * Shape: scoring is the q143 scan-side aggregate; the k-th order
+    * statistic is a [[graft.operators.Ranks.globalRank]] distributed rank
+    * (range sort + broadcast offsets — NO single-partition window, the
+    * q97/q160 discipline) filtered to one row and broadcast; the audit is
+    * one hash aggregation by source. Survives 100× untouched: the only
+    * driver-sized object is the 1-row threshold. */
+  def q319ConformalCoverage(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    // thin (id, score, source, bucket) frame consumed three ways (rank,
+    // n_cal, eval audit) — localCheckpointed so the ngram scoring scan
+    // runs ONCE (the q318 thin-frame discipline), never once per branch
+    val bucketed = scoredBySource(s, dir)
+      .withColumn("hx", md5(col("id").cast("string").cast("binary")))
+      .withColumn("bucket",
+        (expr("instr('0123456789abcdef', substring(hx, 1, 1)) - 1") * 16 +
+          expr("instr('0123456789abcdef', substring(hx, 2, 1)) - 1")).cast("long"))
+      .drop("hx")
+      .localCheckpoint()
+    val cal = bucketed.filter(col("bucket") < 51L).select("id", "score_milli")
+    val ev = bucketed.filter(col("bucket") >= 51L)
+    val nCal = broadcast(cal.agg(count(lit(1)).as("n_cal")))
+    val thr = broadcast(
+      globalRank(cal, "rnk", col("score_milli"), col("id"))
+        .crossJoin(nCal)
+        .filter(col("rnk") ===
+          expr("(n_cal + 1) - (4 * (n_cal + 1) + 4) div 5"))
+        .select(col("score_milli").as("thr_milli"), col("n_cal"),
+          col("rnk").as("k_idx")))
+    ev.crossJoin(thr)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("score_milli") >= col("thr_milli"), 1L).otherwise(0L))
+          .as("n_covered"),
+        min("thr_milli").as("thr_milli"), min("n_cal").as("n_cal"),
+        min("k_idx").as("k_idx"))
+      .withColumn("coverage_ppm", expr("(n_covered * 1000000) div n_eval"))
+      .orderBy("source")
+  }
+
+  val q319Sql: String =
+    s"""WITH $scoredBySourceCte,
+       |b AS (SELECT id, source, score_milli,
+       |    CAST((instr('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 1, 1)) - 1) * 16
+       |       + instr('0123456789abcdef', substr(md5(CAST(id AS VARCHAR)), 2, 1)) - 1 AS BIGINT) AS bucket
+       |  FROM sc),
+       |cal AS (SELECT score_milli,
+       |    row_number() OVER (ORDER BY score_milli, id) AS rnk
+       |  FROM b WHERE bucket < 51),
+       |n AS (SELECT CAST(count(*) AS BIGINT) AS n_cal FROM cal),
+       |thr AS (SELECT cal.score_milli AS thr_milli, n.n_cal,
+       |    CAST(cal.rnk AS BIGINT) AS k_idx
+       |  FROM cal CROSS JOIN n
+       |  WHERE cal.rnk = (n.n_cal + 1) - (4 * (n.n_cal + 1) + 4) // 5)
+       |SELECT b.source, CAST(count(*) AS BIGINT) AS n_eval,
+       |  CAST(sum(CASE WHEN b.score_milli >= thr.thr_milli THEN 1 ELSE 0 END) AS BIGINT) AS n_covered,
+       |  CAST(min(thr.thr_milli) AS BIGINT) AS thr_milli,
+       |  CAST(min(thr.n_cal) AS BIGINT) AS n_cal,
+       |  CAST(min(thr.k_idx) AS BIGINT) AS k_idx,
+       |  (CAST(sum(CASE WHEN b.score_milli >= thr.thr_milli THEN 1 ELSE 0 END) AS BIGINT)
+       |    * 1000000) // CAST(count(*) AS BIGINT) AS coverage_ppm
+       |FROM b CROSS JOIN thr WHERE b.bucket >= 51
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
+  // ------------------------------------- q320 1-D Wasserstein score drift
+
+  /** Drift/monitoring — EXACT 1-D Wasserstein-1 (earth mover's) distance
+    * between each source's quality-score distribution and the whole
+    * corpus: W₁ = ∫|F_src(x) − F_corpus(x)|dx over the score axis, the
+    * drift metric that (unlike q184's PSI or q179's KS statistic) weighs
+    * BY HOW FAR probability mass moved, not just whether it moved, and
+    * needs no binning choice. On integer milli-scores the integral is the
+    * exact sum Σᵢ |cumSᵢ·n_g − cumGᵢ·n_s| · (vᵢ₊₁ − vᵢ) over consecutive
+    * distinct scores, emitted as the floor-div milli-score units
+    * `w1_milli = Σ div (n_s·n_g)` — all integer, hash-gated.
+    *
+    * Shape: one scan-side count aggregation to the (source, score) table,
+    * localCheckpointed (consumed three ways), then everything downstream
+    * is METADATA-scale — the distinct-score grid is bounded by the
+    * milli-quantization, not the corpus (the q311/q313 count-of-count
+    * discipline), so the ordered CDF windows (global, and partitioned by
+    * the 20 sources) run over thousands of rows regardless of corpus
+    * size, and the source×grid cross join stays |sources|·|grid|.
+    * Products go through DECIMAL(38,0) before summing (q316's overflow
+    * envelope — BIGINT·BIGINT would wrap silently at the 100 TB shape). */
+  def q320WassersteinDrift(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sv = scoredBySource(s, dir)
+      .groupBy(col("source"), col("score_milli").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val wAll = Window.orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // metadata-scale (one row per distinct score): single-partition windows
+    // here are the declared q311/q313 count-table shape, not a data window
+    val grid = sv.groupBy("v").agg(sum("c").as("cg"))
+      .withColumn("cumg", sum("cg").over(wAll))
+      .withColumn("next_v", lead("v", 1).over(Window.orderBy("v")))
+      .filter(col("next_v").isNotNull)
+      .withColumn("gap", col("next_v") - col("v"))
+      .select("v", "cumg", "gap")
+    val nG = broadcast(sv.agg(sum("c").as("n_g")))
+    val nS = sv.groupBy("source").agg(sum("c").as("n_s"))
+    val wSrc = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    nS.crossJoin(grid)
+      .join(sv, Seq("source", "v"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+      .withColumn("cums", sum("c").over(wSrc))
+      .crossJoin(nG)
+      .withColumn("term", expr(
+        "abs(CAST(cums AS DECIMAL(38,0)) * n_g - CAST(cumg AS DECIMAL(38,0)) * n_s)" +
+          " * gap"))
+      .groupBy("source")
+      .agg(min("n_s").as("n_s"), min("n_g").as("n_g"),
+        sum("term").cast("decimal(38,0)").as("w1_num"))
+      .withColumn("w1_milli",
+        expr("CAST(w1_num div (CAST(n_s AS DECIMAL(38,0)) * n_g) AS BIGINT)"))
+      .select("source", "n_s", "n_g", "w1_milli")
+      .orderBy("source")
+  }
+
+  val q320Sql: String =
+    s"""WITH $scoredBySourceCte,
+       |sv AS (SELECT source, score_milli AS v, CAST(count(*) AS BIGINT) AS c
+       |  FROM sc GROUP BY 1, 2),
+       |grid AS (SELECT v, CAST(sum(cg) OVER (ORDER BY v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumg,
+       |    lead(v) OVER (ORDER BY v) - v AS gap
+       |  FROM (SELECT v, CAST(sum(c) AS BIGINT) AS cg FROM sv GROUP BY 1)),
+       |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sv GROUP BY 1),
+       |ng AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM sv),
+       |cdf AS (SELECT ns.source, grid.v, grid.cumg, grid.gap, ns.n_s,
+       |    CAST(sum(coalesce(sv.c, 0)) OVER (PARTITION BY ns.source ORDER BY grid.v
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cums
+       |  FROM ns CROSS JOIN grid
+       |  LEFT JOIN sv ON sv.source = ns.source AND sv.v = grid.v
+       |  WHERE grid.gap IS NOT NULL)
+       |SELECT source, CAST(min(n_s) AS BIGINT) AS n_s,
+       |  CAST(min(ng.n_g) AS BIGINT) AS n_g,
+       |  CAST(sum(abs(CAST(cums AS HUGEINT) * ng.n_g - CAST(cumg AS HUGEINT) * n_s) * gap)
+       |    // (CAST(min(n_s) AS HUGEINT) * min(ng.n_g)) AS BIGINT) AS w1_milli
+       |FROM cdf CROSS JOIN ng
+       |GROUP BY 1 ORDER BY source""".stripMargin
+
   // -------------------------------------------------------------- registry
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q319_conformal_coverage" -> (q319ConformalCoverage _),
+    "q320_wasserstein_drift" -> (q320WassersteinDrift _),
     "q282_url_canonical" -> (q282UrlCanonical _),
     "q258_readability" -> (q258Readability _),
     "q18_exact_dedup" -> (q18ExactDedup _),
@@ -2357,6 +2555,8 @@ object LlmOps {
     "q151_multiprobe_lsh" -> (q151MultiProbeLsh _))
 
   val oracleSql: Map[String, String] = Map(
+    "q319_conformal_coverage" -> q319Sql,
+    "q320_wasserstein_drift" -> q320Sql,
     "q282_url_canonical" -> q282Sql,
     "q258_readability" -> q258Sql,
     "q18_exact_dedup" -> q18Sql,

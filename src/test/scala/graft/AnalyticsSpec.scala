@@ -1209,6 +1209,45 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
 
   // --------------------------------------- round-12 stats tier hand walks
 
+  test("q321 SNIPS: cell-collapsed estimate equals the BigInt hand walk; support audit exact") {
+    val rows = graft.sources.Tables.load(spark, sf001, "events")
+      .selectExpr("pmod(user_id, 4) AS seg", "event_type AS act",
+        "CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS r")
+      .collect().map(r => (r.getAs[Long]("seg"), r.getAs[String]("act"), r.getAs[Long]("r")))
+    val cells = rows.groupBy(t => (t._1, t._2)).view
+      .mapValues(g => (g.length.toLong, g.map(_._3).sum)).toMap
+    val segN = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val acts = Seq("click", "error", "purchase", "signup", "view")
+    val policies = Map(
+      "uniform" -> acts.map(_ -> 200L).toMap,
+      "always_purchase" -> Map("purchase" -> 1000L))
+    val got = graft.queries.Analytics.q321SnipsEval(spark, sf001).collect()
+      .map(r => r.getAs[String]("policy") ->
+        ((r.getAs[Long]("n_cells"), r.getAs[Long]("snips_ccents"),
+          r.getAs[Long]("n_unsupported")))).toMap
+    assert(got.keySet == policies.keySet)
+    policies.foreach { case (p, pi) =>
+      val seen = cells.keys.filter(k => pi.contains(k._2)).toSeq
+      val num = seen.map { case k @ (seg, act) =>
+        val (nc, sr) = cells(k)
+        BigInt(pi(act)) * segN(seg) * sr / nc // nonneg: / == floor div
+      }.sum
+      val den = seen.map { case (seg, act) => BigInt(pi(act)) * segN(seg) }.sum
+      val wantSnips = (num * 100 / den).toLong
+      val wantUnsup = segN.keys.flatMap(s => pi.keys.map(a => (s, a)))
+        .count(k => !cells.contains(k)).toLong
+      val (gn, gs, gu) = got(p)
+      assert(gn == seen.length.toLong, s"$p n_cells")
+      assert(gs == wantSnips, s"$p snips: got $gs want $wantSnips")
+      assert(gu == wantUnsup, s"$p unsupported")
+    }
+    // self-normalization keeps the estimate in the reward range — a lost
+    // Σw denominator would blow it past the max logged reward
+    val maxR = rows.map(_._3).max
+    got.values.foreach { case (_, snips, _) =>
+      assert(snips >= 0 && snips <= maxR * 100, s"SNIPS left the reward range: $snips") }
+  }
+
   test("q310 Welch: t and df equal the IEEE hand walk from exact integer moments") {
     val per = graft.sources.Tables.load(spark, sf001, "orders")
       .selectExpr("o_orderpriority AS prio",

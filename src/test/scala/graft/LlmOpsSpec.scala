@@ -784,4 +784,85 @@ class LlmOpsSpec extends AnyFunSuite with SparkSpec {
     // the full tier agrees with itself by construction
     assert(got.collect { case ((64L, _), (_, _, a)) => a }.forall(identity))
   }
+
+  // ------------------------- round-13 calibration/drift tier hand walks
+
+  /** First two md5 hex nibbles of the id string — the q83/hashSplitBy
+    * bucket, replicated driver-side. */
+  private def md5Bucket(id: Long): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    (h(0) & 0xFF).toLong
+  }
+
+  test("q319 conformal: threshold is the hand k-th order statistic; per-source coverage matches the census") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val scores = TextAnalysis.hashedNgramScore(d, "doc_id", "text")
+      .select("id", "score_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = d.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val cal = scores.keys.filter(md5Bucket(_) < 51).toSeq
+      .map(id => (scores(id), id)).sorted
+    val n = cal.length.toLong
+    val k = (n + 1) - Math.floorDiv(4 * (n + 1) + 4, 5)
+    assert(k >= 1 && k <= n, s"degenerate calibration: n=$n k=$k")
+    val thr = cal((k - 1).toInt)._1
+    val evalIds = scores.keys.filter(md5Bucket(_) >= 51).toSeq
+    val want = evalIds.groupBy(srcOf).view.mapValues(ids =>
+      (ids.length.toLong, ids.count(scores(_) >= thr).toLong)).toMap
+    val got = graft.queries.LlmOps.q319ConformalCoverage(spark, sf).collect()
+      .map(r => r.getAs[String]("source") -> r).toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (ne, nc)) =>
+      val r = got(s)
+      assert(r.getAs[Long]("n_eval") == ne && r.getAs[Long]("n_covered") == nc,
+        s"$s eval census")
+      assert(r.getAs[Long]("thr_milli") == thr, s"$s threshold")
+      assert(r.getAs[Long]("n_cal") == n && r.getAs[Long]("k_idx") == k)
+      assert(r.getAs[Long]("coverage_ppm") == nc * 1000000L / ne)
+    }
+    // marginal (all-sources) coverage should sit near the >= 1-α = 80%
+    // conformal guarantee; a collapse below 50% means the split or the
+    // order statistic broke, not sampling noise
+    val (totE, totC) = want.values.foldLeft((0L, 0L)) {
+      case ((e, c), (ne, nc)) => (e + ne, c + nc) }
+    assert(totC * 2 >= totE, s"marginal coverage collapsed: $totC/$totE")
+  }
+
+  test("q320 wasserstein: equals the BigInt CDF hand integral; bounded by the score range") {
+    val sf = "/root/testdata/sf0.001"
+    val d = graft.sources.Tables.load(spark, sf, "documents")
+    val scores = TextAnalysis.hashedNgramScore(d, "doc_id", "text")
+      .select("id", "score_milli").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val srcOf = d.select("doc_id", "source").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val all = scores.values.toSeq
+    val grid = all.distinct.sorted
+    val nG = all.length.toLong
+    val cumG = grid.map(v => v -> all.count(_ <= v).toLong).toMap
+    val want = srcOf.values.toSet.map { (s: String) =>
+      val vs = scores.collect { case (id, v) if srcOf(id) == s => v }.toSeq
+      val nS = vs.length.toLong
+      val num = grid.sliding(2).collect { case Seq(v, nv) =>
+        val cumS = vs.count(_ <= v).toLong
+        (BigInt(cumS) * nG - BigInt(cumG(v)) * nS).abs * (nv - v)
+      }.sum
+      s -> ((nS, (num / (BigInt(nS) * nG)).toLong))
+    }.toMap
+    val got = graft.queries.LlmOps.q320WassersteinDrift(spark, sf).collect()
+      .map(r => r.getAs[String]("source") ->
+        ((r.getAs[Long]("n_s"), r.getAs[Long]("n_g"), r.getAs[Long]("w1_milli"))))
+      .toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (s, (nS, w1)) =>
+      val (gn, gg, gw) = got(s)
+      assert(gn == nS && gg == nG, s"$s counts")
+      assert(gw == w1, s"$s W1: got $gw want $w1")
+      // W1 between distributions supported on [min,max] is <= max - min
+      assert(gw >= 0 && gw <= grid.last - grid.head, s"$s W1 out of bounds")
+    }
+  }
 }

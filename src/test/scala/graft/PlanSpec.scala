@@ -529,14 +529,12 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "k-core degrees are aggregations, not windows")
   }
 
-  test("q234-q236: scalar attaches broadcast; q235's rank windows partition per nation") {
+  test("q234-q236: scalar attaches broadcast — no cartesians") {
+    // q235's rank shape (groupRank + checkpoint, no nation-keyed window —
+    // the round-13 rebuild) is pinned in the dedicated q312/q235 test below
     Seq("q234_fano_factor", "q235_trimmed_mean", "q236_benford").foreach { q =>
       assert(!plan(q).contains("CartesianProduct"), q)
     }
-    val w235 = plan("q235_trimmed_mean").linesIterator
-      .filter(_.contains("Window [")).toSeq
-    assert(w235.nonEmpty && w235.forall(_.contains("nation")),
-      s"q235 windows must partition by nation: $w235")
   }
 
   test("q237/q238: tier join broadcasts; the calendar pair frame is BNLJ, never cartesian") {
@@ -911,5 +909,40 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       assert(scanParquetCount(p) == scans,
         s"$q must scan exactly $scans base tables post-checkpoint; got ${scanParquetCount(p)}")
     }
+  }
+
+  test("q319: k-th order statistic rides globalRank — every window keyed, crosses 1-row only") {
+    val p = plan("q319_conformal_coverage")
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.nonEmpty, "q319 needs globalRank's __pid window")
+    wins.foreach(w => assert(w.contains("__pid"),
+      s"q319's rank regressed to an unkeyed window (single-partition sort): $w"))
+    // tolerated nested loops: the 1-row n_cal/threshold cross-attaches and
+    // globalRank's triangular __pid offset join (metadata scale)
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("__pid") || l.contains("Cross"),
+        s"q319 has a data-scale nested-loop join: $l"))
+    assert(!p.contains("CartesianProduct"),
+      "q319 must never build a data-scale cartesian")
+    // the scored frame is localCheckpointed once — rank, n_cal, and the
+    // eval audit all consume the materialization, never a re-score scan
+    assert(p.contains("Scan ExistingRDD"),
+      "q319 must consume the checkpointed scored frame")
+    assert(scanParquetCount(p) == 0,
+      s"q319 re-scores documents ${scanParquetCount(p)} times — the checkpoint was dropped")
+  }
+
+  test("q320: corpus tokenizes once — CDF grid consumed from the checkpoint") {
+    // the (source, score) count table is localCheckpointed and consumed
+    // three ways (grid, totals, per-source CDF); the final plan must read
+    // ONLY the materialized table — a dropped checkpoint re-embeds the
+    // ngram scoring scan per consumer
+    val p = plan("q320_wasserstein_drift")
+    assert(p.contains("Scan ExistingRDD"),
+      "q320 must consume the checkpointed count table")
+    assert(scanParquetCount(p) == 0,
+      s"q320 re-reads documents ${scanParquetCount(p)} times — the count-table checkpoint was dropped")
+    // windows here are over the metadata-scale score grid by design (the
+    // q311/q313 count-table discipline), so no keying pin applies
   }
 }
