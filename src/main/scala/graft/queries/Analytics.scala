@@ -3861,7 +3861,73 @@ object Analytics {
       |FROM est LEFT JOIN unsupported u USING (policy)
       |ORDER BY policy""".stripMargin
 
+  // --------------------------------------- q322 Hill tail-index estimator
+
+  /** Heavy-tail diagnostics — the HILL ESTIMATOR (Hill 1975) of the
+    * corpus trigram-frequency tail index: the MLE of the Pareto exponent
+    * from the top-k order statistics, α̂ = k / Σᵢ₌₁..ₖ ln(x₍ᵢ₎/x₍ₖ₊₁₎) —
+    * the maximum-likelihood complement of q177's least-squares Zipf
+    * slope (LS fits the whole log-log curve and is biased by the bulk;
+    * Hill reads ONLY the extreme tail, which is what head-token skew and
+    * memorization-risk analyses care about). k = 100 under the
+    * (count desc, gram) total order; term counts with ties at the
+    * boundary don't affect the estimate (only the COUNT values enter).
+    *
+    * Shape: the q311 trigram build to the count table, then the
+    * top-(k+1) selection rides [[graft.operators.Ranks.globalRank]]
+    * (range sort + broadcast offsets — the TYPE table is corpus-bounded,
+    * NOT metadata, so no single-partition window may touch it); the 101
+    * selected rows broadcast and everything after is constant-size. ln
+    * terms follow the q313 idiom — IEEE doubles from exact integers,
+    * identical formula text on both engines, ppm-quantized per term
+    * before the k-term sum; α̂ is one exact floor-div of the quantized
+    * sum (NULL iff the top 101 counts are all equal). */
+  def q322HillTail(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.Ranks.globalRank
+    import org.apache.spark.sql.expressions.Window
+    val wd = Window.partitionBy("doc_id").orderBy("pos")
+    val grams = docs(s, dir).select(col("doc_id"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "tok")))
+      .withColumn("t1", lead("tok", 1).over(wd))
+      .withColumn("t2", lead("tok", 2).over(wd))
+      .filter(col("t2").isNotNull)
+      .select(concat_ws(" ", col("tok"), col("t1"), col("t2")).as("g"))
+    val cnt = grams.groupBy("g").agg(count(lit(1)).as("c"))
+    val top = globalRank(cnt, "rnk", col("c").desc, col("g"))
+      .filter(col("rnk") <= 101L)
+    val xk1 = broadcast(top.filter(col("rnk") === 101L)
+      .select(col("c").as("c_k1")))
+    top.filter(col("rnk") <= 100L)
+      .crossJoin(xk1)
+      .withColumn("term_ppm", expr(
+        "CAST(floor(ln(CAST(c AS DOUBLE) / CAST(c_k1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)"))
+      .agg(count(lit(1)).as("k"), min("c_k1").as("x_k1"),
+        sum("term_ppm").as("sum_ln_ppm"))
+      .withColumn("alpha_ppm",
+        expr(Ops.floorDivScaledSql("k * 1000000", "sum_ln_ppm", 1000000L)))
+      .select("k", "x_k1", "sum_ln_ppm", "alpha_ppm")
+  }
+
+  val q322Sql: String =
+    s"""WITH tok AS (SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS t FROM documents),
+       |grams AS (SELECT unnest(CASE WHEN len(t) >= 3
+       |    THEN list_transform(range(1, len(t) - 1), i -> array_to_string(t[i:i+2], ' '))
+       |    ELSE CAST([] AS VARCHAR[]) END) AS g FROM tok),
+       |cnt AS (SELECT g, CAST(count(*) AS BIGINT) AS c FROM grams GROUP BY 1),
+       |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, g) AS rnk FROM cnt),
+       |k1 AS (SELECT c AS c_k1 FROM r WHERE rnk = 101),
+       |t AS (SELECT c, c_k1,
+       |    CAST(floor(ln(CAST(c AS DOUBLE) / CAST(c_k1 AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT) AS term_ppm
+       |  FROM r CROSS JOIN k1 WHERE rnk <= 100),
+       |agg AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(min(c_k1) AS BIGINT) AS x_k1,
+       |    CAST(sum(term_ppm) AS BIGINT) AS sum_ln_ppm FROM t)
+       |SELECT k, x_k1, sum_ln_ppm,
+       |  ${Ops.floorDivScaledSql("k * 1000000", "sum_ln_ppm", 1000000L, "//")} AS alpha_ppm
+       |FROM agg""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q322_hill_tail" -> (q322HillTail _),
     "q321_snips_eval" -> (q321SnipsEval _),
     "q315_vocab_growth" -> (q315VocabGrowth _),
     "q316_burstiness" -> (q316Burstiness _),
@@ -3932,6 +3998,7 @@ object Analytics {
     "q292_ols_trend" -> (q292OlsTrend _))
 
   val oracleSql: Map[String, String] = Map(
+    "q322_hill_tail" -> q322Sql,
     "q321_snips_eval" -> q321Sql,
     "q305_peak_concurrency" -> q305Sql,
     "q308_croston" -> q308Sql,

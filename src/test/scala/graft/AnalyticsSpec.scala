@@ -1209,6 +1209,36 @@ class AnalyticsSpec extends AnyFunSuite with SparkSpec {
 
   // --------------------------------------- round-12 stats tier hand walks
 
+  test("q322 Hill: top-k tail terms equal the hand census; estimator invariant to boundary tie choice") {
+    val texts = graft.sources.Tables.load(spark, sf001, "documents")
+      .select("text").collect().map(_.getString(0))
+    val grams = texts.flatMap { t =>
+      val w = "[a-z0-9]+".r.findAllIn(t.toLowerCase).toArray
+      (0 until math.max(0, w.length - 2)).map(i => s"${w(i)} ${w(i + 1)} ${w(i + 2)}")
+    }
+    val counts = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assume(counts.size > 101, "corpus too small for k=100")
+    // only the COUNT multiset enters the estimate, so the hand walk needs
+    // no tie-break on gram identity: take the 101 largest counts
+    val topCounts = counts.values.toSeq.sorted(Ordering[Long].reverse).take(101)
+    val ck1 = topCounts(100)
+    val sumLn = topCounts.take(100)
+      .map(c => math.floor(math.log(c.toDouble / ck1.toDouble) * 1000000.0 + 0.5).toLong)
+      .sum
+    val alpha =
+      if (sumLn == 0) None
+      else Some(Math.floorDiv(100L * 1000000L * 1000000L, sumLn))
+    val row = graft.queries.Analytics.q322HillTail(spark, sf001).collect()
+    assert(row.length == 1)
+    val r = row(0)
+    assert(r.getAs[Long]("k") == 100L)
+    assert(r.getAs[Long]("x_k1") == ck1, "x_(k+1) order statistic")
+    assert(r.getAs[Long]("sum_ln_ppm") == sumLn, "quantized tail sum")
+    assert(Option(r.getAs[java.lang.Long]("alpha_ppm")).map(_.toLong) == alpha)
+    // a Pareto tail index must be positive and finite here
+    alpha.foreach(a => assert(a > 0))
+  }
+
   test("q321 SNIPS: cell-collapsed estimate equals the BigInt hand walk; support audit exact") {
     val rows = graft.sources.Tables.load(spark, sf001, "events")
       .selectExpr("pmod(user_id, 4) AS seg", "event_type AS act",

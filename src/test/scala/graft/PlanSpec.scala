@@ -932,6 +932,17 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       s"q319 re-scores documents ${scanParquetCount(p)} times — the checkpoint was dropped")
   }
 
+  test("q322: top-k selection rides globalRank — no unkeyed window over the type table") {
+    val p = plan("q322_hill_tail")
+    val wins = p.linesIterator.filter(_.contains("Window ")).toSeq
+    assert(wins.nonEmpty, "q322 needs the gram-build and globalRank windows")
+    wins.foreach(w => assert(w.contains("doc_id") || w.contains("__pid"),
+      s"q322 window lost its keying (single-partition sort over the type table): $w"))
+    p.linesIterator.filter(_.contains("BroadcastNestedLoopJoin")).foreach(l =>
+      assert(l.contains("__pid") || l.contains("Cross"),
+        s"q322 has a data-scale nested-loop join: $l"))
+  }
+
   test("q320: corpus tokenizes once — CDF grid consumed from the checkpoint") {
     // the (source, score) count table is localCheckpointed and consumed
     // three ways (grid, totals, per-source CDF); the final plan must read
