@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.operators.Spread
 import TextOps._
 
 /** Deduplication operators for large-scale text corpora: exact (content
@@ -914,10 +915,18 @@ object Dedup {
       textCol: String, minLen: Int, cache: Boolean = true): DataFrame = {
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val (cand, winners) = candWindows(d, minLen, cache)
+    // lexicographic min over (id, pos) packed into ONE BIGINT — id·2³² + pos
+    // ≡ min(struct(id, pos)) whenever pos < 2³² (positions are character
+    // offsets; a single document past 4 Gi-chars is outside every contract
+    // here), but the packed form stays a primitive-long HashAggregate in
+    // whole-stage codegen where the struct min drops to ObjectHashAggregate
+    // with per-row struct allocation, and its partial state shuffles 8 B
+    // instead of a 16 B struct
+    val packed = shiftleft(col("id"), 32) + col("pos")
     val firsts = cand.groupBy("gram")
-      .agg(min(struct(col("id"), col("pos"))).as("first_occ"))
+      .agg(min(packed).as("first_packed"))
     val covered = cand.join(firsts, "gram")
-      .filter(struct(col("id"), col("pos")) =!= col("first_occ"))
+      .filter(packed =!= col("first_packed"))
       .select("id", "pos")
     docReport(d, sealSpans(mergeIslands(covered, minLen), cand, winners, cache))
   }
@@ -969,12 +978,18 @@ object Dedup {
       require(z >= 1 && z <= 8, s"hexZeros must be in [1, 8], got $z")
     }
     val L = minLen
+    // the explode + per-position hash below is the operator's compute
+    // wall and runs in the SCAN stage — spread the doc frame first so a
+    // narrow file layout (the single-row-group bench inputs) cannot
+    // serialize it onto one core; no-op whenever the scan already has
+    // enough splits (see Spread)
+    val ds = Spread.spread(d)
     // with an anchor rule, only content-defined sampled offsets survive
     // into the shuffle; the rule runs scan-side inside the same
     // whole-stage-codegen stage as the explode, so non-anchor positions
     // are generated and discarded locally, never exchanged
     def windows = {
-      val w0 = d.filter(length(col("text")) >= L)
+      val w0 = ds.filter(length(col("text")) >= L)
         .select(col("id"), col("text"),
           explode(expr(s"sequence(0, length(text) - $L)")).as("pos"))
       val w1 = anchor match {

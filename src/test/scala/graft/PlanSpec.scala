@@ -438,18 +438,26 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
       "shared-hash counting must key on the sampled hash")
   }
 
-  test("q208: keep-first confirm is a min-struct aggregation — no gram-keyed window") {
+  test("q208: keep-first confirm is a packed-min aggregation — no gram-keyed window") {
     val p = substrPlan(keepFirst = true)
-    // the 100 TB skew claim: "first occurrence" must reduce via
-    // min(struct(id, pos)) — map-side combinable, one row per gram —
+    // the 100 TB skew claim: "first occurrence" must reduce via a
+    // min() aggregation — map-side combinable, one row per gram —
     // never a per-gram rank window, which sorts EVERY occurrence of a
     // hot boilerplate gram in one task. The only Window operators are
-    // the per-doc island/report ones, keyed on id.
+    // the per-doc island/report ones, keyed on id. Round 13: the min is
+    // over (id·2³² + pos) packed into ONE BIGINT, so it stays a
+    // primitive-long HashAggregate in whole-stage codegen instead of an
+    // ObjectHashAggregate over a struct.
     val windows = p.linesIterator.filter(_.contains("Window [")).toSeq
     windows.foreach(w => assert(!w.contains("gram"),
       s"keep-first must not rank-window by gram: $w"))
-    assert(p.contains("min(") && p.contains("first_occ"),
-      "the winner must come from a min(struct) aggregation")
+    assert(p.contains("min(") && p.contains("first_packed"),
+      "the winner must come from a packed-long min aggregation")
+    val winnerAgg = p.linesIterator
+      .filter(l => l.contains("Aggregate") && l.contains("first_packed")).toSeq
+    assert(winnerAgg.nonEmpty && winnerAgg.forall(_.contains("HashAggregate")) &&
+      winnerAgg.forall(!_.contains("ObjectHashAggregate")),
+      s"packed min must stay a codegen HashAggregate: $winnerAgg")
     assert(!p.contains("CartesianProduct"))
   }
 
