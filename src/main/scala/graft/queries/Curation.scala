@@ -230,6 +230,10 @@ object Curation {
       .join(t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("item")), "ok")
       .select("ck", "item").distinct()
+      .localCheckpoint() // basket frame feeds BOTH self-join passes below —
+                         // without the truncation the orders⨝lineitem
+                         // distinct re-runs once per pass (r13 opt: the
+                         // pair stream was derived 3× end to end)
     val l2 = ci.as("x")
       .join(ci.withColumnRenamed("item", "item_b").as("y"), "ck")
       .filter(col("item") < col("item_b"))
@@ -237,7 +241,9 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 3).select("id_a", "id_b")
       .localCheckpoint() // 2 pruning consumers below
-    // frequent pairs per basket: the L2-pruned pair stream
+    // frequent pairs per basket: the L2-pruned pair stream — checkpointed,
+    // it feeds BOTH sides of the triangular ab⨝ac join (the oracle
+    // MATERIALIZEs p for the same reason)
     val p = ci.as("x")
       .join(ci.withColumnRenamed("item", "item_b").as("y"), "ck")
       .filter(col("item") < col("item_b"))

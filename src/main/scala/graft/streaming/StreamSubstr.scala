@@ -33,9 +33,13 @@ import org.apache.spark.sql.functions._
 object StreamSubstr {
 
   /** Distinct SHA-256 digests of every `L`-gram of `textCol` in `docs` —
-    * the static reference index an arriving document probes. */
+    * the static reference index an arriving document probes. The per-
+    * position SHA-256 is the build's compute wall and runs in the scan
+    * stage — spread the doc frame first so a narrow file layout cannot
+    * serialize it onto one core (plan-time no-op at real scale; the same
+    * fix as the batch candWindows, r13 opt). */
   def gramIndex(docs: DataFrame, textCol: String, L: Int): DataFrame =
-    docs.filter(length(col(textCol)) >= L)
+    graft.operators.Spread.spread(docs.filter(length(col(textCol)) >= L))
       .select(explode(expr(
         s"transform(sequence(0, length($textCol) - $L), " +
           s"p -> sha2(cast(substring($textCol, p + 1, $L) as binary), 256))"))
