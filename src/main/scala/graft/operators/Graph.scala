@@ -585,6 +585,11 @@ object Graph {
       val next = degreesWithin(alive).filter(col("deg") >= k).select("id")
       if (r % 4 == 0 && r != rounds) next.localCheckpoint() else next
     }
-    degreesWithin(survivors)
+    // the final survivor set feeds degreesWithin TWICE (src + dst side):
+    // un-truncated, the whole peel chain re-executes once per reference —
+    // and once more per CALLER reference (r13 opt forensics: q283 consumed
+    // the core three times and paid three full 4-round peels, 12.5 → 5.7 s
+    // min same-window after truncation)
+    degreesWithin(survivors.localCheckpoint())
   }
 }

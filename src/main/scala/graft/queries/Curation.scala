@@ -2477,6 +2477,7 @@ object Curation {
     val pairs = Similarity.cosinePairs(e, minCosine = 0.30)
       .select("id_a", "id_b").localCheckpoint() // feeds peel + core-edge build
     val core = Graph.kcore(pairs, k = 3, rounds = 4).select("id")
+      .localCheckpoint() // consumed 3×: both core-edge semi-joins + labels
     val coreEdges = pairs
       .join(core.select(col("id").as("id_a")), "id_a", "left_semi")
       .join(core.select(col("id").as("id_b")), "id_b", "left_semi")
