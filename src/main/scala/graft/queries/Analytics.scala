@@ -1145,7 +1145,7 @@ object Analytics {
     * cumulative via [[graft.operators.Ranks.prefixSum]] over the 10-row
     * decile frame — no single-partition window even here. */
   def q196GainsTable(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Ranks.{globalRank, prefixSum}
+    import graft.operators.Ranks.globalRank
     val scored = graft.llmops.TextAnalysis
       .hashedNgramScore(docs(s, dir), "doc_id", "text")
       .select(col("id"), col("score_milli"))
@@ -1163,7 +1163,15 @@ object Analytics {
       .agg(count(lit(1)).as("n"), sum("pos").as("n_pos"))
       .persist()
     val tot = broadcast(deciles.agg(sum("n_pos").as("total_pos")))
-    prefixSum(deciles, "n_pos", "cum_pos", col("decile"))
+    // the decile frame is ≤ 10 rows BY CONSTRUCTION (decile ∈ 0..9) — a
+    // constant-bounded running sum, so a plain window replaces the
+    // distributed prefixSum machinery (range sort + offset broadcast =
+    // ~5 jobs for ten rows; r13 opt — same bounded-k argument as q187)
+    deciles
+      .withColumn("cum_pos", sum("n_pos").over(
+        org.apache.spark.sql.expressions.Window.orderBy("decile")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)))
       .crossJoin(tot)
       .withColumn("gain_ppm", expr(
         "CASE WHEN total_pos = 0 THEN -1L ELSE (cum_pos * 1000000) div total_pos END"))

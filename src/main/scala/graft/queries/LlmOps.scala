@@ -325,8 +325,11 @@ object LlmOps {
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b")).distinct()
+      .localCheckpoint() // feeds n_cand AND the hit join — without the
+                         // truncation the banding self-join runs twice
     val truth = Dedup.jaccardPairs(d, "doc_id", "text", n = 3, minJaccard = 0.7,
       prefixFilter = true).select("id_a", "id_b")
+      .localCheckpoint() // feeds n_true AND the hit join (r13 opt)
     val nDocs = broadcast(d.agg(count(lit(1)).as("n_docs")))
     val nCand = broadcast(cand.agg(count(lit(1)).as("n_cand")))
     val nTrue = broadcast(truth.agg(count(lit(1)).as("n_true")))

@@ -164,22 +164,32 @@ object Pipeline {
     * cut is over the full corpus; both rankings via the distributed
     * zip-with-index — no single-partition window. */
   def q187Ndcg(s: SparkSession, dir: String): DataFrame = {
-    import graft.operators.Ranks.globalRank
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.expressions.Window
+    // checkpointed: the scored frame feeds BOTH cut-off branches — without
+    // the truncation the whole BM25 pipeline executes twice (r13 opt)
     val scored = docs(s, dir).select(col("doc_id").as("id"))
       .join(Corpus.bm25(docs(s, dir), "doc_id", "text",
         Seq("join", "window", "scan")), Seq("id"), "left")
       .na.fill(0L, Seq("n_terms_hit", "score_q"))
       .select(col("id"), col("score_q"), col("n_terms_hit").as("rel"))
-    def dcgOf(df: DataFrame, rankCol: String, out: String): DataFrame =
-      df.filter(col(rankCol) <= 10)
+      .localCheckpoint()
+    // DCG@10 needs exactly the global top-10 under a total order — a
+    // TakeOrdered (orderBy + constant limit), not a full global rank: the
+    // previous globalRank form range-sorted and rank-stamped EVERY row
+    // twice to read back ten (r13 opt; same discipline as q313's top-k).
+    // The rank window after the limit runs over ≤ 10 rows — bounded by
+    // the constant k, not the data.
+    def dcgOf(order: Seq[Column], rankCol: String, out: String): DataFrame =
+      scored.orderBy(order: _*).limit(10)
+        .withColumn(rankCol,
+          row_number().over(Window.orderBy(order: _*)).cast("long"))
         .withColumn("w_q",
           floor(lit(1000000.0) * log(lit(2.0)) /
             log((col(rankCol) + 1).cast("double")) + 0.5).cast("long"))
         .agg(sum(col("rel") * col("w_q")).as(out))
-    val byScore = dcgOf(
-      globalRank(scored, "rnk", col("score_q").desc, col("id")), "rnk", "dcg_q")
-    val ideal = dcgOf(
-      globalRank(scored, "irnk", col("rel").desc, col("id")), "irnk", "idcg_q")
+    val byScore = dcgOf(Seq(col("score_q").desc, col("id")), "rnk", "dcg_q")
+    val ideal = dcgOf(Seq(col("rel").desc, col("id")), "irnk", "idcg_q")
     byScore.crossJoin(ideal)
       .withColumn("ndcg_ppm", expr("(dcg_q * 1000000) div idcg_q"))
   }
