@@ -207,11 +207,15 @@ object Analytics {
     * n_neg = 0) yields the -1 sentinel, never NULL or a crash.
     */
   def aucRankSum(df: DataFrame, scoreCol: String, idCol: String,
-      truthCol: String): DataFrame = {
-    val ranked = Ranks.globalRank(
+      truthCol: String, cache: Boolean = true): DataFrame = {
+    val ranked0 = Ranks.globalRank(
       df.select(col(scoreCol).as("__s"), col(idCol).as("__id"),
         col(truthCol).as("__t")),
       "__rnk", col("__s"), col("__id"))
+    // feeds the tie bounds AND the join-back — the rank pass (and
+    // everything upstream of it) would otherwise run once per consumer
+    // (r13 opt); cache=false keeps the full plan visible for the pins
+    val ranked = if (cache) ranked0.localCheckpoint() else ranked0
     val ties = ranked.groupBy("__s")
       .agg(min("__rnk").as("__lo"), max("__rnk").as("__hi"))
     ranked.join(ties, "__s")

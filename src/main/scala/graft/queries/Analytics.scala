@@ -652,7 +652,9 @@ object Analytics {
     val truth = docs(s, dir)
       .select(col("doc_id").as("id"),
         (col("lang") === "en").cast("long").as("pos"))
-    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    // one row per doc by construction — count the plain scan, not the
+    // scored frame, so the ngram scorer runs once (q196 rule; r13 opt)
+    val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
     globalRank(scored, "rnk", col("score_milli"), col("id"))
       .join(truth, "id").crossJoin(n)
       .withColumn("decile", expr("((rnk - 1) * 10) div n_docs"))
@@ -695,7 +697,9 @@ object Analytics {
     val scored = graft.llmops.TextAnalysis
       .hashedNgramScore(docs(s, dir), "doc_id", "text")
       .select(col("id"), col("score_milli"))
-    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    // one row per doc by construction — count the plain scan, not the
+    // scored frame, so the ngram scorer runs once (q196 rule; r13 opt)
+    val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
     val bins = globalRank(scored, "rnk", col("score_milli"), col("id"))
       .crossJoin(n)
       .withColumn("bin", expr("((rnk - 1) * 10) div n_docs"))
@@ -790,6 +794,8 @@ object Analytics {
       (col("lang") === "en").as("truth"))
     val ranked = scored.join(d, "id")
       .withColumn("rnk", row_number().over(w).cast("long"))
+      .localCheckpoint() // feeds the tie bounds AND the join-back — the
+                         // scorer + window would otherwise run twice
     val ties = ranked.groupBy("g", "score_milli")
       .agg(min("rnk").as("lo"), max("rnk").as("hi"))
     ranked.join(ties, Seq("g", "score_milli"))
@@ -851,6 +857,8 @@ object Analytics {
     val g = st.groupBy("score_milli")
       .agg(sum(when(col("truth"), 1L).otherwise(0L)).as("pos_s"),
         sum(when(!col("truth"), 1L).otherwise(0L)).as("neg_s"))
+      .localCheckpoint() // ≤ |distinct scores| rows, feeds the n_pos total
+                         // AND the sweep — the scorer ran once per consumer
     val n = broadcast(g.agg(sum("pos_s").as("n_pos")))
     val swept = prefixSums(g, Seq("pos_s" -> "tp", "neg_s" -> "fp"),
       col("score_milli").desc)
@@ -2282,7 +2290,12 @@ object Analytics {
     * ppm before the minimax, making both engines bit-identical; the fit
     * is provably monotone, which the spec asserts. */
   def q262IsotonicCalibration(s: SparkSession, dir: String): DataFrame = {
+    // ≤ 10 rows, consumed FIVE times below (both inequality-join sides,
+    // the pooled join, the fit grid, the final readout) — un-truncated,
+    // the whole q183 scorer+rank pipeline executed once per consumer
+    // (r13 opt)
     val cells = q183Calibration(s, dir).select("decile", "n", "n_pos")
+      .localCheckpoint()
     val bj = cells.select(col("decile").as("j"))
     val bk = cells.select(col("decile").as("k"))
     // every frame here is decile-grid-sized (≤ 10 rows): broadcast the
@@ -2354,8 +2367,11 @@ object Analytics {
       .withColumn("one", lit(1L))
     val swept = prefixSums(scored, Seq("pos" -> "cum_pos", "one" -> "rnk"),
       col("score_milli").desc, col("id"))
-    val totals = broadcast(scored.agg(count(lit(1)).as("n_docs"),
-      sum("pos").as("n_pos")))
+    // n_docs/n_pos depend only on the base table (pos = lang='en'), not on
+    // the score — aggregate the plain scan so the ngram scorer + rank
+    // pipeline runs once (q196 rule; r13 opt)
+    val totals = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs"),
+      sum((col("lang") === "en").cast("long")).as("n_pos")))
     swept.filter(col("pos") === 1L)
       .withColumn("p_at_k_ppm", expr("(cum_pos * 1000000) div rnk"))
       .agg(sum("p_at_k_ppm").as("sum_p_ppm"))

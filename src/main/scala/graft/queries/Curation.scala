@@ -2156,6 +2156,11 @@ object Curation {
         .join(adj.select(col("node").as("cur"), col("j"), col("nbr")),
           Seq("cur", "j"))
         .select(col("start"), lit(k.toLong).as("step"), col("nbr").as("node"))
+        .localCheckpoint() // feeds BOTH the next hop and the corpus union —
+                           // un-truncated, step k re-executes once per later
+                           // hop (4+3+2+1 = 10 step joins instead of 4; the
+                           // oracle MATERIALIZEs each w_k for the same
+                           // reason; r13 opt)
       (stepped, acc.unionByName(stepped))
     }
     corpus.orderBy("start", "step")

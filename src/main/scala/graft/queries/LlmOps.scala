@@ -1772,7 +1772,10 @@ object LlmOps {
     import graft.operators.Ranks.globalRank
     val scored = TextAnalysis.hashedNgramScore(docs(s, dir), "doc_id", "text")
       .select(col("id"), col("score_milli"))
-    val n = broadcast(scored.agg(count(lit(1)).as("n_docs")))
+    // one row per doc by construction — count the plain parquet scan, not
+    // the scored frame, so the scorer pipeline runs ONCE (the q196 rule;
+    // r13 opt: the count branch re-executed the whole ngram scorer)
+    val n = broadcast(docs(s, dir).agg(count(lit(1)).as("n_docs")))
     globalRank(scored, "rnk", col("score_milli"), col("id"))
       .crossJoin(n)
       .withColumn("pct_q", expr("((rnk - 1) * 1000000) div (n_docs - 1)"))

@@ -318,7 +318,19 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
   }
 
   test("q166: AUC rank plan — every window keyed on the range-partition id") {
-    val p = plan("q166_auc_eval")
+    // the production path localCheckpoints the ranked frame (it feeds the
+    // tie bounds AND the join-back), which truncates the executed plan —
+    // pin the cache=false build, the same construction minus the seal
+    // (the substrPlan discipline)
+    import org.apache.spark.sql.functions._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val scored = graft.llmops.TextAnalysis.hashedNgramScore(d, "doc_id", "text")
+      .select(col("id"), col("score_milli"))
+    val truth = d.select(col("doc_id").as("id"), (col("lang") === "en").as("truth"))
+    val p = graft.operators.Analytics
+      .aucRankSum(scored.join(truth, "id"), "score_milli", "id", "truth",
+        cache = false)
+      .queryExecution.executedPlan.toString
     val windows = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(windows.nonEmpty, "globalRank's per-partition row_number must appear")
     windows.foreach(w => assert(w.contains("__pid"),
@@ -371,14 +383,36 @@ class PlanSpec extends AnyFunSuite with SparkSpec {
     }
   }
 
-  test("q187/q189/q196: rank/scan plans keyed on the range-partition id only") {
-    for (q <- Seq("q187_ndcg", "q189_best_threshold", "q196_gains_table")) {
-      val p = plan(q)
-      val windows = p.linesIterator.filter(_.contains("Window")).toSeq
-      assert(windows.nonEmpty, s"$q: globalRank/prefixSum windows must appear")
-      windows.foreach(w => assert(w.contains("__pid"),
-        s"$q: window not keyed on the range-partition id: $w"))
-    }
+  test("q189/q196: rank/scan windows keyed on the range-partition id or bounded") {
+    val p189 = plan("q189_best_threshold")
+    val w189 = p189.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w189.nonEmpty, "q189: prefixSum windows must appear")
+    w189.foreach(w => assert(w.contains("__pid"),
+      s"q189: window not keyed on the range-partition id: $w"))
+    // q196's globalRank windows stay __pid-keyed; its one unkeyed window is
+    // the cumulative-gain scan over the DECILE frame — ≤ 10 rows by
+    // construction (decile ∈ 0..9), ordered by decile (r13 opt)
+    val p196 = plan("q196_gains_table")
+    val w196 = p196.linesIterator.filter(_.contains("Window")).toSeq
+    assert(w196.exists(_.contains("__pid")), "q196: globalRank windows must appear")
+    w196.filterNot(_.contains("__pid")).foreach(w => assert(w.contains("decile"),
+      s"q196: unkeyed window must be the bounded decile scan: $w"))
+  }
+
+  test("q187: DCG cutoffs are TakeOrdered top-10s, not global ranks") {
+    // r13 opt: DCG@10 needs the global top-10 only — each branch is
+    // orderBy+limit(10) (TakeOrderedAndProject) with the rank stamped by a
+    // ≤ 10-row window AFTER the limit; the old shape range-sorted and
+    // rank-stamped EVERY row twice (two globalRanks = two range exchanges)
+    val p = plan("q187_ndcg")
+    assert(p.contains("TakeOrderedAndProject"),
+      "each DCG branch must be a TakeOrdered top-10")
+    assert(!p.contains("rangepartitioning"),
+      "no global range sort may remain in the NDCG plan")
+    val unkeyed = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(unkeyed.size <= 2 && unkeyed.forall(w =>
+      w.contains("score_q") || w.contains("rel")),
+      s"only the two post-limit bounded rank stamps may appear: $unkeyed")
   }
 
   test("q193/q198: hazard horizon and FK parents are broadcast, never shuffled") {
