@@ -27,4 +27,8 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // dev-only passthrough for conf experiments, e.g.
+  // GRAFT_DEV_SPARK_OPTS='-Dspark.sql.adaptive.advisoryPartitionSizeInBytes=8m'
+  // (SparkConf loads spark.* system properties; builder configs still win)
+  sys.env.get("GRAFT_DEV_SPARK_OPTS").toSeq.flatMap(_.split(" ").filter(_.nonEmpty).toSeq)

@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{Column, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayDot, Bridge, CdcChunks, HyperplaneSig, InterleaveBits, JaroWinklerPpm, PlaneDots, TokenGramHashes}
+import org.apache.spark.sql.graft.{ArrayDot, Bridge, CdcChunks, HyperplaneSig, InterleaveBits, JaroWinklerPpm, PlaneDots, SortedBagIntersectSize, TokenGramHashes, TokenGramStrings}
 
 /** Column-API facade for the native graft expressions. */
 object GraftFunctions {
@@ -36,10 +36,20 @@ object GraftFunctions {
   def tokenGramHashes(toks: Column, n: Int): Column =
     Bridge.column(TokenGramHashes(Bridge.expression(toks), n))
 
+  /** Distinct space-joined token n-gram strings as one native loop
+    * (see [[org.apache.spark.sql.graft.TokenGramStrings]]). */
+  def tokenGrams(toks: Column, n: Int): Column =
+    Bridge.column(TokenGramStrings(Bridge.expression(toks), n))
+
   /** Content-defined chunks of a string column as one native loop
     * (see [[org.apache.spark.sql.graft.CdcChunks]]). */
   def cdcChunks(payload: Column, window: Int, div: Int): Column =
     Bridge.column(CdcChunks(Bridge.expression(payload), window, div))
+
+  /** Multiset-intersection size of two sorted string arrays as one native
+    * merge loop (see [[org.apache.spark.sql.graft.SortedBagIntersectSize]]). */
+  def sortedBagIntersectSize(a: Column, b: Column): Column =
+    Bridge.column(SortedBagIntersectSize(Bridge.expression(a), Bridge.expression(b)))
 
   /** Jaro–Winkler similarity ×1e6 as one native comparator
     * (see [[org.apache.spark.sql.graft.JaroWinklerPpm]]). */

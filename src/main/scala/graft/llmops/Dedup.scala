@@ -36,25 +36,21 @@ object Dedup {
 
   /** Tall distinct (id, shingle) inverted-index frame.
     *
-    * Built with posexplode + window `lead` rather than an array
-    * higher-order `transform`+`slice` expression: HOF lambdas are
-    * interpreted per element and measured ~10× slower; the window form
-    * stays in whole-stage codegen and its shuffle (by doc id) is the same
-    * partitioning the downstream per-doc aggregations want. */
-  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val tall = docs.select(col(idCol).as("id"),
-      posexplode(tokens(col(textCol))).as(Seq("pos", "tok")))
-    if (n == 1) tall.select(col("id"), col("tok").as("s")).distinct()
-    else {
-      val w = Window.partitionBy("id").orderBy("pos")
-      val parts = col("tok") +: (1 until n).map(i => lead(col("tok"), i).over(w).as(s"t$i"))
-      tall.select((col("id") +: col("pos") +: parts): _*)
-        .filter(col(s"t${n - 1}").isNotNull)
-        .select(col("id"),
-          concat_ws(" ", (col("tok") +: (1 until n).map(i => col(s"t$i"))): _*).as("s"))
-        .distinct()
-    }
-  }
+    * Gram construction is ONE native codegen loop per document row
+    * ([[org.apache.spark.sql.graft.TokenGramStrings]]) in the scan stage —
+    * zero shuffles. It replaces the posexplode + window(`lead`) + global
+    * distinct form, which paid an Exchange+Sort (the per-doc window) plus
+    * a second Exchange (the distinct) per instantiation — and jaccard /
+    * containment instantiate this twice. (An array HOF
+    * `transform`+`slice` chain was measured ~10× slower per element in an
+    * earlier round — interpreted lambdas; the custom expression is the
+    * codegen-native form of the same zero-shuffle idea.) Per-doc in-row
+    * dedup equals the old global (id, s) distinct because every caller
+    * passes unique doc ids. */
+  def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs.select(col(idCol).as("id"),
+      explode(graft.functions.GraftFunctions.tokenGrams(
+        tokens(col(textCol)), n)).as("s"))
 
   /** Cross-document duplicated-span coverage — the substring-level dedup
     * signal (the "dedup training data at the substring level" recipe:
@@ -258,8 +254,31 @@ object Dedup {
       // lexicographic by field, exactly the PPJoin prefix order — and the
       // full shingle-string set extracted via native GetArrayStructFields
       // (no lambda anywhere on this path).
-      val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-      val perDoc = sh.join(dfreq, "s")
+      val withDf = maxShingleDocFreq match {
+        case Some(_) =>
+          // the cap filter needs every shingle's exact df — keyed join
+          val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          sh.join(dfreq, "s")
+        case None =>
+          // No cap ⇒ df only ORDERS the prefix, and a shingle absent from
+          // the duplicated set has df = 1 by definition — so broadcast
+          // only the df ≥ threshold shingles (threshold 2 ⇒ df is exact
+          // everywhere ⇒ candidate set IDENTICAL to the keyed join) and
+          // default the rest to 1, instead of shuffling the full shingle
+          // stream by s to attach a rank key (guide §2.4/§3.1). At real
+          // scale raise spark.graft.ppjoin.hotDfThreshold so the
+          // broadcast holds only true stop-shingles: rare shingles then
+          // tie at df = 1 and order by s — still a global total order, so
+          // prefix filtering stays lossless and RESULTS are unchanged
+          // (exact rescore); only candidate counts drift.
+          val thr = docs.sparkSession.conf
+            .get("spark.graft.ppjoin.hotDfThreshold", "2").toLong
+          val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= thr)
+          sh.join(broadcast(hot), Seq("s"), "left")
+            .select(col("id"), col("s"), coalesce(col("df"), lit(1L)).as("df"))
+      }
+      val perDoc = withDf
         .groupBy("id")
         .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("items"))
         .withColumn("n_sh", size(col("items")).cast("long"))
@@ -338,8 +357,24 @@ object Dedup {
       n: Int, minContainment: Double,
       maxShingleDocFreq: Option[Int] = None): DataFrame = {
     val sh = shingleIndex(docs, idCol, textCol, n)
-    val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
-    val perDoc = sh.join(dfreq, "s")
+    // same hot-shingle broadcast trick as [[jaccardPairs]]: with no cap,
+    // df only orders the prefix, and every shingle outside the duplicated
+    // (df ≥ 2) set has df = 1 by definition — broadcast the duplicated
+    // set instead of shuffling the full shingle stream by s. The cap path
+    // keeps the keyed join (its filter needs every exact df).
+    val withDf = maxShingleDocFreq match {
+      case Some(_) =>
+        val dfreq = sh.groupBy("s").agg(count(lit(1)).as("df"))
+        sh.join(dfreq, "s")
+      case None =>
+        val thr = docs.sparkSession.conf
+          .get("spark.graft.ppjoin.hotDfThreshold", "2").toLong
+        val hot = sh.groupBy("s").agg(count(lit(1)).as("df"))
+          .filter(col("df") >= thr)
+        sh.join(broadcast(hot), Seq("s"), "left")
+          .select(col("id"), col("s"), coalesce(col("df"), lit(1L)).as("df"))
+    }
+    val perDoc = withDf
       .groupBy("id")
       .agg(sort_array(collect_list(struct(col("df"), col("s")))).as("items"))
       .withColumn("n_sh", size(col("items")).cast("long"))
@@ -474,9 +509,11 @@ object Dedup {
     * template-heavy corpora where set-Jaccard saturates (a doc repeating
     * one boilerplate paragraph five times shares its full token SET with
     * a single-copy doc, but only ~1/5 of its token mass). Σmax folds to
-    * tot_a + tot_b − Σmin, so the per-pair work is ONE map_zip_with over
-    * the two count maps (each bounded by doc vocabulary); the pair stream
-    * carries two maps + two totals, never text. The count maps are built
+    * tot_a + tot_b − Σmin, so the per-pair work is ONE native merge loop
+    * over the two sorted token bags (each bounded by doc length); the
+    * pair stream carries two token arrays + two totals, never raw text
+    * (the bag IS the tokenized text — at 100 TB pre-filter `docs` to the
+    * pair-referenced ids before calling, as below). The bags are built
     * over the whole doc frame — at 100 TB a caller whose candidate pairs
     * touch a sliver of the corpus should pre-filter `docs` to the docs
     * its pairs reference (a checkpointed-candidate semi-join) before
@@ -486,22 +523,24 @@ object Dedup {
     * (wj_num, wj_den, wj_ppm = num·1e6 div den). */
   def weightedJaccardRescore(docs: DataFrame, idCol: String, textCol: String,
       cand: DataFrame): DataFrame = {
-    val cnt = docs
-      .select(col(idCol).as("id"), explode(tokens(col(textCol))).as("tok"))
-      .groupBy("id", "tok").agg(count(lit(1)).as("c"))
-      .groupBy("id")
-      .agg(map_from_entries(array_sort(
-        collect_list(struct(col("tok"), col("c"))))).as("m"),
-        sum("c").as("t"))
+    // Each doc travels as its SORTED full token array, built entirely in
+    // the scan stage (array_sort per row — no explode, no groupBy: the
+    // count-map form paid two aggregation exchanges just to build maps).
+    // Σ_t min(c_a(t), c_b(t)) over two sorted bags is one native merge
+    // loop per pair (SortedBagIntersectSize, codegen) — it replaces the
+    // map_zip_with → map_values → aggregate chain, three interpreted
+    // higher-order expressions materializing a zipped map per pair
+    // (guide §4: no non-codegen expressions in the per-pair hot path).
+    val bag = docs.select(col(idCol).as("id"),
+      array_sort(tokens(col(textCol))).as("bg"))
+      .select(col("id"), col("bg"), size(col("bg")).cast("long").as("t"))
     cand
-      .join(cnt.select(col("id").as("id_a"), col("m").as("ma"),
+      .join(bag.select(col("id").as("id_a"), col("bg").as("bg_a"),
         col("t").as("ta")), "id_a")
-      .join(cnt.select(col("id").as("id_b"), col("m").as("mb"),
+      .join(bag.select(col("id").as("id_b"), col("bg").as("bg_b"),
         col("t").as("tb")), "id_b")
-      .withColumn("wj_num", expr(
-        """aggregate(map_values(map_zip_with(ma, mb,
-          |  (k, x, y) -> least(coalesce(x, 0L), coalesce(y, 0L)))),
-          |  0L, (acc, v) -> acc + v)""".stripMargin))
+      .withColumn("wj_num", graft.functions.GraftFunctions
+        .sortedBagIntersectSize(col("bg_a"), col("bg_b")))
       .withColumn("wj_den", col("ta") + col("tb") - col("wj_num"))
       .select(col("id_a"), col("id_b"), col("wj_num"), col("wj_den"),
         expr("wj_num * 1000000L div wj_den").as("wj_ppm"))
@@ -916,13 +955,23 @@ object Dedup {
     val d = docs.select(col(idCol).as("id"), col(textCol).as("text"))
     val (cand, winners) = candWindows(d, minLen, cache)
     // lexicographic min over (id, pos) packed into ONE BIGINT — id·2³² + pos
-    // ≡ min(struct(id, pos)) whenever pos < 2³² (positions are character
-    // offsets; a single document past 4 Gi-chars is outside every contract
-    // here), but the packed form stays a primitive-long HashAggregate in
-    // whole-stage codegen where the struct min drops to ObjectHashAggregate
-    // with per-row struct allocation, and its partial state shuffles 8 B
-    // instead of a 16 B struct
-    val packed = shiftleft(col("id"), 32) + col("pos")
+    // ≡ min(struct(id, pos)) whenever 0 ≤ id < 2³¹ AND pos < 2³² (positions
+    // are character offsets; a single document past 4 Gi-chars is outside
+    // every contract here — but ids are int64, and an id ≥ 2³¹ overflows the
+    // sign bit, silently changing which occurrence is "first"). The packed
+    // form stays a primitive-long HashAggregate in whole-stage codegen where
+    // the struct min drops to ObjectHashAggregate with per-row struct
+    // allocation, and its partial state shuffles 8 B instead of a 16 B
+    // struct. The id envelope is ASSERTED per row (one branch, codegen):
+    // outside it the operator fails loudly instead of corrupting — a corpus
+    // with snowflake-width ids must swap the aggregate to min(struct(id,
+    // pos)) and eat the ObjectHashAggregate.
+    val packed = shiftleft(col("id"), 32) + col("pos") + coalesce(
+      assert_true(col("id") >= 0L && col("id") < 2147483648L,
+        lit("substringDedupKeepFirst: doc id outside the packed-min " +
+          "envelope [0, 2^31) — use a struct min for wider id spaces"))
+        .cast("long"),
+      lit(0L))
     val firsts = cand.groupBy("gram")
       .agg(min(packed).as("first_packed"))
     val covered = cand.join(firsts, "gram")

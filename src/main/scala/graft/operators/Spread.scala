@@ -26,7 +26,14 @@ import org.apache.spark.sql.DataFrame
   * Round-robin (not keyed): perfect balance, no synthetic-key collision
   * skew (guide: a keyed repartition on few distinct values leaves holes),
   * and Spark's sort-before-repartition keeps the row→partition assignment
-  * deterministic under task retry. */
+  * deterministic under task retry.
+  *
+  * PRECONDITION — scan-side frames only: `df.rdd.getNumPartitions` is a
+  * plan-time no-op only for exchange-free inputs (scans, scans+filters).
+  * On a frame containing shuffles under AQE, materializing the RDD
+  * executes its query stages (runs jobs) just to read the partition
+  * count. Every current call site is a scan/filter; keep it that way, or
+  * derive the split count from the FileSourceScanExec instead. */
 object Spread {
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism

@@ -241,9 +241,11 @@ object Curation {
       .agg(count(lit(1)).as("c"))
       .filter(col("c") >= 3).select("id_a", "id_b")
       .localCheckpoint() // 2 pruning consumers below
-    // frequent pairs per basket: the L2-pruned pair stream — checkpointed,
-    // it feeds BOTH sides of the triangular ab⨝ac join (the oracle
-    // MATERIALIZEs p for the same reason)
+    // frequent pairs per basket: the L2-pruned pair stream. Deliberately
+    // NOT checkpointed even though it feeds both sides of the triangular
+    // ab⨝ac join — materializing the ~10 M-row stream measured slower than
+    // re-deriving it from the truncated ci/l2 frames (r13); only ci and l2
+    // carry localCheckpoints.
     val p = ci.as("x")
       .join(ci.withColumnRenamed("item", "item_b").as("y"), "ck")
       .filter(col("item") < col("item_b"))
