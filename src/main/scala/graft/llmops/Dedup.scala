@@ -46,7 +46,13 @@ object Dedup {
     * earlier round — interpreted lambdas; the custom expression is the
     * codegen-native form of the same zero-shuffle idea.) Per-doc in-row
     * dedup equals the old global (id, s) distinct because every caller
-    * passes unique doc ids. */
+    * passes unique doc ids.
+    *
+    * Deliberately NOT Spread here: a blanket Spread measured as noise on
+    * the jaccard/containment family (their first exchange comes early
+    * enough), echoing the r13 rejection; callers whose downstream partial
+    * aggregations are heavy and exchange-free (e.g. [[incrementalDedup]])
+    * spread their OWN doc frame. */
   def shingleIndex(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs.select(col(idCol).as("id"),
       explode(graft.functions.GraftFunctions.tokenGrams(
@@ -531,7 +537,9 @@ object Dedup {
     // map_zip_with → map_values → aggregate chain, three interpreted
     // higher-order expressions materializing a zipped map per pair
     // (guide §4: no non-codegen expressions in the per-pair hot path).
-    val bag = docs.select(col(idCol).as("id"),
+    // Spread: tokenize+sort runs in the scan stage — one task on a
+    // single-row-group parquet otherwise (plan-time no-op at real scale)
+    val bag = Spread.spread(docs).select(col(idCol).as("id"),
       array_sort(tokens(col(textCol))).as("bg"))
       .select(col("id"), col("bg"), size(col("bg")).cast("long").as("t"))
     cand
@@ -572,7 +580,13 @@ object Dedup {
   def incrementalDedup(docs: DataFrame, idCol: String, textCol: String,
       deltaPred: Column, n: Int, minhashK: Int, rowsPerBand: Int,
       minJaccard: Double): DataFrame = {
-    val ids = shingleIndex(docs, idCol, textCol, n)
+    // Spread: the md5 shingle-id build and both consumers' partial
+    // aggregations (collect_set, 32 minhash mins) run in the scan stage —
+    // one task on a single-row-group parquet otherwise (plan-time no-op
+    // at real scale). (Persisting this stream instead was measured slower
+    // — the gram materialization costs more than recomputing it per
+    // consumer.)
+    val ids = shingleIndex(Spread.spread(docs), idCol, textCol, n)
       .select(col("id"), conv(substring(md5(col("s").cast("binary")), 1, 12),
         16, 10).cast("long").as("tid"))
     // full shingle-id sets + sizes for the exact rescore (sorted for a
@@ -962,22 +976,27 @@ object Dedup {
     // form stays a primitive-long HashAggregate in whole-stage codegen where
     // the struct min drops to ObjectHashAggregate with per-row struct
     // allocation, and its partial state shuffles 8 B instead of a 16 B
-    // struct. The id envelope is ASSERTED per row (one branch, codegen):
-    // outside it the operator fails loudly instead of corrupting — a corpus
-    // with snowflake-width ids must swap the aggregate to min(struct(id,
-    // pos)) and eat the ObjectHashAggregate.
-    val packed = shiftleft(col("id"), 32) + col("pos") + coalesce(
-      assert_true(col("id") >= 0L && col("id") < 2147483648L,
-        lit("substringDedupKeepFirst: doc id outside the packed-min " +
-          "envelope [0, 2^31) — use a struct min for wider id spaces"))
-        .cast("long"),
-      lit(0L))
+    // struct. The id envelope is ASSERTED on the final per-doc report rows
+    // (every cand id is a doc id, so one branch per DOC covers the whole
+    // stream; guarding `packed` itself was measured +40% — the assert
+    // rides the per-GRAM hot path there): outside the envelope the
+    // operator fails loudly instead of corrupting — a corpus with
+    // snowflake-width ids must swap the aggregate to min(struct(id, pos))
+    // and eat the ObjectHashAggregate.
+    val packed = shiftleft(col("id"), 32) + col("pos")
     val firsts = cand.groupBy("gram")
       .agg(min(packed).as("first_packed"))
     val covered = cand.join(firsts, "gram")
       .filter(packed =!= col("first_packed"))
       .select("id", "pos")
-    docReport(d, sealSpans(mergeIslands(covered, minLen), cand, winners, cache))
+    val report =
+      docReport(d, sealSpans(mergeIslands(covered, minLen), cand, winners, cache))
+    report.withColumn("id", col("id") + coalesce(
+      assert_true(col("id") >= 0L && col("id") < 2147483648L,
+        lit("substringDedupKeepFirst: doc id outside the packed-min " +
+          "envelope [0, 2^31) — use a struct min for wider id spaces"))
+        .cast("long"),
+      lit(0L)))
   }
 
   /** [[substringDedup]]'s span machinery, shared with [[topBoilerplate]]:

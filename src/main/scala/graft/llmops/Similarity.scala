@@ -744,7 +744,13 @@ object Similarity {
     require(probeFlips == 0 || probeFlips == 1,
       s"probeFlips must be 0 (single-probe) or 1, got $probeFlips")
     val rpb = planes / bands
-    val withDots = vectors.select(col("id"), col("vec"),
+    // planeDots (planes·dim mults/row) + the banded key/flip folds all run
+    // BEFORE the first exchange — on a single-row-group parquet that is one
+    // task doing the whole signature build (guide §2.5 input skew); Spread
+    // fans the scan to default parallelism and is a plan-time no-op at
+    // real scale
+    val withDots = graft.operators.Spread.spread(vectors)
+      .select(col("id"), col("vec"),
         graft.functions.GraftFunctions.planeDots(col("vec"), planes, dim,
           SigScale).as("pd"),
         sqrt(arrayDotScaled(col("vec"), col("vec"), scale).cast("double")).as("nrm"))
@@ -807,7 +813,12 @@ object Similarity {
   def cosineTopKInt8(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
     val q = int8Codes(queries).select(col("id").as("qid"), col("qvec").as("qv"),
       sqrt(arrayDotScaled(col("qvec"), col("qvec"), 1L).cast("double")).as("qn"))
-    val c = int8Codes(corpus).select(col("id").as("cid"), col("qvec").as("cv"),
+    // corpus-side quantization, the |corpus|·|queries| dot projection and
+    // the per-query local top-k all execute on the corpus SCAN partitioning
+    // (one task on a single-row-group parquet — guide §2.5); Spread fans it
+    // out and is a plan-time no-op at real scale
+    val c = int8Codes(graft.operators.Spread.spread(corpus))
+      .select(col("id").as("cid"), col("qvec").as("cv"),
       sqrt(arrayDotScaled(col("qvec"), col("qvec"), 1L).cast("double")).as("cn"))
     val scored = c.join(broadcast(q), col("qid") =!= col("cid"))
       .select(col("qid"), col("cid"),

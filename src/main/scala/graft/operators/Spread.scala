@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical._
 
 /** Scan-parallelism repair for compute-heavy fan-out stages.
   *
@@ -28,15 +29,30 @@ import org.apache.spark.sql.DataFrame
   * and Spark's sort-before-repartition keeps the row→partition assignment
   * deterministic under task retry.
   *
-  * PRECONDITION — scan-side frames only: `df.rdd.getNumPartitions` is a
-  * plan-time no-op only for exchange-free inputs (scans, scans+filters).
-  * On a frame containing shuffles under AQE, materializing the RDD
-  * executes its query stages (runs jobs) just to read the partition
-  * count. Every current call site is a scan/filter; keep it that way, or
-  * derive the split count from the FileSourceScanExec instead. */
+  * Scan-side frames only: `df.rdd.getNumPartitions` is a plan-time no-op
+  * only for exchange-free inputs (scans, scans+filters). On a frame
+  * containing shuffles under AQE, materializing the RDD executes its
+  * query stages (runs jobs) just to read the partition count — so
+  * [[spread]] GUARDS on the optimized logical plan (a pure plan walk, no
+  * jobs) and returns the frame untouched unless it is a narrow
+  * scan/filter/project pipeline over leaves. That makes it safe to call
+  * from shared operators whose callers sometimes pass joined frames. */
 object Spread {
+  /** True when the optimized plan is narrow (no exchange will be planned
+    * below it), so reading the RDD partition count runs no job. */
+  private def narrowScan(df: DataFrame): Boolean = {
+    def ok(p: LogicalPlan): Boolean = p match {
+      case _: Project | _: Filter | _: SubqueryAlias | _: Generate =>
+        p.children.forall(ok)
+      case _: LeafNode => true
+      case _ => false
+    }
+    ok(df.queryExecution.optimizedPlan)
+  }
+
   def spread(df: DataFrame): DataFrame = {
     val want = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+    if (narrowScan(df) && df.rdd.getNumPartitions < want) df.repartition(want)
+    else df
   }
 }

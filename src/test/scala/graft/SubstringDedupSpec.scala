@@ -164,6 +164,27 @@ class SubstringDedupSpec extends AnyFunSuite with SparkSpec {
     assert(got(3L) == ((0L, 0L, sha256Hex("bcdefghijk"))))
   }
 
+  test("keep-first packed-min envelope: id >= 2^31 raises instead of silently corrupting") {
+    import spark.implicits._
+    val wide = Seq(
+      (2147483648L, "xxQWERTYzz"),
+      (1L, "ppppQWERTY")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.substringDedupKeepFirst(wide, "doc_id", "text", minLen = 4)
+        .collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("packed-min envelope")),
+      s"expected the envelope assertion, got: ${messages(e).mkString(" | ")}")
+    // in-envelope ids are untouched by the guard
+    val ok = Seq((2147483647L, "xxQWERTYzz"), (1L, "ppppQWERTY"))
+      .toDF("doc_id", "text")
+    val got = Dedup.substringDedupKeepFirst(ok, "doc_id", "text", minLen = 4)
+      .collect().map(_.getLong(0)).sorted
+    assert(got.toSeq == Seq(1L, 2147483647L))
+  }
+
   private def md5Hex(s: String): String =
     MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
