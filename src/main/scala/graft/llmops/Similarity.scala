@@ -621,6 +621,9 @@ object Similarity {
       m: Int, ksub: Int, rescoreK: Int, dim: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim not divisible by m=$m subspaces")
     val subDim = dim / m
+    // (Spreading `vectors` here was measured 4.4 → 5.4 s isolated and
+    // reverted: the vector subtree feeds many broadcast-scale builds whose
+    // added exchanges outweigh the parallelized table build.)
     val pd = pivotDots(vectors, nlist).persist()
     val cells = pd.filter(col("pr") === 1).select(col("id"), col("p").as("cell"))
     val pivots = hashRank(vectors, nlist)
@@ -744,12 +747,11 @@ object Similarity {
     require(probeFlips == 0 || probeFlips == 1,
       s"probeFlips must be 0 (single-probe) or 1, got $probeFlips")
     val rpb = planes / bands
-    // planeDots (planes·dim mults/row) + the banded key/flip folds all run
-    // BEFORE the first exchange — on a single-row-group parquet that is one
-    // task doing the whole signature build (guide §2.5 input skew); Spread
-    // fans the scan to default parallelism and is a plan-time no-op at
-    // real scale
-    val withDots = graft.operators.Spread.spread(vectors)
+    // (A Spread of the vector scan here measured 1.83 → 2.03 s isolated
+    // and was reverted — the signature build is cheap enough that the
+    // round-robin exchange is not amortized; the wall is the candidate
+    // join, which is already parallel.)
+    val withDots = vectors
       .select(col("id"), col("vec"),
         graft.functions.GraftFunctions.planeDots(col("vec"), planes, dim,
           SigScale).as("pd"),

@@ -135,15 +135,19 @@ object LlmOps {
     val sets = tid.groupBy("id")
       .agg(sort_array(collect_set(col("tid"))).as("ts"))
       .withColumn("n_tok", size(col("ts")).cast("long"))
-    // one doc-keyed payload join (sig ⨝ sets), then the pair stream is
-    // joined twice (a/b side) instead of four times — two fewer shuffles
-    // of the candidate stream (guide §2.4)
-    val payload = sig.join(sets, "id")
+    // Deliberately four separate payload joins (sig a/b, sets a/b): the
+    // "obvious" fold — sig ⨝ sets once at doc granularity, then two pair
+    // joins — was measured 3.3 → 4.5 s isolated (r14) and reverted: the
+    // combined payload rows (signature + token-set arrays) are wide
+    // enough that the extra doc-keyed join costs more than the two
+    // pair-stream joins it saves at this fan-in.
     cand
-      .join(payload.select(col("id").as("id_a"), col("sig").as("sig_a"),
-        col("ts").as("ts_a"), col("n_tok").as("n_a")), "id_a")
-      .join(payload.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("ts").as("ts_b"), col("n_tok").as("n_b")), "id_b")
+      .join(sig.select(col("id").as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sig.select(col("id").as("id_b"), col("sig").as("sig_b")), "id_b")
+      .join(sets.select(col("id").as("id_a"), col("ts").as("ts_a"),
+        col("n_tok").as("n_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("ts").as("ts_b"),
+        col("n_tok").as("n_b")), "id_b")
       .withColumn("est_matches", expr(
         "aggregate(zip_with(sig_a, sig_b, (x, y) -> CASE WHEN x = y THEN 1L ELSE 0L END), 0L, (a, x) -> a + x)"))
       .withColumn("n_inter", size(array_intersect(col("ts_a"), col("ts_b"))).cast("long"))
